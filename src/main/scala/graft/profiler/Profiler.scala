@@ -1,0 +1,263 @@
+package graft.profiler
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.types._
+
+/**
+ * Single-pass table profiler — the heart of the engine (SURVEY.md §2.2).
+ *
+ * The reference batches many scalar aggregates into a handful of SELECTs
+ * pushed to the warehouse (backend/app.py:3354-3580 "OPTIMIZATION 1"); the
+ * Spark-native equivalent is ONE `df.agg(...)` carrying every per-column
+ * aggregate expression, which Catalyst compiles to a single shuffle-free
+ * scan + partial/final hash aggregation. At 100 TB this is one pass over
+ * the data regardless of column count.
+ *
+ * Two modes:
+ *  - exact  = true  → COUNT(DISTINCT) (expand-based) + exact percentile.
+ *                     Used for oracle parity at small SF.
+ *  - exact  = false → approx_count_distinct (HLL, mergeable sketch) +
+ *                     percentile_approx. The 100 TB path: no expand
+ *                     explosion, single pass, constant memory per column.
+ */
+object Profiler {
+
+  /** Type bucketing (reference: collector.py:607-627, app.py:3367-3373).
+   *  Spark schemas are precise, so bucket on DataType directly. */
+  def typeBucket(dt: DataType): String = dt match {
+    case _: NumericType => "numeric"
+    case _: StringType => "string"
+    case _: DateType | _: TimestampType | _: TimestampNTZType => "datetime"
+    case _: BooleanType => "boolean"
+    case _ => "other"
+  }
+
+  /** P25: normalized column type distribution (collector.py:607-627). */
+  def typeDistribution(schema: StructType): Map[String, Int] =
+    schema.fields
+      .groupBy(f => typeBucket(f.dataType) match {
+        case "string" => "text"; case b => b
+      })
+      .map { case (k, v) => k -> v.length }
+
+  /** P24: table health score (reference arithmetic, collector.py:661-687):
+   *  100 − 20 (no PK) − 30 (empty) − 15 (>80% nullable cols) − 10 (>50 cols),
+   *  floored at 0. */
+  def healthScore(
+      hasPrimaryKey: Boolean,
+      rowCount: Long,
+      nullableFraction: Double,
+      columnCount: Int): Int = {
+    var score = 100
+    if (!hasPrimaryKey) score -= 20
+    if (rowCount == 0) score -= 30
+    if (nullableFraction > 0.8) score -= 15
+    if (columnCount > 50) score -= 10
+    math.max(score, 0)
+  }
+
+  /** Build the per-column aggregate expressions for the single-pass profile.
+   *  Every expression is a codegen-friendly built-in (conditional SUM /
+   *  MIN / MAX / AVG), so the whole profile stays inside one
+   *  WholeStageCodegen span. `now` is injected for deterministic
+   *  future-date counts (SURVEY.md §7.4). */
+  def aggExprs(
+      schema: StructType,
+      exact: Boolean,
+      now: java.sql.Timestamp,
+      longTextThreshold: Int = 10000): Seq[Column] = {
+    val exprs = Seq.newBuilder[Column]
+    exprs += count(lit(1)).as("__row_count")
+    schema.fields.foreach { f =>
+      val c = col(f.name)
+      val n = f.name
+      // P2: null counts — one conditional sum per column, single scan
+      exprs += coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"${n}__nulls")
+      // P3: distinct counts (exact for parity; HLL sketch at scale)
+      exprs += (if (exact) countDistinct(c) else approx_count_distinct(c))
+        .as(s"${n}__distinct")
+      typeBucket(f.dataType) match {
+        case "numeric" =>
+          val d = c.cast(DoubleType)
+          exprs += min(d).as(s"${n}__min")
+          exprs += max(d).as(s"${n}__max")
+          exprs += avg(d).as(s"${n}__mean")
+          exprs += sum(d).as(s"${n}__sum")
+          exprs += stddev_samp(d).as(s"${n}__stddev")
+          exprs += (if (exact) expr(s"percentile(`$n`, 0.5)")
+                    else percentile_approx(d, lit(0.5), lit(10000)))
+            .as(s"${n}__median")
+          // P6: sign buckets (app.py:3472-3474)
+          exprs += sum(when(d === 0.0, 1L).otherwise(0L)).as(s"${n}__zero")
+          exprs += sum(when(d < 0.0, 1L).otherwise(0L)).as(s"${n}__neg")
+          exprs += sum(when(d > 0.0, 1L).otherwise(0L)).as(s"${n}__pos")
+        case "string" =>
+          // P10-P11: length stats + empty-string count (app.py:3571-3575)
+          val len = length(c)
+          exprs += min(len).cast(LongType).as(s"${n}__minlen")
+          exprs += max(len).cast(LongType).as(s"${n}__maxlen")
+          exprs += avg(len).as(s"${n}__avglen")
+          exprs += sum(when(c === "", 1L).otherwise(0L)).as(s"${n}__empty")
+        case "datetime" =>
+          // P12-P13: date range + future-date count with injected `now`
+          exprs += date_format(min(c), "yyyy-MM-dd HH:mm:ss").as(s"${n}__mindate")
+          exprs += date_format(max(c), "yyyy-MM-dd HH:mm:ss").as(s"${n}__maxdate")
+          exprs += sum(when(c > lit(now), 1L).otherwise(0L)).as(s"${n}__future")
+        case _ => ()
+      }
+    }
+    exprs.result()
+  }
+
+  /** P14: top-K frequent values for ALL eligible columns in ONE job.
+   *
+   *  Instead of the reference's per-column `GROUP BY c ORDER BY count DESC
+   *  LIMIT 10` queries (app.py:3646-3653), unpivot the eligible columns
+   *  with `stack` and run a single groupBy + windowed row_number. At scale
+   *  this is one shuffle keyed by (column, value) — partial aggregation
+   *  makes the map-side output proportional to distinct values, not rows. */
+  def topValues(
+      df: DataFrame,
+      columns: Seq[String],
+      k: Int = 10,
+      truncateAt: Int = 100): DataFrame = {
+    require(columns.nonEmpty, "topValues needs at least one column")
+    val stackExpr = columns
+      .map(c => s"'$c', substring(cast(`$c` as string), 1, $truncateAt)")
+      .mkString(s"stack(${columns.size}, ", ", ", ") as (column_name, value)")
+    val unpivoted = df.selectExpr(stackExpr).filter(col("value").isNotNull)
+    val counted = unpivoted.groupBy("column_name", "value").count()
+    val w = Window.partitionBy("column_name")
+      .orderBy(col("count").desc, col("value"))
+    counted
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("rank")
+  }
+
+  /** P4: fully-duplicated row count = COUNT(*) − COUNT(DISTINCT *).
+   *  Implemented as a groupBy over all columns (hash agg, one shuffle)
+   *  rather than df.distinct().count() twice over the scan. */
+  def duplicateRowCount(df: DataFrame): Long = {
+    val cols = df.columns.map(col).toSeq
+    val agg = df.groupBy(cols: _*).count()
+      .agg(
+        coalesce(sum(col("count") - 1L), lit(0L)).as("dupes"))
+      .first()
+    agg.getLong(0)
+  }
+
+  /** Full profile of a DataFrame: single-pass agg + one top-K job + one
+   *  duplicate-count job (3 scans total; the reference issues 4+ SELECT
+   *  batches per table, app.py:3354-3677). */
+  def profile(
+      df: DataFrame,
+      table: String,
+      meta: Option[TableMeta] = None,
+      exact: Boolean = true,
+      now: java.sql.Timestamp = java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+      topK: Int = 10,
+      topKDistinctLimit: Long = 1000,
+      topKMaxColumns: Int = 10,
+      includeDuplicates: Boolean = true): TableProfile = {
+    val schema = df.schema
+    val exprs = aggExprs(schema, exact, now)
+    val row = df.agg(exprs.head, exprs.tail: _*).first()
+    val idx = row.schema.fieldNames.zipWithIndex.toMap
+
+    def optL(k: String): Option[Long] =
+      idx.get(k).filterNot(row.isNullAt).map(i => row.get(i) match {
+        case l: Long => l
+        case i2: Int => i2.toLong
+        case d: Double => d.toLong
+        case x => x.toString.toLong
+      })
+    def optD(k: String): Option[Double] =
+      idx.get(k).filterNot(row.isNullAt).map(i => row.get(i) match {
+        case d: Double => d
+        case l: Long => l.toDouble
+        case i2: Int => i2.toDouble
+        case x => x.toString.toDouble
+      })
+    def optS(k: String): Option[String] =
+      idx.get(k).filterNot(row.isNullAt).map(row.getString)
+
+    val rowCount = row.getLong(idx("__row_count"))
+
+    // top-K: only low-cardinality, non-long-text columns, capped column
+    // count — the reference's knobs (app.py:3628-3645)
+    val distinctByCol = schema.fieldNames
+      .map(n => n -> optL(s"${n}__distinct").getOrElse(0L)).toMap
+    val topKCols = schema.fields
+      .filter(f => typeBucket(f.dataType) == "string" || typeBucket(f.dataType) == "numeric")
+      .map(_.name)
+      .filter(n => distinctByCol(n) > 0 && distinctByCol(n) < topKDistinctLimit)
+      .take(topKMaxColumns)
+    val topByCol: Map[String, Seq[TopValue]] =
+      if (topKCols.isEmpty || rowCount == 0) Map.empty
+      else topValues(df, topKCols.toIndexedSeq, topK).collect()
+        .groupBy(_.getString(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(r => (-r.getLong(2), r.getString(1))).map { r =>
+            val cnt = r.getLong(2)
+            TopValue(r.getString(1), cnt, cnt.toDouble / rowCount * 100.0)
+          }.toSeq
+        }
+
+    val colProfiles = schema.fields.map { f =>
+      val n = f.name
+      val nulls = optL(s"${n}__nulls").getOrElse(0L)
+      val nonNull = rowCount - nulls
+      val distinct = optL(s"${n}__distinct")
+      ColumnProfile(
+        name = n,
+        dataType = f.dataType.simpleString,
+        typeBucket = typeBucket(f.dataType),
+        nullCount = nulls,
+        nullPercentage = if (rowCount == 0) 0.0 else nulls.toDouble / rowCount * 100.0,
+        distinctCount = distinct,
+        distinctPercentage = distinct.map(d =>
+          if (nonNull == 0) 0.0 else d.toDouble / nonNull * 100.0),
+        isUnique = distinct.map(_ == nonNull),
+        min = optD(s"${n}__min"),
+        max = optD(s"${n}__max"),
+        mean = optD(s"${n}__mean"),
+        sum = optD(s"${n}__sum"),
+        stddev = optD(s"${n}__stddev"),
+        median = optD(s"${n}__median"),
+        zeroCount = optL(s"${n}__zero"),
+        negativeCount = optL(s"${n}__neg"),
+        positiveCount = optL(s"${n}__pos"),
+        minLength = optL(s"${n}__minlen"),
+        maxLength = optL(s"${n}__maxlen"),
+        avgLength = optD(s"${n}__avglen"),
+        emptyCount = optL(s"${n}__empty"),
+        minDate = optS(s"${n}__mindate"),
+        maxDate = optS(s"${n}__maxdate"),
+        futureCount = optL(s"${n}__future"),
+        topValues = topByCol.getOrElse(n, Nil))
+    }.toSeq
+
+    val dupes = if (includeDuplicates) duplicateRowCount(df) else 0L
+    val nullableFrac =
+      if (schema.fields.isEmpty) 0.0
+      else schema.fields.count(_.nullable).toDouble / schema.fields.length
+
+    TableProfile(
+      table = table,
+      timestamp = now.toString,
+      rowCount = rowCount,
+      columnCount = schema.fields.length,
+      duplicateCount = dupes,
+      columns = colProfiles,
+      typeDistribution = typeDistribution(schema),
+      healthScore = healthScore(
+        meta.exists(_.primaryKeys.nonEmpty), rowCount, nullableFrac,
+        schema.fields.length))
+  }
+}
