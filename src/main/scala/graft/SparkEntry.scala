@@ -1,13 +1,1181 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.anomalies.Anomalies
+import graft.history.Trends
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.profiler.Profiler
+import graft.sources.Catalog
+import graft.types.ValidationRule
+import graft.validations.{DefaultValidations, Runner}
+
+/**
+ * Driver contract: named queries (one per operator, SURVEY.md §2) with
+ * DuckDB oracle SQL for the correctness gate.
+ *
+ * Parity discipline (so Spark output hash-matches the DuckDB oracle):
+ *  - counts stay BIGINT on both sides;
+ *  - money sums go through DECIMAL(28,6) (exact, order-independent) and
+ *    are cast back to double;
+ *  - float-fragile aggregates (avg/median/stddev-ish) are ROUNDed on
+ *    BOTH sides, far above the engines' summation-order noise;
+ *  - every result has a deterministic ORDER BY;
+ *  - CURRENT_DATE/NOW are replaced by an injected fixed timestamp.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val NOW = "2026-01-01 00:00:00"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark reads as
+   *  a nanos-since-epoch long under spark.sql.legacy.parquet.nanosAsLong
+   *  (set in Verify/Bench sessions). Normalize to a proper timestamp
+   *  (microsecond truncation — matches DuckDB's ns→us cast). */
+  private def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+
+  private def anyToDouble(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+    case b: java.math.BigDecimal => b.doubleValue
+    case b: Boolean => if (b) 1.0 else 0.0
+    case x => x.toString.toDouble
+  }
+
+  /** Flagship: full profile of lineitem at the given SF; driver
+   *  smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val cat = Catalog(spark, dir)
+    val p = Profiler.profile(
+      t(spark, dir, "lineitem"), "lineitem", Some(cat.tableMeta("lineitem")))
+    import spark.implicits._
+    Seq((p.table, p.rowCount, p.columnCount, p.duplicateCount,
+      p.healthScore, p.columns.size))
+      .toDF("table_name", "row_count", "column_count", "duplicate_count",
+        "health_score", "profiled_columns")
+  }
+
+  // ------------------------------------------------------------------
+  // registry
+  // ------------------------------------------------------------------
+
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  lazy val registry: Seq[Q] =
+    profilerQueries ++ validationQueries ++ anomalyQueries ++
+      trendQueries ++ pipelineQueries ++ sourceQueries ++ schemaQueries
+
+  // ------------------------------------------------------------------
+  // P-series: profiling operators
+  // ------------------------------------------------------------------
+
+  private def profilerQueries: Seq[Q] = Seq(
+    Q("p01_row_count",
+      (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("row_count")),
+      Some("SELECT COUNT(*) AS row_count FROM lineitem")),
+
+    Q("p02_null_counts",
+      (s, d) => {
+        val df = t(s, d, "lineitem")
+        val aggs = df.columns.toSeq.map(c =>
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L))
+            .as(s"${c}_nulls"))
+        df.agg(aggs.head, aggs.tail: _*)
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        val exprs = cols.map(c =>
+          s"CAST(COUNT(*) - COUNT($c) AS BIGINT) AS ${c}_nulls").mkString(", ")
+        s"SELECT $exprs FROM lineitem"
+      }),
+
+    Q("p03_distinct_counts",
+      (s, d) => {
+        val df = t(s, d, "lineitem")
+        val aggs = df.columns.toSeq.map(c =>
+          countDistinct(col(c)).as(s"${c}_distinct"))
+        df.agg(aggs.head, aggs.tail: _*)
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate")
+        val exprs = cols.map(c =>
+          s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS ${c}_distinct").mkString(", ")
+        s"SELECT $exprs FROM lineitem"
+      }),
+
+    Q("p04_duplicate_rows",
+      (s, d) => {
+        val df = t(s, d, "lineitem")
+        df.groupBy(df.columns.map(col).toSeq: _*).count()
+          .agg(coalesce(sum(col("count") - 1L), lit(0L)).as("duplicate_count"))
+      },
+      Some("""SELECT CAST(COUNT(*) - (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem)) AS BIGINT) AS duplicate_count FROM lineitem""")),
+
+    Q("p05_numeric_stats",
+      (s, d) => t(s, d, "lineitem").agg(
+        min(col("l_quantity")).as("qty_min"),
+        max(col("l_quantity")).as("qty_max"),
+        sum(col("l_quantity").cast("decimal(28,6)")).cast("double").as("qty_sum"),
+        (sum(col("l_quantity").cast("decimal(28,6)")).cast("double") /
+          count(col("l_quantity"))).as("qty_mean"),
+        min(col("l_extendedprice")).as("price_min"),
+        max(col("l_extendedprice")).as("price_max"),
+        sum(col("l_extendedprice").cast("decimal(28,6)")).cast("double").as("price_sum"),
+        (sum(col("l_extendedprice").cast("decimal(28,6)")).cast("double") /
+          count(col("l_extendedprice"))).as("price_mean"),
+        min(col("l_discount")).as("disc_min"),
+        max(col("l_discount")).as("disc_max"),
+        sum(col("l_discount").cast("decimal(28,6)")).cast("double").as("disc_sum")),
+      Some("""SELECT
+        MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS qty_sum,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS qty_mean,
+        MIN(l_extendedprice) AS price_min, MAX(l_extendedprice) AS price_max,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS price_sum,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice) AS price_mean,
+        MIN(l_discount) AS disc_min, MAX(l_discount) AS disc_max,
+        CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) AS disc_sum
+        FROM lineitem""")),
+
+    Q("p06_sign_buckets",
+      (s, d) => t(s, d, "lineitem").agg(
+        coalesce(sum(when(col("l_discount") === 0.0, 1L).otherwise(0L)), lit(0L)).as("zero_count"),
+        coalesce(sum(when(col("l_discount") < 0.0, 1L).otherwise(0L)), lit(0L)).as("negative_count"),
+        coalesce(sum(when(col("l_discount") > 0.0, 1L).otherwise(0L)), lit(0L)).as("positive_count")),
+      Some("""SELECT
+        CAST(COUNT(CASE WHEN l_discount = 0 THEN 1 END) AS BIGINT) AS zero_count,
+        CAST(COUNT(CASE WHEN l_discount < 0 THEN 1 END) AS BIGINT) AS negative_count,
+        CAST(COUNT(CASE WHEN l_discount > 0 THEN 1 END) AS BIGINT) AS positive_count
+        FROM lineitem""")),
+
+    // stddev via exact integer moments (l_quantity is integral): both
+    // engines compute identical doubles from identical exact sums.
+    Q("p07_stddev",
+      (s, d) => t(s, d, "lineitem").agg(
+        count(col("l_quantity")).as("n"),
+        sum(col("l_quantity")).as("s1"),
+        sum(col("l_quantity") * col("l_quantity")).as("s2"))
+        .select(
+          col("n"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+            .as("stddev_samp"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n"))
+            .as("stddev_pop")),
+      Some("""WITH m AS (SELECT COUNT(l_quantity) AS n, SUM(l_quantity) AS s1,
+          SUM(l_quantity * l_quantity) AS s2 FROM lineitem)
+        SELECT CAST(n AS BIGINT) AS n,
+          SQRT((s2 - s1 * s1 / n) / (n - 1)) AS stddev_samp,
+          SQRT((s2 - s1 * s1 / n) / n) AS stddev_pop
+        FROM m""")),
+
+    Q("p08_median_quantiles",
+      (s, d) => t(s, d, "lineitem").agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_median"),
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_q1"),
+        round(expr("percentile(l_quantity, 0.75)"), 6).as("qty_q3"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_median")),
+      Some("""SELECT
+        ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
+        ROUND(quantile_cont(l_quantity, 0.25), 6) AS qty_q1,
+        ROUND(quantile_cont(l_quantity, 0.75), 6) AS qty_q3,
+        ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS price_median
+        FROM lineitem""")),
+
+    Q("p10_string_lengths",
+      (s, d) => t(s, d, "orders").agg(
+        min(length(col("o_orderpriority"))).cast("long").as("prio_minlen"),
+        max(length(col("o_orderpriority"))).cast("long").as("prio_maxlen"),
+        (sum(length(col("o_orderpriority"))).cast("double") /
+          count(col("o_orderpriority"))).as("prio_avglen"),
+        min(length(col("o_orderstatus"))).cast("long").as("status_minlen"),
+        max(length(col("o_orderstatus"))).cast("long").as("status_maxlen")),
+      Some("""SELECT
+        CAST(MIN(LENGTH(o_orderpriority)) AS BIGINT) AS prio_minlen,
+        CAST(MAX(LENGTH(o_orderpriority)) AS BIGINT) AS prio_maxlen,
+        CAST(SUM(LENGTH(o_orderpriority)) AS DOUBLE) / COUNT(o_orderpriority) AS prio_avglen,
+        CAST(MIN(LENGTH(o_orderstatus)) AS BIGINT) AS status_minlen,
+        CAST(MAX(LENGTH(o_orderstatus)) AS BIGINT) AS status_maxlen
+        FROM orders""")),
+
+    Q("p11_empty_strings",
+      (s, d) => t(s, d, "customer").agg(
+        coalesce(sum(when(col("c_name") === "", 1L).otherwise(0L)), lit(0L)).as("name_empty"),
+        coalesce(sum(when(col("c_mktsegment") === "", 1L).otherwise(0L)), lit(0L)).as("segment_empty")),
+      Some("""SELECT
+        CAST(COUNT(CASE WHEN c_name = '' THEN 1 END) AS BIGINT) AS name_empty,
+        CAST(COUNT(CASE WHEN c_mktsegment = '' THEN 1 END) AS BIGINT) AS segment_empty
+        FROM customer""")),
+
+    Q("p12_date_range",
+      (s, d) => t(s, d, "orders").agg(
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("max_date")),
+      Some("""SELECT
+        strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+        strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+        FROM orders""")),
+
+    Q("p13_future_past_dates",
+      (s, d) => t(s, d, "orders").agg(
+        coalesce(sum(when(col("o_orderdate") > lit(java.sql.Timestamp.valueOf(NOW)), 1L)
+          .otherwise(0L)), lit(0L)).as("future_count"),
+        coalesce(sum(when(col("o_orderdate") <= lit(java.sql.Timestamp.valueOf(NOW)), 1L)
+          .otherwise(0L)), lit(0L)).as("past_count")),
+      Some(s"""SELECT
+        CAST(COUNT(CASE WHEN o_orderdate > TIMESTAMP '$NOW' THEN 1 END) AS BIGINT) AS future_count,
+        CAST(COUNT(CASE WHEN o_orderdate <= TIMESTAMP '$NOW' THEN 1 END) AS BIGINT) AS past_count
+        FROM orders""")),
+
+    Q("p14_top_values",
+      (s, d) =>
+        Profiler.topValues(t(s, d, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"), 10)
+          .orderBy(col("column_name"), col("count").desc, col("value")),
+      Some("""WITH unpivoted AS (
+          SELECT 'l_returnflag' AS column_name, l_returnflag AS value FROM lineitem
+          UNION ALL
+          SELECT 'l_linestatus' AS column_name, l_linestatus AS value FROM lineitem),
+        counted AS (
+          SELECT column_name, value, COUNT(*) AS count FROM unpivoted
+          WHERE value IS NOT NULL GROUP BY column_name, value),
+        ranked AS (
+          SELECT column_name, value, count,
+            ROW_NUMBER() OVER (PARTITION BY column_name
+              ORDER BY count DESC, value) AS rk
+          FROM counted)
+        SELECT column_name, value, CAST(count AS BIGINT) AS count
+        FROM ranked WHERE rk <= 10
+        ORDER BY column_name, count DESC, value""")),
+
+    // 3σ outlier count with deterministic bounds from exact moments
+    Q("p15_outliers_3sigma",
+      (s, d) => {
+        val df = t(s, d, "lineitem")
+        val stats = df.agg(
+          count(col("l_quantity")).as("n"),
+          sum(col("l_quantity")).as("s1"),
+          sum(col("l_quantity") * col("l_quantity")).as("s2"))
+          .select(
+            (col("s1") / col("n")).as("mean"),
+            sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+              .as("sd"))
+        df.crossJoin(broadcast(stats))
+          .filter(col("l_quantity") > col("mean") + lit(3.0) * col("sd") ||
+            col("l_quantity") < col("mean") - lit(3.0) * col("sd"))
+          .agg(count(lit(1)).as("outlier_count"))
+      },
+      Some("""WITH m AS (SELECT COUNT(l_quantity) AS n, SUM(l_quantity) AS s1,
+          SUM(l_quantity * l_quantity) AS s2 FROM lineitem),
+        st AS (SELECT s1 / n AS mean,
+          SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sd FROM m)
+        SELECT CAST(COUNT(*) AS BIGINT) AS outlier_count
+        FROM lineitem, st
+        WHERE l_quantity > st.mean + 3.0 * st.sd
+           OR l_quantity < st.mean - 3.0 * st.sd""")),
+
+    Q("p16_null_rate",
+      (s, d) => eventsTable(s, d).agg(
+        count(lit(1)).as("total_rows"),
+        coalesce(sum(when(col("props").isNull, 1L).otherwise(0L)), lit(0L)).as("null_count"))
+        .select(col("total_rows"), col("null_count"),
+          (col("null_count") * lit(100.0) / col("total_rows")).as("null_percentage")),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+        CAST(COUNT(*) - COUNT(props) AS BIGINT) AS null_count,
+        (COUNT(*) - COUNT(props)) * 100.0 / COUNT(*) AS null_percentage
+        FROM events""")),
+
+    Q("p17_dominant_category",
+      (s, d) => {
+        val df = t(s, d, "lineitem")
+        val total = df.agg(count(lit(1)).as("total"))
+        df.filter(col("l_linestatus").isNotNull)
+          .groupBy("l_linestatus").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(total))
+          .filter(col("cnt") * 100.0 / col("total") > 95.0)
+          .agg(count(lit(1)).as("dominant_count"))
+      },
+      Some("""WITH val_counts AS (
+          SELECT l_linestatus, COUNT(*) AS cnt,
+            COUNT(*) * 100.0 / (SELECT COUNT(*) FROM lineitem) AS pct
+          FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY l_linestatus)
+        SELECT CAST(COUNT(*) AS BIGINT) AS dominant_count
+        FROM val_counts WHERE pct > 95.0""")),
+
+    Q("p18_fk_cardinality",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_suppkey").isNotNull)
+        .agg(when(countDistinct(col("l_suppkey")) === 1, 1L).otherwise(0L)
+          .as("single_value_flag")),
+      Some("""SELECT CAST(CASE WHEN (SELECT COUNT(DISTINCT l_suppkey) FROM lineitem
+        WHERE l_suppkey IS NOT NULL) = 1 THEN 1 ELSE 0 END AS BIGINT) AS single_value_flag""")),
+
+    Q("p19_freshness",
+      (s, d) => eventsTable(s, d).agg(
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("latest_timestamp"),
+        floor((unix_timestamp(lit(NOW)) - unix_timestamp(max(col("ts")))) / 3600)
+          .as("hours_since_update")),
+      Some(s"""SELECT
+        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest_timestamp,
+        CAST(FLOOR((epoch(TIMESTAMP '$NOW') - FLOOR(epoch(MAX(ts)))) / 3600) AS BIGINT) AS hours_since_update
+        FROM events""")),
+
+    Q("p20_pattern_match",
+      (s, d) => Profiler.patternMatch(t(s, d, "customer"), "c_mktsegment",
+        "^(BUILDING|MACHINERY)"),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total_count,
+        CAST(COUNT(CASE WHEN c_mktsegment IS NOT NULL
+          AND regexp_matches(c_mktsegment, '^(BUILDING|MACHINERY)') THEN 1 END) AS BIGINT) AS matching_count,
+        CAST(COUNT(CASE WHEN c_mktsegment IS NOT NULL
+          AND NOT regexp_matches(c_mktsegment, '^(BUILDING|MACHINERY)') THEN 1 END) AS BIGINT) AS non_matching_count,
+        CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT) AS null_count,
+        ROUND(COUNT(CASE WHEN c_mktsegment IS NOT NULL
+          AND regexp_matches(c_mktsegment, '^(BUILDING|MACHINERY)') THEN 1 END) * 100.0 / COUNT(*), 6) AS matching_percentage,
+        ROUND(COUNT(CASE WHEN c_mktsegment IS NOT NULL
+          AND NOT regexp_matches(c_mktsegment, '^(BUILDING|MACHINERY)') THEN 1 END) * 100.0 / COUNT(*), 6) AS non_matching_percentage
+        FROM customer""")),
+
+    Q("p24_health_scores",
+      (s, d) => {
+        val cat = Catalog(s, d)
+        import s.implicits._
+        val rows = cat.listTables().map { tn =>
+          val df = cat.table(tn)
+          val meta = cat.tableMeta(tn)
+          val rc = df.count()
+          val nullableFrac =
+            if (df.schema.isEmpty) 0.0
+            else df.schema.count(_.nullable).toDouble / df.schema.length
+          (tn, Profiler.healthScore(meta.primaryKeys.nonEmpty, rc,
+            nullableFrac, df.schema.length))
+        }
+        rows.toDF("table_name", "health_score").orderBy("table_name")
+      },
+      Some {
+        // parquet columns are always nullable → −15 applies everywhere;
+        // every test table has a declared PK in the sidecar (−0); none
+        // has >50 columns (−0); −30 only if the table is empty.
+        val tables = Seq("customer", "documents", "embeddings", "events",
+          "lineitem", "nation", "orders", "part", "region", "supplier")
+        tables.map(tn =>
+          s"""SELECT '$tn' AS table_name, CAST(100 - 15 -
+             (CASE WHEN (SELECT COUNT(*) FROM $tn) = 0 THEN 30 ELSE 0 END)
+             AS INT) AS health_score""").mkString(" UNION ALL ") +
+          " ORDER BY table_name"
+      }),
+
+    Q("p25_type_distribution",
+      (s, d) => {
+        import s.implicits._
+        Profiler.typeDistribution(t(s, d, "lineitem").schema).toSeq
+          .toDF("type_bucket", "column_count")
+          .withColumn("column_count", col("column_count").cast("long"))
+          .orderBy("type_bucket")
+      },
+      Some("""SELECT CASE
+          WHEN lower(column_type) IN ('bigint','integer','double','float','smallint','tinyint','hugeint')
+            OR lower(column_type) LIKE 'decimal%' THEN 'numeric'
+          WHEN lower(column_type) = 'varchar' THEN 'text'
+          WHEN lower(column_type) LIKE 'timestamp%' OR lower(column_type) = 'date' THEN 'datetime'
+          WHEN lower(column_type) = 'boolean' THEN 'boolean'
+          ELSE 'other' END AS type_bucket,
+        CAST(COUNT(*) AS BIGINT) AS column_count
+        FROM (DESCRIBE lineitem)
+        GROUP BY 1 ORDER BY type_bucket""")))
+
+  // ------------------------------------------------------------------
+  // V-series: validation rule engine
+  // ------------------------------------------------------------------
+
+  /** Hand-picked rule battery exercising V1/V2 end-to-end: each rule's
+   *  scalar SQL runs through Runner (spark.sql + Evaluator), the oracle
+   *  recomputes the same scalar + comparison in DuckDB. */
+  private def batteryRules: Seq[(ValidationRule, String, String)] = Seq(
+    (ValidationRule("check_lineitem_not_empty", "rows > 0",
+      "SELECT COUNT(*) FROM lineitem", "greater_than", 0),
+      "SELECT COUNT(*) FROM lineitem", "actual > 0"),
+    (ValidationRule("check_lineitem_pk_unique", "pk dupes = 0",
+      """SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS c
+        |FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) d"""
+        .stripMargin, "equals", 0),
+      """SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber, COUNT(*) AS c
+        FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) d""",
+      "actual = 0"),
+    (ValidationRule("check_l_quantity_positive", "no negatives",
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 0", "equals", 0),
+      "SELECT COUNT(*) FROM lineitem WHERE l_quantity < 0", "actual = 0"),
+    (ValidationRule("check_l_tax_not_zero", "no zero tax",
+      "SELECT COUNT(*) FROM lineitem WHERE l_tax = 0", "equals", 0),
+      "SELECT COUNT(*) FROM lineitem WHERE l_tax = 0", "actual = 0"),
+    (ValidationRule("check_o_totalprice_not_zero", "no zero price",
+      "SELECT COUNT(*) FROM orders WHERE o_totalprice = 0", "equals", 0),
+      "SELECT COUNT(*) FROM orders WHERE o_totalprice = 0", "actual = 0"),
+    (ValidationRule("check_customer_row_cap", "rows < 1e6",
+      "SELECT COUNT(*) FROM customer", "less_than", 1000000),
+      "SELECT COUNT(*) FROM customer", "actual < 1000000"),
+    (ValidationRule("check_c_acctbal_between", "avg balance in range",
+      "SELECT AVG(c_acctbal) FROM customer", "between", Seq(-100000, 100000)),
+      "SELECT AVG(c_acctbal) FROM customer",
+      "actual BETWEEN -100000 AND 100000"),
+    (ValidationRule("check_o_orderdate_reasonable", "no pre-1970 dates",
+      "SELECT COUNT(*) FROM orders WHERE o_orderdate < '1970-01-01'", "equals", 0),
+      "SELECT COUNT(*) FROM orders WHERE o_orderdate < TIMESTAMP '1970-01-01 00:00:00'",
+      "actual = 0"))
+
+  private def validationQueries: Seq[Q] = Seq(
+    Q("v01_rule_battery",
+      (s, d) => {
+        Catalog(s, d).registerAll()
+        import s.implicits._
+        Runner.runAll(s, batteryRules.map(_._1))
+          .map(r => (r.ruleName, r.isValid,
+            r.actualValue.map(v =>
+              math.round(anyToDouble(v) * 1e6) / 1e6).getOrElse(-1.0)))
+          .toSeq.toDF("rule_name", "is_valid", "actual_value")
+          .orderBy("rule_name")
+      },
+      Some {
+        batteryRules.map { case (rule, scalarSql, cond) =>
+          s"""SELECT '${rule.name}' AS rule_name,
+             ($cond) AS is_valid,
+             ROUND(CAST(actual AS DOUBLE), 6) AS actual_value
+             FROM (SELECT ($scalarSql) AS actual)"""
+        }.mkString(" UNION ALL ") + " ORDER BY rule_name"
+      }),
+
+    Q("v03_generated_rules",
+      (s, d) => {
+        import s.implicits._
+        val cat = Catalog(s, d)
+        val meta = cat.tableMeta("lineitem")
+        DefaultValidations
+          .generate("lineitem", cat.schemaOf("lineitem"), meta.primaryKeys,
+            meta.foreignKeys.map(_.column))
+          .map(r => (r.name, r.operator, r.expectedValue.toString))
+          .toDF("rule_name", "operator", "expected_value")
+          .orderBy("rule_name")
+      },
+      None), // pinned via ScalaTest; schema introspection isn't DuckDB-visible
+
+    Q("v04_run_generated",
+      (s, d) => {
+        Catalog(s, d).registerAll()
+        import s.implicits._
+        val cat = Catalog(s, d)
+        val meta = cat.tableMeta("region")
+        val rules = DefaultValidations.generate("region",
+          cat.schemaOf("region"), meta.primaryKeys, Nil)
+        Runner.runAll(s, rules)
+          .map(r => (r.ruleName, r.isValid))
+          .toSeq.toDF("rule_name", "is_valid")
+          .orderBy("rule_name")
+      },
+      Some("""SELECT 'check_r_name_null_rate' AS rule_name,
+          (SELECT (COUNT(CASE WHEN r_name IS NULL THEN 1 END) * 100.0
+            / NULLIF(COUNT(*), 0)) FROM region) < 25.0 AS is_valid
+        UNION ALL SELECT 'check_r_regionkey_outliers',
+          (SELECT COUNT(*) FROM region, (SELECT AVG(r_regionkey) AS m,
+            STDDEV(r_regionkey) AS sd FROM region WHERE r_regionkey IS NOT NULL) st
+           WHERE r_regionkey > st.m + 3 * st.sd OR r_regionkey < st.m - 3 * st.sd) < 5
+        UNION ALL SELECT 'check_r_regionkey_positive',
+          (SELECT COUNT(*) FROM region WHERE r_regionkey < 0) = 0
+        UNION ALL SELECT 'check_region_not_empty',
+          (SELECT COUNT(*) FROM region) > 0
+        UNION ALL SELECT 'check_region_pk_unique',
+          (SELECT COUNT(*) FROM (SELECT r_regionkey, COUNT(*) AS c FROM region
+            GROUP BY r_regionkey HAVING COUNT(*) > 1) d) = 0
+        UNION ALL SELECT 'check_region_row_growth',
+          (WITH current_count AS (SELECT COUNT(*) AS count FROM region),
+            prev_count AS (SELECT CASE WHEN COUNT(*) = 0 THEN NULL
+              ELSE COUNT(*) END AS count FROM region)
+           SELECT CASE WHEN prev_count.count IS NULL THEN 0
+             WHEN ABS(current_count.count - prev_count.count) > prev_count.count * 0.2 THEN 1
+             ELSE 0 END FROM current_count, prev_count) = 0
+        ORDER BY rule_name""")))
+
+  // ------------------------------------------------------------------
+  // A-series: anomaly detection over the events daily series
+  // ------------------------------------------------------------------
+
+  /** Daily event-count series per event_type: 5 series × 30 days.
+   *  Counts are integers → exact doubles on both engines. */
+  private def dailySeries(s: SparkSession, d: String): DataFrame =
+    eventsTable(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("value"))
+
+  private val duckDailySeries =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      CAST(COUNT(*) AS DOUBLE) AS value FROM events GROUP BY 1, 2"""
+
+  private def anomalyQueries: Seq[Q] = Seq(
+    Q("a01_zscore_global",
+      (s, d) => Anomalies.zscore(dailySeries(s, d), Seq("event_type"), "day", "value")
+        .select(col("event_type"), col("day"), col("value"),
+          round(col("score"), 6).as("score"), col("is_anomaly"),
+          col("threshold"), col("severity"))
+        .orderBy("event_type", "day"),
+      Some(s"""WITH series AS ($duckDailySeries),
+        st AS (SELECT event_type, day, value,
+          AVG(value) OVER (PARTITION BY event_type) AS m,
+          STDDEV_POP(value) OVER (PARTITION BY event_type) AS sd,
+          COUNT(value) OVER (PARTITION BY event_type) AS n
+          FROM series),
+        scored AS (SELECT event_type, day, value,
+          CASE WHEN sd = 0 THEN 0.0 ELSE ABS((value - m) / sd) END AS raw_score
+          FROM st WHERE n >= 2)
+        SELECT event_type, day, value, ROUND(raw_score, 6) AS score,
+          raw_score > 3.0 AS is_anomaly, CAST(3.0 AS DOUBLE) AS threshold,
+          CASE WHEN raw_score > 5.0 THEN 'high' WHEN raw_score > 3.5 THEN 'medium'
+            ELSE 'low' END AS severity
+        FROM scored ORDER BY event_type, day""")),
+
+    Q("a02_zscore_rolling",
+      (s, d) => Anomalies.zscore(dailySeries(s, d), Seq("event_type"), "day",
+        "value", sensitivity = 1.0, window = Some(7))
+        .select(col("event_type"), col("day"), col("value"),
+          round(col("score"), 6).as("score"), col("is_anomaly"),
+          col("threshold"), col("severity"))
+        .orderBy("event_type", "day"),
+      Some(s"""WITH series AS ($duckDailySeries),
+        st AS (SELECT event_type, day, value,
+          AVG(value) OVER w AS m, STDDEV_POP(value) OVER w AS sd,
+          COUNT(value) OVER w AS cnt
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        scored AS (SELECT event_type, day, value,
+          CASE WHEN sd = 0 THEN 0.0 ELSE ABS((value - m) / sd) END AS raw_score
+          FROM st WHERE cnt = 7)
+        SELECT event_type, day, value, ROUND(raw_score, 6) AS score,
+          raw_score > 3.0 AS is_anomaly, CAST(3.0 AS DOUBLE) AS threshold,
+          CASE WHEN raw_score > 5.0 THEN 'high' WHEN raw_score > 3.5 THEN 'medium'
+            ELSE 'low' END AS severity
+        FROM scored ORDER BY event_type, day""")),
+
+    Q("a03_iqr_global",
+      (s, d) => Anomalies.iqr(dailySeries(s, d), Seq("event_type"), "day", "value")
+        .select(col("event_type"), col("day"), col("value"),
+          round(col("score"), 6).as("score"), col("is_anomaly"),
+          col("threshold"), col("severity"))
+        .orderBy("event_type", "day"),
+      Some(s"""WITH series AS ($duckDailySeries),
+        st AS (SELECT event_type, day, value,
+          quantile_cont(value, 0.25) OVER (PARTITION BY event_type) AS q1,
+          quantile_cont(value, 0.75) OVER (PARTITION BY event_type) AS q3,
+          COUNT(value) OVER (PARTITION BY event_type) AS n
+          FROM series),
+        b AS (SELECT event_type, day, value, q3 - q1 AS iqr,
+          q1 - (q3 - q1) * 1.5 AS lower_b, q3 + (q3 - q1) * 1.5 AS upper_b
+          FROM st WHERE n >= 4),
+        scored AS (SELECT event_type, day, value,
+          CASE WHEN value < lower_b THEN
+            CASE WHEN iqr > 0 THEN ABS((lower_b - value) / iqr) ELSE CAST('inf' AS DOUBLE) END
+          WHEN value > upper_b THEN
+            CASE WHEN iqr > 0 THEN ABS((value - upper_b) / iqr) ELSE CAST('inf' AS DOUBLE) END
+          ELSE 0.0 END AS raw_score,
+          value < lower_b OR value > upper_b AS is_anomaly
+          FROM b)
+        SELECT event_type, day, value, ROUND(raw_score, 6) AS score,
+          is_anomaly, CAST(1.5 AS DOUBLE) AS threshold,
+          CASE WHEN raw_score > 3.0 THEN 'high' WHEN raw_score > 1.5 THEN 'medium'
+            ELSE 'low' END AS severity
+        FROM scored ORDER BY event_type, day""")),
+
+    Q("a04_iqr_rolling",
+      (s, d) => Anomalies.iqr(dailySeries(s, d), Seq("event_type"), "day",
+        "value", sensitivity = 1.0, window = Some(7))
+        .select(col("event_type"), col("day"), col("value"),
+          round(col("score"), 6).as("score"), col("is_anomaly"),
+          col("threshold"), col("severity"))
+        .orderBy("event_type", "day"),
+      Some(s"""WITH series AS ($duckDailySeries),
+        st AS (SELECT event_type, day, value,
+          quantile_cont(value, 0.25) OVER w AS q1,
+          quantile_cont(value, 0.75) OVER w AS q3,
+          COUNT(value) OVER w AS cnt,
+          COUNT(value) OVER (PARTITION BY event_type) AS n
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        b AS (SELECT event_type, day, value, q3 - q1 AS iqr,
+          q1 - (q3 - q1) * 1.5 AS lower_b, q3 + (q3 - q1) * 1.5 AS upper_b
+          FROM st WHERE n >= 4 AND cnt = 7),
+        scored AS (SELECT event_type, day, value,
+          CASE WHEN value < lower_b THEN
+            CASE WHEN iqr > 0 THEN ABS((lower_b - value) / iqr) ELSE CAST('inf' AS DOUBLE) END
+          WHEN value > upper_b THEN
+            CASE WHEN iqr > 0 THEN ABS((value - upper_b) / iqr) ELSE CAST('inf' AS DOUBLE) END
+          ELSE 0.0 END AS raw_score,
+          value < lower_b OR value > upper_b AS is_anomaly
+          FROM b)
+        SELECT event_type, day, value, ROUND(raw_score, 6) AS score,
+          is_anomaly, CAST(1.5 AS DOUBLE) AS threshold,
+          CASE WHEN raw_score > 3.0 THEN 'high' WHEN raw_score > 1.5 THEN 'medium'
+            ELSE 'low' END AS severity
+        FROM scored ORDER BY event_type, day""")),
+
+    Q("a05_moving_average",
+      (s, d) => Anomalies.movingAverage(dailySeries(s, d), Seq("event_type"),
+        "day", "value", sensitivity = 1.0, window = 7, stdWindow = Some(5))
+        .select(col("event_type"), col("day"), col("value"),
+          round(col("moving_avg"), 6).as("moving_avg"),
+          round(col("score"), 6).as("score"), col("is_anomaly"),
+          col("threshold"), col("severity"))
+        .orderBy("event_type", "day"),
+      Some(s"""WITH series AS ($duckDailySeries),
+        ma0 AS (SELECT event_type, day, value,
+          AVG(value) OVER w AS mavg, COUNT(value) OVER w AS cnt
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        ma AS (SELECT * FROM ma0 WHERE cnt = 7),
+        st AS (SELECT event_type, day, value, mavg,
+          COUNT(mavg) OVER (PARTITION BY event_type) AS L,
+          STDDEV_POP(mavg) OVER (PARTITION BY event_type) AS std_global,
+          COUNT(mavg) OVER wf AS fwd_cnt,
+          CASE WHEN COUNT(mavg) OVER wf = 5
+            THEN STDDEV_POP(mavg) OVER wf END AS fwd_std
+          FROM ma
+          WINDOW wf AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)),
+        st2 AS (SELECT event_type, day, value, mavg, L, std_global,
+          LAST_VALUE(fwd_std IGNORE NULLS) OVER (PARTITION BY event_type
+            ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS std_rolling
+          FROM st),
+        scored AS (SELECT event_type, day, value, mavg,
+          CASE WHEN L < 5 THEN std_global ELSE std_rolling END AS sd
+          FROM st2),
+        fin AS (SELECT event_type, day, value, mavg,
+          CASE WHEN sd = 0 THEN 0.0 ELSE ABS((value - mavg) / sd) END AS raw_score,
+          sd FROM scored)
+        SELECT event_type, day, value, ROUND(mavg, 6) AS moving_avg,
+          ROUND(raw_score, 6) AS score,
+          sd <> 0 AND raw_score > 2.0 AS is_anomaly,
+          CAST(2.0 AS DOUBLE) AS threshold,
+          CASE WHEN raw_score > 4.0 THEN 'high' WHEN raw_score > 2.5 THEN 'medium'
+            ELSE 'low' END AS severity
+        FROM fin ORDER BY event_type, day""")))
+
+  // ------------------------------------------------------------------
+  // T-series: trends / history analytics
+  // ------------------------------------------------------------------
+
+  private def trendQueries: Seq[Q] = Seq(
+    Q("t02_metric_trends",
+      (s, d) => {
+        val series = eventsTable(s, d)
+          .groupBy(col("event_type").as("column_name"),
+            to_date(col("ts")).as("ts"))
+          .agg(sum(col("value").cast("decimal(28,6)")).cast("double")
+            .as("metric_value"))
+          .withColumn("metric_name", lit("daily_value_sum"))
+        Trends.metricTrends(series)
+          .select(col("column"), col("metric"),
+            round(col("current_value"), 6).as("current_value"),
+            round(col("min_value"), 6).as("min_value"),
+            round(col("max_value"), 6).as("max_value"),
+            round(col("absolute_change"), 6).as("absolute_change"),
+            round(col("percent_change"), 6).as("percent_change"))
+          .orderBy("column")
+      },
+      Some("""WITH series AS (
+          SELECT event_type AS clmn, CAST(ts AS DATE) AS day,
+            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2)
+        SELECT clmn AS "column", 'daily_value_sum' AS metric,
+          ROUND(arg_max(v, day), 6) AS current_value,
+          ROUND(MIN(v), 6) AS min_value,
+          ROUND(MAX(v), 6) AS max_value,
+          ROUND(arg_max(v, day) - arg_min(v, day), 6) AS absolute_change,
+          ROUND(CASE WHEN arg_min(v, day) <> 0
+            THEN (arg_max(v, day) - arg_min(v, day)) / arg_min(v, day) * 100.0 END, 6)
+            AS percent_change
+        FROM series GROUP BY clmn ORDER BY "column"""")),
+
+    Q("t03_validation_daily_trends",
+      (s, d) => {
+        val results = eventsTable(s, d).select(
+          col("event_type").as("rule_id"),
+          when(col("value") > 400, lit(null).cast("boolean"))
+            .otherwise(col("value") > 100).as("is_valid"),
+          col("ts").as("run_at"))
+        Trends.validationDailyTrends(results, totalRules = 5,
+          "2024-01-01", "2024-01-30")
+      },
+      Some("""WITH results AS (
+          SELECT event_type AS rule_id,
+            CASE WHEN value > 400 THEN NULL ELSE value > 100 END AS is_valid,
+            ts AS run_at FROM events),
+        latest AS (
+          SELECT rule_id, CAST(run_at AS DATE) AS day, is_valid,
+            ROW_NUMBER() OVER (PARTITION BY rule_id, CAST(run_at AS DATE)
+              ORDER BY run_at DESC) AS rn
+          FROM results),
+        daily AS (
+          SELECT day, COUNT(*) AS total_validations,
+            COUNT(CASE WHEN is_valid = TRUE THEN 1 END) AS passed,
+            COUNT(CASE WHEN is_valid = FALSE THEN 1 END) AS failed,
+            COUNT(CASE WHEN is_valid IS NULL THEN 1 END) AS errored
+          FROM latest WHERE rn = 1 GROUP BY day),
+        cal AS (SELECT UNNEST(generate_series(DATE '2024-01-01',
+          DATE '2024-01-30', INTERVAL 1 DAY))::DATE AS day)
+        SELECT cal.day,
+          CAST(COALESCE(total_validations, 0) AS BIGINT) AS total_validations,
+          CAST(COALESCE(passed, 0) AS BIGINT) AS passed,
+          CAST(COALESCE(failed, 0) AS BIGINT) AS failed,
+          CAST(COALESCE(errored, 0) AS BIGINT) AS errored,
+          ROUND(CASE WHEN COALESCE(passed, 0) + COALESCE(failed, 0) > 0
+            THEN CAST(passed AS DOUBLE) / (passed + failed) * 100.0
+            ELSE 0.0 END, 2) AS health_score,
+          CAST(5 - COALESCE(total_validations, 0) AS BIGINT) AS not_run
+        FROM cal LEFT JOIN daily ON cal.day = daily.day
+        ORDER BY cal.day""")),
+
+    Q("t04_current_health_score",
+      (s, d) => {
+        val results = eventsTable(s, d).select(
+          col("event_type").as("rule_id"),
+          when(col("value") > 400, lit(null).cast("boolean"))
+            .otherwise(col("value") > 100).as("is_valid"),
+          col("ts").as("run_at"))
+        Trends.currentHealthScore(results)
+      },
+      Some("""WITH results AS (
+          SELECT event_type AS rule_id,
+            CASE WHEN value > 400 THEN NULL ELSE value > 100 END AS is_valid,
+            ts AS run_at FROM events),
+        latest AS (
+          SELECT rule_id, is_valid,
+            ROW_NUMBER() OVER (PARTITION BY rule_id ORDER BY run_at DESC) AS rn
+          FROM results)
+        SELECT
+          CAST(COUNT(CASE WHEN is_valid = TRUE THEN 1 END) AS BIGINT) AS passed,
+          CAST(COUNT(CASE WHEN is_valid = FALSE THEN 1 END) AS BIGINT) AS failed,
+          ROUND(CASE WHEN COUNT(CASE WHEN is_valid IS NOT NULL THEN 1 END) > 0
+            THEN CAST(COUNT(CASE WHEN is_valid = TRUE THEN 1 END) AS DOUBLE)
+              / COUNT(CASE WHEN is_valid IS NOT NULL THEN 1 END) * 100.0
+            ELSE 0.0 END, 2) AS health_score
+        FROM latest WHERE rn = 1""")),
+
+    Q("t05_change_frequency",
+      (s, d) => {
+        val checks = eventsTable(s, d).select(
+          lit("table").as("object_type"),
+          col("event_type").as("object_name"),
+          col("ts").as("check_timestamp"),
+          (col("value") > 250).as("change_detected"))
+        Trends.changeFrequency(checks)
+          .select(col("object_type"), col("object_name"), col("total_checks"),
+            col("changes_detected"), round(col("change_ratio"), 6).as("change_ratio"),
+            col("frequency"),
+            round(col("avg_hours_between_changes"), 6).as("avg_hours_between_changes"),
+            date_format(col("most_recent_change"), "yyyy-MM-dd HH:mm:ss")
+              .as("most_recent_change"))
+          .orderBy("object_name")
+      },
+      Some("""WITH checks AS (
+          SELECT 'table' AS object_type, event_type AS object_name,
+            ts AS check_timestamp, value > 250 AS change_detected
+          FROM events),
+        changed AS (
+          SELECT object_name, check_timestamp,
+            (epoch(check_timestamp) - epoch(LAG(check_timestamp, 1)
+              OVER (PARTITION BY object_name ORDER BY check_timestamp))) / 3600.0
+              AS hours
+          FROM checks WHERE change_detected),
+        agg_changed AS (
+          SELECT object_name, AVG(hours) AS avg_hours,
+            MAX(check_timestamp) AS most_recent
+          FROM changed GROUP BY object_name),
+        base AS (
+          SELECT object_type, object_name,
+            CAST(COUNT(*) AS BIGINT) AS total_checks,
+            CAST(COUNT(CASE WHEN change_detected THEN 1 END) AS BIGINT)
+              AS changes_detected
+          FROM checks GROUP BY object_type, object_name)
+        SELECT b.object_type, b.object_name, b.total_checks, b.changes_detected,
+          ROUND(CAST(b.changes_detected AS DOUBLE) / b.total_checks, 6) AS change_ratio,
+          CASE WHEN CAST(b.changes_detected AS DOUBLE) / b.total_checks >= 0.5 THEN 'high'
+            WHEN CAST(b.changes_detected AS DOUBLE) / b.total_checks >= 0.1 THEN 'medium'
+            ELSE 'low' END AS frequency,
+          ROUND(CASE WHEN b.changes_detected >= 2 THEN a.avg_hours END, 6)
+            AS avg_hours_between_changes,
+          strftime(a.most_recent, '%Y-%m-%d %H:%M:%S') AS most_recent_change
+        FROM base b LEFT JOIN agg_changed a ON b.object_name = a.object_name
+        ORDER BY b.object_name""")),
+
+    Q("t08_daily_check_stats",
+      (s, d) => {
+        val checks = eventsTable(s, d).select(
+          col("ts").as("check_timestamp"),
+          (col("value") > 250).as("change_detected"))
+        Trends.dailyCheckStats(checks)
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS checks,
+          CAST(COUNT(CASE WHEN value > 250 THEN 1 END) AS BIGINT) AS changes,
+          ROUND(CAST(COUNT(CASE WHEN value > 250 THEN 1 END) AS DOUBLE)
+            / COUNT(*) * 100.0, 2) AS change_pct
+        FROM events GROUP BY 1 ORDER BY day""")),
+
+    Q("t09_daily_metric_avg",
+      (s, d) => {
+        val metrics = eventsTable(s, d)
+          .select(col("ts"), col("value").as("metric_value"))
+        Trends.dailyMetricAvg(metrics)
+          .select(col("day"), round(col("avg_value"), 6).as("avg_value"), col("n"))
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day,
+          ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(value), 6)
+            AS avg_value,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1 ORDER BY day""")),
+
+    Q("p23_row_growth",
+      (s, d) => {
+        val series = eventsTable(s, d)
+          .groupBy(to_date(col("ts")).as("ts"))
+          .agg(count(lit(1)).cast("double").as("metric_value"))
+          .withColumn("series", lit("events"))
+        Trends.rowGrowth(series, Seq("series"))
+          .select(col("ts").as("day"), col("metric_value"),
+            col("prev_value"), round(col("growth_pct"), 6).as("growth_pct"),
+            col("unusual_growth"))
+          .orderBy("day")
+      },
+      Some("""WITH series AS (
+          SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS v
+          FROM events GROUP BY 1)
+        SELECT day, v AS metric_value,
+          LAG(v, 1) OVER (ORDER BY day) AS prev_value,
+          ROUND(CASE WHEN LAG(v, 1) OVER (ORDER BY day) IS NOT NULL
+            AND LAG(v, 1) OVER (ORDER BY day) <> 0
+            THEN (v - LAG(v, 1) OVER (ORDER BY day))
+              / LAG(v, 1) OVER (ORDER BY day) * 100.0 END, 6) AS growth_pct,
+          CASE WHEN LAG(v, 1) OVER (ORDER BY day) IS NOT NULL
+            THEN ABS(v - LAG(v, 1) OVER (ORDER BY day))
+              > LAG(v, 1) OVER (ORDER BY day) * 0.2 END AS unusual_growth
+        FROM series ORDER BY day""")))
+
+  // ------------------------------------------------------------------
+  // D/E/X-series: LLM-data-pipeline operators
+  // ------------------------------------------------------------------
+
+  private def pipelineQueries: Seq[Q] = Seq(
+    Q("d01_exact_dup_count",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val withDupes = docs.select("text")
+          .union(docs.orderBy("doc_id").limit(50).select("text"))
+        Dedup.exactDuplicateCount(withDupes)
+      },
+      Some("""SELECT CAST(COUNT(text) - COUNT(DISTINCT text) AS BIGINT)
+          AS duplicate_count
+        FROM (SELECT text FROM documents
+          UNION ALL SELECT text FROM
+            (SELECT text FROM documents ORDER BY doc_id LIMIT 50))""")),
+
+    Q("d02_exact_dup_groups",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val withDupes = docs.select("doc_id", "text")
+          .union(docs.orderBy("doc_id").limit(50)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        Dedup.exactDuplicates(withDupes).orderBy("text_hash")
+      },
+      Some("""WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000, text FROM
+            (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50))
+        SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS cnt,
+          list_sort(list(doc_id)) AS doc_ids
+        FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+        ORDER BY text_hash""")),
+
+    Q("d03_minhash_neardup",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sigs = Dedup.minhashSignatures(docs, numHashes = 128, numBands = 32)
+        val cands = Dedup.lshCandidatePairs(sigs)
+        Dedup.ngramJaccard(docs, cands)
+          .filter(col("jaccard") >= 0.9)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH words AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM words WHERE len(w) >= 3),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, ROUND(j, 6) AS jaccard
+        FROM pairs WHERE j >= 0.9 ORDER BY id_a, id_b""")),
+
+    Q("d04_simhash_neardup",
+      (s, d) => Dedup.nearDuplicatesSimhash(t(s, d, "documents"))
+        .orderBy("id_a", "id_b"),
+      None), // hash family not SQL-portable; covered by ScalaTest
+
+    Q("e01_embedding_profile",
+      (s, d) => Similarity.profileEmbeddings(t(s, d, "embeddings")),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+          CAST(COUNT(*) - COUNT(embedding) AS BIGINT) AS null_vectors,
+          CAST(MIN(len(embedding)) AS INT) AS min_dims,
+          CAST(MAX(len(embedding)) AS INT) AS max_dims,
+          ROUND(MIN(nrm), 6) AS min_norm,
+          ROUND(MAX(nrm), 6) AS max_norm,
+          ROUND(AVG(nrm), 6) AS avg_norm,
+          CAST(COUNT(CASE WHEN nrm = 0 THEN 1 END) AS BIGINT) AS zero_vectors
+        FROM (SELECT embedding,
+          SQRT(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings)""")),
+
+    Q("e02_knn_brute_force",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.bruteForceTopK(emb, queries, k = 10)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.neighbor_id,
+            list_sum(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+            (SQRT(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM q, c WHERE q.query_id <> c.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+          CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    Q("e03_knn_lsh",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.lshTopK(emb, queries, k = 10)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None), // approximate by design; recall pinned in ScalaTest
+
+    Q("x01_text_profile",
+      (s, d) => TextAnalysis.profileText(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_subwords").cast("long").as("n_subwords"),
+          col("alpha_ratio"), col("punct_ratio"), col("stopword_ratio"),
+          col("quality_score"), col("lang_detected"))
+        .orderBy("doc_id"),
+      Some(duckTextProfileSql)),
+
+    Q("x02_lang_histogram",
+      (s, d) => TextAnalysis.profileText(t(s, d, "documents"))
+        .groupBy(col("lang_detected")).agg(count(lit(1)).as("doc_count"))
+        .orderBy("lang_detected"),
+      Some(s"""SELECT lang_detected, CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM ($duckTextProfileSql) GROUP BY lang_detected
+        ORDER BY lang_detected""")),
+
+    Q("x03_token_stats",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val tok = TextAnalysis.tokenCount(col("text")).cast("long")
+        docs.agg(
+          coalesce(sum(tok), lit(0L)).as("total_tokens"),
+          min(tok).as("min_tokens"),
+          max(tok).as("max_tokens"),
+          (sum(tok).cast("double") / count(lit(1))).as("avg_tokens"))
+      },
+      Some("""WITH t AS (SELECT CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+          ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+          FROM documents)
+        SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+          CAST(MIN(n) AS BIGINT) AS min_tokens,
+          CAST(MAX(n) AS BIGINT) AS max_tokens,
+          CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_tokens
+        FROM t""")))
+
+  /** DuckDB mirror of TextAnalysis.profileText — same regexes, same
+   *  arithmetic, same rounding. */
+  private lazy val duckTextProfileSql: String = {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "was", "at", "by", "be")
+    val stopHits = stop.map(w =>
+      s"len(regexp_extract_all(text, '(^|\\s)$w(\\s|$$)'))").mkString(" + ")
+    val langs = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is"),
+      "de" -> Seq("der", "die", "und", "ist", "das"),
+      "fr" -> Seq("le", "la", "les", "et", "est"),
+      "es" -> Seq("el", "los", "las", "es", "una"))
+    val langScores = langs.map { case (l, ws) =>
+      l -> ws.map(w =>
+        s"len(regexp_extract_all(text, '(^|\\s)$w(\\s|$$)'))").mkString(" + ")
+    }
+    val bestExpr = langScores.map(_._2).map(e => s"($e)")
+      .mkString("GREATEST(", ", ", ")")
+    val pickExpr = langScores.reverse.foldLeft("'und'") {
+      case (acc, (l, sc)) =>
+        s"CASE WHEN ($sc) = best AND best > 0 THEN '$l' ELSE $acc END"
+    }
+    s"""WITH base AS (
+      SELECT doc_id, text,
+        LENGTH(text) AS n_chars,
+        CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+        len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]'))
+          AS n_subwords,
+        CASE WHEN LENGTH(text) = 0 THEN 0.0
+          ELSE CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Za-z]', '', 'g'))
+            AS DOUBLE) / LENGTH(text) END AS alpha_r,
+        CASE WHEN LENGTH(text) = 0 THEN 0.0
+          ELSE CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))
+            AS DOUBLE) / LENGTH(text) END AS punct_r,
+        ($stopHits) AS stop_hits,
+        $bestExpr AS best,
+        LENGTH(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+      FROM documents),
+    b2 AS (
+      SELECT doc_id, n_tokens, n_subwords, alpha_r, punct_r,
+        CASE WHEN n_tokens = 0 THEN 0.0
+          ELSE CAST(stop_hits AS DOUBLE) / n_tokens END AS stop_r,
+        CASE WHEN n_chars < 20 THEN 0.0 WHEN n_chars > 20000 THEN 0.25
+          ELSE 1.0 END AS len_score,
+        CASE WHEN cjk > 0 THEN 'zh' ELSE $pickExpr END AS lang_detected
+      FROM base)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(n_subwords AS BIGINT) AS n_subwords,
+      ROUND(alpha_r, 6) AS alpha_ratio,
+      ROUND(punct_r, 6) AS punct_ratio,
+      ROUND(stop_r, 6) AS stopword_ratio,
+      ROUND(len_score * 0.4 + LEAST(alpha_r * 1.25, 1.0) * 0.3
+        + (1.0 - LEAST(punct_r * 4.0, 1.0)) * 0.2
+        + LEAST(stop_r * 5.0, 1.0) * 0.1, 6) AS quality_score,
+      lang_detected
+    FROM b2 ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------------
+  // S-series: sources / catalog
+  // ------------------------------------------------------------------
+
+  private def sourceQueries: Seq[Q] = Seq(
+    Q("s04_table_list",
+      (s, d) => {
+        import s.implicits._
+        Catalog(s, d).listTables().toDF("table_name").orderBy("table_name")
+      },
+      Some {
+        Seq("customer", "documents", "embeddings", "events", "lineitem",
+          "nation", "orders", "part", "region", "supplier")
+          .map(t => s"SELECT '$t' AS table_name").mkString(" UNION ALL ") +
+          " ORDER BY table_name"
+      }),
+
+    Q("s05_column_metadata",
+      (s, d) => {
+        import s.implicits._
+        Catalog(s, d).columns("lineitem")
+          .map(c => (c.name, c.dataType, c.nullable))
+          .toDF("column_name", "data_type", "nullable")
+          .orderBy("column_name")
+      },
+      Some("""SELECT column_name,
+          CASE lower(column_type)
+            WHEN 'bigint' THEN 'bigint' WHEN 'integer' THEN 'int'
+            WHEN 'double' THEN 'double' WHEN 'float' THEN 'float'
+            WHEN 'varchar' THEN 'string' WHEN 'boolean' THEN 'boolean'
+            ELSE CASE WHEN lower(column_type) LIKE 'timestamp%' THEN 'timestamp_ntz'
+              ELSE lower(column_type) END END AS data_type,
+          TRUE AS nullable
+        FROM (DESCRIBE lineitem) ORDER BY column_name""")),
+
+    Q("s07_preview",
+      (s, d) => Catalog(s, d)
+        .preview("nation", Seq("n_nationkey", "n_name"), 50)
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey, n_name FROM nation
+        ORDER BY n_nationkey LIMIT 50""")))
+
+  // ------------------------------------------------------------------
+  // C-series: schema-change detection
+  // ------------------------------------------------------------------
+
+  /** C1+C2+C6: snapshot the real catalog, apply a declared mutation to
+   *  derive the "previous" snapshot (drop table supplier; drop column
+   *  l_tax; retype o_totalprice; re-key region), diff, classify. The
+   *  oracle re-states the EXPECTED diff of that declared mutation. */
+  private def schemaQueries: Seq[Q] = Seq(
+    Q("c02_schema_diff",
+      (s, d) => {
+        import s.implicits._
+        val cat = Catalog(s, d)
+        val current = cat.snapshot()
+        val previous = current
+          .removed("supplier")
+          .updatedWith("lineitem")(_.map(m =>
+            m.copy(columns = m.columns.filterNot(_.name == "l_tax"))))
+          .updatedWith("orders")(_.map(m =>
+            m.copy(columns = m.columns.map(c =>
+              if (c.name == "o_totalprice") c.copy(dataType = "string") else c))))
+          .updatedWith("region")(_.map(m =>
+            m.copy(primaryKeys = Seq("r_name"))))
+        graft.schemadiff.SchemaDiff.compare(current, previous)
+          .map(c => (c.changeType, c.table, c.column.getOrElse(""), c.important))
+          .toDF("change_type", "table_name", "column_name", "important")
+          .orderBy("change_type", "table_name", "column_name")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('column_added', 'lineitem', 'l_tax', FALSE),
+          ('column_type_changed', 'orders', 'o_totalprice', TRUE),
+          ('primary_key_changed', 'region', '', TRUE),
+          ('table_added', 'supplier', '', FALSE))
+        AS t(change_type, table_name, column_name, important)
+        ORDER BY change_type, table_name, column_name""")))
 }

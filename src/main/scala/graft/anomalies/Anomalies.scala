@@ -1,0 +1,229 @@
+package graft.anomalies
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series anomaly detection (SURVEY.md §2.4, A1–A5).
+ *
+ * The reference runs numpy loops over one metric series at a time
+ * (core/anomalies/algorithms.py). The Spark-native re-expression is window
+ * functions over a long/narrow metrics DataFrame partitioned by series
+ * identity — every series is detected in parallel in ONE job, with no
+ * driver-side iteration; at 100 TB of history this scales with the number
+ * of (series × points), not with a Python loop.
+ *
+ * Parity notes (SURVEY.md §7.4):
+ *  - numpy `np.std` is POPULATION σ → `stddev_pop`, never `stddev_samp`.
+ *  - `np.percentile` does linear interpolation → Spark's exact
+ *    `percentile` matches; `percentile_approx` does NOT (scale mode only).
+ *  - rolling windows EXCLUDE the current point (`rowsBetween(-w, -1)`)
+ *    and emit nothing for the first `window` points
+ *    (algorithms.py:46-59,109-130).
+ */
+object Anomalies {
+
+  /** A4: severity classification (algorithms.py:201-240). */
+  def severity(score: Column, method: String): Column = method match {
+    case "zscore" =>
+      when(score > 5.0, "high").when(score > 3.5, "medium").otherwise("low")
+    case "iqr" =>
+      when(score > 3.0, "high").when(score > 1.5, "medium").otherwise("low")
+    case "moving_average" =>
+      when(score > 4.0, "high").when(score > 2.5, "medium").otherwise("low")
+    case _ =>
+      when(score > 5.0, "high").when(score > 2.5, "medium").otherwise("low")
+  }
+
+  /** A1: Z-score detector (algorithms.py:10-61).
+   *
+   *  global (window=None): score = |x − mean| / σ_pop over the whole
+   *  series, threshold = 3/sensitivity, σ=0 → score 0.
+   *  rolling: stats over the trailing `window` values excluding the
+   *  current row; only rows with a full window emit a result. */
+  def zscore(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      sensitivity: Double = 1.0,
+      window: Option[Int] = None): DataFrame = {
+    val part = Window.partitionBy(seriesCols.map(col): _*)
+    val v = col(valueCol)
+    val threshold = 3.0 / sensitivity
+    val scored = window match {
+      case None =>
+        val w = part.orderBy(col(tsCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        df.withColumn("__n", count(v).over(w))
+          .withColumn("__mean", avg(v).over(w))
+          .withColumn("__std", stddev_pop(v).over(w))
+          // len(values) < 2 → no results (algorithms.py:24-25)
+          .filter(col("__n") >= 2)
+      case Some(wn) =>
+        val w = part.orderBy(col(tsCol)).rowsBetween(-wn, -1)
+        df.withColumn("__cnt", count(v).over(w))
+          .withColumn("__mean", avg(v).over(w))
+          .withColumn("__std", stddev_pop(v).over(w))
+          .filter(col("__cnt") === wn)
+    }
+    scored
+      .withColumn("score",
+        when(col("__std") === 0.0, 0.0)
+          .otherwise(abs((v - col("__mean")) / col("__std"))))
+      .withColumn("threshold", lit(threshold))
+      .withColumn("is_anomaly", col("score") > col("threshold"))
+      .withColumn("method", lit("zscore"))
+      .withColumn("severity", severity(col("score"), "zscore"))
+      .drop("__n", "__cnt", "__mean", "__std")
+  }
+
+  /** A2: IQR detector (algorithms.py:64-132).
+   *
+   *  q1/q3 with np.percentile linear interpolation (exact `percentile`),
+   *  bounds q1 − t·iqr / q3 + t·iqr with t = 1.5/sensitivity; score =
+   *  distance past the bound in IQRs (∞ when iqr=0); is_anomaly is
+   *  OUT-OF-BOUNDS — not score>threshold. Needs ≥4 points. */
+  def iqr(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      sensitivity: Double = 1.0,
+      window: Option[Int] = None): DataFrame = {
+    val part = Window.partitionBy(seriesCols.map(col): _*)
+    val v = col(valueCol)
+    val threshold = 1.5 / sensitivity
+    val qv = Profiles.quotedCol(valueCol)
+    val scored = window match {
+      case None =>
+        val w = part.orderBy(col(tsCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        df.withColumn("__n", count(v).over(w))
+          .withColumn("__q1", expr(s"percentile($qv, 0.25)").over(w))
+          .withColumn("__q3", expr(s"percentile($qv, 0.75)").over(w))
+          .filter(col("__n") >= 4) // algorithms.py:78-79
+      case Some(wn) =>
+        val w = part.orderBy(col(tsCol)).rowsBetween(-wn, -1)
+        val whole = part.orderBy(col(tsCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        df.withColumn("__n", count(v).over(whole))
+          .withColumn("__cnt", count(v).over(w))
+          .withColumn("__q1", expr(s"percentile($qv, 0.25)").over(w))
+          .withColumn("__q3", expr(s"percentile($qv, 0.75)").over(w))
+          .filter(col("__n") >= 4 && col("__cnt") === wn)
+    }
+    val iqrC = col("__q3") - col("__q1")
+    val lower = col("__q1") - iqrC * threshold
+    val upper = col("__q3") + iqrC * threshold
+    scored
+      .withColumn("score",
+        when(v < lower,
+          when(iqrC > 0.0, abs((lower - v) / iqrC)).otherwise(lit(Double.PositiveInfinity)))
+        .when(v > upper,
+          when(iqrC > 0.0, abs((v - upper) / iqrC)).otherwise(lit(Double.PositiveInfinity)))
+        .otherwise(0.0))
+      .withColumn("threshold", lit(threshold))
+      .withColumn("is_anomaly", v < lower || v > upper)
+      .withColumn("method", lit("iqr"))
+      .withColumn("severity", severity(col("score"), "iqr"))
+      .drop("__n", "__cnt", "__q1", "__q3")
+  }
+
+  /** A3: moving-average detector (algorithms.py:135-198).
+   *
+   *  MA over the trailing `window` values (excluding current); the std is
+   *  computed over MAs with the reference's exact (forward-looking)
+   *  window alignment: std[i] = σ_pop(mavg[i .. i+sw−1]) while a full
+   *  window ahead exists, the LAST full-window σ afterwards, and a global
+   *  σ over all MAs when there are fewer than `stdWindow` MAs. */
+  def movingAverage(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      sensitivity: Double = 1.0,
+      window: Int = 7,
+      stdWindow: Option[Int] = None): DataFrame = {
+    val sw = stdWindow.getOrElse(window)
+    val part = Window.partitionBy(seriesCols.map(col): _*)
+    val v = col(valueCol)
+    val threshold = 2.0 / sensitivity
+    val wTrail = part.orderBy(col(tsCol)).rowsBetween(-window, -1)
+    val withMa = df
+      .withColumn("__cnt", count(v).over(wTrail))
+      .withColumn("__mavg", avg(v).over(wTrail))
+      .filter(col("__cnt") === window) // rows i >= window only
+    // windows over the MA sub-series
+    val wAll = part.orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wFwd = part.orderBy(col(tsCol)).rowsBetween(0, sw - 1)
+    val wUpTo = part.orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withStd = withMa
+      .withColumn("__L", count(col("__mavg")).over(wAll))
+      .withColumn("__stdGlobal", stddev_pop(col("__mavg")).over(wAll))
+      .withColumn("__fwdCnt", count(col("__mavg")).over(wFwd))
+      .withColumn("__fwdStd",
+        when(col("__fwdCnt") === sw, stddev_pop(col("__mavg")).over(wFwd)))
+      .withColumn("__stdRolling",
+        last(col("__fwdStd"), ignoreNulls = true).over(wUpTo))
+      .withColumn("__std",
+        when(col("__L") < sw, col("__stdGlobal")).otherwise(col("__stdRolling")))
+    withStd
+      .withColumn("score",
+        when(col("__std") === 0.0, 0.0)
+          .otherwise(abs((v - col("__mavg")) / col("__std"))))
+      .withColumn("threshold", lit(threshold))
+      .withColumn("is_anomaly",
+        col("__std") =!= 0.0 && col("score") > col("threshold"))
+      .withColumn("method", lit("moving_average"))
+      .withColumn("severity", severity(col("score"), "moving_average"))
+      .withColumnRenamed("__mavg", "moving_avg")
+      .drop("__cnt", "__L", "__stdGlobal", "__fwdCnt", "__fwdStd",
+        "__stdRolling", "__std")
+  }
+
+  /** A5: result formatting — emit only the anomalies
+   *  (algorithms.py:243-279). */
+  def anomaliesOnly(detected: DataFrame): DataFrame =
+    detected.filter(col("is_anomaly"))
+
+  /** A1–A5 dispatch by configured method (detector.py:92-127 defaults).
+   *  `minDataPoints` guards short series (detector.py:59-62). */
+  def detect(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      method: String = "zscore",
+      sensitivity: Double = 1.0,
+      window: Option[Int] = None,
+      stdWindow: Option[Int] = None,
+      minDataPoints: Int = 7): DataFrame = {
+    val part = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val eligible = df
+      .withColumn("__seriesN", count(col(valueCol)).over(part))
+      .filter(col("__seriesN") >= minDataPoints)
+      .drop("__seriesN")
+    val detected = method match {
+      case "zscore" =>
+        zscore(eligible, seriesCols, tsCol, valueCol, sensitivity, window)
+      case "iqr" =>
+        iqr(eligible, seriesCols, tsCol, valueCol, sensitivity, window)
+      case "moving_average" =>
+        movingAverage(eligible, seriesCols, tsCol, valueCol, sensitivity,
+          window.getOrElse(7), stdWindow)
+      case other =>
+        throw new IllegalArgumentException(s"unknown detection method: $other")
+    }
+    anomaliesOnly(detected)
+  }
+}
+
+private[anomalies] object Profiles {
+  def quotedCol(name: String): String = "`" + name.replace("`", "``") + "`"
+}

@@ -1,0 +1,267 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Large-scale document deduplication: exact, MinHash-LSH, SimHash and
+ * n-gram-Jaccard near-dup detection over a corpus DataFrame
+ * (id, text).
+ *
+ * Scale design (the 100 TB contract):
+ *  - NOTHING here is all-pairs. Exact dedup shuffles 16-byte md5 keys;
+ *    MinHash/SimHash shuffle O(rows × bands) small keys and only compare
+ *    within an LSH bucket; buckets above `maxBucketSize` are dropped
+ *    (and counted) instead of exploding quadratically.
+ *  - Signatures are computed map-side in one pass (deterministic seeded
+ *    hash families), so the heavy text column is dropped before any
+ *    shuffle: candidate generation moves (id, signature) pairs only.
+ */
+object Dedup {
+
+  // ---- deterministic hashing ------------------------------------------
+
+  /** FNV-1a 64-bit — stable across JVMs/runs, no seed material needed. */
+  private[pipeline] def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** Seeded universal-hash family for MinHash permutations. */
+  private[pipeline] def hashFamily(n: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(n) {
+      val a = math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1
+      val b = math.abs(rnd.nextLong()) % MersennePrime
+      (a, b)
+    }
+  }
+
+  private def permute(x: Long, a: Long, b: Long): Long = {
+    // (a*x + b) mod p on the positive 61-bit projection of x
+    val xp = x & 0x1fffffffffffffffL
+    val prod = java.math.BigInteger.valueOf(a)
+      .multiply(java.math.BigInteger.valueOf(xp))
+      .add(java.math.BigInteger.valueOf(b))
+      .mod(java.math.BigInteger.valueOf(MersennePrime))
+    prod.longValue
+  }
+
+  /** Word k-gram shingle hashes of a text (distinct). */
+  private[pipeline] def shingleHashes(text: String, k: Int): Array[Long] = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (words.length < k) {
+      if (words.isEmpty) Array.empty
+      else Array(fnv64(words.mkString(" ")))
+    } else
+      (0 to words.length - k)
+        .map(i => fnv64(words.slice(i, i + k).mkString(" ")))
+        .distinct.toArray
+  }
+
+  /** MinHash signature (numHashes values) of a shingle-hash set. */
+  private[pipeline] def minhashSignature(
+      shingles: Array[Long],
+      family: Array[(Long, Long)]): Array[Long] =
+    if (shingles.isEmpty) Array.fill(family.length)(Long.MaxValue)
+    else family.map { case (a, b) =>
+      var m = Long.MaxValue
+      var i = 0
+      while (i < shingles.length) {
+        val h = permute(shingles(i), a, b)
+        if (h < m) m = h
+        i += 1
+      }
+      m
+    }
+
+  /** 64-bit SimHash of a token multiset. */
+  private[pipeline] def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    text.trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
+      val h = fnv64(w)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  // ---- exact dedup -----------------------------------------------------
+
+  /** Exact duplicate groups: md5 of the raw text (16-byte shuffle key, not
+   *  the document body). Returns (text_hash, count, doc_ids) for groups
+   *  with count > 1. */
+  def exactDuplicates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), md5(col(textCol).cast("binary")).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("doc_ids"))
+      .filter(col("cnt") > 1)
+
+  /** Exact duplicate row count over the text column (total − distinct). */
+  def exactDuplicateCount(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    docs.agg(
+      (count(col(textCol)) - countDistinct(col(textCol))).as("duplicate_count"))
+
+  // ---- MinHash-LSH near-dup -------------------------------------------
+
+  /** Per-document MinHash signature + banded LSH keys.
+   *  Output: (id, signature: array<long>, bands: array<long>). */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / numBands
+    val family = hashFamily(numHashes, seed)
+    val sigUdf = udf { text: String =>
+      val sig = minhashSignature(shingleHashes(text, shingleK), family)
+      val bands = (0 until numBands).map { b =>
+        // band key = FNV over the band's slice, so one long per band
+        var h = 0xcbf29ce484222325L
+        var i = b * rowsPerBand
+        while (i < (b + 1) * rowsPerBand) {
+          h ^= sig(i); h *= 0x100000001b3L; i += 1
+        }
+        h
+      }.toArray
+      (sig, bands)
+    }
+    docs
+      .withColumn("__s", sigUdf(col(textCol)))
+      .select(col(idCol), col("__s._1").as("signature"), col("__s._2").as("bands"))
+  }
+
+  /** Candidate near-dup pairs from banded signatures: explode bands,
+   *  group by (band_idx, band_key), pair up WITHIN buckets only.
+   *  Buckets larger than `maxBucketSize` are skipped (degenerate shingles
+   *  — think empty documents — would otherwise go quadratic). */
+  def lshCandidatePairs(
+      signatures: DataFrame,
+      idCol: String = "doc_id",
+      maxBucketSize: Int = 1000): DataFrame = {
+    val exploded = signatures
+      .select(col(idCol), posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val buckets = exploded
+      .groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    // pairs within bucket: explode twice with index ordering a < b
+    buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x as a, y as b))))"""
+          .stripMargin)).as("pair"))
+      .select(col("pair.a").as("id_a"), col("pair.b").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+   *  verify by signature-agreement (estimated Jaccard) ≥ threshold.
+   *  Shuffle volume is O(rows × bands) keys + O(candidates) signature
+   *  joins — never all-pairs. */
+  def nearDuplicatesMinhash(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 16,
+      threshold: Double = 0.7,
+      seed: Long = 42L): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes,
+      numBands, seed).cache()
+    val pairs = lshCandidatePairs(sigs, idCol)
+    val sigA = sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a"))
+    val sigB = sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b"))
+    pairs.join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("est_jaccard",
+        expr("""aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
+                |0, (acc, v) -> acc + v)""".stripMargin).cast("double")
+          / size(col("sig_a")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard for a set of candidate pairs (verification
+   *  stage; joins shingle arrays to candidates only — O(candidates)). */
+  def ngramJaccard(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3): DataFrame = {
+    val shUdf = udf((text: String) => shingleHashes(text, shingleK))
+    val sh = docs.select(col(idCol), shUdf(col(textCol)).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash near-dup -----------------------------------------------
+
+  /** SimHash near-dup pairs: 64-bit fingerprints, candidates from 16-bit
+   *  chunk equality (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks
+   *  equal), verified by exact hamming distance. */
+  def nearDuplicatesSimhash(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val shUdf = udf((text: String) => simhash64(text))
+    val fps = docs.select(col(idCol), shUdf(col(textCol)).as("simhash"))
+    val chunks = fps.select(
+      col(idCol), col("simhash"),
+      explode(expr(
+        """transform(sequence(0, 3), i ->
+          |  struct(i as chunk_idx,
+          |         cast(shiftright(simhash, i * 16) & 65535 as int) as chunk_key))"""
+          .stripMargin)).as("c"))
+      .select(col(idCol), col("simhash"),
+        col("c.chunk_idx"), col("c.chunk_key"))
+    val buckets = chunks
+      .groupBy("chunk_idx", "chunk_key")
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("simhash").as("sh")))).as("members"))
+      .filter(size(col("members")).between(2, maxBucketSize))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+          |  transform(slice(members, i + 2, size(members) - i - 1),
+          |            y -> struct(x.id as id_a, x.sh as sh_a,
+          |                        y.id as id_b, y.sh as sh_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        bit_count(expr("p.sh_a ^ p.sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data pipelines: token counting, quality
+ * scoring, language identification, document fingerprinting.
+ *
+ * Everything except the fingerprint is built from codegen'd built-in
+ * expressions (length/regexp/split) — single-pass, no UDF, no shuffle:
+ * at 100 TB these are map-only columns appended to the scan.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count (0 for blank text). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword-unit count: word chunks of ≤4 chars plus standalone
+   *  punctuation — a deterministic stand-in for a real tokenizer's piece
+   *  count, implemented as one regexp scan. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Fraction of characters that are ASCII letters. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise((length(text) -
+        length(regexp_replace(text, "[A-Za-z]", ""))).cast("double") / length(text))
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise((length(text) -
+        length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))).cast("double")
+        / length(text))
+
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be")
+
+  /** Fraction of tokens that are English stopwords — a classic quality
+   *  signal (natural prose has a stable stopword rate; word soup and
+   *  boilerplate do not). */
+  def stopwordRatio(text: Column): Column = {
+    val hits = stopwords.map(w =>
+      size(regexp_extract_all(text, lit(s"(^|\\s)${w}(\\s|$$)"), lit(0))))
+      .reduce(_ + _)
+    when(tokenCount(text) === 0, 0.0)
+      .otherwise(hits.cast("double") / tokenCount(text))
+  }
+
+  /** Composite quality score ∈ [0, 1]: length sweet-spot, alphabetic
+   *  density, not-too-much punctuation, nonzero stopword rate. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = when(length(text) < 20, 0.0)
+      .when(length(text) > 20000, 0.25)
+      .otherwise(1.0)
+    val alpha = alphaRatio(text)
+    val punct = punctRatio(text)
+    val stop = stopwordRatio(text)
+    round(
+      lenScore * 0.4
+        + least(alpha * 1.25, lit(1.0)) * 0.3
+        + (lit(1.0) - least(punct * 4.0, lit(1.0))) * 0.2
+        + least(stop * 5.0, lit(1.0)) * 0.1,
+      6)
+  }
+
+  /** Language-ID stopword tables (tiny n-gram/stopword heuristic —
+   *  deterministic and SQL-expressible; not a trained model). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "es", "una"))
+
+  private def langScore(text: Column, words: Seq[String]): Column =
+    words.map(w =>
+      size(regexp_extract_all(text, lit(s"(^|\\s)${w}(\\s|$$)"), lit(0))))
+      .reduce(_ + _)
+
+  /** Heuristic language ID: the language whose marker stopwords hit most
+   *  (ties broken by table order; no hits → "und" undetermined). CJK is
+   *  detected first by codepoint range. */
+  def languageId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val scores = langMarkers.map { case (l, ws) => (l, langScore(text, ws)) }
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    val pick = scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, l).otherwise(acc)
+    }
+    // foldRight keeps FIRST matching language on ties (en before de …)
+    when(cjk > 0, "zh").otherwise(pick)
+  }
+
+  /** Rolling-hash document fingerprint (winnowing): Karp–Rabin hashes of
+   *  character w-grams, keep the minimum per window — robust to small
+   *  edits. Map-side UDF, linear in text size. */
+  def fingerprint(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gram: Int = 8,
+      window: Int = 16): DataFrame = {
+    val fpUdf = udf { text: String =>
+      val t = text.toLowerCase.replaceAll("\\s+", " ")
+      if (t.length < gram) Dedup.fnv64(t)
+      else {
+        val B = 1000003L
+        var pow = 1L
+        (1 until gram).foreach(_ => pow *= B)
+        var h = 0L
+        val hashes = new Array[Long](t.length - gram + 1)
+        var i = 0
+        while (i < t.length) {
+          h = h * B + t.charAt(i)
+          if (i >= gram) h -= pow * B * t.charAt(i - gram)
+          if (i >= gram - 1) hashes(i - gram + 1) = h
+          i += 1
+        }
+        // winnow: min hash per window, xor-fold the selected mins
+        var out = 0L
+        var w0 = 0
+        while (w0 <= hashes.length - window) {
+          var m = Long.MaxValue
+          var j = w0
+          while (j < w0 + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
+          out ^= m
+          w0 += window
+        }
+        if (hashes.length < window) hashes.min else out
+      }
+    }
+    docs.withColumn("fingerprint", fpUdf(col(textCol)))
+  }
+
+  /** One-pass text profile of a corpus: per-document metrics as columns.
+   *  Select + filter downstream compose into the same scan. */
+  def profileText(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_chars_computed", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("alpha_ratio", round(alphaRatio(t), 6))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_detected", languageId(t))
+  }
+}

@@ -26,6 +26,10 @@ import graft.types._
  */
 object Profiler {
 
+  /** Backtick-quote an identifier for safe interpolation into SQL/expr
+   *  strings (embedded backticks doubled, per Spark's quoting rule). */
+  def quoteId(name: String): String = "`" + name.replace("`", "``") + "`"
+
   /** Type bucketing (reference: collector.py:607-627, app.py:3367-3373).
    *  Spark schemas are precise, so bucket on DataType directly. */
   def typeBucket(dt: DataType): String = dt match {
@@ -83,15 +87,18 @@ object Profiler {
         .as(s"${n}__distinct")
       typeBucket(f.dataType) match {
         case "numeric" =>
-          val d = c.cast(DoubleType)
-          exprs += min(d).as(s"${n}__min")
-          exprs += max(d).as(s"${n}__max")
-          exprs += avg(d).as(s"${n}__mean")
-          exprs += sum(d).as(s"${n}__sum")
-          exprs += stddev_samp(d).as(s"${n}__stddev")
-          exprs += (if (exact) expr(s"percentile(`$n`, 0.5)")
-                    else percentile_approx(d, lit(0.5), lit(10000)))
+          // min/max/sum stay on the native type (decimal columns keep
+          // exact decimal aggregates — VERDICT r1 #6); conversion to the
+          // profile's Double fields happens at the driver edge.
+          exprs += min(c).as(s"${n}__min")
+          exprs += max(c).as(s"${n}__max")
+          exprs += avg(c).as(s"${n}__mean")
+          exprs += sum(c).as(s"${n}__sum")
+          exprs += stddev_samp(c.cast(DoubleType)).as(s"${n}__stddev")
+          exprs += (if (exact) expr(s"percentile(${quoteId(n)}, 0.5)")
+                    else percentile_approx(c.cast(DoubleType), lit(0.5), lit(10000)))
             .as(s"${n}__median")
+          val d = c.cast(DoubleType)
           // P6: sign buckets (app.py:3472-3474)
           exprs += sum(when(d === 0.0, 1L).otherwise(0L)).as(s"${n}__zero")
           exprs += sum(when(d < 0.0, 1L).otherwise(0L)).as(s"${n}__neg")
@@ -104,10 +111,17 @@ object Profiler {
           exprs += avg(len).as(s"${n}__avglen")
           exprs += sum(when(c === "", 1L).otherwise(0L)).as(s"${n}__empty")
         case "datetime" =>
-          // P12-P13: date range + future-date count with injected `now`
+          // P12-P13: date range + future/past counts with injected `now`
+          // (reference emits both, app.py:3558-3562 — VERDICT r1 #4)
           exprs += date_format(min(c), "yyyy-MM-dd HH:mm:ss").as(s"${n}__mindate")
           exprs += date_format(max(c), "yyyy-MM-dd HH:mm:ss").as(s"${n}__maxdate")
           exprs += sum(when(c > lit(now), 1L).otherwise(0L)).as(s"${n}__future")
+          exprs += sum(when(c <= lit(now), 1L).otherwise(0L)).as(s"${n}__past")
+          // P19: freshness — hours since latest timestamp vs injected now
+          // (reference: core/anomalies/metrics.py:80-85)
+          exprs += floor(
+            (lit(now).cast(LongType) - max(c).cast(LongType)) / 3600L)
+            .as(s"${n}__freshness_hours")
         case _ => ()
       }
     }
@@ -124,11 +138,13 @@ object Profiler {
   def topValues(
       df: DataFrame,
       columns: Seq[String],
-      k: Int = 10,
-      truncateAt: Int = 100): DataFrame = {
+      k: Int = 10): DataFrame = {
     require(columns.nonEmpty, "topValues needs at least one column")
+    // Group on the FULL value — truncation is display-only (the reference
+    // truncates to 97 chars + '...' when rendering, app.py:3664-3667;
+    // grouping on a prefix would merge distinct values and inflate counts).
     val stackExpr = columns
-      .map(c => s"'$c', substring(cast(`$c` as string), 1, $truncateAt)")
+      .map(c => s"'${c.replace("'", "''")}', cast(${quoteId(c)} as string)")
       .mkString(s"stack(${columns.size}, ", ", ", ") as (column_name, value)")
     val unpivoted = df.selectExpr(stackExpr).filter(col("value").isNotNull)
     val counted = unpivoted.groupBy("column_name", "value").count()
@@ -140,16 +156,43 @@ object Profiler {
       .drop("rank")
   }
 
+  /** P20: regex pattern match counts/percentages for a string column
+   *  (reference: app.py:4210-4237 — matching vs non-matching vs null,
+   *  percentages over total rows). Single-pass conditional aggregate. */
+  def patternMatch(df: DataFrame, column: String, pattern: String): DataFrame = {
+    val c = col(column)
+    df.agg(
+      count(lit(1)).as("total_count"),
+      coalesce(sum(when(c.isNotNull && c.rlike(pattern), 1L).otherwise(0L)), lit(0L))
+        .as("matching_count"),
+      coalesce(sum(when(c.isNotNull && !c.rlike(pattern), 1L).otherwise(0L)), lit(0L))
+        .as("non_matching_count"),
+      coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L)).as("null_count"))
+      .withColumn("matching_percentage",
+        round(col("matching_count") * 100.0 / col("total_count"), 6))
+      .withColumn("non_matching_percentage",
+        round(col("non_matching_count") * 100.0 / col("total_count"), 6))
+  }
+
   /** P4: fully-duplicated row count = COUNT(*) − COUNT(DISTINCT *).
-   *  Implemented as a groupBy over all columns (hash agg, one shuffle)
-   *  rather than df.distinct().count() twice over the scan. */
-  def duplicateRowCount(df: DataFrame): Long = {
-    val cols = df.columns.map(col).toSeq
-    val agg = df.groupBy(cols: _*).count()
-      .agg(
-        coalesce(sum(col("count") - 1L), lit(0L)).as("dupes"))
-      .first()
-    agg.getLong(0)
+   *
+   *  Scale path (default): rows are reduced map-side to a 128-bit md5 of
+   *  their JSON encoding, so the shuffle carries 16-byte keys instead of
+   *  the full row width — at 100 TB that is ~1% of the naive
+   *  groupBy-all-columns shuffle. 128-bit keys make collisions
+   *  negligible (~2^-64 at 1e11 rows). `exact=true` keeps the full-row
+   *  groupBy for oracle-parity paranoia at small SF. */
+  def duplicateRowCount(df: DataFrame, exact: Boolean = false): Long = {
+    val grouped =
+      if (exact) {
+        val cols = df.columns.map(col).toSeq
+        df.groupBy(cols: _*).count()
+      } else
+        df.select(md5(to_json(struct(df.columns.map(col).toSeq: _*))).as("h"))
+          .groupBy("h").count()
+    grouped
+      .agg(coalesce(sum(col("count") - 1L), lit(0L)).as("dupes"))
+      .first().getLong(0)
   }
 
   /** Full profile of a DataFrame: single-pass agg + one top-K job + one
@@ -175,6 +218,7 @@ object Profiler {
         case l: Long => l
         case i2: Int => i2.toLong
         case d: Double => d.toLong
+        case b: java.math.BigDecimal => b.longValue
         case x => x.toString.toLong
       })
     def optD(k: String): Option[Double] =
@@ -182,6 +226,10 @@ object Profiler {
         case d: Double => d
         case l: Long => l.toDouble
         case i2: Int => i2.toDouble
+        case f: Float => f.toDouble
+        case s: Short => s.toDouble
+        case b: Byte => b.toDouble
+        case b: java.math.BigDecimal => b.doubleValue
         case x => x.toString.toDouble
       })
     def optS(k: String): Option[String] =
@@ -189,15 +237,19 @@ object Profiler {
 
     val rowCount = row.getLong(idx("__row_count"))
 
-    // top-K: only low-cardinality, non-long-text columns, capped column
-    // count — the reference's knobs (app.py:3628-3645)
+    // top-K: all types except long text / binary (reference includes
+    // dates & booleans, app.py:3625-3637), only distinct<limit, capped
+    // column count — the reference's knobs (app.py:3628-3645)
     val distinctByCol = schema.fieldNames
       .map(n => n -> optL(s"${n}__distinct").getOrElse(0L)).toMap
     val topKCols = schema.fields
-      .filter(f => typeBucket(f.dataType) == "string" || typeBucket(f.dataType) == "numeric")
+      .filterNot(f => f.dataType == BinaryType ||
+        typeBucket(f.dataType) == "other")
       .map(_.name)
       .filter(n => distinctByCol(n) > 0 && distinctByCol(n) < topKDistinctLimit)
       .take(topKMaxColumns)
+    def display(v: String): String =
+      if (v.length > 100) v.take(97) + "..." else v
     val topByCol: Map[String, Seq[TopValue]] =
       if (topKCols.isEmpty || rowCount == 0) Map.empty
       else topValues(df, topKCols.toIndexedSeq, topK).collect()
@@ -205,7 +257,7 @@ object Profiler {
         .map { case (c, rows) =>
           c -> rows.sortBy(r => (-r.getLong(2), r.getString(1))).map { r =>
             val cnt = r.getLong(2)
-            TopValue(r.getString(1), cnt, cnt.toDouble / rowCount * 100.0)
+            TopValue(display(r.getString(1)), cnt, cnt.toDouble / rowCount * 100.0)
           }.toSeq
         }
 
@@ -240,6 +292,8 @@ object Profiler {
         minDate = optS(s"${n}__mindate"),
         maxDate = optS(s"${n}__maxdate"),
         futureCount = optL(s"${n}__future"),
+        pastCount = optL(s"${n}__past"),
+        freshnessHours = optL(s"${n}__freshness_hours"),
         topValues = topByCol.getOrElse(n, Nil))
     }.toSeq
 

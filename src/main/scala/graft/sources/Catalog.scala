@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import graft.types.{ColumnMeta, ForeignKey, TableMeta}
+
+/**
+ * Sources layer (SURVEY.md §2.1, S1–S7): a table catalog over a directory
+ * of parquet files, mirroring the reference's SQLAlchemy
+ * engine + inspector surface (connectors.py:31-126, collector.py:48-148).
+ *
+ * Spark-first shape: a "connection" is a directory; each `<name>.parquet`
+ * is a table; `spark.read.parquet` + temp views replace the warehouse
+ * engine; `df.schema` replaces `inspector.get_columns`. PK/FK metadata —
+ * which Spark's catalog does not model — rides in a `TableMeta` sidecar,
+ * seeded here with the conventional keys of the test star schema.
+ */
+final class Catalog(val spark: SparkSession, val dir: String) {
+
+  /** S4: list tables = parquet files in the connection directory
+   *  (reference: collector.py:48-72). */
+  def listTables(): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map(_.getName.stripSuffix(".parquet"))
+      .sorted.toSeq
+  }
+
+  /** S3: scan one table. Plain parquet read — filters/column pruning are
+   *  pushed down by Catalyst into the scan. */
+  def table(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every table as a temp view so rule SQL can refer to tables
+   *  by name (reference resolves names against the warehouse). */
+  def registerAll(): Unit =
+    listTables().foreach(n => table(n).createOrReplaceTempView(n))
+
+  /** S5: column metadata (reference: collector.py:74-99). */
+  def columns(name: String): Seq[ColumnMeta] =
+    table(name).schema.fields.toSeq
+      .map(f => ColumnMeta(f.name, f.dataType.simpleString, f.nullable))
+
+  def schemaOf(name: String): StructType = table(name).schema
+
+  /** S6: PK/FK sidecar for the test star schema. Spark has no PK/FK
+   *  catalog, so the conventional TPC-H-ish keys are declared here
+   *  (the reference gets these from inspector.get_pk_constraint /
+   *  get_foreign_keys, collector.py:112-148). */
+  def tableMeta(name: String): TableMeta = {
+    val pks = Catalog.primaryKeys.getOrElse(name, Nil)
+    val fks = Catalog.foreignKeys.getOrElse(name, Nil)
+    TableMeta(name, columns(name), pks, fks)
+  }
+
+  /** S7: data preview with column restriction + row cap
+   *  (reference: app.py:2948-3031, MAX_PREVIEW_ROWS=50). */
+  def preview(
+      name: String,
+      allowedColumns: Seq[String] = Nil,
+      maxRows: Int = 50): DataFrame = {
+    val df = table(name)
+    val cols =
+      if (allowedColumns.isEmpty) df.columns.toSeq
+      else df.columns.toSeq.filter(allowedColumns.contains)
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*).limit(maxRows)
+  }
+
+  /** C1: snapshot of every table's structure (reference:
+   *  schema_change_detector.py:71-126). */
+  def snapshot(): Map[String, TableMeta] =
+    listTables().map(n => n -> tableMeta(n)).toMap
+}
+
+object Catalog {
+  def apply(spark: SparkSession, dir: String): Catalog = new Catalog(spark, dir)
+
+  /** Conventional key metadata for the driver-generated star schema. */
+  val primaryKeys: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  val foreignKeys: Map[String, Seq[ForeignKey]] = Map(
+    "nation" -> Seq(ForeignKey("n_regionkey", "region", "r_regionkey")),
+    "customer" -> Seq(ForeignKey("c_nationkey", "nation", "n_nationkey")),
+    "supplier" -> Seq(ForeignKey("s_nationkey", "nation", "n_nationkey")),
+    "orders" -> Seq(ForeignKey("o_custkey", "customer", "c_custkey")),
+    "lineitem" -> Seq(
+      ForeignKey("l_orderkey", "orders", "o_orderkey"),
+      ForeignKey("l_partkey", "part", "p_partkey"),
+      ForeignKey("l_suppkey", "supplier", "s_suppkey")))
+}

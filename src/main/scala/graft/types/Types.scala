@@ -67,6 +67,9 @@ final case class ColumnProfile(
     minDate: Option[String] = None,
     maxDate: Option[String] = None,
     futureCount: Option[Long] = None,
+    pastCount: Option[Long] = None,
+    freshnessHours: Option[Long] = None, // P19: hours since max(ts) vs injected now
+
     // top-K frequent values (P14)
     topValues: Seq[TopValue] = Nil)
 

@@ -40,7 +40,19 @@ object Evaluator {
   private def isNumeric(v: Any): Boolean = v match {
     case _: Double | _: Float | _: Long | _: Int | _: Short | _: Byte => true
     case _: java.math.BigDecimal | _: BigDecimal => true
+    case _: Boolean => true // Python bool is an int subtype
     case _ => false
+  }
+
+  private def asIntegral(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case b: Boolean => Some(if (b) 1L else 0L)
+    case d: java.math.BigDecimal if d.scale <= 0 || d.stripTrailingZeros.scale <= 0 =>
+      Try(d.longValueExact).toOption
+    case _ => None
   }
 
   /** Exact port of `_evaluate_rule` semantics. */
@@ -49,7 +61,13 @@ object Evaluator {
     operator match {
       case "equals" =>
         if (isNumeric(actual) && isNumeric(expected))
-          asDouble(actual).get == asDouble(expected).get
+          // integral-to-integral compares exactly (Python int == int);
+          // Double coercion only for mixed/fractional operands — Longs
+          // above 2^53 must not collapse to equal doubles.
+          (asIntegral(actual), asIntegral(expected)) match {
+            case (Some(a), Some(e)) => a == e
+            case _ => asDouble(actual).get == asDouble(expected).get
+          }
         else actual.toString == expected.toString
       case "greater_than" =>
         (asDouble(actual), asDouble(expected)) match {
@@ -100,18 +118,33 @@ object Runner {
   /** V4: parallel rule execution. The reference uses a ≤10-thread pool of
    *  warehouse connections (routes/validations.py:784-794); on Spark the
    *  equivalent is concurrent actions on one session — each rule's job is
-   *  scheduled in parallel (use the FAIR scheduler at scale). */
+   *  scheduled in parallel (use the FAIR scheduler at scale). Each rule is
+   *  bounded by `timeout` (the reference enforces a 60 s statement
+   *  timeout, supabase_validation_manager.py:258); a timed-out rule
+   *  becomes an errored result, never a hung suite. */
   def runAll(
       spark: SparkSession,
       rules: Seq[ValidationRule],
-      parallelism: Int = 10): Seq[ValidationResult] = {
+      parallelism: Int = 10,
+      timeout: Duration = scala.concurrent.duration.DurationInt(60).seconds)
+      : Seq[ValidationResult] = {
     val ec = ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(
         math.min(parallelism, math.max(rules.size, 1))))
     try {
       val futures = rules.map(r => Future(runRule(spark, r))(ec))
-      futures.map(f => Await.result(f, Duration.Inf))
-    } finally ec.shutdown()
+      rules.zip(futures).map { case (r, f) =>
+        Try(Await.result(f, timeout)) match {
+          case Success(res) => res
+          case Failure(_: java.util.concurrent.TimeoutException) =>
+            ValidationResult(r.name, isValid = false, None, r.expectedValue,
+              r.operator, Some(s"timeout after $timeout"))
+          case Failure(e) =>
+            ValidationResult(r.name, isValid = false, None, r.expectedValue,
+              r.operator, Some(e.getMessage))
+        }
+      }
+    } finally ec.shutdownNow()
   }
 
   /** V6: dedup on generation — skip rules whose name already exists
@@ -195,9 +228,14 @@ object DefaultValidations {
       .getOrElse(endCol)
   }
 
+  /** Backtick-quote an identifier for Spark SQL (ADVICE r1: raw
+   *  interpolation breaks on names with spaces/quotes/backticks). */
+  private def q(id: String): String = "`" + id.replace("`", "``") + "`"
+
   /** Generate the default rule set for a table from its Spark schema (+
    *  optional PK/FK sidecar). SQL is emitted in Spark dialect; the shapes
-   *  mirror the reference family-for-family. */
+   *  mirror the reference family-for-family (14 families,
+   *  default_validations.py:8-388). */
   def generate(
       table: String,
       schema: StructType,
@@ -206,24 +244,43 @@ object DefaultValidations {
       varcharMaxLengths: Map[String, Int] = Map.empty): Seq[ValidationRule] = {
     val rules = Seq.newBuilder[ValidationRule]
     val cols = schema.fields.toSeq
+    val qt = q(table)
 
     // 1. not empty
     rules += ValidationRule(
       s"check_${table}_not_empty",
       s"Ensure $table table has at least one row",
-      s"SELECT COUNT(*) FROM $table", "greater_than", 0)
+      s"SELECT COUNT(*) FROM $qt", "greater_than", 0)
 
     // 2. PK uniqueness
     if (primaryKeys.nonEmpty) {
-      val pk = primaryKeys.mkString(", ")
+      val pk = primaryKeys.map(q).mkString(", ")
       rules += ValidationRule(
         s"check_${table}_pk_unique",
-        s"Ensure primary key ($pk) has no duplicates",
+        s"Ensure primary key (${primaryKeys.mkString(", ")}) has no duplicates",
         s"""SELECT COUNT(*) FROM (
-           |  SELECT $pk, COUNT(*) as count FROM $table
+           |  SELECT $pk, COUNT(*) as count FROM $qt
            |  GROUP BY $pk HAVING COUNT(*) > 1) AS duplicates""".stripMargin,
         "equals", 0)
     }
+
+    // 3. row growth vs previous count — the reference emits this as a
+    // template whose prev_count is a placeholder over the same table
+    // (default_validations.py:71-97); kept shape-for-shape.
+    rules += ValidationRule(
+      s"check_${table}_row_growth",
+      s"Detect unusual growth in $table row count (>20% change)",
+      s"""WITH current_count AS (
+         |  SELECT COUNT(*) as count FROM $qt),
+         |prev_count AS (
+         |  SELECT CASE WHEN COUNT(*) = 0 THEN NULL ELSE COUNT(*) END as count
+         |  FROM $qt)
+         |SELECT CASE
+         |  WHEN prev_count.count IS NULL THEN 0
+         |  WHEN ABS(current_count.count - prev_count.count) > prev_count.count * 0.2 THEN 1
+         |  ELSE 0 END
+         |FROM current_count, prev_count""".stripMargin,
+      "equals", 0)
 
     // 4. name-suggests-unique columns
     cols.filterNot(c =>
@@ -234,9 +291,9 @@ object DefaultValidations {
           s"check_${c.name}_unique",
           s"Check that ${c.name} values are unique",
           s"""SELECT COUNT(*) FROM (
-             |  SELECT ${c.name}, COUNT(*) as count FROM $table
-             |  WHERE ${c.name} IS NOT NULL
-             |  GROUP BY ${c.name} HAVING COUNT(*) > 1) AS duplicates""".stripMargin,
+             |  SELECT ${q(c.name)}, COUNT(*) as count FROM $qt
+             |  WHERE ${q(c.name)} IS NOT NULL
+             |  GROUP BY ${q(c.name)} HAVING COUNT(*) > 1) AS duplicates""".stripMargin,
           "equals", 0)
       }
 
@@ -245,7 +302,7 @@ object DefaultValidations {
       rules += ValidationRule(
         s"check_${c.name}_not_null",
         s"Ensure ${c.name} has no NULL values",
-        s"SELECT COUNT(*) FROM $table WHERE ${c.name} IS NULL", "equals", 0)
+        s"SELECT COUNT(*) FROM $qt WHERE ${q(c.name)} IS NULL", "equals", 0)
     }
 
     // 6. non-negative numerics (unless name allows negatives)
@@ -255,7 +312,7 @@ object DefaultValidations {
         rules += ValidationRule(
           s"check_${c.name}_positive",
           s"Ensure ${c.name} has no negative values",
-          s"SELECT COUNT(*) FROM $table WHERE ${c.name} < 0", "equals", 0)
+          s"SELECT COUNT(*) FROM $qt WHERE ${q(c.name)} < 0", "equals", 0)
       }
 
     // 7. non-zero for money-ish columns
@@ -265,7 +322,7 @@ object DefaultValidations {
         rules += ValidationRule(
           s"check_${c.name}_not_zero",
           s"Ensure ${c.name} has no zero values",
-          s"SELECT COUNT(*) FROM $table WHERE ${c.name} = 0", "equals", 0)
+          s"SELECT COUNT(*) FROM $qt WHERE ${q(c.name)} = 0", "equals", 0)
       }
 
     // 8. date ranges
@@ -275,21 +332,21 @@ object DefaultValidations {
         rules += ValidationRule(
           s"check_${c.name}_not_future",
           s"Ensure ${c.name} contains no future dates",
-          s"SELECT COUNT(*) FROM $table WHERE ${c.name} > CURRENT_DATE",
+          s"SELECT COUNT(*) FROM $qt WHERE ${q(c.name)} > CURRENT_DATE",
           "equals", 0)
       rules += ValidationRule(
         s"check_${c.name}_reasonable_past",
         s"Ensure ${c.name} contains no unreasonably old dates",
-        s"SELECT COUNT(*) FROM $table WHERE ${c.name} < '1970-01-01'",
+        s"SELECT COUNT(*) FROM $qt WHERE ${q(c.name)} < '1970-01-01'",
         "equals", 0)
       if (endDateTerms.exists(lower.contains)) {
         val startCol = guessStartDateColumn(c.name, cols)
         rules += ValidationRule(
           s"check_${c.name}_end_date_order",
           s"Ensure ${c.name} occurs after any start date (if applicable)",
-          s"""SELECT COUNT(*) FROM $table
-             |WHERE ${c.name} IS NOT NULL AND $startCol IS NOT NULL
-             |AND ${c.name} < $startCol""".stripMargin,
+          s"""SELECT COUNT(*) FROM $qt
+             |WHERE ${q(c.name)} IS NOT NULL AND ${q(startCol)} IS NOT NULL
+             |AND ${q(c.name)} < ${q(startCol)}""".stripMargin,
           "equals", 0)
       }
     }
@@ -301,20 +358,20 @@ object DefaultValidations {
         rules += ValidationRule(
           s"check_${c.name}_max_length",
           s"Ensure ${c.name} does not exceed max length ($maxLen)",
-          s"SELECT COUNT(*) FROM $table WHERE LENGTH(${c.name}) > $maxLen",
+          s"SELECT COUNT(*) FROM $qt WHERE LENGTH(${q(c.name)}) > $maxLen",
           "equals", 0)
       }
       if (!c.nullable)
         rules += ValidationRule(
           s"check_${c.name}_not_empty_string",
           s"Ensure ${c.name} has no empty strings",
-          s"SELECT COUNT(*) FROM $table WHERE ${c.name} = ''", "equals", 0)
+          s"SELECT COUNT(*) FROM $qt WHERE ${q(c.name)} = ''", "equals", 0)
       if (lower.contains("email"))
         rules += ValidationRule(
           s"check_${c.name}_valid_email",
           s"Ensure ${c.name} contains valid email format",
-          s"""SELECT COUNT(*) FROM $table
-             |WHERE ${c.name} IS NOT NULL AND ${c.name} NOT LIKE '%@%.%'""".stripMargin,
+          s"""SELECT COUNT(*) FROM $qt
+             |WHERE ${q(c.name)} IS NOT NULL AND ${q(c.name)} NOT LIKE '%@%.%'""".stripMargin,
           "equals", 0)
       if (lower.contains("phone") || lower.contains("mobile"))
         rules += ValidationRule(
@@ -322,16 +379,16 @@ object DefaultValidations {
           s"Ensure ${c.name} contains valid phone number format",
           // Spark has no SIMILAR TO; NOT RLIKE with an anchored regex is
           // the same predicate (reference: default_validations.py:267)
-          s"""SELECT COUNT(*) FROM $table
-             |WHERE ${c.name} IS NOT NULL
-             |AND ${c.name} NOT RLIKE '^(\\\\+)?[0-9][0-9 ()-]+$$'""".stripMargin,
+          s"""SELECT COUNT(*) FROM $qt
+             |WHERE ${q(c.name)} IS NOT NULL
+             |AND ${q(c.name)} NOT RLIKE '^(\\\\+)?[0-9][0-9 ()-]+$$'""".stripMargin,
           "equals", 0)
       if (lower.contains("zip") || lower.contains("postal"))
         rules += ValidationRule(
           s"check_${c.name}_valid_postal",
           s"Ensure ${c.name} follows postal/zip code patterns",
-          s"""SELECT COUNT(*) FROM $table
-             |WHERE ${c.name} IS NOT NULL AND LENGTH(TRIM(${c.name})) < 3""".stripMargin,
+          s"""SELECT COUNT(*) FROM $qt
+             |WHERE ${q(c.name)} IS NOT NULL AND LENGTH(TRIM(${q(c.name)})) < 3""".stripMargin,
           "equals", 0)
     }
 
@@ -341,11 +398,11 @@ object DefaultValidations {
         s"check_${c.name}_outliers",
         s"Check for extreme outliers in ${c.name} (> 3 std deviations)",
         s"""WITH stats AS (
-           |  SELECT AVG(${c.name}) as avg_val, STDDEV(${c.name}) as stddev_val
-           |  FROM $table WHERE ${c.name} IS NOT NULL)
-           |SELECT COUNT(*) FROM $table, stats
-           |WHERE ${c.name} > stats.avg_val + 3 * stats.stddev_val
-           |OR ${c.name} < stats.avg_val - 3 * stats.stddev_val""".stripMargin,
+           |  SELECT AVG(${q(c.name)}) as avg_val, STDDEV(${q(c.name)}) as stddev_val
+           |  FROM $qt WHERE ${q(c.name)} IS NOT NULL)
+           |SELECT COUNT(*) FROM $qt, stats
+           |WHERE ${q(c.name)} > stats.avg_val + 3 * stats.stddev_val
+           |OR ${q(c.name)} < stats.avg_val - 3 * stats.stddev_val""".stripMargin,
         "less_than", outlierThreshold(table))
     }
 
@@ -354,7 +411,7 @@ object DefaultValidations {
       rules += ValidationRule(
         s"check_${table}_ref_table_size",
         s"Ensure reference table $table has a reasonable number of rows",
-        s"SELECT COUNT(*) FROM $table", "less_than", 1000)
+        s"SELECT COUNT(*) FROM $qt", "less_than", 1000)
 
     // 12. null-rate for important nullable columns
     cols.filter(c => c.nullable && !primaryKeys.contains(c.name))
@@ -364,8 +421,8 @@ object DefaultValidations {
           s"check_${c.name}_null_rate",
           s"Ensure ${c.name} null rate is below acceptable threshold",
           // Spark dialect for COUNT(*) FILTER (WHERE ...)
-          s"""SELECT (COUNT(CASE WHEN ${c.name} IS NULL THEN 1 END) * 100.0
-             |  / NULLIF(COUNT(*), 0)) FROM $table""".stripMargin,
+          s"""SELECT (COUNT(CASE WHEN ${q(c.name)} IS NULL THEN 1 END) * 100.0
+             |  / NULLIF(COUNT(*), 0)) FROM $qt""".stripMargin,
           "less_than", 25.0)
       }
 
@@ -377,9 +434,9 @@ object DefaultValidations {
           s"check_${c.name}_distribution",
           s"Ensure ${c.name} has a reasonable value distribution",
           s"""WITH val_counts AS (
-             |  SELECT ${c.name}, COUNT(*) as count,
-             |  (COUNT(*) * 100.0 / NULLIF((SELECT COUNT(*) FROM $table), 0)) as pct
-             |  FROM $table WHERE ${c.name} IS NOT NULL GROUP BY ${c.name})
+             |  SELECT ${q(c.name)}, COUNT(*) as count,
+             |  (COUNT(*) * 100.0 / NULLIF((SELECT COUNT(*) FROM $qt), 0)) as pct
+             |  FROM $qt WHERE ${q(c.name)} IS NOT NULL GROUP BY ${q(c.name)})
              |SELECT COUNT(*) FROM val_counts WHERE pct > 95.0""".stripMargin,
           "equals", 0)
       }
@@ -389,8 +446,8 @@ object DefaultValidations {
       rules += ValidationRule(
         s"check_${c.name}_ref_distribution",
         s"Ensure ${c.name} references a reasonable number of distinct values",
-        s"""SELECT CASE WHEN (SELECT COUNT(DISTINCT ${c.name}) FROM $table
-           |  WHERE ${c.name} IS NOT NULL) = 1 THEN 1 ELSE 0 END""".stripMargin,
+        s"""SELECT CASE WHEN (SELECT COUNT(DISTINCT ${q(c.name)}) FROM $qt
+           |  WHERE ${q(c.name)} IS NOT NULL) = 1 THEN 1 ELSE 0 END""".stripMargin,
         "equals", 0)
     }
 

@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: read Verify's parquet
+dumps, run each oracle SQL in DuckDB over the same testdata tables, and
+compare (rows / schema-ish / values). Usage:
+
+    python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    if hasattr(v, "item"):
+        try:
+            v = v.item()
+        except Exception:
+            pass
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    try:
+        import numpy as np
+        if isinstance(v, np.ndarray):
+            return tuple(norm(x) for x in v.tolist())
+    except Exception:
+        pass
+    return v
+
+
+def cmp_cell(a, b):
+    a, b = norm(a), norm(b)
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True, 0.0
+        if a == b:
+            return True, 0.0
+        return False, abs(a - b)
+    return (a == b), None
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            spark_df = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: no spark output ({e})")
+            failures += 1
+            continue
+        try:
+            duck_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+            failures += 1
+            continue
+        if len(spark_df) != len(duck_df):
+            print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+            failures += 1
+            continue
+        sd = spark_df[s_cols]
+        dd = duck_df[d_cols]
+        bad = []
+        for i in range(len(sd)):
+            for c in s_cols:
+                ok, delta = cmp_cell(sd.iloc[i][c], dd.iloc[i][c])
+                if not ok:
+                    bad.append((i, c, sd.iloc[i][c], dd.iloc[i][c], delta))
+        if bad:
+            print(f"FAIL {name}: {len(bad)} cell diffs; first 5:")
+            for b in bad[:5]:
+                print(f"   row={b[0]} col={b[1]} spark={b[2]!r} duck={b[3]!r} delta={b[4]}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(sd)} rows x {len(s_cols)} cols)")
+    # queries without oracle: existence check only
+    import os
+    have_oracle = set(oracle)
+    for entry in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, entry)
+        if os.path.isdir(p) and entry not in have_oracle:
+            try:
+                n = con.execute(
+                    f"SELECT COUNT(*) FROM '{p}/*.parquet'").fetchone()[0]
+                print(f"ROWS {entry}: {n} rows (no oracle)")
+            except Exception as e:
+                print(f"FAIL {entry}: unreadable ({e})")
+                failures += 1
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
