@@ -22,7 +22,7 @@ object Dedup {
   // ---- deterministic hashing ------------------------------------------
 
   /** FNV-1a 64-bit — stable across JVMs/runs, no seed material needed. */
-  private[pipeline] def fnv64(s: String): Long = {
+  private[graft] def fnv64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) {
@@ -36,7 +36,7 @@ object Dedup {
   private val MersennePrime = (1L << 61) - 1
 
   /** Seeded universal-hash family for MinHash permutations. */
-  private[pipeline] def hashFamily(n: Int, seed: Long): Array[(Long, Long)] = {
+  private[graft] def hashFamily(n: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new java.util.Random(seed)
     Array.fill(n) {
       val a = math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1
@@ -56,7 +56,7 @@ object Dedup {
   }
 
   /** Word k-gram shingle hashes of a text (distinct). */
-  private[pipeline] def shingleHashes(text: String, k: Int): Array[Long] = {
+  private[graft] def shingleHashes(text: String, k: Int): Array[Long] = {
     val words = text.trim.split("\\s+").filter(_.nonEmpty)
     if (words.length < k) {
       if (words.isEmpty) Array.empty
@@ -68,7 +68,7 @@ object Dedup {
   }
 
   /** MinHash signature (numHashes values) of a shingle-hash set. */
-  private[pipeline] def minhashSignature(
+  private[graft] def minhashSignature(
       shingles: Array[Long],
       family: Array[(Long, Long)]): Array[Long] =
     if (shingles.isEmpty) Array.fill(family.length)(Long.MaxValue)
@@ -84,7 +84,7 @@ object Dedup {
     }
 
   /** 64-bit SimHash of a token multiset. */
-  private[pipeline] def simhash64(text: String): Long = {
+  private[graft] def simhash64(text: String): Long = {
     val votes = new Array[Int](64)
     text.trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
       val h = fnv64(w)

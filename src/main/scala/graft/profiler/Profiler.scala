@@ -118,9 +118,11 @@ object Profiler {
           exprs += sum(when(c > lit(now), 1L).otherwise(0L)).as(s"${n}__future")
           exprs += sum(when(c <= lit(now), 1L).otherwise(0L)).as(s"${n}__past")
           // P19: freshness — hours since latest timestamp vs injected now
-          // (reference: core/anomalies/metrics.py:80-85)
+          // (reference: core/anomalies/metrics.py:80-85). TIMESTAMP_NTZ
+          // can't cast straight to BIGINT; hop through TIMESTAMP (UTC).
           exprs += floor(
-            (lit(now).cast(LongType) - max(c).cast(LongType)) / 3600L)
+            (lit(now).cast(TimestampType).cast(LongType) -
+              max(c).cast(TimestampType).cast(LongType)) / 3600L)
             .as(s"${n}__freshness_hours")
         case _ => ()
       }

@@ -1,0 +1,218 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.history.Trends
+import graft.pipeline.Dedup
+import graft.profiler.Profiler
+import graft.schemadiff.SchemaDiff
+import graft.types.{ColumnMeta, TableMeta}
+import graft.validations.{DefaultValidations, Evaluator}
+
+/** Pure-function behavior pinned against the reference's semantics
+ *  (no SparkSession needed). */
+class EvaluatorSpec extends AnyFunSuite {
+
+  test("null actual is always invalid (supabase_validation_manager.py:343)") {
+    assert(!Evaluator.evaluate("equals", null, 0))
+    assert(!Evaluator.evaluate("greater_than", null, 0))
+    assert(!Evaluator.evaluate("between", null, Seq(0, 1)))
+  }
+
+  test("equals: numeric-vs-numeric compares numerically") {
+    assert(Evaluator.evaluate("equals", 0L, 0))
+    assert(Evaluator.evaluate("equals", 1.0, 1))
+    assert(!Evaluator.evaluate("equals", 1.5, 1))
+    assert(Evaluator.evaluate("equals", java.math.BigDecimal.valueOf(42), 42))
+  }
+
+  test("equals: integral-to-integral is exact above 2^53") {
+    val big = (1L << 53) + 1
+    assert(!Evaluator.evaluate("equals", big, (1L << 53)))
+    assert(Evaluator.evaluate("equals", big, big))
+  }
+
+  test("equals: non-numeric falls back to string compare") {
+    assert(Evaluator.evaluate("equals", "abc", "abc"))
+    assert(!Evaluator.evaluate("equals", "abc", "abd"))
+    // numeric vs string → string compare of str(actual) vs str(expected)
+    assert(!Evaluator.evaluate("equals", 1L, "x"))
+  }
+
+  test("greater_than / less_than coerce through double; garbage → false") {
+    assert(Evaluator.evaluate("greater_than", 2L, 1))
+    assert(!Evaluator.evaluate("greater_than", "nope", 1))
+    assert(Evaluator.evaluate("less_than", "2.5", 3))
+  }
+
+  test("between is inclusive on both ends") {
+    assert(Evaluator.evaluate("between", 1, Seq(1, 2)))
+    assert(Evaluator.evaluate("between", 2, Seq(1, 2)))
+    assert(!Evaluator.evaluate("between", 3, Seq(1, 2)))
+  }
+
+  test("property: greater_than matches double semantics for longs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val a = rnd.nextLong(); val e = rnd.nextInt()
+      assert(Evaluator.evaluate("greater_than", a, e) ==
+        (a.toDouble > e.toDouble))
+    }
+  }
+
+  test("boolean counts as numeric (Python bool is an int subtype)") {
+    assert(Evaluator.evaluate("equals", true, 1))
+    assert(Evaluator.evaluate("equals", false, 0))
+  }
+}
+
+class HealthScoreSpec extends AnyFunSuite {
+  test("reference arithmetic (collector.py:661-687)") {
+    assert(Profiler.healthScore(true, 100, 0.5, 10) == 100)
+    assert(Profiler.healthScore(false, 100, 0.5, 10) == 80)
+    assert(Profiler.healthScore(true, 0, 0.5, 10) == 70)
+    assert(Profiler.healthScore(true, 100, 0.9, 10) == 85)
+    assert(Profiler.healthScore(true, 100, 0.5, 60) == 90)
+    assert(Profiler.healthScore(false, 0, 0.9, 60) == 25)
+  }
+}
+
+class DefaultValidationsSpec extends AnyFunSuite {
+  import org.apache.spark.sql.types._
+
+  private val schema = StructType(Seq(
+    StructField("order_id", LongType),
+    StructField("amount", DoubleType),
+    StructField("status", StringType),
+    StructField("created_date", TimestampType),
+    StructField("end_date", TimestampType)))
+
+  test("outlier threshold by table-size heuristic (default_validations.py:428-444)") {
+    assert(DefaultValidations.outlierThreshold("fact_sales") == 50)
+    assert(DefaultValidations.outlierThreshold("customer") == 20)
+    assert(DefaultValidations.outlierThreshold("region") == 5)
+  }
+
+  test("guessStartDateColumn maps end terms to start candidates") {
+    val cols = schema.fields.toSeq
+    assert(DefaultValidations.guessStartDateColumn("end_date", cols) ==
+      "created_date") // end→start miss, falls back to start-indicator scan
+  }
+
+  test("generator emits expected families for a typical schema") {
+    val rules = DefaultValidations.generate("orders", schema,
+      primaryKeys = Seq("order_id"))
+    val names = rules.map(_.name)
+    assert(names.contains("check_orders_not_empty"))
+    assert(names.contains("check_orders_pk_unique"))
+    assert(names.contains("check_orders_row_growth"))
+    assert(names.contains("check_amount_not_zero")) // 'amount' money pattern
+    assert(names.contains("check_status_distribution")) // categorical
+    assert(names.contains("check_created_date_not_future")) // past pattern
+    assert(names.contains("check_end_date_end_date_order"))
+    assert(names.contains("check_amount_outliers"))
+    // table 'orders' matches medium indicators → threshold 20
+    assert(rules.find(_.name == "check_amount_outliers").get.expectedValue == 20)
+  }
+
+  test("quoted identifiers survive hostile column names") {
+    val hostile = StructType(Seq(StructField("weird id", LongType)))
+    val rules = DefaultValidations.generate("t", hostile)
+    val q = rules.find(_.name == "check_weird id_unique")
+    assert(q.nonEmpty && q.get.query.contains("`weird id`"))
+  }
+}
+
+class SchemaDiffSpec extends AnyFunSuite {
+  private def meta(t: String, cols: (String, String)*): TableMeta =
+    TableMeta(t, cols.map { case (n, d) => ColumnMeta(n, d, nullable = true) })
+
+  test("diff detects add/remove/type/nullable/pk changes with importance") {
+    val cur = Map(
+      "a" -> meta("a", "x" -> "bigint", "y" -> "double"),
+      "b" -> meta("b", "z" -> "string"))
+    val prev = Map(
+      "a" -> meta("a", "x" -> "int", "w" -> "double")
+        .copy(primaryKeys = Seq("x")),
+      "c" -> meta("c", "q" -> "string"))
+    val changes = SchemaDiff.compare(cur, prev)
+    val byType = changes.groupBy(_.changeType)
+    assert(byType("table_added").map(_.table) == Seq("b"))
+    assert(byType("table_removed").map(_.table) == Seq("c"))
+    assert(byType("column_added").flatMap(_.column) == Seq("y"))
+    assert(byType("column_removed").flatMap(_.column) == Seq("w"))
+    assert(byType("column_type_changed").flatMap(_.column) == Seq("x"))
+    assert(byType("primary_key_changed").map(_.table) == Seq("a"))
+    // importance classification (schema_change_detector.py:408-421)
+    assert(byType("table_removed").forall(_.important))
+    assert(byType("column_removed").forall(_.important))
+    assert(byType("column_type_changed").forall(_.important))
+    assert(byType("table_added").forall(!_.important))
+    assert(SchemaDiff.hasImportantChanges(changes))
+  }
+
+  test("baseline bootstrap reports no changes (C7)") {
+    assert(SchemaDiff.detect(Map("a" -> meta("a", "x" -> "int")), None).isEmpty)
+  }
+
+  test("identical snapshots diff to nothing") {
+    val m = Map("a" -> meta("a", "x" -> "int"))
+    assert(SchemaDiff.compare(m, m).isEmpty)
+  }
+}
+
+class RefreshIntervalSpec extends AnyFunSuite {
+  test("reference heuristics (change_analytics.py:179-271)") {
+    // <5 data points → no change
+    assert(Trends.suggestRefreshInterval("high", Some(3.0), 4) == 24)
+    // high + avg hours → avg/3 clamped to [min, current]
+    assert(Trends.suggestRefreshInterval("high", Some(30.0), 10) == 10)
+    assert(Trends.suggestRefreshInterval("high", None, 10) == 12)
+    // medium + avg below current → 0.75×avg
+    assert(Trends.suggestRefreshInterval("medium", Some(12.0), 10) == 9)
+    assert(Trends.suggestRefreshInterval("medium", Some(48.0), 10) == 24)
+    // low → double, capped at max
+    assert(Trends.suggestRefreshInterval("low", None, 10) == 48)
+    assert(Trends.suggestRefreshInterval("low", None, 10,
+      currentIntervalHours = 100) == 168)
+  }
+}
+
+class DedupHashSpec extends AnyFunSuite {
+  test("fnv64 is stable and collision-sane on shingles") {
+    assert(Dedup.fnv64("abc") == Dedup.fnv64("abc"))
+    assert(Dedup.fnv64("abc") != Dedup.fnv64("abd"))
+  }
+
+  test("shingleHashes: distinct word k-grams; short docs degrade to one hash") {
+    val h = Dedup.shingleHashes("a b c d", 3)
+    assert(h.length == 2) // "a b c", "b c d"
+    assert(Dedup.shingleHashes("a b", 3).length == 1)
+    assert(Dedup.shingleHashes("", 3).isEmpty)
+    // repeated shingles dedup
+    assert(Dedup.shingleHashes("x y x y x y x y", 2).length <= 3)
+  }
+
+  test("minhash signature similarity estimates jaccard") {
+    val family = Dedup.hashFamily(128, 42L)
+    val a = Dedup.shingleHashes(Seq.tabulate(100)(i => s"w$i").mkString(" "), 3)
+    val bTxt = (Seq.tabulate(90)(i => s"w$i") ++ Seq.tabulate(10)(i => s"z$i"))
+      .mkString(" ")
+    val b = Dedup.shingleHashes(bTxt, 3)
+    val sa = Dedup.minhashSignature(a, family)
+    val sb = Dedup.minhashSignature(b, family)
+    val agree = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 128
+    val exact = a.intersect(b).length.toDouble / a.union(b).distinct.length
+    assert(math.abs(agree - exact) < 0.15, s"est $agree vs exact $exact")
+  }
+
+  test("simhash: identical texts collide, different texts differ") {
+    assert(Dedup.simhash64("a b c") == Dedup.simhash64("a b c"))
+    assert(Dedup.simhash64("the quick brown fox") !=
+      Dedup.simhash64("entirely different words here"))
+    // near-identical multisets → small hamming distance
+    val h1 = Dedup.simhash64(Seq.tabulate(50)(i => s"w$i").mkString(" "))
+    val h2 = Dedup.simhash64((Seq.tabulate(49)(i => s"w$i") :+ "zzz").mkString(" "))
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 16)
+  }
+}

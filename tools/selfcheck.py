@@ -94,19 +94,25 @@ def main():
             failures += 1
         else:
             print(f"OK   {name} ({len(sd)} rows x {len(s_cols)} cols)")
-    # queries without oracle: existence check only
+    # queries without oracle: must exist and be readable
     import os
     have_oracle = set(oracle)
-    for entry in sorted(os.listdir(out_dir)):
+    manifest_path = os.path.join(out_dir, "queries.json")
+    all_queries = (json.load(open(manifest_path))
+                   if os.path.exists(manifest_path)
+                   else [e for e in os.listdir(out_dir)
+                         if os.path.isdir(os.path.join(out_dir, e))])
+    for entry in sorted(set(all_queries) - have_oracle):
+        if only and entry not in only:
+            continue
         p = os.path.join(out_dir, entry)
-        if os.path.isdir(p) and entry not in have_oracle:
-            try:
-                n = con.execute(
-                    f"SELECT COUNT(*) FROM '{p}/*.parquet'").fetchone()[0]
-                print(f"ROWS {entry}: {n} rows (no oracle)")
-            except Exception as e:
-                print(f"FAIL {entry}: unreadable ({e})")
-                failures += 1
+        try:
+            n = con.execute(
+                f"SELECT COUNT(*) FROM '{p}/*.parquet'").fetchone()[0]
+            print(f"ROWS {entry}: {n} rows (no oracle)")
+        except Exception as e:
+            print(f"FAIL {entry}: missing/unreadable ({e})")
+            failures += 1
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
 
