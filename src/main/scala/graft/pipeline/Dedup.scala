@@ -45,14 +45,17 @@ object Dedup {
     }
   }
 
+  /** (a·x + b) mod 2^61−1 without BigInteger: 128-bit product via
+   *  multiplyHigh, folded with 2^61 ≡ 1 and 2^64 ≡ 8 (mod M61). The
+   *  signature loop runs hashes × shingles times per document — this
+   *  must be a handful of ALU ops, not object allocation. */
   private def permute(x: Long, a: Long, b: Long): Long = {
-    // (a*x + b) mod p on the positive 61-bit projection of x
     val xp = x & 0x1fffffffffffffffL
-    val prod = java.math.BigInteger.valueOf(a)
-      .multiply(java.math.BigInteger.valueOf(xp))
-      .add(java.math.BigInteger.valueOf(b))
-      .mod(java.math.BigInteger.valueOf(MersennePrime))
-    prod.longValue
+    val hi = Math.multiplyHigh(a, xp) // a, xp < 2^61 → signed == unsigned
+    val lo = a * xp
+    var r = hi * 8 + (lo >>> 61) + (lo & MersennePrime) + b
+    while (r >= MersennePrime) r -= MersennePrime
+    r
   }
 
   /** Word k-gram shingle hashes of a text (distinct). */
