@@ -391,6 +391,73 @@ object SparkEntry {
           " ORDER BY table_name"
       }),
 
+    Q("p26_tier_limited_profile",
+      (s, d) => {
+        import s.implicits._
+        val p = Profiler.profile(t(s, d, "lineitem"), "lineitem",
+          maxColumns = 5, includeDuplicates = false)
+        Seq((p.table, p.columnCount.toLong, p.columns.size.toLong, p.rowCount))
+          .toDF("table_name", "column_count", "profiled_columns", "row_count")
+      },
+      Some("""SELECT 'lineitem' AS table_name,
+        CAST((SELECT COUNT(*) FROM (DESCRIBE lineitem)) AS BIGINT) AS column_count,
+        CAST(5 AS BIGINT) AS profiled_columns,
+        (SELECT COUNT(*) FROM lineitem) AS row_count""")),
+
+    // the 100 TB scan mode: HLL distinct + approximate percentile — no
+    // expand explosion, constant memory; benched alongside the exact path
+    Q("p27_profile_approx_mode",
+      (s, d) => {
+        val df = t(s, d, "lineitem")
+        val exprs = Profiler.aggExprs(df.schema, exact = false,
+          java.sql.Timestamp.valueOf(NOW))
+        df.agg(exprs.head, exprs.tail: _*)
+          .select(col("__row_count"), col("l_quantity__distinct"),
+            col("l_orderkey__distinct"))
+      },
+      None), // approximate by design — bench entry + rows-only check
+
+    Q("a08_metric_extraction",
+      (s, d) => {
+        import graft.anomalies.{Metrics => ME}
+        ME.extract(t(s, d, "lineitem"), "lineitem",
+          Seq(ME.RowCount(), ME.NullPercentage("l_quantity"),
+            ME.DistinctCount("l_returnflag"),
+            ME.DistinctPercentage("l_returnflag"),
+            ME.Stats("l_quantity")),
+          java.sql.Timestamp.valueOf(NOW))
+          .select(col("table_name"),
+            coalesce(col("column_name"), lit("")).as("column_name"),
+            col("metric_name"),
+            round(col("metric_value"), 6).as("metric_value"))
+          .orderBy("column_name", "metric_name")
+      },
+      Some("""SELECT * FROM (
+          SELECT 'lineitem' AS table_name, '' AS column_name,
+            'row_count' AS metric_name,
+            CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE) AS metric_value
+          UNION ALL SELECT 'lineitem', 'l_quantity', 'null_percentage',
+            (SELECT ROUND((COUNT(*) - COUNT(l_quantity)) * 100.0 / COUNT(*), 6)
+             FROM lineitem)
+          UNION ALL SELECT 'lineitem', 'l_returnflag', 'distinct_count',
+            (SELECT CAST(COUNT(DISTINCT l_returnflag) AS DOUBLE) FROM lineitem)
+          UNION ALL SELECT 'lineitem', 'l_returnflag', 'distinct_percentage',
+            (SELECT ROUND(COUNT(DISTINCT l_returnflag) * 100.0
+              / COUNT(l_returnflag), 6) FROM lineitem)
+          UNION ALL SELECT 'lineitem', 'l_quantity', 'min_value',
+            (SELECT MIN(l_quantity) FROM lineitem)
+          UNION ALL SELECT 'lineitem', 'l_quantity', 'max_value',
+            (SELECT MAX(l_quantity) FROM lineitem)
+          UNION ALL SELECT 'lineitem', 'l_quantity', 'avg_value',
+            (SELECT ROUND(SUM(l_quantity) / COUNT(l_quantity), 6) FROM lineitem)
+          UNION ALL SELECT 'lineitem', 'l_quantity', 'median',
+            (SELECT ROUND(quantile_cont(l_quantity, 0.5), 6) FROM lineitem)
+          UNION ALL SELECT 'lineitem', 'l_quantity', 'std_dev',
+            (SELECT ROUND(SQRT((SUM(l_quantity * l_quantity)
+              - SUM(l_quantity) * SUM(l_quantity) / COUNT(l_quantity))
+              / (COUNT(l_quantity) - 1)), 6) FROM lineitem))
+        ORDER BY column_name, metric_name""")),
+
     Q("p25_type_distribution",
       (s, d) => {
         import s.implicits._
@@ -447,6 +514,11 @@ object SparkEntry {
     (ValidationRule("check_o_orderdate_reasonable", "no pre-1970 dates",
       "SELECT COUNT(*) FROM orders WHERE o_orderdate < '1970-01-01'", "equals", 0),
       "SELECT COUNT(*) FROM orders WHERE o_orderdate < TIMESTAMP '1970-01-01 00:00:00'",
+      "actual = 0"),
+    // P22: varchar max-length violation (default_validations.py:229-234)
+    (ValidationRule("check_c_mktsegment_max_length", "length <= 10",
+      "SELECT COUNT(*) FROM customer WHERE LENGTH(c_mktsegment) > 10", "equals", 0),
+      "SELECT COUNT(*) FROM customer WHERE LENGTH(c_mktsegment) > 10",
       "actual = 0"))
 
   private def validationQueries: Seq[Q] = Seq(
@@ -832,6 +904,21 @@ object SparkEntry {
           strftime(a.most_recent, '%Y-%m-%d %H:%M:%S') AS most_recent_change
         FROM base b LEFT JOIN agg_changed a ON b.object_name = a.object_name
         ORDER BY b.object_name""")),
+
+    Q("t07_high_impact_objects",
+      (s, d) => {
+        val checks = eventsTable(s, d).select(
+          lit("table").as("object_type"),
+          col("event_type").as("object_name"),
+          col("ts").as("check_timestamp"),
+          (col("value") > 250).as("change_detected"))
+        Trends.highImpactObjects(Trends.changeFrequency(checks), limit = 3)
+          .select(col("object_name"), col("changes_detected"))
+      },
+      Some("""SELECT event_type AS object_name,
+          CAST(COUNT(CASE WHEN value > 250 THEN 1 END) AS BIGINT) AS changes_detected
+        FROM events GROUP BY event_type
+        ORDER BY changes_detected DESC, object_name LIMIT 3""")),
 
     Q("t08_daily_check_stats",
       (s, d) => {

@@ -209,8 +209,15 @@ object Profiler {
       topK: Int = 10,
       topKDistinctLimit: Long = 1000,
       topKMaxColumns: Int = 10,
-      includeDuplicates: Boolean = true): TableProfile = {
-    val schema = df.schema
+      includeDuplicates: Boolean = true,
+      maxColumns: Int = Int.MaxValue): TableProfile = {
+    // P26: tier-limited stats — cap profiled columns (reference limits
+    // per-column stats to the first 5–10 columns at lower tiers,
+    // collector.py:150-165); row count, column_count and the type
+    // distribution stay table-wide.
+    val fullSchema = df.schema
+    val schema = org.apache.spark.sql.types.StructType(
+      fullSchema.fields.take(maxColumns))
     val exprs = aggExprs(schema, exact, now)
     val row = df.agg(exprs.head, exprs.tail: _*).first()
     val idx = row.schema.fieldNames.zipWithIndex.toMap
@@ -301,19 +308,19 @@ object Profiler {
 
     val dupes = if (includeDuplicates) duplicateRowCount(df) else 0L
     val nullableFrac =
-      if (schema.fields.isEmpty) 0.0
-      else schema.fields.count(_.nullable).toDouble / schema.fields.length
+      if (fullSchema.fields.isEmpty) 0.0
+      else fullSchema.fields.count(_.nullable).toDouble / fullSchema.fields.length
 
     TableProfile(
       table = table,
       timestamp = now.toString,
       rowCount = rowCount,
-      columnCount = schema.fields.length,
+      columnCount = fullSchema.fields.length,
       duplicateCount = dupes,
       columns = colProfiles,
-      typeDistribution = typeDistribution(schema),
+      typeDistribution = typeDistribution(fullSchema),
       healthScore = healthScore(
         meta.exists(_.primaryKeys.nonEmpty), rowCount, nullableFrac,
-        schema.fields.length))
+        fullSchema.fields.length))
   }
 }

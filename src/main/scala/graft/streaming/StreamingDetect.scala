@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming front-end for the anomaly detectors
+ * (SURVEY.md §2.7 "Streaming"): the reference polls on a daily/hourly
+ * scheduler (core/anomalies/scheduler_service.py:56-145); the idiomatic
+ * Spark upgrade is a continuous pipeline —
+ *
+ *   readStream → watermarked window aggregation (metric series)
+ *              → flatMapGroupsWithState (per-series detector state)
+ *              → writeStream (anomalies sink)
+ *
+ * The detector math is the SAME rolling z-score as the batch path
+ * (algorithms.py:10-61): trailing `window` values excluding the current
+ * point, population σ, threshold 3/sensitivity — kept in a bounded
+ * per-series ring buffer, so state is O(series × window) regardless of
+ * stream length.
+ */
+object StreamingDetect {
+
+  final case class MetricEvent(series: String, ts: Timestamp, value: Double)
+
+  final case class SeriesState(values: List[Double])
+
+  final case class Detection(
+      series: String,
+      ts: Timestamp,
+      value: Double,
+      score: Double,
+      isAnomaly: Boolean,
+      threshold: Double,
+      method: String,
+      severity: String)
+
+  /** Watermarked per-window metric aggregation: raw events → one metric
+   *  point per (series, window). The downstream detector consumes the
+   *  closed windows. */
+  def windowedSeries(
+      events: DataFrame,
+      seriesCol: String = "series",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(seriesCol), window(col(tsCol), windowLength))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(col(seriesCol).as("series"),
+        col("window.end").as("ts"), col("value"))
+
+  /** Rolling z-score over a stream of metric points. Call on a streaming
+   *  Dataset[MetricEvent] grouped by series; emits one Detection per
+   *  arriving point once the trailing window is full. */
+  def zscoreStream(
+      points: Dataset[MetricEvent],
+      windowSize: Int = 7,
+      sensitivity: Double = 1.0): Dataset[Detection] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val threshold = 3.0 / sensitivity
+
+    def step(
+        series: String,
+        events: Iterator[MetricEvent],
+        state: GroupState[SeriesState]): Iterator[Detection] = {
+      var values = state.getOption.map(_.values).getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer[Detection]()
+      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        if (values.length >= windowSize) {
+          val win = values.takeRight(windowSize)
+          val mean = win.sum / win.size
+          val std = math.sqrt(win.map(v => math.pow(v - mean, 2)).sum / win.size)
+          val score = if (std == 0.0) 0.0 else math.abs((e.value - mean) / std)
+          val isAnomaly = score > threshold
+          val severity =
+            if (score > 5.0) "high" else if (score > 3.5) "medium" else "low"
+          out += Detection(series, e.ts, e.value, score, isAnomaly,
+            threshold, "zscore", severity)
+        }
+        values = (values :+ e.value).takeRight(windowSize)
+      }
+      state.update(SeriesState(values))
+      out.iterator
+    }
+
+    points
+      .groupByKey(_.series)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(step)
+  }
+}

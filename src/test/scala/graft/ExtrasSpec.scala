@@ -1,0 +1,223 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import java.time.{DayOfWeek, Duration, Instant, LocalTime}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.anomalies.{Metrics => ME}
+import graft.history.{ChangesStore, MetricsStore, ProfileStore, ValidationStore}
+import graft.profiler.Profiler
+import graft.scheduler.Scheduler
+import graft.sources.Connections
+import graft.streaming.StreamingDetect
+import graft.types.{SchemaChange, ValidationResult}
+
+class SchedulerSpec extends AnyFunSuite {
+  import Scheduler._
+
+  private def at(s: String) = Instant.parse(s)
+
+  test("daily schedule fires once per day at the configured time") {
+    val job = Job("m", "metadata_refresh", Daily(LocalTime.of(2, 0)),
+      lastRun = Some(at("2026-01-01T02:00:00Z")))
+    assert(!isDue(job, at("2026-01-02T01:59:00Z")))
+    assert(isDue(job, at("2026-01-02T02:00:00Z")))
+  }
+
+  test("weekly schedule fires on the configured day") {
+    // 2026-01-04 is a Sunday
+    val job = Job("v", "validation_automation",
+      Weekly(DayOfWeek.SUNDAY, LocalTime.of(1, 0)),
+      lastRun = Some(at("2026-01-04T01:00:00Z")))
+    assert(!isDue(job, at("2026-01-10T12:00:00Z")))
+    assert(isDue(job, at("2026-01-11T01:00:00Z")))
+  }
+
+  test("never-run jobs are immediately due") {
+    assert(isDue(Job("m", "x", Daily(LocalTime.of(2, 0))),
+      at("2026-01-01T00:00:00Z")))
+  }
+
+  test("dedup: running and recently-run jobs are filtered (simplified_scheduler.py:244-296)") {
+    val due = Job("a", "x", Every(Duration.ofHours(1)),
+      lastRun = Some(at("2026-01-01T00:00:00Z")))
+    val now = at("2026-01-01T02:00:00Z")
+    assert(dueJobs(Seq(due), now).size == 1)
+    assert(dueJobs(Seq(due.copy(running = true)), now).isEmpty)
+    val justRan = due.copy(lastRun = Some(now.minusSeconds(120)))
+    assert(dueJobs(Seq(justRan), now).isEmpty) // < 5 min ago
+  }
+
+  test("default jobs match the reference schedule (schedule_manager.py:249-271)") {
+    val byId = defaultJobs.map(j => j.id -> j.schedule).toMap
+    assert(byId("metadata_refresh") == Daily(LocalTime.of(2, 0)))
+    assert(byId("schema_change_detection") == Daily(LocalTime.of(3, 0)))
+    assert(byId("validation_automation") ==
+      Weekly(DayOfWeek.SUNDAY, LocalTime.of(1, 0)))
+  }
+}
+
+class ConnectionsSpec extends AnyFunSuite {
+  test("S2: connection builders produce JDBC URLs + option maps") {
+    val pg = Connections.postgres("db.example.com", 5432, "warehouse", "u", "p")
+    assert(pg.url == "jdbc:postgresql://db.example.com:5432/warehouse")
+    assert(pg.options("user") == "u")
+    val sf = Connections.snowflake("acct", "db", "public", "wh", "u", "p")
+    assert(sf.url.contains("acct.snowflakecomputing.com"))
+    assert(sf.options("warehouse") == "wh")
+  }
+
+  test("S9: table storage metrics from backing files") {
+    val (files, bytes) = Connections.tableStorage(
+      SharedSpark.spark, SharedSpark.sfDir, "region")
+    assert(files >= 1 && bytes > 0)
+  }
+}
+
+class StoresSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_store").toString
+
+  test("profile store: append + history ordering (S8/T1)") {
+    val store = new ProfileStore(spark, tmp())
+    val df = spark.read.parquet(s"$sfDir/region.parquet")
+    val p = Profiler.profile(df, "region")
+    store.append(p, Timestamp.valueOf("2026-01-01 00:00:00"))
+    store.append(p.copy(rowCount = p.rowCount + 1),
+      Timestamp.valueOf("2026-01-02 00:00:00"))
+    val h = store.history("region").collect()
+    assert(h.length == 2)
+    assert(h.head.getAs[Double]("metric_value") == p.rowCount + 1) // newest first
+  }
+
+  test("validation store: results + failure events with schema-mismatch sniffing (V5)") {
+    val store = new ValidationStore(spark, tmp())
+    store.append("t", Seq(
+      ValidationResult("ok_rule", isValid = true, Some(0L), 0, "equals"),
+      ValidationResult("bad_rule", isValid = false, Some(5L), 0, "equals"),
+      ValidationResult("err_rule", isValid = false, None, 0, "equals",
+        Some("[UNRESOLVED_COLUMN] `gone` does not exist"))),
+      Timestamp.valueOf("2026-01-01 00:00:00"))
+    assert(store.results("t").count() == 3)
+    val events = store.failureEvents("t").collect()
+    assert(events.length == 2)
+    assert(events.count(_.getAs[Boolean]("schema_mismatch")) == 1)
+  }
+
+  test("changes store: append, filtered list, acknowledge (C8)") {
+    val store = new ChangesStore(spark, tmp())
+    store.append(Seq(
+      SchemaChange("column_removed", "t1", Some("c"), Map.empty, important = true),
+      SchemaChange("table_added", "t2", None, Map.empty, important = false)),
+      Timestamp.valueOf("2026-01-01 00:00:00"))
+    assert(store.list().count() == 2)
+    assert(store.list(importantOnly = true).count() == 1)
+    store.acknowledge("column_removed", "t1")
+    assert(store.list(includeAcknowledged = false).count() == 1)
+    assert(store.list(tableName = Some("t1")).first()
+      .getAs[Boolean]("acknowledged"))
+  }
+
+  test("metrics store: partitioned append + filtered range query (T10)") {
+    import spark.implicits._
+    val store = new MetricsStore(spark, tmp())
+    store.append(Seq(
+      ("c1", "t1", "col", "row_count", 10.0, Timestamp.valueOf("2026-01-01 00:00:00")),
+      ("c1", "t1", "col", "row_count", 12.0, Timestamp.valueOf("2026-01-05 00:00:00")),
+      ("c2", "t2", "col", "row_count", 99.0, Timestamp.valueOf("2026-01-05 00:00:00")))
+      .toDF("connection_id", "table_name", "column_name", "metric_name",
+        "metric_value", "ts"))
+    assert(store.query("c1").count() == 2)
+    assert(store.query("c1", tableName = Some("t1"),
+      days = Some(2),
+      now = Some(Timestamp.valueOf("2026-01-06 00:00:00"))).count() == 1)
+    assert(store.query("c2").first().getAs[Double]("metric_value") == 99.0)
+  }
+}
+
+class MetricsExtractSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("A8: one-pass extraction into the long metrics shape") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val out = ME.extract(df, "lineitem", Seq(
+      ME.RowCount(), ME.NullPercentage("l_quantity"),
+      ME.DistinctCount("l_returnflag"), ME.Stats("l_quantity")),
+      Timestamp.valueOf("2026-01-01 00:00:00")).collect()
+    val byMetric = out.map(r =>
+      r.getAs[String]("metric_name") -> r.getAs[Double]("metric_value")).toMap
+    assert(byMetric("row_count") == df.count().toDouble)
+    assert(byMetric("null_percentage") == 0.0)
+    assert(byMetric("distinct_count") == 3.0)
+    assert(byMetric("min_value") >= 1.0)
+    assert(byMetric("median") > 0.0)
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("streaming z-score detects a spike with batch-detector math") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingDetect.MetricEvent]
+    val detections = StreamingDetect.zscoreStream(input.toDS(), windowSize = 4)
+    val query = detections.writeStream
+      .format("memory").queryName("det_out")
+      .outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      val values = Seq(10.0, 11.0, 9.0, 10.0, 10.5, 9.5, 100.0, 10.0)
+      input.addData(values.zipWithIndex.map { case (v, i) =>
+        StreamingDetect.MetricEvent("m1", new Timestamp(base + i * 60000L), v)
+      }: _*)
+      query.processAllAvailable()
+      val rows = spark.table("det_out").orderBy("ts").collect()
+      assert(rows.length == 4) // first 4 points are warm-up
+      val spike = rows.find(_.getAs[Double]("value") == 100.0).get
+      assert(spike.getAs[Boolean]("isAnomaly"))
+      assert(spike.getAs[String]("severity") == "high")
+      assert(rows.count(_.getAs[Boolean]("isAnomaly")) == 1)
+    } finally query.stop()
+  }
+
+  test("windowed series aggregates counts per (series, window)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingDetect.MetricEvent]
+    val agg = StreamingDetect.windowedSeries(
+      input.toDS().toDF(), windowLength = "10 minutes", watermark = "0 seconds")
+    val query = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      input.addData((0 until 30).map(i =>
+        StreamingDetect.MetricEvent("s", new Timestamp(base + i * 60000L), 1.0)): _*)
+      // push watermark past the first windows with a late-hour event
+      input.addData(StreamingDetect.MetricEvent("s",
+        new Timestamp(base + 3600000L), 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getAs[Double]("value") == 10.0))
+    } finally query.stop()
+  }
+}
+
+class TierProfileSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("P26: maxColumns caps per-column stats but not table-level facts") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val p = Profiler.profile(df, "lineitem", maxColumns = 3,
+      includeDuplicates = false)
+    assert(p.columns.size == 3)
+    assert(p.columnCount == 11)
+    assert(p.rowCount == df.count())
+  }
+}
