@@ -394,8 +394,11 @@ object SparkEntry {
     Q("p26_tier_limited_profile",
       (s, d) => {
         import s.implicits._
+        // tier-limited = the cheap pass: approx distinct/percentile (the
+        // exact mode is oracle-checked elsewhere; here the oracle pins
+        // only shape + counts)
         val p = Profiler.profile(t(s, d, "lineitem"), "lineitem",
-          maxColumns = 5, includeDuplicates = false)
+          exact = false, maxColumns = 5, includeDuplicates = false)
         Seq((p.table, p.columnCount.toLong, p.columns.size.toLong, p.rowCount))
           .toDF("table_name", "column_count", "profiled_columns", "row_count")
       },
@@ -1134,17 +1137,17 @@ object SparkEntry {
   private lazy val duckTextProfileSql: String = {
     val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
       "it", "that", "for", "on", "with", "as", "was", "at", "by", "be")
-    val stopHits = stop.map(w =>
-      s"len(regexp_extract_all(text, '(^|\\s)$w(\\s|$$)'))").mkString(" + ")
+    def hits(ws: Seq[String]): String = {
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ($inList)))"
+    }
+    val stopHits = hits(stop)
     val langs = Seq(
       "en" -> Seq("the", "and", "of", "to", "is"),
       "de" -> Seq("der", "die", "und", "ist", "das"),
       "fr" -> Seq("le", "la", "les", "et", "est"),
       "es" -> Seq("el", "los", "las", "es", "una"))
-    val langScores = langs.map { case (l, ws) =>
-      l -> ws.map(w =>
-        s"len(regexp_extract_all(text, '(^|\\s)$w(\\s|$$)'))").mkString(" + ")
-    }
+    val langScores = langs.map { case (l, ws) => l -> hits(ws) }
     val bestExpr = langScores.map(_._2).map(e => s"($e)")
       .mkString("GREATEST(", ", ", ")")
     val pickExpr = langScores.reverse.foldLeft("'und'") {

@@ -41,16 +41,22 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "was", "at", "by", "be")
 
+  /** Tokenize once; word-list scoring is a membership filter over the
+   *  token array — ONE split per row instead of a regex scan per word
+   *  (and, unlike `(^|\s)w(\s|$)` regexes, adjacent stopwords are all
+   *  counted: non-overlapping matching dropped every other hit). */
+  private def tokenArr(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  private def wordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokenArr(text), t => t.isInCollection(words)))
+
   /** Fraction of tokens that are English stopwords — a classic quality
    *  signal (natural prose has a stable stopword rate; word soup and
    *  boilerplate do not). */
-  def stopwordRatio(text: Column): Column = {
-    val hits = stopwords.map(w =>
-      size(regexp_extract_all(text, lit(s"(^|\\s)${w}(\\s|$$)"), lit(0))))
-      .reduce(_ + _)
+  def stopwordRatio(text: Column): Column =
     when(tokenCount(text) === 0, 0.0)
-      .otherwise(hits.cast("double") / tokenCount(text))
-  }
+      .otherwise(wordHits(text, stopwords).cast("double") / tokenCount(text))
 
   /** Composite quality score ∈ [0, 1]: length sweet-spot, alphabetic
    *  density, not-too-much punctuation, nonzero stopword rate. */
@@ -78,9 +84,7 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "es", "una"))
 
   private def langScore(text: Column, words: Seq[String]): Column =
-    words.map(w =>
-      size(regexp_extract_all(text, lit(s"(^|\\s)${w}(\\s|$$)"), lit(0))))
-      .reduce(_ + _)
+    wordHits(text, words)
 
   /** Heuristic language ID: the language whose marker stopwords hit most
    *  (ties broken by table order; no hits → "und" undetermined). CJK is
