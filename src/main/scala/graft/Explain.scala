@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit utility: dump formatted physical plans for representative
+  * queries (scan pruning / pushdown / join strategy / codegen spans).
+  * Usage: runMain graft.Explain <sfDir> [queryName ...] */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("p01_row_count", "s07_preview", "p20_pattern_match",
+        "p14_top_values", "a01_zscore_global", "e02_knn_brute_force",
+        "d03_minhash_neardup", "p15_outliers_3sigma")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = SparkEntry.queries
+    names.foreach { n =>
+      println(s"\n===================== $n =====================")
+      qs.get(n) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None => println(s"unknown query: $n")
+      }
+    }
+    spark.stop()
+  }
+}
