@@ -557,7 +557,40 @@ object SparkEntry {
           .toDF("rule_name", "operator", "expected_value")
           .orderBy("rule_name")
       },
-      None), // pinned via ScalaTest; schema introspection isn't DuckDB-visible
+      // schema introspection isn't DuckDB-visible, so the oracle pins the
+      // expected rule set (the generator's output is a pure function of
+      // the fixed lineitem schema + sidecar keys)
+      Some("""SELECT * FROM (VALUES
+          ('check_l_discount_outliers', 'less_than', '20'),
+          ('check_l_discount_positive', 'equals', '0'),
+          ('check_l_extendedprice_not_zero', 'equals', '0'),
+          ('check_l_extendedprice_null_rate', 'less_than', '25.0'),
+          ('check_l_extendedprice_outliers', 'less_than', '20'),
+          ('check_l_extendedprice_positive', 'equals', '0'),
+          ('check_l_linenumber_outliers', 'less_than', '20'),
+          ('check_l_linenumber_positive', 'equals', '0'),
+          ('check_l_linestatus_distribution', 'equals', '0'),
+          ('check_l_linestatus_null_rate', 'less_than', '25.0'),
+          ('check_l_orderkey_outliers', 'less_than', '20'),
+          ('check_l_orderkey_positive', 'equals', '0'),
+          ('check_l_orderkey_ref_distribution', 'equals', '0'),
+          ('check_l_partkey_outliers', 'less_than', '20'),
+          ('check_l_partkey_positive', 'equals', '0'),
+          ('check_l_partkey_ref_distribution', 'equals', '0'),
+          ('check_l_quantity_outliers', 'less_than', '20'),
+          ('check_l_quantity_positive', 'equals', '0'),
+          ('check_l_shipdate_reasonable_past', 'equals', '0'),
+          ('check_l_suppkey_outliers', 'less_than', '20'),
+          ('check_l_suppkey_positive', 'equals', '0'),
+          ('check_l_suppkey_ref_distribution', 'equals', '0'),
+          ('check_l_tax_not_zero', 'equals', '0'),
+          ('check_l_tax_outliers', 'less_than', '20'),
+          ('check_l_tax_positive', 'equals', '0'),
+          ('check_lineitem_not_empty', 'greater_than', '0'),
+          ('check_lineitem_pk_unique', 'equals', '0'),
+          ('check_lineitem_row_growth', 'equals', '0'))
+        AS t(rule_name, operator, expected_value)
+        ORDER BY rule_name""")),
 
     Q("v04_run_generated",
       (s, d) => {
@@ -1084,6 +1117,25 @@ object SparkEntry {
         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
           CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    Q("e04_embedding_neardup",
+      (s, d) => Similarity.nearDuplicateEmbeddings(
+        t(s, d, "embeddings"), threshold = 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b"),
+      // fixture has no >=0.99 pairs (max cosine ~0.51): this asserts the
+      // LSH pipeline produces ZERO false positives end-to-end
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+        FROM pairs WHERE cos >= 0.99 ORDER BY id_a, id_b""")),
 
     Q("e03_knn_lsh",
       (s, d) => {
