@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.GraftEngine
+
+/** End-to-end demo of the engine facade: profile → validate → schema
+  * baseline → metric history → anomaly scan → trends, against a testdata
+  * directory. Usage: runMain graft.Demo [sfDir] [stateDir] */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val stateDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_demo").toString)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val engine = new GraftEngine(spark, sfDir, stateDir)
+    def ts(d: Int) = Timestamp.valueOf(f"2026-01-$d%02d 00:00:00")
+
+    (1 to 8).foreach { d =>
+      val p = engine.profileTable("orders", ts(d))
+      if (d == 1) println(
+        s"[demo] profiled orders: rows=${p.rowCount} cols=${p.columnCount} " +
+          s"health=${p.healthScore} dupes=${p.duplicateCount}")
+    }
+    val results = engine.runValidations("orders", ts(1))
+    println(s"[demo] validations: ${results.count(_.isValid)}/${results.size} passed")
+    val changes = engine.detectSchemaChanges(ts(1))
+    println(s"[demo] schema baseline bootstrapped, changes=${changes.size}")
+    println("[demo] metric trends:")
+    engine.metricTrends("orders").show(5, false)
+    val anomalies = engine.runAnomalyScan("row_count", now = Some(ts(9)))
+    println(s"[demo] anomalies on flat row_count series: ${anomalies.count()}")
+    println("[demo] validation daily trend:")
+    engine.validationTrends("orders", results.size, "2026-01-01", "2026-01-03")
+      .show(3, false)
+    spark.stop()
+  }
+}

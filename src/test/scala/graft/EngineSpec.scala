@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftEngine
+
+/** Full-lifecycle test of the facade: profile → validations → schema
+ *  detection → metric history → anomaly scan → trends, end to end on
+ *  the sf0.001 fixtures. */
+class EngineSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("engine lifecycle: profile, validate, detect, trend, scan") {
+    val state = Files.createTempDirectory("graft_engine").toString
+    val engine = new GraftEngine(spark, sfDir, state)
+
+    // day 1: profile + validations + schema baseline
+    val p1 = engine.profileTable("region", ts("2026-01-01 00:00:00"))
+    assert(p1.rowCount == 5)
+    val results = engine.runValidations("region", ts("2026-01-01 00:00:00"))
+    assert(results.nonEmpty && results.forall(_.error.isEmpty))
+    assert(engine.detectSchemaChanges(ts("2026-01-01 00:00:00")).isEmpty) // bootstrap
+
+    // days 2..8: more profile runs → a metric series builds up
+    (2 to 8).foreach(d =>
+      engine.profileTable("region", ts(f"2026-01-0$d%d 00:00:00")))
+    assert(engine.profiles.history("region").count() == 8)
+
+    // trends over the stored series
+    val trends = engine.metricTrends("region").collect()
+    val rowCountTrend = trends.find(_.getAs[String]("metric") == "row_count").get
+    assert(rowCountTrend.getAs[Double]("current_value") == 5.0)
+    assert(rowCountTrend.getAs[Double]("absolute_change") == 0.0)
+
+    // anomaly scan over the (flat) row_count series → no anomalies
+    val anomalies = engine.runAnomalyScan("row_count",
+      now = Some(ts("2026-01-09 00:00:00")))
+    assert(anomalies.count() == 0)
+
+    // second schema detection with an unchanged catalog → no changes
+    assert(engine.detectSchemaChanges(ts("2026-01-02 00:00:00")).isEmpty)
+
+    // validation daily trend densifies the calendar
+    val vt = engine.validationTrends("region", totalRules = results.size,
+      "2026-01-01", "2026-01-03").collect()
+    assert(vt.length == 3)
+    assert(vt.head.getAs[Long]("total_validations") == results.size.toLong)
+    assert(vt(1).getAs[Long]("total_validations") == 0)
+  }
+}
