@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew-mitigation utilities for the 100 TB path.
+ *
+ * First line of defense is AQE (enabled by default on Spark 4: runtime
+ * skew-join splitting + coalescing). These helpers cover the cases AQE
+ * can't fix: a single hot key inside an aggregation's shuffle, and a
+ * broadcast-too-big / sort-merge-skewed equi-join where the build side
+ * still fits replicated.
+ */
+object Skew {
+
+  /** Two-phase (salted) aggregation: count per key without any single
+   *  reducer receiving a hot key's entire partition. Phase 1 groups by
+   *  (key, salt) — map-side partial aggregation bounds each reducer at
+   *  1/saltFactor of the hot key; phase 2 sums the partials. */
+  def saltedCount(
+      df: DataFrame,
+      keyCol: String,
+      saltFactor: Int = 16): DataFrame =
+    df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
+      .groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__partial")).as("count"))
+
+  /** Salted equi-join: replicate the small side `saltFactor` times with
+   *  an explicit salt column, salt the big side randomly-but-
+   *  deterministically, and join on (key, salt). A hot key's rows are
+   *  spread over `saltFactor` reducers instead of one. Use when the
+   *  small side is too big to broadcast but cheap to replicate. */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltFactor: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(col(key), spark_partition_id(),
+        monotonically_increasing_id()), lit(saltFactor.toLong)))
+    val saltedSmall = small
+      .withColumn("__salt", explode(
+        sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    saltedBig.join(saltedSmall,
+      saltedBig(key) === saltedSmall(key) &&
+        saltedBig("__salt") === saltedSmall("__salt"),
+      joinType)
+      .drop(saltedSmall(key))
+      .drop("__salt")
+  }
+}

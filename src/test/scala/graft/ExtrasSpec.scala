@@ -221,3 +221,33 @@ class TierProfileSpec extends AnyFunSuite {
     assert(p.rowCount == df.count())
   }
 }
+
+class SkewSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("salted count agrees with plain groupBy on a hot-key distribution") {
+    val df = (Seq.fill(5000)("hot") ++ (1 to 500).map(i => s"k$i"))
+      .toDF("k")
+    val plain = df.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = graft.pipeline.Skew.saltedCount(df, "k").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(salted("hot") == 5000)
+  }
+
+  test("salted join matches a plain join, including hot keys") {
+    val big = (Seq.fill(2000)(("hot", 1)) ++
+      (1 to 200).map(i => (s"k$i", i))).toDF("k", "v")
+    val small = (Seq(("hot", 99)) ++ (1 to 100).map(i => (s"k$i", i)))
+      .toDF("k", "w")
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    val plain = normalize(big.join(small, "k"))
+    val salted = normalize(graft.pipeline.Skew.saltedJoin(big, small, "k"))
+    assert(salted == plain)
+    assert(plain.count(_._1 == "hot") == 2000)
+  }
+}
