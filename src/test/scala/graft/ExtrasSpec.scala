@@ -251,3 +251,50 @@ class SkewSpec extends AnyFunSuite {
     assert(plain.count(_._1 == "hot") == 2000)
   }
 }
+
+class BucketingSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("bucketed co-located join has no shuffle Exchange in its plan") {
+    import graft.sources.Bucketing
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Bucketing.writeBucketed(orders, "b_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(lineitem, "b_lineitem", "o_orderkey", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "b_lineitem", "b_orders",
+        "o_orderkey")
+      assert(!Bucketing.hasShuffle(joined), "bucketed join must not shuffle")
+      assert(joined.count() == lineitem.count())
+      // same join on raw (unbucketed) parquet DOES shuffle
+      val raw = lineitem.join(orders, "o_orderkey")
+      assert(Bucketing.hasShuffle(raw))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
+
+class IvfSpec extends AnyFunSuite {
+  import SharedSpark._
+  import org.apache.spark.sql.functions.col
+
+  test("IVF top-k beats the probe fraction and approaches brute force") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val index = Similarity.ivfBuild(emb, k = 16)
+    val ivf = pairs(Similarity.ivfTopK(index, queries, k = 10, nprobe = 6))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // probing 6/16 cells scans ~38% of the corpus; recall must beat that
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+}
