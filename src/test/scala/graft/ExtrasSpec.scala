@@ -298,3 +298,35 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 }
+
+class ApproxModeSpec extends AnyFunSuite {
+  import SharedSpark._
+  import org.apache.spark.sql.functions.col
+
+  test("HLL/approx profile mode tracks exact within tolerance") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val exact = Profiler.profile(df, "lineitem", exact = true,
+      includeDuplicates = false)
+    val approx = Profiler.profile(df, "lineitem", exact = false,
+      includeDuplicates = false)
+    val exactBy = exact.columns.map(c => c.name -> c).toMap
+    approx.columns.foreach { c =>
+      val e = exactBy(c.name)
+      (c.distinctCount, e.distinctCount) match {
+        case (Some(a), Some(x)) if x > 0 =>
+          val err = math.abs(a - x).toDouble / x
+          assert(err < 0.05, s"${c.name}: HLL distinct off by ${err * 100}%")
+        case _ => ()
+      }
+      // percentile_approx returns a sample value (no interpolation), so
+      // on low-cardinality domains a one-step offset is inherent — only
+      // meaningful to compare on high-cardinality columns
+      (c.median, e.median, e.distinctCount) match {
+        case (Some(a), Some(x), Some(d)) if x != 0 && d >= 100 =>
+          assert(math.abs(a - x) / math.abs(x) < 0.05,
+            s"${c.name}: approx median off (approx=$a exact=$x)")
+        case _ => ()
+      }
+    }
+  }
+}
