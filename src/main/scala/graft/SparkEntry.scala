@@ -87,7 +87,8 @@ object SparkEntry {
 
   lazy val registry: Seq[Q] =
     profilerQueries ++ validationQueries ++ anomalyQueries ++
-      trendQueries ++ pipelineQueries ++ sourceQueries ++ schemaQueries
+      trendQueries ++ pipelineQueries ++ sourceQueries ++ schemaQueries ++
+      operatorQueries
 
   // ------------------------------------------------------------------
   // P-series: profiling operators
@@ -1284,6 +1285,40 @@ object SparkEntry {
         .orderBy("n_nationkey"),
       Some("""SELECT n_nationkey, n_name FROM nation
         ORDER BY n_nationkey LIMIT 50""")))
+
+  // ------------------------------------------------------------------
+  // J-series: custom operators beyond Spark's built-ins
+  // ------------------------------------------------------------------
+
+  /** As-of join, checked against DuckDB's NATIVE ASOF JOIN: each event
+    * attaches the latest per-type daily summary at-or-before its ts. */
+  private def operatorQueries: Seq[Q] = Seq(
+    Q("j01_asof_join",
+      (s, d) => {
+        val ev = eventsTable(s, d).select("event_id", "event_type", "ts")
+        val daily = eventsTable(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("daily_count"))
+          .select(col("event_type"), col("day").cast("timestamp").as("day_ts"),
+            col("daily_count"))
+        graft.operators.AsOfJoin.asofJoin(ev, daily,
+          keyCols = Seq("event_type"), leftTs = "ts", rightTs = "day_ts",
+          valueCols = Seq("daily_count"))
+          .select(col("event_id"), col("event_type"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"),
+            col("daily_count"))
+          .orderBy("event_id")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts,
+            CAST(COUNT(*) AS BIGINT) AS daily_count
+          FROM events GROUP BY 1, 2)
+        SELECT e.event_id, e.event_type,
+          strftime(d.day_ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+          d.daily_count
+        FROM events e ASOF LEFT JOIN daily d
+          ON e.event_type = d.event_type AND e.ts >= d.day_ts
+        ORDER BY e.event_id""")))
 
   // ------------------------------------------------------------------
   // C-series: schema-change detection

@@ -330,3 +330,43 @@ class ApproxModeSpec extends AnyFunSuite {
     }
   }
 }
+
+class AsOfJoinSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.operators.AsOfJoin
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of semantics: latest right at-or-before, per key, with tolerance") {
+    val left = Seq(
+      ("k1", ts("2026-01-01 10:00:00"), "a"),
+      ("k1", ts("2026-01-01 12:00:00"), "b"),
+      ("k1", ts("2026-01-01 09:00:00"), "early"),
+      ("k2", ts("2026-01-01 11:00:00"), "other-key"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      ("k1", ts("2026-01-01 10:00:00"), 100.0), // equal ts → visible
+      ("k1", ts("2026-01-01 11:30:00"), 200.0),
+      ("k2", ts("2026-01-01 08:00:00"), 300.0))
+      .toDF("k", "rts", "price")
+
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("price")).collect()
+      .map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)).toMap
+    assert(out("a").contains(100.0))      // equal-ts match
+    assert(out("b").contains(200.0))      // latest of two
+    assert(out("early").isEmpty)          // nothing at-or-before
+    assert(out("other-key").contains(300.0))
+
+    // 1-hour tolerance drops the stale k2 match but keeps fresh ones
+    val tol = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("price"), toleranceSeconds = Some(3600)).collect()
+      .map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("price")).map(_.toDouble)).toMap
+    assert(tol("a").contains(100.0))
+    assert(tol("b").contains(200.0))
+    assert(tol("other-key").isEmpty) // 3h stale
+  }
+}
