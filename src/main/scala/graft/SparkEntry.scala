@@ -421,6 +421,35 @@ object SparkEntry {
       },
       None), // approximate by design — bench entry + rows-only check
 
+    Q("p28_histogram",
+      // P28 / §1.3 distribution_data: 10 equal-width buckets over
+      // l_extendedprice — two shuffle-free passes (min/max, then
+      // conditional counts), densified to exactly 10 rows
+      (s, d) => Profiler.histogram(t(s, d, "lineitem"), "l_extendedprice", 10)
+        .select(col("bucket").cast("long").as("bucket"),
+          col("lo"), col("hi"), col("cnt"))
+        .orderBy("bucket"),
+      Some("""WITH stats AS (
+          SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS mn,
+                 CAST(MAX(l_extendedprice) AS DOUBLE) AS mx
+          FROM lineitem),
+        binned AS (
+          SELECT CASE WHEN mx = mn THEN 0
+            ELSE LEAST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - mn)
+              / ((mx - mn) / CAST(10 AS DOUBLE))) AS INT), 9) END AS bucket
+          FROM lineitem, stats WHERE l_extendedprice IS NOT NULL),
+        counts AS (
+          SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM binned GROUP BY bucket)
+        SELECT b.bucket,
+          ROUND(mn + b.bucket * ((mx - mn) / CAST(10 AS DOUBLE)), 6) AS lo,
+          ROUND(mn + (b.bucket + 1) * ((mx - mn) / CAST(10 AS DOUBLE)), 6) AS hi,
+          COALESCE(c.cnt, CAST(0 AS BIGINT)) AS cnt
+        FROM (SELECT unnest(range(0, 10)) AS bucket) b
+        CROSS JOIN stats
+        LEFT JOIN counts c USING (bucket)
+        ORDER BY bucket""")),
+
     Q("a08_metric_extraction",
       (s, d) => {
         import graft.anomalies.{Metrics => ME}
@@ -971,6 +1000,27 @@ object SparkEntry {
             / COUNT(*) * 100.0, 2) AS change_pct
         FROM events GROUP BY 1 ORDER BY day""")),
 
+    Q("t10_frequency_distribution",
+      // T8's frequency half (app.py:5456-5490): ≥5-check objects bucketed
+      // by change ratio, one row per non-empty bucket
+      (s, d) => {
+        val checks = eventsTable(s, d).select(
+          col("event_type").as("object_name"),
+          (col("value") > 250).as("change_detected"))
+        Trends.frequencyDistribution(checks).orderBy("frequency")
+      },
+      Some("""WITH per_object AS (
+          SELECT event_type AS object_name,
+            CAST(COUNT(*) AS BIGINT) AS checks,
+            CAST(COUNT(CASE WHEN value > 250 THEN 1 END) AS BIGINT) AS changes
+          FROM events WHERE event_type IS NOT NULL
+          GROUP BY event_type HAVING COUNT(*) >= 5)
+        SELECT CASE WHEN CAST(changes AS DOUBLE) / checks >= 0.5 THEN 'high'
+            WHEN CAST(changes AS DOUBLE) / checks >= 0.1 THEN 'medium'
+            ELSE 'low' END AS frequency,
+          CAST(COUNT(*) AS BIGINT) AS object_count
+        FROM per_object GROUP BY 1 ORDER BY frequency""")),
+
     Q("t09_daily_metric_avg",
       (s, d) => {
         val metrics = eventsTable(s, d)
@@ -1034,14 +1084,19 @@ object SparkEntry {
         val withDupes = docs.select("doc_id", "text")
           .union(docs.orderBy("doc_id").limit(50)
             .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-        Dedup.exactDuplicates(withDupes).orderBy("text_hash")
+        // doc_ids flattened to a CSV string: the driver's pandas comparator
+        // cannot hash/sort list cells (round-2 d02 err), scalars only.
+        Dedup.exactDuplicates(withDupes)
+          .select(col("text_hash"), col("cnt"),
+            array_join(col("doc_ids"), ",").as("doc_ids"))
+          .orderBy("text_hash")
       },
       Some("""WITH corpus AS (
           SELECT doc_id, text FROM documents
           UNION ALL SELECT doc_id + 100000, text FROM
             (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 50))
         SELECT md5(text) AS text_hash, CAST(COUNT(*) AS BIGINT) AS cnt,
-          list_sort(list(doc_id)) AS doc_ids
+          array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
         FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
         ORDER BY text_hash""")),
 
@@ -1159,8 +1214,11 @@ object SparkEntry {
       Some(duckTextProfileSql)),
 
     Q("x02_lang_histogram",
-      (s, d) => TextAnalysis.profileText(t(s, d, "documents"))
-        .groupBy(col("lang_detected")).agg(count(lit(1)).as("doc_count"))
+      // languageId alone, NOT profileText: the histogram needs no other
+      // ratio columns, so the scan stays a single map-only expression.
+      (s, d) => t(s, d, "documents")
+        .groupBy(TextAnalysis.languageId(col("text")).as("lang_detected"))
+        .agg(count(lit(1)).as("doc_count"))
         .orderBy("lang_detected"),
       Some(s"""SELECT lang_detected, CAST(COUNT(*) AS BIGINT) AS doc_count
         FROM ($duckTextProfileSql) GROUP BY lang_detected
@@ -1183,7 +1241,15 @@ object SparkEntry {
           CAST(MIN(n) AS BIGINT) AS min_tokens,
           CAST(MAX(n) AS BIGINT) AS max_tokens,
           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_tokens
-        FROM t""")))
+        FROM t""")),
+
+    Q("x04_fingerprint",
+      // winnowing fingerprint per document; hash family not SQL-portable
+      // (rows-only check here; set semantics pinned in FingerprintSpec)
+      (s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id"),
+      None))
 
   /** DuckDB mirror of TextAnalysis.profileText — same regexes, same
    *  arithmetic, same rounding. */

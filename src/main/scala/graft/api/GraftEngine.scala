@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.anomalies.{Anomalies, Metrics}
-import graft.history.{ChangesStore, MetricsStore, ProfileStore, Trends, ValidationStore}
+import graft.history.{AnomaliesStore, ChangesStore, MetricsStore, ProfileStore, Trends, ValidationStore}
 import graft.profiler.Profiler
 import graft.schemadiff.SchemaDiff
 import graft.sources.Catalog
@@ -36,6 +36,7 @@ final class GraftEngine(
   val validations = new ValidationStore(spark, s"$stateDir/validation_results")
   val changes = new ChangesStore(spark, s"$stateDir/schema_changes")
   val metrics = new MetricsStore(spark, s"$stateDir/metrics")
+  val anomalies = new AnomaliesStore(spark, s"$stateDir/anomaly_results")
 
   @volatile private var baselineSnapshot: Option[Map[String, TableMeta]] = None
 
@@ -86,22 +87,33 @@ final class GraftEngine(
   }
 
   /** A7/A8: extract a metric series from the store and run the
-   *  configured detector over it (all series in one job). */
+   *  configured detector over it (all series in one job). When `persist`
+   *  is set, detected anomalies are appended to the anomalies store —
+   *  the reference persists results + publishes events per scan
+   *  (core/anomalies/scheduler.py:316-336); here the stored rows ARE the
+   *  event feed (`anomalies.list` reads them back). */
   def runAnomalyScan(
       metricName: String,
       method: String = "zscore",
       sensitivity: Double = 1.0,
       window: Option[Int] = None,
       now: Option[Timestamp] = None,
-      historyDays: Int = 30): DataFrame = {
+      historyDays: Int = 30,
+      persist: Boolean = false): DataFrame = {
     val series = metrics.query(connectionId, metricName = Some(metricName),
       days = Some(historyDays), now = now)
       .withColumn("__col", coalesce(col("column_name"), lit("")))
-    Anomalies.detect(series,
+    val detected = Anomalies.detect(series,
       seriesCols = Seq("table_name", "__col", "metric_name"),
       tsCol = "ts", valueCol = "metric_value",
       method = method, sensitivity = sensitivity, window = window)
+      .drop("column_name") // the nullable original; __col is its key form
       .withColumnRenamed("__col", "column_name")
+    if (persist)
+      anomalies.append(
+        detected.filter(col("is_anomaly")),
+        now.getOrElse(new Timestamp(System.currentTimeMillis())))
+    detected
   }
 
   /** T2-style per-(column, metric) trend stats for one table. */

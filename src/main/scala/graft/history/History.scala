@@ -248,6 +248,32 @@ object Trends {
         round(col("changes").cast("double") / col("checks") * 100.0, 2))
       .orderBy("day")
 
+  /** T8 (frequency half): dashboard frequency distribution
+   *  (app.py:5456-5490) — objects with ≥ `minChecks` checks, bucketed by
+   *  change ratio (≥0.5 high / ≥0.1 medium / low), one row per NON-EMPTY
+   *  bucket with its object count. Two small shuffles: per-object agg,
+   *  then a 3-row bucket agg. */
+  def frequencyDistribution(
+      checks: DataFrame,
+      objectCol: String = "object_name",
+      changedCol: String = "change_detected",
+      minChecks: Int = 5): DataFrame = {
+    val ratio = col("changes").cast("double") / col("checks")
+    checks
+      .filter(col(objectCol).isNotNull)
+      .groupBy(col(objectCol))
+      .agg(
+        count(lit(1)).as("checks"),
+        coalesce(sum(when(col(changedCol), 1L).otherwise(0L)), lit(0L))
+          .as("changes"))
+      .filter(col("checks") >= minChecks)
+      .withColumn("frequency",
+        when(ratio >= 0.5, "high").when(ratio >= 0.1, "medium")
+          .otherwise("low"))
+      .groupBy("frequency")
+      .agg(count(lit(1)).as("object_count"))
+  }
+
   /** T9: dashboard metric trends — daily averages of a metric series
    *  (app.py:5659-5845). */
   def dailyMetricAvg(

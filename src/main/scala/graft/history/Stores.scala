@@ -109,10 +109,13 @@ final class ChangesStore(spark: SparkSession, path: String) {
     df.orderBy(col("detected_at").desc)
   }
 
-  /** C8: acknowledge = rewrite matching rows with acknowledged=true.
-   *  Parquet has no in-place update; the store rewrites the affected
-   *  date partitions only (an ACID table format would replace this
-   *  with a MERGE at scale). */
+  /** C8: acknowledge = rewrite the store with matching rows flipped to
+   *  acknowledged=true. Parquet has no in-place update, so the whole
+   *  store is rewritten (an ACID table format would replace this with a
+   *  partition-scoped MERGE at scale). Crash-safe swap: the live path is
+   *  renamed ASIDE before the new data moves in, so no failure point
+   *  leaves the store empty — worst case the backup dir survives next
+   *  to a consistent live store. */
   def acknowledge(changeType: String, tableName: String): Unit = {
     val df = spark.read.parquet(path)
     val updated = df.withColumn("acknowledged",
@@ -124,8 +127,45 @@ final class ChangesStore(spark: SparkSession, path: String) {
       .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val backup = new org.apache.hadoop.fs.Path(path + "__bak")
+    fs.delete(backup, true) // clear any leftover from a prior crash
+    if (!fs.rename(live, backup))
+      throw new java.io.IOException(s"acknowledge: cannot move $live aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
+      fs.rename(backup, live) // roll back: old data returns to the live path
+      throw new java.io.IOException(s"acknowledge: cannot activate $tmp")
+    }
+    fs.delete(backup, true)
+  }
+}
+
+/** S8 (sixth sink) / A7: persisted anomaly-scan results — the reference
+ *  stores detected anomalies in `anomaly_results` and publishes events
+ *  (core/anomalies/scheduler.py:316-336, batch inserts of 50). Spark
+ *  shape: one append per scan, partitioned by date, carrying the run
+ *  timestamp + metric identity so dashboards read one partition slice. */
+final class AnomaliesStore(spark: SparkSession, path: String) {
+
+  /** Append one scan's detected rows. Expects the `Anomalies.detect`
+   *  output columns (table_name, column_name, metric_name, ts, value/
+   *  metric_value, score, is_anomaly, threshold, method, severity). */
+  def append(detected: DataFrame, runTs: java.sql.Timestamp): Unit = {
+    val withRun = detected
+      .withColumn("run_at", lit(runTs))
+      .withColumn("date", to_date(col("run_at")))
+    withRun.write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+  }
+
+  /** Filtered listing, newest scan first. */
+  def list(
+      tableName: Option[String] = None,
+      metricName: Option[String] = None,
+      anomaliesOnly: Boolean = true): DataFrame = {
+    var df = spark.read.parquet(path)
+    tableName.foreach(t => df = df.filter(col("table_name") === t))
+    metricName.foreach(m => df = df.filter(col("metric_name") === m))
+    if (anomaliesOnly) df = df.filter(col("is_anomaly"))
+    df.orderBy(col("run_at").desc)
   }
 }

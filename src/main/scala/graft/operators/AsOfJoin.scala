@@ -12,10 +12,22 @@ import org.apache.spark.sql.functions._
  *
  * Composed from built-ins per the custom-operator preference order
  * (SURVEY.md §7.3 (a)): union both sides tagged, then ONE window pass
- * per key carrying the last-seen right values forward. Cost is a single
+ * per key carrying the last-seen right ROW forward. Cost is a single
  * shuffle keyed by the join key + a sort — O(n log n) per key and never
- * the naive range-join's O(n·m); at 100 TB the plan is
- * sort-merge-shaped and AQE-splittable.
+ * the naive range-join's O(n·m).
+ *
+ * Matched-row semantics: the carry is a single struct per right row
+ * (`last(struct(ts, values...), ignoreNulls)`), so every attached value
+ * AND `asof_ts` come from the one matched right row — including that
+ * row's genuine NULL values. (A per-column `last(v, ignoreNulls)` would
+ * silently substitute an older row's value when the matched row holds
+ * NULL, diverging from DuckDB ASOF JOIN semantics.)
+ *
+ * Scale: with low-cardinality keys a single per-key window sorts on
+ * ≤|keys| tasks regardless of cluster size. Pass `bucketSeconds` to
+ * sub-partition each key by time range: within-bucket carry runs on
+ * (key × bucket) tasks, and a second, tiny window over per-bucket
+ * summaries carries the last right row across bucket boundaries.
  */
 object AsOfJoin {
 
@@ -26,6 +38,9 @@ object AsOfJoin {
     * @param rightTs     right timestamp column
     * @param valueCols   right columns to carry (become nullable)
     * @param toleranceSeconds max allowed left.ts − right.ts (None = ∞)
+    * @param bucketSeconds time-bucket width for intra-key parallelism
+    *                    (None = one partition per key; set for
+    *                    low-cardinality keys at scale)
     */
   def asofJoin(
       left: DataFrame,
@@ -34,7 +49,8 @@ object AsOfJoin {
       leftTs: String,
       rightTs: String,
       valueCols: Seq[String],
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      bucketSeconds: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     // right rows sort BEFORE left rows at equal timestamps (side 0 < 1)
     // so right.ts == left.ts is visible, matching ASOF >= semantics
@@ -60,24 +76,62 @@ object AsOfJoin {
     val unioned = lAligned.select((leftCols ++ carry).map(col): _*)
       .unionByName(rAligned.select((leftCols ++ carry).map(col): _*))
 
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(
-      unioned.withColumn("__last_rts",
-        last(col("__rts"), ignoreNulls = true).over(w)))(
-      (df, c) => df.withColumn(s"__c_$c",
-        last(col(s"__v_$c"), ignoreNulls = true).over(w)))
+    // one struct per RIGHT row (null for left rows): ts + all values
+    // travel together, so the match is a whole row, never a column mix
+    val rowStruct = when(col("__side") === 0,
+      struct(col("__rts").as("__mts") +:
+        valueCols.map(c => col(s"__v_$c").as(c)): _*))
+
+    val matched = bucketSeconds match {
+      case None =>
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__ts"), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        unioned.withColumn("__m", last(rowStruct, ignoreNulls = true).over(w))
+
+      case Some(width) =>
+        // intra-key parallelism: (key, time-bucket) partitions, plus a
+        // boundary carry computed over the per-bucket summaries (tiny:
+        // one row per key × bucket) and joined back
+        val bucketed = unioned.withColumn("__bkt",
+          floor(unix_timestamp(col("__ts")) / width))
+        val wIn = Window.partitionBy((keyCols :+ "__bkt").map(col): _*)
+          .orderBy(col("__ts"), col("__side"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val inBucket = bucketed
+          .withColumn("__row", rowStruct)
+          .withColumn("__m_in", last(col("__row"), ignoreNulls = true).over(wIn))
+        // last right row per bucket (max by its own ts — right rows only)
+        val bucketLast = inBucket
+          .filter(col("__row").isNotNull)
+          .groupBy((keyCols :+ "__bkt").map(col): _*)
+          .agg(max_by(col("__row"), col("__row.__mts")).as("__bl"))
+        // carry across EVERY bucket present for the key (a bucket holding
+        // only left rows still inherits the last right row before it)
+        val allBuckets = bucketed
+          .select((keyCols :+ "__bkt").map(col): _*).distinct()
+        val wPrev = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prevCarry = allBuckets
+          .join(bucketLast, keyCols :+ "__bkt", "left")
+          .withColumn("__m_prev", last(col("__bl"), ignoreNulls = true).over(wPrev))
+          .select((keyCols.map(col) :+ col("__bkt") :+ col("__m_prev")): _*)
+        inBucket
+          .join(prevCarry, keyCols :+ "__bkt", "left")
+          .withColumn("__m", coalesce(col("__m_in"), col("__m_prev")))
+    }
 
     val withinTol = toleranceSeconds match {
       case Some(tol) =>
-        col("__last_rts").isNotNull &&
-          (unix_timestamp(col("__ts")) - unix_timestamp(col("__last_rts"))) <= tol
-      case None => col("__last_rts").isNotNull
+        col("__m").isNotNull &&
+          (unix_timestamp(col("__ts")) -
+            unix_timestamp(col("__m.__mts"))) <= tol
+      case None => col("__m").isNotNull
     }
-    val out = valueCols.foldLeft(carried.filter(col("__side") === 1))(
-      (df, c) => df.withColumn(c, when(withinTol, col(s"__c_$c"))))
-      .withColumn("__matched_ts", when(withinTol, col("__last_rts")))
+    val out = valueCols.foldLeft(matched.filter(col("__side") === 1))(
+      (df, c) => df.withColumn(c, when(withinTol, col("__m").getField(c))))
+      .withColumn("__matched_ts", when(withinTol, col("__m.__mts")))
     out.select((leftCols.map(col) :+ col("__matched_ts").as("asof_ts"))
       ++ valueCols.map(col): _*)
   }

@@ -40,6 +40,11 @@ object Skew {
       key: String,
       saltFactor: Int = 16,
       joinType: String = "inner"): DataFrame = {
+    // replication breaks outer semantics: an unmatched small-side row
+    // would be emitted once per salt replica
+    require(Set("inner", "left", "leftouter")(
+      joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left joins only, got '$joinType'")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(col(key), spark_partition_id(),
         monotonically_increasing_id()), lit(saltFactor.toLong)))

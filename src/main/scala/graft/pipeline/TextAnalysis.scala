@@ -100,9 +100,46 @@ object TextAnalysis {
     when(cjk > 0, "zh").otherwise(pick)
   }
 
+  /** Winnowed Karp–Rabin window minima of a text: the classic winnowing
+   *  fingerprint set (one min hash per non-overlapping window of w-gram
+   *  hashes). A small local edit perturbs only the windows it touches —
+   *  the rest of the set is unchanged. */
+  private[graft] def winnowedMins(
+      text: String, gram: Int, window: Int): Array[Long] = {
+    val t = text.toLowerCase.replaceAll("\\s+", " ")
+    if (t.length < gram) Array(Dedup.fnv64(t))
+    else {
+      val B = 1000003L
+      var pow = 1L
+      (1 until gram).foreach(_ => pow *= B)
+      var h = 0L
+      val hashes = new Array[Long](t.length - gram + 1)
+      var i = 0
+      while (i < t.length) {
+        h = h * B + t.charAt(i)
+        if (i >= gram) h -= pow * B * t.charAt(i - gram)
+        if (i >= gram - 1) hashes(i - gram + 1) = h
+        i += 1
+      }
+      if (hashes.length < window) Array(hashes.min)
+      else {
+        val mins = Array.newBuilder[Long]
+        var w0 = 0
+        while (w0 <= hashes.length - window) {
+          var m = Long.MaxValue
+          var j = w0
+          while (j < w0 + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
+          mins += m
+          w0 += window
+        }
+        mins.result()
+      }
+    }
+  }
+
   /** Rolling-hash document fingerprint (winnowing): Karp–Rabin hashes of
-   *  character w-grams, keep the minimum per window — robust to small
-   *  edits. Map-side UDF, linear in text size. */
+   *  character w-grams, minimum per window, xor-folded into one long —
+   *  robust to small edits. Map-side UDF, linear in text size. */
   def fingerprint(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -110,35 +147,22 @@ object TextAnalysis {
       gram: Int = 8,
       window: Int = 16): DataFrame = {
     val fpUdf = udf { text: String =>
-      val t = text.toLowerCase.replaceAll("\\s+", " ")
-      if (t.length < gram) Dedup.fnv64(t)
-      else {
-        val B = 1000003L
-        var pow = 1L
-        (1 until gram).foreach(_ => pow *= B)
-        var h = 0L
-        val hashes = new Array[Long](t.length - gram + 1)
-        var i = 0
-        while (i < t.length) {
-          h = h * B + t.charAt(i)
-          if (i >= gram) h -= pow * B * t.charAt(i - gram)
-          if (i >= gram - 1) hashes(i - gram + 1) = h
-          i += 1
-        }
-        // winnow: min hash per window, xor-fold the selected mins
-        var out = 0L
-        var w0 = 0
-        while (w0 <= hashes.length - window) {
-          var m = Long.MaxValue
-          var j = w0
-          while (j < w0 + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
-          out ^= m
-          w0 += window
-        }
-        if (hashes.length < window) hashes.min else out
-      }
+      winnowedMins(text, gram, window).foldLeft(0L)(_ ^ _)
     }
     docs.withColumn("fingerprint", fpUdf(col(textCol)))
+  }
+
+  /** The un-folded winnowing output as a column (array<long> of window
+   *  minima) — useful when downstream wants set overlap (shared windows
+   *  between near-identical docs) rather than a single equality key. */
+  def fingerprintWindows(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gram: Int = 8,
+      window: Int = 16): DataFrame = {
+    val fpUdf = udf { text: String => winnowedMins(text, gram, window) }
+    docs.withColumn("fingerprint_windows", fpUdf(col(textCol)))
   }
 
   /** One-pass text profile of a corpus: per-document metrics as columns.

@@ -177,6 +177,40 @@ object Profiler {
         round(col("non_matching_count") * 100.0 / col("total_count"), 6))
   }
 
+  /** P28 / §1.3 `distribution_data`: equal-width numeric histogram
+   *  (frontend consumer: sparvi-frontend TableColumns.js:109,
+   *  TableProfile.js:63 — the shape is ours to define; equal-width
+   *  buckets from min/max is the reference-style renderable form).
+   *
+   *  Two passes: one min/max agg (driver-collected: 2 doubles), one
+   *  conditional-count agg — both shuffle-free single scans. Buckets are
+   *  densified (empty buckets emit count 0) so the output is always
+   *  exactly `buckets` rows. Values at max land in the last bucket. */
+  def histogram(df: DataFrame, column: String, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val c = col(column).cast(DoubleType)
+    val stats = df.agg(min(c).as("mn"), max(c).as("mx"))
+    val base = df.select(c.as("x")).filter(col("x").isNotNull)
+      .crossJoin(broadcast(stats))
+    // (x − mn) / ((mx − mn) / buckets): keep this exact double-op order —
+    // the DuckDB oracle mirrors it token for token for bit parity
+    val width = (col("mx") - col("mn")) / lit(buckets).cast(DoubleType)
+    val idx = when(col("mx") === col("mn"), 0)
+      .otherwise(least(
+        floor((col("x") - col("mn")) / width).cast(IntegerType),
+        lit(buckets - 1)))
+    val counted = base.groupBy(idx.as("bucket")).agg(count(lit(1)).as("cnt"))
+    val all = broadcast(stats)
+      .select(explode(sequence(lit(0), lit(buckets - 1))).as("bucket"),
+        col("mn"), col("mx"))
+    all.join(counted, Seq("bucket"), "left")
+      .select(col("bucket"),
+        round(col("mn") + col("bucket") * width, 6).as("lo"),
+        round(col("mn") + (col("bucket") + 1) * width, 6).as("hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("bucket")
+  }
+
   /** P4: fully-duplicated row count = COUNT(*) − COUNT(DISTINCT *).
    *
    *  Scale path (default): rows are reduced map-side to a 128-bit md5 of
@@ -211,6 +245,10 @@ object Profiler {
       topKDistinctLimit: Long = 1000,
       topKMaxColumns: Int = 10,
       includeDuplicates: Boolean = true,
+      includeDistributions: Boolean = true,
+      distributionBuckets: Int = 10,
+      includeSamples: Boolean = false,
+      sampleRows: Int = 50,
       maxColumns: Int = Int.MaxValue): TableProfile = {
     // P26: tier-limited stats — cap profiled columns (reference limits
     // per-column stats to the first 5–10 columns at lower tiers,
@@ -271,6 +309,47 @@ object Profiler {
           }.toSeq
         }
 
+    // P28 `distribution_data`: per-column equal-width bucket counts for
+    // ALL numeric columns in ONE extra conditional-agg pass — min/max are
+    // already known from the main agg row, so bucket membership is a
+    // codegen'd when/sum per (column, bucket); no shuffle, no per-column
+    // jobs. Empty/constant columns get a single degenerate bucket.
+    val histByCol: Map[String, Seq[HistBucket]] =
+      if (!includeDistributions || rowCount == 0) Map.empty
+      else {
+        val numCols = schema.fields
+          .filter(f => typeBucket(f.dataType) == "numeric")
+          .map(_.name)
+          .filter(n => optD(s"${n}__min").isDefined)
+        if (numCols.isEmpty) Map.empty
+        else {
+          val b = distributionBuckets
+          val hexprs = numCols.flatMap { n =>
+            val mn = optD(s"${n}__min").get
+            val mx = optD(s"${n}__max").get
+            val x = col(n).cast(DoubleType)
+            val idxExpr =
+              if (mx == mn) lit(0)
+              else least(floor((x - mn) / ((mx - mn) / b)).cast(IntegerType),
+                lit(b - 1))
+            (0 until b).map(i =>
+              sum(when(x.isNotNull && idxExpr === i, 1L).otherwise(0L))
+                .as(s"${n}__h$i"))
+          }
+          val hrow = df.agg(hexprs.head, hexprs.tail: _*).first()
+          val hidx = hrow.schema.fieldNames.zipWithIndex.toMap
+          numCols.map { n =>
+            val mn = optD(s"${n}__min").get
+            val mx = optD(s"${n}__max").get
+            val width = (mx - mn) / b
+            n -> (0 until b).map { i =>
+              HistBucket(mn + i * width, mn + (i + 1) * width,
+                hrow.getLong(hidx(s"${n}__h$i")))
+            }.toSeq
+          }.toMap
+        }
+      }
+
     val colProfiles = schema.fields.map { f =>
       val n = f.name
       val nulls = optL(s"${n}__nulls").getOrElse(0L)
@@ -304,8 +383,21 @@ object Profiler {
         futureCount = optL(s"${n}__future"),
         pastCount = optL(s"${n}__past"),
         freshnessHours = optL(s"${n}__freshness_hours"),
-        topValues = topByCol.getOrElse(n, Nil))
+        topValues = topByCol.getOrElse(n, Nil),
+        distribution = histByCol.getOrElse(n, Nil))
     }.toSeq
+
+    // include_samples (routes/profiles.py:30-31,76): OFF by default — the
+    // reference pins it false in cloud mode; when on, carry ≤sampleRows
+    // preview rows (stringified, NULL → null) alongside the stats.
+    val samples: Seq[Map[String, String]] =
+      if (!includeSamples) Nil
+      else df.select(schema.fieldNames.map(col).toSeq: _*)
+        .limit(sampleRows).collect().toSeq.map { r =>
+        schema.fieldNames.zipWithIndex.map { case (n, i) =>
+          n -> (if (r.isNullAt(i)) null else r.get(i).toString)
+        }.toMap
+      }
 
     val dupes = if (includeDuplicates) duplicateRowCount(df) else 0L
     val nullableFrac =
@@ -322,6 +414,7 @@ object Profiler {
       typeDistribution = typeDistribution(fullSchema),
       healthScore = healthScore(
         meta.exists(_.primaryKeys.nonEmpty), rowCount, nullableFrac,
-        fullSchema.fields.length))
+        fullSchema.fields.length),
+      samples = samples)
   }
 }

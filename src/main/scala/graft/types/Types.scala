@@ -71,9 +71,16 @@ final case class ColumnProfile(
     freshnessHours: Option[Long] = None, // P19: hours since max(ts) vs injected now
 
     // top-K frequent values (P14)
-    topValues: Seq[TopValue] = Nil)
+    topValues: Seq[TopValue] = Nil,
+    // P28 / §1.3 `distribution_data`: equal-width histogram for numeric
+    // columns (frontend consumer: TableColumns.js:109)
+    distribution: Seq[HistBucket] = Nil)
 
 final case class TopValue(value: String, count: Long, percentage: Double)
+
+/** One equal-width histogram bucket: [lo, hi) except the last, which is
+ *  [lo, hi]. */
+final case class HistBucket(lo: Double, hi: Double, count: Long)
 
 /** The canonical profile object (SURVEY.md §1.3 key-for-key). */
 final case class TableProfile(
@@ -84,7 +91,10 @@ final case class TableProfile(
     duplicateCount: Long,
     columns: Seq[ColumnProfile],
     typeDistribution: Map[String, Int], // P25: numeric/text/datetime/boolean/other
-    healthScore: Int) // P24
+    healthScore: Int, // P24
+    // `include_samples` (routes/profiles.py:30-31,76): ≤50 preview rows as
+    // column-name → string-value maps; empty unless explicitly requested
+    samples: Seq[Map[String, String]] = Nil)
 
 /** Validation rule (reference: default_validations.py:43-49). `query` must
  *  return a single scalar. */

@@ -132,11 +132,24 @@ object Runner {
       java.util.concurrent.Executors.newFixedThreadPool(
         math.min(parallelism, math.max(rules.size, 1))))
     try {
-      val futures = rules.map(r => Future(runRule(spark, r))(ec))
-      rules.zip(futures).map { case (r, f) =>
+      // each rule runs under its own job group (interruptOnCancel) so a
+      // timeout CANCELS the underlying Spark jobs — abandoning the
+      // Future alone would leave the job occupying cluster resources
+      val runId = java.util.UUID.randomUUID().toString
+      def group(i: Int) = s"graft-validation-$runId-$i"
+      val futures = rules.zipWithIndex.map { case (r, i) =>
+        Future {
+          spark.sparkContext.setJobGroup(group(i),
+            s"validation rule ${r.name}", interruptOnCancel = true)
+          try runRule(spark, r)
+          finally spark.sparkContext.clearJobGroup()
+        }(ec)
+      }
+      rules.zip(futures).zipWithIndex.map { case ((r, f), i) =>
         Try(Await.result(f, timeout)) match {
           case Success(res) => res
           case Failure(_: java.util.concurrent.TimeoutException) =>
+            spark.sparkContext.cancelJobGroup(group(i))
             ValidationResult(r.name, isValid = false, None, r.expectedValue,
               r.operator, Some(s"timeout after $timeout"))
           case Failure(e) =>

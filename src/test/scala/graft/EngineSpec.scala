@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.api.GraftEngine
@@ -51,5 +52,30 @@ class EngineSpec extends AnyFunSuite {
     assert(vt.length == 3)
     assert(vt.head.getAs[Long]("total_validations") == results.size.toLong)
     assert(vt(1).getAs[Long]("total_validations") == 0)
+  }
+
+  test("anomaly scan persists detected anomalies through the store") {
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft_anom").toString
+    val engine = new GraftEngine(spark, sfDir, state)
+    // 20 stable points + one spike (max attainable z is (n−1)/√n, so a
+    // spike needs >9 stable neighbors to clear threshold 3)
+    val pts = ((1 to 20).map(d =>
+      ("default", "region", null: String, "custom_metric", 10.0,
+        ts(f"2026-01-$d%02d 00:00:00"))) :+
+      ("default", "region", null: String, "custom_metric", 100.0,
+        ts("2026-01-21 00:00:00")))
+      .toDF("connection_id", "table_name", "column_name", "metric_name",
+        "metric_value", "ts")
+    engine.metrics.append(pts)
+    val detected = engine.runAnomalyScan("custom_metric",
+      now = Some(ts("2026-01-22 00:00:00")), persist = true)
+    assert(detected.filter(col("is_anomaly")).count() == 1)
+    // round-trip: the store serves the same anomaly back
+    val stored = engine.anomalies.list(tableName = Some("region"),
+      metricName = Some("custom_metric")).collect()
+    assert(stored.length == 1)
+    assert(stored(0).getAs[Double]("metric_value") == 100.0)
+    assert(stored(0).getAs[String]("severity") != null)
   }
 }

@@ -369,4 +369,47 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(tol("b").contains(200.0))
     assert(tol("other-key").isEmpty) // 3h stale
   }
+
+  test("matched right row's NULL value is attached, never an older value") {
+    val left = Seq(("k1", ts("2026-01-01 12:00:00"), "probe"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      ("k1", ts("2026-01-01 10:00:00"), Some(100.0)),
+      ("k1", ts("2026-01-01 11:00:00"), None)) // matched row holds NULL
+      .toDF("k", "rts", "price")
+    val row = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("price")).collect()(0)
+    // asof_ts is the 11:00 row AND its genuine NULL rides along —
+    // a per-column ignoreNulls carry would smuggle in 100.0
+    assert(row.getAs[Timestamp]("asof_ts") == ts("2026-01-01 11:00:00"))
+    assert(row.isNullAt(row.fieldIndex("price")))
+  }
+
+  test("time-bucketed path agrees with the single-window path") {
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 400).map { i =>
+      ("k" + (i % 2), ts(f"2026-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), i)
+    }.toDF("k", "ts", "n")
+    val right = (0 until 50).map { i =>
+      // second = i keeps right timestamps unique per key (tie order
+      // between equal right timestamps is unspecified in both paths)
+      ("k" + (i % 2), ts(f"2026-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${i % 60}%02d"), i * 1.0)
+    }.toDF("k", "rts", "price")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "ts", "n", "asof_ts", "price").collect()
+        .map(_.toSeq).sortBy(_.toString).toSeq
+    val plain = rows(AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("price")))
+    // 1-hour buckets: intra-key parallelism with boundary carry — rows
+    // whose bucket has no right row must inherit from earlier buckets
+    val bucketed = rows(AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("price"), bucketSeconds = Some(3600)))
+    assert(bucketed == plain)
+    // tolerance composes with bucketing too
+    val plainTol = rows(AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("price"), toleranceSeconds = Some(1800)))
+    val bucketedTol = rows(AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts",
+      Seq("price"), toleranceSeconds = Some(1800), bucketSeconds = Some(3600)))
+    assert(bucketedTol == plainTol)
+  }
 }

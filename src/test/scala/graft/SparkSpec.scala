@@ -81,6 +81,45 @@ class ProfilerSparkSpec extends AnyFunSuite {
       Profiler.duplicateRowCount(crafted, exact = true))
   }
 
+  test("histogram: equal-width buckets, densified, counts add up") {
+    val out = Profiler.histogram(crafted, "v", 5).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("cnt")).sum == 4) // non-null v values
+    // v ∈ {-5, 10, 20, 30}: width 7 → buckets 0,2,3,4 hit; bucket 1 empty
+    assert(out(1).getAs[Long]("cnt") == 0)
+    assert(out(0).getAs[Double]("lo") == -5.0)
+    assert(out(4).getAs[Double]("hi") == 30.0)
+    // max value lands in the LAST bucket, not an overflow bucket
+    assert(out(4).getAs[Long]("cnt") >= 1)
+  }
+
+  test("profile populates distribution_data for numeric columns") {
+    val p = Profiler.profile(crafted, "crafted", distributionBuckets = 5)
+    val byName = p.columns.map(c => c.name -> c).toMap
+    val dist = byName("v").distribution
+    assert(dist.length == 5)
+    assert(dist.map(_.count).sum == 4)
+    assert(dist.head.lo == -5.0 && dist.last.hi == 30.0)
+    // histogram operator and the profile's conditional-agg pass agree
+    val op = Profiler.histogram(crafted, "v", 5).collect()
+    assert(op.map(_.getAs[Long]("cnt")).toSeq == dist.map(_.count))
+    assert(byName("s").distribution.isEmpty) // strings get no histogram
+  }
+
+  test("include_samples: off by default, capped when on") {
+    val p0 = Profiler.profile(crafted, "crafted")
+    assert(p0.samples.isEmpty)
+    val p = Profiler.profile(crafted, "crafted",
+      includeSamples = true, sampleRows = 3)
+    assert(p.samples.length == 3)
+    assert(p.samples.head.keySet == Set("id", "v", "s", "t"))
+    // NULLs survive as nulls, values stringified
+    val withNull = Profiler.profile(crafted, "crafted",
+      includeSamples = true, sampleRows = 50)
+    assert(withNull.samples.length == 6)
+    assert(withNull.samples.exists(_.apply("v") == null))
+  }
+
   test("entry() smoke: flagship profile summary has rows") {
     val df = SparkEntry.entry(spark)
     assert(df.count() == 1)
@@ -243,6 +282,46 @@ class SimilaritySparkSpec extends AnyFunSuite {
   }
 }
 
+class FingerprintSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.pipeline.TextAnalysis
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 20
+
+  test("identical text yields identical fingerprint; edits change it") {
+    val docs = Seq((1L, base), (2L, base), (3L, base + " extra tail"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fingerprint")).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("whitespace runs normalize away") {
+    val docs = Seq((1L, base), (2L, base.replace(" ", "   ")))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(docs).orderBy("doc_id").collect()
+      .map(_.getAs[Long]("fingerprint"))
+    assert(fps(0) == fps(1))
+  }
+
+  test("small edit leaves most winnowed windows unchanged (robustness)") {
+    val edited = base.updated(base.length - 2, 'X')
+    val a = TextAnalysis.winnowedMins(base, 8, 16).toSet
+    val b = TextAnalysis.winnowedMins(edited, 8, 16).toSet
+    val shared = (a & b).size
+    assert(shared >= 1, "an edit must not perturb every window")
+    assert(shared.toDouble / a.size >= 0.8,
+      s"local edit perturbed ${a.size - shared}/${a.size} windows")
+    // and the exposed column variant agrees with the core
+    val df = Seq((1L, base)).toDF("doc_id", "text")
+    val row0 = TextAnalysis.fingerprintWindows(df).collect()(0)
+    val col0 = row0.getSeq[Long](row0.fieldIndex("fingerprint_windows"))
+    assert(col0.toSet == a)
+  }
+}
+
 class TrendsSparkSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
@@ -270,6 +349,18 @@ class TrendsSparkSpec extends AnyFunSuite {
     assert(d2.getAs[Double]("health_score") == 0.0)
     val d3 = out(2)
     assert(d3.getAs[Long]("errored") == 1)
+  }
+
+  test("frequencyDistribution: ≥5-check objects bucketed by change ratio") {
+    val checks = (
+      (1 to 10).map(i => ("A", i % 2 == 0 || i <= 2)) ++ // 6/10 → high
+      (1 to 10).map(i => ("B", i <= 2)) ++               // 2/10 → medium
+      (1 to 10).map(_ => ("C", false)) ++                // 0/10 → low
+      (1 to 3).map(_ => ("D", true))                     // <5 checks → dropped
+    ).toDF("object_name", "change_detected")
+    val out = Trends.frequencyDistribution(checks).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("high" -> 1L, "medium" -> 1L, "low" -> 1L))
   }
 
   test("rowGrowth flags >20% day-over-day change") {
