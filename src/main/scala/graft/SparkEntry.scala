@@ -367,15 +367,16 @@ object SparkEntry {
       (s, d) => {
         val cat = Catalog(s, d)
         import s.implicits._
+        // all table counts in ONE union-all job, not n serial count()s
+        val counts = cat.rowCounts()
         val rows = cat.listTables().map { tn =>
-          val df = cat.table(tn)
+          val schema = cat.schemaOf(tn)
           val meta = cat.tableMeta(tn)
-          val rc = df.count()
           val nullableFrac =
-            if (df.schema.isEmpty) 0.0
-            else df.schema.count(_.nullable).toDouble / df.schema.length
-          (tn, Profiler.healthScore(meta.primaryKeys.nonEmpty, rc,
-            nullableFrac, df.schema.length))
+            if (schema.isEmpty) 0.0
+            else schema.count(_.nullable).toDouble / schema.length
+          (tn, Profiler.healthScore(meta.primaryKeys.nonEmpty, counts(tn),
+            nullableFrac, schema.length))
         }
         rows.toDF("table_name", "health_score").orderBy("table_name")
       },
@@ -1350,7 +1351,42 @@ object SparkEntry {
         .preview("nation", Seq("n_nationkey", "n_name"), 50)
         .orderBy("n_nationkey"),
       Some("""SELECT n_nationkey, n_name FROM nation
-        ORDER BY n_nationkey LIMIT 50""")))
+        ORDER BY n_nationkey LIMIT 50""")),
+
+    Q("s09_usage_patterns",
+      // S9 usage half (collector.py:281-320): access_count + last_accessed
+      // per table from a query log. The log is synthesized from events —
+      // query_text mentions an event_type-named "table", ~70% SELECTs —
+      // and ALL tables aggregate in one scan (vs one QUERY_HISTORY scan
+      // per table in the reference).
+      (s, d) => {
+        val log = eventsTable(s, d).select(
+          concat(lit("SELECT * FROM "), col("event_type")).as("query_text"),
+          when(col("event_id") % 10 < 7, "SELECT").otherwise("INSERT")
+            .as("query_type"),
+          col("ts").as("start_time"))
+        graft.sources.UsageLog.usagePatterns(log,
+          Seq("click", "error", "purchase", "signup", "view"))
+          .select(col("table_name"), col("access_count"),
+            date_format(col("last_accessed"), "yyyy-MM-dd HH:mm:ss")
+              .as("last_accessed"))
+          .orderBy("table_name")
+      },
+      Some("""WITH log AS (
+          SELECT concat('SELECT * FROM ', event_type) AS query_text,
+            CASE WHEN event_id % 10 < 7 THEN 'SELECT' ELSE 'INSERT' END
+              AS query_type,
+            ts AS start_time
+          FROM events),
+        tabs AS (SELECT unnest(['click','error','purchase','signup','view'])
+          AS table_name)
+        SELECT t.table_name,
+          CAST(COUNT(l.start_time) AS BIGINT) AS access_count,
+          strftime(MAX(l.start_time), '%Y-%m-%d %H:%M:%S') AS last_accessed
+        FROM tabs t LEFT JOIN log l
+          ON l.query_type = 'SELECT'
+          AND contains(lower(l.query_text), lower(t.table_name))
+        GROUP BY t.table_name ORDER BY t.table_name""")))
 
   // ------------------------------------------------------------------
   // J-series: custom operators beyond Spark's built-ins

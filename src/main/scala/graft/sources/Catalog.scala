@@ -72,6 +72,20 @@ final class Catalog(val spark: SparkSession, val dir: String) {
    *  schema_change_detector.py:71-126). */
   def snapshot(): Map[String, TableMeta] =
     listTables().map(n => n -> tableMeta(n)).toMap
+
+  /** Row counts for many tables in ONE Spark job: each table contributes
+   *  a single-row `count` aggregate (present even for empty tables) and
+   *  the union-all runs every scan in parallel — versus one `count()`
+   *  action per table in a serial driver loop (n sequential jobs). */
+  def rowCounts(names: Seq[String] = listTables()): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    if (names.isEmpty) Map.empty
+    else names.map(n =>
+        table(n).agg(count(lit(1)).as("rc"))
+          .select(lit(n).as("table_name"), col("rc")))
+      .reduce(_ unionByName _)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 }
 
 object Catalog {

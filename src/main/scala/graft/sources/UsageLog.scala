@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * S9 (usage half): table usage patterns from a query log — the
+ * Spark-native analog of the reference's Snowflake
+ * `INFORMATION_SCHEMA.QUERY_HISTORY()` scan
+ * (core/metadata/collector.py:281-320: `access_count` = SELECT queries
+ * whose text mentions the table, `last_accessed` = their max start
+ * time). Spark has no warehouse query history, so the log is a table
+ * the engine maintains itself: [[QueryLogStore]] appends one row per
+ * executed query, and [[UsageLog.usagePatterns]] aggregates it.
+ */
+object UsageLog {
+
+  /**
+   * Usage patterns for MANY tables in one pass over the log: the log is
+   * scanned once and matched against the (broadcast, driver-small)
+   * table list, instead of the reference's one QUERY_HISTORY scan per
+   * table. Output is densified — a table never mentioned still gets a
+   * row with `access_count` 0 and null `last_accessed`.
+   *
+   * Matching mirrors the reference: `query_type = 'SELECT'` and the
+   * lowercased query text contains the lowercased table name.
+   */
+  def usagePatterns(
+      queryLog: DataFrame,
+      tables: Seq[String],
+      queryTextCol: String = "query_text",
+      queryTypeCol: String = "query_type",
+      tsCol: String = "start_time"): DataFrame = {
+    val spark = queryLog.sparkSession
+    import spark.implicits._
+    val tabs = broadcast(tables.toDF("table_name"))
+    val selects = queryLog
+      .filter(col(queryTypeCol) === "SELECT")
+      .select(lower(col(queryTextCol)).as("__txt"), col(tsCol).as("__ts"))
+    tabs
+      .join(selects,
+        contains(col("__txt"), lower(col("table_name"))), "left")
+      .groupBy("table_name")
+      .agg(
+        count(col("__ts")).as("access_count"), // count(col): 0 on no match
+        max(col("__ts")).as("last_accessed"))
+  }
+
+  /** Single-table convenience matching the reference's return shape. */
+  def usagePattern(
+      queryLog: DataFrame,
+      table: String,
+      queryTextCol: String = "query_text",
+      queryTypeCol: String = "query_type",
+      tsCol: String = "start_time"): DataFrame =
+    usagePatterns(queryLog, Seq(table), queryTextCol, queryTypeCol, tsCol)
+}
+
+/** Append-only query log, partitioned by date — the engine-side stand-in
+ *  for warehouse QUERY_HISTORY. One row per executed query. */
+final class QueryLogStore(spark: SparkSession, path: String) {
+
+  def append(
+      queryText: String,
+      queryType: String,
+      startTime: java.sql.Timestamp): Unit = {
+    import spark.implicits._
+    Seq((queryText, queryType, startTime))
+      .toDF("query_text", "query_type", "start_time")
+      .withColumn("date", to_date(col("start_time")))
+      .write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+  }
+
+  def log: DataFrame = spark.read.parquet(path)
+}

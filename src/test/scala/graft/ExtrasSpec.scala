@@ -60,6 +60,45 @@ class SchedulerSpec extends AnyFunSuite {
   }
 }
 
+class TaskQueueSpec extends AnyFunSuite {
+  import graft.scheduler.TaskQueue._
+
+  private def task(id: String, prio: String) =
+    MetadataTask(id, "table_metadata", "default", priority = prio)
+
+  test("strict priority: high drains before medium before low, FIFO within") {
+    val q = new PriorityTaskQueue
+    q.put(task("l1", "low")); q.put(task("m1", "medium"))
+    q.put(task("h1", "high")); q.put(task("h2", "high"))
+    q.put(task("weird", "no-such-priority")) // defaults to medium
+    assert(q.counts == Map("high" -> 2, "medium" -> 2, "low" -> 1))
+    val order = Iterator.continually(q.poll()).takeWhile(_.isDefined)
+      .map(_.get.id).toSeq
+    assert(order == Seq("h1", "h2", "m1", "weird", "l1"))
+    assert(q.isEmpty)
+  }
+
+  test("worker pool drains the queue, counts failures, reports stats") {
+    val q = new PriorityTaskQueue
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    (1 to 20).foreach(i => q.put(task(s"t$i", "medium")))
+    q.put(task("boom", "high"))
+    val pool = new WorkerPool(q, t => {
+      if (t.id == "boom") sys.error("handler failure")
+      seen.add(t.id); ()
+    }, maxWorkers = 3)
+    pool.start()
+    assert(pool.awaitQuiescence(10000))
+    val s = pool.stats
+    assert(s.processed == 20)
+    assert(s.failed == 1) // the failure is counted, pool survives
+    assert(s.queueCounts.values.sum == 0)
+    assert(s.uptimeSeconds >= 0.0)
+    assert(pool.stop())
+    assert(seen.size == 20)
+  }
+}
+
 class ConnectionsSpec extends AnyFunSuite {
   test("S2: connection builders produce JDBC URLs + option maps") {
     val pg = Connections.postgres("db.example.com", 5432, "warehouse", "u", "p")
@@ -74,6 +113,40 @@ class ConnectionsSpec extends AnyFunSuite {
     val (files, bytes) = Connections.tableStorage(
       SharedSpark.spark, SharedSpark.sfDir, "region")
     assert(files >= 1 && bytes > 0)
+  }
+
+  test("S9 usage half: one-pass usage patterns over a query log") {
+    import SharedSpark.spark
+    import spark.implicits._
+    import graft.sources.{QueryLogStore, UsageLog}
+    val dir = Files.createTempDirectory("graft_qlog").toString
+    val store = new QueryLogStore(spark, dir)
+    store.append("SELECT * FROM orders JOIN customer USING (o_custkey)",
+      "SELECT", Timestamp.valueOf("2026-01-01 10:00:00"))
+    store.append("SELECT count(*) FROM ORDERS", // case-insensitive match
+      "SELECT", Timestamp.valueOf("2026-01-02 11:00:00"))
+    store.append("INSERT INTO orders VALUES (1)", // non-SELECT: ignored
+      "INSERT", Timestamp.valueOf("2026-01-03 09:00:00"))
+    val out = UsageLog.usagePatterns(store.log,
+      Seq("orders", "customer", "nation"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getTimestamp(2)))).toMap
+    assert(out("orders") ==
+      (2L, Some(Timestamp.valueOf("2026-01-02 11:00:00"))))
+    assert(out("customer") ==
+      (1L, Some(Timestamp.valueOf("2026-01-01 10:00:00"))))
+    assert(out("nation") == (0L, None)) // densified: never mentioned
+  }
+
+  test("catalog rowCounts: one job matches per-table count()") {
+    import SharedSpark._
+    val cat = graft.sources.Catalog(spark, sfDir)
+    val counts = cat.rowCounts(Seq("region", "nation", "customer"))
+    assert(counts("region") ==
+      spark.read.parquet(s"$sfDir/region.parquet").count())
+    assert(counts("nation") ==
+      spark.read.parquet(s"$sfDir/nation.parquet").count())
+    assert(counts.size == 3)
   }
 }
 
