@@ -1131,6 +1131,35 @@ object SparkEntry {
         .orderBy("id_a", "id_b"),
       None), // hash family not SQL-portable; covered by ScalaTest
 
+    Q("d05_dup_clusters",
+      // connected components over a deterministic candidate-pair graph
+      // (chains of 5 docs: n→n+1 when n%10<4), checked against DuckDB's
+      // recursive-CTE transitive closure — verifies multi-hop merging
+      // (A~B, B~C ⇒ one cluster) that pairwise output alone can't show
+      (s, d) => {
+        val ids = t(s, d, "documents").select(col("doc_id"))
+        val pairs = ids.filter(col("doc_id") % 10 < 4)
+          .join(ids.select(col("doc_id").as("next_id")),
+            col("doc_id") + 1 === col("next_id"))
+          .select(col("doc_id").as("id_a"), col("next_id").as("id_b"))
+        Dedup.duplicateClusters(pairs).orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+        pairs AS (
+          SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+          WHERE doc_id % 10 < 4
+            AND (doc_id + 1) IN (SELECT doc_id FROM documents)),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS doc_id,
+          CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id""")),
+
     Q("e01_embedding_profile",
       (s, d) => Similarity.profileEmbeddings(t(s, d, "embeddings")),
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,

@@ -267,4 +267,79 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---- duplicate clustering (pairs → components → keep-set) -----------
+
+  /** Connected components over near-duplicate candidate pairs: each doc
+   *  gets `cluster_id` = the minimum doc id reachable through the pair
+   *  graph. This is the step that turns pairwise dedup output into
+   *  actionable groups (transitive closure: A~B, B~C ⇒ one cluster even
+   *  if A,C never collided in any band).
+   *
+   *  Algorithm: iterative min-label propagation PLUS pointer jumping
+   *  (label ← label(label)) each round, so convergence is O(log
+   *  diameter) shuffles, not O(diameter) — a million-doc near-dup chain
+   *  resolves in ~20 rounds. Per round: one edge join + one self join
+   *  over the (id, label) frame, which holds only docs that appear in
+   *  some pair (≪ corpus). `localCheckpoint` cuts lineage so plans stay
+   *  flat; convergence is detected by the (monotonically decreasing)
+   *  label sum going stable — one tiny aggregate per round.
+   *
+   *  Output: (doc_id, cluster_id), one row per doc present in `pairs`. */
+  def duplicateClusters(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxRounds: Int = 25): DataFrame = {
+    val e0 = pairs.select(col(idA).cast("long").as("src"),
+      col(idB).cast("long").as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    var prev = labelSum(labels)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // 1. neighbor propagation: min over own + adjacent labels
+      val viaNbr = labels
+        .union(edges.join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("label")))
+        .groupBy("id").agg(min("label").as("label"))
+      // 2. pointer jumping: follow the label one hop (label of label)
+      val next = viaNbr
+        .join(viaNbr.select(col("id").as("label"), col("label").as("label2")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("label2"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      val cur = labelSum(next)
+      done = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
+      round += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Keep-set filter: drop every doc that belongs to a cluster but is
+   *  not its canonical (minimum-id) member. Docs in no cluster pass
+   *  through — the join is a left-anti against the (small) non-canonical
+   *  id set, so the corpus is never shuffled. */
+  def dedupByClusters(
+      docs: DataFrame,
+      clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -253,6 +253,28 @@ class DedupSparkSpec extends AnyFunSuite {
     val n = Dedup.exactDuplicateCount(withDupes).first().getLong(0)
     assert(n == 5)
   }
+
+  test("duplicateClusters: transitive closure, branches, long chains") {
+    import spark.implicits._
+    // component {1..5} via a branch (2-4 links two chains), component
+    // {10,11}, and a 40-node chain that needs pointer jumping to
+    // converge within the round budget (naive propagation needs 39)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (4L, 5L), (2L, 4L), (10L, 11L)) ++
+      (100L until 139L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(out(_) == 1L)) // A~B,B~C ⇒ same cluster
+    assert(out(10L) == 10L && out(11L) == 10L)
+    assert((100L to 139L).forall(out(_) == 100L))
+    assert(out.size == 5 + 2 + 40)
+    // keep-set: canonical member survives, other members drop,
+    // untouched docs pass through
+    val corpus = (1L to 12L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.dedupByClusters(corpus, Dedup.duplicateClusters(pairs))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 6L, 7L, 8L, 9L, 10L, 12L))
+  }
 }
 
 class SimilaritySparkSpec extends AnyFunSuite {
