@@ -1273,6 +1273,20 @@ object SparkEntry {
           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_tokens
         FROM t""")),
 
+    Q("x05_vocabulary",
+      // vocabulary build: top tokens by total count with doc frequency —
+      // one token-keyed shuffle, deterministic (count desc, token asc) cut
+      (s, d) => TextAnalysis.vocabulary(t(s, d, "documents"), top = 100)
+        .orderBy(col("total_count").desc, col("token")),
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents)
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS total_count,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_count
+        FROM toks WHERE len(token) > 0
+        GROUP BY token ORDER BY total_count DESC, token LIMIT 100""")),
+
     Q("x04_fingerprint",
       // winnowing fingerprint per document; hash family not SQL-portable
       // (rows-only check here; set semantics pinned in FingerprintSpec)

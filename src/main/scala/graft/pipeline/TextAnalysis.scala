@@ -152,6 +152,28 @@ object TextAnalysis {
     docs.withColumn("fingerprint", fpUdf(col(textCol)))
   }
 
+  /** Vocabulary build over a corpus: one row per distinct token with its
+   *  total occurrence count and document frequency (docs containing it) —
+   *  the TF-IDF / tokenizer-training base. Map-side lower+split+explode,
+   *  ONE token-keyed shuffle; `top` bounds the result under a total
+   *  (count desc, token asc) order so the cut is deterministic. At scale
+   *  the shuffle carries (token, doc_id) pairs only — never text — and
+   *  partial aggregation collapses repeats map-side. */
+  def vocabulary(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      top: Int = 1000): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("total_count"),
+        countDistinct(col(idCol)).as("doc_count"))
+      .orderBy(col("total_count").desc, col("token"))
+      .limit(top)
+
   /** The un-folded winnowing output as a column (array<long> of window
    *  minima) — useful when downstream wants set overlap (shared windows
    *  between near-identical docs) rather than a single equality key. */

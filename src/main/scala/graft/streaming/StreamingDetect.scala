@@ -95,4 +95,35 @@ object StreamingDetect {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(step)
   }
+
+  final case class Doc(docId: Long, text: String)
+
+  /** Streaming exact dedup: emit only the FIRST document per content
+   *  hash; later arrivals with identical text are dropped. State is one
+   *  boolean per distinct hash, partitioned by the hash key — the
+   *  streaming analog of the batch `Dedup.exactDuplicates` path, for
+   *  ingest-time filtering instead of after-the-fact cleanup. The full
+   *  text never enters state: only its md5 groups the stream. */
+  def dedupStream(docs: Dataset[Doc]): Dataset[Doc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def step(
+        hash: String,
+        events: Iterator[Doc],
+        state: GroupState[Boolean]): Iterator[Doc] = {
+      if (state.exists) { state.update(true); Iterator.empty }
+      else {
+        val first = events.toSeq.minBy(_.docId)
+        state.update(true)
+        Iterator.single(first)
+      }
+    }
+
+    docs
+      .groupByKey(d => java.security.MessageDigest.getInstance("MD5")
+        .digest(d.text.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(step)
+  }
 }

@@ -259,6 +259,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming dedup keeps only the first doc per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingDetect.Doc]
+    val deduped = StreamingDetect.dedupStream(input.toDS())
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamingDetect.Doc(1L, "alpha"), StreamingDetect.Doc(2L, "beta"),
+        StreamingDetect.Doc(3L, "alpha")) // dup within the batch
+      query.processAllAvailable()
+      input.addData(
+        StreamingDetect.Doc(4L, "beta"), // dup across batches
+        StreamingDetect.Doc(5L, "gamma"))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_out").collect()
+        .map(r => r.getAs[Long]("docId") -> r.getAs[String]("text")).toMap
+      assert(kept == Map(1L -> "alpha", 2L -> "beta", 5L -> "gamma"))
+    } finally query.stop()
+  }
+
   test("windowed series aggregates counts per (series, window)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
