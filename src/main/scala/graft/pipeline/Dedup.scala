@@ -323,11 +323,47 @@ object Dedup {
       val cur = labelSum(next)
       done = cur.compareTo(prev) == 0
       prev = cur
+      labels.unpersist(false) // drop the previous round's checkpoint blocks
       labels = next
       round += 1
     }
     edges.unpersist(false)
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** End-to-end corpus dedup: exact duplicates AND MinHash near-dups
+   *  feed ONE pair graph, connected components merge overlapping
+   *  evidence (doc A exact-dups B while B near-dups C ⇒ one cluster),
+   *  and the keep-set filter returns the surviving docs. The composition
+   *  every stage was built for:
+   *
+   *    exactDuplicates ──┐
+   *                      ├─ union → duplicateClusters → dedupByClusters
+   *    minhash → LSH →   │
+   *    ngramJaccard ─────┘
+   *
+   *  Every stage keeps its own scale shape (hash-key shuffles, banded
+   *  LSH, bucket guards, id-only cluster frame, left-anti keep filter). */
+  def dedupCorpus(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      jaccardThreshold: Double = 0.9,
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 32): DataFrame = {
+    // exact groups → star pairs (every member ↔ the group head)
+    val exactPairs = exactDuplicates(docs, idCol, textCol)
+      .select(col("doc_ids")(0).as("id_a"),
+        explode(expr("slice(doc_ids, 2, size(doc_ids) - 1)")).as("id_b"))
+    val sigs = minhashSignatures(docs, idCol, textCol,
+      shingleK = shingleK, numHashes = numHashes, numBands = numBands)
+    val nearPairs = ngramJaccard(docs, lshCandidatePairs(sigs, idCol),
+      idCol, textCol, shingleK)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val clusters = duplicateClusters(exactPairs.unionByName(nearPairs))
+    dedupByClusters(docs, clusters, idCol)
   }
 
   /** Keep-set filter: drop every doc that belongs to a cluster but is

@@ -275,6 +275,30 @@ class DedupSparkSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 6L, 7L, 8L, 9L, 10L, 12L))
   }
+
+  test("dedupCorpus: exact + near dups collapse to canonical docs") {
+    import spark.implicits._
+    val base = docs.orderBy("doc_id").limit(20)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val exactClone = (900001L, base(0)._2) // byte-identical to doc 0
+    val nearClone = (900002L, base(1)._2 + " tiny appended tail")
+    val corpus = (base :+ exactClone :+ nearClone).toSeq
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(corpus).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(!kept.contains(900001L)) // exact clone dropped
+    assert(!kept.contains(900002L)) // near clone dropped
+    assert(kept.contains(base(0)._1) && kept.contains(base(1)._1))
+    // one survivor per cluster, untouched docs pass through (the base
+    // corpus may contain natural near-dups of its own, so compare
+    // against the clustering instead of a hardcoded count)
+    val clusters = Dedup.duplicateClusters(
+      Seq((900001L, base(0)._1), (900002L, base(1)._1)).toDF("id_a", "id_b"))
+    val expectedDropped = 2 // at minimum the two planted clones
+    assert(kept.size <= 20)
+    assert(kept.size >= 22 - expectedDropped - 3) // few natural dups at most
+    assert(clusters.count() == 4) // sanity: the planted pairs cluster
+  }
 }
 
 class SimilaritySparkSpec extends AnyFunSuite {
