@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.anomalies.Anomalies
 import graft.history.Trends
-import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.profiler.Profiler
 import graft.sources.Catalog
 import graft.types.ValidationRule
@@ -1286,6 +1286,22 @@ object SparkEntry {
           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_count
         FROM toks WHERE len(token) > 0
         GROUP BY token ORDER BY total_count DESC, token LIMIT 100""")),
+
+    Q("x06_hash_split",
+      // deterministic train/val/test split: stable md5 bucketing, so the
+      // same doc lands in the same split on every run and every engine —
+      // DuckDB reproduces the exact assignment from the same md5
+      (s, d) => Sampling.hashSplit(t(s, d, "documents"))
+        .groupBy("split").agg(count(lit(1)).as("doc_count"))
+        .orderBy("split"),
+      Some("""WITH b AS (
+          SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+            AS BIGINT) % 1000 AS bucket
+          FROM documents)
+        SELECT CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+          CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM b GROUP BY 1 ORDER BY split""")),
 
     Q("x04_fingerprint",
       // winnowing fingerprint per document; hash family not SQL-portable

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling and dataset splitting for training pipelines.
+ *
+ * Everything keys off a stable md5 hash of the row id — NOT `rand()`
+ * (irreproducible across runs) and NOT `xxhash64` (engine-specific):
+ * md5 of the same id string yields the same bucket on every run, every
+ * cluster size, and every engine, so a train/val/test split is stable
+ * across reprocessing and auditable from outside Spark. All operators
+ * are map-only codegen'd expressions appended to the scan — no shuffle,
+ * no driver state, trivially correct at 100 TB.
+ */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the id's md5 (first 8 hex chars
+   *  → uniform 32-bit int → mod). */
+  def hashBucket(id: Column, buckets: Int = 1000): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong)).cast("int")
+
+  /** Append a `split` column: 'train' / 'val' / 'test' by stable hash
+   *  bucket. Fractions are exact over the bucket space (80/10/10 at the
+   *  default 1000 buckets ⇒ buckets 0-799 / 800-899 / 900-999). */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      trainFraction: Double = 0.8,
+      valFraction: Double = 0.1,
+      buckets: Int = 1000,
+      splitCol: String = "split"): DataFrame = {
+    require(trainFraction + valFraction <= 1.0, "fractions exceed 1.0")
+    val b = hashBucket(col(idCol), buckets)
+    val trainEnd = (trainFraction * buckets).toInt
+    val valEnd = ((trainFraction + valFraction) * buckets).toInt
+    df.withColumn(splitCol,
+      when(b < trainEnd, "train").when(b < valEnd, "val").otherwise("test"))
+  }
+
+  /** Keep a deterministic `fraction` of rows: the SAME rows survive on
+   *  every run (bucket < fraction·buckets). */
+  def deterministicSample(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      fraction: Double,
+      buckets: Int = 1000): DataFrame =
+    df.filter(hashBucket(col(idCol), buckets) < (fraction * buckets).toInt)
+
+  /** Stratified deterministic sample: an independent per-stratum hash
+   *  keeps `fraction` of each stratum (the hash mixes the stratum value
+   *  into the key, so strata don't share bucket assignments). */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      fraction: Double,
+      buckets: Int = 1000): DataFrame =
+    df.filter(
+      hashBucket(concat_ws("|", col(stratumCol).cast("string"),
+        col(idCol).cast("string")), buckets) < (fraction * buckets).toInt)
+}

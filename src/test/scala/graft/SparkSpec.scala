@@ -368,6 +368,47 @@ class FingerprintSpec extends AnyFunSuite {
   }
 }
 
+class SamplingSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.pipeline.Sampling
+
+  private lazy val ids = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
+
+  test("hashSplit is stable, disjoint, and near the requested fractions") {
+    val a = Sampling.hashSplit(ids).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sampling.hashSplit(ids).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b) // identical run to run
+    assert(a.values.sum == 2000)
+    assert(math.abs(a("train") - 1600.0) / 1600.0 < 0.1)
+    assert(a.keySet == Set("train", "val", "test"))
+  }
+
+  test("deterministicSample keeps the same rows every run") {
+    val s1 = Sampling.deterministicSample(ids, "doc_id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.deterministicSample(ids, "doc_id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size - 500.0) / 500.0 < 0.15)
+    // sample of a sample nests: 0.1 ⊂ 0.25 (same hash, smaller cutoff)
+    val s3 = Sampling.deterministicSample(ids, "doc_id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+  }
+
+  test("stratifiedSample keeps ~fraction of each stratum independently") {
+    val strat = ids.withColumn("cat",
+      (col("doc_id") % 2 === 0).cast("string"))
+    val out = Sampling.stratifiedSample(strat, "doc_id", "cat", 0.3)
+      .groupBy("cat").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.values.foreach(n => assert(math.abs(n - 300.0) / 300.0 < 0.2))
+  }
+}
+
 class TrendsSparkSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
