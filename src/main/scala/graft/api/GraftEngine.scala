@@ -135,4 +135,37 @@ final class GraftEngine(
             .otherwise(col("is_valid")).as("is_valid"),
           col("run_at")),
       totalRules, startDate, endDate)
+
+  // ---- training-data pipeline surface (COVERAGE.md "beyond the
+  // reference") — the same operators, reachable from the facade ------
+
+  /** End-to-end dedup of a document table: exact + near-dup clusters →
+   *  one canonical survivor each (Dedup.dedupCorpus). */
+  def dedupTable(
+      table: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      jaccardThreshold: Double = 0.9): DataFrame =
+    graft.pipeline.Dedup.dedupCorpus(catalog.table(table),
+      idCol, textCol, jaccardThreshold)
+
+  /** Corpus vocabulary (token total + doc frequency, top-N). */
+  def vocabulary(table: String, top: Int = 1000): DataFrame =
+    graft.pipeline.TextAnalysis.vocabulary(catalog.table(table), top = top)
+
+  /** Deterministic train/val/test split of a table (stable md5 buckets). */
+  def splitTable(
+      table: String,
+      idCol: String = "doc_id",
+      trainFraction: Double = 0.8,
+      valFraction: Double = 0.1): DataFrame =
+    graft.pipeline.Sampling.hashSplit(catalog.table(table), idCol,
+      trainFraction, valFraction)
+
+  /** S9 usage half: engine-maintained query log + per-table usage
+   *  patterns (QUERY_HISTORY analog). */
+  val queryLog = new graft.sources.QueryLogStore(spark, s"$stateDir/query_log")
+
+  def usagePatterns(tables: Seq[String] = catalog.listTables()): DataFrame =
+    graft.sources.UsageLog.usagePatterns(queryLog.log, tables)
 }

@@ -54,6 +54,23 @@ class EngineSpec extends AnyFunSuite {
     assert(vt(1).getAs[Long]("total_validations") == 0)
   }
 
+  test("pipeline facade: split, vocabulary, query-log usage patterns") {
+    val state = Files.createTempDirectory("graft_pipe").toString
+    val engine = new GraftEngine(spark, sfDir, state)
+    val split = engine.splitTable("documents").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.values.sum > 0 && split.contains("train"))
+    val vocab = engine.vocabulary("documents", top = 10).collect()
+    assert(vocab.length == 10)
+    assert(vocab.head.getAs[Long]("total_count") >=
+      vocab.last.getAs[Long]("total_count"))
+    engine.queryLog.append("SELECT * FROM documents", "SELECT",
+      ts("2026-01-05 10:00:00"))
+    val usage = engine.usagePatterns(Seq("documents", "region")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(usage == Map("documents" -> 1L, "region" -> 0L))
+  }
+
   test("anomaly scan persists detected anomalies through the store") {
     import spark.implicits._
     val state = Files.createTempDirectory("graft_anom").toString
