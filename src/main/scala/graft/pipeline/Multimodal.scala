@@ -81,6 +81,67 @@ object Multimodal {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  // ---- REAL byte-level metadata (no codec library needed) ------------
+
+  /** Container format from magic bytes: png / jpeg / gif / webp / wav /
+   *  mp4 / unknown. Pure byte inspection — works on any binary column
+   *  without a codec, so format histograms over 100 TB of blobs are a
+   *  map-only scan. */
+  private[graft] def sniffFormatBytes(b: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < b.length) b(i) & 0xff else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "jpeg"
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') "gif"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'W' && at(9) == 'E' && at(10) == 'B' && at(11) == 'P') "webp"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
+    else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
+    else "unknown"
+  }
+
+  /** Image (width, height) parsed straight from the header bytes —
+   *  PNG IHDR, JPEG SOF marker scan, GIF logical screen descriptor.
+   *  None for other/corrupt formats. This is REAL metadata extraction
+   *  (headers are spec-fixed byte layouts), distinct from the pixel
+   *  decode which genuinely needs a codec and stays stubbed. */
+  private[graft] def imageDimsBytes(b: Array[Byte]): Option[(Int, Int)] = {
+    def be16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def be32(i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    sniffFormatBytes(b) match {
+      case "png" if b.length >= 24 =>
+        // 8-byte signature, 4-byte length, "IHDR", then width/height BE32
+        Some((be32(16), be32(20)))
+      case "gif" if b.length >= 10 =>
+        Some((le16(6), le16(8)))
+      case "jpeg" =>
+        // scan segments for a start-of-frame marker (C0-CF minus C4/C8/CC)
+        var i = 2
+        while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+          val marker = b(i + 1) & 0xff
+          if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+            return Some((be16(i + 7), be16(i + 5))) // SOF: height then width
+          i += 2 + be16(i + 2)
+        }
+        None
+      case _ => None
+    }
+  }
+
+  /** `format` column from a binary column's magic bytes. */
+  def sniffFormat(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((b: Array[Byte]) => if (b == null) null else sniffFormatBytes(b)).apply(bin)
+
+  /** `struct(width, height)` column parsed from image headers (null for
+   *  non-images / corrupt bytes). */
+  def imageDimensions(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((b: Array[Byte]) =>
+      if (b == null) None else imageDimsBytes(b)).apply(bin)
+
   /** Deterministic synthetic media table for tests/benches (the container
    *  has no real media files): bytes are seeded per id. */
   def syntheticMedia(spark: SparkSession, n: Int, bytesPerRow: Int = 256): Dataset[MediaRow] = {

@@ -503,4 +503,32 @@ class MultimodalSparkSpec extends AnyFunSuite {
     assert(row.getAs[Int]("min_bytes") == 256)
     assert(row.getAs[Long]("null_blobs") == 0)
   }
+
+  test("format sniffing + image dimensions from real header bytes") {
+    import spark.implicits._
+    // spec-correct headers, hand-built: no codec library involved
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    val png = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++ be32(13) ++ "IHDR".getBytes ++
+      be32(640) ++ be32(480) ++ Array.fill(5)(0.toByte)
+    val gif = "GIF89a".getBytes ++
+      Array[Byte](0x20, 0x01, 0x40, 0x02) // 288 x 576 little-endian
+    // JPEG: SOI, APP0 (len 4, empty), SOF0: len 17, prec, h=100, w=200
+    val jpeg = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x00, 0x00,
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x00, 0x64, 0x00, 0xc8)
+      .map(_.toByte) ++ Array.fill(14)(0.toByte)
+    val junk = Array.fill(32)(0x42.toByte)
+    val df = Seq((1L, png), (2L, gif), (3L, jpeg), (4L, junk))
+      .toDF("id", "blob")
+      .select(col("id"), Multimodal.sniffFormat(col("blob")).as("fmt"),
+        Multimodal.imageDimensions(col("blob")).as("dims"))
+    val out = df.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.getStruct(2)).map(s =>
+        (s.getInt(0), s.getInt(1))))).toMap
+    assert(out(1L) == ("png", Some((640, 480))))
+    assert(out(2L) == ("gif", Some((288, 576))))
+    assert(out(3L) == ("jpeg", Some((200, 100))))
+    assert(out(4L) == ("unknown", None))
+  }
 }
