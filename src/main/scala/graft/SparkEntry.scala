@@ -1287,6 +1287,22 @@ object SparkEntry {
         FROM toks WHERE len(token) > 0
         GROUP BY token ORDER BY total_count DESC, token LIMIT 100""")),
 
+    Q("x07_bigram_counts",
+      // word-bigram frequencies: codegen'd transform/slice window over
+      // the token array, one ngram-keyed shuffle, deterministic top cut
+      (s, d) => TextAnalysis.ngramCounts(t(s, d, "documents"),
+        n = 2, top = 100)
+        .orderBy(col("cnt").desc, col("ngram")),
+      Some("""WITH toks AS (
+          SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        idx AS (
+          SELECT unnest(range(1, len(w))) AS i, w
+          FROM toks WHERE len(w) >= 2)
+        SELECT w[i] || ' ' || w[i+1] AS ngram,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM idx GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 100""")),
+
     Q("x06_hash_split",
       // deterministic train/val/test split: stable md5 bucketing, so the
       // same doc lands in the same split on every run and every engine —

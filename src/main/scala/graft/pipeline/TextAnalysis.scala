@@ -174,6 +174,35 @@ object TextAnalysis {
       .orderBy(col("total_count").desc, col("token"))
       .limit(top)
 
+  /** Word n-gram frequencies over a corpus (the n-gram LM / contamination-
+   *  check base): adjacent lowercased tokens joined by a single space,
+   *  one (ngram)-keyed shuffle with map-side partial aggregation, top-N
+   *  under a deterministic (count desc, ngram asc) cut. The explode emits
+   *  (tokens − n + 1) rows per doc but each is a short string — text
+   *  never shuffles whole. */
+  def ngramCounts(
+      docs: DataFrame,
+      textCol: String = "text",
+      n: Int = 2,
+      top: Int = 1000): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    // slide a window of n over the token array with a SQL transform —
+    // codegen'd, no UDF
+    val grams = expr(
+      s"""filter(transform(sequence(0, size(__toks) - $n),
+         |  i -> array_join(slice(__toks, i + 1, $n), ' ')),
+         |  g -> g != '')""".stripMargin)
+    docs
+      .select(toks.as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(top)
+  }
+
   /** The un-folded winnowing output as a column (array<long> of window
    *  minima) — useful when downstream wants set overlap (shared windows
    *  between near-identical docs) rather than a single equality key. */
