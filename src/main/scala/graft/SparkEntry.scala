@@ -396,11 +396,14 @@ object SparkEntry {
     Q("p26_tier_limited_profile",
       (s, d) => {
         import s.implicits._
-        // tier-limited = the cheap pass: approx distinct/percentile (the
-        // exact mode is oracle-checked elsewhere; here the oracle pins
-        // only shape + counts)
+        // tier-limited = the cheap pass: approx distinct/percentile, no
+        // duplicate scan, no top-K, no histograms — the reference's
+        // low-depth tier collects basic stats only (collector.py:150-165;
+        // the exact mode is oracle-checked elsewhere; here the oracle
+        // pins only shape + counts)
         val p = Profiler.profile(t(s, d, "lineitem"), "lineitem",
-          exact = false, maxColumns = 5, includeDuplicates = false)
+          exact = false, maxColumns = 5, includeDuplicates = false,
+          includeDistributions = false, topKMaxColumns = 0)
         Seq((p.table, p.columnCount.toLong, p.columns.size.toLong, p.rowCount))
           .toDF("table_name", "column_count", "profiled_columns", "row_count")
       },
