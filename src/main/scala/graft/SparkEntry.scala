@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.anomalies.Anomalies
 import graft.history.Trends
 import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
-import graft.profiler.Profiler
+import graft.profiler.{IncrementalProfile, Profiler}
 import graft.sources.Catalog
 import graft.types.ValidationRule
 import graft.validations.{DefaultValidations, Runner}
@@ -453,6 +453,38 @@ object SparkEntry {
         CROSS JOIN stats
         LEFT JOIN counts c USING (bucket)
         ORDER BY bucket""")),
+
+    Q("p29_incremental_profile",
+      // mergeable profiling: two disjoint slice states combined WITHOUT
+      // rescanning data must equal the whole-table aggregates. Exactly-
+      // mergeable fields only (integral-valued columns ⇒ order-free
+      // double sums); the HLL distinct estimate is pinned by
+      // IncrementalProfileSpec instead (sketch not SQL-portable).
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        val even = li.filter(col("l_orderkey") % 2 === 0)
+        val odd = li.filter(col("l_orderkey") % 2 =!= 0)
+        IncrementalProfile.merge(
+          IncrementalProfile.sliceState(even, "even")
+            .unionByName(IncrementalProfile.sliceState(odd, "odd")))
+          .select(col("column"), col("cnt"), col("nulls"),
+            col("mn"), col("mx"), col("sm"))
+          .orderBy("column")
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_linenumber", "l_quantity")
+        cols.map(c =>
+          s"""SELECT '$c' AS "column",
+             CAST(COUNT($c) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS nulls,
+             CAST(MIN($c) AS DOUBLE) AS mn,
+             CAST(MAX($c) AS DOUBLE) AS mx,
+             CAST(SUM($c) AS DOUBLE) AS sm
+           FROM lineitem""").mkString(" UNION ALL ") +
+          """ ORDER BY "column""""
+      }),
 
     Q("a08_metric_extraction",
       (s, d) => {

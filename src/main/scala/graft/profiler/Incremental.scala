@@ -1,0 +1,86 @@
+package graft.profiler
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Incremental (mergeable) profiling — the 100 TB upgrade over rescanning:
+ * profile each data slice (a day's partition, a new file batch) ONCE into
+ * a tiny mergeable state row per column, then combine states instead of
+ * re-reading data. Additive stats (count/nulls/sum) add, min/max take
+ * extrema, and distinct counts merge losslessly through DataSketches HLL
+ * union (`hll_sketch_agg` / `hll_union_agg` — mergeable by construction,
+ * unlike a finished COUNT(DISTINCT)). A year of daily states is 365 tiny
+ * rows per column; the combined profile is a metadata-only aggregation.
+ *
+ * The reference recomputes its profile from scratch per run
+ * (profile_engine polls the warehouse each time); this is the Spark-first
+ * replacement for that loop at scale.
+ */
+object IncrementalProfile {
+
+  /** Columns eligible for a state row (atomic types). */
+  private def eligible(f: StructField): Boolean = f.dataType match {
+    case _: NumericType | StringType | DateType | TimestampType |
+         TimestampNTZType | BooleanType => true
+    case _ => false
+  }
+
+  /** One pass over a slice → one state row per column:
+   *  (column, cnt, nulls, mn, mx, sm, sketch).
+   *  min/max/sum are carried as doubles for numerics (null otherwise);
+   *  the HLL sketch hashes the string form so every atomic type merges
+   *  uniformly. All per-column aggregates run in a SINGLE df.agg —
+   *  one scan per slice regardless of column count. */
+  def sliceState(df: DataFrame, sliceId: String): DataFrame = {
+    val cols = df.schema.fields.filter(eligible)
+    require(cols.nonEmpty, "no profilable columns")
+    val aggs = cols.flatMap { f =>
+      val c = col(f.name)
+      val num = f.dataType.isInstanceOf[NumericType]
+      Seq(
+        count(c).as(s"${f.name}__cnt"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
+        (if (num) min(c.cast(DoubleType)) else lit(null).cast(DoubleType))
+          .as(s"${f.name}__mn"),
+        (if (num) max(c.cast(DoubleType)) else lit(null).cast(DoubleType))
+          .as(s"${f.name}__mx"),
+        (if (num) sum(c.cast(DoubleType)) else lit(null).cast(DoubleType))
+          .as(s"${f.name}__sm"),
+        hll_sketch_agg(c.cast(StringType)).as(s"${f.name}__hll"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // melt the single wide row into one state row per column
+    val perCol = cols.map { f =>
+      struct(
+        lit(f.name).as("column"),
+        col(s"${f.name}__cnt").as("cnt"),
+        col(s"${f.name}__nulls").as("nulls"),
+        col(s"${f.name}__mn").as("mn"),
+        col(s"${f.name}__mx").as("mx"),
+        col(s"${f.name}__sm").as("sm"),
+        col(s"${f.name}__hll").as("hll"))
+    }
+    row
+      .select(explode(array(perCol: _*)).as("s"))
+      .select(lit(sliceId).as("slice_id"), col("s.*"))
+  }
+
+  /** Merge any number of slice states into a combined per-column profile:
+   *  metadata-only aggregation over state rows (no data rescan).
+   *  `distinct_estimate` comes from the unioned HLL sketches. */
+  def merge(states: DataFrame): DataFrame =
+    states
+      .groupBy("column")
+      .agg(
+        sum("cnt").as("cnt"),
+        sum("nulls").as("nulls"),
+        min("mn").as("mn"),
+        max("mx").as("mx"),
+        sum("sm").as("sm"),
+        hll_union_agg(col("hll")).as("hll"))
+      .select(col("column"), col("cnt"), col("nulls"), col("mn"),
+        col("mx"), col("sm"),
+        hll_sketch_estimate(col("hll")).as("distinct_estimate"))
+}

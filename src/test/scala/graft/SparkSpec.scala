@@ -368,6 +368,38 @@ class FingerprintSpec extends AnyFunSuite {
   }
 }
 
+class IncrementalProfileSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.profiler.IncrementalProfile
+
+  test("merged slice states reproduce the whole-table profile") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    val even = li.filter(col("l_orderkey") % 2 === 0)
+    val odd = li.filter(col("l_orderkey") % 2 =!= 0)
+    val merged = IncrementalProfile.merge(
+      IncrementalProfile.sliceState(even, "even")
+        .unionByName(IncrementalProfile.sliceState(odd, "odd")))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val qty = merged("l_quantity")
+    assert(qty.getAs[Long]("cnt") == li.count())
+    assert(qty.getAs[Double]("mn") ==
+      li.agg(min(col("l_quantity").cast("double"))).head.getDouble(0))
+    assert(qty.getAs[Double]("mx") ==
+      li.agg(max(col("l_quantity").cast("double"))).head.getDouble(0))
+    // HLL union across slices tracks the exact global distinct count
+    val exactDistinct = li.select("l_orderkey").distinct().count().toDouble
+    val est = merged("l_orderkey").getAs[Long]("distinct_estimate").toDouble
+    assert(math.abs(est - exactDistinct) / exactDistinct < 0.05,
+      s"HLL estimate $est vs exact $exactDistinct")
+    // additive sum merges exactly (doubles: integral quantities)
+    assert(merged("l_quantity").getAs[Double]("sm") ==
+      li.agg(sum(col("l_quantity").cast("double"))).head.getDouble(0))
+    assert(merged("l_returnflag").getAs[Long]("nulls") == 0L)
+  }
+}
+
 class SamplingSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
