@@ -1,0 +1,93 @@
+package graft.scheduler
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import graft.api.GraftEngine
+import graft.scheduler.Scheduler.{Job, defaultJobs, dueJobs}
+import graft.scheduler.TaskQueue.{MetadataTask, PriorityTaskQueue, WorkerPool}
+
+/**
+ * End-to-end automation orchestration (SURVEY.md §3.3): the reference
+ * runs a scheduler loop that enqueues metadata/schema/validation jobs
+ * into the priority task queue, which a bounded worker pool drains
+ * (simplified_scheduler.py + core/metadata/worker.py). This class is
+ * that loop, wired to [[GraftEngine]]:
+ *
+ *   tick(now) → due jobs (Scheduler) → tasks (PriorityTaskQueue)
+ *             → WorkerPool → engine.detectSchemaChanges /
+ *               profileTable / runValidations
+ *
+ * Driver-side only: each executed task fires one Spark action chain;
+ * the cluster parallelizes the data work, the pool only bounds how many
+ * actions are in flight.
+ *
+ * Priorities mirror the reference's stance (schema drift is the page-
+ * worthy event; metadata refresh routine; validation suites heavy and
+ * least urgent): schema_change_detection=high, metadata_refresh=medium,
+ * validation_automation=low.
+ */
+final class Automation(
+    engine: GraftEngine,
+    tables: Seq[String],
+    maxWorkers: Int = 3) {
+
+  private val queue = new PriorityTaskQueue
+  @volatile private var jobs: Seq[Job] = defaultJobs
+  @volatile private var lastErr: Option[Throwable] = None
+
+  private def priorityOf(jobType: String): String = jobType match {
+    case "schema_change_detection" => "high"
+    case "validation_automation" => "low"
+    case _ => "medium"
+  }
+
+  private def execute(task: MetadataTask): Unit = {
+    val now = Timestamp.from(Instant.parse(task.params("now")))
+    task.taskType match {
+      case "metadata_refresh" =>
+        tables.foreach(t => engine.profileTable(t, now))
+      case "schema_change_detection" =>
+        engine.detectSchemaChanges(now)
+      case "validation_automation" =>
+        // runValidations generates the table's default rule suite itself
+        tables.foreach(t => engine.runValidations(t, now))
+      case other => sys.error(s"unknown job type: $other")
+    }
+  }
+
+  private val pool = new WorkerPool(queue,
+    t => try execute(t) catch { case e: Throwable => lastErr = Some(e); throw e },
+    maxWorkers)
+  pool.start()
+
+  /** One scheduler tick: enqueue every due job (priority by type) and
+   *  mark it run. Returns the enqueued job ids. */
+  def tick(now: Instant): Seq[String] = {
+    val due = dueJobs(jobs, now)
+    due.foreach { j =>
+      queue.put(MetadataTask(
+        id = s"${j.id}@$now",
+        taskType = j.jobType,
+        connectionId = "default",
+        params = Map("now" -> now.toString),
+        priority = priorityOf(j.jobType)))
+    }
+    val dueIds = due.map(_.id).toSet
+    jobs = jobs.map(j =>
+      if (dueIds(j.id)) j.copy(lastRun = Some(now)) else j)
+    due.map(_.id)
+  }
+
+  /** Block until enqueued work is done; surfaces the first handler
+   *  error (tests + callers should not get silent failures). */
+  def drain(timeoutMillis: Long = 120000L): Unit = {
+    val done = pool.awaitQuiescence(timeoutMillis)
+    lastErr.foreach(e => throw new RuntimeException("automation task failed", e))
+    require(done, s"automation did not drain within ${timeoutMillis}ms")
+  }
+
+  def stats: TaskQueue.PoolStats = pool.stats
+
+  def shutdown(): Unit = pool.stop()
+}

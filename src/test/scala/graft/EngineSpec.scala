@@ -71,6 +71,26 @@ class EngineSpec extends AnyFunSuite {
     assert(usage == Map("documents" -> 1L, "region" -> 0L))
   }
 
+  test("automation: due jobs flow through queue + pool into the engine") {
+    import java.time.Instant
+    val state = Files.createTempDirectory("graft_auto").toString
+    val engine = new GraftEngine(spark, sfDir, state)
+    val auto = new graft.scheduler.Automation(engine, Seq("region", "nation"))
+    try {
+      // never-run defaults: all three job families fire on the first tick
+      val fired = auto.tick(Instant.parse("2026-01-05T04:00:00Z"))
+      assert(fired.toSet == Set("metadata_refresh",
+        "schema_change_detection", "validation_automation"))
+      auto.drain()
+      assert(auto.stats.processed == 3 && auto.stats.failed == 0)
+      // the executed jobs hit real engine surfaces:
+      assert(engine.profiles.history("region").count() >= 1) // profiled
+      assert(engine.validations.results("region").count() > 0) // validated
+      // a second tick the same day enqueues nothing (daily/weekly dedup)
+      assert(auto.tick(Instant.parse("2026-01-05T05:00:00Z")).isEmpty)
+    } finally auto.shutdown()
+  }
+
   test("anomaly scan persists detected anomalies through the store") {
     import spark.implicits._
     val state = Files.createTempDirectory("graft_anom").toString
