@@ -22,7 +22,9 @@ object TextAnalysis {
    *  punctuation — a deterministic stand-in for a real tokenizer's piece
    *  count, implemented as one regexp scan. */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"), lit(0)))
+    // regexp_count ≡ size(regexp_extract_all(.., 0)) but never
+    // materializes the match array — pure counting in the regex loop
+    regexp_count(text, lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"))
 
   /** Fraction of characters that are ASCII letters. */
   def alphaRatio(text: Column): Column =
