@@ -1338,6 +1338,35 @@ object SparkEntry {
           CAST(COUNT(*) AS BIGINT) AS cnt
         FROM idx GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 100""")),
 
+    Q("x08_decontamination",
+      // benchmark-contamination check: docs 0-9 play the "benchmark";
+      // every doc reports what fraction of its distinct bigrams appear
+      // in the benchmark's bigram set (broadcast join, one corpus pass)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = TextAnalysis.wordNgrams(
+          docs.filter(col("doc_id") < 10)).select("ngram")
+        TextAnalysis.contamination(docs, bench).orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS ngram
+          FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+                FROM toks WHERE len(w) >= 2)),
+        bench AS (SELECT DISTINCT ngram FROM grams WHERE doc_id < 10),
+        per AS (
+          SELECT g.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+            CAST(COUNT(b.ngram) AS BIGINT) AS matched_ngrams
+          FROM grams g LEFT JOIN bench b USING (ngram)
+          GROUP BY g.doc_id)
+        SELECT doc_id, total_ngrams, matched_ngrams,
+          ROUND(CAST(matched_ngrams AS DOUBLE) / total_ngrams, 6)
+            AS contamination
+        FROM per ORDER BY doc_id""")),
+
     Q("x06_hash_split",
       // deterministic train/val/test split: stable md5 bucketing, so the
       // same doc lands in the same split on every run and every engine —

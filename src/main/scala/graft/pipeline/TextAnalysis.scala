@@ -205,6 +205,54 @@ object TextAnalysis {
       .limit(top)
   }
 
+  /** Distinct word n-grams per document as (id, ngram) rows — the
+   *  building block for contamination checks and n-gram set ops. Same
+   *  codegen'd transform/slice window as [[ngramCounts]], deduplicated
+   *  per document before the explode. */
+  def wordNgrams(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = expr(
+      s"""array_distinct(filter(transform(sequence(0, size(__toks) - $n),
+         |  i -> array_join(slice(__toks, i + 1, $n), ' ')),
+         |  g -> g != ''))""".stripMargin)
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), explode(grams).as("ngram"))
+  }
+
+  /** Benchmark decontamination: for every document, the fraction of its
+   *  distinct word n-grams that appear in a benchmark n-gram set — the
+   *  standard check that training text does not contain evaluation data.
+   *  The benchmark set is driver-small and BROADCAST, so the corpus
+   *  makes one pass: explode to (doc, gram), broadcast-hash-join against
+   *  the benchmark, one doc-keyed aggregation. Filter the output on
+   *  `contamination` to drop leaky documents. */
+  def contamination(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 2,
+      benchCol: String = "ngram"): DataFrame = {
+    val bench = broadcast(
+      benchmark.select(col(benchCol).as("ngram")).distinct()
+        .withColumn("__hit", lit(1)))
+    wordNgrams(docs, idCol, textCol, n)
+      .join(bench, Seq("ngram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("total_ngrams"),
+        coalesce(sum(col("__hit")), lit(0)).cast("long").as("matched_ngrams"))
+      .withColumn("contamination",
+        round(col("matched_ngrams").cast("double") / col("total_ngrams"), 6))
+  }
+
   /** The un-folded winnowing output as a column (array<long> of window
    *  minima) — useful when downstream wants set overlap (shared windows
    *  between near-identical docs) rather than a single equality key. */
