@@ -96,6 +96,56 @@ object StreamingDetect {
         GroupStateTimeout.NoTimeout())(step)
   }
 
+  /** Continuous profiling: per-window column stats over a stream, one
+   *  watermarked streaming aggregation. Each output row is a MERGEABLE
+   *  slice state in the exact shape `IncrementalProfile.merge` consumes
+   *  (slice_id = window end, then count/nulls/min/max/sum + HLL
+   *  sketch) — so the running whole-history profile is a metadata-only
+   *  merge over this stream's sink, never a rescan. Stream state is
+   *  bounded by the watermark: closed windows emit and drop. */
+  def streamingProfile(
+      events: DataFrame,
+      tsCol: String,
+      cols: Seq[String],
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, NumericType, StringType}
+    require(cols.nonEmpty, "no columns to profile")
+    val schema = events.schema
+    val aggs = cols.flatMap { name =>
+      val c = col(name)
+      val num = schema(name).dataType.isInstanceOf[NumericType]
+      Seq(
+        count(c).as(s"${name}__cnt"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${name}__nulls"),
+        (if (num) min(c.cast(DoubleType)) else lit(null).cast(DoubleType))
+          .as(s"${name}__mn"),
+        (if (num) max(c.cast(DoubleType)) else lit(null).cast(DoubleType))
+          .as(s"${name}__mx"),
+        (if (num) sum(c.cast(DoubleType)) else lit(null).cast(DoubleType))
+          .as(s"${name}__sm"),
+        hll_sketch_agg(c.cast(StringType)).as(s"${name}__hll"))
+    }
+    val perWindow = events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLength))
+      .agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map { name =>
+      struct(
+        lit(name).as("column"),
+        col(s"${name}__cnt").as("cnt"),
+        col(s"${name}__nulls").as("nulls"),
+        col(s"${name}__mn").as("mn"),
+        col(s"${name}__mx").as("mx"),
+        col(s"${name}__sm").as("sm"),
+        col(s"${name}__hll").as("hll"))
+    }
+    perWindow
+      .select(col("window.end").cast("string").as("slice_id"),
+        explode(array(perCol: _*)).as("s"))
+      .select(col("slice_id"), col("s.*"))
+  }
+
   final case class Doc(docId: Long, text: String)
 
   /** Streaming exact dedup: emit only the FIRST document per content

@@ -282,6 +282,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming profile emits mergeable slice states per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingDetect.MetricEvent]
+    val prof = StreamingDetect.streamingProfile(
+      input.toDS().toDF(), "ts", Seq("value"),
+      windowLength = "10 minutes", watermark = "0 seconds")
+    val query = prof.writeStream.format("memory").queryName("prof_out")
+      .outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      // two 10-minute windows of 10 points each, values 0-9 / 10-19
+      input.addData((0 until 20).map(i =>
+        StreamingDetect.MetricEvent("s",
+          new Timestamp(base + i * 60000L), i.toDouble)): _*)
+      // a late event pushes the watermark so both windows close
+      input.addData(StreamingDetect.MetricEvent("s",
+        new Timestamp(base + 3600000L), 0.0))
+      query.processAllAvailable()
+      import org.apache.spark.sql.functions.col
+      val states = spark.table("prof_out")
+        .filter(col("slice_id") < "2026-01-01 00:30:00")
+      assert(states.count() == 2) // one state row per closed window
+      // the streaming states merge through the SAME batch path
+      val merged = graft.profiler.IncrementalProfile.merge(
+        states.drop("slice_id")
+          .select("column", "cnt", "nulls", "mn", "mx", "sm", "hll"))
+        .collect()(0)
+      assert(merged.getAs[Long]("cnt") == 20L)
+      assert(merged.getAs[Double]("mn") == 0.0)
+      assert(merged.getAs[Double]("mx") == 19.0)
+      assert(merged.getAs[Double]("sm") == 190.0)
+      val est = merged.getAs[Long]("distinct_estimate")
+      assert(est >= 19 && est <= 21) // 20 distinct values
+    } finally query.stop()
+  }
+
   test("windowed series aggregates counts per (series, window)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
