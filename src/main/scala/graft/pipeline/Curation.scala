@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * The full corpus-curation pipeline in one composition — what the
+ * individual operators exist FOR. Order matters and is the cheap-first
+ * order a 100 TB run wants:
+ *
+ *   1. quality gate   — map-only text metrics (languageId, qualityScore,
+ *                       token count); drops the bulk of junk before any
+ *                       shuffle touches it
+ *   2. decontaminate  — broadcast n-gram overlap vs the benchmark set;
+ *                       one pass over the survivors
+ *   3. dedup          — exact + MinHash-LSH near-dup → connected
+ *                       components → one canonical doc per cluster
+ *                       (the only shuffling stage, run on the smallest
+ *                       possible corpus)
+ *   4. split          — deterministic md5 train/val/test assignment
+ *
+ * Output: the surviving docs with their text metrics and a `split`
+ * column, ready to write partitioned by split.
+ */
+object Curation {
+
+  final case class CurationConfig(
+      minQualityScore: Double = 0.5,
+      minTokens: Int = 10,
+      allowedLangs: Seq[String] = Nil, // empty = any language
+      // decontamination: max fraction of a doc's distinct n-grams found
+      // in the benchmark set; None or no benchmark = skip the gate
+      maxContamination: Option[Double] = Some(0.2),
+      contaminationNgram: Int = 2,
+      jaccardThreshold: Double = 0.9,
+      trainFraction: Double = 0.8,
+      valFraction: Double = 0.1)
+
+  def curateCorpus(
+      docs: DataFrame,
+      benchmark: Option[DataFrame] = None,
+      config: CurationConfig = CurationConfig(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // 1. quality gate (map-only; composes into the scan)
+    var kept = TextAnalysis.profileText(docs, textCol)
+      .filter(col("quality_score") >= config.minQualityScore)
+      .filter(col("n_tokens") >= config.minTokens)
+    if (config.allowedLangs.nonEmpty)
+      kept = kept.filter(col("lang_detected").isInCollection(config.allowedLangs))
+
+    // 2. decontamination (broadcast benchmark, one pass)
+    (benchmark, config.maxContamination) match {
+      case (Some(bench), Some(maxC)) =>
+        val leaky = TextAnalysis.contamination(kept, bench,
+          idCol, textCol, config.contaminationNgram)
+          .filter(col("contamination") > maxC)
+          .select(col(idCol))
+        kept = kept.join(leaky, Seq(idCol), "left_anti")
+      case _ => ()
+    }
+
+    // 3. dedup (exact + near-dup clusters → canonical survivors)
+    kept = Dedup.dedupCorpus(kept, idCol, textCol, config.jaccardThreshold)
+
+    // 4. deterministic split
+    Sampling.hashSplit(kept, idCol, config.trainFraction, config.valFraction)
+  }
+}

@@ -368,6 +368,46 @@ class FingerprintSpec extends AnyFunSuite {
   }
 }
 
+class CurationSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.pipeline.Curation
+  import Curation.CurationConfig
+
+  test("curateCorpus: quality gate, decontamination, dedup, split") {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .orderBy("doc_id").limit(15)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val evalText = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (base.toSeq ++ Seq(
+      (900001L, "hi"), // quality gate: too short
+      (900002L, base(0)._2), // dedup: exact clone of doc 0
+      // decontamination: over half its bigrams come from the benchmark,
+      // but the filler keeps it from being a near-dup of anything
+      (900003L, evalText + " zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10")))
+      .toDF("doc_id", "text")
+    val bench = graft.pipeline.TextAnalysis.wordNgrams(
+      Seq((0L, evalText)).toDF("doc_id", "text")).select("ngram")
+    val cfg = CurationConfig(minQualityScore = 0.0, minTokens = 10)
+
+    val out = Curation.curateCorpus(corpus, Some(bench), cfg)
+    val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!kept.contains(900001L)) // junk gated
+    assert(!kept.contains(900002L)) // clone deduped
+    assert(!kept.contains(900003L)) // leaky doc decontaminated
+    assert(kept.contains(base(0)._1))
+    // survivors carry metrics + a valid split assignment
+    val row = out.filter(col("doc_id") === base(0)._1).collect()(0)
+    assert(Set("train", "val", "test")(row.getAs[String]("split")))
+    assert(row.getAs[Int]("n_tokens") >= 10)
+
+    // without a benchmark the contaminated doc survives curation
+    val noBench = Curation.curateCorpus(corpus, None, cfg)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(noBench.contains(900003L))
+  }
+}
+
 class IncrementalProfileSpec extends AnyFunSuite {
   import SharedSpark._
   import graft.profiler.IncrementalProfile
