@@ -71,5 +71,17 @@ final class QueryLogStore(spark: SparkSession, path: String) {
       .write.mode(SaveMode.Append).partitionBy("date").parquet(path)
   }
 
-  def log: DataFrame = spark.read.parquet(path)
+  /** The log as a DataFrame; an empty (schema-correct) frame before the
+   *  first append, so usage queries work on a fresh install. */
+  def log: DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      spark.read.parquet(path)
+    else {
+      import spark.implicits._
+      Seq.empty[(String, String, java.sql.Timestamp)]
+        .toDF("query_text", "query_type", "start_time")
+    }
+  }
 }

@@ -136,6 +136,12 @@ class ConnectionsSpec extends AnyFunSuite {
     assert(out("customer") ==
       (1L, Some(Timestamp.valueOf("2026-01-01 10:00:00"))))
     assert(out("nation") == (0L, None)) // densified: never mentioned
+    // fresh install: the log is empty but schema-correct, so usage
+    // queries return all-zero rows instead of failing on a missing path
+    val fresh = new QueryLogStore(spark,
+      Files.createTempDirectory("graft_qlog_empty").toString + "/log")
+    val empty = UsageLog.usagePatterns(fresh.log, Seq("orders")).collect()
+    assert(empty.length == 1 && empty(0).getLong(1) == 0L)
   }
 
   test("catalog rowCounts: one job matches per-table count()") {
