@@ -1338,6 +1338,25 @@ object SparkEntry {
           CAST(COUNT(*) AS BIGINT) AS cnt
         FROM idx GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 100""")),
 
+    Q("x09_repetition",
+      // Gopher-style within-doc repetition: duplicated-bigram fraction,
+      // a pure per-row array expression (no explode, no shuffle)
+      (s, d) => TextAnalysis.repetitionRatio(t(s, d, "documents"))
+        .select("doc_id", "repetition")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        g AS (
+          SELECT doc_id, len(w) AS nw,
+            [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS grams
+          FROM toks)
+        SELECT doc_id,
+          CASE WHEN nw >= 2 THEN ROUND(CAST(1.0 AS DOUBLE)
+              - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS repetition
+        FROM g ORDER BY doc_id""")),
+
     Q("x08_decontamination",
       // benchmark-contamination check: docs 0-9 play the "benchmark";
       // every doc reports what fraction of its distinct bigrams appear

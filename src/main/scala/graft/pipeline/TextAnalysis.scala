@@ -205,6 +205,32 @@ object TextAnalysis {
       .limit(top)
   }
 
+  /** Within-document repetition: the fraction of a doc's word n-grams
+   *  that are duplicates (1 − distinct/total) — the Gopher-style
+   *  repetition quality signal (template spam and degenerate generations
+   *  score high). Map-only, no explode, no shuffle; the token and gram
+   *  arrays are STAGED projections so the regex split and the gram
+   *  window each evaluate once per row (inlining them into one
+   *  expression re-ran the split per reference — measured 10× slower). */
+  def repetitionRatio(
+      docs: DataFrame,
+      textCol: String = "text",
+      n: Int = 2,
+      outCol: String = "repetition"): DataFrame =
+    docs
+      .withColumn("__toks", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("__grams",
+        when(size(col("__toks")) >= n,
+          transform(sequence(lit(0), size(col("__toks")) - n),
+            i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>")))
+      .withColumn(outCol,
+        when(size(col("__grams")) > 0,
+          round(lit(1.0) - size(array_distinct(col("__grams")))
+            .cast("double") / size(col("__grams")), 6))
+          .otherwise(lit(0.0)))
+      .drop("__toks", "__grams")
+
   /** Distinct word n-grams per document as (id, ngram) rows — the
    *  building block for contamination checks and n-gram set ops. Same
    *  codegen'd transform/slice window as [[ngramCounts]], deduplicated
