@@ -29,6 +29,7 @@ object Bench {
     // deterministic (sorted) query order so per-query numbers are
     // attributable run-to-run; failures recorded as -1 + a failed list
     val failed = Seq.newBuilder[String]
+    val swept = Seq.newBuilder[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column — count() would let Catalyst
@@ -40,13 +41,31 @@ object Bench {
           failed += name
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // session hygiene: leftover storage blocks from one query degrade
+      // every later query (round-3 artifact: the back half of the suite
+      // ran 4–13× slow behind leaked LSH signature caches). After each
+      // query's action completes, sweep any persistent blocks and record
+      // which query left them — expected only for operators whose RESULT
+      // is checkpoint-backed (d05 connected components cuts lineage with
+      // localCheckpoint; its final blocks ARE the returned frame and the
+      // caller owns them — here, the suite is that caller).
+      val leftovers = spark.sparkContext.getPersistentRDDs
+      if (leftovers.nonEmpty) {
+        swept += name
+        System.err.println(
+          s"[bench] sweeping ${leftovers.size} persistent RDD(s) left by $name")
+        leftovers.values.foreach(_.unpersist(false))
+      }
+      spark.catalog.clearCache()
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sweptJson = swept.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"swept":$sweptJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

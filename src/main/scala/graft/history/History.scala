@@ -172,10 +172,6 @@ object Trends {
       changedCol: String = "change_detected"): DataFrame = {
     val parts = objectCols.map(col)
     val wChg = Window.partitionBy(parts: _*).orderBy(col(tsCol))
-    val withPrev = checks
-      .withColumn("__prevChangeTs",
-        lag(when(col(changedCol), col(tsCol)), 1, null).over(
-          Window.partitionBy(parts: _*).orderBy(col(tsCol))))
     // hours between consecutive DETECTED changes: restrict to changed rows
     val changed = checks.filter(col(changedCol))
       .withColumn("__prevTs", lag(col(tsCol), 1).over(wChg))

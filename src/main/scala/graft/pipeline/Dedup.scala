@@ -185,7 +185,14 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
    *  verify by signature-agreement (estimated Jaccard) ≥ threshold.
    *  Shuffle volume is O(rows × bands) keys + O(candidates) signature
-   *  joins — never all-pairs. */
+   *  joins — never all-pairs.
+   *
+   *  The signature projection is referenced three times (candidate keys
+   *  + both sides of the verify join) and deliberately NOT cached: a
+   *  leaked `.cache()` here degraded every later query in the round-3
+   *  bench session. Recomputing costs two extra map-side scans; at a
+   *  scale where that matters, persist `minhashSignatures` output to a
+   *  table yourself and call [[nearDuplicatesFromSignatures]]. */
   def nearDuplicatesMinhash(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -194,9 +201,20 @@ object Dedup {
       numHashes: Int = 128,
       numBands: Int = 16,
       threshold: Double = 0.7,
-      seed: Long = 42L): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, numHashes,
-      numBands, seed).cache()
+      seed: Long = 42L): DataFrame =
+    nearDuplicatesFromSignatures(
+      minhashSignatures(docs, idCol, textCol, shingleK, numHashes,
+        numBands, seed),
+      idCol, threshold)
+
+  /** Verify stage over a precomputed (or persisted) signature frame —
+   *  the explicit scale path: compute signatures once, write them out,
+   *  and run candidate generation + verification against the stored
+   *  table so the corpus text is never re-scanned. */
+  def nearDuplicatesFromSignatures(
+      sigs: DataFrame,
+      idCol: String = "doc_id",
+      threshold: Double = 0.7): DataFrame = {
     val pairs = lshCandidatePairs(sigs, idCol)
     val sigA = sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a"))
     val sigB = sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b"))

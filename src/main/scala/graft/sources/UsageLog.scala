@@ -33,17 +33,27 @@ object UsageLog {
       tsCol: String = "start_time"): DataFrame = {
     val spark = queryLog.sparkSession
     import spark.implicits._
-    val tabs = broadcast(tables.toDF("table_name"))
+    val tabs = tables.toDF("table_name")
     val selects = queryLog
       .filter(col(queryTypeCol) === "SELECT")
       .select(lower(col(queryTextCol)).as("__txt"), col(tsCol).as("__ts"))
-    tabs
-      .join(selects,
-        contains(col("__txt"), lower(col("table_name"))), "left")
+    // STREAM the (unbounded) log, BROADCAST the (driver-small) table
+    // list: the non-equi contains() join can only be a nested-loop join,
+    // and only a broadcast of the table side keeps it parallel — the
+    // inverted form (broadcast hint on the left of a left join) is
+    // unusable for BNLJ build and made Spark broadcast the whole log.
+    val matched = selects
+      .join(broadcast(tabs), contains(col("__txt"), lower(col("table_name"))))
       .groupBy("table_name")
       .agg(
-        count(col("__ts")).as("access_count"), // count(col): 0 on no match
+        count(col("__ts")).as("access_count"),
         max(col("__ts")).as("last_accessed"))
+    // densify: tables never mentioned still get a row (0, null) — a
+    // tiny post-aggregation join (|tables| rows on both sides)
+    tabs.join(matched, Seq("table_name"), "left")
+      .select(col("table_name"),
+        coalesce(col("access_count"), lit(0L)).as("access_count"),
+        col("last_accessed"))
   }
 
   /** Single-table convenience matching the reference's return shape. */
