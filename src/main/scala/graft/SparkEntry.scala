@@ -56,6 +56,17 @@ object SparkEntry {
     case x => x.toString.toDouble
   }
 
+  /** Scratch state dir for queries exercising the persistence layer
+   *  (stores/engine). Wiped at every call so the query is idempotent —
+   *  verify and bench can run it any number of times. */
+  private def freshState(s: SparkSession, name: String): String = {
+    val path = s"/tmp/graft_qstate/$name"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    path
+  }
+
   /** Flagship: full profile of lineitem at the given SF; driver
    *  smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -362,6 +373,51 @@ object SparkEntry {
         ROUND(COUNT(CASE WHEN c_mktsegment IS NOT NULL
           AND NOT regexp_matches(c_mktsegment, '^(BUILDING|MACHINERY)') THEN 1 END) * 100.0 / COUNT(*), 6) AS non_matching_percentage
         FROM customer""")),
+
+    // P21: email/phone/postal format checks (the Validations family-9
+    // predicates, default_validations.py:255-300) counted over customer
+    // with deterministic synthesized invalids — every Nth key is
+    // corrupted the same way on both engines, so the counts are real
+    // format-check behavior, not an always-zero tautology.
+    Q("p21_format_checks",
+      (s, d) => {
+        val email = lower(concat(regexp_replace(col("c_name"), " ", "."),
+          when(col("c_custkey") % 5 === 0, "_at_acme.com")
+            .otherwise("@acme.com")))
+        // the sf customer table carries no phone/postal columns, so both
+        // are synthesized from c_custkey the same way on both engines
+        val phone = when(col("c_custkey") % 7 === 0,
+          concat(lit("PHONE-"), col("c_custkey").cast("string")))
+          .otherwise(concat(col("c_custkey").cast("string"), lit("-555-0100")))
+        val postal = when(col("c_custkey") % 11 === 0, lit(" A "))
+          .otherwise(lpad((col("c_custkey") % 100000).cast("string"), 5, "0"))
+        t(s, d, "customer").agg(
+          count(lit(1)).as("total_rows"),
+          coalesce(sum(when(!email.like("%@%.%"), 1L).otherwise(0L)), lit(0L))
+            .as("email_invalid"),
+          coalesce(sum(when(!phone.rlike("^(\\+)?[0-9][0-9 ()-]+$"), 1L)
+            .otherwise(0L)), lit(0L)).as("phone_invalid"),
+          coalesce(sum(when(length(trim(postal)) < 3, 1L).otherwise(0L)), lit(0L))
+            .as("postal_invalid"))
+      },
+      Some("""WITH c AS (
+          SELECT lower(concat(replace(c_name, ' ', '.'),
+              CASE WHEN c_custkey % 5 = 0 THEN '_at_acme.com'
+                ELSE '@acme.com' END)) AS email,
+            CASE WHEN c_custkey % 7 = 0 THEN concat('PHONE-', c_custkey)
+              ELSE concat(c_custkey, '-555-0100') END AS phone,
+            CASE WHEN c_custkey % 11 = 0 THEN ' A '
+              ELSE lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') END
+              AS postal
+          FROM customer)
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+          CAST(COUNT(CASE WHEN email NOT LIKE '%@%.%' THEN 1 END) AS BIGINT)
+            AS email_invalid,
+          CAST(COUNT(CASE WHEN NOT regexp_matches(phone,
+            '^(\+)?[0-9][0-9 ()-]+$') THEN 1 END) AS BIGINT) AS phone_invalid,
+          CAST(COUNT(CASE WHEN LENGTH(TRIM(postal)) < 3 THEN 1 END) AS BIGINT)
+            AS postal_invalid
+        FROM c""")),
 
     Q("p24_health_scores",
       (s, d) => {
@@ -692,6 +748,46 @@ object SparkEntry {
            SELECT CASE WHEN prev_count.count IS NULL THEN 0
              WHEN ABS(current_count.count - prev_count.count) > prev_count.count * 0.2 THEN 1
              ELSE 0 END FROM current_count, prev_count) = 0
+        ORDER BY rule_name""")),
+
+    // V-series (rule store): persist a suite, update + deactivate, then
+    // run what the STORE says is active (supabase_validation_manager.py
+    // add_rule/update_rule/deactivate_rule). The oracle recomputes the
+    // two surviving rules' predicates over region — latest-version-wins
+    // is observable because the updated threshold (1000, passing) must
+    // shadow the original (3, failing).
+    Q("v05_stored_rules",
+      (s, d) => {
+        Catalog(s, d).registerAll()
+        import s.implicits._
+        val store = new graft.validations.RuleStore(s,
+          freshState(s, "v05") + "/rules")
+        val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+        val ts2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+        store.addRule("region", ValidationRule("check_region_not_empty",
+          "region has rows", "SELECT COUNT(*) FROM region",
+          "greater_than", 0L), ts1)
+        store.addRule("region", ValidationRule("check_region_max_rows",
+          "region small", "SELECT COUNT(*) FROM region",
+          "less_than", 3L), ts1)
+        store.addRule("region", ValidationRule("check_region_temp",
+          "throwaway", "SELECT 1", "equals", 1L), ts1)
+        store.updateRule("region", ValidationRule("check_region_max_rows",
+          "region small", "SELECT COUNT(*) FROM region",
+          "less_than", 1000L), ts2)
+        store.deactivateRule("region", "check_region_temp", ts2)
+        Runner.runAll(s, store.activeRules("region"))
+          .map(r => (r.ruleName, r.isValid,
+            r.actualValue.map(anyToDouble).getOrElse(-1.0)))
+          .toSeq.toDF("rule_name", "is_valid", "actual_value")
+          .orderBy("rule_name")
+      },
+      Some("""SELECT 'check_region_max_rows' AS rule_name,
+          (SELECT COUNT(*) FROM region) < 1000 AS is_valid,
+          CAST((SELECT COUNT(*) FROM region) AS DOUBLE) AS actual_value
+        UNION ALL SELECT 'check_region_not_empty',
+          (SELECT COUNT(*) FROM region) > 0,
+          CAST((SELECT COUNT(*) FROM region) AS DOUBLE)
         ORDER BY rule_name""")))
 
   // ------------------------------------------------------------------
@@ -857,13 +953,134 @@ object SparkEntry {
           CAST(2.0 AS DOUBLE) AS threshold,
           CASE WHEN raw_score > 4.0 THEN 'high' WHEN raw_score > 2.5 THEN 'medium'
             ELSE 'low' END AS severity
-        FROM fin ORDER BY event_type, day""")))
+        FROM fin ORDER BY event_type, day""")),
+
+    // A7 batch half (config store + scan-everything-configured): persist
+    // two configs with DIFFERENT methods, feed the metrics store a
+    // spiked daily series, run the no-args batch scan — configs route
+    // their own series through their own detector and the union comes
+    // back in one job. Day 15 is deterministically boosted 10× so both
+    // detectors fire (detect() emits anomalies only).
+    Q("a09_config_scan",
+      (s, d) => {
+        val engine = new graft.api.GraftEngine(s, d, freshState(s, "a09"))
+        // only the two configured series are stored: the metrics store
+        // partitions by (connection, table, date), so every extra series
+        // is 30 more one-row partition writes for data the scan ignores
+        val pts = eventsTable(s, d)
+          .filter(col("event_type").isin("click", "error"))
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).cast("double").as("metric_value"))
+          .select(lit("default").as("connection_id"),
+            col("event_type").as("table_name"),
+            lit(null).cast("string").as("column_name"),
+            lit("daily_events").as("metric_name"),
+            when(col("day") === lit(java.sql.Date.valueOf("2024-01-15")),
+              col("metric_value") * 10).otherwise(col("metric_value"))
+              .as("metric_value"),
+            col("day").cast("timestamp").as("ts"))
+        engine.metrics.append(pts)
+        val ts1 = java.sql.Timestamp.valueOf("2024-01-31 00:00:00")
+        engine.anomalyConfigs.createConfig(graft.types.AnomalyConfig(
+          "daily_events", "click", detectionMethod = "zscore"), ts1)
+        engine.anomalyConfigs.createConfig(graft.types.AnomalyConfig(
+          "daily_events", "error", detectionMethod = "iqr"), ts1)
+        engine.runAnomalyScanAll(ts1, historyDays = 31)
+          .select(col("table_name"), col("metric_name"), col("method"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("metric_value"), round(col("score"), 6).as("score"),
+            col("is_anomaly"), col("threshold"), col("severity"))
+          .orderBy("method", "table_name", "day")
+      },
+      Some("""WITH series0 AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(COUNT(*) AS DOUBLE) AS value
+          FROM events GROUP BY 1, 2),
+        series AS (
+          SELECT event_type, day,
+            CASE WHEN day = DATE '2024-01-15' THEN value * 10 ELSE value END
+              AS value
+          FROM series0 WHERE event_type IN ('click', 'error')),
+        z AS (
+          SELECT event_type, day, value,
+            AVG(value) OVER (PARTITION BY event_type) AS m,
+            STDDEV_POP(value) OVER (PARTITION BY event_type) AS sd,
+            COUNT(value) OVER (PARTITION BY event_type) AS n
+          FROM series WHERE event_type = 'click'),
+        zs AS (
+          SELECT event_type, day, value,
+            CASE WHEN sd = 0 THEN 0.0 ELSE ABS((value - m) / sd) END AS raw_score
+          FROM z WHERE n >= 2),
+        zfin AS (
+          SELECT event_type AS table_name, 'daily_events' AS metric_name,
+            'zscore' AS method, strftime(day, '%Y-%m-%d') AS day,
+            value AS metric_value, ROUND(raw_score, 6) AS score,
+            TRUE AS is_anomaly, CAST(3.0 AS DOUBLE) AS threshold,
+            CASE WHEN raw_score > 5.0 THEN 'high'
+              WHEN raw_score > 3.5 THEN 'medium' ELSE 'low' END AS severity
+          FROM zs WHERE raw_score > 3.0),
+        i AS (
+          SELECT event_type, day, value,
+            quantile_cont(value, 0.25) OVER (PARTITION BY event_type) AS q1,
+            quantile_cont(value, 0.75) OVER (PARTITION BY event_type) AS q3,
+            COUNT(value) OVER (PARTITION BY event_type) AS n
+          FROM series WHERE event_type = 'error'),
+        ib AS (
+          SELECT event_type, day, value, q3 - q1 AS iqr,
+            q1 - (q3 - q1) * 1.5 AS lower_b, q3 + (q3 - q1) * 1.5 AS upper_b
+          FROM i WHERE n >= 4),
+        iscored AS (
+          SELECT event_type, day, value,
+            CASE WHEN value < lower_b THEN
+              CASE WHEN iqr > 0 THEN ABS((lower_b - value) / iqr)
+                ELSE CAST('inf' AS DOUBLE) END
+            WHEN value > upper_b THEN
+              CASE WHEN iqr > 0 THEN ABS((value - upper_b) / iqr)
+                ELSE CAST('inf' AS DOUBLE) END
+            ELSE 0.0 END AS raw_score,
+            value < lower_b OR value > upper_b AS is_anomaly
+          FROM ib),
+        ifin AS (
+          SELECT event_type AS table_name, 'daily_events' AS metric_name,
+            'iqr' AS method, strftime(day, '%Y-%m-%d') AS day,
+            value AS metric_value, ROUND(raw_score, 6) AS score,
+            is_anomaly, CAST(1.5 AS DOUBLE) AS threshold,
+            CASE WHEN raw_score > 3.0 THEN 'high'
+              WHEN raw_score > 1.5 THEN 'medium' ELSE 'low' END AS severity
+          FROM iscored WHERE is_anomaly)
+        SELECT * FROM (SELECT * FROM zfin UNION ALL SELECT * FROM ifin)
+        ORDER BY method, table_name, day""")))
 
   // ------------------------------------------------------------------
   // T-series: trends / history analytics
   // ------------------------------------------------------------------
 
   private def trendQueries: Seq[Q] = Seq(
+    // T1: profile-history round trip — three persisted runs, read back
+    // newest-first with the limit honored (supabase_manager.py:218-266).
+    // row_count for region is 5 at every SF, so the pinned oracle holds
+    // across the verify (sf0.01) and bench (sf0.1) dirs.
+    Q("t01_profile_history",
+      (s, d) => {
+        val store = new graft.history.ProfileStore(s,
+          freshState(s, "t01") + "/profiles")
+        val cat = Catalog(s, d)
+        val p = Profiler.profile(t(s, d, "region"), "region",
+          Some(cat.tableMeta("region")))
+        Seq("2026-01-01", "2026-01-02", "2026-01-03").foreach(day =>
+          store.append(p, java.sql.Timestamp.valueOf(s"$day 00:00:00")))
+        store.history("region", limit = 2)
+          .select(col("table_name"),
+            col("metric_value").as("row_count"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("run_ts"))
+          .orderBy(col("run_ts").desc)
+      },
+      Some("""SELECT * FROM (VALUES
+          ('region', CAST(5.0 AS DOUBLE), '2026-01-03 00:00:00'),
+          ('region', CAST(5.0 AS DOUBLE), '2026-01-02 00:00:00'))
+        AS t(table_name, row_count, run_ts)
+        ORDER BY run_ts DESC""")),
+
     Q("t02_metric_trends",
       (s, d) => {
         val series = eventsTable(s, d)
@@ -1614,5 +1831,84 @@ object SparkEntry {
           ('primary_key_changed', 'region', '', TRUE),
           ('table_added', 'supplier', '', FALSE))
         AS t(change_type, table_name, column_name, important)
-        ORDER BY change_type, table_name, column_name""")))
+        ORDER BY change_type, table_name, column_name""")),
+
+    // C8: changes-store listing + acknowledge end-to-end (app.py:
+    // 3857-4058): two appended batches, one acknowledged type — the
+    // crash-safe store rewrite must flip exactly the matching rows.
+    Q("c08_changes_listing",
+      (s, d) => {
+        import graft.types.SchemaChange
+        val store = new graft.history.ChangesStore(s,
+          freshState(s, "c08") + "/changes")
+        store.append(Seq(
+          SchemaChange("column_added", "orders", Some("o_comment"),
+            Map.empty, important = false),
+          SchemaChange("table_removed", "supplier", None,
+            Map.empty, important = true)),
+          java.sql.Timestamp.valueOf("2026-01-01 10:00:00"))
+        store.append(Seq(
+          SchemaChange("column_type_changed", "orders", Some("o_totalprice"),
+            Map.empty, important = true)),
+          java.sql.Timestamp.valueOf("2026-01-02 10:00:00"))
+        store.acknowledge("table_removed", "supplier")
+        store.list()
+          .select(col("change_type"), col("table_name"),
+            coalesce(col("column_name"), lit("")).as("column_name"),
+            col("important"), col("acknowledged"),
+            date_format(col("detected_at"), "yyyy-MM-dd HH:mm:ss")
+              .as("detected_at"))
+          .orderBy(col("detected_at").desc, col("change_type"))
+      },
+      Some("""SELECT * FROM (VALUES
+          ('column_type_changed', 'orders', 'o_totalprice', TRUE, FALSE,
+            '2026-01-02 10:00:00'),
+          ('column_added', 'orders', 'o_comment', FALSE, FALSE,
+            '2026-01-01 10:00:00'),
+          ('table_removed', 'supplier', '', TRUE, TRUE,
+            '2026-01-01 10:00:00'))
+        AS t(change_type, table_name, column_name, important, acknowledged,
+          detected_at)
+        ORDER BY detected_at DESC, change_type""")),
+
+    // Notifications: publish through the gate (anomaly severity routing
+    // + important-automation filter, publisher.py:24-49) and read the
+    // durable event feed back — the store keeps EVERY event including
+    // the non-notifiable one.
+    Q("n01_event_feed",
+      (s, d) => {
+        import graft.notifications.Notifications._
+        val store = new graft.notifications.EventStore(s,
+          freshState(s, "n01") + "/events")
+        val pub = new NotificationPublisher(store, NotificationSettings(),
+          sinks = Nil)
+        pub.publish(GraftEvent("anomaly", "anomaly_detected", "default",
+          Some("orders"),
+          Map("anomaly_count" -> "3", "high_severity_count" -> "1",
+            "medium_severity_count" -> "2", "low_severity_count" -> "0"),
+          java.sql.Timestamp.valueOf("2026-01-01 08:00:00")))
+        pub.publish(GraftEvent("automation", "validation_failures_detected",
+          "default", Some("region"),
+          Map("failed_count" -> "2", "total_rules" -> "9"),
+          java.sql.Timestamp.valueOf("2026-01-01 09:00:00")))
+        pub.publish(GraftEvent("automation", "automation_job_completed",
+          "default", None, Map("job" -> "metadata_refresh"),
+          java.sql.Timestamp.valueOf("2026-01-01 10:00:00")))
+        store.feed()
+          .select(col("event_type"), col("subtype"),
+            coalesce(col("table_name"), lit("")).as("table_name"),
+            col("data"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+          .orderBy(col("ts").desc)
+      },
+      Some("""SELECT * FROM (VALUES
+          ('automation', 'automation_job_completed', '',
+            'job=metadata_refresh', '2026-01-01 10:00:00'),
+          ('automation', 'validation_failures_detected', 'region',
+            'failed_count=2;total_rules=9', '2026-01-01 09:00:00'),
+          ('anomaly', 'anomaly_detected', 'orders',
+            'anomaly_count=3;high_severity_count=1;low_severity_count=0;medium_severity_count=2',
+            '2026-01-01 08:00:00'))
+        AS t(event_type, subtype, table_name, data, ts)
+        ORDER BY ts DESC""")))
 }

@@ -5,13 +5,15 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.anomalies.{Anomalies, Metrics}
+import graft.anomalies.{Anomalies, AnomalyConfigStore, Metrics}
 import graft.history.{AnomaliesStore, ChangesStore, MetricsStore, ProfileStore, Trends, ValidationStore}
+import graft.notifications.{EventStore, Notifications}
+import graft.notifications.Notifications.{EventSink, GraftEvent, LogSink, NotificationPublisher, NotificationSettings}
 import graft.profiler.Profiler
 import graft.schemadiff.SchemaDiff
 import graft.sources.Catalog
-import graft.types.{SchemaChange, TableMeta, TableProfile, ValidationResult}
-import graft.validations.{DefaultValidations, Runner}
+import graft.types.{AnomalyConfig, SchemaChange, TableMeta, TableProfile, ValidationResult}
+import graft.validations.{DefaultValidations, RuleStore, Runner}
 
 /**
  * Top-level facade (SURVEY.md §2.8, §3): the library-call equivalents of
@@ -29,7 +31,9 @@ final class GraftEngine(
     val spark: SparkSession,
     dataDir: String,
     stateDir: String,
-    connectionId: String = "default") {
+    connectionId: String = "default",
+    notificationSettings: NotificationSettings = NotificationSettings(),
+    extraSinks: Seq[EventSink] = Nil) {
 
   val catalog: Catalog = Catalog(spark, dataDir)
   val profiles = new ProfileStore(spark, s"$stateDir/profiles")
@@ -37,6 +41,14 @@ final class GraftEngine(
   val changes = new ChangesStore(spark, s"$stateDir/schema_changes")
   val metrics = new MetricsStore(spark, s"$stateDir/metrics")
   val anomalies = new AnomaliesStore(spark, s"$stateDir/anomaly_results")
+  /** Persisted rule suite (supabase_validation_manager.py:130-171,406). */
+  val ruleStore = new RuleStore(spark, s"$stateDir/validation_rules")
+  /** Persisted anomaly configs (core/anomalies/api.py:24-174). */
+  val anomalyConfigs = new AnomalyConfigStore(spark, s"$stateDir/anomaly_configs")
+  /** Durable event feed + notification fan-out (publisher.py:24-49). */
+  val events = new EventStore(spark, s"$stateDir/events")
+  val notifier = new NotificationPublisher(events, notificationSettings,
+    new LogSink +: extraSinks)
 
   @volatile private var baselineSnapshot: Option[Map[String, TableMeta]] = None
 
@@ -60,7 +72,8 @@ final class GraftEngine(
   }
 
   /** §3.2: generate (or accept) rules, run them in parallel, persist
-   *  results + failure events. */
+   *  results + failure events; failures publish one
+   *  `validation_failures_detected` event (events.py:196-242). */
   def runValidations(
       table: String,
       now: Timestamp,
@@ -71,18 +84,58 @@ final class GraftEngine(
       catalog.schemaOf(table), meta.primaryKeys, meta.foreignKeys.map(_.column))
     val rules = generated ++ Runner.dedupNew(extraRules,
       generated.map(_.name).toSet)
+    runAndRecord(table, rules, now)
+  }
+
+  /** Seed the persisted rule suite with the table's generated defaults,
+   *  skipping names already stored (add_default_validations dedup,
+   *  default_validations.py:460-476). Returns the newly added rules. */
+  def seedDefaultRules(table: String, now: Timestamp): Seq[graft.types.ValidationRule] = {
+    val meta = catalog.tableMeta(table)
+    val generated = DefaultValidations.generate(table,
+      catalog.schemaOf(table), meta.primaryKeys, meta.foreignKeys.map(_.column))
+    val fresh = Runner.dedupNew(generated, ruleStore.ruleNames(table))
+    fresh.foreach(r => ruleStore.addRule(table, r, now))
+    fresh
+  }
+
+  /** Run the PERSISTED active rule suite — the curated-suite path the
+   *  reference serves from `validation_rules`
+   *  (supabase_validation_manager.py:263-330). */
+  def runStoredValidations(table: String, now: Timestamp): Seq[ValidationResult] = {
+    catalog.registerAll()
+    runAndRecord(table, ruleStore.activeRules(table), now)
+  }
+
+  private def runAndRecord(
+      table: String,
+      rules: Seq[graft.types.ValidationRule],
+      now: Timestamp): Seq[ValidationResult] = {
     val results = Runner.runAll(spark, rules)
     validations.append(table, results, now)
+    val failures = results.count(r => !r.isValid || r.error.isDefined)
+    if (failures > 0)
+      notifier.publish(GraftEvent("automation", "validation_failures_detected",
+        connectionId, Some(table),
+        Map("failed_count" -> failures.toString,
+          "total_rules" -> rules.size.toString), now))
     results
   }
 
   /** §3.3 / C1–C8: snapshot, diff vs baseline, persist, advance the
-   *  baseline. First run bootstraps and reports no changes. */
+   *  baseline. First run bootstraps and reports no changes; important
+   *  changes publish one `schema_changes_detected` event. */
   def detectSchemaChanges(now: Timestamp): Seq[SchemaChange] = {
     val current = catalog.snapshot()
     val found = SchemaDiff.detect(current, baselineSnapshot)
     baselineSnapshot = Some(current)
     changes.append(found, now)
+    val important = found.count(_.important)
+    if (important > 0)
+      notifier.publish(GraftEvent("automation", "schema_changes_detected",
+        connectionId, None,
+        Map("changes_detected" -> found.size.toString,
+          "important_count" -> important.toString), now))
     found
   }
 
@@ -100,6 +153,10 @@ final class GraftEngine(
       now: Option[Timestamp] = None,
       historyDays: Int = 30,
       persist: Boolean = false): DataFrame = {
+    // persisting writes run_at rows — the injected-now discipline
+    // (SURVEY §7.4) forbids a wall-clock fallback on any stored value
+    require(!persist || now.isDefined,
+      "runAnomalyScan(persist = true) requires an injected `now`")
     val series = metrics.query(connectionId, metricName = Some(metricName),
       days = Some(historyDays), now = now)
       .withColumn("__col", coalesce(col("column_name"), lit("")))
@@ -109,11 +166,104 @@ final class GraftEngine(
       method = method, sensitivity = sensitivity, window = window)
       .drop("column_name") // the nullable original; __col is its key form
       .withColumnRenamed("__col", "column_name")
-    if (persist)
-      anomalies.append(
-        detected.filter(col("is_anomaly")),
-        now.getOrElse(new Timestamp(System.currentTimeMillis())))
+    if (persist) persistAndNotify(detected, metricName, now.get)
     detected
+  }
+
+  /** A7 (batch half): detect over EVERY stored active config in one
+   *  job (reference: scheduler.py:211-341 runs each config per
+   *  connection; here configs sharing detector parameters share one
+   *  window pass, and all branches union into a single action). The
+   *  metrics store is scanned once; each parameter group semi-joins its
+   *  (table, column, metric) identities against the broadcast config
+   *  list, so series selection is map-side. */
+  def runAnomalyScanAll(
+      now: Timestamp,
+      historyDays: Int = 30,
+      persist: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val cfgs = anomalyConfigs.activeConfigs()
+    val base = metrics.query(connectionId, days = Some(historyDays),
+      now = Some(now))
+      .withColumn("__col", coalesce(col("column_name"), lit("")))
+    val branches = cfgs
+      .groupBy(c => (c.detectionMethod, c.sensitivity, c.window, c.stdWindow,
+        c.minDataPoints))
+      .toSeq.sortBy(_._1.toString)
+      .map { case ((method, sens, win, stdWin, minPts), group) =>
+        val keys = broadcast(group
+          .map(c => (c.tableName, c.columnName.getOrElse(""), c.metricName))
+          .toDF("table_name", "__col", "metric_name"))
+        val series = base.join(keys, Seq("table_name", "__col", "metric_name"),
+          "left_semi")
+        // normalize branch schemas (moving_average emits an extra
+        // moving_avg column) and stamp the method so mixed-method
+        // results union + persist with their provenance
+        Anomalies.detect(series,
+          seriesCols = Seq("table_name", "__col", "metric_name"),
+          tsCol = "ts", valueCol = "metric_value",
+          method = method, sensitivity = sens,
+          // zscore/iqr stored configs detect over the full history slice
+          // (the reference bounds input by days, not points); the window
+          // field drives the moving-average lookback only
+          window = if (method == "moving_average") Some(win) else None,
+          stdWindow = if (method == "moving_average") Some(stdWin) else None,
+          minDataPoints = minPts)
+          .select(col("table_name"), col("__col"), col("metric_name"),
+            col("ts"), col("metric_value"), col("score"), col("is_anomaly"),
+            col("threshold"), col("severity"))
+          .withColumn("method", lit(method))
+      }
+    val detected = branches match {
+      case Nil => // schema-correct empty result for a fresh install
+        Anomalies.detect(base.limit(0),
+          Seq("table_name", "__col", "metric_name"), "ts", "metric_value")
+          .select(col("table_name"), col("__col"), col("metric_name"),
+            col("ts"), col("metric_value"), col("score"), col("is_anomaly"),
+            col("threshold"), col("severity"))
+          .withColumn("method", lit("zscore"))
+      case head +: tail => tail.foldLeft(head)(_ unionByName _)
+    }
+    val out = detected.withColumnRenamed("__col", "column_name")
+    if (persist) persistAndNotify(out, "all_configs", now)
+    out
+  }
+
+  /** Persist detected anomalies + publish one `anomaly_detected` event
+   *  with per-severity counts (publisher.py:69-90 gating contract). */
+  private def persistAndNotify(
+      detected: DataFrame, metricName: String, now: Timestamp): Unit = {
+    val hits = detected.filter(col("is_anomaly"))
+    anomalies.append(hits, now)
+    // tiny driver-side pull: 3 longs, the alert payload (detection input
+    // is bounded — the reference caps it at 1000 points per config)
+    val counts = hits.groupBy("severity").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    if (total > 0)
+      notifier.publish(GraftEvent("anomaly", "anomaly_detected",
+        connectionId, None,
+        Map(
+          "metric_name" -> metricName,
+          "anomaly_count" -> total.toString,
+          "high_severity_count" -> counts.getOrElse("high", 0L).toString,
+          "medium_severity_count" -> counts.getOrElse("medium", 0L).toString,
+          "low_severity_count" -> counts.getOrElse("low", 0L).toString), now))
+  }
+
+  /** Profile response with trends attached (routes/profiles.py:89-92:
+   *  every profile API response carries the history trend slice) — the
+   *  one-call composition the reference serves. */
+  def profileTableWithTrends(
+      table: String,
+      now: Timestamp,
+      exact: Boolean = false,
+      historyLimit: Int = 30): GraftEngine.ProfileResponse = {
+    val p = profileTable(table, now, exact)
+    GraftEngine.ProfileResponse(
+      profile = p,
+      history = profiles.history(table, historyLimit),
+      trends = metricTrends(table))
   }
 
   /** T2-style per-(column, metric) trend stats for one table. */
@@ -168,4 +318,14 @@ final class GraftEngine(
 
   def usagePatterns(tables: Seq[String] = catalog.listTables()): DataFrame =
     graft.sources.UsageLog.usagePatterns(queryLog.log, tables)
+}
+
+object GraftEngine {
+  /** The reference's profile API response shape: the profile dict plus
+   *  its `trends` slice (routes/profiles.py:89-92). `history` = T1
+   *  last-N table-level runs; `trends` = T2 per-(column, metric) stats. */
+  final case class ProfileResponse(
+      profile: TableProfile,
+      history: org.apache.spark.sql.DataFrame,
+      trends: org.apache.spark.sql.DataFrame)
 }

@@ -30,10 +30,17 @@ import graft.scheduler.TaskQueue.{MetadataTask, PriorityTaskQueue, WorkerPool}
 final class Automation(
     engine: GraftEngine,
     tables: Seq[String],
-    maxWorkers: Int = 3) {
+    maxWorkers: Int = 3,
+    // reference parity (schedule_manager.py:110-147): jobs live in
+    // `automation_scheduled_jobs`, not in process memory — with a store,
+    // lastRun survives a driver restart and a run missed while down
+    // fires exactly once on the next tick (isDue computes next-fire from
+    // the persisted lastRun)
+    jobStore: Option[JobStore] = None) {
 
   private val queue = new PriorityTaskQueue
-  @volatile private var jobs: Seq[Job] = defaultJobs
+  @volatile private var jobs: Seq[Job] =
+    jobStore.map(_.load()).filter(_.nonEmpty).getOrElse(defaultJobs)
   @volatile private var lastErr: Option[Throwable] = None
 
   private def priorityOf(jobType: String): String = jobType match {
@@ -76,6 +83,10 @@ final class Automation(
     val dueIds = due.map(_.id).toSet
     jobs = jobs.map(j =>
       if (dueIds(j.id)) j.copy(lastRun = Some(now)) else j)
+    // persist advanced lastRun BEFORE returning: a crash after this
+    // point re-runs nothing; a crash before it re-fires at most the
+    // jobs enqueued this tick (at-least-once, the reference's stance)
+    jobStore.foreach(s => jobs.filter(j => dueIds(j.id)).foreach(s.save(_, now)))
     due.map(_.id)
   }
 
