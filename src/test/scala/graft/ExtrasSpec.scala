@@ -142,6 +142,20 @@ class ConnectionsSpec extends AnyFunSuite {
       Files.createTempDirectory("graft_qlog_empty").toString + "/log")
     val empty = UsageLog.usagePatterns(fresh.log, Seq("orders")).collect()
     assert(empty.length == 1 && empty(0).getLong(1) == 0L)
+
+    // plan shape (the 100 TB contract): the non-equi contains() join is
+    // a nested-loop join that must BUILD the driver-small table list and
+    // STREAM the unbounded log — building the log side would broadcast
+    // the whole SELECT history through one task (round-3 s09 regression)
+    val plan = UsageLog.usagePatterns(store.log, Seq("orders", "customer"))
+      .queryExecution.executedPlan.toString
+    // the matching join is `... join broadcast(tabs) ... Inner` — so the
+    // BUILT side is by construction the table list; what must never
+    // come back is a BuildLeft/outer variant that broadcasts the log
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight, Inner"),
+      s"expected an inner BNLJ building the table-list side in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin BuildLeft"),
+      s"BNLJ must not build the query-log side:\n$plan")
   }
 
   test("catalog rowCounts: one job matches per-table count()") {
