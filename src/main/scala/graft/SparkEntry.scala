@@ -716,9 +716,9 @@ object SparkEntry {
 
     Q("v04_run_generated",
       (s, d) => {
-        Catalog(s, d).registerAll()
         import s.implicits._
         val cat = Catalog(s, d)
+        cat.registerAll()
         val meta = cat.tableMeta("region")
         val rules = DefaultValidations.generate("region",
           cat.schemaOf("region"), meta.primaryKeys, Nil)
@@ -1485,6 +1485,20 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       },
       None), // approximate by design; recall pinned in ScalaTest
+
+    Q("e05_knn_ivf",
+      // the clustered-corpus ANN scale path: coarse cells from a
+      // bounded-scan centroid sample, nprobe-cell search
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        val index = Similarity.ivfBuild(emb, k = 16)
+        Similarity.ivfTopK(index, queries, k = 10, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      None), // approximate by design; recall pinned in IvfSpec
 
     Q("x01_text_profile",
       (s, d) => TextAnalysis.profileText(t(s, d, "documents"))

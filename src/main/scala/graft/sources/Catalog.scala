@@ -29,9 +29,16 @@ final class Catalog(val spark: SparkSession, val dir: String) {
   }
 
   /** S3: scan one table. Plain parquet read — filters/column pruning are
-   *  pushed down by Catalyst into the scan. */
+   *  pushed down by Catalyst into the scan. The DataFrame handle is
+   *  memoized per catalog instance so repeated driver-side calls
+   *  (schemaOf/tableMeta/snapshot over the same table) reuse one
+   *  resolved relation instead of re-listing files and re-reading
+   *  parquet footers on every call. */
+  private val handles =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def table(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    handles.getOrElseUpdate(name, spark.read.parquet(s"$dir/$name.parquet"))
 
   /** Register every table as a temp view so rule SQL can refer to tables
    *  by name (reference resolves names against the warehouse). */
