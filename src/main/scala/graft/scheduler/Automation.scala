@@ -59,6 +59,11 @@ final class Automation(
       case "validation_automation" =>
         // runValidations generates the table's default rule suite itself
         tables.foreach(t => engine.runValidations(t, now))
+      case "anomaly_detection" =>
+        // the reference's per-config scheduled detection loop
+        // (scheduler.py:211-341): every stored active config, one job,
+        // results persisted + severity-gated notification
+        engine.runAnomalyScanAll(now, persist = true)
       case other => sys.error(s"unknown job type: $other")
     }
   }

@@ -244,6 +244,33 @@ class PersistenceSpec extends AnyFunSuite {
     a2.shutdown()
   }
 
+  test("automation: scheduled anomaly_detection job runs the batch scan") {
+    val state = tmp("graft_auto_anom")
+    val engine = new GraftEngine(spark, sfDir, state)
+    import spark.implicits._
+    engine.metrics.append(
+      (Seq.fill(15)(10.0) :+ 100.0).zipWithIndex.map { case (v, i) =>
+        ("default", "tableA", null: String, "m", v,
+          ts(f"2026-01-${i + 1}%02d 00:00:00"))
+      }.toDF("connection_id", "table_name", "column_name", "metric_name",
+        "metric_value", "ts"))
+    engine.anomalyConfigs.createConfig(
+      AnomalyConfig("m", "tableA", detectionMethod = "zscore"),
+      ts("2026-01-17 00:00:00"))
+    // a job store seeded with ONLY the anomaly job drives the loop
+    val js = new JobStore(spark, state + "/jobs")
+    js.save(Scheduler.Job("anomaly_detection", "anomaly_detection",
+      Scheduler.Every(Duration.ofHours(1))),
+      Instant.parse("2026-01-17T00:00:00Z"))
+    val auto = new Automation(engine, Seq("region"), jobStore = Some(js))
+    assert(auto.tick(Instant.parse("2026-01-17T01:00:00Z")) ==
+      Seq("anomaly_detection"))
+    auto.drain(); auto.shutdown()
+    // the spike was detected, persisted, and its event published
+    assert(engine.anomalies.list().count() >= 1)
+    assert(engine.events.feed(eventType = Some("anomaly")).count() == 1)
+  }
+
   // ---- trends-attached profile ----------------------------------------
 
   test("engine: profileTableWithTrends composes profile + history + trends") {
