@@ -1633,6 +1633,28 @@ object SparkEntry {
           CAST(COUNT(*) AS BIGINT) AS doc_count
         FROM b GROUP BY 1 ORDER BY split""")),
 
+    // corpus rebalancing: the fixture corpus is English-dominant —
+    // downsample 'en' to 30%, 'zh' to 50%, pass the rest. Per-stratum
+    // deterministic fractions (the sampleBy analog) whose survivors are
+    // auditable from any engine: DuckDB recomputes the same md5
+    // thresholds row for row.
+    Q("x10_stratified_sample",
+      (s, d) => Sampling.stratifiedSampleBy(t(s, d, "documents"),
+        idCol = "doc_id", stratumCol = "lang",
+        fractions = Map("en" -> 0.3, "zh" -> 0.5))
+        .groupBy("lang").agg(count(lit(1)).as("doc_count"))
+        .orderBy("lang"),
+      Some("""WITH b AS (
+          SELECT lang,
+            CAST(('0x' || substring(md5(lang || '|' ||
+              CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+          FROM documents)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS doc_count
+        FROM b
+        WHERE bucket < CASE lang WHEN 'en' THEN 300
+          WHEN 'zh' THEN 500 ELSE 1000 END
+        GROUP BY lang ORDER BY lang""")),
+
     Q("x04_fingerprint",
       // winnowing fingerprint per document; hash family not SQL-portable
       // (rows-only check here; set semantics pinned in FingerprintSpec)

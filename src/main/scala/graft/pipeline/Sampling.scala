@@ -61,4 +61,31 @@ object Sampling {
     df.filter(
       hashBucket(concat_ws("|", col(stratumCol).cast("string"),
         col(idCol).cast("string")), buckets) < (fraction * buckets).toInt)
+
+  /** Per-stratum-fraction sample — the corpus REBALANCING primitive
+   *  (downsample the dominant language/source, keep the rest): a
+   *  deterministic `DataFrame.stat.sampleBy` whose survivors are stable
+   *  across runs, cluster sizes and engines. `fractions` is driver-small
+   *  and compiles to one CASE threshold expression; strata absent from
+   *  the map keep `defaultFraction` (1.0 = pass through). Map-only —
+   *  the filter rides the scan, nothing shuffles. */
+  def stratifiedSampleBy(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 1.0,
+      buckets: Int = 1000): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction))
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0, 1]")
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit((defaultFraction * buckets).toInt): Column) {
+        case ((stratum, frac), acc) =>
+          when(col(stratumCol) === stratum, (frac * buckets).toInt)
+            .otherwise(acc)
+      }
+    df.filter(
+      hashBucket(concat_ws("|", col(stratumCol).cast("string"),
+        col(idCol).cast("string")), buckets) < threshold)
+  }
 }

@@ -479,6 +479,22 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     out.values.foreach(n => assert(math.abs(n - 300.0) / 300.0 < 0.2))
   }
+
+  test("stratifiedSampleBy rebalances per-stratum, default passes through") {
+    val strat = ids.withColumn("cat",
+      when(col("doc_id") % 4 === 0, "big").otherwise("small"))
+    val out = Sampling.stratifiedSampleBy(strat, "doc_id", "cat",
+      Map("small" -> 0.2)) // big keeps defaultFraction = 1.0
+      .groupBy("cat").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("big") == 500) // untouched stratum survives whole
+    assert(math.abs(out("small") - 300.0) / 300.0 < 0.2) // 1500 * 0.2
+    // stable run to run
+    val again = Sampling.stratifiedSampleBy(strat, "doc_id", "cat",
+      Map("small" -> 0.2)).groupBy("cat").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == again)
+  }
 }
 
 class TrendsSparkSpec extends AnyFunSuite {
