@@ -1655,6 +1655,34 @@ object SparkEntry {
           WHEN 'zh' THEN 500 ELSE 1000 END
         GROUP BY lang ORDER BY lang""")),
 
+    // sequence packing: documents → fixed-budget training sequences
+    // (contiguous fill per hash bucket, never splitting a document);
+    // the oracle replays the same bucket hash + per-bucket running sum
+    Q("x11_sequence_packing",
+      (s, d) => Sampling.packSequences(t(s, d, "documents"),
+        idCol = "doc_id", sizeCol = "n_chars", budget = 4000L,
+        numBuckets = 8)
+        .groupBy("pack_bucket", "seq_id")
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("pack_bucket", "seq_id"),
+      Some("""WITH b AS (
+          SELECT doc_id, n_chars,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS pack_bucket
+          FROM documents),
+        c AS (
+          SELECT pack_bucket, n_chars,
+            SUM(n_chars) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM b)
+        SELECT CAST(pack_bucket AS INT) AS pack_bucket,
+          CAST(FLOOR(CAST(cum - n_chars AS DOUBLE) / 4000) AS BIGINT)
+            AS seq_id,
+          CAST(COUNT(*) AS BIGINT) AS doc_count,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM c GROUP BY 1, 2 ORDER BY pack_bucket, seq_id""")),
+
     Q("x04_fingerprint",
       // winnowing fingerprint per document; hash family not SQL-portable
       // (rows-only check here; set semantics pinned in FingerprintSpec)

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -87,5 +88,36 @@ object Sampling {
     df.filter(
       hashBucket(concat_ws("|", col(stratumCol).cast("string"),
         col(idCol).cast("string")), buckets) < threshold)
+  }
+
+  /** Sequence packing for pretraining: assign documents to consecutive
+   *  fixed-budget training sequences. Documents are bucketed by stable
+   *  hash (the parallelism unit — each bucket packs independently, so
+   *  the sort is per-bucket, never global) and, in stable id order
+   *  within the bucket, a sequence closes once its running size total
+   *  reaches `budget`. A document is never split: the sequence a
+   *  document OPENS in is `floor((cumsum − size) / budget)`, so a
+   *  sequence can overflow the budget by less than one document — the
+   *  contiguous-fill contract (truncation/padding is the trainer's
+   *  concern, placement is the engine's).
+   *
+   *  Output: input columns + (pack_bucket, seq_id) — `seq_id` is unique
+   *  within its bucket; (pack_bucket, seq_id) is the global sequence
+   *  key. Deterministic across runs, cluster sizes and engines (hash
+   *  bucket + id order, no rand, no partition-dependent state). */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      sizeCol: String,
+      budget: Long,
+      numBuckets: Int = 256): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("pack_bucket", hashBucket(col(idCol), numBuckets))
+      .withColumn("__cum", sum(col(sizeCol).cast("long")).over(w))
+      .withColumn("seq_id",
+        floor((col("__cum") - col(sizeCol).cast("long")) / budget))
+      .drop("__cum")
   }
 }

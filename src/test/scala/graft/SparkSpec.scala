@@ -495,6 +495,23 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == again)
   }
+
+  test("packSequences: contiguous fill, closes past budget, never splits") {
+    // one bucket → one deterministic packing order (by id)
+    val docs = Seq((1L, 60L), (2L, 60L), (3L, 60L), (4L, 150L), (5L, 10L))
+      .toDF("doc_id", "n")
+    val packed = Sampling.packSequences(docs, "doc_id", "n",
+      budget = 100L, numBuckets = 1)
+      .orderBy("doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("seq_id"))
+    // cum: 60,120,180,330,340 → opens at 0,60,120,180,330
+    // seq = floor(open/100):  0,  0,  1,  1,  3
+    assert(packed.toSeq == Seq(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 3L))
+    // every sequence's doc set is contiguous in id order and a doc
+    // appears exactly once — packing assigns, never splits
+    assert(packed.map(_._1).distinct.length == 5)
+  }
 }
 
 class TrendsSparkSpec extends AnyFunSuite {
