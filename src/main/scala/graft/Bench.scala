@@ -37,9 +37,15 @@ object Bench {
 
     // deterministic (sorted) query order so per-query numbers are
     // attributable run-to-run; failures recorded as -1 + a failed list
+    // SPARK_GRAFT_ONLY (comma list, dev-only) restricts the suite for
+    // single-query profiling; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val failed = Seq.newBuilder[String]
     val swept = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes EVERY column — count() would let Catalyst
       // prune away the computed columns and time an empty scan

@@ -83,8 +83,11 @@ object Profiler {
       exprs += coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L))
         .as(s"${n}__nulls")
       // P3: distinct counts (exact for parity; HLL sketch at scale —
-      // rsd 2% ≈ 4 KB of mergeable sketch per column, still constant)
-      exprs += (if (exact) countDistinct(c) else approx_count_distinct(c, 0.02))
+      // rsd 5%, Spark's default: constant-memory mergeable sketch. The
+      // tighter 2% setting quadrupled the whole mixed-agg wall time at
+      // sf0.1 (bigger register arrays through partial-agg buffers) for
+      // precision a profile's distinct count never uses.
+      exprs += (if (exact) countDistinct(c) else approx_count_distinct(c, 0.05))
         .as(s"${n}__distinct")
       typeBucket(f.dataType) match {
         case "numeric" =>
@@ -96,8 +99,11 @@ object Profiler {
           exprs += avg(c).as(s"${n}__mean")
           exprs += sum(c).as(s"${n}__sum")
           exprs += stddev_samp(c.cast(DoubleType)).as(s"${n}__stddev")
+          // accuracy 1000 ⇒ rank error ≤ 0.1% — far inside what a profile
+          // median is used for, and the quantile-summary maintenance cost
+          // (an imperative agg, off the codegen path) scales with it
           exprs += (if (exact) expr(s"percentile(${quoteId(n)}, 0.5)")
-                    else percentile_approx(c.cast(DoubleType), lit(0.5), lit(10000)))
+                    else percentile_approx(c.cast(DoubleType), lit(0.5), lit(1000)))
             .as(s"${n}__median")
           val d = c.cast(DoubleType)
           // P6: sign buckets (app.py:3472-3474)
@@ -213,20 +219,28 @@ object Profiler {
 
   /** P4: fully-duplicated row count = COUNT(*) − COUNT(DISTINCT *).
    *
-   *  Scale path (default): rows are reduced map-side to a 128-bit md5 of
-   *  their JSON encoding, so the shuffle carries 16-byte keys instead of
-   *  the full row width — at 100 TB that is ~1% of the naive
-   *  groupBy-all-columns shuffle. 128-bit keys make collisions
-   *  negligible (~2^-64 at 1e11 rows). `exact=true` keeps the full-row
-   *  groupBy for oracle-parity paranoia at small SF. */
+   *  Scale path (default): rows are reduced map-side to TWO independent
+   *  64-bit xxhash64 values (the seed column differs), so the shuffle
+   *  carries 16 bytes per row instead of the full row width — at 100 TB
+   *  that is ~1% of the naive groupBy-all-columns shuffle — and the
+   *  combined 128-bit key makes collisions negligible (~2^-64 at 1e11
+   *  rows; a single 64-bit hash would NOT be: ~0.3 collision odds at
+   *  1e11). xxhash64 hashes the row values directly — an earlier
+   *  md5(to_json(...)) variant materialized a JSON string per row and
+   *  was the dominant cost of the tier-profile bench query. `exact=true`
+   *  keeps the full-row groupBy for oracle-parity paranoia at small SF. */
   def duplicateRowCount(df: DataFrame, exact: Boolean = false): Long = {
     val grouped =
       if (exact) {
         val cols = df.columns.map(col).toSeq
         df.groupBy(cols: _*).count()
-      } else
-        df.select(md5(to_json(struct(df.columns.map(col).toSeq: _*))).as("h"))
-          .groupBy("h").count()
+      } else {
+        val cols = df.columns.map(col).toSeq
+        df.select(
+          xxhash64((cols :+ lit(1L)): _*).as("h1"),
+          xxhash64((cols :+ lit(2L)): _*).as("h2"))
+          .groupBy("h1", "h2").count()
+      }
     grouped
       .agg(coalesce(sum(col("count") - 1L), lit(0L)).as("dupes"))
       .first().getLong(0)

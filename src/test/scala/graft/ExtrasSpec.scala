@@ -468,7 +468,10 @@ class ApproxModeSpec extends AnyFunSuite {
       (c.distinctCount, e.distinctCount) match {
         case (Some(a), Some(x)) if x > 0 =>
           val err = math.abs(a - x).toDouble / x
-          assert(err < 0.05, s"${c.name}: HLL distinct off by ${err * 100}%")
+          // approx mode runs HLL at Spark's default rsd = 0.05 (one
+          // standard deviation); 15% = 3σ keeps the test deterministic
+          // for the fixed fixture without asserting inside the noise
+          assert(err < 0.15, s"${c.name}: HLL distinct off by ${err * 100}%")
         case _ => ()
       }
       // percentile_approx returns a sample value (no interpolation), so
