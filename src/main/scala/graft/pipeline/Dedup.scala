@@ -210,7 +210,12 @@ object Dedup {
   /** Verify stage over a precomputed (or persisted) signature frame —
    *  the explicit scale path: compute signatures once, write them out,
    *  and run candidate generation + verification against the stored
-   *  table so the corpus text is never re-scanned. */
+   *  table so the corpus text is never re-scanned. Three passes over
+   *  the signature frame (banding + both verify sides); a semi-join
+   *  "only candidate docs" restructure was tried and REJECTED — the
+   *  optimizer duplicates the candidate-generation subplan into every
+   *  semi-join branch and does not push the filter below the signature
+   *  projection, multiplying corpus passes instead of removing them. */
   def nearDuplicatesFromSignatures(
       sigs: DataFrame,
       idCol: String = "doc_id",
