@@ -44,6 +44,24 @@ object Demo {
     println("[demo] validation daily trend:")
     engine.validationTrends("orders", results.size, "2026-01-01", "2026-01-03")
       .show(3, false)
+
+    // round-4 surface: persisted rule suite, stored anomaly configs with
+    // a one-job batch scan, and the durable event feed
+    val seeded = engine.seedDefaultRules("orders", ts(10))
+    println(s"[demo] seeded ${seeded.size} default rules into the store " +
+      s"(re-seed adds ${engine.seedDefaultRules("orders", ts(11)).size})")
+    val stored = engine.runStoredValidations("orders", ts(12))
+    println(s"[demo] stored suite: ${stored.count(_.isValid)}/${stored.size} passed")
+    engine.anomalyConfigs.createConfig(
+      graft.types.AnomalyConfig("row_count", "orders",
+        detectionMethod = "zscore"), ts(12))
+    val batch = engine.runAnomalyScanAll(ts(12), persist = true)
+    println(s"[demo] batch scan over stored configs: ${batch.count()} anomalies")
+    println(s"[demo] event feed rows: ${engine.events.feed().count()}")
+
+    val resp = engine.profileTableWithTrends("orders", ts(13))
+    println(s"[demo] profile+trends in one call: history rows=" +
+      s"${resp.history.count()}, trend series=${resp.trends.count()}")
     spark.stop()
   }
 }
