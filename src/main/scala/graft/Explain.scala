@@ -12,9 +12,10 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("p01_row_count", "s07_preview", "p20_pattern_match",
         "p14_top_values", "a01_zscore_global", "e02_knn_brute_force",
-        "e03_knn_lsh", "d03_minhash_neardup", "d05_dup_clusters",
-        "p15_outliers_3sigma", "p28_histogram", "s09_usage_patterns",
-        "x06_hash_split")
+        "e03_knn_lsh", "e05_knn_ivf", "d03_minhash_neardup",
+        "d05_dup_clusters", "p15_outliers_3sigma", "p28_histogram",
+        "s09_usage_patterns", "x06_hash_split", "x10_stratified_sample",
+        "x11_sequence_packing")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
