@@ -53,13 +53,16 @@ final class GraftEngine(
   @volatile private var baselineSnapshot: Option[Map[String, TableMeta]] = None
 
   /** §3.1: profile one table, persist to history, feed the metrics
-   *  store (row_count + per-column null %). */
+   *  store (row_count + per-column null %). `maxColumns` is the tier
+   *  depth knob (P26): lower tiers stat only the first N columns. */
   def profileTable(
       table: String,
       now: Timestamp,
-      exact: Boolean = false): TableProfile = {
+      exact: Boolean = false,
+      maxColumns: Int = Int.MaxValue): TableProfile = {
     val p = Profiler.profile(catalog.table(table), table,
-      Some(catalog.tableMeta(table)), exact = exact, now = now)
+      Some(catalog.tableMeta(table)), exact = exact, now = now,
+      maxColumns = maxColumns)
     profiles.append(p, now)
     import spark.implicits._
     val points = (s"row_count", null: String, p.rowCount.toDouble) +:
@@ -250,6 +253,19 @@ final class GraftEngine(
           "medium_severity_count" -> counts.getOrElse("medium", 0L).toString,
           "low_severity_count" -> counts.getOrElse("low", 0L).toString), now))
   }
+
+  /** Comprehensive collection (reference: collector.py:323-345): profile
+   *  every table up to the tier's table cap, statting only the first
+   *  `maxColumns` columns per table at lower depths ("low" = 5 cols,
+   *  "medium" = 10, "high" = all — collector.py:152,639). Each profile
+   *  persists + feeds metrics exactly like a single-table run. */
+  def profileAll(
+      now: Timestamp,
+      maxTables: Int = 50,
+      maxColumns: Int = Int.MaxValue,
+      exact: Boolean = false): Map[String, TableProfile] =
+    catalog.listTables().take(maxTables)
+      .map(t => t -> profileTable(t, now, exact, maxColumns)).toMap
 
   /** Profile response with trends attached (routes/profiles.py:89-92:
    *  every profile API response carries the history trend slice) — the

@@ -271,6 +271,19 @@ class PersistenceSpec extends AnyFunSuite {
     assert(engine.events.feed(eventType = Some("anomaly")).count() == 1)
   }
 
+  test("engine: profileAll caps tables and column depth like the tiers") {
+    val engine = new GraftEngine(spark, sfDir, tmp("graft_engine_all"))
+    val all = engine.profileAll(ts("2026-01-01 00:00:00"),
+      maxTables = 3, maxColumns = 2)
+    assert(all.size == 3) // table cap honored (catalog has 10 tables)
+    all.values.foreach { p =>
+      assert(p.columns.size <= 2) // tier depth: first 2 columns statted
+      assert(p.columnCount >= p.columns.size) // table-wide count intact
+    }
+    // every profiled table persisted one history row
+    all.keys.foreach(t => assert(engine.profiles.history(t).count() == 1))
+  }
+
   // ---- trends-attached profile ----------------------------------------
 
   test("engine: profileTableWithTrends composes profile + history + trends") {
