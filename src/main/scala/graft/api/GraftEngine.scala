@@ -169,7 +169,9 @@ final class GraftEngine(
       method = method, sensitivity = sensitivity, window = window)
       .drop("column_name") // the nullable original; __col is its key form
       .withColumnRenamed("__col", "column_name")
-    if (persist) persistAndNotify(detected, metricName, now.get)
+    if (persist)
+      persistAndNotify(detected.withColumn("method", lit(method)),
+        metricName, now.get)
     detected
   }
 
@@ -233,10 +235,23 @@ final class GraftEngine(
   }
 
   /** Persist detected anomalies + publish one `anomaly_detected` event
-   *  with per-severity counts (publisher.py:69-90 gating contract). */
+   *  with per-severity counts (publisher.py:69-90 gating contract).
+   *  The persisted rows are normalized to ONE canonical column set —
+   *  the single-metric and batch scans carry different extras
+   *  (connection_id/date vs method), and mixing schemas in one parquet
+   *  store makes reads depend on which file's footer wins. */
   private def persistAndNotify(
       detected: DataFrame, metricName: String, now: Timestamp): Unit = {
+    val present = detected.columns.toSet
     val hits = detected.filter(col("is_anomaly"))
+      .select(
+        (if (present("connection_id")) col("connection_id")
+         else lit(connectionId)).as("connection_id"),
+        col("table_name"), col("column_name"), col("metric_name"),
+        col("ts"), col("metric_value"), col("score"), col("is_anomaly"),
+        col("threshold"), col("severity"),
+        (if (present("method")) col("method") else lit("unknown"))
+          .as("method"))
     anomalies.append(hits, now)
     // tiny driver-side pull: 3 longs, the alert payload (detection input
     // is bounded — the reference caps it at 1000 points per config)

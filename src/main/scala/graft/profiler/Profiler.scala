@@ -236,9 +236,14 @@ object Profiler {
         df.groupBy(cols: _*).count()
       } else {
         val cols = df.columns.map(col).toSeq
+        // salt PREPENDED: Spark's xxhash64 chains each field's hash as
+        // the next field's seed, so a trailing salt only varies the last
+        // step — two rows colliding in the running state would collide
+        // in BOTH hashes. A leading salt makes the chains diverge from
+        // the first field, giving genuinely independent 64-bit keys.
         df.select(
-          xxhash64((cols :+ lit(1L)): _*).as("h1"),
-          xxhash64((cols :+ lit(2L)): _*).as("h2"))
+          xxhash64((lit(1L) +: cols): _*).as("h1"),
+          xxhash64((lit(2L) +: cols): _*).as("h2"))
           .groupBy("h1", "h2").count()
       }
     grouped

@@ -69,7 +69,15 @@ final class Automation(
   }
 
   private val pool = new WorkerPool(queue,
-    t => try execute(t) catch { case e: Throwable => lastErr = Some(e); throw e },
+    t => try {
+      execute(t)
+      // at-least-once: lastRun persists only after the work COMPLETED —
+      // persisting at enqueue time would make a crash (or a failing
+      // handler) between tick and execution silently swallow the run
+      for (s <- jobStore; id <- t.params.get("jobId");
+           j <- jobs.find(_.id == id))
+        s.save(j, Instant.parse(t.params("now")))
+    } catch { case e: Throwable => lastErr = Some(e); throw e },
     maxWorkers)
   pool.start()
 
@@ -82,16 +90,16 @@ final class Automation(
         id = s"${j.id}@$now",
         taskType = j.jobType,
         connectionId = "default",
-        params = Map("now" -> now.toString),
+        params = Map("now" -> now.toString, "jobId" -> j.id),
         priority = priorityOf(j.jobType)))
     }
+    // in-memory lastRun advances at enqueue (dedups within this
+    // process); the DURABLE lastRun is written by the worker only after
+    // the task completes, so a crash mid-flight re-fires on restart
+    // (at-least-once, the reference's stance)
     val dueIds = due.map(_.id).toSet
     jobs = jobs.map(j =>
       if (dueIds(j.id)) j.copy(lastRun = Some(now)) else j)
-    // persist advanced lastRun BEFORE returning: a crash after this
-    // point re-runs nothing; a crash before it re-fires at most the
-    // jobs enqueued this tick (at-least-once, the reference's stance)
-    jobStore.foreach(s => jobs.filter(j => dueIds(j.id)).foreach(s.save(_, now)))
     due.map(_.id)
   }
 

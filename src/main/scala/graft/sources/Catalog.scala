@@ -29,16 +29,15 @@ final class Catalog(val spark: SparkSession, val dir: String) {
   }
 
   /** S3: scan one table. Plain parquet read — filters/column pruning are
-   *  pushed down by Catalyst into the scan. The DataFrame handle is
-   *  memoized per catalog instance so repeated driver-side calls
-   *  (schemaOf/tableMeta/snapshot over the same table) reuse one
-   *  resolved relation instead of re-listing files and re-reading
-   *  parquet footers on every call. */
-  private val handles =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-
+   *  pushed down by Catalyst into the scan. Deliberately NOT memoized:
+   *  a cached relation pins the file listing and schema at first read,
+   *  and this catalog powers a MONITORING engine — detectSchemaChanges
+   *  and scheduled profiles must observe warehouse writes that happen
+   *  after engine start (a memoized handle either serves stale data or
+   *  fails on vanished part files). The footer re-read per call is the
+   *  price of always seeing the live table. */
   def table(name: String): DataFrame =
-    handles.getOrElseUpdate(name, spark.read.parquet(s"$dir/$name.parquet"))
+    spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every table as a temp view so rule SQL can refer to tables
    *  by name (reference resolves names against the warehouse). */

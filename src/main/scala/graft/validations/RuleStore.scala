@@ -28,41 +28,71 @@ import graft.types.ValidationRule
 final class RuleStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
+  // list elements are joined with the ASCII unit separator, not a comma
+  // — a comma inside a string element would corrupt the round trip
+  private val ListSep = ""
+
   private def encodeExpected(v: Any): (String, String) = v match {
     case l: Long => (l.toString, "long")
     case i: Int => (i.toString, "long")
     case d: Double => (d.toString, "double")
-    case s: Seq[_] => (s.map(_.toString).mkString(","), "list")
+    case s: Seq[_] => (s.map(String.valueOf).mkString(ListSep), "list")
     case other => (String.valueOf(other), "string")
   }
 
   private def decodeExpected(s: String, kind: String): Any = kind match {
     case "long" => s.toLong
     case "double" => s.toDouble
-    case "list" => s.split(",").toSeq.map(_.toDouble)
+    case "list" =>
+      // numeric elements come back typed; anything else stays a string —
+      // a stored non-numeric list must never make the whole suite
+      // unreadable (Evaluator coerces per element at comparison time)
+      if (s.isEmpty) Seq.empty[Any]
+      else s.split(ListSep, -1).toSeq
+        .map(e => e.toDoubleOption.getOrElse(e): Any)
     case _ => s
   }
+
+  private def versionRow(
+      tableName: String,
+      rule: ValidationRule,
+      active: Boolean,
+      deleted: Boolean,
+      now: Timestamp) = {
+    val (ev, kind) = encodeExpected(rule.expectedValue)
+    (tableName, rule.name, rule.description, rule.query, rule.operator,
+      ev, kind, active, deleted, now)
+  }
+
+  private def appendVersions(rows: Seq[(String, String, String, String,
+      String, String, String, Boolean, Boolean, Timestamp)]): Unit =
+    rows.toDF("table_name", "rule_name", "description", "query", "operator",
+      "expected_value", "expected_kind", "is_active", "deleted",
+      "updated_at")
+      .write.mode(SaveMode.Append).partitionBy("table_name").parquet(path)
 
   private def appendVersion(
       tableName: String,
       rule: ValidationRule,
       active: Boolean,
       deleted: Boolean,
-      now: Timestamp): Unit = {
-    val (ev, kind) = encodeExpected(rule.expectedValue)
-    Seq((tableName, rule.name, rule.description, rule.query, rule.operator,
-      ev, kind, active, deleted, now))
-      .toDF("table_name", "rule_name", "description", "query", "operator",
-        "expected_value", "expected_kind", "is_active", "deleted",
-        "updated_at")
-      .write.mode(SaveMode.Append).partitionBy("table_name").parquet(path)
-  }
+      now: Timestamp): Unit =
+    appendVersions(Seq(versionRow(tableName, rule, active, deleted, now)))
 
   /** add_rule: persist a new rule (active). Mutations with equal
    *  `now` on the same rule are unordered — callers inject distinct
    *  timestamps (the engine's injected-now discipline guarantees it). */
   def addRule(tableName: String, rule: ValidationRule, now: Timestamp): Unit =
     appendVersion(tableName, rule, active = true, deleted = false, now)
+
+  /** Batch add: one parquet append for the whole suite (seeding a wide
+   *  table's generated defaults is ~20 rules — one write job, one file,
+   *  not twenty of each). */
+  def addRules(
+      tableName: String, rules: Seq[ValidationRule], now: Timestamp): Unit =
+    if (rules.nonEmpty)
+      appendVersions(rules.map(r =>
+        versionRow(tableName, r, active = true, deleted = false, now)))
 
   /** update_rule: replace a rule's definition (stays active). */
   def updateRule(tableName: String, rule: ValidationRule, now: Timestamp): Unit =
