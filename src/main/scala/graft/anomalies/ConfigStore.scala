@@ -25,13 +25,15 @@ final class AnomalyConfigStore(spark: SparkSession, path: String) {
   private def appendVersion(
       c: AnomalyConfig, active: Boolean, deleted: Boolean,
       now: Timestamp): Unit =
-    Seq((c.tableName, c.columnName.orNull, c.metricName, c.detectionMethod,
-      c.sensitivity, c.minDataPoints, c.window, c.stdWindow,
-      active, deleted, now))
+    val row = Seq((c.tableName, c.columnName.orNull, c.metricName,
+      c.detectionMethod, c.sensitivity, c.minDataPoints, c.window,
+      c.stdWindow, active, deleted, now))
       .toDF("table_name", "column_name", "metric_name", "detection_method",
         "sensitivity", "min_data_points", "window", "std_window",
         "is_active", "deleted", "updated_at")
-      .write.mode(SaveMode.Append).parquet(path)
+    graft.history.StoreIO.appendLocked(path) {
+      row.write.mode(SaveMode.Append).parquet(path)
+    }
 
   def createConfig(c: AnomalyConfig, now: Timestamp): Unit =
     appendVersion(c, active = true, deleted = false, now)

@@ -21,11 +21,13 @@ final class MetricsStore(spark: SparkSession, path: String) {
    *  connection_id, table_name, column_name, metric_name, metric_value,
    *  ts (timestamp). A `date` partition column is derived. */
   def append(points: DataFrame): Unit =
-    points
-      .withColumn("date", to_date(col("ts")))
-      .write.mode(SaveMode.Append)
-      .partitionBy("connection_id", "table_name", "date")
-      .parquet(path)
+    StoreIO.appendLocked(path) {
+      points
+        .withColumn("date", to_date(col("ts")))
+        .write.mode(SaveMode.Append)
+        .partitionBy("connection_id", "table_name", "date")
+        .parquet(path)
+    }
 
   /** T10: filtered range query (historical_metrics.py:130-217). Filters
    *  on partition columns prune directly at the file listing. */

@@ -31,12 +31,14 @@ final class ProfileStore(spark: SparkSession, path: String) {
       (p.table, c.name, "column", c.nullPercentage, runTs,
         c.distinctCount.map(_.toDouble).getOrElse(-1.0),
         c.nullCount.toDouble))
-    (tableRow +: colRows)
+    val rows = (tableRow +: colRows)
       .toDF("table_name", "column_name", "level", "metric_value", "ts",
         "metric_aux", "metric_aux2")
       .withColumn("date", to_date(col("ts")))
-      .write.mode(SaveMode.Append).partitionBy("table_name", "date")
-      .parquet(path)
+    StoreIO.appendLocked(path) {
+      rows.write.mode(SaveMode.Append).partitionBy("table_name", "date")
+        .parquet(path)
+    }
   }
 
   /** T1: last-N profile runs for a table, newest first (profile trends
@@ -59,7 +61,7 @@ final class ValidationStore(spark: SparkSession, path: String) {
       tableName: String,
       results: Seq[ValidationResult],
       runTs: java.sql.Timestamp): Unit = {
-    results.map { r =>
+    val rows = results.map { r =>
       val err = r.error.getOrElse("")
       val schemaMismatch = err.contains("UNRESOLVED_COLUMN") ||
         err.contains("TABLE_OR_VIEW_NOT_FOUND") ||
@@ -71,8 +73,10 @@ final class ValidationStore(spark: SparkSession, path: String) {
     }.toDF("table_name", "rule_name", "is_valid", "actual_value",
       "expected_value", "operator", "error", "schema_mismatch", "run_at")
       .withColumn("date", to_date(col("run_at")))
-      .write.mode(SaveMode.Append).partitionBy("table_name", "date")
-      .parquet(path)
+    StoreIO.appendLocked(path) {
+      rows.write.mode(SaveMode.Append).partitionBy("table_name", "date")
+        .parquet(path)
+    }
   }
 
   def results(tableName: String): DataFrame =
@@ -89,12 +93,14 @@ final class ChangesStore(spark: SparkSession, path: String) {
 
   def append(changes: Seq[SchemaChange], detectedAt: java.sql.Timestamp): Unit = {
     if (changes.isEmpty) return
-    changes.map(c => (c.changeType, c.table, c.column.orNull,
+    val rows = changes.map(c => (c.changeType, c.table, c.column.orNull,
       c.important, detectedAt, false))
       .toDF("change_type", "table_name", "column_name", "important",
         "detected_at", "acknowledged")
       .withColumn("date", to_date(col("detected_at")))
-      .write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+    StoreIO.appendLocked(path) {
+      rows.write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+    }
   }
 
   /** C8: filtered listing (app.py:3857-4058). */
@@ -154,7 +160,9 @@ final class AnomaliesStore(spark: SparkSession, path: String) {
     val withRun = detected
       .withColumn("run_at", lit(runTs))
       .withColumn("date", to_date(col("run_at")))
-    withRun.write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+    StoreIO.appendLocked(path) {
+      withRun.write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+    }
   }
 
   /** Filtered listing, newest scan first. */

@@ -156,12 +156,14 @@ final class EventStore(spark: SparkSession, path: String) {
     import spark.implicits._
     val dataStr = e.data.toSeq.sortBy(_._1)
       .map { case (k, v) => s"$k=$v" }.mkString(";")
-    Seq((e.eventType, e.subtype, e.connectionId, e.tableName.orNull,
+    val row = Seq((e.eventType, e.subtype, e.connectionId, e.tableName.orNull,
       dataStr, e.ts))
       .toDF("event_type", "subtype", "connection_id", "table_name",
         "data", "ts")
       .withColumn("date", to_date(col("ts")))
-      .write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+    graft.history.StoreIO.appendLocked(path) {
+      row.write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+    }
   }
 
   /** The feed, newest first; empty-but-schema-correct before the first

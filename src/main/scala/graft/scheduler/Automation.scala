@@ -73,10 +73,16 @@ final class Automation(
       execute(t)
       // at-least-once: lastRun persists only after the work COMPLETED —
       // persisting at enqueue time would make a crash (or a failing
-      // handler) between tick and execution silently swallow the run
+      // handler) between tick and execution silently swallow the run.
+      // lastRun comes from the TASK, not the mutable jobs list: a fast
+      // worker can run before tick() advances the in-memory lastRun, and
+      // persisting the stale pre-tick value (latest-version-wins) would
+      // re-fire a completed run after restart.
       for (s <- jobStore; id <- t.params.get("jobId");
-           j <- jobs.find(_.id == id))
-        s.save(j, Instant.parse(t.params("now")))
+           j <- jobs.find(_.id == id)) {
+        val ranAt = Instant.parse(t.params("now"))
+        s.save(j.copy(lastRun = Some(ranAt)), ranAt)
+      }
     } catch { case e: Throwable => lastErr = Some(e); throw e },
     maxWorkers)
   pool.start()

@@ -41,11 +41,13 @@ final class JobStore(spark: SparkSession, path: String) {
   /** Persist the current state of a job (definition + lastRun). */
   def save(job: Job, now: Instant): Unit = {
     val (kind, arg) = encodeSchedule(job.schedule)
-    Seq((job.id, job.jobType, kind, arg,
+    val row = Seq((job.id, job.jobType, kind, arg,
       job.lastRun.map(Timestamp.from).orNull, Timestamp.from(now)))
       .toDF("job_id", "job_type", "schedule_kind", "schedule_arg",
         "last_run", "updated_at")
-      .write.mode(SaveMode.Append).parquet(path)
+    graft.history.StoreIO.appendLocked(path) {
+      row.write.mode(SaveMode.Append).parquet(path)
+    }
   }
 
   def saveAll(jobs: Seq[Job], now: Instant): Unit =

@@ -75,10 +75,12 @@ final class QueryLogStore(spark: SparkSession, path: String) {
       queryType: String,
       startTime: java.sql.Timestamp): Unit = {
     import spark.implicits._
-    Seq((queryText, queryType, startTime))
+    val row = Seq((queryText, queryType, startTime))
       .toDF("query_text", "query_type", "start_time")
       .withColumn("date", to_date(col("start_time")))
-      .write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+    graft.history.StoreIO.appendLocked(path) {
+      row.write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+    }
   }
 
   /** The log as a DataFrame; an empty (schema-correct) frame before the

@@ -66,10 +66,12 @@ final class RuleStore(spark: SparkSession, path: String) {
 
   private def appendVersions(rows: Seq[(String, String, String, String,
       String, String, String, Boolean, Boolean, Timestamp)]): Unit =
-    rows.toDF("table_name", "rule_name", "description", "query", "operator",
-      "expected_value", "expected_kind", "is_active", "deleted",
-      "updated_at")
-      .write.mode(SaveMode.Append).partitionBy("table_name").parquet(path)
+    graft.history.StoreIO.appendLocked(path) {
+      rows.toDF("table_name", "rule_name", "description", "query", "operator",
+        "expected_value", "expected_kind", "is_active", "deleted",
+        "updated_at")
+        .write.mode(SaveMode.Append).partitionBy("table_name").parquet(path)
+    }
 
   private def appendVersion(
       tableName: String,
