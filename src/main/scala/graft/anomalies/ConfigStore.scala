@@ -24,7 +24,7 @@ final class AnomalyConfigStore(spark: SparkSession, path: String) {
 
   private def appendVersion(
       c: AnomalyConfig, active: Boolean, deleted: Boolean,
-      now: Timestamp): Unit =
+      now: Timestamp): Unit = {
     val row = Seq((c.tableName, c.columnName.orNull, c.metricName,
       c.detectionMethod, c.sensitivity, c.minDataPoints, c.window,
       c.stdWindow, active, deleted, now))
@@ -34,6 +34,7 @@ final class AnomalyConfigStore(spark: SparkSession, path: String) {
     graft.history.StoreIO.appendLocked(path) {
       row.write.mode(SaveMode.Append).parquet(path)
     }
+  }
 
   def createConfig(c: AnomalyConfig, now: Timestamp): Unit =
     appendVersion(c, active = true, deleted = false, now)
