@@ -215,6 +215,25 @@ class PersistenceSpec extends AnyFunSuite {
       Scheduler.Daily(LocalTime.of(2, 0)))
   }
 
+  test("stores: concurrent appends to one path are serialized and lossless") {
+    // Hadoop's FileOutputCommitter stages every in-flight attempt under a
+    // single <path>/_temporary and deletes it wholesale on commitJob, so
+    // two UNserialized concurrent append jobs to the same path can lose
+    // files or die with FileNotFoundException. StoreIO.appendLocked takes
+    // a per-path monitor; this drives it from 8 threads (the Automation
+    // worker-pool shape) and asserts every row landed.
+    val store = new JobStore(spark, tmp("graft_jobs_conc") + "/jobs")
+    val now = Instant.parse("2026-01-01T00:00:00Z")
+    val threads = (1 to 8).map { i =>
+      new Thread(() => store.save(
+        Scheduler.Job(s"job$i", "metadata_refresh",
+          Scheduler.Every(Duration.ofHours(i.toLong))), now))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val loaded = store.load()
+    assert(loaded.map(_.id).toSet == (1 to 8).map(i => s"job$i").toSet)
+  }
+
   test("automation: lastRun survives restart; a missed run fires once") {
     val state = tmp("graft_auto")
     val engine = new GraftEngine(spark, sfDir, state)
