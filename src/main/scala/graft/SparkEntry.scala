@@ -1683,6 +1683,57 @@ object SparkEntry {
           CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM c GROUP BY 1, 2 ORDER BY pack_bucket, seq_id""")),
 
+    Q("x12_tfidf_keywords",
+      // TF-IDF keyword extraction: top-3 terms per doc, idf over the FULL
+      // corpus (token-keyed partial aggs, vocab-sized join), output
+      // restricted to the first 30 docs to keep the pinned result compact
+      (s, d) => TextAnalysis.tfidfKeywords(t(s, d, "documents"), top = 3)
+        .filter(col("doc_id") < 30)
+        .orderBy("doc_id", "rk"),
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        tok AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+          FROM tok GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(DISTINCT doc_id) AS df
+          FROM tok GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf,
+            ROUND(ln(CAST(n.n AS DOUBLE) / df.df), 6) AS idf
+          FROM tf JOIN df USING (token) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, token, ROUND(tf * idf, 6) AS tfidf,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tf * idf DESC, token) AS rk
+          FROM scored)
+        SELECT doc_id, CAST(rk AS INT) AS rk, token, tfidf
+        FROM ranked WHERE rk <= 3 AND doc_id < 30
+        ORDER BY doc_id, rk""")),
+
+    Q("x13_unigram_logprob",
+      // CCNet-style unigram LM quality score: corpus unigram model in one
+      // token-keyed agg, per-doc weighted average -ln p(token)
+      (s, d) => TextAnalysis.unigramLogProb(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        tok AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf
+          FROM tok GROUP BY 1, 2),
+        model AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1),
+        tot AS (SELECT SUM(cnt) AS t FROM model)
+        SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+          ROUND(CAST(SUM(tf.tf * CAST(ROUND(
+              -ln(CAST(model.cnt AS DOUBLE) / tot.t) * 1e6, 0) AS BIGINT))
+            AS DOUBLE) / SUM(tf.tf) / 1e6, 6) AS avg_neg_logprob
+        FROM tf JOIN model USING (token) CROSS JOIN tot
+        GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
+
     Q("x04_fingerprint",
       // winnowing fingerprint per document; hash family not SQL-portable
       // (rows-only check here; set semantics pinned in FingerprintSpec)

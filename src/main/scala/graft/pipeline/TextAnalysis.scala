@@ -303,6 +303,82 @@ object TextAnalysis {
    *  re-inlines three of them, and languageId's tie-break references
    *  its `best` subtree once per language. Same trick as
    *  [[repetitionRatio]]; measured ~4× on the x01 bench query. */
+  /** TF-IDF keyword extraction: the top-`top` highest-scoring terms per
+   *  document, scored `tf * ln(N / df)`. The classic corpus-keyword /
+   *  topic-signal op a curation pipeline runs after dedup. Shape at
+   *  scale: both term frequency and document frequency are token-keyed
+   *  partial aggregations (map-side combine, text never shuffles whole);
+   *  the doc-frequency table is vocabulary-sized and joins back onto the
+   *  (doc, token, tf) frame on the token key — co-partitioned after the
+   *  aggregations, and AQE broadcasts it when the vocabulary is small.
+   *  The idf term is rounded to 6 dp BEFORE scoring so ranking is
+   *  reproducible across engines (libm `log` may differ in the last ulp
+   *  between runtimes); ties break on token ascending. */
+  def tfidfKeywords(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      top: Int = 3): DataFrame = {
+    val toks = docs
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__idf",
+        round(log(col("__n").cast("double") / col("df")), 6))
+      .withColumn("tfidf", round(col("tf") * col("__idf"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy((col("tf") * col("__idf")).desc, col("token"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= top)
+      .select(col(idCol), col("rk"), col("token"), col("tfidf"))
+  }
+
+  /** Unigram language-model quality score (the CCNet-style perplexity
+   *  proxy): fit corpus unigram probabilities in one token-keyed
+   *  aggregation, then score each document by the average negative log
+   *  probability of its tokens — fluent/typical docs score low, rare-token
+   *  spam scores high. Weighted form: sum(tf * -ln p) / sum(tf), so the
+   *  per-doc pass reuses the (doc, token, tf) aggregate and joins the
+   *  vocabulary-sized model on the token key (same scale shape as
+   *  [[tfidfKeywords]]). Per-token log terms round to 6 dp before the
+   *  weighted sum for cross-engine reproducibility. */
+  def unigramLogProb(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val model = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("__t"))
+    // per-token -ln p quantized to integer micro-nats BEFORE the weighted
+    // sum: a double-precision sum is order-dependent in its last ulps and
+    // partial-aggregation order is nondeterministic, which flipped a
+    // 6-dp rounding boundary against the oracle; integer sums are exact
+    tf.join(model, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("__nlp_micro",
+        round(-log(col("cnt").cast("double") / col("__t")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(sum(col("tf") * col("__nlp_micro")).cast("double")
+          / sum(col("tf")) / 1e6, 6).as("avg_neg_logprob"))
+  }
+
   def profileText(
       docs: DataFrame,
       textCol: String = "text"): DataFrame = {
