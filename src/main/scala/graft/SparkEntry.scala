@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.anomalies.Anomalies
 import graft.history.Trends
-import graft.pipeline.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Pii, Sampling, Similarity, TextAnalysis}
 import graft.profiler.{IncrementalProfile, Profiler}
 import graft.sources.Catalog
 import graft.types.ValidationRule
@@ -1412,6 +1412,37 @@ object SparkEntry {
           CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    Q("d06_ngram_jaccard",
+      // exact word-3-gram Jaccard over the whole corpus via the inverted
+      // index (posting-list self-join) — never all-pairs; the oracle
+      // mirrors the same index shape in SQL
+      (s, d) => Dedup.jaccardSimilarPairs(t(s, d, "documents"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS ts
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+          FROM toks WHERE len(ts) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT id_a, id_b, inter,
+            ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, jaccard
+        FROM j WHERE jaccard >= CAST(0.5 AS DOUBLE)
+        ORDER BY id_a, id_b""")),
+
     Q("e01_embedding_profile",
       (s, d) => Similarity.profileEmbeddings(t(s, d, "embeddings")),
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
@@ -1734,6 +1765,68 @@ object SparkEntry {
         FROM tf JOIN model USING (token) CROSS JOIN tot
         GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
 
+    Q("x14_pii_scan",
+      // PII detect + redact; the sf corpus carries no real PII, so
+      // deterministic fixtures are injected from doc_id the same way on
+      // both engines (the p21 recipe); redacted_md5 pins the exact
+      // redaction output without carrying text through the result
+      (s, d) => {
+        val id = col("doc_id")
+        val inj = concat(
+          col("text"),
+          when(id % 3 === 0, concat(lit(" contact user"),
+            id.cast("string"), lit("@example.com"))).otherwise(""),
+          when(id % 5 === 0, concat(lit(" call (415) 555-"),
+            lpad((id % 10000).cast("string"), 4, "0"))).otherwise(""),
+          when(id % 7 === 0, concat(lit(" from 10."),
+            (id % 200).cast("string"), lit("."),
+            (id % 250).cast("string"), lit("."),
+            (id % 100).cast("string"))).otherwise(""),
+          when(id % 11 === 0, concat(lit(" ssn 123-45-"),
+            lpad((id % 10000).cast("string"), 4, "0"))).otherwise(""))
+        Pii.piiScan(t(s, d, "documents").withColumn("text", inj))
+          .orderBy("doc_id")
+      },
+      Some("""WITH injected AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                 THEN ' call (415) 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.' || (doc_id % 200) || '.'
+                   || (doc_id % 250) || '.' || (doc_id % 100) ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                 THEN ' ssn 123-45-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            AS n_email,
+          CAST(len(regexp_extract_all(t,
+            '\([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+          CAST(len(regexp_extract_all(t,
+            '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+          CAST(len(regexp_extract_all(t,
+            '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+          md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\([0-9]{3}\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+            '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+            '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g')) AS redacted_md5
+        FROM injected ORDER BY doc_id""")),
+
+    Q("x15_quality_filter",
+      // Gopher-style keep/drop verdicts: explicit per-rule booleans (as
+      // 0/1 ints for comparator safety) + the composed keep flag
+      (s, d) => TextAnalysis.gopherFilter(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some(duckGopherFilterSql)),
+
     Q("x04_fingerprint",
       // winnowing fingerprint per document; hash family not SQL-portable
       // (rows-only check here; set semantics pinned in FingerprintSpec)
@@ -1741,6 +1834,48 @@ object SparkEntry {
         .select("doc_id", "fingerprint")
         .orderBy("doc_id"),
       None))
+
+  /** DuckDB mirror of TextAnalysis.gopherFilter — same token shapes,
+   *  same stop list, rules compared on the same 6-dp-rounded signals. */
+  private lazy val duckGopherFilterSql: String = {
+    val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
+      "it", "that", "for", "on", "with", "as", "was", "at", "by", "be")
+    val inList = stop.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            t -> len(t) > 0) AS ts,
+          len(regexp_replace(lower(trim(text)), '\\s', '', 'g')) AS nws
+        FROM documents),
+      sig AS (
+        SELECT doc_id,
+          CAST(len(ts) AS BIGINT) AS n_tokens,
+          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(CAST(nws AS DOUBLE) / len(ts), 6) END
+            AS mean_token_len,
+          CAST(len(list_filter(ts, t -> t IN ($inList))) AS BIGINT)
+            AS n_stop,
+          CASE WHEN len(ts) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(CAST(len(list_filter(ts,
+              t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(ts), 6)
+            END AS alpha_frac
+        FROM toks)
+      SELECT doc_id, n_tokens, mean_token_len, n_stop, alpha_frac,
+        CAST(CASE WHEN n_tokens >= 30 AND n_tokens <= 10000
+          THEN 1 ELSE 0 END AS INT) AS wc_ok,
+        CAST(CASE WHEN mean_token_len >= CAST(3.0 AS DOUBLE)
+            AND mean_token_len <= CAST(10.0 AS DOUBLE)
+          THEN 1 ELSE 0 END AS INT) AS mlen_ok,
+        CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS stop_ok,
+        CAST(CASE WHEN alpha_frac >= CAST(0.8 AS DOUBLE)
+          THEN 1 ELSE 0 END AS INT) AS alpha_ok,
+        CAST(CASE WHEN n_tokens >= 30 AND n_tokens <= 10000
+            AND mean_token_len >= CAST(3.0 AS DOUBLE)
+            AND mean_token_len <= CAST(10.0 AS DOUBLE)
+            AND n_stop >= 2 AND alpha_frac >= CAST(0.8 AS DOUBLE)
+          THEN 1 ELSE 0 END AS INT) AS keep
+      FROM sig ORDER BY doc_id"""
+  }
 
   /** DuckDB mirror of TextAnalysis.profileText — same regexes, same
    *  arithmetic, same rounding. */

@@ -251,6 +251,67 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact n-gram-Jaccard similar pairs over the WHOLE corpus via an
+   *  inverted index (posting-list self-join) — the classic exact-dedup
+   *  complement to the MinHash estimate: every pair of documents sharing
+   *  at least one word `k`-gram is scored `|A∩B| / |A∪B|` on distinct
+   *  shingle sets, keeping pairs at or above `threshold`.
+   *
+   *  Scale shape: tokenize and shingle map-side (staged projections so
+   *  the split runs once), drop the text column, then self-join the
+   *  (shingle, id) index on the shingle key — co-partitioned, never
+   *  all-pairs; the pair aggregation is one more shuffle on (id_a,
+   *  id_b). A shingle present in more than `maxShingleDocFreq`
+   *  documents is a stop-phrase: it contributes f² join rows but its
+   *  pairs are far below any useful threshold, so production runs cap
+   *  it (the cap biases Jaccard DOWN only for pairs whose sole overlap
+   *  is stop-phrases). The default leaves the computation exact, which
+   *  is what the d06 oracle checks. */
+  def jaccardSimilarPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      threshold: Double = 0.5,
+      maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
+    val toks = docs
+      .select(col(idCol),
+        filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => length(t) > 0).as("ts"))
+      .filter(size(col("ts")) >= shingleK)
+    val shingled = toks
+      .select(col(idCol),
+        array_distinct(transform(
+          sequence(lit(1), size(col("ts")) - (shingleK - 1)),
+          i => concat_ws(" ", slice(col("ts"), i, lit(shingleK)))))
+          .as("shingles"))
+    val sizes = shingled.select(col(idCol), size(col("shingles")).as("sz"))
+    val index = shingled
+      .select(col(idCol), explode(col("shingles")).as("shingle"))
+    val posting =
+      if (maxShingleDocFreq == Int.MaxValue) index
+      else {
+        val dfq = index.groupBy("shingle")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxShingleDocFreq)
+          .select("shingle")
+        index.join(dfq, "shingle")
+      }
+    val pairs = posting.select(col(idCol).as("id_a"), col("shingle"))
+      .join(posting.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("__sza")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("__szb")), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("__sza") + col("__szb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+  }
+
   // ---- SimHash near-dup -----------------------------------------------
 
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates from 16-bit

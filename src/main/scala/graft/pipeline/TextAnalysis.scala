@@ -379,6 +379,61 @@ object TextAnalysis {
           / sum(col("tf")) / 1e6, 6).as("avg_neg_logprob"))
   }
 
+  /** Gopher-style quality-filter verdicts: the explicit per-rule
+   *  keep/drop battery (Rae et al. 2021 §A1.1 shape — token-count
+   *  bounds, mean-token-length bounds, minimum stopword evidence,
+   *  alphabetic-token fraction) composed into a final `keep` flag.
+   *  Where [[profileText]] emits continuous signals, this emits the
+   *  filter DECISION a curation pipeline acts on. Pure map-side (one
+   *  tokenize per row, staged so the split never re-runs); flags are
+   *  0/1 ints so the cross-engine comparator sees plain integers.
+   *  Rule comparisons run on the 6-dp-ROUNDED signals so boundary
+   *  cases resolve identically on every engine. */
+  def gopherFilter(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Int = 30,
+      maxTokens: Int = 10000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minStop: Int = 2,
+      minAlphaFrac: Double = 0.8): DataFrame = {
+    val t0 = lower(trim(col(textCol)))
+    val staged = docs
+      .withColumn("__toks",
+        filter(split(t0, "\\s+"), x => length(x) > 0))
+      .withColumn("__nws", length(regexp_replace(t0, "\\s", "")))
+    val n = size(col("__toks"))
+    staged
+      .withColumn("n_tokens", n.cast("long"))
+      .withColumn("mean_token_len",
+        when(n === 0, 0.0)
+          .otherwise(round(col("__nws").cast("double") / n, 6)))
+      .withColumn("n_stop",
+        size(filter(col("__toks"), x => x.isInCollection(stopwords)))
+          .cast("long"))
+      .withColumn("alpha_frac",
+        when(n === 0, 0.0)
+          .otherwise(round(
+            size(filter(col("__toks"), x => x.rlike("[a-z]")))
+              .cast("double") / n, 6)))
+      .withColumn("wc_ok",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .cast("int"))
+      .withColumn("mlen_ok",
+        (col("mean_token_len") >= minMeanLen
+          && col("mean_token_len") <= maxMeanLen).cast("int"))
+      .withColumn("stop_ok", (col("n_stop") >= minStop).cast("int"))
+      .withColumn("alpha_ok", (col("alpha_frac") >= minAlphaFrac).cast("int"))
+      .withColumn("keep",
+        (col("wc_ok") + col("mlen_ok") + col("stop_ok") + col("alpha_ok") === 4)
+          .cast("int"))
+      .select(col(idCol), col("n_tokens"), col("mean_token_len"),
+        col("n_stop"), col("alpha_frac"), col("wc_ok"), col("mlen_ok"),
+        col("stop_ok"), col("alpha_ok"), col("keep"))
+  }
+
   def profileText(
       docs: DataFrame,
       textCol: String = "text"): DataFrame = {

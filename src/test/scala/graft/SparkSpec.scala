@@ -637,3 +637,153 @@ class MultimodalSparkSpec extends AnyFunSuite {
     assert(out(4L) == ("unknown", None))
   }
 }
+
+class JaccardPairsSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  private lazy val docs =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Driver-side exact ground truth over all pairs (string shingles,
+   *  same tokenization as the operator). */
+  private def truth(threshold: Double): Set[(Long, Long)] = {
+    def shingles(t: String): Set[String] = {
+      val ts = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ts.length < 3) Set.empty
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val out = scala.collection.mutable.Set[(Long, Long)]()
+    for (i <- rows.indices; j <- (i + 1) until rows.length) {
+      val (ia, sa) = rows(i); val (ib, sb) = rows(j)
+      if (sa.nonEmpty || sb.nonEmpty) {
+        val inter = sa.intersect(sb).size
+        val jac = inter.toDouble / (sa.size + sb.size - inter)
+        if (jac >= threshold) out += ((math.min(ia, ib), math.max(ia, ib)))
+      }
+    }
+    out.toSet
+  }
+
+  test("inverted-index Jaccard matches all-pairs ground truth exactly") {
+    val got = Dedup.jaccardSimilarPairs(docs, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = truth(0.5)
+    assert(want.nonEmpty, "fixture should contain planted near-dups")
+    assert(got == want)
+  }
+
+  test("stop-phrase doc-frequency cap only removes stop-phrase-only pairs") {
+    // with a tiny cap the planted clone pairs (which share many distinct
+    // shingles) must still surface; jaccard may only decrease
+    val capped = Dedup.jaccardSimilarPairs(docs, threshold = 0.5,
+        maxShingleDocFreq = 50)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth(0.8).subsetOf(capped))
+  }
+}
+
+class PiiSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.pipeline.Pii
+
+  private lazy val fixture = Seq(
+    (1L, "reach me at jane.doe+spam@mail.example.org thanks"),
+    (2L, "call (415) 555-0134 or (212) 555-0199 today"),
+    (3L, "server at 10.0.42.7 and 192.168.1.254 replied"),
+    (4L, "ssn on file 078-05-1120 ok"),
+    (5L, "plain text with no sensitive content at all"),
+    (6L, "mix a@b.io (650) 555-0000 127.0.0.1 999-12-3456 end"))
+    .toDF("doc_id", "text")
+
+  test("piiScan counts each category; patterns are mutually disjoint") {
+    val out = Pii.piiScan(fixture).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, 0L)))
+    assert(out(2L) == ((0L, 2L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 2L, 0L)))
+    assert(out(4L) == ((0L, 0L, 0L, 1L)))
+    assert(out(5L) == ((0L, 0L, 0L, 0L)))
+    assert(out(6L) == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("redact replaces every hit with its tag and nothing else") {
+    val red = fixture.select(col("doc_id"),
+        Pii.redact(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "reach me at <EMAIL> thanks")
+    assert(red(2L) == "call <PHONE> or <PHONE> today")
+    assert(red(3L) == "server at <IP> and <IP> replied")
+    assert(red(4L) == "ssn on file <SSN> ok")
+    assert(red(5L) == "plain text with no sensitive content at all")
+    assert(red(6L) == "mix <EMAIL> <PHONE> <IP> <SSN> end")
+  }
+
+  test("piiSummary rolls up totals and doc counts") {
+    val r = Pii.piiSummary(Pii.piiScan(fixture)).collect()(0)
+    // email: 2 hits in 2 docs; phone: 3 in 2; ipv4: 3 in 2; ssn: 2 in 2
+    assert(r.getLong(r.fieldIndex("total_email")) == 2L)
+    assert(r.getLong(r.fieldIndex("docs_with_email")) == 2L)
+    assert(r.getLong(r.fieldIndex("total_phone")) == 3L)
+    assert(r.getLong(r.fieldIndex("docs_with_phone")) == 2L)
+    assert(r.getLong(r.fieldIndex("total_ipv4")) == 3L)
+    assert(r.getLong(r.fieldIndex("docs_with_ipv4")) == 2L)
+    assert(r.getLong(r.fieldIndex("total_ssn")) == 2L)
+    assert(r.getLong(r.fieldIndex("docs_with_ssn")) == 2L)
+  }
+}
+
+class GopherFilterSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.pipeline.TextAnalysis
+
+  test("each rule flips on its own boundary; keep is the conjunction") {
+    val longDoc = ("the quick brown fox jumped over the lazy dog and " * 5).trim
+    val fixture = Seq(
+      (1L, longDoc),                       // 50 tokens, all rules pass
+      (2L, "the of to in is"),             // too few tokens
+      (3L, Seq.fill(40)("incomprehensibilities").mkString(" ")
+        + " the of"),                      // mean token length too high
+      (4L, Seq.fill(40)("word").mkString(" ")), // no stopword evidence
+      (5L, (Seq.fill(35)("12345") ++ Seq.fill(7)("the")).mkString(" ")))
+      .toDF("doc_id", "text")              // 5: alpha fraction 7/42 < 0.8
+    val out = TextAnalysis.gopherFilter(fixture).collect()
+      .map(r => r.getLong(0) -> (
+        r.getInt(r.fieldIndex("wc_ok")), r.getInt(r.fieldIndex("mlen_ok")),
+        r.getInt(r.fieldIndex("stop_ok")), r.getInt(r.fieldIndex("alpha_ok")),
+        r.getInt(r.fieldIndex("keep")))).toMap
+    assert(out(1L) == ((1, 1, 1, 1, 1)))
+    assert(out(2L)._1 == 0 && out(2L)._5 == 0)
+    assert(out(3L)._2 == 0 && out(3L)._5 == 0)
+    assert(out(4L)._3 == 0 && out(4L)._5 == 0)
+    assert(out(5L)._4 == 0 && out(5L)._5 == 0)
+  }
+
+  test("TF-IDF keywords rank a distinctive repeated term first") {
+    val fixture = Seq(
+      (1L, "zebra zebra zebra common common word word"),
+      (2L, "common word filler filler filler text text"),
+      (3L, "word text common filler other other other"))
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfKeywords(fixture, top = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("token"))).toMap
+    assert(top(1L) == "zebra") // only doc with it, tf 3
+  }
+
+  test("unigram logprob scores rare-token docs higher than typical docs") {
+    val fixture = Seq(
+      (1L, "the the the the the"),
+      (2L, "xylophone quixotic zephyr"),
+      (3L, "the the the xylophone the"))
+      .toDF("doc_id", "text")
+    val s = TextAnalysis.unigramLogProb(fixture).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("avg_neg_logprob"))).toMap
+    assert(s(2L) > s(3L) && s(3L) > s(1L))
+  }
+}
