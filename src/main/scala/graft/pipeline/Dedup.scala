@@ -258,10 +258,11 @@ object Dedup {
    *  shingle sets, keeping pairs at or above `threshold`.
    *
    *  Scale shape: tokenize and shingle map-side (staged projections so
-   *  the split runs once), drop the text column, then self-join the
-   *  (shingle, id) index on the shingle key — co-partitioned, never
-   *  all-pairs; the pair aggregation is one more shuffle on (id_a,
-   *  id_b). A shingle present in more than `maxShingleDocFreq`
+   *  the split runs once), drop the text column, then ONE shuffle keyed
+   *  by shingle builds each posting list and ordered pairs are emitted
+   *  map-side within the list — never all-pairs, and no index self-join
+   *  (which would shuffle the exploded index twice); the pair
+   *  aggregation is one more shuffle on (id_a, id_b). A shingle present in more than `maxShingleDocFreq`
    *  documents is a stop-phrase: it contributes f² join rows but its
    *  pairs are far below any useful threshold, so production runs cap
    *  it (the cap biases Jaccard DOWN only for pairs whose sole overlap
@@ -274,32 +275,43 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.5,
       maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
-    val toks = docs
-      .select(col(idCol),
-        filter(split(lower(trim(col(textCol))), "\\s+"),
-          t => length(t) > 0).as("ts"))
-      .filter(size(col("ts")) >= shingleK)
-    val shingled = toks
-      .select(col(idCol),
-        array_distinct(transform(
-          sequence(lit(1), size(col("ts")) - (shingleK - 1)),
-          i => concat_ws(" ", slice(col("ts"), i, lit(shingleK)))))
-          .as("shingles"))
+    // compiled UDF, not transform/slice/filter expressions: Spark's
+    // higher-order functions evaluate interpreted per element, and the
+    // expression version benched 3.5× slower on this exact shape (same
+    // finding as the round-2 e03 fix). Tokenization parity with the SQL
+    // oracle: split on \s+ then drop empties (which subsumes trim), and
+    // ROOT-locale lowercase (Spark's lower() is locale-independent).
+    val shUdf = udf { text: String =>
+      if (text == null) Array.empty[String]
+      else {
+        val ts = text.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        if (ts.length < shingleK) Array.empty[String]
+        else ts.sliding(shingleK).map(_.mkString(" ")).toArray.distinct
+      }
+    }
+    val shingled = docs
+      .select(col(idCol), shUdf(col(textCol)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
     val sizes = shingled.select(col(idCol), size(col("shingles")).as("sz"))
     val index = shingled
       .select(col(idCol), explode(col("shingles")).as("shingle"))
-    val posting =
-      if (maxShingleDocFreq == Int.MaxValue) index
-      else {
-        val dfq = index.groupBy("shingle")
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxShingleDocFreq)
-          .select("shingle")
-        index.join(dfq, "shingle")
-      }
-    val pairs = posting.select(col(idCol).as("id_a"), col("shingle"))
-      .join(posting.select(col(idCol).as("id_b"), col("shingle")), "shingle")
-      .filter(col("id_a") < col("id_b"))
+    // group-and-combine: ONE shuffle keyed by shingle builds each posting
+    // list, ordered pairs are generated map-side inside the list (a
+    // nested codegen'd transform — no self-join, which would shuffle the
+    // exploded index twice); the df cap is a size filter on the list
+    val ids = col("ids")
+    val grouped = index.groupBy("shingle")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(ids) >= 2 && size(ids) <= maxShingleDocFreq)
+    val pairs = grouped
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(ids) - 1),
+        i => transform(
+          slice(ids, i + 1, size(ids) - i),
+          b => struct(element_at(ids, i).as("id_a"), b.as("id_b"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     pairs
