@@ -293,30 +293,36 @@ object Dedup {
     val shingled = docs
       .select(col(idCol), shUdf(col(textCol)).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sizes = shingled.select(col(idCol), size(col("shingles")).as("sz"))
-    val index = shingled
-      .select(col(idCol), explode(col("shingles")).as("shingle"))
     // group-and-combine: ONE shuffle keyed by shingle builds each posting
-    // list, ordered pairs are generated map-side inside the list (a
-    // nested codegen'd transform — no self-join, which would shuffle the
-    // exploded index twice); the df cap is a size filter on the list
+    // list, ordered pairs are generated map-side inside the list (no
+    // self-join, which would shuffle the exploded index twice); the df
+    // cap is a size filter on the list. Each posting entry carries the
+    // document's distinct-shingle-set size, so the union size falls out
+    // of the pair aggregation itself — no per-doc sizes join, and the
+    // corpus is scanned exactly once
+    val index = shingled
+      .select(
+        struct(col(idCol).as("id"), size(col("shingles")).as("sz")).as("ds"),
+        explode(col("shingles")).as("shingle"))
     val ids = col("ids")
     val grouped = index.groupBy("shingle")
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .agg(sort_array(collect_list(col("ds"))).as("ids"))
       .filter(size(ids) >= 2 && size(ids) <= maxShingleDocFreq)
-    val pairs = grouped
+    grouped
       .select(explode(flatten(transform(
         sequence(lit(1), size(ids) - 1),
         i => transform(
           slice(ids, i + 1, size(ids) - i),
-          b => struct(element_at(ids, i).as("id_a"), b.as("id_b"))))))
+          b => struct(
+            element_at(ids, i).getField("id").as("id_a"),
+            element_at(ids, i).getField("sz").as("sz_a"),
+            b.getField("id").as("id_b"),
+            b.getField("sz").as("sz_b"))))))
         .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(col("p.*"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("__sza")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("__szb")), "id_b")
+      .agg(count(lit(1)).as("inter"),
+        first(col("sz_a")).as("__sza"), first(col("sz_b")).as("__szb"))
       .withColumn("jaccard",
         round(col("inter").cast("double")
           / (col("__sza") + col("__szb") - col("inter")), 6))
