@@ -15,7 +15,8 @@ object Explain {
         "e03_knn_lsh", "e05_knn_ivf", "d03_minhash_neardup",
         "d05_dup_clusters", "p15_outliers_3sigma", "p28_histogram",
         "s09_usage_patterns", "x06_hash_split", "x10_stratified_sample",
-        "x11_sequence_packing")
+        "x11_sequence_packing", "d06_ngram_jaccard", "x12_tfidf_keywords",
+        "x13_unigram_logprob", "x14_pii_scan", "x15_quality_filter")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
