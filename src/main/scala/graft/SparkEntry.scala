@@ -2056,6 +2056,65 @@ object SparkEntry {
    *  l_tax; retype o_totalprice; re-key region), diff, classify. The
    *  oracle re-states the EXPECTED diff of that declared mutation. */
   private def schemaQueries: Seq[Q] = Seq(
+    Q("j02_range_join",
+      // bucketed band join (equi-join on (key, time-bucket) + exact band
+      // filter — never a nested-loop theta join): prior-24h same-user
+      // click count for every error event, zeros kept
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        val err = ev.filter(col("event_type") === "error")
+          .select("event_id", "user_id", "ts")
+        val clk = ev.filter(col("event_type") === "click")
+          .select("user_id", "ts")
+        graft.operators.RangeJoin.rangeJoinCount(err, clk, Seq("user_id"),
+            lowerSec = 86400L, upperSec = 0L, countName = "n_prior_clicks")
+          .select(col("event_id"), col("user_id"), col("n_prior_clicks"))
+          .orderBy("event_id")
+      },
+      Some("""WITH err AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+        clk AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        SELECT e.event_id, e.user_id,
+          CAST(COUNT(c.ts) AS BIGINT) AS n_prior_clicks
+        FROM err e LEFT JOIN clk c ON c.user_id = e.user_id
+          AND epoch_us(c.ts) >= epoch_us(e.ts) - 86400000000
+          AND epoch_us(c.ts) < epoch_us(e.ts)
+        GROUP BY 1, 2 ORDER BY event_id""")),
+
+    Q("x16_sessionize",
+      // gap-based sessionization (6 h): one shuffle on user_id, session
+      // rollup reuses the same partitioning; integer epoch-micro gaps
+      (s, d) => graft.operators.Sessionize.sessionize(
+          eventsTable(s, d).select("user_id", "ts", "value"),
+          gapSeconds = 21600L, valueCol = "value")
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_end"),
+          col("value_sum"))
+        .orderBy("user_id", "session_idx"),
+      Some("""WITH g AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+              THEN 1 ELSE 0 END AS opens
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        a AS (
+          SELECT user_id, ts, value,
+            SUM(opens) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_idx
+          FROM g)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+          strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+          CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+        FROM a GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx""")),
+
     Q("c02_schema_diff",
       (s, d) => {
         import s.implicits._

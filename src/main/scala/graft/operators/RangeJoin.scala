@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Bucketed range join: right rows whose timestamp falls in
+ * `[leftTs − lowerSec, leftTs + upperSec)` for the same key.
+ *
+ * Spark has no native band-join physical operator; a naive theta-join
+ * on the time predicate plans as BroadcastNestedLoopJoin (or a
+ * cartesian per key) and dies at scale. The standard fix, used here:
+ * quantize time into buckets at least as wide as the band, equi-join
+ * on (key, bucket) — each left row covers the ≤2 buckets its band can
+ * intersect, each right row sits in exactly 1, so every true pair is
+ * produced exactly once (no distinct needed) — then apply the exact
+ * band predicate as a post-join filter. Shuffle is co-partitioned on
+ * (key, bucket); duplication is bounded by 2× the left side
+ * regardless of band width or data volume.
+ */
+object RangeJoin {
+
+  /** Inner band-join pairs. Left columns keep their names; right
+   *  columns come back prefixed `r_`. Band arithmetic runs on integer
+   *  epoch micros (exact, engine-portable). */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String = "ts",
+      rightTsCol: String = "ts",
+      lowerSec: Long = 0L,
+      upperSec: Long = 0L): DataFrame = {
+    require(lowerSec + upperSec > 0, "band must have positive width")
+    val widthUs = (lowerSec + upperSec) * 1000000L
+    val lowerUs = lowerSec * 1000000L
+    val upperUs = upperSec * 1000000L
+
+    // exact floor division: subtract pmod first (a double floor(x/w)
+    // can land on the wrong side at exact bucket boundaries); the
+    // resulting quotient is an exact multiple, so the divide is lossless
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(widthUs))) / widthUs).cast("long")
+
+    val lUs = unix_micros(col(leftTsCol))
+    val l = left
+      .withColumn("__lus", lUs)
+      .withColumn("__bucket",
+        explode(sequence(
+          bucketOf(lUs - lowerUs),
+          bucketOf(lUs + upperUs - 1))))
+    val rCols = right.columns.map(c => col(c).as(s"r_$c")).toSeq
+    val r = right.select(rCols: _*)
+      .withColumn("__rus", unix_micros(col(s"r_$rightTsCol")))
+      .withColumn("__bucket", bucketOf(col("__rus")))
+
+    val cond = keyCols.map(k => l(k) === r(s"r_$k"))
+      .reduce(_ && _) && l("__bucket") === r("__bucket") &&
+      r("__rus") >= l("__lus") - lowerUs && r("__rus") < l("__lus") + upperUs
+    l.join(r, cond)
+      .drop("__lus", "__rus", "__bucket")
+  }
+
+  /** Left-outer match counts: every left row with the number of right
+   *  rows in its band (0 for no matches). */
+  def rangeJoinCount(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String = "ts",
+      rightTsCol: String = "ts",
+      lowerSec: Long = 0L,
+      upperSec: Long = 0L,
+      countName: String = "n_matches"): DataFrame = {
+    val pairs = rangeJoin(left, right, keyCols, leftTsCol, rightTsCol,
+      lowerSec, upperSec)
+    val grouped = pairs
+      .groupBy(left.columns.map(col).toSeq: _*)
+      .agg(count(lit(1)).as(countName))
+    left.join(grouped, left.columns.toSeq, "left")
+      .na.fill(0L, Seq(countName))
+  }
+}

@@ -787,3 +787,81 @@ class GopherFilterSpec extends AnyFunSuite {
     assert(s(2L) > s(3L) && s(3L) > s(1L))
   }
 }
+
+class RangeJoinSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.operators.{RangeJoin, Sessionize}
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("bucketed band join equals the naive theta join, boundaries half-open") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 20L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00")),   // 1h before e1: in [−2h, 0)
+      (10L, ts("2024-01-01 10:00:00")),   // equal to e1: excluded (upper open)
+      (10L, ts("2024-01-01 08:00:00")),   // exactly −2h from e1: included
+      (10L, ts("2024-01-01 07:59:59")),   // just outside
+      (20L, ts("2024-01-01 09:30:00")),   // other key
+      (30L, ts("2024-01-01 09:30:00")))   // key with no left rows
+      .toDF("user_id", "ts")
+    val got = RangeJoin.rangeJoinCount(left, right, Seq("user_id"),
+        lowerSec = 7200L, upperSec = 0L)
+      .select("event_id", "n_matches").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("band join with an upper bound looks forward too") {
+    val left = Seq((1L, 5L, ts("2024-01-01 10:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      (5L, ts("2024-01-01 10:04:59")),
+      (5L, ts("2024-01-01 10:05:00")),    // at +5m: excluded
+      (5L, ts("2024-01-01 09:56:00")))
+      .toDF("k", "ts")
+    val got = RangeJoin.rangeJoinCount(left, right, Seq("k"),
+      lowerSec = 300L, upperSec = 300L).select("n_matches")
+      .collect()(0).getLong(0)
+    assert(got == 2L)
+  }
+
+  test("band join never plans a nested-loop or cartesian join") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val err = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clk = ev.filter(col("event_type") === "click").select("user_id", "ts")
+    val plan = RangeJoin.rangeJoin(err, clk, Seq("user_id"),
+      lowerSec = 86400L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("sessionize splits on gap, aggregates bounds and value") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.5),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),   // same session (10m < 30m)
+      (1L, ts("2024-01-01 11:00:00"), 4.0),   // 50m gap: new session
+      (2L, ts("2024-01-01 10:00:00"), 8.0))
+      .toDF("user_id", "ts", "value")
+    val out = Sessionize.sessionize(ev, gapSeconds = 1800L, valueCol = "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(r.fieldIndex("value_sum")))).toMap
+    assert(out == Map(
+      (1L, 1L) -> ((2L, 3.5)), (1L, 2L) -> ((1L, 4.0)),
+      (2L, 1L) -> ((1L, 8.0))))
+  }
+
+  test("a gap of exactly the threshold does not open a session") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:30:00")))
+      .toDF("user_id", "ts")
+    val n = Sessionize.sessionize(ev, gapSeconds = 1800L).count()
+    assert(n == 1L)
+  }
+}
