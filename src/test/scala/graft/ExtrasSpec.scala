@@ -302,6 +302,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming sessionization closes sessions at the gap and sums values") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingDetect.MetricEvent]
+    val sess = StreamingDetect.sessionizeStream(
+      input.toDS().toDF().withColumnRenamed("series", "user_id"),
+      keyCol = "user_id", gap = "30 minutes", watermark = "0 seconds")
+    val query = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      input.addData(
+        StreamingDetect.MetricEvent("u1", new Timestamp(base), 1.5),
+        StreamingDetect.MetricEvent("u1", new Timestamp(base + 600000L), 2.0),
+        StreamingDetect.MetricEvent("u2", new Timestamp(base), 8.0))
+      query.processAllAvailable()
+      // 50 minutes later: past u1's session end + gap, so it must close
+      input.addData(StreamingDetect.MetricEvent("u1",
+        new Timestamp(base + 3000000L), 4.0))
+      query.processAllAvailable()
+      input.addData(StreamingDetect.MetricEvent("u3",
+        new Timestamp(base + 9000000L), 0.0)) // push watermark far ahead
+      query.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getAs[String]("user_id"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("value_sum")))
+      assert(rows.toSet.contains(("u1", 2L, 3.5))) // first u1 session closed
+      assert(rows.toSet.contains(("u2", 1L, 8.0)))
+      assert(rows.toSet.contains(("u1", 1L, 4.0))) // second u1 session
+    } finally query.stop()
+  }
+
   test("streaming profile emits mergeable slice states per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
