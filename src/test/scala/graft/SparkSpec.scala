@@ -675,6 +675,12 @@ class JaccardPairsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("corpus Jaccard plans no join at all (sizes ride the posting lists)") {
+    val plan = Dedup.jaccardSimilarPairs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
   test("stop-phrase doc-frequency cap only removes stop-phrase-only pairs") {
     // with a tiny cap the planted clone pairs (which share many distinct
     // shingles) must still surface; jaccard may only decrease
