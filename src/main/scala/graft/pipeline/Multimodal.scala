@@ -142,6 +142,83 @@ object Multimodal {
     udf((b: Array[Byte]) =>
       if (b == null) None else imageDimsBytes(b)).apply(bin)
 
+  // ---- resize / frame-sample plumbing (pixel ops stubbed) ------------
+
+  /** STUB resize: the partition-local batch contract for an image resize
+   *  pass. The metadata transform (width/height, proportional byte-size
+   *  model) is real; the pixel resample is the stubbed step — a real
+   *  implementation swaps the body for a codec call and keeps the
+   *  signature. Deterministic: same input row, same output bytes. */
+  def resizeStub(
+      batch: Iterator[MediaRow],
+      width: Int,
+      height: Int): Iterator[MediaRow] =
+    batch.map { r =>
+      val srcArea = math.max(r.meta.width * r.meta.height, 1)
+      val outLen = math.max(
+        (r.bytes.length.toLong * (width.toLong * height) / srcArea).toInt, 1)
+      val out = new Array[Byte](outLen)
+      var i = 0
+      while (i < outLen) { out(i) = r.bytes(i % math.max(r.bytes.length, 1)); i += 1 }
+      MediaRow(r.id, out, r.meta.copy(width = width, height = height))
+    }
+
+  /** Resize a media Dataset: schema-preserving `mapPartitions` so a real
+   *  codec can amortize setup per batch; repartition first when decode
+   *  parallelism should match cores rather than input file layout. */
+  def resizeMedia(
+      media: Dataset[MediaRow],
+      width: Int,
+      height: Int,
+      partitions: Int = 0): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val repart = if (partitions > 0) media.repartition(partitions) else media
+    repart.mapPartitions(batch => resizeStub(batch, width, height))
+  }
+
+  /** One sampled video frame: the (media, frame) exploded grain a
+   *  frame-level training pipeline joins/filters on. */
+  final case class FrameRow(
+      mediaId: Long,
+      frameIdx: Int,
+      tsMs: Long,
+      frameBytes: Array[Byte])
+
+  /** STUB frame-sample: emit one frame per `intervalMs` of duration
+   *  (t = 0, interval, … < durationMs; at least one frame per video).
+   *  The explode arithmetic, output grain and partition-local batching
+   *  are real; the per-frame pixel payload is the stubbed step
+   *  (deterministic bytes seeded by (content hash, frameIdx)). */
+  def sampleFramesStub(
+      batch: Iterator[MediaRow],
+      intervalMs: Long,
+      frameBytes: Int = 64): Iterator[FrameRow] =
+    batch.flatMap { r =>
+      val h = r.bytes.foldLeft(0xcbf29ce484222325L)((a, b) => (a ^ b) * 0x100000001b3L)
+      val n = math.max(1L, (r.meta.durationMs + intervalMs - 1) / intervalMs).toInt
+      (0 until n).iterator.map { idx =>
+        val rnd = new java.util.Random(h ^ idx.toLong)
+        val bytes = new Array[Byte](frameBytes)
+        rnd.nextBytes(bytes)
+        FrameRow(r.id, idx, idx * intervalMs, bytes)
+      }
+    }
+
+  /** Frame sampling over a video Dataset — a partition-local flatMap, so
+   *  the explosion never shuffles the source bytes; downstream per-frame
+   *  work inherits the partitioning. */
+  def sampleFrames(
+      media: Dataset[MediaRow],
+      intervalMs: Long = 1000L,
+      frameBytes: Int = 64,
+      partitions: Int = 0): Dataset[FrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val repart = if (partitions > 0) media.repartition(partitions) else media
+    repart.mapPartitions(batch => sampleFramesStub(batch, intervalMs, frameBytes))
+  }
+
   /** Deterministic synthetic media table for tests/benches (the container
    *  has no real media files): bytes are seeded per id. */
   def syntheticMedia(spark: SparkSession, n: Int, bytesPerRow: Int = 256): Dataset[MediaRow] = {

@@ -609,6 +609,39 @@ class MultimodalSparkSpec extends AnyFunSuite {
     assert(row.getAs[Long]("null_blobs") == 0)
   }
 
+  test("resize preserves schema, rewrites dims, scales the byte model") {
+    val media = Multimodal.syntheticMedia(spark, 8, bytesPerRow = 1024)
+    val resized = Multimodal.resizeMedia(media, 16, 16).collect()
+    assert(resized.length == 8)
+    resized.foreach { r =>
+      assert(r.meta.width == 16 && r.meta.height == 16)
+      // 32x32 -> 16x16 quarters the area, so the stub byte model quarters
+      assert(r.bytes.length == 256)
+    }
+    // deterministic: a second run produces identical bytes
+    val again = Multimodal.resizeMedia(media, 16, 16).collect()
+    assert(resized.map(_.bytes.toSeq).toSeq == again.map(_.bytes.toSeq).toSeq)
+  }
+
+  test("frame sampling explodes to the (media, frame) grain without shuffle") {
+    import spark.implicits._
+    val vids = Seq(
+      Multimodal.MediaRow(1L, Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta("video", "mp4", 640, 480, 2500L)),
+      Multimodal.MediaRow(2L, Array[Byte](9),
+        Multimodal.MediaMeta("video", "mp4", 640, 480, 0L)))
+      .toDS()
+    val frames = Multimodal.sampleFrames(vids, intervalMs = 1000L)
+    assert(!frames.queryExecution.executedPlan.toString.contains("Exchange"))
+    val out = frames.collect()
+    // 2500ms at 1000ms intervals -> frames at 0/1000/2000; empty video -> 1
+    assert(out.count(_.mediaId == 1L) == 3)
+    assert(out.count(_.mediaId == 2L) == 1)
+    assert(out.filter(_.mediaId == 1L).map(_.tsMs).sorted.toSeq ==
+      Seq(0L, 1000L, 2000L))
+    assert(out.forall(_.frameBytes.length == 64))
+  }
+
   test("format sniffing + image dimensions from real header bytes") {
     import spark.implicits._
     // spec-correct headers, hand-built: no codec library involved
