@@ -17,7 +17,8 @@ object Explain {
         "s09_usage_patterns", "x06_hash_split", "x10_stratified_sample",
         "x11_sequence_packing", "d06_ngram_jaccard", "x12_tfidf_keywords",
         "x13_unigram_logprob", "x14_pii_scan", "x15_quality_filter",
-        "j02_range_join", "x16_sessionize")
+        "j02_range_join", "x16_sessionize", "p30_correlations",
+        "x17_distribution_drift")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

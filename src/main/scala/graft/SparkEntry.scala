@@ -542,6 +542,52 @@ object SparkEntry {
           """ ORDER BY "column""""
       }),
 
+    Q("p30_correlations",
+      // pairwise Pearson correlation in ONE pass: decimal-exact moments,
+      // identical final double formula on both engines
+      (s, d) => graft.profiler.Drift.correlations(t(s, d, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_a", "col_b"),
+      Some(duckCorrelationsSql)),
+
+    Q("x17_distribution_drift",
+      // categorical drift (KL/JS/TV, add-one smoothing) between the
+      // first and second half of the events month; nano-quantized terms
+      // so the tiny double sums are order-independent
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        graft.profiler.Drift.categoricalDrift(
+          ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+          ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+          "event_type")
+      },
+      Some("""WITH b AS (
+          SELECT event_type AS category, COUNT(*) AS n_before FROM events
+          WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+        a AS (
+          SELECT event_type AS category, COUNT(*) AS n_after FROM events
+          WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+        j AS (
+          SELECT COALESCE(b.category, a.category) AS category,
+            COALESCE(n_before, 0) AS n_before,
+            COALESCE(n_after, 0) AS n_after
+          FROM b FULL OUTER JOIN a ON b.category = a.category),
+        t AS (SELECT SUM(n_before) AS tb, SUM(n_after) AS ta,
+          COUNT(*) AS k FROM j),
+        f AS (SELECT
+            CAST(n_before + 1 AS DOUBLE) / (tb + k) AS p,
+            CAST(n_after + 1 AS DOUBLE) / (ta + k) AS q
+          FROM j CROSS JOIN t),
+        g AS (SELECT p, q, (p + q) / 2 AS m FROM f)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_categories,
+          ROUND(CAST(SUM(CAST(ROUND(p * ln(p / q) * 1e9, 0) AS BIGINT))
+            AS DOUBLE) / 1e9, 6) AS kl_pq,
+          ROUND(CAST(SUM(CAST(ROUND((p * ln(p / m) / 2 + q * ln(q / m) / 2)
+            * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS js,
+          ROUND(CAST(SUM(CAST(ROUND(abs(p - q) * 1e9, 0) AS BIGINT))
+            AS DOUBLE) / 2e9, 6) AS total_variation
+        FROM g""")),
+
     Q("a08_metric_extraction",
       (s, d) => {
         import graft.anomalies.{Metrics => ME}
@@ -1834,6 +1880,37 @@ object SparkEntry {
         .select("doc_id", "fingerprint")
         .orderBy("doc_id"),
       None))
+
+  /** DuckDB mirror of Drift.correlations — same decimal moments, same
+   *  final double formula, so results match bit-for-bit. */
+  private lazy val duckCorrelationsSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val moments = pairs.flatMap { case (a, b) =>
+      val both = s"$a IS NOT NULL AND $b IS NOT NULL"
+      val x = s"CASE WHEN $both THEN CAST($a AS DECIMAL(19,6)) END"
+      val y = s"CASE WHEN $both THEN CAST($b AS DECIMAL(19,6)) END"
+      Seq(
+        s"COUNT(CASE WHEN $both THEN 1 END) AS n_${a}_$b",
+        s"CAST(SUM($x) AS DOUBLE) AS sx_${a}_$b",
+        s"CAST(SUM($y) AS DOUBLE) AS sy_${a}_$b",
+        s"CAST(SUM(CAST(($x) * ($y) AS DECIMAL(38,12))) AS DOUBLE) AS sxy_${a}_$b",
+        s"CAST(SUM(CAST(($x) * ($x) AS DECIMAL(38,12))) AS DOUBLE) AS sxx_${a}_$b",
+        s"CAST(SUM(CAST(($y) * ($y) AS DECIMAL(38,12))) AS DOUBLE) AS syy_${a}_$b")
+    }.mkString(",\n  ")
+    val rows = pairs.map { case (a, b) =>
+      val (n, sx, sy) = (s"n_${a}_$b", s"sx_${a}_$b", s"sy_${a}_$b")
+      val (sxy, sxx, syy) = (s"sxy_${a}_$b", s"sxx_${a}_$b", s"syy_${a}_$b")
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST($n AS BIGINT) AS n,
+        CASE WHEN ($n * $sxx - $sx * $sx) > 0 AND ($n * $syy - $sy * $sy) > 0
+        THEN ROUND(($n * $sxy - $sx * $sy)
+          / sqrt(($n * $sxx - $sx * $sx) * ($n * $syy - $sy * $sy)), 6)
+        ELSE NULL END AS corr FROM s"""
+    }.mkString("\nUNION ALL\n")
+    s"WITH s AS (SELECT\n  $moments\n FROM lineitem)\n$rows\nORDER BY col_a, col_b"
+  }
 
   /** DuckDB mirror of TextAnalysis.gopherFilter — same token shapes,
    *  same stop list, rules compared on the same 6-dp-rounded signals. */

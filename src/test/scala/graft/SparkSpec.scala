@@ -904,3 +904,57 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(n == 1L)
   }
 }
+
+class DriftSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.profiler.Drift
+
+  test("correlation hits the textbook values: +1, -1, 0, constant -> null") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0, 1.0),
+      (2.0, 4.0, -2.0, 5.0, -1.0),
+      (3.0, 6.0, -3.0, 5.0, 1.0),
+      (4.0, 8.0, -4.0, 5.0, -1.0))
+      .toDF("x", "y2x", "yneg", "konst", "alt")
+    val out = Drift.correlations(df, Seq("x", "y2x", "yneg", "konst", "alt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(("x", "y2x")) == Some(1.0))
+    assert(out(("x", "yneg")) == Some(-1.0))
+    assert(out(("x", "konst")) == None)    // zero variance
+    assert(out(("x", "alt")).exists(c => math.abs(c) < 0.5))
+  }
+
+  test("correlation uses pairwise deletion on nulls") {
+    val df = Seq(
+      (Some(1.0), Some(2.0)), (Some(2.0), Some(4.0)),
+      (Some(3.0), None), (None, Some(9.0)), (Some(4.0), Some(8.0)))
+      .toDF("a", "b")
+    val r = Drift.correlations(df, Seq("a", "b")).collect()(0)
+    assert(r.getLong(r.fieldIndex("n")) == 3L)
+    assert(r.getDouble(r.fieldIndex("corr")) == 1.0)
+  }
+
+  test("drift is ~zero for identical slices, large for disjoint ones") {
+    val a = Seq("x", "x", "y", "z").toDF("c")
+    val same = Drift.categoricalDrift(a, a, "c").collect()(0)
+    assert(same.getDouble(same.fieldIndex("kl_pq")) == 0.0)
+    assert(same.getDouble(same.fieldIndex("total_variation")) == 0.0)
+    val b = Seq("p", "p", "q", "q").toDF("c")
+    val diff = Drift.categoricalDrift(a, b, "c").collect()(0)
+    assert(diff.getLong(diff.fieldIndex("n_categories")) == 5L)
+    assert(diff.getDouble(diff.fieldIndex("kl_pq")) > 0.3)
+    assert(diff.getDouble(diff.fieldIndex("js")) > 0.08)
+    assert(diff.getDouble(diff.fieldIndex("total_variation")) > 0.4)
+  }
+
+  test("category frequencies densify both sides with zeros") {
+    val a = Seq("x", "y").toDF("c")
+    val b = Seq("y", "z").toDF("c")
+    val out = Drift.categoryFrequencies(a, b, "c").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("x" -> ((1L, 0L)), "y" -> ((1L, 1L)), "z" -> ((0L, 1L))))
+  }
+}
