@@ -588,6 +588,49 @@ object SparkEntry {
             AS DOUBLE) / 2e9, 6) AS total_variation
         FROM g""")),
 
+    Q("x18_numeric_psi",
+      // numeric drift: PSI over 10 equal-width bins of events.value,
+      // first vs second half of the month; same nano-quantized sums
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        graft.profiler.Drift.numericDrift(
+          ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+          ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+          "value", bins = 10)
+      },
+      Some("""WITH b AS (
+          SELECT value FROM events
+          WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+        a AS (
+          SELECT value FROM events
+          WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+        bounds AS (
+          SELECT CAST(MIN(value) AS DOUBLE) AS mn,
+            CAST(MAX(value) AS DOUBLE) AS mx
+          FROM (SELECT value FROM b UNION ALL SELECT value FROM a)),
+        bb AS (SELECT CASE WHEN mx = mn THEN 0
+            ELSE LEAST(9, CAST(FLOOR((CAST(value AS DOUBLE) - mn)
+              / ((mx - mn) / 10)) AS BIGINT)) END AS bin
+          FROM b CROSS JOIN bounds),
+        ab AS (SELECT CASE WHEN mx = mn THEN 0
+            ELSE LEAST(9, CAST(FLOOR((CAST(value AS DOUBLE) - mn)
+              / ((mx - mn) / 10)) AS BIGINT)) END AS bin
+          FROM a CROSS JOIN bounds),
+        bc AS (SELECT bin, COUNT(*) AS n_before FROM bb GROUP BY 1),
+        ac AS (SELECT bin, COUNT(*) AS n_after FROM ab GROUP BY 1),
+        j AS (SELECT COALESCE(bc.bin, ac.bin) AS bin,
+            COALESCE(n_before, 0) AS n_before, COALESCE(n_after, 0) AS n_after
+          FROM bc FULL OUTER JOIN ac ON bc.bin = ac.bin),
+        t AS (SELECT SUM(n_before) AS tb, SUM(n_after) AS ta,
+          COUNT(*) AS k FROM j),
+        f AS (SELECT CAST(n_before + 1 AS DOUBLE) / (tb + k) AS p,
+            CAST(n_after + 1 AS DOUBLE) / (ta + k) AS q
+          FROM j CROSS JOIN t)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+          ROUND(CAST(SUM(CAST(ROUND((p - q) * ln(p / q) * 1e9, 0) AS BIGINT))
+            AS DOUBLE) / 1e9, 6) AS psi
+        FROM f""")),
+
     Q("a08_metric_extraction",
       (s, d) => {
         import graft.anomalies.{Metrics => ME}

@@ -106,6 +106,53 @@ object Drift {
           .cast("double") / 2e9, 6).as("total_variation"))
   }
 
+  /** Numeric drift via the Population Stability Index — the standard
+   *  monitoring score for a numeric column between two slices: bucket
+   *  both into `bins` equal-width bins over the COMBINED range, add-one
+   *  smooth, PSI = Σ (p−q)·ln(p/q). Same nano-quantized summation as
+   *  [[categoricalDrift]] (order-independent, engine-portable); bin
+   *  assignment is pure double arithmetic, identical on any IEEE-754
+   *  engine. Two scans (bounds, then one shared bucket-count pass per
+   *  slice) — each map-side combined; nothing row-sized shuffles. */
+  def numericDrift(
+      before: DataFrame,
+      after: DataFrame,
+      valCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val bounds = before.select(col(valCol).as("__v"))
+      .unionAll(after.select(col(valCol).as("__v")))
+      .agg(min(col("__v")).cast("double").as("__mn"),
+        max(col("__v")).cast("double").as("__mx"))
+    def binned(df: DataFrame, n: String) = df
+      .filter(col(valCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .withColumn("__bin",
+        when(col("__mx") === col("__mn"), lit(0))
+          .otherwise(least(lit(bins - 1),
+            floor((col(valCol).cast("double") - col("__mn"))
+              / ((col("__mx") - col("__mn")) / bins)).cast("int"))))
+      .groupBy("__bin").agg(count(lit(1)).as(n))
+    val joined = binned(before, "n_before")
+      .join(binned(after, "n_after"), Seq("__bin"), "full_outer")
+      .na.fill(0L, Seq("n_before", "n_after"))
+    // +1 smoothing over the OCCUPIED bins (k), exactly as in
+    // categoricalDrift — empty bins contribute nothing on either engine
+    val totals = joined.agg(
+      sum(col("n_before")).as("__tb"), sum(col("n_after")).as("__ta"),
+      count(lit(1)).as("__k"))
+    def nano(c: Column): Column = round(c * 1e9, 0).cast("long")
+    joined.crossJoin(broadcast(totals))
+      .withColumn("__p",
+        (col("n_before") + 1).cast("double") / (col("__tb") + col("__k")))
+      .withColumn("__q",
+        (col("n_after") + 1).cast("double") / (col("__ta") + col("__k")))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        round(sum(nano((col("__p") - col("__q")) * log(col("__p") / col("__q"))))
+          .cast("double") / 1e9, 6).as("psi"))
+  }
+
   /** Per-category before/after frequency table (unsmoothed, exact). */
   def categoryFrequencies(
       before: DataFrame,

@@ -950,6 +950,16 @@ class DriftSpec extends AnyFunSuite {
     assert(diff.getDouble(diff.fieldIndex("total_variation")) > 0.4)
   }
 
+  test("numeric PSI: identical slices score zero, shifted slices score high") {
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Drift.numericDrift(a, a, "v", bins = 10).collect()(0)
+    assert(same.getDouble(same.fieldIndex("psi")) == 0.0)
+    val shifted = (201 to 300).map(_.toDouble).toDF("v")
+    val diff = Drift.numericDrift(a, shifted, "v", bins = 10).collect()(0)
+    // disjoint ranges: PSI far above the 0.25 "significant shift" bar
+    assert(diff.getDouble(diff.fieldIndex("psi")) > 0.25)
+  }
+
   test("category frequencies densify both sides with zeros") {
     val a = Seq("x", "y").toDF("c")
     val b = Seq("y", "z").toDF("c")
