@@ -18,7 +18,7 @@ object Explain {
         "x11_sequence_packing", "d06_ngram_jaccard", "x12_tfidf_keywords",
         "x13_unigram_logprob", "x14_pii_scan", "x15_quality_filter",
         "j02_range_join", "x16_sessionize", "p30_correlations",
-        "x17_distribution_drift")
+        "x17_distribution_drift", "x18_numeric_psi")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
