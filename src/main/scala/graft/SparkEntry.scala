@@ -631,6 +631,75 @@ object SparkEntry {
             AS DOUBLE) / 1e9, 6) AS psi
         FROM f""")),
 
+    Q("p31_ks_drift",
+      // exact two-sample Kolmogorov–Smirnov D between odd- and even-order
+      // lineitem prices; distributed prefix sums via range buckets (no
+      // global sort) — the ECDF values are exact integer-count ratios
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        graft.profiler.Drift.ksDrift(
+          li.filter(col("l_orderkey") % 2 === 1),
+          li.filter(col("l_orderkey") % 2 === 0),
+          "l_extendedprice")
+      },
+      Some("""WITH d AS (
+          SELECT CAST(l_extendedprice AS DOUBLE) AS v, l_orderkey % 2 AS par
+          FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        g AS (SELECT v,
+            SUM(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS cb,
+            SUM(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS ca
+          FROM d GROUP BY v),
+        t AS (SELECT SUM(cb) AS nb, SUM(ca) AS na, COUNT(*) AS nv FROM g),
+        c AS (SELECT
+            SUM(cb) OVER (ORDER BY v) AS fb,
+            SUM(ca) OVER (ORDER BY v) AS fa
+          FROM g)
+        SELECT CAST(t.nb AS BIGINT) AS n_before,
+          CAST(t.na AS BIGINT) AS n_after,
+          CAST(t.nv AS BIGINT) AS n_values,
+          ROUND(MAX(ABS(CAST(fb AS DOUBLE) / t.nb
+            - CAST(fa AS DOUBLE) / t.na)), 6) AS ks
+        FROM c CROSS JOIN t GROUP BY t.nb, t.na, t.nv""")),
+
+    Q("p32_mutual_info",
+      // mutual information + chi-square + Cramér's V between returnflag
+      // and linestatus; one groupBy to cells, windows over the cell frame
+      (s, d) => graft.profiler.Drift.mutualInformation(
+        t(s, d, "lineitem"), "l_returnflag", "l_linestatus"),
+      Some("""WITH d AS (
+          SELECT l_returnflag AS a, l_linestatus AS b FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL),
+        cells AS (SELECT a, b, COUNT(*) AS nab FROM d GROUP BY a, b),
+        m AS (SELECT a, b, nab,
+            SUM(nab) OVER (PARTITION BY a) AS na,
+            SUM(nab) OVER (PARTITION BY b) AS nb,
+            SUM(nab) OVER () AS n
+          FROM cells),
+        agg AS (SELECT MAX(n) AS n, COUNT(*) AS n_cells,
+            COUNT(DISTINCT a) AS ka, COUNT(DISTINCT b) AS kb,
+            SUM(CAST(ROUND((CAST(nab AS DOUBLE) / n)
+              * LN(CAST(nab AS DOUBLE) * n / (CAST(na AS DOUBLE) * nb))
+              * 1e9, 0) AS BIGINT)) AS mi_nano,
+            SUM(CAST(ROUND(
+              (CAST(nab AS DOUBLE) - CAST(na AS DOUBLE) * nb / n)
+              * (CAST(nab AS DOUBLE) - CAST(na AS DOUBLE) * nb / n)
+              / (CAST(na AS DOUBLE) * nb / n) * 1e9, 0) AS BIGINT))
+              AS chi_nano,
+            SUM(CAST(ROUND((CAST(na AS DOUBLE) * nb / n) * 1e9, 0)
+              AS BIGINT)) AS e_nano
+          FROM m)
+        SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+          CAST(ka AS BIGINT) AS ka, CAST(kb AS BIGINT) AS kb,
+          ROUND(CAST(mi_nano AS DOUBLE) / 1e9, 6) AS mi,
+          ROUND(CAST(chi_nano AS DOUBLE) / 1e9 + CAST(n AS DOUBLE)
+            - CAST(e_nano AS DOUBLE) / 1e9, 6) AS chi2,
+          CASE WHEN LEAST(ka, kb) > 1 THEN
+            ROUND(SQRT(ROUND(CAST(chi_nano AS DOUBLE) / 1e9
+              + CAST(n AS DOUBLE) - CAST(e_nano AS DOUBLE) / 1e9, 6)
+              / (CAST(n AS DOUBLE) * (LEAST(ka, kb) - 1))), 6)
+          ELSE NULL END AS cramers_v
+        FROM agg""")),
+
     Q("a08_metric_extraction",
       (s, d) => {
         import graft.anomalies.{Metrics => ME}
@@ -1620,6 +1689,20 @@ object SparkEntry {
       },
       None), // approximate by design; recall pinned in IvfSpec
 
+    Q("e06_label_centroids",
+      // per-label mean embedding (class prototypes / IVF cell stats):
+      // pipelined posexplode + map-side-combined (label, dim) aggregate
+      (s, d) => Similarity.labelCentroids(t(s, d, "embeddings"))
+        .orderBy("label", "dim"),
+      Some("""SELECT label, CAST(idx AS INT) AS dim,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          ROUND(CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1e9, 0) AS BIGINT))
+            AS DOUBLE) / 1e9 / COUNT(*), 6) AS mean_v
+        FROM (SELECT label, unnest(embedding) AS v,
+            generate_subscripts(embedding, 1) AS idx
+          FROM embeddings WHERE embedding IS NOT NULL)
+        GROUP BY label, idx ORDER BY label, dim""")),
+
     Q("x01_text_profile",
       (s, d) => TextAnalysis.profileText(t(s, d, "documents"))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
@@ -1802,6 +1885,39 @@ object SparkEntry {
           CAST(COUNT(*) AS BIGINT) AS doc_count,
           CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM c GROUP BY 1, 2 ORDER BY pack_bucket, seq_id""")),
+
+    Q("x19_source_mix",
+      // temperature-based corpus rebalancing (w ∝ p^0.5): per-source mix
+      // plan + deterministically realized counts; one scan, cell-sized
+      // shuffles, md5-bucket thresholds shared with x06/x10
+      (s, d) => Sampling.temperatureResample(t(s, d, "documents"),
+          idCol = "doc_id", stratumCol = "source", alpha = 0.5)
+        .orderBy("stratum"),
+      Some("""WITH d AS (
+          SELECT source, doc_id,
+            CAST(('0x' || substring(md5(source || '|' ||
+              CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+          FROM documents WHERE source IS NOT NULL),
+        s AS (SELECT source, COUNT(*) AS ns FROM d GROUP BY source),
+        t AS (SELECT SUM(ns) AS n FROM s),
+        w AS (SELECT source, ns, n, CAST(ns AS DOUBLE) / n AS p,
+            POW(CAST(ns AS DOUBLE) / n, 0.5) AS pw
+          FROM s CROSS JOIN t),
+        sp AS (SELECT SUM(CAST(ROUND(pw * 1e9, 0) AS BIGINT)) AS spn FROM w),
+        r AS (SELECT source, ns, n, p, pw,
+            pw / (CAST(spn AS DOUBLE) / 1e9) AS wt
+          FROM w CROSS JOIN sp),
+        f AS (SELECT source, ns, p, wt,
+            LEAST(1.0, wt * n / ns) AS kr,
+            CAST(FLOOR(LEAST(1.0, wt * n / ns) * 1000) AS INT) AS thr
+          FROM r)
+        SELECT f.source AS stratum, CAST(f.ns AS BIGINT) AS n_docs,
+          ROUND(f.p, 6) AS share, ROUND(f.wt, 6) AS weight,
+          ROUND(f.kr, 6) AS keep_rate,
+          CAST(SUM(CASE WHEN d.bucket < f.thr THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_sampled
+        FROM f JOIN d ON d.source = f.source
+        GROUP BY 1, 2, 3, 4, 5 ORDER BY stratum""")),
 
     Q("x12_tfidf_keywords",
       // TF-IDF keyword extraction: top-3 terms per doc, idf over the FULL

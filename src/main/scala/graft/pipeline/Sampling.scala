@@ -90,6 +90,68 @@ object Sampling {
         col(idCol).cast("string")), buckets) < threshold)
   }
 
+  /** Temperature-based corpus rebalancing — the standard multilingual /
+   *  multi-source pretraining mix: a stratum with share p_s of the corpus
+   *  gets sampling weight w_s ∝ p_s^alpha (alpha<1 flattens the mix,
+   *  upweighting rare sources; alpha=1 is proportional; alpha=0 uniform).
+   *  Per-stratum keep rate r_s = min(1, w_s·N/n_s) targets a resampled
+   *  corpus of ~N docs, realized deterministically via the same md5
+   *  bucket threshold as [[stratifiedSampleBy]] (stable across runs,
+   *  cluster sizes and engines).
+   *
+   *  Returns the per-stratum mix plan + realized counts: (stratum,
+   *  n_docs, share, weight, keep_rate, n_sampled). ONE scan: rows
+   *  collapse to (stratum, bucket) cells with map-side combine — at most
+   *  strata×`buckets` cells ever shuffle; shares/weights/thresholds are
+   *  windows over the cell frame, and n_sampled is the sum of cells
+   *  under the threshold. The nano-quantized Σ p^alpha keeps the weight
+   *  normalization order-independent and engine-portable.
+   *
+   *  To materialize the resampled corpus itself, feed the returned
+   *  keep_rate map to [[stratifiedSampleBy]] — same hash, same rows. */
+  def temperatureResample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      alpha: Double,
+      buckets: Int = 1000): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val cells = df
+      .filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).as("stratum"),
+        hashBucket(concat_ws("|", col(stratumCol).cast("string"),
+          col(idCol).cast("string")), buckets).as("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+    // windows over the ≤ strata×buckets cell frame, not over the data
+    val wStr = Window.partitionBy(col("stratum"))
+    val wAll = Window.partitionBy()
+    def nano(c: Column): Column = round(c * 1e9, 0).cast("long")
+    cells
+      .withColumn("__ns", sum(col("__cnt")).over(wStr))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .withColumn("__p", col("__ns").cast("double") / col("__n"))
+      .withColumn("__pow", pow(col("__p"), lit(alpha)))
+      // order-independent Σ p^alpha: one nano term per stratum (cells
+      // within a stratum all carry the same __pow — count it once, at
+      // the stratum's first bucket)
+      .withColumn("__minb", min(col("__bucket")).over(wStr))
+      .withColumn("__sum_pow",
+        sum(when(col("__bucket") === col("__minb"),
+          nano(col("__pow"))).otherwise(0L)).over(wAll).cast("double") / 1e9)
+      .withColumn("__w", col("__pow") / col("__sum_pow"))
+      .withColumn("__r",
+        least(lit(1.0), col("__w") * col("__n") / col("__ns")))
+      .withColumn("__thr", floor(col("__r") * buckets).cast("int"))
+      .groupBy(col("stratum"))
+      .agg(
+        max(col("__ns")).as("n_docs"),
+        round(max(col("__p")), 6).as("share"),
+        round(max(col("__w")), 6).as("weight"),
+        round(max(col("__r")), 6).as("keep_rate"),
+        sum(when(col("__bucket") < col("__thr"), col("__cnt"))
+          .otherwise(0L)).as("n_sampled"))
+  }
+
   /** Sequence packing for pretraining: assign documents to consecutive
    *  fixed-budget training sequences. Documents are bucketed by stable
    *  hash (the parallelism unit — each bucket packs independently, so

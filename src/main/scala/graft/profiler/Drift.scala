@@ -1,6 +1,7 @@
 package graft.profiler
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -151,6 +152,128 @@ object Drift {
         count(lit(1)).as("n_bins"),
         round(sum(nano((col("__p") - col("__q")) * log(col("__p") / col("__q"))))
           .cast("double") / 1e9, 6).as("psi"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between two slices of a
+   *  numeric column: D = max over values v of |F_before(v) − F_after(v)|
+   *  (exact, not binned — the classic distribution-shift test that, unlike
+   *  PSI, needs no bin tuning).
+   *
+   *  Scale shape: rows collapse to DISTINCT-value counts with map-side
+   *  combine (one shuffle of (value, 2 longs)); the exact prefix sums the
+   *  ECDFs need are computed with a two-level scan — equal-width range
+   *  buckets over the distinct values, per-bucket subtotals rolled into
+   *  bucket offsets (one ≤`buckets`-row single-partition window), then a
+   *  per-bucket ordered window adds the offset. No global sort, no
+   *  single-partition pass over the data: intra-bucket windows run in
+   *  parallel, so the plan survives a 100× scale-up as long as distinct
+   *  values spread over the range (ties all collapse into one row each).
+   *
+   *  Exactness: every ECDF value is a ratio of exact integer counts; the
+   *  max of |double − double| is order-independent, so the 6-dp round is
+   *  pure presentation. */
+  def ksDrift(
+      before: DataFrame,
+      after: DataFrame,
+      valCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "need at least one range bucket")
+    val tagged = before.select(col(valCol).cast("double").as("__v"))
+      .withColumn("__after", lit(false))
+      .unionAll(after.select(col(valCol).cast("double").as("__v"))
+        .withColumn("__after", lit(true)))
+      .filter(col("__v").isNotNull)
+    val g = tagged.groupBy("__v").agg(
+      sum(when(!col("__after"), 1L).otherwise(0L)).as("__cb"),
+      sum(when(col("__after"), 1L).otherwise(0L)).as("__ca"))
+    val totals = g.agg(
+      min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+      sum(col("__cb")).as("__nb"), sum(col("__ca")).as("__na"),
+      count(lit(1)).as("__nv"))
+    val bucketed = g.crossJoin(broadcast(totals))
+      .withColumn("__bucket",
+        when(col("__mx") === col("__mn"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("__v") - col("__mn"))
+              / ((col("__mx") - col("__mn")) / buckets)).cast("int"))))
+    // bucket offsets: subtotal per bucket, then an exclusive running sum
+    // over the ≤`buckets`-row summary (single-partition window over a
+    // driver-small frame — the only non-parallel step, O(buckets))
+    val offW = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("__bucket")
+      .agg(sum(col("__cb")).as("__bb"), sum(col("__ca")).as("__ba"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__bb")).over(offW), lit(0L)).as("__ob"),
+        coalesce(sum(col("__ba")).over(offW), lit(0L)).as("__oa"))
+    val inW = Window.partitionBy(col("__bucket")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("__fb", sum(col("__cb")).over(inW) + col("__ob"))
+      .withColumn("__fa", sum(col("__ca")).over(inW) + col("__oa"))
+      .agg(
+        max(col("__nb")).as("n_before"),
+        max(col("__na")).as("n_after"),
+        max(col("__nv")).as("n_values"),
+        round(max(abs(
+          col("__fb").cast("double") / col("__nb")
+            - col("__fa").cast("double") / col("__na"))), 6).as("ks"))
+  }
+
+  /** Mutual information, chi-square and Cramér's V between two
+   *  categorical columns — the feature-association profile (which
+   *  metadata columns predict each other; what a stratified sampler
+   *  should stratify on). Null pairs are dropped (pairwise deletion).
+   *
+   *  Scale shape: ONE map-side-combined groupBy collapses rows to
+   *  (a, b) cells; everything after runs on the ≤K_a×K_b cell frame
+   *  (marginals as windows over the cells, then one tiny aggregate).
+   *  Zero-count cells contribute only their expected count to χ², so
+   *  Σ_zero E = n − Σ_observed E closes the sum without materializing
+   *  the full cross product.
+   *
+   *  Exactness: every ln/ratio operand is a ratio of exact integer
+   *  counts (counts cast to double before multiplying — no i64
+   *  overflow at any scale); per-cell terms are nano-quantized before
+   *  summing (order-independent, engine-portable); Cramér's V is
+   *  derived from the already-rounded χ² so engines agree bit-for-bit. */
+  def mutualInformation(
+      df: DataFrame,
+      colA: String,
+      colB: String): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__nab"))
+    // windows over the cell frame (≤ K_a×K_b rows), not over the data
+    val withMargins = cells
+      .withColumn("__na", sum(col("__nab")).over(Window.partitionBy(col("__a"))))
+      .withColumn("__nb", sum(col("__nab")).over(Window.partitionBy(col("__b"))))
+      .withColumn("__n", sum(col("__nab")).over(Window.partitionBy()))
+    def nano(c: Column): Column = round(c * 1e9, 0).cast("long")
+    val nab = col("__nab").cast("double")
+    val e = col("__na").cast("double") * col("__nb") / col("__n")
+    val agg = withMargins.agg(
+      max(col("__n")).as("n"),
+      count(lit(1)).as("n_cells"),
+      countDistinct(col("__a")).as("ka"),
+      countDistinct(col("__b")).as("kb"),
+      sum(nano((nab / col("__n"))
+        * log(nab * col("__n") / (col("__na").cast("double") * col("__nb")))))
+        .as("__mi_nano"),
+      sum(nano((nab - e) * (nab - e) / e)).as("__chi_nano"),
+      sum(nano(e)).as("__e_nano"))
+    agg
+      .withColumn("mi", round(col("__mi_nano").cast("double") / 1e9, 6))
+      .withColumn("chi2", round(
+        col("__chi_nano").cast("double") / 1e9 + col("n").cast("double")
+          - col("__e_nano").cast("double") / 1e9, 6))
+      .withColumn("cramers_v",
+        when(least(col("ka"), col("kb")) > 1,
+          round(sqrt(col("chi2")
+            / (col("n").cast("double") * (least(col("ka"), col("kb")) - 1))), 6))
+          .otherwise(lit(null).cast("double")))
+      .select("n", "n_cells", "ka", "kb", "mi", "chi2", "cramers_v")
   }
 
   /** Per-category before/after frequency table (unsmoothed, exact). */

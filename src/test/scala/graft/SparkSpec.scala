@@ -326,6 +326,22 @@ class SimilaritySparkSpec extends AnyFunSuite {
     // and every LSH hit must be scored identically to brute force where overlapping
     assert(lsh.nonEmpty)
   }
+
+  test("labelCentroids: per-(label, dim) means, nulls dropped, 1-based dims") {
+    import spark.implicits._
+    val df = Seq(
+      (0, Some(Array(1.0f, 2.0f))),
+      (0, Some(Array(3.0f, 4.0f))),
+      (1, Some(Array(0.5f, -0.5f))),
+      (1, None))
+      .toDF("label", "embedding")
+    val out = Similarity.labelCentroids(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      (0, 1) -> ((2L, 2.0)), (0, 2) -> ((2L, 3.0)),
+      (1, 1) -> ((1L, 0.5)), (1, 2) -> ((1L, -0.5))))
+  }
 }
 
 class FingerprintSpec extends AnyFunSuite {
@@ -511,6 +527,46 @@ class SamplingSpec extends AnyFunSuite {
     // every sequence's doc set is contiguous in id order and a doc
     // appears exactly once — packing assigns, never splits
     assert(packed.map(_._1).distinct.length == 5)
+  }
+
+  test("temperatureResample: alpha=1 is proportional (keeps everything)") {
+    val docs = ids.withColumn("src",
+      when(col("doc_id") % 10 === 0, "rare").otherwise("common"))
+    val out = Sampling.temperatureResample(docs, "doc_id", "src", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // w = p ⇒ keep rate 1.0 for every stratum ⇒ sampled = docs
+    out.values.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("keep_rate")) == 1.0)
+      assert(r.getLong(r.fieldIndex("n_sampled"))
+        == r.getLong(r.fieldIndex("n_docs")))
+    }
+    assert(out("rare").getLong(out("rare").fieldIndex("n_docs")) == 200L)
+  }
+
+  test("temperatureResample: alpha=0 flattens — rare kept, dominant cut") {
+    val docs = ids.withColumn("src",
+      when(col("doc_id") % 10 === 0, "rare").otherwise("common"))
+    val out = Sampling.temperatureResample(docs, "doc_id", "src", alpha = 0.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // uniform weights (0.5 each): rare (200 docs, target 1000) survives
+    // whole; common (1800 docs, target 1000) downsamples to ~ 5/9
+    val rare = out("rare")
+    assert(rare.getDouble(rare.fieldIndex("keep_rate")) == 1.0)
+    assert(rare.getLong(rare.fieldIndex("n_sampled")) == 200L)
+    val common = out("common")
+    val kr = common.getDouble(common.fieldIndex("keep_rate"))
+    assert(math.abs(kr - 1000.0 / 1800.0) < 1e-3)
+    val sampled = common.getLong(common.fieldIndex("n_sampled"))
+    assert(math.abs(sampled - 1000.0) / 1000.0 < 0.15) // hash noise
+    // weights are normalized
+    assert(out.values.map(r =>
+      r.getDouble(r.fieldIndex("weight"))).sum == 1.0)
+    // deterministic run to run
+    val again = Sampling.temperatureResample(docs, "doc_id", "src",
+      alpha = 0.0).collect().map(r =>
+        r.getString(0) -> r.getLong(r.fieldIndex("n_sampled"))).toMap
+    assert(again == out.map { case (k, r) =>
+      k -> r.getLong(r.fieldIndex("n_sampled")) })
   }
 }
 
@@ -966,5 +1022,59 @@ class DriftSpec extends AnyFunSuite {
     val out = Drift.categoryFrequencies(a, b, "c").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out == Map("x" -> ((1L, 0L)), "y" -> ((1L, 1L)), "z" -> ((0L, 1L))))
+  }
+
+  test("KS: 0 for identical slices, 1 for disjoint, textbook half-overlap") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val same = Drift.ksDrift(a, a, "v").collect()(0)
+    assert(same.getDouble(same.fieldIndex("ks")) == 0.0)
+    assert(same.getLong(same.fieldIndex("n_values")) == 4L)
+    val disjoint = Seq(10.0, 11.0, 12.0).toDF("v")
+    val far = Drift.ksDrift(a, disjoint, "v").collect()(0)
+    assert(far.getDouble(far.fieldIndex("ks")) == 1.0)
+    // before [1..4], after [3..6]: max ECDF gap is 0.5 (at v in {2,3,4})
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val half = Drift.ksDrift(a, b, "v").collect()(0)
+    assert(half.getDouble(half.fieldIndex("ks")) == 0.5)
+    assert(half.getLong(half.fieldIndex("n_before")) == 4L)
+    assert(half.getLong(half.fieldIndex("n_after")) == 4L)
+    assert(half.getLong(half.fieldIndex("n_values")) == 6L)
+  }
+
+  test("KS prefix sums are exact across range-bucket boundaries") {
+    // 1000 distinct values spread over many buckets: ties the two-level
+    // (bucket offset + in-bucket window) sum to the single-sort answer
+    val a = (1 to 1000).map(_.toDouble).toDF("v")
+    val b = (501 to 1500).map(_.toDouble).toDF("v")
+    val r = Drift.ksDrift(a, b, "v", buckets = 7).collect()(0)
+    assert(r.getDouble(r.fieldIndex("ks")) == 0.5)
+    assert(r.getLong(r.fieldIndex("n_values")) == 1500L)
+  }
+
+  test("mutual information: independent pair ~0, identical pair ln 2") {
+    // a == b, two uniform symbols: MI = ln 2, chi2 = n, Cramér's V = 1
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val d = Drift.mutualInformation(dep, "a", "b").collect()(0)
+    assert(d.getLong(d.fieldIndex("n")) == 4L)
+    assert(d.getLong(d.fieldIndex("n_cells")) == 2L)
+    assert(math.abs(d.getDouble(d.fieldIndex("mi")) - math.log(2)) < 1e-6)
+    assert(d.getDouble(d.fieldIndex("chi2")) == 4.0)
+    assert(d.getDouble(d.fieldIndex("cramers_v")) == 1.0)
+    // balanced independent pair: every cell at expectation
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = Drift.mutualInformation(ind, "a", "b").collect()(0)
+    assert(i.getDouble(i.fieldIndex("mi")) == 0.0)
+    assert(i.getDouble(i.fieldIndex("chi2")) == 0.0)
+  }
+
+  test("mutual information drops null pairs; single-category V is null") {
+    val df = Seq((Some("x"), Some("1")), (Some("x"), None),
+      (None, Some("1")), (Some("x"), Some("1"))).toDF("a", "b")
+    val r = Drift.mutualInformation(df, "a", "b").collect()(0)
+    assert(r.getLong(r.fieldIndex("n")) == 2L)
+    assert(r.getLong(r.fieldIndex("ka")) == 1L)
+    assert(r.isNullAt(r.fieldIndex("cramers_v"))) // min(ka,kb) = 1
   }
 }
