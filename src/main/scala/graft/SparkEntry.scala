@@ -700,6 +700,35 @@ object SparkEntry {
           ELSE NULL END AS cramers_v
         FROM agg""")),
 
+    Q("a10_mad_global",
+      // robust z-score (median/MAD, Iglewicz–Hoaglin 3.5 cutoff) over the
+      // daily per-type series; exact percentile medians, two window
+      // passes over one shuffle
+      (s, d) => Anomalies.mad(dailySeries(s, d), Seq("event_type"), "day", "value")
+        .select(col("event_type"), col("day"), col("value"),
+          round(col("score"), 6).as("score"), col("is_anomaly"),
+          col("threshold"), col("severity"))
+        .orderBy("event_type", "day"),
+      Some(s"""WITH series AS ($duckDailySeries),
+        st AS (SELECT event_type, day, value,
+          COUNT(value) OVER (PARTITION BY event_type) AS n,
+          quantile_cont(value, 0.5) OVER (PARTITION BY event_type) AS med
+          FROM series),
+        m2 AS (SELECT event_type, day, value, n, med,
+          quantile_cont(ABS(value - med), 0.5)
+            OVER (PARTITION BY event_type) AS madv
+          FROM st),
+        scored AS (SELECT event_type, day, value,
+          CASE WHEN madv = 0 THEN 0.0
+            ELSE ABS(value - med) / (CAST(1.4826 AS DOUBLE) * madv) END
+            AS raw
+          FROM m2 WHERE n >= 2)
+        SELECT event_type, day, value, ROUND(raw, 6) AS score,
+          raw > 3.5 AS is_anomaly, CAST(3.5 AS DOUBLE) AS threshold,
+          CASE WHEN raw > 7.0 THEN 'high' WHEN raw > 5.0 THEN 'medium'
+            ELSE 'low' END AS severity
+        FROM scored ORDER BY event_type, day""")),
+
     Q("a08_metric_extraction",
       (s, d) => {
         import graft.anomalies.{Metrics => ME}
@@ -1918,6 +1947,51 @@ object SparkEntry {
             AS n_sampled
         FROM f JOIN d ON d.source = f.source
         GROUP BY 1, 2, 3, 4, 5 ORDER BY stratum""")),
+
+    Q("x20_funnel",
+      // loose-ordering funnel view → click → purchase: one user-keyed
+      // shuffle collecting per-step sorted ts arrays; chained step times
+      // are array expressions, summary is a tiny explode
+      (s, d) => graft.operators.Funnel.funnel(eventsTable(s, d),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step_idx"),
+      Some("""WITH u AS (
+          SELECT user_id,
+            list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS a0,
+            list_sort(list(ts) FILTER (WHERE event_type = 'click')) AS a1,
+            list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS a2
+          FROM events GROUP BY user_id),
+        c0 AS (SELECT user_id, a1, a2, a0[1] AS t0 FROM u),
+        c1 AS (SELECT user_id, a2, t0,
+            list_min(list_filter(a1, x -> x >= t0)) AS t1 FROM c0),
+        c2 AS (SELECT user_id, t0, t1,
+            list_min(list_filter(a2, x -> x >= t1)) AS t2 FROM c1),
+        s AS (
+          SELECT 1 AS step_idx, 'view' AS step, COUNT(t0) AS users FROM c2
+          UNION ALL SELECT 2, 'click', COUNT(t1) FROM c2
+          UNION ALL SELECT 3, 'purchase', COUNT(t2) FROM c2),
+        f AS (SELECT MAX(CASE WHEN step_idx = 1 THEN users END) AS fu
+          FROM s)
+        SELECT step_idx, step, CAST(users AS BIGINT) AS users,
+          CASE WHEN fu > 0 THEN ROUND(CAST(users AS DOUBLE) / fu, 6)
+            ELSE NULL END AS conversion
+        FROM s CROSS JOIN f ORDER BY step_idx""")),
+
+    Q("x21_retention",
+      // cohort retention: first-seen date per user + co-partitioned join
+      // back, then one (cohort, offset) distinct-user aggregate
+      (s, d) => graft.operators.Funnel.retentionCohorts(
+          eventsTable(s, d), "user_id", "ts", maxDays = 30)
+        .orderBy("cohort_date", "day_offset"),
+      Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+          FROM events GROUP BY user_id),
+        d AS (SELECT e.user_id, CAST(e.ts AS DATE) AS day, f.cohort_date
+          FROM events e JOIN f ON e.user_id = f.user_id)
+        SELECT cohort_date,
+          CAST(date_diff('day', cohort_date, day) AS INT) AS day_offset,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        FROM d WHERE date_diff('day', cohort_date, day) <= 30
+        GROUP BY 1, 2 ORDER BY cohort_date, day_offset""")),
 
     Q("x12_tfidf_keywords",
       // TF-IDF keyword extraction: top-3 terms per doc, idf over the FULL

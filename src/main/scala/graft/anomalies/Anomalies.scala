@@ -32,6 +32,8 @@ object Anomalies {
       when(score > 3.0, "high").when(score > 1.5, "medium").otherwise("low")
     case "moving_average" =>
       when(score > 4.0, "high").when(score > 2.5, "medium").otherwise("low")
+    case "mad" => // modified z-score bands (anomaly bar itself is 3.5)
+      when(score > 7.0, "high").when(score > 5.0, "medium").otherwise("low")
     case _ =>
       when(score > 5.0, "high").when(score > 2.5, "medium").otherwise("low")
   }
@@ -131,6 +133,74 @@ object Anomalies {
       .drop("__n", "__cnt", "__q1", "__q3")
   }
 
+  /** Exact linear-interpolated median of an array column — the same
+   *  interpolation as `percentile(x, 0.5)` (odd length → middle, even →
+   *  mean of the two middles), as a pure array expression so rolling
+   *  windows can median PER-ROW derived values. */
+  private def arrayMedian(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    val n = size(sorted)
+    val half = floor(n / 2).cast("int") // Column `/` is double division
+    when(n === 0, lit(null).cast("double"))
+      .when(n % 2 === 1, element_at(sorted, half + 1).cast("double"))
+      .otherwise((element_at(sorted, half).cast("double")
+        + element_at(sorted, half + 1).cast("double")) / 2.0)
+  }
+
+  /** Robust z-score detector (beyond the reference's three methods):
+   *  median/MAD instead of mean/σ, so the baseline itself is not dragged
+   *  by the anomaly it is trying to flag. score = |x − median| /
+   *  (1.4826·MAD) — the Iglewicz–Hoaglin modified z-score — with the
+   *  standard 3.5 cutoff (scaled by sensitivity); MAD = 0 → score 0
+   *  (mirrors the zscore σ=0 rule).
+   *
+   *  global: two exact `percentile` window passes over ONE
+   *  shuffle+sort (the second medians the deviations from the first).
+   *  rolling: the trailing `window` values (excluding current) are
+   *  gathered per row — per-row medians differ, so there is no shared
+   *  second window; state is bounded at O(window) per row and every
+   *  series still detects in parallel in one job. */
+  def mad(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      sensitivity: Double = 1.0,
+      window: Option[Int] = None): DataFrame = {
+    val part = Window.partitionBy(seriesCols.map(col): _*)
+    val v = col(valueCol)
+    val threshold = 3.5 / sensitivity
+    val qv = Profiles.quotedCol(valueCol)
+    val scored = window match {
+      case None =>
+        val w = part.orderBy(col(tsCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        df.withColumn("__n", count(v).over(w))
+          .withColumn("__med", expr(s"percentile($qv, 0.5)").over(w))
+          .withColumn("__dev", abs(v.cast("double") - col("__med")))
+          .withColumn("__mad", expr("percentile(__dev, 0.5)").over(w))
+          .filter(col("__n") >= 2)
+      case Some(wn) =>
+        val w = part.orderBy(col(tsCol)).rowsBetween(-wn, -1)
+        df.withColumn("__cnt", count(v).over(w))
+          .withColumn("__vals", collect_list(v.cast("double")).over(w))
+          .withColumn("__med", arrayMedian(col("__vals")))
+          .withColumn("__mad", arrayMedian(
+            transform(col("__vals"), x => abs(x - col("__med")))))
+          .filter(col("__cnt") === wn)
+    }
+    scored
+      .withColumn("score",
+        when(col("__mad") === 0.0, 0.0)
+          .otherwise(abs(v.cast("double") - col("__med"))
+            / (lit(1.4826) * col("__mad"))))
+      .withColumn("threshold", lit(threshold))
+      .withColumn("is_anomaly", col("score") > col("threshold"))
+      .withColumn("method", lit("mad"))
+      .withColumn("severity", severity(col("score"), "mad"))
+      .drop("__n", "__cnt", "__vals", "__med", "__dev", "__mad")
+  }
+
   /** A3: moving-average detector (algorithms.py:135-198).
    *
    *  MA over the trailing `window` values (excluding current); the std is
@@ -214,6 +284,8 @@ object Anomalies {
         zscore(eligible, seriesCols, tsCol, valueCol, sensitivity, window)
       case "iqr" =>
         iqr(eligible, seriesCols, tsCol, valueCol, sensitivity, window)
+      case "mad" =>
+        mad(eligible, seriesCols, tsCol, valueCol, sensitivity, window)
       case "moving_average" =>
         movingAverage(eligible, seriesCols, tsCol, valueCol, sensitivity,
           window.getOrElse(7), stdWindow)

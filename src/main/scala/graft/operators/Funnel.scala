@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-log funnel and cohort-retention analytics — the two classic
+ * product-analytics rollups over an append-only event stream, expressed
+ * so the heavy lifting is ONE user-keyed shuffle each.
+ *
+ * Funnel semantics (loose ordering): a user reaches step i at the
+ * EARLIEST event of type steps(i) at-or-after their step i−1 time —
+ * the standard "did view, then later click, then later purchase"
+ * conversion chain. Order within the chain matters; unrelated events
+ * between steps are ignored.
+ *
+ * Scale shape: one groupBy(user) collects a per-step SORTED timestamp
+ * array (bounded by the user's own activity, never the corpus); the
+ * chained step times are pure array expressions (array_min over a
+ * filtered array), and the k-row summary falls out of a tiny explode.
+ * No self-joins, no window over the full log, no driver loops.
+ */
+object Funnel {
+
+  /** Per-step funnel summary: (step_idx, step, users, conversion) where
+   *  `conversion` is users ÷ step-1 users, 6 dp. */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val aggs = steps.zipWithIndex.map { case (s, i) =>
+      sort_array(collect_list(when(col(typeCol) === s, col(tsCol))))
+        .as(s"__a$i")
+    }
+    val perUser = events.groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
+    // chain the step times: t0 = first step-0 event; t_i = earliest
+    // step-i event at-or-after t_{i-1} (get() is OOB-null, ANSI-safe)
+    val withT = steps.indices.foldLeft(perUser) { (df, i) =>
+      val ti =
+        if (i == 0) get(col("__a0"), lit(0))
+        else array_min(filter(col(s"__a$i"), x => x >= col(s"__t${i - 1}")))
+      df.withColumn(s"__t$i", ti)
+    }
+    val stepRows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(s).as("step"),
+        when(col(s"__t$i").isNotNull, 1L).otherwise(0L).as("__reached"))
+    }
+    val counts = withT
+      .select(explode(array(stepRows: _*)).as("r"))
+      .select(col("r.*"))
+      .groupBy("step_idx", "step")
+      .agg(sum(col("__reached")).as("users"))
+    // conversion vs step 1 — window over the k-row summary frame only
+    val first = first_value(col("users"))
+      .over(Window.orderBy(col("step_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    counts
+      .withColumn("conversion",
+        when(first > 0, round(col("users").cast("double") / first, 6))
+          .otherwise(lit(null).cast("double")))
+  }
+
+  /** Cohort retention: users cohorted by first-seen DATE; one row per
+   *  (cohort_date, day_offset ≤ maxDays) with the distinct users active
+   *  that day. Two user-keyed shuffles (first-seen aggregate + join back
+   *  — co-partitioned on the same key) and one cohort-cell aggregate. */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      maxDays: Int = 30): DataFrame = {
+    require(maxDays >= 0, "maxDays must be non-negative")
+    val firstSeen = events
+      .groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_date"))
+    events
+      .select(col(userCol), to_date(col(tsCol)).as("__d"))
+      .join(firstSeen, Seq(userCol))
+      .withColumn("day_offset", datediff(col("__d"), col("cohort_date")))
+      .filter(col("day_offset") <= maxDays)
+      .groupBy(col("cohort_date"), col("day_offset"))
+      .agg(countDistinct(col(userCol)).as("active_users"))
+  }
+}

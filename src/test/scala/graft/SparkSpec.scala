@@ -185,6 +185,52 @@ class AnomaliesSparkSpec extends AnyFunSuite {
     val short = Seq(("m2", 1L, 1.0), ("m2", 2L, 2.0)).toDF("series", "ts", "value")
     assert(Anomalies.detect(short, Seq("series"), "ts", "value").count() == 0)
   }
+
+  test("global MAD flags the spike the mean-based score underrates") {
+    // median 12, MAD 1 → modified z of the spike = 88/1.4826 ≈ 59
+    val vals = Seq(10.0, 12.0, 11.0, 13.0, 12.0, 11.0, 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("m1", i.toLong, v) }
+      .toDF("series", "ts", "value")
+    val out = Anomalies.mad(df, Seq("series"), "ts", "value")
+      .orderBy("ts").collect()
+    assert(out.length == 7)
+    val spike = out(6)
+    assert(math.abs(spike.getAs[Double]("score")
+      - 88.0 / (1.4826 * 1.0)) < 1e-9)
+    assert(spike.getAs[Boolean]("is_anomaly"))
+    assert(spike.getAs[String]("severity") == "high")
+    assert(out.count(_.getAs[Boolean]("is_anomaly")) == 1)
+  }
+
+  test("rolling MAD: full-window rows only, exact interpolated medians") {
+    val vals = Seq(1.0, 3.0, 5.0, 7.0, 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("m1", i.toLong, v) }
+      .toDF("series", "ts", "value")
+    val out = Anomalies.mad(df, Seq("series"), "ts", "value",
+      window = Some(3)).orderBy("ts").collect()
+    assert(out.map(_.getAs[Long]("ts")).toSeq == Seq(3L, 4L))
+    // ts=3: window [1,3,5] → med 3, MAD 2 → |7−3|/(1.4826·2)
+    assert(math.abs(out(0).getAs[Double]("score")
+      - 4.0 / (1.4826 * 2.0)) < 1e-9)
+    assert(!out(0).getAs[Boolean]("is_anomaly"))
+    // ts=4: window [3,5,7] → med 5, MAD 2 → |100−5|/(1.4826·2)
+    assert(math.abs(out(1).getAs[Double]("score")
+      - 95.0 / (1.4826 * 2.0)) < 1e-9)
+    assert(out(1).getAs[Boolean]("is_anomaly"))
+  }
+
+  test("MAD even-window median interpolates like percentile(0.5)") {
+    val vals = Seq(1.0, 2.0, 10.0, 20.0, 5.0)
+    val df = vals.zipWithIndex.map { case (v, i) => ("m1", i.toLong, v) }
+      .toDF("series", "ts", "value")
+    val out = Anomalies.mad(df, Seq("series"), "ts", "value",
+      window = Some(4)).orderBy("ts").collect()
+    // window [1,2,10,20] → med (2+10)/2 = 6, devs [5,4,4,14] sorted
+    // [4,4,5,14] → MAD (4+5)/2 = 4.5 → |5−6|/(1.4826·4.5)
+    assert(out.length == 1)
+    assert(math.abs(out(0).getAs[Double]("score")
+      - 1.0 / (1.4826 * 4.5)) < 1e-9)
+  }
 }
 
 class DedupSparkSpec extends AnyFunSuite {
@@ -1076,5 +1122,60 @@ class DriftSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("n")) == 2L)
     assert(r.getLong(r.fieldIndex("ka")) == 1L)
     assert(r.isNullAt(r.fieldIndex("cramers_v"))) // min(ka,kb) = 1
+  }
+}
+
+class FunnelSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.operators.Funnel
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.map { case (u, t, ty) => (u, new Timestamp(t * 1000L), ty) }
+      .toDF("user_id", "ts", "event_type")
+
+  test("funnel chains steps in order; pre-step events don't count") {
+    val events = ev(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      (2L, 10L, "click"), (2L, 20L, "view"), // click BEFORE view: no click
+      (3L, 10L, "view"), (3L, 20L, "purchase"), // no click → no purchase
+      (4L, 10L, "click")) // never views
+    val out = Funnel.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .orderBy("step_idx").collect()
+    assert(out.map(r => (r.getAs[Int]("step_idx"), r.getAs[String]("step"),
+      r.getAs[Long]("users"))).toSeq ==
+      Seq((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+    assert(out(0).getAs[Double]("conversion") == 1.0)
+    assert(out(1).getAs[Double]("conversion") == 0.333333)
+  }
+
+  test("funnel step at the same instant as the previous step counts") {
+    val events = ev((1L, 10L, "view"), (1L, 10L, "click"))
+    val out = Funnel.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click")).orderBy("step_idx").collect()
+    assert(out.map(_.getAs[Long]("users")).toSeq == Seq(1L, 1L))
+  }
+
+  test("retention cohorts users by first-seen date with day offsets") {
+    val day = 86400L
+    val events = ev(
+      (1L, 0L, "view"), (1L, day + 5L, "click"), (1L, 3 * day + 9L, "view"),
+      (2L, day + 1L, "view"))
+    val out = Funnel.retentionCohorts(events, "user_id", "ts", maxDays = 30)
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_date").toString,
+        r.getAs[Int]("day_offset")) -> r.getAs[Long]("active_users")).toMap
+    assert(out == Map(
+      ("1970-01-01", 0) -> 1L, ("1970-01-01", 1) -> 1L,
+      ("1970-01-01", 3) -> 1L, ("1970-01-02", 0) -> 1L))
+  }
+
+  test("retention maxDays caps the matrix") {
+    val day = 86400L
+    val events = ev((1L, 0L, "view"), (1L, 40 * day, "view"))
+    val out = Funnel.retentionCohorts(events, "user_id", "ts", maxDays = 30)
+      .collect()
+    assert(out.map(_.getAs[Int]("day_offset")).toSet == Set(0))
   }
 }
