@@ -1993,6 +1993,28 @@ object SparkEntry {
         FROM d WHERE date_diff('day', cohort_date, day) <= 30
         GROUP BY 1, 2 ORDER BY cohort_date, day_offset""")),
 
+    Q("x22_domain_cap",
+      // per-source cap (the web-pipeline "per-domain cap"): keep at most
+      // 10 docs per source, chosen by stable md5 order — WindowGroupLimit
+      // turns the row_number filter into a map-side per-stratum top-k, so
+      // the shuffle never carries the corpus. kept_id_sum pins WHICH rows
+      // survived, not just how many.
+      (s, d) => Sampling.capPerStratum(t(s, d, "documents"),
+          idCol = "doc_id", stratumCol = "source", maxPerStratum = 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("doc_id")).cast("long").as("kept_id_sum"))
+        .orderBy("source"),
+      Some("""WITH r AS (
+          SELECT source, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5(source || '|' || CAST(doc_id AS VARCHAR)))
+              AS rk
+          FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS doc_count,
+          CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+        FROM r WHERE rk <= 10 GROUP BY source ORDER BY source""")),
+
     Q("x12_tfidf_keywords",
       // TF-IDF keyword extraction: top-3 terms per doc, idf over the FULL
       // corpus (token-keyed partial aggs, vocab-sized join), output

@@ -152,6 +152,33 @@ object Sampling {
           .otherwise(0L)).as("n_sampled"))
   }
 
+  /** Per-stratum cap — the web-corpus "per-domain cap" (keep at most
+   *  `maxPerStratum` documents from any one source/domain so a single
+   *  crawl host can't dominate the training mix). Survivors are chosen
+   *  by stable md5 order within the stratum, so the SAME rows survive
+   *  on every run, cluster size and engine — an auditable random-like
+   *  sample, not `rand()`.
+   *
+   *  Scale shape: `row_number() <= k` over a stratum window is exactly
+   *  the pattern Spark's WindowGroupLimit rewrite turns into a
+   *  map-side per-stratum top-k BEFORE the shuffle — each task forwards
+   *  at most k rows per stratum it sees, so the shuffle carries
+   *  O(strata × k × tasks) rows, not the corpus. A mega-stratum never
+   *  sorts fully. */
+  def capPerStratum(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      maxPerStratum: Int): DataFrame = {
+    require(maxPerStratum > 0, "maxPerStratum must be positive")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(
+      md5(concat_ws("|", col(stratumCol).cast("string"),
+        col(idCol).cast("string"))))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPerStratum)
+      .drop("__rk")
+  }
+
   /** Sequence packing for pretraining: assign documents to consecutive
    *  fixed-budget training sequences. Documents are bucketed by stable
    *  hash (the parallelism unit — each bucket packs independently, so

@@ -575,6 +575,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(packed.map(_._1).distinct.length == 5)
   }
 
+  test("capPerStratum caps each stratum deterministically, small strata pass") {
+    val strat = ids.withColumn("cat",
+      when(col("doc_id") < 1990, "big").otherwise("small")) // 1990 / 10
+    val out = Sampling.capPerStratum(strat, "doc_id", "cat", 50)
+    val counts = out.groupBy("cat").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("big") == 50)    // capped
+    assert(counts("small") == 10)  // under the cap: untouched
+    // deterministic: the same rows survive on a re-run
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.capPerStratum(strat, "doc_id", "cat", 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // scale shape: the row_number filter must plan as a WindowGroupLimit
+    // (map-side per-stratum top-k before the shuffle), not a full sort
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("temperatureResample: alpha=1 is proportional (keeps everything)") {
     val docs = ids.withColumn("src",
       when(col("doc_id") % 10 === 0, "rare").otherwise("common"))
