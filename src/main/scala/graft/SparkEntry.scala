@@ -2015,6 +2015,35 @@ object SparkEntry {
           CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
         FROM r WHERE rk <= 10 GROUP BY source ORDER BY source""")),
 
+    Q("x23_boilerplate",
+      // corpus boilerplate share per doc (the "duplicated line" filter
+      // analog): trigrams in ≥5 docs are boilerplate; one corpus pass —
+      // gram df rides a window over the gram key, no self-join
+      (s, d) => TextAnalysis.boilerplateShare(t(s, d, "documents"),
+          n = 3, minDocs = 5L)
+        .filter(col("doc_id") < 100)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id,
+            w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+          FROM (SELECT doc_id, unnest(range(1, len(w) - 1)) AS i, w
+                FROM toks WHERE len(w) >= 3)),
+        bp AS (SELECT ngram FROM grams GROUP BY ngram
+               HAVING COUNT(*) >= 5),
+        per AS (
+          SELECT g.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+            CAST(COUNT(b.ngram) AS BIGINT) AS boilerplate_ngrams
+          FROM grams g LEFT JOIN bp b USING (ngram)
+          GROUP BY g.doc_id)
+        SELECT doc_id, total_ngrams, boilerplate_ngrams,
+          ROUND(CAST(boilerplate_ngrams AS DOUBLE) / total_ngrams, 6)
+            AS boilerplate_share
+        FROM per WHERE doc_id < 100 ORDER BY doc_id""")),
+
     Q("x12_tfidf_keywords",
       // TF-IDF keyword extraction: top-3 terms per doc, idf over the FULL
       // corpus (token-keyed partial aggs, vocab-sized join), output

@@ -252,6 +252,48 @@ object TextAnalysis {
       .select(col(idCol), explode(grams).as("ngram"))
   }
 
+  /** Corpus boilerplate n-grams — the CCNet/RefinedWeb "duplicated line"
+   *  analog for unstructured text: n-grams that appear in at least
+   *  `minDocs` DISTINCT documents (navigation chrome, cookie banners,
+   *  license headers). One corpus pass: distinct per-doc grams from
+   *  [[wordNgrams]], one gram-keyed count. The df threshold bounds the
+   *  result — high-document-frequency grams are by definition few. */
+  def boilerplateNgrams(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      minDocs: Long = 10L): DataFrame =
+    wordNgrams(docs, idCol, textCol, n)
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocs)
+
+  /** Per-document boilerplate share: the fraction of each document's
+   *  distinct n-grams that are corpus boilerplate (df ≥ `minDocs`),
+   *  the filter signal for "this page is mostly chrome". ONE pass and
+   *  exactly two shuffles: grams carry their document frequency via a
+   *  window over the gram key (no second corpus scan, no self-join
+   *  against the boilerplate set), then fold back to one row per doc.
+   *  At 100 TB the shuffled rows are (doc_id, gram-hash)-sized. */
+  def boilerplateShare(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      minDocs: Long = 10L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ngram"))
+    wordNgrams(docs, idCol, textCol, n)
+      .withColumn("__df", count(lit(1)).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("total_ngrams"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L))
+          .cast("long").as("boilerplate_ngrams"))
+      .withColumn("boilerplate_share",
+        round(col("boilerplate_ngrams").cast("double") / col("total_ngrams"), 6))
+  }
+
   /** Benchmark decontamination: for every document, the fraction of its
    *  distinct word n-grams that appear in a benchmark n-gram set — the
    *  standard check that training text does not contain evaluation data.

@@ -903,6 +903,26 @@ class GopherFilterSpec extends AnyFunSuite {
   import spark.implicits._
   import graft.pipeline.TextAnalysis
 
+  test("boilerplate: shared trigram found, share counts distinct grams") {
+    val chrome = "accept all cookies now"            // shared by 3 docs
+    val docs = Seq(
+      (1L, s"$chrome alpha beta gamma"),
+      (2L, s"$chrome delta epsilon zeta"),
+      (3L, s"$chrome eta theta iota"),
+      (4L, "kappa lambda mu nu xi")).toDF("doc_id", "text")
+    val bp = TextAnalysis.boilerplateNgrams(docs, n = 3, minDocs = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // trigrams inside "accept all cookies now" appear in exactly 3 docs
+    assert(bp == Map("accept all cookies" -> 3L, "all cookies now" -> 3L))
+    val share = TextAnalysis.boilerplateShare(docs, n = 3, minDocs = 3L)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Long]("total_ngrams"), r.getAs[Long]("boilerplate_ngrams")))
+      .sortBy(_._1)
+    // each chrome doc: 7 tokens → 5 trigrams, 2 of them boilerplate
+    assert(share.take(3).forall { case (_, t, b) => t == 5L && b == 2L })
+    assert(share(3) == ((4L, 3L, 0L)))   // clean doc: nothing flagged
+  }
+
   test("each rule flips on its own boundary; keep is the conjunction") {
     val longDoc = ("the quick brown fox jumped over the lazy dog and " * 5).trim
     val fixture = Seq(
