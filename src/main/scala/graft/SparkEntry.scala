@@ -1718,6 +1718,61 @@ object SparkEntry {
       },
       None), // approximate by design; recall pinned in IvfSpec
 
+    Q("e07_semantic_dedup",
+      // SemDeDup: coarse cells (8 fixed centroids = the first 8 vectors,
+      // normalized — deterministic, so DuckDB replays the exact
+      // assignment) + within-cell cosine ≥ 0.3 drop rule: a vector is a
+      // dup iff a smaller-id same-cell neighbor is that similar. The
+      // quadratic step never leaves a cell.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+          .map { v =>
+            val n = math.sqrt(v.map(x => x * x).sum)
+            if (n == 0) v else v.map(_ / n)
+          }
+        Similarity.semanticDedup(emb, cents, tau = 0.3)
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        c AS (
+          SELECT vec_id AS cid,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) /
+              SQRT(list_sum(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS cv
+          FROM e WHERE vec_id < 8),
+        dots AS (
+          SELECT e.vec_id, c.cid,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i])) AS dt
+          FROM e CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dt DESC, cid) AS rk
+            FROM dots) WHERE rk = 1),
+        pairs AS (
+          SELECT bb.vec_id AS id_b
+          FROM assign aa JOIN assign bb ON aa.cell = bb.cell
+            AND aa.vec_id < bb.vec_id
+          JOIN e ea ON ea.vec_id = aa.vec_id
+          JOIN e eb ON eb.vec_id = bb.vec_id
+          WHERE list_sum(list_transform(range(1, 65),
+              i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(ea.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(list_sum(list_transform(eb.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            >= 0.3),
+        dups AS (SELECT DISTINCT id_b FROM pairs)
+        SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+          (d.id_b IS NOT NULL) AS is_dup
+        FROM assign a LEFT JOIN dups d ON a.vec_id = d.id_b
+        ORDER BY a.vec_id""")),
+
     Q("e06_label_centroids",
       // per-label mean embedding (class prototypes / IVF cell stats):
       // pipelined posexplode + map-side-combined (label, dim) aggregate

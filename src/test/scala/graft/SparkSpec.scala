@@ -373,6 +373,29 @@ class SimilaritySparkSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("semanticDedup: drop rule holds exactly within every cell") {
+    val out = Similarity.semanticDedupAuto(emb, k = 4, tau = 0.3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.length == emb.count())
+    // brute-force truth: cosine of every same-cell pair
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byCell = out.groupBy(_._2)
+    for ((_, members) <- byCell; (id, _, isDup) <- members) {
+      val hasSmallerClose = members.exists { case (other, _, _) =>
+        other < id && cos(vecs(other), vecs(id)) >= 0.3 }
+      assert(isDup == hasSmallerClose,
+        s"vector $id: is_dup=$isDup but smaller-close-neighbor=$hasSmallerClose")
+    }
+    // something was actually deduplicated at this tau on this fixture
+    assert(out.exists(_._3) && out.exists(!_._3))
+  }
+
   test("labelCentroids: per-(label, dim) means, nulls dropped, 1-based dims") {
     import spark.implicits._
     val df = Seq(
