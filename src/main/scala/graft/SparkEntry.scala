@@ -1773,6 +1773,38 @@ object SparkEntry {
         FROM assign a LEFT JOIN dups d ON a.vec_id = d.id_b
         ORDER BY a.vec_id""")),
 
+    Q("e08_quantize_int8",
+      // symmetric int8 quantization (4× smaller ANN scoring reads):
+      // q = floor(x·127/max|x| + 0.5), scale = max|x|/127 — map-only
+      // array expressions DuckDB replays bit-for-bit
+      (s, d) => Similarity.quantizeEmbeddings(t(s, d, "embeddings"))
+        .select(col("vec_id"),
+          aggregate(col("qvec"), lit(0L),
+            (acc, v) => acc + v.cast("long")).as("q_sum"),
+          array_min(col("qvec")).as("q_min"),
+          array_max(col("qvec")).as("q_max"),
+          round(col("scale"), 9).as("scale"))
+        .orderBy("vec_id"),
+      Some("""WITH q AS (
+          SELECT vec_id, embedding,
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) AS ma
+          FROM embeddings),
+        v AS (
+          SELECT vec_id,
+            CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / ma + 0.5)
+                  AS INT)) END AS qv,
+            ma / 127.0 AS scale
+          FROM q)
+        SELECT vec_id,
+          CAST(list_sum(qv) AS BIGINT) AS q_sum,
+          CAST(list_min(qv) AS INT) AS q_min,
+          CAST(list_max(qv) AS INT) AS q_max,
+          ROUND(scale, 9) AS scale
+        FROM v ORDER BY vec_id""")),
+
     Q("e06_label_centroids",
       // per-label mean embedding (class prototypes / IVF cell stats):
       // pipelined posexplode + map-side-combined (label, dim) aggregate

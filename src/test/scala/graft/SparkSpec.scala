@@ -396,6 +396,49 @@ class SimilaritySparkSpec extends AnyFunSuite {
     assert(out.exists(_._3) && out.exists(!_._3))
   }
 
+  test("int8 quantization: bounded error, scale-free cosine, zero-safe") {
+    import spark.implicits._
+    val q = Similarity.quantizeEmbeddings(emb)
+    // every element lands in [-127, 127] and the max element hits ±127
+    val bounds = q.select(
+      min(array_min(col("qvec"))), max(array_max(col("qvec"))),
+      max(greatest(abs(array_min(col("qvec"))), array_max(col("qvec"))))
+    ).first()
+    assert(bounds.getInt(0) >= -127 && bounds.getInt(1) <= 127)
+    assert(bounds.getInt(2) == 127) // scale anchored to the max element
+    // quantized cosine tracks float cosine within the int8 error budget
+    val a = q.filter(col("vec_id") === 0).select(
+      col("qvec").as("qa"), col("embedding").as("ea")).first()
+    val pairs = q.filter(col("vec_id").between(1, 50))
+      .select(col("vec_id"), col("qvec"), col("embedding"))
+      .collect()
+    def fdot(x: Seq[Float], y: Seq[Float]): Double =
+      x.zip(y).map { case (p, r) => p.toDouble * r.toDouble }.sum
+    def fcos(x: Seq[Float], y: Seq[Float]): Double =
+      fdot(x, y) / math.sqrt(fdot(x, x) * fdot(y, y))
+    def idot(x: Seq[Int], y: Seq[Int]): Double =
+      x.zip(y).map { case (p, r) => p.toLong * r.toLong }.sum.toDouble
+    def icos(x: Seq[Int], y: Seq[Int]): Double =
+      idot(x, y) / math.sqrt(idot(x, x) * idot(y, y))
+    val qa = a.getSeq[Int](0); val ea = a.getSeq[Float](1)
+    pairs.foreach { r =>
+      val err = math.abs(
+        icos(qa, r.getSeq[Int](1)) - fcos(ea, r.getSeq[Float](2)))
+      assert(err < 0.02, s"vec ${r.getLong(0)}: quantized cosine off by $err")
+    }
+    // quantizedCosine column expression agrees with the scala math
+    val viaCol = q.filter(col("vec_id") === 1)
+      .select(Similarity.quantizedCosine(
+        typedLit(qa.toList), col("qvec"))).first().getDouble(0)
+    val byHand = icos(qa, pairs.find(_.getLong(0) == 1L).get.getSeq[Int](1))
+    assert(math.abs(viaCol - byHand) < 1e-12)
+    // all-zero vector: zeros + scale 0, no division blowup
+    val z = Similarity.quantizeEmbeddings(
+      Seq((99L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")).first()
+    assert(z.getSeq[Int](z.fieldIndex("qvec")).toList == List(0, 0))
+    assert(z.getAs[Double]("scale") == 0.0)
+  }
+
   test("labelCentroids: per-(label, dim) means, nulls dropped, 1-based dims") {
     import spark.implicits._
     val df = Seq(
