@@ -252,6 +252,41 @@ object TextAnalysis {
       .select(col(idCol), explode(grams).as("ngram"))
   }
 
+  /** [[contamination]] at the scale where the benchmark n-gram set no
+   *  longer broadcasts: a driver-built Bloom filter (a few MB for tens
+   *  of millions of grams at 1% FPP) prefilters the corpus gram stream
+   *  map-side, and only the surviving ~FPP fraction enters the exact
+   *  shuffle join that removes false positives. Output is IDENTICAL to
+   *  [[contamination]] — the bloom can only admit extras, never drop a
+   *  true match, and the exact join removes the extras. Per-doc totals
+   *  are counted before the prefilter so denominators are unchanged. */
+  def contaminationBloom(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 2,
+      benchCol: String = "ngram",
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val bench = benchmark.select(col(benchCol).as("ngram")).distinct()
+    val bloom = bench.stat.bloomFilter("ngram", expectedItems, fpp)
+    val mightContain = udf { s: String => s != null && bloom.mightContain(s) }
+    val grams = wordNgrams(docs, idCol, textCol, n)
+    val totals = grams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("total_ngrams"))
+    val matched = grams
+      .filter(mightContain(col("ngram")))           // map-side, no shuffle
+      .join(bench, Seq("ngram"))                    // exact verify, tiny side
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_ngrams"))
+    totals.join(matched, Seq(idCol), "left")
+      .withColumn("matched_ngrams",
+        coalesce(col("matched_ngrams"), lit(0L)))
+      .withColumn("contamination",
+        round(col("matched_ngrams").cast("double") / col("total_ngrams"), 6))
+  }
+
   /** Corpus boilerplate n-grams — the CCNet/RefinedWeb "duplicated line"
    *  analog for unstructured text: n-grams that appear in at least
    *  `minDocs` DISTINCT documents (navigation chrome, cookie banners,

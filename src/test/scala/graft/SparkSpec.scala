@@ -989,6 +989,21 @@ class GopherFilterSpec extends AnyFunSuite {
     assert(share(3) == ((4L, 3L, 0L)))   // clean doc: nothing flagged
   }
 
+  test("bloom-prefiltered decontamination equals the broadcast-exact path") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = TextAnalysis.wordNgrams(docs.filter(col("doc_id") < 10))
+      .select("ngram")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "total_ngrams", "matched_ngrams", "contamination")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val exact = rows(TextAnalysis.contamination(docs, bench))
+    val bloom = rows(TextAnalysis.contaminationBloom(docs, bench,
+      expectedItems = 10000L, fpp = 0.01))
+    assert(bloom == exact) // FPs removed by the verify join, FNs impossible
+    assert(exact.exists(_._3 > 0)) // the check is not vacuous
+  }
+
   test("each rule flips on its own boundary; keep is the conjunction") {
     val longDoc = ("the quick brown fox jumped over the lazy dog and " * 5).trim
     val fixture = Seq(
