@@ -1599,6 +1599,52 @@ object SparkEntry {
           CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    Q("x24_canonical_pick",
+      // quality-aware dedup: over the d05 chain-cluster graph, keep each
+      // cluster's LONGEST member (n_chars as the quality proxy, ties to
+      // the smaller id) instead of the minimum id; singletons stay
+      // canonical. Same recursive-closure oracle as d05 + a rank replay.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ids = docs.select(col("doc_id"))
+        val pairs = ids.filter(col("doc_id") % 10 < 4)
+          .join(ids.select(col("doc_id").as("next_id")),
+            col("doc_id") + 1 === col("next_id"))
+          .select(col("doc_id").as("id_a"), col("next_id").as("id_b"))
+        Dedup.canonicalPick(docs, Dedup.duplicateClusters(pairs),
+            scoreCol = "n_chars")
+          .select(col("doc_id"), col("cluster_id").cast("long"),
+            col("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+        pairs AS (
+          SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+          WHERE doc_id % 10 < 4
+            AND (doc_id + 1) IN (SELECT doc_id FROM documents)),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        clust AS (
+          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+          FROM reach GROUP BY src),
+        all_docs AS (
+          SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+            d.n_chars
+          FROM documents d LEFT JOIN clust c ON d.doc_id = c.doc_id),
+        ranked AS (
+          SELECT doc_id, cluster_id,
+            ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY n_chars DESC, doc_id) AS rk
+          FROM all_docs)
+        SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+          (rk = 1) AS is_canonical
+        FROM ranked ORDER BY doc_id""")),
+
     Q("d06_ngram_jaccard",
       // exact word-3-gram Jaccard over the whole corpus via the inverted
       // index (posting-list self-join) — never all-pairs; the oracle

@@ -480,4 +480,32 @@ object Dedup {
       clusters.filter(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Quality-aware canonical selection: instead of keeping each dup
+   *  cluster's minimum-id member, keep its BEST member by `scoreCol`
+   *  (longest / highest quality score / freshest — ties break to the
+   *  smallest id so the pick is total and engine-reproducible). Docs in
+   *  no cluster are their own cluster and stay canonical. One shuffle,
+   *  keyed by cluster id: the window ranks only within clusters, and at
+   *  100 TB the frame carries (id, cluster, score) — never doc bodies.
+   *  Returns (idCol, scoreCol, cluster_id, is_canonical); filter
+   *  `is_canonical` for the keep set. */
+  def canonicalPick(
+      docs: DataFrame,
+      clusters: DataFrame,
+      scoreCol: String,
+      idCol: String = "doc_id",
+      clusterCol: String = "cluster_id"): DataFrame = {
+    val joined = docs.select(col(idCol), col(scoreCol))
+      .join(clusters.select(col("doc_id").as(idCol),
+        col(clusterCol)), Seq(idCol), "left")
+      .withColumn(clusterCol, coalesce(col(clusterCol), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    joined
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("is_canonical", col("__rk") === 1)
+      .drop("__rk")
+  }
 }

@@ -239,6 +239,24 @@ class DedupSparkSpec extends AnyFunSuite {
   private lazy val docs =
     spark.read.parquet(s"$sfDir/documents.parquet").cache()
 
+  test("canonicalPick keeps the best-scored member, ties to smaller id") {
+    import spark.implicits._
+    val d = Seq((1L, 10L), (2L, 99L), (3L, 99L), (4L, 7L), (9L, 1L))
+      .toDF("doc_id", "quality")
+    // cluster {1,2,3} (head 1), {4} via clusters frame, 9 unclustered
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.canonicalPick(d, clusters, scoreCol = "quality")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_canonical")))
+      .toMap
+    assert(out(2L) == ((1L, true)))  // best quality 99, tie vs 3 → id 2
+    assert(out(3L) == ((1L, false))) // same score, larger id loses
+    assert(out(1L) == ((1L, false))) // min-id member is NOT automatic
+    assert(out(4L) == ((4L, true)))  // own cluster
+    assert(out(9L) == ((9L, true)))  // unclustered: canonical of itself
+  }
+
   /** Ground truth: exact shingle-jaccard over all pairs, driver-side. */
   private lazy val exactPairs: Set[(Long, Long)] = {
     val rows = docs.select("doc_id", "text").collect()
