@@ -1676,6 +1676,42 @@ object SparkEntry {
         FROM j WHERE jaccard >= CAST(0.5 AS DOUBLE)
         ORDER BY id_a, id_b""")),
 
+    Q("x25_containment",
+      // asymmetric near-dup (a short doc quoted inside a long one):
+      // containment = inter / min(|A|,|B|) over the SAME single-scan
+      // inverted index as d06 — symmetric Jaccard misses these pairs
+      (s, d) => Dedup.containmentPairs(t(s, d, "documents"),
+          threshold = 0.2)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS ts
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+          FROM toks WHERE len(ts) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT id_a, id_b, inter,
+            ROUND(CAST(inter AS DOUBLE) / LEAST(sa.sz, sb.sz), 6)
+              AS containment,
+            ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6)
+              AS jaccard
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, containment,
+          jaccard
+        FROM j WHERE containment >= CAST(0.2 AS DOUBLE)
+        ORDER BY id_a, id_b""")),
+
     Q("e01_embedding_profile",
       (s, d) => Similarity.profileEmbeddings(t(s, d, "embeddings")),
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,

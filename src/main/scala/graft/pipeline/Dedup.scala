@@ -274,7 +274,46 @@ object Dedup {
       textCol: String = "text",
       shingleK: Int = 3,
       threshold: Double = 0.5,
-      maxShingleDocFreq: Int = Int.MaxValue): DataFrame = {
+      maxShingleDocFreq: Int = Int.MaxValue): DataFrame =
+    shinglePairCounts(docs, idCol, textCol, shingleK, maxShingleDocFreq)
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("__sza") + col("__szb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+
+  /** Asymmetric near-dup: containment = |A∩B| / min(|A|, |B|) — catches
+   *  a short document QUOTED INSIDE a long one, which symmetric Jaccard
+   *  misses (the union denominator drowns the small side). Same
+   *  single-scan inverted-index plan as [[jaccardSimilarPairs]]; both
+   *  scores are reported so callers can distinguish subset pairs
+   *  (containment≈1, jaccard low) from true twins (both high). */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      threshold: Double = 0.8,
+      maxShingleDocFreq: Int = Int.MaxValue): DataFrame =
+    shinglePairCounts(docs, idCol, textCol, shingleK, maxShingleDocFreq)
+      .withColumn("containment",
+        round(col("inter").cast("double")
+          / least(col("__sza"), col("__szb")), 6))
+      .withColumn("jaccard",
+        round(col("inter").cast("double")
+          / (col("__sza") + col("__szb") - col("inter")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("containment"), col("jaccard"))
+
+  /** Shared candidate machinery: (id_a, id_b, inter, __sza, __szb) for
+   *  every ordered doc pair sharing ≥1 shingle (df-capped). */
+  private def shinglePairCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      maxShingleDocFreq: Int): DataFrame = {
     // compiled UDF, not transform/slice/filter expressions: Spark's
     // higher-order functions evaluate interpreted per element, and the
     // expression version benched 3.5× slower on this exact shape (same
@@ -323,11 +362,6 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"),
         first(col("sz_a")).as("__sza"), first(col("sz_b")).as("__szb"))
-      .withColumn("jaccard",
-        round(col("inter").cast("double")
-          / (col("__sza") + col("__szb") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
   }
 
   // ---- SimHash near-dup -----------------------------------------------

@@ -919,6 +919,25 @@ class JaccardPairsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
   }
 
+  test("containment flags a quoted subset that Jaccard misses") {
+    import spark.implicits._
+    val quoted = "alpha beta gamma delta epsilon"     // 3 shingles
+    val long = (quoted + " " + (1 to 60).map(i => s"w$i").mkString(" "))
+    val crafted = Seq((1L, quoted), (2L, long)).toDF("doc_id", "text")
+    val cp = Dedup.containmentPairs(crafted, threshold = 0.9).collect()
+    assert(cp.length == 1)
+    val r = cp.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getAs[Double]("containment") == 1.0)  // fully contained
+    assert(r.getAs[Double]("jaccard") < 0.1)       // union drowns it
+    // symmetric Jaccard at the same bar finds nothing
+    assert(Dedup.jaccardSimilarPairs(crafted, threshold = 0.9).count() == 0)
+    // and the shared machinery still plans join-free
+    val plan = Dedup.containmentPairs(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
   test("stop-phrase doc-frequency cap only removes stop-phrase-only pairs") {
     // with a tiny cap the planted clone pairs (which share many distinct
     // shingles) must still surface; jaccard may only decrease
