@@ -1712,6 +1712,41 @@ object SparkEntry {
         FROM j WHERE containment >= CAST(0.2 AS DOUBLE)
         ORDER BY id_a, id_b""")),
 
+    Q("x26_zorder_value",
+      // Z-order layout kernel: equal-width bucket + Morton bit
+      // interleave as a pure codegen'd expression (the portable form of
+      // the rank-bucketed production path). z_sum pins every row's
+      // 16-bit z-value; the layout win (per-file min/max pruning) is
+      // asserted in LayoutSpec.
+      (s, d) => t(s, d, "orders")
+        .select(graft.sources.Layout.zvalueEqualWidth(
+          col("o_custkey"), 0.0, 1500.0,
+          col("o_totalprice"), 0.0, 500000.0, bits = 8).as("z"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("z")).cast("long").as("z_sum"),
+          min(col("z")).cast("long").as("z_min"),
+          max(col("z")).cast("long").as("z_max"),
+          countDistinct(col("z")).as("z_distinct")),
+      Some("""WITH b AS (
+          SELECT
+            LEAST(255, GREATEST(0, CAST(FLOOR(
+              (CAST(o_custkey AS DOUBLE) - 0.0) / 1500.0 * 256)
+              AS BIGINT))) AS ba,
+            LEAST(255, GREATEST(0, CAST(FLOOR(
+              (CAST(o_totalprice AS DOUBLE) - 0.0) / 500000.0 * 256)
+              AS BIGINT))) AS bb
+          FROM orders),
+        z AS (SELECT CAST(list_sum(list_transform(range(0, 8),
+            i -> (((ba >> i) & 1) << (2*i+1)) + (((bb >> i) & 1) << (2*i))))
+            AS BIGINT) AS z
+          FROM b)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(z) AS BIGINT) AS z_sum,
+          CAST(MIN(z) AS BIGINT) AS z_min,
+          CAST(MAX(z) AS BIGINT) AS z_max,
+          CAST(COUNT(DISTINCT z) AS BIGINT) AS z_distinct
+        FROM z""")),
+
     Q("e01_embedding_profile",
       (s, d) => Similarity.profileEmbeddings(t(s, d, "embeddings")),
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,

@@ -601,3 +601,52 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(bucketedTol == plainTol)
   }
 }
+
+class LayoutSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.sources.Layout
+
+  test("interleaveBits is the Morton code; equal-width bucket clamps") {
+    val df = Seq((5L, 3L)).toDF("a", "b") // 101, 011 -> 100111 = 39
+    assert(df.select(Layout.interleaveBits(col("a"), col("b"), 3))
+      .first().getLong(0) == 39L)
+    val buckets = Seq(-10.0, 0.0, 50.0, 100.0, 999.0).toDF("v")
+      .select(Layout.equalWidthBucket(col("v"), 0.0, 100.0, 2))
+      .collect().map(_.getLong(0)).toSeq
+    assert(buckets == Seq(0L, 0L, 2L, 3L, 3L)) // clamped to [0, 3]
+  }
+
+  test("z-order layout prunes both dimensions; a sort prunes only one") {
+    // 4096 points on a 64x64 grid, shuffled arrival order
+    val rnd = new scala.util.Random(7)
+    val pts = rnd.shuffle((0 until 64).flatMap(x => (0 until 64)
+      .map(y => (x.toDouble, y.toDouble))).toVector)
+      .toDF("x", "y")
+    val files = 16
+    def ranges(df: org.apache.spark.sql.DataFrame): Array[(Double, Double, Double, Double)] =
+      df.withColumn("__p", spark_partition_id())
+        .groupBy("__p")
+        .agg(min("x"), max("x"), min("y"), max("y"))
+        .collect().map(r => (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4)))
+    // a file "matches" a point predicate if its [min,max] box covers it
+    def hits(rs: Array[(Double, Double, Double, Double)], px: Double, py: Double) =
+      rs.count { case (x0, x1, y0, y1) =>
+        px >= x0 && px <= x1 && py >= y0 && py <= y1 }
+    val z = ranges(Layout.zorder(pts, "x", "y", files, bits = 6))
+    val sorted = ranges(pts.repartitionByRange(files, col("x")))
+    val probes = Seq((5.0, 50.0), (33.0, 12.0), (60.0, 60.0), (17.0, 3.0))
+    val zHits = probes.map { case (px, py) => hits(z, px, py) }.sum
+    val sHitsY = probes.map { case (_, py) =>
+      sorted.count { case (_, _, y0, y1) => py >= y0 && py <= y1 } }.sum
+    // point predicate on BOTH dims: z-order touches ~1-2 files per probe
+    // (z-range boxes can overlap at curve seams, never the whole set)
+    assert(zHits <= probes.size * 3, s"z-order hit $zHits file-boxes")
+    assert(zHits * 4 < sHitsY, s"z-order ($zHits) not ≪ sorted ($sHitsY)")
+    // predicate on the NON-leading dim of the plain sort prunes nothing
+    assert(sHitsY == probes.size * files,
+      s"expected y-predicates to hit every x-sorted file, got $sHitsY")
+  }
+}
