@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.anomalies.Anomalies
 import graft.history.Trends
-import graft.pipeline.{Dedup, Pii, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Pii, Sampling, Similarity, TextAnalysis}
 import graft.profiler.{IncrementalProfile, Profiler}
 import graft.sources.Catalog
 import graft.types.ValidationRule
@@ -1711,6 +1711,63 @@ object SparkEntry {
           jaccard
         FROM j WHERE containment >= CAST(0.2 AS DOUBLE)
         ORDER BY id_a, id_b""")),
+
+    Q("x27_corpus_diff",
+      // corpus version diff (reprocessing trigger): two synthetic
+      // snapshots of the fixture — 1/7 of ids dropped, 1/5 added back
+      // differently, 1/11 edited — rolled up per status. The wide join
+      // carries (id, md5) only, never bodies.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val oldC = docs.filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), col("text"))
+        val newC = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        Curation.corpusDiff(oldC, newC)
+          .groupBy("status")
+          .agg(count(lit(1)).as("docs"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy("status")
+      },
+      Some("""WITH old AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        new AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END
+              AS text
+          FROM documents WHERE doc_id % 5 <> 0),
+        d AS (
+          SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+            CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN md5(o.text) = md5(n.text) THEN 'unchanged'
+              ELSE 'changed' END AS status
+          FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS docs,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM d GROUP BY status ORDER BY status""")),
+
+    Q("x28_weighted_sample",
+      // deterministic weighted sampling without replacement (A-ES keys
+      // from the stable md5 draw): 50 docs weighted by length; DuckDB
+      // replays the exact draw, so the SET is pinned, not just its size
+      (s, d) => Sampling.weightedSample(t(s, d, "documents"),
+          idCol = "doc_id", weightCol = "n_chars", k = 50)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id"),
+      Some("""WITH keyed AS (
+          SELECT doc_id, n_chars,
+            ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) + 1) / 4294967296.0)
+              / CAST(n_chars AS DOUBLE) AS wkey
+          FROM documents WHERE n_chars > 0)
+        SELECT doc_id, n_chars FROM (
+          SELECT doc_id, n_chars FROM keyed
+          ORDER BY wkey DESC, doc_id LIMIT 50)
+        ORDER BY doc_id""")),
 
     Q("x26_zorder_value",
       // Z-order layout kernel: equal-width bucket + Morton bit

@@ -66,4 +66,29 @@ object Curation {
     // 4. deterministic split
     Sampling.hashSplit(kept, idCol, config.trainFraction, config.valFraction)
   }
+
+  /** Corpus version diff — what changed between two snapshots of the
+   *  same corpus: every doc is `added` (new only), `removed` (old
+   *  only), `changed` (both, different content hash) or `unchanged`.
+   *  Content equality is md5-of-text, so the wide full-outer join
+   *  carries (id, 16-byte hash) — never document bodies — and the
+   *  shuffle is id-keyed (co-partitioned if both snapshots are
+   *  bucketed by id). The per-status rollup is the release-note /
+   *  reprocessing-trigger signal: re-embed `changed`+`added`, expire
+   *  `removed`. */
+  def corpusDiff(
+      oldCorpus: DataFrame,
+      newCorpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val o = oldCorpus.select(col(idCol), md5(col(textCol)).as("__oh"))
+    val n = newCorpus.select(col(idCol), md5(col(textCol)).as("__nh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") === col("__nh"), "unchanged")
+          .otherwise("changed"))
+      .select(col(idCol), col("status"))
+  }
 }

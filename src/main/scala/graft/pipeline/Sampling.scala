@@ -179,6 +179,31 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+   *  Spirakis A-ES): each row gets key = ln(u)/w where u ∈ (0,1] comes
+   *  from the row's stable md5 (same hash family as [[hashBucket]],
+   *  so the draw is reproducible across runs, cluster sizes and
+   *  engines — no `rand()`), and the k LARGEST keys win. P(selected)
+   *  rises with weight exactly as weighted sampling without
+   *  replacement prescribes. The top-k is a TakeOrdered: every
+   *  partition forwards at most k rows, no global sort — the 100 TB
+   *  shape for "pick 10k docs by importance weight". */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (h + lit(1L)).cast("double") / 4294967296.0
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wkey", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Sequence packing for pretraining: assign documents to consecutive
    *  fixed-budget training sequences. Documents are bucketed by stable
    *  hash (the parallelism unit — each bucket packs independently, so

@@ -659,6 +659,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(packed.map(_._1).distinct.length == 5)
   }
 
+  test("weightedSample: deterministic, exact k, weight-biased") {
+    val weighted = ids.withColumn("w",
+      when(col("doc_id") < 100, 1000.0).otherwise(1.0)) // 100 heavy rows
+    val pick = Sampling.weightedSample(weighted, "doc_id", "w", 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pick.size == 100)
+    // heavy rows (1000× weight) should dominate the selection
+    assert(pick.count(_ < 100L) > 80, s"only ${pick.count(_ < 100L)} heavy")
+    // stable draw: identical set on a re-run
+    val again = Sampling.weightedSample(weighted, "doc_id", "w", 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pick == again)
+    // zero/negative weights never selected
+    val withZero = weighted.withColumn("w",
+      when(col("doc_id") === 0L, 0.0).otherwise(col("w")))
+    assert(!Sampling.weightedSample(withZero, "doc_id", "w", 100)
+      .collect().map(_.getLong(0)).contains(0L))
+  }
+
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    import graft.pipeline.Curation
+    val oldC = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newC = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Curation.corpusDiff(oldC, newC)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
   test("capPerStratum caps each stratum deterministically, small strata pass") {
     val strat = ids.withColumn("cat",
       when(col("doc_id") < 1990, "big").otherwise("small")) // 1990 / 10
