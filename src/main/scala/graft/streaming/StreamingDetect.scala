@@ -204,4 +204,62 @@ object StreamingDetect {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(step)
   }
+
+  final case class NearDupCandidate(docId: Long, dupOf: Long, hamming: Int)
+
+  /** Internal keying record for [[nearDupStream]] (public only because
+   *  Catalyst's generated code must reach the constructor). */
+  final case class ChunkKeyed(
+      chunkIdx: Int, chunkKey: Int, docId: Long, simhash: Long)
+
+  /** Streaming SimHash near-dup detection — ingest-time screening of
+   *  documents that are ALMOST copies of something already seen. Each
+   *  doc's 64-bit SimHash splits into four 16-bit chunks (pigeonhole:
+   *  hamming ≤ 3 ⇒ at least one chunk identical), the stream is keyed
+   *  by (chunk index, chunk value), and per-key state holds the
+   *  signatures seen — hamming is verified EXACTLY against them, so
+   *  chunk collisions cause work, never false candidates. Emits one
+   *  (docId, dupOf, hamming) row per prior match; a pair matching in
+   *  two chunks emits twice (dedupe downstream with `dropDuplicates`
+   *  — cheaper than cross-key coordination inside the stream). State
+   *  is bounded per key by `maxBucketSize` (the batch operator's
+   *  degenerate-bucket guard): saturated buckets stop ADMITTING new
+   *  signatures but keep matching against the retained ones. Same-batch
+   *  arrivals are processed in docId order, so A~B in one batch emits
+   *  (B, dupOf=A) exactly like cross-batch arrival. */
+  def nearDupStream(
+      docs: Dataset[Doc],
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): Dataset[NearDupCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def step(
+        key: (Int, Int),
+        events: Iterator[ChunkKeyed],
+        state: GroupState[List[(Long, Long)]]): Iterator[NearDupCandidate] = {
+      var seen = state.getOption.getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
+      events.toSeq.sortBy(_.docId).foreach { e =>
+        seen.foreach { case (id, sh) =>
+          val h = java.lang.Long.bitCount(sh ^ e.simhash)
+          if (h <= maxHamming && id != e.docId)
+            out += NearDupCandidate(e.docId, id, h)
+        }
+        if (seen.size < maxBucketSize) seen = (e.docId, e.simhash) :: seen
+      }
+      state.update(seen)
+      out.iterator
+    }
+
+    docs
+      .flatMap { d =>
+        val sh = graft.pipeline.Dedup.simhash64(d.text)
+        (0 until 4).map(i =>
+          ChunkKeyed(i, ((sh >>> (i * 16)) & 0xffffL).toInt, d.docId, sh))
+      }
+      .groupByKey(k => (k.chunkIdx, k.chunkKey))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(step)
+  }
 }

@@ -302,6 +302,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming near-dup flags an almost-copy, ignores unrelated text") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 160 tokens: one swapped word moves the SimHash by ~1 bit (vote
+    // margins widen with doc length), well inside the hamming-3 bar
+    val base = (1 to 160).map(i => s"word$i").mkString(" ")
+    val nearCopy = ((1 to 159).map(i => s"word$i") :+ "changed").mkString(" ")
+    val unrelated = (1 to 160).map(i => s"other$i").mkString(" ")
+    val input = MemoryStream[StreamingDetect.Doc]
+    val out = StreamingDetect.nearDupStream(input.toDS())
+    val query = out.writeStream
+      .format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamingDetect.Doc(1L, base))
+      query.processAllAvailable()
+      input.addData(
+        StreamingDetect.Doc(2L, nearCopy),   // cross-batch near-dup of 1
+        StreamingDetect.Doc(3L, unrelated))
+      query.processAllAvailable()
+      input.addData(StreamingDetect.Doc(4L, base)) // exact copy, h = 0
+      query.processAllAvailable()
+      val got = spark.table("neardup_out")
+        .select("docId", "dupOf").distinct().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(got.contains(2L -> 1L), s"near copy not flagged: $got")
+      assert(got.contains(4L -> 1L), s"exact copy not flagged: $got")
+      assert(!got.exists(_._1 == 3L), s"unrelated doc flagged: $got")
+      assert(!got.exists(p => p._1 == 4L && p._2 == 3L))
+    } finally query.stop()
+  }
+
   test("streaming sessionization closes sessions at the gap and sums values") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
