@@ -18,7 +18,10 @@ object Explain {
         "x11_sequence_packing", "d06_ngram_jaccard", "x12_tfidf_keywords",
         "x13_unigram_logprob", "x14_pii_scan", "x15_quality_filter",
         "j02_range_join", "x16_sessionize", "p30_correlations",
-        "x17_distribution_drift", "x18_numeric_psi")
+        "x17_distribution_drift", "x18_numeric_psi",
+        "x22_domain_cap", "x23_boilerplate", "e07_semantic_dedup",
+        "e08_quantize_int8", "x24_canonical_pick", "x25_containment",
+        "x26_zorder_value", "x27_corpus_diff", "x28_weighted_sample")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
