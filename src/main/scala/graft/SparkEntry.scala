@@ -729,6 +729,42 @@ object SparkEntry {
             ELSE 'low' END AS severity
         FROM scored ORDER BY event_type, day""")),
 
+    Q("a11_ewma",
+      // EWMA control chart over the daily per-type series: truncated
+      // exponential weights over the 7 prior points, classic
+      // σ·√(λ/(2−λ)) control scale; array fold over the collected
+      // trailing frame — bounded state, one shuffle, engine-replayable
+      (s, d) => Anomalies.ewma(dailySeries(s, d), Seq("event_type"),
+          "day", "value")
+        .select(col("event_type"), col("day"), col("value"),
+          round(col("ewma"), 6).as("ewma"),
+          round(col("score"), 6).as("score"), col("is_anomaly"),
+          col("threshold"), col("severity"))
+        .orderBy("event_type", "day"),
+      Some(s"""WITH series AS ($duckDailySeries),
+        base AS (SELECT event_type, day, value,
+          list(value) OVER (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS arr,
+          STDDEV_POP(value) OVER (PARTITION BY event_type) AS sd
+          FROM series),
+        f AS (SELECT event_type, day, value, sd,
+          list_sum(list_transform(range(0, 7),
+            i -> arr[i+1] * POW(0.7, 6 - i)))
+            / ((1 - POW(0.7, 7)) / 0.3) AS ew
+          FROM base WHERE len(arr) = 7),
+        scored AS (SELECT event_type, day, value, ew, sd,
+          sd * SQRT(0.3 / 1.7) AS scale,
+          CASE WHEN sd * SQRT(0.3 / 1.7) = 0 THEN 0.0
+            ELSE ABS((value - ew) / (sd * SQRT(0.3 / 1.7))) END AS raw
+          FROM f)
+        SELECT event_type, day, value, ROUND(ew, 6) AS ewma,
+          ROUND(raw, 6) AS score,
+          (scale <> 0 AND raw > 3.0) AS is_anomaly,
+          CAST(3.0 AS DOUBLE) AS threshold,
+          CASE WHEN raw > 5.0 THEN 'high' WHEN raw > 2.5 THEN 'medium'
+            ELSE 'low' END AS severity
+        FROM scored ORDER BY event_type, day""")),
+
     Q("a08_metric_extraction",
       (s, d) => {
         import graft.anomalies.{Metrics => ME}

@@ -262,6 +262,58 @@ object Anomalies {
 
   /** A1–A5 dispatch by configured method (detector.py:92-127 defaults).
    *  `minDataPoints` guards short series (detector.py:59-62). */
+  /** EWMA control chart (beyond-reference detector): the expected value
+   *  is a truncated exponentially-weighted average of the `window`
+   *  PRIOR points — weight (1−λ)^age, normalized — so level shifts and
+   *  slow drifts trip it earlier than a flat moving average, while a
+   *  single old spike decays instead of poisoning a whole window. The
+   *  deviation scale is the classic EWMA control-limit σ·√(λ/(2−λ))
+   *  with σ the series' population std. Expressed as window functions
+   *  + an array fold over the collected trailing frame: state is
+   *  bounded by `window`, thousands of series detect in one job, and
+   *  the same formula replays in any engine (the a11 oracle). */
+  def ewma(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      sensitivity: Double = 1.0,
+      window: Int = 7,
+      lambda: Double = 0.3): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, "lambda must be in (0, 1]")
+    val part = Window.partitionBy(seriesCols.map(col): _*)
+    val v = col(valueCol)
+    val threshold = 3.0 / sensitivity
+    val wTrail = part.orderBy(col(tsCol)).rowsBetween(-window, -1)
+    val wAll = part.orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val decay = 1.0 - lambda
+    // collect_list preserves frame order (oldest → newest); element j of
+    // W gets weight (1-λ)^(W-1-j); Σ weights = (1-(1-λ)^W)/λ
+    val norm = (1.0 - math.pow(decay, window)) / lambda
+    val sigmaFactor = math.sqrt(lambda / (2.0 - lambda))
+    df
+      .withColumn("__arr", collect_list(v).over(wTrail))
+      .withColumn("__sd", stddev_pop(v).over(wAll))
+      .filter(size(col("__arr")) === window)
+      .withColumn("ewma",
+        aggregate(
+          zip_with(col("__arr"),
+            sequence(lit(window - 1), lit(0), lit(-1)),
+            (x, e) => x * pow(lit(decay), e.cast("double"))),
+          lit(0.0), (acc, t) => acc + t) / norm)
+      .withColumn("__scale", col("__sd") * sigmaFactor)
+      .withColumn("score",
+        when(col("__scale") === 0.0 || col("__scale").isNull, 0.0)
+          .otherwise(abs((v - col("ewma")) / col("__scale"))))
+      .withColumn("threshold", lit(threshold))
+      .withColumn("is_anomaly",
+        col("__scale") =!= 0.0 && col("score") > col("threshold"))
+      .withColumn("method", lit("ewma"))
+      .withColumn("severity", severity(col("score"), "ewma"))
+      .drop("__arr", "__sd", "__scale")
+  }
+
   def detect(
       df: DataFrame,
       seriesCols: Seq[String],
@@ -289,6 +341,9 @@ object Anomalies {
       case "moving_average" =>
         movingAverage(eligible, seriesCols, tsCol, valueCol, sensitivity,
           window.getOrElse(7), stdWindow)
+      case "ewma" =>
+        ewma(eligible, seriesCols, tsCol, valueCol, sensitivity,
+          window.getOrElse(7))
       case other =>
         throw new IllegalArgumentException(s"unknown detection method: $other")
     }

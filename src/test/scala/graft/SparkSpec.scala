@@ -137,6 +137,27 @@ class AnomaliesSparkSpec extends AnyFunSuite {
     ("m1", i.toLong, v)
   }.toDF("series", "ts", "value")
 
+  test("ewma: textbook truncated weights, spike flagged, level tracked") {
+    import graft.anomalies.Anomalies
+    val out = Anomalies.ewma(series, Seq("series"), "ts", "value",
+        window = 7, lambda = 0.3)
+      .collect().map(r => r.getLong(1) ->
+        (r.getAs[Double]("ewma"), r.getAs[Boolean]("is_anomaly"))).toMap
+    // rows 0-6 have <7 prior points and are filtered
+    assert(out.keySet == Set(7L, 8L, 9L))
+    // hand-computed truncated EWMA at t=7 over values(0..6),
+    // weight (1-λ)^age, λ=0.3: newest prior (10.0) weighs most
+    val w = (0 until 7).map(j => math.pow(0.7, 6 - j)) // oldest→newest
+    val expected7 = values.slice(0, 7).zip(w).map { case (x, ww) => x * ww }
+      .sum / w.sum
+    assert(math.abs(out(7L)._1 - expected7) < 1e-9)
+    // the spike at t=8 is an anomaly; the stable point before it is not
+    assert(out(8L)._2 && !out(7L)._2)
+    // after the spike, the EWMA at t=9 has absorbed only decayed spike
+    // weight — the level stays near 10, not near 50
+    assert(out(9L)._1 < 25.0)
+  }
+
   test("global z-score flags the spike with numpy population-σ parity") {
     // the max attainable z-score in a sample of n is (n-1)/√n, so a
     // series needs >9 stable points for one spike to clear threshold 3
