@@ -132,6 +132,47 @@ object Multimodal {
     }
   }
 
+  /** WAV/RIFF audio metadata from the spec-fixed header layout — REAL
+   *  byte parsing like [[imageDimsBytes]] (no codec needed): walk the
+   *  RIFF chunk list for "fmt " (audio format, channels, sample rate,
+   *  byte rate, bits/sample) and "data" (payload size), and derive
+   *  duration = dataSize / byteRate. Returns (channels, sampleRate,
+   *  bitsPerSample, durationMs); None for non-WAV / truncated bytes. */
+  private[graft] def audioMetaBytes(
+      b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String =
+      new String(b.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    if (sniffFormatBytes(b) != "wav" || b.length < 36) return None
+    var channels = -1; var sampleRate = -1; var bits = -1
+    var byteRate = -1L; var dataSize = -1L
+    var i = 12 // after RIFF<size>WAVE
+    while (i + 8 <= b.length) {
+      val id = tag(i); val size = le32(i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        channels = le16(i + 10)
+        sampleRate = le32(i + 12).toInt
+        byteRate = le32(i + 16)
+        bits = le16(i + 22)
+      } else if (id == "data") {
+        dataSize = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || sampleRate <= 0 || byteRate <= 0) None
+    else Some((channels, sampleRate, bits,
+      if (dataSize < 0) -1L else dataSize * 1000L / byteRate))
+  }
+
+  /** `struct(channels, sample_rate, bits_per_sample, duration_ms)`
+   *  column parsed from WAV headers (null for non-audio bytes). */
+  def audioMetadata(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((b: Array[Byte]) =>
+      if (b == null) None else audioMetaBytes(b)).apply(bin)
+
   /** `format` column from a binary column's magic bytes. */
   def sniffFormat(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     udf((b: Array[Byte]) => if (b == null) null else sniffFormatBytes(b)).apply(bin)

@@ -924,6 +924,26 @@ class MultimodalSparkSpec extends AnyFunSuite {
     assert(out(3L) == ("jpeg", Some((200, 100))))
     assert(out(4L) == ("unknown", None))
   }
+
+  test("WAV metadata from a spec-correct RIFF header, no codec") {
+    import spark.implicits._
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    // 2-channel 44100 Hz 16-bit PCM, 1 s of audio (176400 data bytes
+    // claimed; payload truncated — headers alone carry the metadata)
+    val wav = "RIFF".getBytes ++ le32(36 + 176400) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(176400)
+    val junk = Array.fill(64)(0x13.toByte)
+    val out = Seq((1L, wav), (2L, junk)).toDF("id", "blob")
+      .select(col("id"), Multimodal.audioMetadata(col("blob")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getInt(0), s.getInt(1), s.getInt(2), s.getLong(3)))).toMap
+    assert(out(1L) == Some((2, 44100, 16, 1000L)))
+    assert(out(2L).isEmpty)
+  }
 }
 
 class JaccardPairsSpec extends AnyFunSuite {
