@@ -2341,6 +2341,28 @@ object SparkEntry {
             AS boilerplate_share
         FROM per WHERE doc_id < 100 ORDER BY doc_id""")),
 
+    Q("x29_chunk_windows",
+      // overlapping token-window chunking (embedding/RAG prep): 20-token
+      // windows every 10 tokens, map-only split+transform+explode;
+      // chunk text md5 pins exact content per window
+      (s, d) => TextAnalysis.chunkDocuments(t(s, d, "documents"),
+          chunkTokens = 20, strideTokens = 10)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents WHERE doc_id < 40),
+        st AS (
+          SELECT doc_id, w, unnest(range(0, len(w), 10)) AS s
+          FROM toks WHERE len(w) > 0)
+        SELECT doc_id, CAST(s / 10 AS INT) AS chunk_idx,
+          CAST(LEAST(20, len(w) - s) AS INT) AS n_tokens,
+          md5(array_to_string(list_slice(w, s + 1, s + 20), ' '))
+            AS chunk_md5
+        FROM st ORDER BY doc_id, chunk_idx""")),
+
     Q("x12_tfidf_keywords",
       // TF-IDF keyword extraction: top-3 terms per doc, idf over the FULL
       // corpus (token-keyed partial aggs, vocab-sized join), output

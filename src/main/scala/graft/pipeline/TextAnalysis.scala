@@ -252,6 +252,40 @@ object TextAnalysis {
       .select(col(idCol), explode(grams).as("ngram"))
   }
 
+  /** Overlapping token-window chunking — the embedding/retrieval prep
+   *  step (split long documents into `chunkTokens`-token windows every
+   *  `strideTokens` tokens so no passage is lost at a boundary).
+   *  Map-only codegen'd array expressions appended to the scan: split
+   *  once, emit one row per window via transform+explode — no UDF, no
+   *  shuffle, linear in corpus size at any scale. Output: (idCol,
+   *  chunk_idx, chunk_text, n_tokens); whitespace inside a chunk is
+   *  normalized to single spaces (the chunk is a token join). */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkTokens: Int = 256,
+      strideTokens: Int = 128): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1,
+      "chunk and stride must be >= 1")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val chunks = expr(
+      s"""transform(sequence(0, size(__toks) - 1, $strideTokens),
+         |  st -> struct(
+         |    CAST(st / $strideTokens AS INT) AS chunk_idx,
+         |    array_join(slice(__toks, st + 1, $chunkTokens), ' ')
+         |      AS chunk_text,
+         |    CAST(least($chunkTokens, size(__toks) - st) AS INT)
+         |      AS n_tokens))""".stripMargin)
+    docs
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0 &&
+        !(size(col("__toks")) === 1 && element_at(col("__toks"), 1) === ""))
+      .select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol), col("c.chunk_idx"), col("c.chunk_text"),
+        col("c.n_tokens"))
+  }
+
   /** [[contamination]] at the scale where the benchmark n-gram set no
    *  longer broadcasts: a driver-built Bloom filter (a few MB for tens
    *  of millions of grams at 1% FPP) prefilters the corpus gram stream

@@ -1096,6 +1096,24 @@ class GopherFilterSpec extends AnyFunSuite {
     assert(share(3) == ((4L, 3L, 0L)))   // clean doc: nothing flagged
   }
 
+  test("chunkDocuments: overlap, tail chunk, empty doc dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),    // 5 tokens → windows at 0, 2, 4
+      (2L, "x"),            // 1 token  → one short chunk
+      (3L, "   ")).toDF("doc_id", "text") // whitespace-only → dropped
+    val out = TextAnalysis.chunkDocuments(docs,
+        chunkTokens = 3, strideTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getString(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(out == List(
+      (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (1L, 2, "e", 1),
+      (2L, 0, "x", 1)))
+    // consecutive windows overlap by chunk − stride tokens
+    assert(out(0)._3.split(" ").last == out(1)._3.split(" ").head)
+  }
+
   test("bloom-prefiltered decontamination equals the broadcast-exact path") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bench = TextAnalysis.wordNgrams(docs.filter(col("doc_id") < 10))
