@@ -210,8 +210,9 @@ final class GraftEngine(
           method = method, sensitivity = sens,
           // zscore/iqr stored configs detect over the full history slice
           // (the reference bounds input by days, not points); the window
-          // field drives the moving-average lookback only
-          window = if (method == "moving_average") Some(win) else None,
+          // field drives the trailing lookback of the windowed detectors
+          window = if (method == "moving_average" || method == "ewma")
+            Some(win) else None,
           stdWindow = if (method == "moving_average") Some(stdWin) else None,
           minDataPoints = minPts)
           .select(col("table_name"), col("__col"), col("metric_name"),

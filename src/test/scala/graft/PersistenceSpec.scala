@@ -116,7 +116,8 @@ class PersistenceSpec extends AnyFunSuite {
       }
     engine.metrics.append(
       (mk("tableA", Seq.fill(15)(10.0) :+ 100.0) ++
-        mk("tableB", Seq.fill(16)(5.0)))
+        mk("tableB", Seq.fill(16)(5.0)) ++
+        mk("tableC", Seq.fill(15)(20.0) :+ 200.0))
         .toDF("connection_id", "table_name", "column_name", "metric_name",
           "metric_value", "ts"))
     engine.anomalyConfigs.createConfig(
@@ -125,14 +126,19 @@ class PersistenceSpec extends AnyFunSuite {
     engine.anomalyConfigs.createConfig(
       AnomalyConfig("m", "tableB", detectionMethod = "iqr"),
       ts("2026-01-20 00:00:00"))
+    engine.anomalyConfigs.createConfig(
+      AnomalyConfig("m", "tableC", detectionMethod = "ewma"),
+      ts("2026-01-20 00:00:00"))
     val out = engine.runAnomalyScanAll(ts("2026-01-20 00:00:00"),
       historyDays = 30, persist = true).collect()
-    // the zscore spike fires; the flat iqr series stays quiet
+    // the zscore and ewma spikes fire; the flat iqr series stays quiet
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Boolean]("is_anomaly")))
     val byTable = out.groupBy(_.getAs[String]("table_name"))
     assert(byTable.contains("tableA") && !byTable.contains("tableB"))
-    assert(out.forall(_.getAs[String]("method") == "zscore"))
+    assert(byTable.contains("tableC"))
+    assert(byTable("tableA").forall(_.getAs[String]("method") == "zscore"))
+    assert(byTable("tableC").forall(_.getAs[String]("method") == "ewma"))
     // persisted + one anomaly_detected event published through the gate
     assert(engine.anomalies.list().count() == out.length)
     val feed = engine.events.feed(eventType = Some("anomaly")).collect()
