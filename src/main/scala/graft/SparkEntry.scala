@@ -2363,6 +2363,25 @@ object SparkEntry {
             AS chunk_md5
         FROM st ORDER BY doc_id, chunk_idx""")),
 
+    Q("x30_event_rollup",
+      // native ROLLUP: (type, day) cells + per-type subtotals + grand
+      // total in one Expand+hash-agg job — three dashboard
+      // granularities for one shuffle
+      (s, d) => graft.operators.Funnel.eventVolumeRollup(eventsTable(s, d))
+        // subtotal NULLs → explicit '(all)' sentinels: the compare layer
+        // can't equate null dates, and the sentinel reads better anyway
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("day").cast("string"), lit("(all)")).as("day"),
+          col("events"), col("value_sum"))
+        .orderBy("event_type", "day"),
+      Some("""SELECT COALESCE(event_type, '(all)') AS event_type,
+          COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS day,
+          CAST(COUNT(*) AS BIGINT) AS events,
+          ROUND(SUM(value), 6) AS value_sum
+        FROM events
+        GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+        ORDER BY event_type, day""")),
+
     Q("x12_tfidf_keywords",
       // TF-IDF keyword extraction: top-3 terms per doc, idf over the FULL
       // corpus (token-keyed partial aggs, vocab-sized join), output

@@ -85,4 +85,24 @@ object Funnel {
       .groupBy(col("cohort_date"), col("day_offset"))
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
+
+  /** Event volume rollup: counts and value sums by (type, day) PLUS
+   *  per-type subtotals and the grand total, in ONE job — Spark's
+   *  native `rollup` expands every row to its grouping sets before the
+   *  same partial/final hash aggregation a flat groupBy uses, so the
+   *  dashboard's three granularities cost one shuffle instead of three
+   *  queries. Subtotal rows carry NULL in the rolled-up columns (the
+   *  standard SQL convention). */
+  def eventVolumeRollup(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame =
+    events
+      .select(col(typeCol).as("event_type"),
+        to_date(col(tsCol)).as("day"),
+        col(valueCol).cast("double").as("__v"))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("events"),
+        round(sum(col("__v")), 6).as("value_sum"))
 }

@@ -1379,6 +1379,24 @@ class FunnelSpec extends AnyFunSuite {
     rows.map { case (u, t, ty) => (u, new Timestamp(t * 1000L), ty) }
       .toDF("user_id", "ts", "event_type")
 
+  test("eventVolumeRollup: cells, per-type subtotals, grand total in one") {
+    val events = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 01:00:00"), "a", 1.0),
+      (2L, Timestamp.valueOf("2026-01-01 02:00:00"), "a", 2.0),
+      (3L, Timestamp.valueOf("2026-01-02 01:00:00"), "a", 4.0),
+      (4L, Timestamp.valueOf("2026-01-01 01:00:00"), "b", 8.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Funnel.eventVolumeRollup(events)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("∅"),
+        Option(r.getDate(1)).map(_.toString).getOrElse("∅"),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      ("a", "2026-01-01", 2L, 3.0), ("a", "2026-01-02", 1L, 4.0),
+      ("b", "2026-01-01", 1L, 8.0),
+      ("a", "∅", 3L, 7.0), ("b", "∅", 1L, 8.0),   // per-type subtotals
+      ("∅", "∅", 4L, 15.0)))                       // grand total
+  }
+
   test("funnel chains steps in order; pre-step events don't count") {
     val events = ev(
       (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
