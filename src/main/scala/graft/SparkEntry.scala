@@ -631,6 +631,27 @@ object SparkEntry {
             AS DOUBLE) / 1e9, 6) AS psi
         FROM f""")),
 
+    Q("p33_percentile_rank",
+      // quantile-normalization lookup table: percent_rank computed from
+      // value counts (cardinality-sized ordered frame), never a global
+      // row sort — identical statistic, 100 TB-safe
+      (s, d) => graft.profiler.Drift.percentileRanks(
+          t(s, d, "lineitem"), "l_quantity")
+        .orderBy("value"),
+      Some("""WITH c AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS value, COUNT(*) AS cnt
+          FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+        t AS (SELECT SUM(cnt) AS n FROM c),
+        r AS (SELECT value, cnt,
+          COALESCE(SUM(cnt) OVER (ORDER BY value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+          FROM c)
+        SELECT value, CAST(cnt AS BIGINT) AS cnt,
+          CASE WHEN n = 1 THEN 0.0
+            ELSE ROUND(CAST(lt AS DOUBLE) / (n - 1), 6) END
+            AS percentile_rank
+        FROM r CROSS JOIN t ORDER BY value""")),
+
     Q("p31_ks_drift",
       // exact two-sample Kolmogorov–Smirnov D between odd- and even-order
       // lineitem prices; distributed prefix sums via range buckets (no

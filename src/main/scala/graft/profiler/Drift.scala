@@ -288,4 +288,34 @@ object Drift {
     p.join(q, Seq("category"), "full_outer")
       .na.fill(0L, Seq("n_before", "n_after"))
   }
+
+  /** Percentile-rank lookup table for a numeric column — the
+   *  quantile-normalization primitive (map scores onto [0,1] by rank,
+   *  robust to arbitrary distributions). SQL's
+   *  `percent_rank() OVER (ORDER BY v)` is a single-partition sort of
+   *  EVERY ROW — a scale-killer; this computes the identical statistic
+   *  from value COUNTS instead: one shuffle collapses rows to distinct
+   *  values, and the ordered window runs over that (cardinality-sized)
+   *  frame only. percentile_rank = (#values below) / (n − 1), the
+   *  min-rank tie convention — exactly `percent_rank`. Join the result
+   *  back (broadcast when cardinality is small) to annotate rows. */
+  def percentileRanks(
+      df: DataFrame,
+      valueCol: String): DataFrame = {
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    counts
+      .withColumn("__lt", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+      .withColumn("__n", sum(col("cnt")).over(wAll))
+      .withColumn("percentile_rank",
+        when(col("__n") === 1L, 0.0)
+          .otherwise(round(col("__lt").cast("double")
+            / (col("__n") - 1L), 6)))
+      .select(col("value"), col("cnt"), col("percentile_rank"))
+  }
 }

@@ -1257,6 +1257,27 @@ class DriftSpec extends AnyFunSuite {
   import spark.implicits._
   import graft.profiler.Drift
 
+  test("percentileRanks equals percent_rank, ties use min-rank") {
+    // values 10,10,20,30 → percent_rank: 0, 0, 2/3, 1
+    val df = Seq(10.0, 10.0, 20.0, 30.0, Double.NaN).toDF("v")
+      .filter(!isnan(col("v")))
+    val out = Drift.percentileRanks(df, "v")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toList
+    assert(out == List((10.0, 2L, 0.0), (20.0, 1L, 0.666667),
+      (30.0, 1L, 1.0)))
+    // sanity vs Spark's own percent_rank on the exploded rows
+    import org.apache.spark.sql.expressions.{Window => W}
+    val viaWindow = df.withColumn("pr",
+        round(percent_rank().over(W.orderBy(col("v"))), 6))
+      .select("v", "pr").distinct()
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    assert(viaWindow.map(_._2).toList == out.map(_._3))
+    // single distinct value: rank 0, no divide-by-zero
+    val single = Drift.percentileRanks(Seq(7.0).toDF("v"), "v").first()
+    assert(single.getDouble(2) == 0.0)
+  }
+
   test("correlation hits the textbook values: +1, -1, 0, constant -> null") {
     val df = Seq(
       (1.0, 2.0, -1.0, 5.0, 1.0),
