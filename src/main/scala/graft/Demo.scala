@@ -62,6 +62,27 @@ object Demo {
     val resp = engine.profileTableWithTrends("orders", ts(13))
     println(s"[demo] profile+trends in one call: history rows=" +
       s"${resp.history.count()}, trend series=${resp.trends.count()}")
+
+    // round-6 surface: the training-data pipeline end to end — chunk,
+    // dedup semantically, quantize, cap per source, weighted-sample
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{Sampling, Similarity, TextAnalysis}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val chunks = TextAnalysis.chunkDocuments(docs,
+      chunkTokens = 20, strideTokens = 10)
+    println(s"[demo] chunked ${docs.count()} docs into ${chunks.count()} " +
+      "overlapping 20-token windows")
+    val sem = Similarity.semanticDedupAuto(emb, k = 8, tau = 0.3)
+    println(s"[demo] SemDeDup kept ${sem.filter(!col("is_dup")).count()}/" +
+      s"${sem.count()} vectors at tau=0.3")
+    val q = Similarity.quantizeEmbeddings(emb)
+    println(s"[demo] int8-quantized ${q.count()} embeddings " +
+      "(64 B codes + 1 scale each)")
+    val capped = Sampling.capPerStratum(docs, "doc_id", "source", 10)
+    val picked = Sampling.weightedSample(docs, "doc_id", "n_chars", 50)
+    println(s"[demo] per-source cap kept ${capped.count()} docs; " +
+      s"length-weighted sample picked ${picked.count()}")
     spark.stop()
   }
 }
