@@ -81,13 +81,18 @@ object Curation {
       newCorpus: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // presence is the join side, not the hash — a null-text doc hashes
+    // to null but was still PRESENT, so carry explicit presence flags
+    // and compare hashes null-safely
     val o = oldCorpus.select(col(idCol), md5(col(textCol)).as("__oh"))
+      .withColumn("__inOld", lit(true))
     val n = newCorpus.select(col(idCol), md5(col(textCol)).as("__nh"))
+      .withColumn("__inNew", lit(true))
     o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
-        when(col("__oh").isNull, "added")
-          .when(col("__nh").isNull, "removed")
-          .when(col("__oh") === col("__nh"), "unchanged")
+        when(col("__inOld").isNull, "added")
+          .when(col("__inNew").isNull, "removed")
+          .when(col("__oh") <=> col("__nh"), "unchanged")
           .otherwise("changed"))
       .select(col(idCol), col("status"))
   }

@@ -701,12 +701,15 @@ class SamplingSpec extends AnyFunSuite {
 
   test("corpusDiff classifies added/removed/changed/unchanged") {
     import graft.pipeline.Curation
-    val oldC = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
-    val newC = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
+    val oldC = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, null: String))
+      .toDF("doc_id", "text")
+    val newC = Seq((2L, "b"), (3L, "C2"), (4L, "d"), (5L, null: String))
+      .toDF("doc_id", "text")
     val out = Curation.corpusDiff(oldC, newC)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "removed", 2L -> "unchanged",
-      3L -> "changed", 4L -> "added"))
+      3L -> "changed", 4L -> "added",
+      5L -> "unchanged")) // null text on both sides = present, unchanged
   }
 
   test("capPerStratum caps each stratum deterministically, small strata pass") {
