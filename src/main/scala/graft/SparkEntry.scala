@@ -2390,13 +2390,17 @@ object SparkEntry {
       // granularities for one shuffle
       (s, d) => graft.operators.Funnel.eventVolumeRollup(eventsTable(s, d))
         // subtotal NULLs → explicit '(all)' sentinels: the compare layer
-        // can't equate null dates, and the sentinel reads better anyway
+        // can't equate null dates, and the sentinel reads better anyway;
+        // grouping flags keep subtotals distinct from genuine null data
         .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
           coalesce(col("day").cast("string"), lit("(all)")).as("day"),
+          col("type_total"), col("day_total"),
           col("events"), col("value_sum"))
         .orderBy("event_type", "day"),
       Some("""SELECT COALESCE(event_type, '(all)') AS event_type,
           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS day,
+          CAST(GROUPING(event_type) AS INT) AS type_total,
+          CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS day_total,
           CAST(COUNT(*) AS BIGINT) AS events,
           ROUND(SUM(value), 6) AS value_sum
         FROM events

@@ -260,8 +260,6 @@ object Anomalies {
   def anomaliesOnly(detected: DataFrame): DataFrame =
     detected.filter(col("is_anomaly"))
 
-  /** A1–A5 dispatch by configured method (detector.py:92-127 defaults).
-   *  `minDataPoints` guards short series (detector.py:59-62). */
   /** EWMA control chart (beyond-reference detector): the expected value
    *  is a truncated exponentially-weighted average of the `window`
    *  PRIOR points — weight (1−λ)^age, normalized — so level shifts and
@@ -314,6 +312,8 @@ object Anomalies {
       .drop("__arr", "__sd", "__scale")
   }
 
+  /** A1–A5 dispatch by configured method (detector.py:92-127 defaults).
+   *  `minDataPoints` guards short series (detector.py:59-62). */
   def detect(
       df: DataFrame,
       seriesCols: Seq[String],

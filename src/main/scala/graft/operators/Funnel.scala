@@ -91,8 +91,9 @@ object Funnel {
    *  native `rollup` expands every row to its grouping sets before the
    *  same partial/final hash aggregation a flat groupBy uses, so the
    *  dashboard's three granularities cost one shuffle instead of three
-   *  queries. Subtotal rows carry NULL in the rolled-up columns (the
-   *  standard SQL convention). */
+   *  queries. Subtotal rows carry NULL in the rolled-up columns plus
+   *  explicit `grouping(...)` flags (`type_total`, `day_total`), so a
+   *  genuine NULL data value is never confused with a subtotal row. */
   def eventVolumeRollup(
       events: DataFrame,
       typeCol: String = "event_type",
@@ -103,6 +104,9 @@ object Funnel {
         to_date(col(tsCol)).as("day"),
         col(valueCol).cast("double").as("__v"))
       .rollup(col("event_type"), col("day"))
-      .agg(count(lit(1)).as("events"),
+      .agg(
+        grouping(col("event_type")).cast("int").as("type_total"),
+        grouping(col("day")).cast("int").as("day_total"),
+        count(lit(1)).as("events"),
         round(sum(col("__v")), 6).as("value_sum"))
 }

@@ -149,18 +149,19 @@ object Multimodal {
     if (sniffFormatBytes(b) != "wav" || b.length < 36) return None
     var channels = -1; var sampleRate = -1; var bits = -1
     var byteRate = -1L; var dataSize = -1L
-    var i = 12 // after RIFF<size>WAVE
+    var i = 12L // after RIFF<size>WAVE; Long index: chunk sizes are u32
     while (i + 8 <= b.length) {
-      val id = tag(i); val size = le32(i + 4)
+      val ii = i.toInt
+      val id = tag(ii); val size = le32(ii + 4) // unsigned, up to 2^32-1
       if (id == "fmt " && i + 24 <= b.length) {
-        channels = le16(i + 10)
-        sampleRate = le32(i + 12).toInt
-        byteRate = le32(i + 16)
-        bits = le16(i + 22)
+        channels = le16(ii + 10)
+        sampleRate = le32(ii + 12).toInt
+        byteRate = le32(ii + 16)
+        bits = le16(ii + 22)
       } else if (id == "data") {
         dataSize = size
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1L) // word-aligned; always advances ≥ 8
     }
     if (channels <= 0 || sampleRate <= 0 || byteRate <= 0) None
     else Some((channels, sampleRate, bits,

@@ -295,23 +295,46 @@ object Drift {
    *  `percent_rank() OVER (ORDER BY v)` is a single-partition sort of
    *  EVERY ROW — a scale-killer; this computes the identical statistic
    *  from value COUNTS instead: one shuffle collapses rows to distinct
-   *  values, and the ordered window runs over that (cardinality-sized)
-   *  frame only. percentile_rank = (#values below) / (n − 1), the
+   *  values, and the cumulative counts come from range-bucketed prefix
+   *  sums (the p31 KS pattern), so even a continuous column with ~all
+   *  rows distinct never sorts in one task — the only single-partition
+   *  step is the O(`buckets`) offset summary.
+   *  percentile_rank = (#values below) / (n − 1), the
    *  min-rank tie convention — exactly `percent_rank`. Join the result
    *  back (broadcast when cardinality is small) to annotate rows. */
   def percentileRanks(
       df: DataFrame,
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "need at least one range bucket")
     val counts = df
       .filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("double").as("value"))
       .agg(count(lit(1)).as("cnt"))
-    val wCum = Window.orderBy(col("value"))
+    val totals = counts.agg(
+      min(col("value")).as("__mn"), max(col("value")).as("__mx"),
+      sum(col("cnt")).as("__n"))
+    // distributed prefix sums (the p31 KS pattern): range-bucket the
+    // distinct values, prefix-sum the ≤`buckets`-row bucket summary
+    // (the only single-partition step, O(buckets)), then cumulate
+    // WITHIN each bucket in parallel — no global sort of the values
+    val bucketed = counts.crossJoin(broadcast(totals))
+      .withColumn("__bucket",
+        when(col("__mx") === col("__mn"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("value") - col("__mn"))
+              / ((col("__mx") - col("__mn")) / buckets)).cast("int"))))
+    val offW = Window.orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy()
-    counts
-      .withColumn("__lt", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
-      .withColumn("__n", sum(col("cnt")).over(wAll))
+    val offsets = bucketed.groupBy("__bucket")
+      .agg(sum(col("cnt")).as("__bc"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__bc")).over(offW), lit(0L)).as("__off"))
+    val inW = Window.partitionBy(col("__bucket")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("__lt",
+        coalesce(sum(col("cnt")).over(inW), lit(0L)) + col("__off"))
       .withColumn("percentile_rank",
         when(col("__n") === 1L, 0.0)
           .otherwise(round(col("__lt").cast("double")

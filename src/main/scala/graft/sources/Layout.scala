@@ -55,7 +55,7 @@ object Layout {
       bits: Int = 8): Column =
     interleaveBits(
       equalWidthBucket(x, loX, hiX, bits),
-      equalWidthBucket(y, loY, hiY, bits))
+      equalWidthBucket(y, loY, hiY, bits), bits)
 
   /** Rank-bucketed Z-value — the production form, robust to skew: each
    *  dimension is bucketed by its approximate quantile boundaries

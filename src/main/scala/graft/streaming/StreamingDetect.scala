@@ -231,6 +231,10 @@ object StreamingDetect {
       docs: Dataset[Doc],
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): Dataset[NearDupCandidate] = {
+    // the 4×16-bit pigeonhole only guarantees a shared chunk for
+    // hamming ≤ 3; a larger bar would silently lose recall
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0, 3] for the 4-chunk scheme")
     val spark = docs.sparkSession
     import spark.implicits._
 

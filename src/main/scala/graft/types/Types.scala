@@ -130,7 +130,7 @@ final case class AnomalyConfig(
     metricName: String,
     tableName: String,
     columnName: Option[String] = None,
-    detectionMethod: String = "zscore", // zscore | iqr | moving_average
+    detectionMethod: String = "zscore", // zscore | iqr | moving_average | mad | ewma
     sensitivity: Double = 1.0,
     minDataPoints: Int = 7,
     window: Int = 7,

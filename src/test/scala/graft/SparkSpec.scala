@@ -940,12 +940,20 @@ class MultimodalSparkSpec extends AnyFunSuite {
       le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16) ++
       "data".getBytes ++ le32(176400)
     val junk = Array.fill(64)(0x13.toByte)
-    val out = Seq((1L, wav), (2L, junk)).toDF("id", "blob")
+    // adversarial: a chunk claiming size 0xFFFFFFF8 — the u32 must not
+    // wrap to a negative/zero step (would hang or crash the chunk walk)
+    val evil = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8) ++
+      "LIST".getBytes ++ le32(0xFFFFFFF8) ++ Array.fill(8)(0.toByte)
+    val out = Seq((1L, wav), (2L, junk), (3L, evil)).toDF("id", "blob")
       .select(col("id"), Multimodal.audioMetadata(col("blob")).as("m"))
       .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
         (s.getInt(0), s.getInt(1), s.getInt(2), s.getLong(3)))).toMap
     assert(out(1L) == Some((2, 44100, 16, 1000L)))
     assert(out(2L).isEmpty)
+    // fmt was parsed before the bogus chunk; no data chunk → duration -1
+    assert(out(3L) == Some((1, 8000, 8, -1L)))
   }
 }
 
@@ -1413,12 +1421,13 @@ class FunnelSpec extends AnyFunSuite {
     val out = Funnel.eventVolumeRollup(events)
       .collect().map(r => (Option(r.getString(0)).getOrElse("∅"),
         Option(r.getDate(1)).map(_.toString).getOrElse("∅"),
-        r.getLong(2), r.getDouble(3))).toSet
+        r.getAs[Int]("type_total"), r.getAs[Int]("day_total"),
+        r.getAs[Long]("events"), r.getAs[Double]("value_sum"))).toSet
     assert(out == Set(
-      ("a", "2026-01-01", 2L, 3.0), ("a", "2026-01-02", 1L, 4.0),
-      ("b", "2026-01-01", 1L, 8.0),
-      ("a", "∅", 3L, 7.0), ("b", "∅", 1L, 8.0),   // per-type subtotals
-      ("∅", "∅", 4L, 15.0)))                       // grand total
+      ("a", "2026-01-01", 0, 0, 2L, 3.0), ("a", "2026-01-02", 0, 0, 1L, 4.0),
+      ("b", "2026-01-01", 0, 0, 1L, 8.0),
+      ("a", "∅", 0, 1, 3L, 7.0), ("b", "∅", 0, 1, 1L, 8.0), // subtotals
+      ("∅", "∅", 1, 1, 4L, 15.0)))                          // grand total
   }
 
   test("funnel chains steps in order; pre-step events don't count") {
