@@ -2780,6 +2780,38 @@ object SparkEntry {
    *  l_tax; retype o_totalprice; re-key region), diff, classify. The
    *  oracle re-states the EXPECTED diff of that declared mutation. */
   private def schemaQueries: Seq[Q] = Seq(
+    Q("j03_interval_join",
+      // interval-overlap join (bucketed equi-join, single-emission via
+      // the overlap-start bucket — no distinct): synthetic per-event
+      // intervals of 1-7 hours, self-joined per user; the oracle is the
+      // naive theta join
+      (s, d) => {
+        val iv = eventsTable(s, d)
+          .select(col("event_id"), col("user_id"), col("ts").as("start"),
+            expr("timestampadd(MINUTE, CAST((event_id % 7 + 1) * 60 AS INT), ts)")
+              .as("end"))
+        graft.operators.RangeJoin.intervalJoin(iv, iv, Seq("user_id"),
+            bucketSec = 4 * 3600L)
+          .filter(col("event_id") < col("r_event_id"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("pairs"),
+            sum(col("event_id")).cast("long").as("a_sum"),
+            sum(col("r_event_id")).cast("long").as("b_sum"))
+          .orderBy("user_id")
+      },
+      Some("""WITH iv AS (
+          SELECT event_id, user_id, ts AS s,
+            ts + (event_id % 7 + 1) * INTERVAL 60 MINUTE AS e
+          FROM events),
+        p AS (
+          SELECT a.user_id, a.event_id AS ia, b.event_id AS ib
+          FROM iv a JOIN iv b ON a.user_id = b.user_id
+            AND a.event_id < b.event_id AND a.s < b.e AND b.s < a.e)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS pairs,
+          CAST(SUM(ia) AS BIGINT) AS a_sum,
+          CAST(SUM(ib) AS BIGINT) AS b_sum
+        FROM p GROUP BY user_id ORDER BY user_id""")),
+
     Q("j02_range_join",
       // bucketed band join (equi-join on (key, time-bucket) + exact band
       // filter — never a nested-loop theta join): prior-24h same-user

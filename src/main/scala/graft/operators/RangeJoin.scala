@@ -80,4 +80,51 @@ object RangeJoin {
     left.join(grouped, left.columns.toSeq, "left")
       .na.fill(0L, Seq(countName))
   }
+
+  /** Interval-overlap join: pairs of rows (same key) whose [start, end)
+   *  intervals intersect — downtime × events, sessions × promotions.
+   *  Same bucketing idea as [[rangeJoin]]: every interval explodes to
+   *  the time buckets it spans and pairs equi-join on (key, bucket);
+   *  a pair sharing several buckets is emitted ONCE — only from the
+   *  bucket containing the overlap's start (`greatest(lStart, rStart)`)
+   *  — so no distinct pass is needed. Pick `bucketSec` on the order of
+   *  a typical interval length: an interval spanning B buckets costs B
+   *  exploded rows, and the shuffle stays co-partitioned on
+   *  (key, bucket) regardless of data volume. Empty intervals
+   *  (end ≤ start) are dropped. Right columns return prefixed `r_`. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftStartCol: String = "start",
+      leftEndCol: String = "end",
+      rightStartCol: String = "start",
+      rightEndCol: String = "end",
+      bucketSec: Long = 3600L): DataFrame = {
+    require(bucketSec > 0, "bucketSec must be positive")
+    val widthUs = bucketSec * 1000000L
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, lit(widthUs))) / widthUs).cast("long")
+
+    val l = left
+      .withColumn("__ls", unix_micros(col(leftStartCol)))
+      .withColumn("__le", unix_micros(col(leftEndCol)))
+      .filter(col("__le") > col("__ls"))
+      .withColumn("__bucket", explode(sequence(
+        bucketOf(col("__ls")), bucketOf(col("__le") - 1))))
+    val rCols = right.columns.map(c => col(c).as(s"r_$c")).toSeq
+    val r = right.select(rCols: _*)
+      .withColumn("__rs", unix_micros(col(s"r_$rightStartCol")))
+      .withColumn("__re", unix_micros(col(s"r_$rightEndCol")))
+      .filter(col("__re") > col("__rs"))
+      .withColumn("__bucket", explode(sequence(
+        bucketOf(col("__rs")), bucketOf(col("__re") - 1))))
+
+    val cond = keyCols.map(k => l(k) === r(s"r_$k")).reduce(_ && _) &&
+      l("__bucket") === r("__bucket") &&
+      l("__ls") < r("__re") && r("__rs") < l("__le") &&
+      l("__bucket") === bucketOf(greatest(l("__ls"), r("__rs")))
+    l.join(r, cond)
+      .drop("__ls", "__le", "__rs", "__re", "__bucket")
+  }
 }

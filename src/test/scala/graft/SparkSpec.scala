@@ -1192,6 +1192,35 @@ class RangeJoinSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("intervalJoin equals the theta join; multi-bucket pairs emit once") {
+    // intervals chosen to span 1-3 buckets at bucketSec = 3600
+    val iv = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 13:00:00")),
+      (2L, 1L, ts("2024-01-01 12:30:00"), ts("2024-01-01 14:00:00")),
+      (3L, 1L, ts("2024-01-01 13:00:00"), ts("2024-01-01 13:30:00")),
+      (4L, 1L, ts("2024-01-01 20:00:00"), ts("2024-01-01 21:00:00")),
+      (5L, 2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00")),
+      (6L, 1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 09:00:00")))
+      .toDF("id", "key", "start", "end") // id 6: empty interval, dropped
+    val got = RangeJoin.intervalJoin(iv, iv, Seq("key"),
+        bucketSec = 3600L)
+      .filter(col("id") < col("r_id"))
+      .select("id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver truth: same-key open-interval overlap
+    val rows = iv.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getTimestamp(2).getTime, r.getTimestamp(3).getTime))
+      .filter(t => t._3 < t._4)
+    val want = (for {
+      a <- rows; b <- rows
+      if a._2 == b._2 && a._1 < b._1 && a._3 < b._4 && b._3 < a._4
+    } yield (a._1, b._1)).toSet
+    // 1-3 touch exactly at 13:00: half-open, no pair; 3 sits inside 2
+    assert(want == Set((1L, 2L), (2L, 3L)))
+    assert(got.toSet == want)
+    assert(got.length == want.size, "a pair was emitted more than once")
+  }
+
   test("bucketed band join equals the naive theta join, boundaries half-open") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")),
