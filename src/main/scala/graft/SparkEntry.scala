@@ -2407,6 +2407,38 @@ object SparkEntry {
         GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
         ORDER BY event_type, day""")),
 
+    Q("x31_bigram_logprob",
+      // bigram-LM quality: avg −ln P(w2|w1) per doc under the corpus ML
+      // model — flags word salad with plausible unigrams; integer
+      // micro-nat sums for exact cross-engine parity
+      (s, d) => TextAnalysis.bigramLogProb(t(s, d, "documents"))
+        .filter(col("doc_id") < 200)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS w
+          FROM documents),
+        occ AS (
+          SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram, w[i] AS w1
+          FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+                FROM toks WHERE len(w) >= 2)),
+        tf AS (SELECT doc_id, bigram, COUNT(*) AS tf
+               FROM occ GROUP BY 1, 2),
+        bm AS (SELECT bigram, COUNT(*) AS big_cnt FROM occ GROUP BY 1),
+        sm AS (SELECT w1, COUNT(*) AS start_cnt FROM occ GROUP BY 1),
+        j AS (
+          SELECT tf.doc_id, tf.tf,
+            CAST(ROUND(-ln(CAST(big_cnt AS DOUBLE) / start_cnt) * 1e6, 0)
+              AS BIGINT) AS nlp
+          FROM tf JOIN bm USING (bigram)
+          JOIN sm ON sm.w1 = string_split(tf.bigram, ' ')[1])
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+          ROUND(CAST(SUM(tf * nlp) AS DOUBLE) / SUM(tf) / 1e6, 6)
+            AS avg_neg_logprob
+        FROM j WHERE doc_id < 200
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     Q("x12_tfidf_keywords",
       // TF-IDF keyword extraction: top-3 terms per doc, idf over the FULL
       // corpus (token-keyed partial aggs, vocab-sized join), output

@@ -490,6 +490,50 @@ object TextAnalysis {
           / sum(col("tf")) / 1e6, 6).as("avg_neg_logprob"))
   }
 
+  /** Bigram-LM quality score — the conditional upgrade of
+   *  [[unigramLogProb]]: per document, the average −ln P(w₂|w₁) of its
+   *  bigram OCCURRENCES under the corpus maximum-likelihood model
+   *  P(w₂|w₁) = count(w₁ w₂) / count(w₁ as a bigram start). Word salad
+   *  with plausible unigrams but improbable transitions scores high
+   *  where the unigram LM is blind. Three token-keyed shuffles (doc
+   *  bigram tf, corpus bigram model, corpus start-token model), all
+   *  map-side combined; the per-bigram −ln p is quantized to integer
+   *  micro-nats BEFORE the weighted sum so the result is exact and
+   *  order-independent (same discipline as the unigram path). */
+  def bigramLogProb(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = expr(
+      """filter(transform(sequence(0, size(__toks) - 2),
+        |  i -> array_join(slice(__toks, i + 1, 2), ' ')),
+        |  g -> g != '')""".stripMargin)
+    val occ = docs
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(grams).as("bigram"))
+    val tf = occ.groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("tf"))
+    val bigramModel = occ.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("big_cnt"))
+    val startModel = occ
+      .select(substring_index(col("bigram"), " ", 1).as("w1"))
+      .groupBy(col("w1"))
+      .agg(count(lit(1)).as("start_cnt"))
+    tf
+      .join(bigramModel, "bigram")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(startModel, "w1")
+      .withColumn("__nlp_micro",
+        round(-log(col("big_cnt").cast("double") / col("start_cnt")) * 1e6, 0)
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf") * col("__nlp_micro")).cast("double")
+          / sum(col("tf")) / 1e6, 6).as("avg_neg_logprob"))
+  }
+
   /** Gopher-style quality-filter verdicts: the explicit per-rule
    *  keep/drop battery (Rae et al. 2021 §A1.1 shape — token-count
    *  bounds, mean-token-length bounds, minimum stopword evidence,

@@ -1107,6 +1107,22 @@ class GopherFilterSpec extends AnyFunSuite {
     assert(share(3) == ((4L, 3L, 0L)))   // clean doc: nothing flagged
   }
 
+  test("bigramLogProb: exact conditional ML probabilities") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    // corpus: "a b"×2, "a c"×1; starts: a×3 → P(b|a)=2/3, P(c|a)=1/3
+    val out = TextAnalysis.bigramLogProb(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_neg_logprob")))
+      .toMap
+    assert(out(1L)._1 == 1L && out(3L)._1 == 1L)
+    assert(math.abs(out(1L)._2 - (-math.log(2.0 / 3.0))) < 1e-5)
+    assert(math.abs(out(3L)._2 - (-math.log(1.0 / 3.0))) < 1e-5)
+    // the rarer transition scores strictly worse
+    assert(out(3L)._2 > out(1L)._2)
+  }
+
   test("chunkDocuments: overlap, tail chunk, empty doc dropped") {
     import spark.implicits._
     val docs = Seq(
