@@ -21,7 +21,9 @@ object Explain {
         "x17_distribution_drift", "x18_numeric_psi",
         "x22_domain_cap", "x23_boilerplate", "e07_semantic_dedup",
         "e08_quantize_int8", "x24_canonical_pick", "x25_containment",
-        "x26_zorder_value", "x27_corpus_diff", "x28_weighted_sample")
+        "x26_zorder_value", "x27_corpus_diff", "x28_weighted_sample",
+        "x29_chunk_windows", "x30_event_rollup", "x31_bigram_logprob",
+        "j03_interval_join", "p33_percentile_rank", "a11_ewma")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
