@@ -2407,6 +2407,33 @@ object SparkEntry {
         GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
         ORDER BY event_type, day""")),
 
+    Q("x32_oov_rate",
+      // OOV rate vs the corpus top-25 vocabulary (tokenizer domain-shift
+      // signal): one exploded pass, broadcast vocab, one doc-keyed fold
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextAnalysis.oovRate(docs, TextAnalysis.vocabulary(docs, top = 25))
+          .filter(col("doc_id") < 200)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        tok AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+        vocab AS (
+          SELECT token FROM tok GROUP BY token
+          ORDER BY COUNT(*) DESC, token LIMIT 25),
+        per AS (
+          SELECT t.doc_id,
+            CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            CAST(COUNT(*) - COUNT(v.token) AS BIGINT) AS oov_tokens
+          FROM tok t LEFT JOIN vocab v ON t.token = v.token
+          GROUP BY t.doc_id)
+        SELECT doc_id, n_tokens, oov_tokens,
+          ROUND(CAST(oov_tokens AS DOUBLE) / n_tokens, 6) AS oov_rate
+        FROM per WHERE doc_id < 200 ORDER BY doc_id""")),
+
     Q("x31_bigram_logprob",
       // bigram-LM quality: avg −ln P(w2|w1) per doc under the corpus ML
       // model — flags word salad with plausible unigrams; integer

@@ -176,6 +176,36 @@ object TextAnalysis {
       .orderBy(col("total_count").desc, col("token"))
       .limit(top)
 
+  /** Out-of-vocabulary rate against a vocabulary frame (e.g.
+   *  [[vocabulary]]'s top-N, or a tokenizer's real vocab loaded from
+   *  disk): per document, the fraction of token OCCURRENCES not in the
+   *  vocab — the domain-shift signal that predicts tokenizer blowup
+   *  (high OOV ⇒ long byte-fallback sequences ⇒ token-budget surprises).
+   *  The vocab is broadcast (a tokenizer vocab is ≤ a few hundred k
+   *  rows); the corpus makes one exploded pass and folds back to one
+   *  row per doc. */
+  def oovRate(
+      docs: DataFrame,
+      vocab: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      vocabCol: String = "token"): DataFrame = {
+    val v = broadcast(vocab.select(col(vocabCol).as("token")).distinct()
+      .withColumn("__inv", lit(1)))
+    docs
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(v, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__inv").isNull, 1L).otherwise(0L))
+          .cast("long").as("oov_tokens"))
+      .withColumn("oov_rate",
+        round(col("oov_tokens").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Word n-gram frequencies over a corpus (the n-gram LM / contamination-
    *  check base): adjacent lowercased tokens joined by a single space,
    *  one (ngram)-keyed shuffle with map-side partial aggregation, top-N

@@ -1107,6 +1107,20 @@ class GopherFilterSpec extends AnyFunSuite {
     assert(share(3) == ((4L, 3L, 0L)))   // clean doc: nothing flagged
   }
 
+  test("oovRate: occurrences counted, vocab broadcast, all-known is 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b z"), (2L, "a b"), (3L, "q q q"))
+      .toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("token")
+    val out = TextAnalysis.oovRate(docs, vocab)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_tokens"),
+          r.getAs[Double]("oov_rate"))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25))) // z is OOV, occurrences counted
+    assert(out(2L) == ((2L, 0L, 0.0)))  // fully in-vocab
+    assert(out(3L) == ((3L, 3L, 1.0)))  // fully OOV
+  }
+
   test("bigramLogProb: exact conditional ML probabilities") {
     import spark.implicits._
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
