@@ -652,6 +652,21 @@ object SparkEntry {
             AS percentile_rank
         FROM r CROSS JOIN t ORDER BY value""")),
 
+    Q("p34_entropy",
+      // Shannon entropy of a categorical column (skew/id-ness signal):
+      // one combined groupBy to value counts, nano-nat-exact fold
+      (s, d) => graft.profiler.Drift.entropy(
+        t(s, d, "lineitem"), "l_returnflag"),
+      Some("""WITH c AS (
+          SELECT l_returnflag AS v, COUNT(*) AS cnt
+          FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS distinct_values,
+          CAST(SUM(cnt) AS BIGINT) AS n_rows,
+          ROUND(ln(CAST(SUM(cnt) AS DOUBLE))
+            + CAST(SUM(CAST(ROUND(-(cnt * ln(CAST(cnt AS DOUBLE))) * 1e9, 0)
+                AS BIGINT)) AS DOUBLE) / 1e9 / SUM(cnt), 6) AS entropy
+        FROM c""")),
+
     Q("p31_ks_drift",
       // exact two-sample Kolmogorov–Smirnov D between odd- and even-order
       // lineitem prices; distributed prefix sums via range buckets (no

@@ -289,6 +289,34 @@ object Drift {
       .na.fill(0L, Seq("n_before", "n_after"))
   }
 
+  /** Shannon entropy (nats) of a categorical column — the skew/id-ness
+   *  profile signal: ~0 for a near-constant column, ln(k) for uniform
+   *  over k values, high for id-like columns. One map-side-combined
+   *  groupBy to value counts; the Σ p·ln p folds over that frame with
+   *  integer nano-nat quantization so the sum is exact and
+   *  order-independent across engines. Nulls are excluded (their share
+   *  is P2's metric). */
+  def entropy(
+      df: DataFrame,
+      catCol: String): DataFrame = {
+    val counts = df
+      .filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .agg(
+        count(lit(1)).as("distinct_values"),
+        sum(col("cnt")).as("__n"),
+        sum(round(-(col("cnt") * log(col("cnt"))) * 1e9, 0).cast("long"))
+          .as("__num"))
+      .select(
+        col("distinct_values"),
+        col("__n").as("n_rows"),
+        // H = ln n − (Σ c·ln c)/n, algebraically = −Σ p·ln p
+        round(log(col("__n")) +
+          col("__num").cast("double") / 1e9 / col("__n"), 6).as("entropy"))
+  }
+
   /** Percentile-rank lookup table for a numeric column — the
    *  quantile-normalization primitive (map scores onto [0,1] by rank,
    *  robust to arbitrary distributions). SQL's

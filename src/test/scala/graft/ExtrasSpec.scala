@@ -650,6 +650,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(buckets == Seq(0L, 0L, 2L, 3L, 3L)) // clamped to [0, 3]
   }
 
+  test("interleaveBits round-trips: the Morton code is a bijection") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(200)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val zs = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.interleaveBits(col("a"), col("b"), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def deinterleave(z: Long): (Long, Long) = {
+      var a = 0L; var b = 0L
+      (0 until 8).foreach { i =>
+        a |= ((z >> (2 * i + 1)) & 1L) << i
+        b |= ((z >> (2 * i)) & 1L) << i
+      }
+      (a, b)
+    }
+    zs.foreach { case (a, b, z) =>
+      assert(deinterleave(z) == ((a, b)), s"z=$z for ($a, $b)")
+    }
+    // distinct inputs → distinct codes (bijectivity on the sample)
+    assert(zs.map(_._3).distinct.length == pairs.distinct.length)
+  }
+
   test("z-order layout prunes both dimensions; a sort prunes only one") {
     // 4096 points on a 64x64 grid, shuffled arrival order
     val rnd = new scala.util.Random(7)

@@ -1327,6 +1327,20 @@ class DriftSpec extends AnyFunSuite {
   import spark.implicits._
   import graft.profiler.Drift
 
+  test("entropy: uniform → ln k, constant → 0, nulls excluded") {
+    val uniform = Seq("a", "b", "c", "d").flatMap(Seq.fill(25)(_)).toDF("v")
+    val u = Drift.entropy(uniform, "v").first()
+    assert(u.getAs[Long]("distinct_values") == 4L)
+    assert(math.abs(u.getAs[Double]("entropy") - math.log(4.0)) < 1e-5)
+    val const = Seq.fill(50)("x").toDF("v")
+    assert(Drift.entropy(const, "v").first().getAs[Double]("entropy") == 0.0)
+    val withNulls = (Seq.fill(10)(Some("a")) ++ Seq.fill(10)(Option.empty[String])
+      ++ Seq.fill(10)(Some("b"))).toDF("v")
+    val w = Drift.entropy(withNulls, "v").first()
+    assert(w.getAs[Long]("n_rows") == 20L) // nulls out
+    assert(math.abs(w.getAs[Double]("entropy") - math.log(2.0)) < 1e-5)
+  }
+
   test("percentileRanks equals percent_rank, ties use min-rank") {
     // values 10,10,20,30 → percent_rank: 0, 0, 2/3, 1
     val df = Seq(10.0, 10.0, 20.0, 30.0, Double.NaN).toDF("v")
