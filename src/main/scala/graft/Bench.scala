@@ -87,11 +87,16 @@ object Bench {
     val median = if (okTimes.isEmpty) 0.0 else okTimes(okTimes.size / 2)
     val threshold = math.max(2.0, 3.0 * median)
     val retried = Seq.newBuilder[String]
+    val retryOnlyFailures = scala.collection.mutable.Set[String]()
     val byName = suite.toMap
     val results = firstPass.map { case (name, v) =>
       if (v > threshold) {
         retried += name
         val v2 = runOne(name, byName(name))
+        // a failed RETRY of a query that already has a valid time is not
+        // a failure of the query — keep the first-run time and drop the
+        // retry's entry from the failed list
+        if (v2 < 0 && v >= 0) retryOnlyFailures += name
         name -> (if (v2 >= 0) math.min(v, v2) else v)
       } else name -> v
     }
@@ -115,7 +120,9 @@ object Bench {
     def key(name: String): String = if (useShort) shortId(name) else name
     val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
-    val failedJson = failed.result().distinct.map("\"" + key(_) + "\"").mkString("[", ",", "]")
+    val failedJson = failed.result().distinct
+      .filterNot(retryOnlyFailures)
+      .map("\"" + key(_) + "\"").mkString("[", ",", "]")
     val sweptJson = swept.result().map("\"" + key(_) + "\"").mkString("[", ",", "]")
     val retriedJson = retried.result().map("\"" + key(_) + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

@@ -2276,10 +2276,11 @@ object SparkEntry {
         SELECT f.source AS stratum, CAST(f.ns AS BIGINT) AS n_docs,
           ROUND(f.p, 6) AS share, ROUND(f.wt, 6) AS weight,
           ROUND(f.kr, 6) AS keep_rate,
+          CAST(f.thr AS INT) AS keep_threshold,
           CAST(SUM(CASE WHEN d.bucket < f.thr THEN 1 ELSE 0 END) AS BIGINT)
             AS n_sampled
         FROM f JOIN d ON d.source = f.source
-        GROUP BY 1, 2, 3, 4, 5 ORDER BY stratum""")),
+        GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY stratum""")),
 
     Q("x20_funnel",
       // loose-ordering funnel view → click → purchase: one user-keyed

@@ -209,10 +209,11 @@ final class GraftEngine(
           tsCol = "ts", valueCol = "metric_value",
           method = method, sensitivity = sens,
           // zscore/iqr stored configs detect over the full history slice
-          // (the reference bounds input by days, not points); the window
-          // field drives the trailing lookback of the windowed detectors
-          window = if (method == "moving_average" || method == "ewma")
-            Some(win) else None,
+          // (the reference bounds input by days, not points — parity);
+          // the window field drives the trailing lookback of every
+          // windowed detector (moving_average, ewma, rolling mad)
+          window = if (method == "zscore" || method == "iqr") None
+            else Some(win),
           stdWindow = if (method == "moving_average") Some(stdWin) else None,
           minDataPoints = minPts)
           .select(col("table_name"), col("__col"), col("metric_name"),

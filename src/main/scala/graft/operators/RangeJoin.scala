@@ -72,13 +72,23 @@ object RangeJoin {
       lowerSec: Long = 0L,
       upperSec: Long = 0L,
       countName: String = "n_matches"): DataFrame = {
+    // count per physical ROW, not per row-value: m duplicate left rows
+    // with k matches each produce m·k pair rows that the value-keyed
+    // groupBy merges — divide by the row-value's multiplicity to get
+    // each row's own k (exact: identical rows have identical matches)
     val pairs = rangeJoin(left, right, keyCols, leftTsCol, rightTsCol,
       lowerSec, upperSec)
     val grouped = pairs
       .groupBy(left.columns.map(col).toSeq: _*)
-      .agg(count(lit(1)).as(countName))
+      .agg(count(lit(1)).as("__total"))
+    val mult = left
+      .groupBy(left.columns.map(col).toSeq: _*)
+      .agg(count(lit(1)).as("__m"))
     left.join(grouped, left.columns.toSeq, "left")
-      .na.fill(0L, Seq(countName))
+      .join(mult, left.columns.toSeq, "left")
+      .withColumn(countName,
+        (coalesce(col("__total"), lit(0L)) / col("__m")).cast("long"))
+      .drop("__total", "__m")
   }
 
   /** Interval-overlap join: pairs of rows (same key) whose [start, end)

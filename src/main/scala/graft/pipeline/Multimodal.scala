@@ -196,13 +196,21 @@ object Multimodal {
       width: Int,
       height: Int): Iterator[MediaRow] =
     batch.map { r =>
-      val srcArea = math.max(r.meta.width * r.meta.height, 1)
-      val outLen = math.max(
-        (r.bytes.length.toLong * (width.toLong * height) / srcArea).toInt, 1)
-      val out = new Array[Byte](outLen)
-      var i = 0
-      while (i < outLen) { out(i) = r.bytes(i % math.max(r.bytes.length, 1)); i += 1 }
-      MediaRow(r.id, out, r.meta.copy(width = width, height = height))
+      if (r.bytes.isEmpty) // nothing to resample; metadata still updates
+        MediaRow(r.id, Array.empty[Byte],
+          r.meta.copy(width = width, height = height))
+      else {
+        val srcArea = math.max(r.meta.width * r.meta.height, 1)
+        // clamp BEFORE toInt: a large upscale (1 MB src → 10k×10k) would
+        // overflow Int and throw NegativeArraySizeException
+        val outLen = math.max(1, math.min(
+          r.bytes.length.toLong * (width.toLong * height) / srcArea,
+          64L * 1024 * 1024)).toInt
+        val out = new Array[Byte](outLen)
+        var i = 0
+        while (i < outLen) { out(i) = r.bytes(i % r.bytes.length); i += 1 }
+        MediaRow(r.id, out, r.meta.copy(width = width, height = height))
+      }
     }
 
   /** Resize a media Dataset: schema-preserving `mapPartitions` so a real

@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
  */
 object Pii {
 
-  /** (name, pattern, replacement-tag). Patterns are mutually disjoint —
-   *  no string matches two of them — so detection counts are
-   *  order-independent and redaction passes commute. */
+  /** (name, pattern, replacement-tag). Patterns are NOT fully disjoint:
+   *  an SSN- or IP-shaped substring INSIDE an email address matches both
+   *  its own pattern and the email pattern ("078-05-1120@example.com"
+   *  scans as one email and one SSN), so per-pattern counts can
+   *  double-count such composites, and redaction applies the passes in
+   *  THIS declared order — email first, so a composite redacts as the
+   *  enclosing item (`<EMAIL>`), which is the containing-entity
+   *  convention scanners normally want. The order is part of the
+   *  operator contract (the x14 oracle replays it). */
   val patterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     // US-format phone with parenthesized area code; the parens keep it

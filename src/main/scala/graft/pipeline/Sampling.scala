@@ -108,7 +108,9 @@ object Sampling {
    *  normalization order-independent and engine-portable.
    *
    *  To materialize the resampled corpus itself, feed the returned
-   *  keep_rate map to [[stratifiedSampleBy]] — same hash, same rows. */
+   *  keep_threshold map to [[stratifiedSampleByThreshold]] — same hash,
+   *  same buckets, exactly the plan's rows (keep_rate is display-rounded
+   *  and can land one bucket off if re-floored). */
   def temperatureResample(
       df: DataFrame,
       idCol: String,
@@ -148,8 +150,37 @@ object Sampling {
         round(max(col("__p")), 6).as("share"),
         round(max(col("__w")), 6).as("weight"),
         round(max(col("__r")), 6).as("keep_rate"),
+        // the EXACT integer threshold the plan realized — feed this to
+        // [[stratifiedSampleByThreshold]] to materialize the identical
+        // row set. (keep_rate is display-rounded to 6 dp; recomputing a
+        // threshold from it can land one bucket off at a boundary.)
+        max(col("__thr")).as("keep_threshold"),
         sum(when(col("__bucket") < col("__thr"), col("__cnt"))
           .otherwise(0L)).as("n_sampled"))
+  }
+
+  /** Materialize a mix plan: keep rows whose per-stratum md5 bucket is
+   *  below the stratum's integer threshold — the exact realization of
+   *  [[temperatureResample]]'s `keep_threshold` column (same hash, same
+   *  buckets, same rows; no float round-trip). Strata absent from the
+   *  map keep `defaultThreshold` (= `buckets` ⇒ pass through). */
+  def stratifiedSampleByThreshold(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      thresholds: Map[String, Int],
+      defaultThreshold: Int = 1000,
+      buckets: Int = 1000): DataFrame = {
+    require((thresholds.values ++ Seq(defaultThreshold))
+      .forall(t => t >= 0 && t <= buckets), "thresholds must be in [0, buckets]")
+    val threshold = thresholds.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultThreshold): Column) {
+        case ((stratum, t), acc) =>
+          when(col(stratumCol) === stratum, t).otherwise(acc)
+      }
+    df.filter(
+      hashBucket(concat_ws("|", col(stratumCol).cast("string"),
+        col(idCol).cast("string")), buckets) < threshold)
   }
 
   /** Per-stratum cap — the web-corpus "per-domain cap" (keep at most

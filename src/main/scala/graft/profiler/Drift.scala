@@ -36,27 +36,33 @@ object Drift {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    val aggs = pairs.flatMap { case (a, b) =>
+    // internal aliases key on the PAIR INDEX, never on joined column
+    // names — "a"/"b_c" and "a_b"/"c" would collide on a name-joined
+    // alias and make the later col() references ambiguous.
+    // Magnitude note: moments accumulate in decimal(19,6), so values
+    // with |x| ≥ 1e13 null out of the sums (corr comes back null for
+    // such a pair rather than silently wrong — n still counts the row).
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       val bothPresent = col(a).isNotNull && col(b).isNotNull
       val x = when(bothPresent, col(a)).cast("decimal(19,6)")
       val y = when(bothPresent, col(b)).cast("decimal(19,6)")
       Seq(
-        count(when(bothPresent, lit(1))).as(s"__n_${a}_$b"),
-        sum(x).cast("double").as(s"__sx_${a}_$b"),
-        sum(y).cast("double").as(s"__sy_${a}_$b"),
-        sum((x * y).cast("decimal(38,12)")).cast("double").as(s"__sxy_${a}_$b"),
-        sum((x * x).cast("decimal(38,12)")).cast("double").as(s"__sxx_${a}_$b"),
-        sum((y * y).cast("decimal(38,12)")).cast("double").as(s"__syy_${a}_$b"))
+        count(when(bothPresent, lit(1))).as(s"__n_$i"),
+        sum(x).cast("double").as(s"__sx_$i"),
+        sum(y).cast("double").as(s"__sy_$i"),
+        sum((x * y).cast("decimal(38,12)")).cast("double").as(s"__sxy_$i"),
+        sum((x * x).cast("decimal(38,12)")).cast("double").as(s"__sxx_$i"),
+        sum((y * y).cast("decimal(38,12)")).cast("double").as(s"__syy_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val rows = pairs.map { case (a, b) =>
-      val n = col(s"__n_${a}_$b").cast("double")
-      val cov = n * col(s"__sxy_${a}_$b") - col(s"__sx_${a}_$b") * col(s"__sy_${a}_$b")
-      val vx = n * col(s"__sxx_${a}_$b") - col(s"__sx_${a}_$b") * col(s"__sx_${a}_$b")
-      val vy = n * col(s"__syy_${a}_$b") - col(s"__sy_${a}_$b") * col(s"__sy_${a}_$b")
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = col(s"__n_$i").cast("double")
+      val cov = n * col(s"__sxy_$i") - col(s"__sx_$i") * col(s"__sy_$i")
+      val vx = n * col(s"__sxx_$i") - col(s"__sx_$i") * col(s"__sx_$i")
+      val vy = n * col(s"__syy_$i") - col(s"__sy_$i") * col(s"__sy_$i")
       struct(
         lit(a).as("col_a"), lit(b).as("col_b"),
-        col(s"__n_${a}_$b").as("n"),
+        col(s"__n_$i").as("n"),
         when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 6))
           .otherwise(lit(null).cast("double")).as("corr"))
     }
@@ -72,9 +78,15 @@ object Drift {
       before: DataFrame,
       after: DataFrame,
       catCol: String): DataFrame = {
-    val p = before.groupBy(col(catCol).as("category"))
+    // nulls are dropped (P2's metric, and the pattern every other drift
+    // score here follows) — a NULL category kept in both slices would
+    // split into TWO phantom rows, because an equi full-outer join never
+    // matches null keys, inflating K and reporting drift that isn't there
+    val p = before.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("category"))
       .agg(count(lit(1)).as("n_before"))
-    val q = after.groupBy(col(catCol).as("category"))
+    val q = after.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("category"))
       .agg(count(lit(1)).as("n_after"))
     val joined = p.join(q, Seq("category"), "full_outer")
       .na.fill(0L, Seq("n_before", "n_after"))
@@ -281,9 +293,13 @@ object Drift {
       before: DataFrame,
       after: DataFrame,
       catCol: String): DataFrame = {
-    val p = before.groupBy(col(catCol).as("category"))
+    // nulls dropped for the same reason as categoricalDrift: the
+    // full-outer equi-join would split one null category into two rows
+    val p = before.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("category"))
       .agg(count(lit(1)).as("n_before"))
-    val q = after.groupBy(col(catCol).as("category"))
+    val q = after.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("category"))
       .agg(count(lit(1)).as("n_after"))
     p.join(q, Seq("category"), "full_outer")
       .na.fill(0L, Seq("n_before", "n_after"))

@@ -32,11 +32,28 @@ final class RuleStore(spark: SparkSession, path: String) {
   // — a comma inside a string element would corrupt the round trip
   private val ListSep = ""
 
+  // each list element carries a one-char type tag so the round trip is
+  // LOSSLESS: "01" (a zero-padded code) must come back as the string
+  // "01", not the double 1.0, and a Long element must stay a Long
+  private def encodeElem(e: Any): String = e match {
+    case l: Long => s"l:$l"
+    case i: Int => s"l:$i"
+    case d: Double => s"d:$d"
+    case other => s"s:${String.valueOf(other)}"
+  }
+
+  private def decodeElem(e: String): Any =
+    if (e.startsWith("l:")) e.drop(2).toLong
+    else if (e.startsWith("d:")) e.drop(2).toDouble
+    else if (e.startsWith("s:")) e.drop(2)
+    // legacy rows (written before tags): numeric-looking → double
+    else e.toDoubleOption.getOrElse(e): Any
+
   private def encodeExpected(v: Any): (String, String) = v match {
     case l: Long => (l.toString, "long")
     case i: Int => (i.toString, "long")
     case d: Double => (d.toString, "double")
-    case s: Seq[_] => (s.map(String.valueOf).mkString(ListSep), "list")
+    case s: Seq[_] => (s.map(encodeElem).mkString(ListSep), "list")
     case other => (String.valueOf(other), "string")
   }
 
@@ -44,12 +61,8 @@ final class RuleStore(spark: SparkSession, path: String) {
     case "long" => s.toLong
     case "double" => s.toDouble
     case "list" =>
-      // numeric elements come back typed; anything else stays a string —
-      // a stored non-numeric list must never make the whole suite
-      // unreadable (Evaluator coerces per element at comparison time)
       if (s.isEmpty) Seq.empty[Any]
-      else s.split(ListSep, -1).toSeq
-        .map(e => e.toDoubleOption.getOrElse(e): Any)
+      else s.split(ListSep, -1).toSeq.map(decodeElem)
     case _ => s
   }
 

@@ -65,10 +65,18 @@ class PersistenceSpec extends AnyFunSuite {
       ts("2026-01-01 00:00:01"))
     store.addRule("t", ValidationRule("c", "", "SELECT 1", "between",
       Seq(1.0, 9.0)), ts("2026-01-01 00:00:02"))
+    // string elements that LOOK numeric must survive as strings (zero-
+    // padded codes), and long elements must stay longs — element tags
+    store.addRule("t", ValidationRule("d", "", "SELECT 1", "in",
+      Seq("01", "007", "xy")), ts("2026-01-01 00:00:03"))
+    store.addRule("t", ValidationRule("e", "", "SELECT 1", "in",
+      Seq(1L, 2L)), ts("2026-01-01 00:00:04"))
     val loaded = store.activeRules("t").map(r => r.name -> r.expectedValue).toMap
     assert(loaded("a") == 5L)
     assert(loaded("b") == 2.5)
     assert(loaded("c") == Seq(1.0, 9.0))
+    assert(loaded("d") == Seq("01", "007", "xy"))
+    assert(loaded("e") == Seq(1L, 2L))
   }
 
   test("engine: seed defaults once, stored suite runs and records") {

@@ -680,6 +680,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(packed.map(_._1).distinct.length == 5)
   }
 
+  test("temperatureResample plan materializes exactly via keep_threshold") {
+    val docs = ids.withColumn("src",
+      when(col("doc_id") % 10 === 0, "rare").otherwise("common"))
+    val plan = Sampling.temperatureResample(docs, "doc_id", "src", 0.3)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Int]("keep_threshold"), r.getAs[Long]("n_sampled"))).toMap
+    val realized = Sampling.stratifiedSampleByThreshold(docs, "doc_id",
+        "src", plan.map { case (s, (t, _)) => s -> t })
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    plan.foreach { case (s, (_, nSampled)) =>
+      assert(realized.getOrElse(s, 0L) == nSampled,
+        s"stratum $s: plan said $nSampled, realized ${realized.get(s)}")
+    }
+  }
+
   test("weightedSample: deterministic, exact k, weight-biased") {
     val weighted = ids.withColumn("w",
       when(col("doc_id") < 100, 1000.0).otherwise(1.0)) // 100 heavy rows
@@ -926,6 +942,20 @@ class MultimodalSparkSpec extends AnyFunSuite {
     assert(out(2L) == ("gif", Some((288, 576))))
     assert(out(3L) == ("jpeg", Some((200, 100))))
     assert(out(4L) == ("unknown", None))
+  }
+
+  test("resize survives empty bytes and clamps huge upscales") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Array.empty[Byte],
+        Multimodal.MediaMeta("image", "png", 10, 10, 0L)),
+      Multimodal.MediaRow(2L, Array.fill(1024 * 1024)(7.toByte),
+        Multimodal.MediaMeta("image", "png", 100, 100, 0L)))
+    val out = Multimodal.resizeMedia(rows.toDS(), 10000, 10000)
+      .collect().sortBy(_.id)
+    assert(out(0).bytes.isEmpty)           // no crash on empty input
+    assert(out(0).meta.width == 10000)
+    assert(out(1).bytes.length <= 64 * 1024 * 1024) // clamped, not negative
   }
 
   test("WAV metadata from a spec-correct RIFF header, no codec") {
@@ -1222,6 +1252,25 @@ class RangeJoinSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("rangeJoinCount: duplicate left rows each report their OWN count") {
+    val left = Seq(
+      (10L, ts("2024-01-01 10:00:00")),
+      (10L, ts("2024-01-01 10:00:00")), // exact duplicate row
+      (20L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:30:00")),
+      (10L, ts("2024-01-01 09:45:00")),
+      (20L, ts("2024-01-01 09:50:00")))
+      .toDF("user_id", "ts")
+    val out = RangeJoin.rangeJoinCount(left, right, Seq("user_id"),
+        lowerSec = 3600L)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_matches")))
+    // both duplicate rows report 2 (their own matches), never 4
+    assert(out.count(_ == ((10L, 2L))) == 2)
+    assert(out.contains((20L, 1L)))
+  }
+
   test("intervalJoin equals the theta join; multi-bucket pairs emit once") {
     // intervals chosen to span 1-3 buckets at bucketSec = 3600
     val iv = Seq(
@@ -1326,6 +1375,20 @@ class DriftSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
   import graft.profiler.Drift
+
+  test("categoricalDrift: a null category in both slices is not drift") {
+    val before = (Seq.fill(50)(Some("a")) ++ Seq.fill(50)(Option.empty[String]))
+      .toDF("v")
+    val after = (Seq.fill(50)(Some("a")) ++ Seq.fill(50)(Option.empty[String]))
+      .toDF("v")
+    val row = Drift.categoricalDrift(before, after, "v").first()
+    // identical slices: one real category, zero divergence
+    assert(row.getAs[Long]("n_categories") == 1L)
+    assert(row.getAs[Double]("kl_pq") == 0.0)
+    assert(row.getAs[Double]("total_variation") == 0.0)
+    val freqs = Drift.categoryFrequencies(before, after, "v").collect()
+    assert(freqs.length == 1) // no phantom null-split rows
+  }
 
   test("entropy: uniform → ln k, constant → 0, nulls excluded") {
     val uniform = Seq("a", "b", "c", "d").flatMap(Seq.fill(25)(_)).toDF("v")
