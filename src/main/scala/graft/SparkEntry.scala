@@ -652,6 +652,50 @@ object SparkEntry {
             AS percentile_rank
         FROM r CROSS JOIN t ORDER BY value""")),
 
+    Q("x33_group_profile",
+      // per-source profile: the whole per-column battery grouped by a
+      // segment column in ONE hash agg — here a representative slice
+      // (row count, text nulls/distinct, n_chars stats, lang distinct)
+      (s, d) => graft.profiler.Profiler.profileByGroup(
+          t(s, d, "documents"), "source")
+        .select(col("source"), col("__row_count"),
+          col("text__nulls"), col("text__distinct"),
+          col("n_chars__min").cast("long").as("n_chars_min"),
+          col("n_chars__max").cast("long").as("n_chars_max"),
+          col("n_chars__sum").cast("long").as("n_chars_sum"),
+          round(col("n_chars__mean"), 6).as("n_chars_mean"),
+          col("lang__distinct"))
+        .orderBy("source"),
+      Some("""SELECT source,
+          CAST(COUNT(*) AS BIGINT) AS __row_count,
+          CAST(COUNT(*) - COUNT(text) AS BIGINT) AS text__nulls,
+          CAST(COUNT(DISTINCT text) AS BIGINT) AS text__distinct,
+          CAST(MIN(n_chars) AS BIGINT) AS n_chars_min,
+          CAST(MAX(n_chars) AS BIGINT) AS n_chars_max,
+          CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum,
+          ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS n_chars_mean,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang__distinct
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    Q("x34_fd_check",
+      // functional-dependency probe l_orderkey → l_returnflag: per-order
+      // flag consistency + the table-level violation rate
+      (s, d) => graft.profiler.Profiler.fdViolations(
+          t(s, d, "lineitem"), Seq("l_orderkey"), "l_returnflag")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("violates"), 1L).otherwise(0L)).cast("long")
+            .as("violating_groups"),
+          round(sum(when(col("violates"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 6).as("violation_rate")),
+      Some("""WITH g AS (
+          SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS k
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+          CAST(COUNT(*) FILTER (k > 1) AS BIGINT) AS violating_groups,
+          ROUND(CAST(COUNT(*) FILTER (k > 1) AS DOUBLE) / COUNT(*), 6)
+            AS violation_rate
+        FROM g""")),
+
     Q("p34_entropy",
       // Shannon entropy of a categorical column (skew/id-ness signal):
       // one combined groupBy to value counts, nano-nat-exact fold

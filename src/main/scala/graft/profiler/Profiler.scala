@@ -251,6 +251,42 @@ object Profiler {
       .first().getLong(0)
   }
 
+  /** Per-group profile (beyond-reference): the SAME single-pass
+   *  aggregate battery as [[profile]], grouped by a segment column —
+   *  per-source / per-language / per-tenant data quality in ONE
+   *  map-side-combined hash aggregation instead of one profile job per
+   *  segment. The group column itself is excluded from the battery.
+   *  Output: one row per group, columns named `col__metric` exactly as
+   *  [[aggExprs]] emits them. */
+  def profileByGroup(
+      df: DataFrame,
+      groupCol: String,
+      exact: Boolean = true,
+      now: java.sql.Timestamp =
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00")): DataFrame = {
+    val schema = StructType(df.schema.fields.filterNot(_.name == groupCol))
+    val exprs = aggExprs(schema, exact, now)
+    df.groupBy(col(groupCol)).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Functional-dependency check A → B (beyond-reference): for every
+   *  value of `lhs`, does `rhs` take exactly one non-null value? The
+   *  classic schema-inference / data-quality probe (order → customer,
+   *  zip → state). One lhs-keyed aggregation; returns per-group
+   *  (lhs..., n_rows, n_rhs_values, violates). Aggregate `violates` for
+   *  the table-level violation rate. */
+  def fdViolations(
+      df: DataFrame,
+      lhs: Seq[String],
+      rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "need at least one determinant column")
+    df.groupBy(lhs.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(rhs)).as("n_rhs_values"))
+      .withColumn("violates", col("n_rhs_values") > 1L)
+  }
+
   /** Full profile of a DataFrame: single-pass agg + one top-K job + one
    *  duplicate-count job (3 scans total; the reference issues 4+ SELECT
    *  batches per table, app.py:3354-3677). */

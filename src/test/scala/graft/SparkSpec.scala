@@ -44,6 +44,33 @@ class ProfilerSparkSpec extends AnyFunSuite {
     (5L, Some(-5.0), "c", Some(ts("2019-03-03 00:00:00")))
   ).toDF("id", "v", "s", "t")
 
+  test("profileByGroup: per-segment battery, group column excluded") {
+    import spark.implicits._
+    val df = Seq(
+      ("s1", 10L, Some("a")), ("s1", 20L, None),
+      ("s2", 5L, Some("b"))).toDF("src", "n", "t")
+    val out = Profiler.profileByGroup(df, "src")
+      .collect().map(r => r.getString(r.fieldIndex("src")) -> r).toMap
+    assert(out("s1").getAs[Long]("__row_count") == 2L)
+    assert(out("s1").getAs[Long]("t__nulls") == 1L)
+    assert(out("s1").getAs[Long]("n__sum") == 30L)
+    assert(out("s2").getAs[Long]("__row_count") == 1L)
+    // the segment column itself is not profiled
+    assert(!out("s1").schema.fieldNames.contains("src__nulls"))
+  }
+
+  test("fdViolations: held FD clean, broken FD flagged per group") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "z"), (3L, "w"))
+      .toDF("k", "v")
+    val out = Profiler.fdViolations(df, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_rhs_values"), r.getAs[Boolean]("violates"))).toMap
+    assert(out(1L) == ((1L, false))) // consistent duplicates: no violation
+    assert(out(2L) == ((2L, true)))  // two values for one key
+    assert(out(3L) == ((1L, false)))
+  }
+
   test("profile: counts, stats, dupes, top values on a crafted frame") {
     val now = ts("2026-01-01 00:00:00")
     val p = Profiler.profile(crafted, "crafted", now = now)
