@@ -345,6 +345,22 @@ final class GraftEngine(
     graft.pipeline.Sampling.hashSplit(catalog.table(table), idCol,
       trainFraction, valFraction)
 
+  /** Per-segment profile of a table (the x33 battery): one hash agg,
+   *  one row per value of `groupCol`. */
+  def profileByGroup(
+      table: String,
+      groupCol: String,
+      now: Timestamp): DataFrame =
+    Profiler.profileByGroup(catalog.table(table), groupCol, now = now)
+
+  /** Functional-dependency probe lhs → rhs over a table (per-group
+   *  consistency frame; aggregate `violates` for the rate). */
+  def checkFunctionalDependency(
+      table: String,
+      lhs: Seq[String],
+      rhs: String): DataFrame =
+    Profiler.fdViolations(catalog.table(table), lhs, rhs)
+
   /** S9 usage half: engine-maintained query log + per-table usage
    *  patterns (QUERY_HISTORY analog). */
   val queryLog = new graft.sources.QueryLogStore(spark, s"$stateDir/query_log")

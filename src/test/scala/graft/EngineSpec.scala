@@ -69,6 +69,14 @@ class EngineSpec extends AnyFunSuite {
     val usage = engine.usagePatterns(Seq("documents", "region")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(usage == Map("documents" -> 1L, "region" -> 0L))
+    // per-segment battery and FD probe ride the same catalog
+    val groups = engine.profileByGroup("documents", "source",
+      ts("2026-01-01 00:00:00"))
+    assert(groups.count() > 1)
+    assert(groups.columns.contains("text__nulls"))
+    val fd = engine.checkFunctionalDependency("documents",
+      Seq("doc_id"), "source")
+    assert(fd.filter(org.apache.spark.sql.functions.col("violates")).count() == 0)
   }
 
   test("automation: due jobs flow through queue + pool into the engine") {
