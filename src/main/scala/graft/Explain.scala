@@ -23,7 +23,8 @@ object Explain {
         "e08_quantize_int8", "x24_canonical_pick", "x25_containment",
         "x26_zorder_value", "x27_corpus_diff", "x28_weighted_sample",
         "x29_chunk_windows", "x30_event_rollup", "x31_bigram_logprob",
-        "j03_interval_join", "p33_percentile_rank", "a11_ewma")
+        "j03_interval_join", "p33_percentile_rank", "a11_ewma",
+        "x32_oov_rate", "x33_group_profile", "x34_fd_check", "p34_entropy")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

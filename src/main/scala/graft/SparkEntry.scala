@@ -698,7 +698,7 @@ object SparkEntry {
 
     Q("p34_entropy",
       // Shannon entropy of a categorical column (skew/id-ness signal):
-      // one combined groupBy to value counts, nano-nat-exact fold
+      // one combined groupBy to value counts, micro-nat-exact fold
       (s, d) => graft.profiler.Drift.entropy(
         t(s, d, "lineitem"), "l_returnflag"),
       Some("""WITH c AS (
@@ -707,8 +707,8 @@ object SparkEntry {
         SELECT CAST(COUNT(*) AS BIGINT) AS distinct_values,
           CAST(SUM(cnt) AS BIGINT) AS n_rows,
           ROUND(ln(CAST(SUM(cnt) AS DOUBLE))
-            + CAST(SUM(CAST(ROUND(-(cnt * ln(CAST(cnt AS DOUBLE))) * 1e9, 0)
-                AS BIGINT)) AS DOUBLE) / 1e9 / SUM(cnt), 6) AS entropy
+            + CAST(SUM(CAST(ROUND(-(cnt * ln(CAST(cnt AS DOUBLE))) * 1e6, 0)
+                AS BIGINT)) AS DOUBLE) / 1e6 / SUM(cnt), 6) AS entropy
         FROM c""")),
 
     Q("p31_ks_drift",
@@ -2433,7 +2433,9 @@ object SparkEntry {
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx"),
       Some("""WITH toks AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          SELECT doc_id, list_filter(
+            string_split_regex(trim(text), '\s+'),
+            t -> len(t) > 0) AS w
           FROM documents WHERE doc_id < 40),
         st AS (
           SELECT doc_id, w, unnest(range(0, len(w), 10)) AS s

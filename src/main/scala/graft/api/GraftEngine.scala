@@ -208,12 +208,15 @@ final class GraftEngine(
           seriesCols = Seq("table_name", "__col", "metric_name"),
           tsCol = "ts", valueCol = "metric_value",
           method = method, sensitivity = sens,
-          // zscore/iqr stored configs detect over the full history slice
-          // (the reference bounds input by days, not points — parity);
-          // the window field drives the trailing lookback of every
-          // windowed detector (moving_average, ewma, rolling mad)
-          window = if (method == "zscore" || method == "iqr") None
-            else Some(win),
+          // zscore/iqr/mad stored configs detect over the full history
+          // slice (the reference bounds input by days, not points —
+          // parity; mad follows them because AnomalyConfig.window always
+          // carries its default, so forwarding it would silently flip
+          // every stored mad config from global to rolling, and a series
+          // with exactly minDataPoints points would then emit nothing).
+          // The window drives the INHERENTLY windowed detectors only.
+          window = if (method == "moving_average" || method == "ewma")
+            Some(win) else None,
           stdWindow = if (method == "moving_average") Some(stdWin) else None,
           minDataPoints = minPts)
           .select(col("table_name"), col("__col"), col("metric_name"),

@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
  */
 object RangeJoin {
 
+  /** Exact floor division to a bucket id: subtract pmod first (a double
+   *  floor(x/w) can land on the wrong side at exact bucket boundaries);
+   *  the resulting quotient is an exact multiple, so the divide is
+   *  lossless. Shared by every bucketing join in this object. */
+  private def bucketIdOf(
+      c: org.apache.spark.sql.Column, widthUs: Long) =
+    ((c - pmod(c, lit(widthUs))) / widthUs).cast("long")
+
   /** Inner band-join pairs. Left columns keep their names; right
    *  columns come back prefixed `r_`. Band arithmetic runs on integer
    *  epoch micros (exact, engine-portable). */
@@ -36,11 +44,7 @@ object RangeJoin {
     val lowerUs = lowerSec * 1000000L
     val upperUs = upperSec * 1000000L
 
-    // exact floor division: subtract pmod first (a double floor(x/w)
-    // can land on the wrong side at exact bucket boundaries); the
-    // resulting quotient is an exact multiple, so the divide is lossless
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(widthUs))) / widthUs).cast("long")
+    def bucketOf(c: org.apache.spark.sql.Column) = bucketIdOf(c, widthUs)
 
     val lUs = unix_micros(col(leftTsCol))
     val l = left
@@ -84,10 +88,14 @@ object RangeJoin {
     val mult = left
       .groupBy(left.columns.map(col).toSeq: _*)
       .agg(count(lit(1)).as("__m"))
+    // a left row containing a NULL column never matches its own group in
+    // the using-joins (null ≠ null), so both sides come back null —
+    // coalesce keeps the documented "0 for no matches" contract
     left.join(grouped, left.columns.toSeq, "left")
       .join(mult, left.columns.toSeq, "left")
       .withColumn(countName,
-        (coalesce(col("__total"), lit(0L)) / col("__m")).cast("long"))
+        (coalesce(col("__total"), lit(0L))
+          / coalesce(col("__m"), lit(1L))).cast("long"))
       .drop("__total", "__m")
   }
 
@@ -113,8 +121,7 @@ object RangeJoin {
       bucketSec: Long = 3600L): DataFrame = {
     require(bucketSec > 0, "bucketSec must be positive")
     val widthUs = bucketSec * 1000000L
-    def bucketOf(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(widthUs))) / widthUs).cast("long")
+    def bucketOf(c: org.apache.spark.sql.Column) = bucketIdOf(c, widthUs)
 
     val l = left
       .withColumn("__ls", unix_micros(col(leftStartCol)))

@@ -309,9 +309,11 @@ object Drift {
    *  profile signal: ~0 for a near-constant column, ln(k) for uniform
    *  over k values, high for id-like columns. One map-side-combined
    *  groupBy to value counts; the Σ p·ln p folds over that frame with
-   *  integer nano-nat quantization so the sum is exact and
-   *  order-independent across engines. Nulls are excluded (their share
-   *  is P2's metric). */
+   *  integer MICRO-nat quantization so the sum is exact and
+   *  order-independent across engines. Micro (not nano) keeps the
+   *  accumulator in Long range: Σ c·ln c ≤ N·ln N, so the 1e6 scale is
+   *  safe to N ≈ 3×10¹¹ rows (nano overflowed past ~4×10⁸ rows in ONE
+   *  category). Nulls are excluded (their share is P2's metric). */
   def entropy(
       df: DataFrame,
       catCol: String): DataFrame = {
@@ -323,14 +325,14 @@ object Drift {
       .agg(
         count(lit(1)).as("distinct_values"),
         sum(col("cnt")).as("__n"),
-        sum(round(-(col("cnt") * log(col("cnt"))) * 1e9, 0).cast("long"))
+        sum(round(-(col("cnt") * log(col("cnt"))) * 1e6, 0).cast("long"))
           .as("__num"))
       .select(
         col("distinct_values"),
         col("__n").as("n_rows"),
         // H = ln n − (Σ c·ln c)/n, algebraically = −Σ p·ln p
         round(log(col("__n")) +
-          col("__num").cast("double") / 1e9 / col("__n"), 6).as("entropy"))
+          col("__num").cast("double") / 1e6 / col("__n"), 6).as("entropy"))
   }
 
   /** Percentile-rank lookup table for a numeric column — the

@@ -45,24 +45,30 @@ final class RuleStore(spark: SparkSession, path: String) {
   private def decodeElem(e: String): Any =
     if (e.startsWith("l:")) e.drop(2).toLong
     else if (e.startsWith("d:")) e.drop(2).toDouble
-    else if (e.startsWith("s:")) e.drop(2)
-    // legacy rows (written before tags): numeric-looking → double
-    else e.toDoubleOption.getOrElse(e): Any
+    else e.drop(2) // "s:" — tagged lists only ever contain tagged elems
 
   private def encodeExpected(v: Any): (String, String) = v match {
     case l: Long => (l.toString, "long")
     case i: Int => (i.toString, "long")
     case d: Double => (d.toString, "double")
-    case s: Seq[_] => (s.map(encodeElem).mkString(ListSep), "list")
+    // "tlist" = element-tagged list; plain "list" is the legacy untagged
+    // format, still decoded below so pre-existing stores stay readable
+    // (a legacy string element that happens to start with "l:"/"d:"
+    // must NOT be mistaken for a tag — the kind decides, not the prefix)
+    case s: Seq[_] => (s.map(encodeElem).mkString(ListSep), "tlist")
     case other => (String.valueOf(other), "string")
   }
 
   private def decodeExpected(s: String, kind: String): Any = kind match {
     case "long" => s.toLong
     case "double" => s.toDouble
-    case "list" =>
+    case "tlist" =>
       if (s.isEmpty) Seq.empty[Any]
       else s.split(ListSep, -1).toSeq.map(decodeElem)
+    case "list" => // legacy heuristic: numeric-looking → double
+      if (s.isEmpty) Seq.empty[Any]
+      else s.split(ListSep, -1).toSeq
+        .map(e => e.toDoubleOption.getOrElse(e): Any)
     case _ => s
   }
 
