@@ -90,8 +90,13 @@ object SparkEntry {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // a duplicated name would silently drop one entry in the Map —
+    // fail loudly instead (the gate artifacts key on these names)
+    val dup = registry.groupBy(_.name).collect { case (n, qs) if qs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names in registry: ${dup.mkString(", ")}")
     registry.map(q => q.name -> q.fn).toMap
+  }
 
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap

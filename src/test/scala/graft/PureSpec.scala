@@ -216,3 +216,16 @@ class DedupHashSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h1 ^ h2) <= 16)
   }
 }
+
+class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("query registry: unique names, every oracle points at a query") {
+    val qs = SparkEntry.queries            // materializes the dup check
+    assert(qs.size == SparkEntry.registry.size)
+    val orphans = SparkEntry.oracleSql.keySet -- qs.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    // bench short-id prefixes stay unique (the artifact keys on them)
+    val shortIds = qs.keys.map(n => n.takeWhile(_ != '_')).toSeq
+    assert(shortIds.distinct.size == shortIds.size,
+      shortIds.groupBy(identity).collect { case (k, v) if v.size > 1 => k })
+  }
+}
