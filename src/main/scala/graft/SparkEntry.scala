@@ -1766,6 +1766,38 @@ object SparkEntry {
           (rk = 1) AS is_canonical
         FROM ranked ORDER BY doc_id""")),
 
+    Q("d07_cross_dedup",
+      // document-level decontamination: training docs (id ≥ 10) that
+      // near-duplicate any benchmark doc (id < 10) — banded-LSH
+      // candidates ACROSS the corpora only, exact shingle-Jaccard
+      // verify; one planted clone spans the boundary in this fixture
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.crossCorpusNearDuplicates(
+            docs.filter(col("doc_id") >= 10),
+            docs.filter(col("doc_id") < 10),
+            threshold = 0.5)
+          .orderBy("corpus_id", "ref_id")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM toks WHERE len(w) >= 3),
+        p AS (
+          SELECT c.doc_id AS corpus_id, r.doc_id AS ref_id,
+            CAST(len(list_intersect(c.s, r.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(c.s, r.s))) AS j
+          FROM sh c JOIN sh r ON c.doc_id >= 10 AND r.doc_id < 10)
+        SELECT corpus_id, ref_id, ROUND(j, 6) AS jaccard
+        FROM p WHERE j >= CAST(0.5 AS DOUBLE)
+        ORDER BY corpus_id, ref_id""")),
+
     Q("d06_ngram_jaccard",
       // exact word-3-gram Jaccard over the whole corpus via the inverted
       // index (posting-list self-join) — never all-pairs; the oracle

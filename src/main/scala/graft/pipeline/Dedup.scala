@@ -251,6 +251,58 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus near-duplicates: documents in `corpus` that are
+   *  near-dups of ANY document in `reference` — document-level
+   *  decontamination of training data against an eval/benchmark set
+   *  (the doc-granularity complement of [[graft.pipeline.TextAnalysis
+   *  .contamination]]'s n-gram overlap). Both corpora are MinHash-signed
+   *  with the SAME hash family (same seed), candidates come from a
+   *  band-keyed equi-join ACROSS the corpora only (never within — no
+   *  wasted intra-corpus pairs), each side's degenerate band buckets
+   *  are capped by `maxBucketSize`, and exact shingle-Jaccard verifies
+   *  every candidate. Returns (corpus_id, ref_id, jaccard) ≥ threshold;
+   *  `left_anti` the corpus against it to scrub. */
+  def crossCorpusNearDuplicates(
+      corpus: DataFrame,
+      reference: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 16,
+      threshold: Double = 0.7,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    def explodeBands(df: DataFrame, as: String) =
+      minhashSignatures(df, idCol, textCol, shingleK, numHashes, numBands,
+        seed)
+        .select(col(idCol).as(as),
+          posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    def capped(e: DataFrame, as: String) = {
+      val counts = e.groupBy("band_idx", "band_key")
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") <= maxBucketSize)
+        .drop("__c")
+      e.join(counts, Seq("band_idx", "band_key"), "left_semi")
+    }
+    val ec = capped(explodeBands(corpus, "corpus_id"), "corpus_id")
+    val er = capped(explodeBands(reference, "ref_id"), "ref_id")
+    val cand = ec.join(er, Seq("band_idx", "band_key"))
+      .select(col("corpus_id"), col("ref_id")).distinct()
+    val shUdf = udf((text: String) => shingleHashes(text, shingleK))
+    val shc = corpus.select(col(idCol).as("corpus_id"),
+      shUdf(col(textCol)).as("__shc"))
+    val shr = reference.select(col(idCol).as("ref_id"),
+      shUdf(col(textCol)).as("__shr"))
+    cand.join(shc, "corpus_id").join(shr, "ref_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("__shc"), col("__shr"))).cast("double")
+          / size(array_union(col("__shc"), col("__shr"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("ref_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Exact n-gram-Jaccard similar pairs over the WHOLE corpus via an
    *  inverted index (posting-list self-join) — the classic exact-dedup
    *  complement to the MinHash estimate: every pair of documents sharing

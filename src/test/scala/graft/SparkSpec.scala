@@ -287,6 +287,30 @@ class DedupSparkSpec extends AnyFunSuite {
   private lazy val docs =
     spark.read.parquet(s"$sfDir/documents.parquet").cache()
 
+  test("crossCorpusNearDuplicates: finds cross pairs only, full recall") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearCopy = ((1 to 58).map(i => s"tok$i") :+ "x" :+ "y").mkString(" ")
+    val other = (1 to 60).map(i => s"alt$i").mkString(" ")
+    val reference = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, nearCopy),            // near-dup of ref 1
+      (11L, base),                // exact dup of ref 1
+      (12L, "totally unrelated words everywhere"),
+      (13L, base)).toDF("doc_id", "text") // intra-corpus dup of 11
+    val got = Dedup.crossCorpusNearDuplicates(corpus, reference,
+        threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 1L), (11L, 1L), (13L, 1L)))
+    // intra-corpus pair (11, 13) is never emitted — cross-corpora only
+    // scrub: left-anti leaves only clean docs
+    val dups = Dedup.crossCorpusNearDuplicates(corpus, reference,
+      threshold = 0.7).select(col("corpus_id").as("doc_id")).distinct()
+    val clean = corpus.join(dups, Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(clean == Set(12L))
+  }
+
   test("canonicalPick keeps the best-scored member, ties to smaller id") {
     import spark.implicits._
     val d = Seq((1L, 10L), (2L, 99L), (3L, 99L), (4L, 7L), (9L, 1L))
