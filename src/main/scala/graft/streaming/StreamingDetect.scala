@@ -266,4 +266,30 @@ object StreamingDetect {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(step)
   }
+
+  /** Persist a streaming detection frame into the engine's durable
+   *  anomalies store — the streaming → persistence glue: each
+   *  micro-batch appends through the SAME locked store the batch scans
+   *  use (one writer at a time, date-partitioned), so dashboards and
+   *  trend queries see streaming and scheduled detections in one
+   *  place. Start the returned query; stop it to drain. The batch
+   *  epoch id stamps `run_at` so a replayed epoch is attributable. */
+  def persistDetections(
+      detections: Dataset[Detection],
+      store: graft.history.AnomaliesStore,
+      baseTs: java.sql.Timestamp): org.apache.spark.sql.streaming.StreamingQuery =
+    detections
+      .withColumnRenamed("series", "metric_name")
+      .withColumnRenamed("isAnomaly", "is_anomaly")
+      .withColumn("table_name", lit("__stream"))
+      .withColumn("column_name", lit(null).cast("string"))
+      .withColumn("metric_value", col("value"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        if (!batch.isEmpty)
+          store.append(batch.toDF(),
+            new java.sql.Timestamp(baseTs.getTime + epochId))
+      }
+      .start()
 }

@@ -279,6 +279,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming detections persist into the durable anomalies store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_stream_store").toString
+    val store = new graft.history.AnomaliesStore(spark, s"$dir/anoms")
+    val input = MemoryStream[StreamingDetect.MetricEvent]
+    val query = StreamingDetect.persistDetections(
+      StreamingDetect.zscoreStream(input.toDS(), windowSize = 4),
+      store, Timestamp.valueOf("2026-02-01 00:00:00"))
+    try {
+      val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      val values = Seq(10.0, 11.0, 9.0, 10.0, 10.5, 9.5, 100.0, 10.0)
+      input.addData(values.zipWithIndex.map { case (v, i) =>
+        StreamingDetect.MetricEvent("m1", new Timestamp(base + i * 60000L), v)
+      }: _*)
+      query.processAllAvailable()
+      val stored = store.list(anomaliesOnly = true).collect()
+      assert(stored.length == 1)
+      assert(stored.head.getAs[Double]("metric_value") == 100.0)
+      assert(stored.head.getAs[String]("metric_name") == "m1")
+      // non-anomalous warm-up rows landed too (anomaliesOnly = false)
+      assert(store.list(anomaliesOnly = false).count() == 4)
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps only the first doc per content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
