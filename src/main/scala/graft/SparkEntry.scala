@@ -2408,6 +2408,53 @@ object SparkEntry {
         FROM d WHERE date_diff('day', cohort_date, day) <= 30
         GROUP BY 1, 2 ORDER BY cohort_date, day_offset""")),
 
+    Q("x35_leak_safe_split",
+      // leakage-safe split over the d05 chain clusters: every cluster
+      // member hashes by its cluster head, so no near-dup pair straddles
+      // train/test; the oracle replays closure + bucket assignment
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val ids = docs.select(col("doc_id"))
+        val pairs = ids.filter(col("doc_id") % 10 < 4)
+          .join(ids.select(col("doc_id").as("next_id")),
+            col("doc_id") + 1 === col("next_id"))
+          .select(col("doc_id").as("id_a"), col("next_id").as("id_b"))
+        Sampling.leakSafeSplit(docs, Dedup.duplicateClusters(pairs))
+          .groupBy("split")
+          .agg(count(lit(1)).as("doc_count"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy("split")
+      },
+      Some("""WITH RECURSIVE
+        pairs AS (
+          SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+          WHERE doc_id % 10 < 4
+            AND (doc_id + 1) IN (SELECT doc_id FROM documents)),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        clust AS (
+          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+          FROM reach GROUP BY src),
+        keyed AS (
+          SELECT d.doc_id,
+            COALESCE(c.cluster_id, d.doc_id) AS k
+          FROM documents d LEFT JOIN clust c ON d.doc_id = c.doc_id),
+        b AS (
+          SELECT doc_id,
+            CAST(('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000 AS bucket
+          FROM keyed)
+        SELECT CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+          CAST(COUNT(*) AS BIGINT) AS doc_count,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM b GROUP BY 1 ORDER BY split""")),
+
     Q("x22_domain_cap",
       // per-source cap (the web-pipeline "per-domain cap"): keep at most
       // 10 docs per source, chosen by stable md5 order — WindowGroupLimit

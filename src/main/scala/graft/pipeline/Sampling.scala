@@ -210,6 +210,38 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents MUST
+   *  land in the same split, or the eval set silently contains copies
+   *  of training rows. The split key is the duplicate CLUSTER id (from
+   *  [[graft.pipeline.Dedup.duplicateClusters]]) instead of the doc id
+   *  — every member of a cluster hashes identically, singletons fall
+   *  back to their own id. One broadcast-size join (the cluster frame
+   *  is dup-members only, a small fraction of the corpus) plus the
+   *  same stable md5 bucketing as [[hashSplit]]. */
+  def leakSafeSplit(
+      df: DataFrame,
+      clusters: DataFrame,
+      idCol: String = "doc_id",
+      trainFraction: Double = 0.8,
+      valFraction: Double = 0.1,
+      buckets: Int = 1000,
+      splitCol: String = "split"): DataFrame = {
+    require(trainFraction + valFraction <= 1.0, "fractions exceed 1.0")
+    val joined = df.join(
+      clusters.select(col("doc_id").as(idCol),
+        col("cluster_id").as("__cluster")),
+      Seq(idCol), "left")
+      .withColumn("__splitKey", coalesce(col("__cluster"), col(idCol)))
+    val b = hashBucket(col("__splitKey"), buckets)
+    val trainEnd = (trainFraction * buckets).toInt
+    val valEnd = ((trainFraction + valFraction) * buckets).toInt
+    joined
+      .withColumn(splitCol,
+        when(b < trainEnd, "train").when(b < valEnd, "val")
+          .otherwise("test"))
+      .drop("__cluster", "__splitKey")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
    *  Spirakis A-ES): each row gets key = ln(u)/w where u ∈ (0,1] comes
    *  from the row's stable md5 (same hash family as [[hashBucket]],

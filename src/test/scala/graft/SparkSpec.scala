@@ -731,6 +731,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(packed.map(_._1).distinct.length == 5)
   }
 
+  test("leakSafeSplit: no cluster straddles splits, singletons as before") {
+    val docs = ids // 2000 docs
+    // clusters: {0,1,2}, {10,11} — plus every other doc a singleton
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val out = Sampling.leakSafeSplit(docs, clusters)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // all cluster members share one split — the leakage invariant
+    assert(Set(out(0L), out(1L), out(2L)).size == 1)
+    assert(out(10L) == out(11L))
+    // singletons split exactly as plain hashSplit would
+    val plain = Sampling.hashSplit(docs).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (100L to 200L).foreach(i => assert(out(i) == plain(i)))
+    // all three splits are populated
+    assert(out.values.toSet == Set("train", "val", "test"))
+  }
+
   test("temperatureResample plan materializes exactly via keep_threshold") {
     val docs = ids.withColumn("src",
       when(col("doc_id") % 10 === 0, "rare").otherwise("common"))
