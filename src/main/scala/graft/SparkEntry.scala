@@ -1113,6 +1113,86 @@ object SparkEntry {
     """SELECT event_type, CAST(ts AS DATE) AS day,
       CAST(COUNT(*) AS DOUBLE) AS value FROM events GROUP BY 1, 2"""
 
+  /** Shared a12/a13/t11 fixture: global-zscore anomalies over a
+   *  double-spiked daily series (day 15 ×10 → medium, day 28 ×8 → low;
+   *  a single global-zscore series can't hold a >5σ point AND a second
+   *  ≥3σ point, so 'high' is structurally absent), persisted as two
+   *  scans (run_at 01-20 / 01-31), then triaged with three bulk status
+   *  updates. Last update wins per row; only 'resolved' stamps
+   *  resolved_at/by (api.py:299-307) and they are never cleared. */
+  private def triagedAnomalyStore(
+      s: SparkSession, d: String, name: String): graft.history.AnomaliesStore = {
+    val store = new graft.history.AnomaliesStore(s,
+      freshState(s, name) + "/anomaly_results")
+    val spiked = dailySeries(s, d).withColumn("value",
+      when(col("day") === lit(java.sql.Date.valueOf("2024-01-15")),
+        col("value") * 10)
+        .when(col("day") === lit(java.sql.Date.valueOf("2024-01-28")),
+          col("value") * 8)
+        .otherwise(col("value")))
+    val hits = Anomalies.zscore(spiked, Seq("event_type"), "day", "value")
+      .filter(col("is_anomaly"))
+      .select(col("event_type").as("table_name"),
+        lit("").as("column_name"), lit("daily_events").as("metric_name"),
+        col("day").cast("timestamp").as("ts"),
+        col("value").as("metric_value"),
+        col("score"), col("is_anomaly"), col("threshold"), col("severity"))
+      .withColumn("method", lit("zscore"))
+    val cut = lit(java.sql.Date.valueOf("2024-01-20")).cast("timestamp")
+    store.append(hits.filter(col("ts") <= cut),
+      java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    store.append(hits.filter(col("ts") > cut),
+      java.sql.Timestamp.valueOf("2024-01-31 00:00:00"))
+    store.updateStatusWhere(col("severity") === "medium", "resolved",
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+      Some("spike explained"), Some("analyst"))
+    store.updateStatusWhere(col("table_name") === "view", "acknowledged",
+      java.sql.Timestamp.valueOf("2024-02-02 00:00:00"))
+    store.updateStatusWhere(col("table_name") === "error", "expected",
+      java.sql.Timestamp.valueOf("2024-02-03 00:00:00"))
+    store
+  }
+
+  /** DuckDB replay of the triaged store: same spiked series, same
+   *  global zscore, same sequential-update semantics folded into CASE
+   *  expressions (error → expected and view → acknowledged overwrite
+   *  the earlier medium → resolved status but keep its stamps/clear its
+   *  note, because later updates pass note = NULL). */
+  private val duckTriagedAnomalies =
+    s"""WITH series0 AS ($duckDailySeries),
+      series AS (SELECT event_type, day,
+        CASE WHEN day = DATE '2024-01-15' THEN value * 10
+          WHEN day = DATE '2024-01-28' THEN value * 8
+          ELSE value END AS value
+        FROM series0),
+      st AS (SELECT event_type, day, value,
+        AVG(value) OVER (PARTITION BY event_type) AS m,
+        STDDEV_POP(value) OVER (PARTITION BY event_type) AS sd,
+        COUNT(value) OVER (PARTITION BY event_type) AS n
+        FROM series),
+      scored AS (SELECT event_type, day, value,
+        CASE WHEN sd = 0 THEN 0.0 ELSE ABS((value - m) / sd) END AS raw
+        FROM st WHERE n >= 2),
+      hits AS (SELECT event_type AS table_name, day, value AS metric_value,
+        CASE WHEN raw > 5.0 THEN 'high' WHEN raw > 3.5 THEN 'medium'
+          ELSE 'low' END AS severity,
+        CASE WHEN day <= DATE '2024-01-20'
+          THEN TIMESTAMP '2024-01-20 00:00:00'
+          ELSE TIMESTAMP '2024-01-31 00:00:00' END AS run_at
+        FROM scored WHERE raw > 3.0),
+      tri AS (SELECT table_name, day, metric_value, severity, run_at,
+        CASE WHEN table_name = 'error' THEN 'expected'
+          WHEN table_name = 'view' THEN 'acknowledged'
+          WHEN severity = 'medium' THEN 'resolved'
+          ELSE 'open' END AS status,
+        CASE WHEN table_name IN ('error', 'view') THEN NULL
+          WHEN severity = 'medium' THEN 'spike explained' END
+          AS resolution_note,
+        CASE WHEN severity = 'medium' THEN '2024-02-01 00:00:00' END
+          AS resolved_at,
+        CASE WHEN severity = 'medium' THEN 'analyst' END AS resolved_by
+        FROM hits)"""
+
   private def anomalyQueries: Seq[Q] = Seq(
     Q("a01_zscore_global",
       (s, d) => Anomalies.zscore(dailySeries(s, d), Seq("event_type"), "day", "value")
@@ -1357,7 +1437,65 @@ object SparkEntry {
               WHEN raw_score > 1.5 THEN 'medium' ELSE 'low' END AS severity
           FROM iscored WHERE is_anomaly)
         SELECT * FROM (SELECT * FROM zfin UNION ALL SELECT * FROM ifin)
-        ORDER BY method, table_name, day""")))
+        ORDER BY method, table_name, day""")),
+
+    // A-lifecycle (core/anomalies/api.py:275-332,356-506,569-639): a
+    // triaged store — two spiked scans persisted at different run days,
+    // then three bulk status updates so all four statuses appear — read
+    // back as the triage list (a12), the summary row (a13) and the
+    // densified daily dashboard trend (t11, registered here to share
+    // the fixture builder).
+    Q("a12_anomaly_status",
+      (s, d) => triagedAnomalyStore(s, d, "a12")
+        .list(anomaliesOnly = true)
+        .select(col("anomaly_id"), col("table_name"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("metric_value"), col("severity"), col("status"),
+          col("resolution_note"),
+          date_format(col("resolved_at"), "yyyy-MM-dd HH:mm:ss")
+            .as("resolved_at"),
+          col("resolved_by"))
+        .orderBy("table_name", "day"),
+      Some(s"""$duckTriagedAnomalies
+        SELECT md5(concat_ws('|', table_name, '', 'daily_events',
+            CAST(CAST(day AS TIMESTAMP) AS VARCHAR), 'zscore')) AS anomaly_id,
+          table_name, strftime(day, '%Y-%m-%d') AS day, metric_value,
+          severity, status, resolution_note, resolved_at, resolved_by
+        FROM tri ORDER BY table_name, day""")),
+
+    Q("a13_anomaly_summary",
+      (s, d) => triagedAnomalyStore(s, d, "a13")
+        .summary(java.sql.Timestamp.valueOf("2024-01-31 00:00:00"), days = 30),
+      Some(s"""$duckTriagedAnomalies
+        SELECT CAST(COUNT(*) AS BIGINT) AS total_anomalies,
+          CAST(COUNT(*) FILTER (severity = 'high') AS BIGINT) AS high_severity,
+          CAST(COUNT(*) FILTER (severity = 'medium') AS BIGINT) AS medium_severity,
+          CAST(COUNT(*) FILTER (severity = 'low') AS BIGINT) AS low_severity,
+          CAST(COUNT(*) FILTER (status = 'open') AS BIGINT) AS open,
+          CAST(COUNT(*) FILTER (status = 'acknowledged') AS BIGINT) AS acknowledged,
+          CAST(COUNT(*) FILTER (status = 'resolved') AS BIGINT) AS resolved,
+          CAST(COUNT(*) FILTER (status = 'expected') AS BIGINT) AS expected,
+          CAST(COUNT(*) FILTER (CAST(run_at AS DATE) = DATE '2024-01-31')
+            AS BIGINT) AS detected_today
+        FROM tri""")),
+
+    Q("t11_anomaly_dashboard",
+      (s, d) => triagedAnomalyStore(s, d, "t11")
+        .trends(java.sql.Timestamp.valueOf("2024-01-31 00:00:00"), days = 30),
+      Some(s"""$duckTriagedAnomalies,
+        spine AS (SELECT UNNEST(generate_series(DATE '2024-01-01',
+          DATE '2024-01-31', INTERVAL 1 DAY))::DATE AS day),
+        daily AS (SELECT CAST(run_at AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS total,
+          CAST(COUNT(*) FILTER (severity = 'high') AS BIGINT) AS high,
+          CAST(COUNT(*) FILTER (severity = 'medium') AS BIGINT) AS medium,
+          CAST(COUNT(*) FILTER (severity = 'low') AS BIGINT) AS low
+          FROM tri GROUP BY 1)
+        SELECT strftime(spine.day, '%Y-%m-%d') AS date,
+          COALESCE(total, 0) AS total, COALESCE(high, 0) AS high,
+          COALESCE(medium, 0) AS medium, COALESCE(low, 0) AS low
+        FROM spine LEFT JOIN daily ON spine.day = daily.day
+        ORDER BY date""")))
 
   // ------------------------------------------------------------------
   // T-series: trends / history analytics

@@ -244,7 +244,14 @@ final class GraftEngine(
    *  The persisted rows are normalized to ONE canonical column set —
    *  the single-metric and batch scans carry different extras
    *  (connection_id/date vs method), and mixing schemas in one parquet
-   *  store makes reads depend on which file's footer wins. */
+   *  store makes reads depend on which file's footer wins.
+   *
+   *  Re-alert suppression (core/anomalies/api.py:223's status filter):
+   *  series a user marked 'expected' still persist their re-detections
+   *  (the history stays complete) but are excluded from the notification
+   *  counts — a fully-expected scan publishes nothing. The expected set
+   *  is driver-bounded (distinct configured series), so the anti-join
+   *  broadcasts. */
   private def persistAndNotify(
       detected: DataFrame, metricName: String, now: Timestamp): Unit = {
     val present = detected.columns.toSet
@@ -257,10 +264,17 @@ final class GraftEngine(
         col("threshold"), col("severity"),
         (if (present("method")) col("method") else lit("unknown"))
           .as("method"))
+    // snapshot the expected set BEFORE the append (file listing is fixed
+    // when the read resolves, so this never sees the rows being written)
+    val expected =
+      if (anomalies.exists) Some(anomalies.expectedSeries()) else None
     anomalies.append(hits, now)
+    val alertable = expected.fold(hits)(e =>
+      hits.join(broadcast(e),
+        Seq("table_name", "column_name", "metric_name"), "left_anti"))
     // tiny driver-side pull: 3 longs, the alert payload (detection input
     // is bounded — the reference caps it at 1000 points per config)
-    val counts = hits.groupBy("severity").count().collect()
+    val counts = alertable.groupBy("severity").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
     if (total > 0)
@@ -272,6 +286,44 @@ final class GraftEngine(
           "high_severity_count" -> counts.getOrElse("high", 0L).toString,
           "medium_severity_count" -> counts.getOrElse("medium", 0L).toString,
           "low_severity_count" -> counts.getOrElse("low", 0L).toString), now))
+  }
+
+  /** Anomaly triage surface (api.py:275-332): update one anomaly's
+   *  status; 'resolved' stamps resolved_at/by. Publishes the matching
+   *  acknowledged/resolved event like the reference. */
+  def updateAnomalyStatus(
+      anomalyId: String,
+      status: String,
+      now: Timestamp,
+      resolutionNote: Option[String] = None,
+      userId: Option[String] = None): Unit = {
+    anomalies.updateStatus(anomalyId, status, now, resolutionNote, userId)
+    val eventName =
+      if (status == "resolved") "anomaly_resolved" else "anomaly_acknowledged"
+    notifier.publish(GraftEvent("anomaly", eventName, connectionId, None,
+      Map("anomaly_id" -> anomalyId, "status" -> status) ++
+        userId.map("user_id" -> _), now))
+  }
+
+  /** get_dashboard_data (api.py:508-567): summary + recent open
+   *  anomalies + densified daily trends + active-config count, one call. */
+  def anomalyDashboard(
+      now: Timestamp,
+      days: Int = 30): GraftEngine.AnomalyDashboard = {
+    val hasStore = anomalies.exists
+    def emptyList = {
+      import spark.implicits._
+      Seq.empty[(String, String)].toDF("anomaly_id", "severity").limit(0)
+    }
+    GraftEngine.AnomalyDashboard(
+      summary = if (hasStore) anomalies.summary(now, days)
+        else spark.range(0).selectExpr("0L AS total_anomalies"),
+      recentAnomalies = if (hasStore)
+        anomalies.list(status = Some("open"), days = Some(days),
+          now = Some(now), limit = Some(10)) else emptyList,
+      trends = if (hasStore) anomalies.trends(now, days)
+        else spark.range(0).selectExpr("'' AS date", "0L AS total"),
+      activeConfigs = anomalyConfigs.activeConfigs().size)
   }
 
   /** Comprehensive collection (reference: collector.py:323-345): profile
@@ -380,4 +432,11 @@ object GraftEngine {
       profile: TableProfile,
       history: org.apache.spark.sql.DataFrame,
       trends: org.apache.spark.sql.DataFrame)
+
+  /** get_dashboard_data's response shape (api.py:548-554). */
+  final case class AnomalyDashboard(
+      summary: org.apache.spark.sql.DataFrame,
+      recentAnomalies: org.apache.spark.sql.DataFrame,
+      trends: org.apache.spark.sql.DataFrame,
+      activeConfigs: Long)
 }

@@ -116,64 +116,203 @@ final class ChangesStore(spark: SparkSession, path: String) {
   }
 
   /** C8: acknowledge = rewrite the store with matching rows flipped to
-   *  acknowledged=true. Parquet has no in-place update, so the whole
-   *  store is rewritten (an ACID table format would replace this with a
-   *  partition-scoped MERGE at scale). Crash-safe swap: the live path is
-   *  renamed ASIDE before the new data moves in, so no failure point
-   *  leaves the store empty — worst case the backup dir survives next
-   *  to a consistent live store. */
-  def acknowledge(changeType: String, tableName: String): Unit = {
-    val df = spark.read.parquet(path)
-    val updated = df.withColumn("acknowledged",
-      when(col("change_type") === changeType &&
-        col("table_name") === tableName, true)
-        .otherwise(col("acknowledged")))
-    val tmp = path + "__tmp"
-    updated.withColumn("date", to_date(col("detected_at")))
-      .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(path)
-    val backup = new org.apache.hadoop.fs.Path(path + "__bak")
-    fs.delete(backup, true) // clear any leftover from a prior crash
-    if (!fs.rename(live, backup))
-      throw new java.io.IOException(s"acknowledge: cannot move $live aside")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live)) {
-      fs.rename(backup, live) // roll back: old data returns to the live path
-      throw new java.io.IOException(s"acknowledge: cannot activate $tmp")
+   *  acknowledged=true (crash-safe swap shared via StoreIO.rewriteLocked). */
+  def acknowledge(changeType: String, tableName: String): Unit =
+    StoreIO.rewriteLocked(spark, path, Seq("date")) { df =>
+      df.withColumn("acknowledged",
+        when(col("change_type") === changeType &&
+          col("table_name") === tableName, true)
+          .otherwise(col("acknowledged")))
+        .withColumn("date", to_date(col("detected_at")))
     }
-    fs.delete(backup, true)
-  }
 }
 
 /** S8 (sixth sink) / A7: persisted anomaly-scan results — the reference
  *  stores detected anomalies in `anomaly_results` and publishes events
  *  (core/anomalies/scheduler.py:316-336, batch inserts of 50). Spark
  *  shape: one append per scan, partitioned by date, carrying the run
- *  timestamp + metric identity so dashboards read one partition slice. */
+ *  timestamp + metric identity so dashboards read one partition slice.
+ *
+ *  Triage lifecycle (core/anomalies/api.py:275-332): every stored row
+ *  carries `status` ∈ {open, acknowledged, resolved, expected} plus
+ *  resolution_note / resolved_at / resolved_by, updated in place via the
+ *  crash-safe store rewrite. `anomaly_id` is a deterministic md5 of the
+ *  row's metric identity + timestamp + method — the library analog of
+ *  the reference's DB-generated UUID, stable across re-reads so callers
+ *  can address one anomaly without holding a handle to the row. */
 final class AnomaliesStore(spark: SparkSession, path: String) {
 
-  /** Append one scan's detected rows. Expects the `Anomalies.detect`
-   *  output columns (table_name, column_name, metric_name, ts, value/
-   *  metric_value, score, is_anomaly, threshold, method, severity). */
+  import AnomaliesStore.ValidStatuses
+
+  /** Append one scan's detected rows with status='open'. Expects the
+   *  `Anomalies.detect` output columns (table_name, column_name,
+   *  metric_name, ts, metric_value, score, is_anomaly, threshold,
+   *  method, severity). */
   def append(detected: DataFrame, runTs: java.sql.Timestamp): Unit = {
     val withRun = detected
       .withColumn("run_at", lit(runTs))
       .withColumn("date", to_date(col("run_at")))
+      .withColumn("anomaly_id", md5(concat_ws("|",
+        col("table_name"), coalesce(col("column_name"), lit("")),
+        col("metric_name"), col("ts").cast("string"), col("method"))))
+      .withColumn("status", lit("open"))
+      .withColumn("resolution_note", lit(null).cast("string"))
+      .withColumn("resolved_at", lit(null).cast("timestamp"))
+      .withColumn("resolved_by", lit(null).cast("string"))
     StoreIO.appendLocked(path) {
       withRun.write.mode(SaveMode.Append).partitionBy("date").parquet(path)
     }
   }
 
-  /** Filtered listing, newest scan first. */
+  /** Lifecycle columns defaulted — lets a store written before the
+   *  status column existed read as all-open instead of failing. */
+  private def withLifecycleDefaults(raw: DataFrame): DataFrame = {
+    var df = raw
+    val present = df.columns.toSet
+    if (!present("status")) df = df.withColumn("status", lit("open"))
+    if (!present("anomaly_id"))
+      df = df.withColumn("anomaly_id", md5(concat_ws("|",
+        col("table_name"), coalesce(col("column_name"), lit("")),
+        col("metric_name"), col("ts").cast("string"), col("method"))))
+    if (!present("resolution_note"))
+      df = df.withColumn("resolution_note", lit(null).cast("string"))
+    if (!present("resolved_at"))
+      df = df.withColumn("resolved_at", lit(null).cast("timestamp"))
+    if (!present("resolved_by"))
+      df = df.withColumn("resolved_by", lit(null).cast("string"))
+    df
+  }
+
+  private def read(): DataFrame = withLifecycleDefaults(spark.read.parquet(path))
+
+  /** Filtered listing, newest first (get_anomalies, api.py:209-249:
+   *  optional table/status filters, days lookback, limit). */
   def list(
       tableName: Option[String] = None,
       metricName: Option[String] = None,
-      anomaliesOnly: Boolean = true): DataFrame = {
-    var df = spark.read.parquet(path)
+      status: Option[String] = None,
+      days: Option[Int] = None,
+      now: Option[java.sql.Timestamp] = None,
+      anomaliesOnly: Boolean = true,
+      limit: Option[Int] = None): DataFrame = {
+    var df = read()
     tableName.foreach(t => df = df.filter(col("table_name") === t))
     metricName.foreach(m => df = df.filter(col("metric_name") === m))
+    status.foreach(st => df = df.filter(col("status") === st))
+    for (d <- days; n <- now)
+      df = df.filter(col("run_at") >= lit(n) - expr(s"INTERVAL $d DAYS"))
     if (anomaliesOnly) df = df.filter(col("is_anomaly"))
-    df.orderBy(col("run_at").desc)
+    df = df.orderBy(col("run_at").desc, col("anomaly_id"))
+    limit.map(df.limit).getOrElse(df)
   }
+
+  /** update_anomaly_status (api.py:275-332): set status (+ note); only
+   *  'resolved' stamps resolved_at/by — acknowledge/expected leave them
+   *  null, exactly the reference's update_data branches. */
+  def updateStatus(
+      anomalyId: String,
+      status: String,
+      now: java.sql.Timestamp,
+      resolutionNote: Option[String] = None,
+      userId: Option[String] = None): Unit =
+    updateStatusWhere(col("anomaly_id") === anomalyId, status, now,
+      resolutionNote, userId)
+
+  /** Bulk form of updateStatus — one store rewrite updates every row
+   *  matching `cond` (the triage-a-whole-series gesture; the reference
+   *  loops its single-id endpoint, which at Spark scale would be N full
+   *  rewrites instead of one). */
+  def updateStatusWhere(
+      cond: org.apache.spark.sql.Column,
+      status: String,
+      now: java.sql.Timestamp,
+      resolutionNote: Option[String] = None,
+      userId: Option[String] = None): Unit = {
+    require(ValidStatuses(status),
+      s"Invalid status: $status. Must be one of ${ValidStatuses.mkString(", ")}")
+    val noteLit = resolutionNote.map(lit(_)).getOrElse(lit(null).cast("string"))
+    val userLit = userId.map(lit(_)).getOrElse(lit(null).cast("string"))
+    StoreIO.rewriteLocked(spark, path, Seq("date")) { raw =>
+      // pre-lifecycle stores upgrade their schema on first update
+      withLifecycleDefaults(raw)
+        .withColumn("resolution_note",
+          when(cond, noteLit).otherwise(col("resolution_note")))
+        .withColumn("resolved_at",
+          when(cond && lit(status == "resolved"), lit(now))
+            .otherwise(col("resolved_at")))
+        .withColumn("resolved_by",
+          when(cond && lit(status == "resolved"), userLit)
+            .otherwise(col("resolved_by")))
+        .withColumn("status", when(cond, status).otherwise(col("status")))
+    }
+  }
+
+  /** get_summary (api.py:356-506): one row of counts over the lookback —
+   *  by severity, by status, detected today — computed in ONE scan of
+   *  the date-pruned slice (the reference issues 4 SQL round-trips). */
+  def summary(now: java.sql.Timestamp, days: Int = 30): DataFrame = {
+    val slice = read().filter(col("is_anomaly"))
+      .filter(col("run_at") >= lit(now) - expr(s"INTERVAL $days DAYS"))
+    slice.agg(
+      count(lit(1)).as("total_anomalies"),
+      count(when(col("severity") === "high", 1)).as("high_severity"),
+      count(when(col("severity") === "medium", 1)).as("medium_severity"),
+      count(when(col("severity") === "low", 1)).as("low_severity"),
+      count(when(col("status") === "open", 1)).as("open"),
+      count(when(col("status") === "acknowledged", 1)).as("acknowledged"),
+      count(when(col("status") === "resolved", 1)).as("resolved"),
+      count(when(col("status") === "expected", 1)).as("expected"),
+      count(when(to_date(col("run_at")) === to_date(lit(now)), 1))
+        .as("detected_today"))
+  }
+
+  /** get_summary's by_table block (api.py:404-420): top-N tables by
+   *  anomaly count over the lookback. */
+  def byTable(now: java.sql.Timestamp, days: Int = 30, top: Int = 10): DataFrame =
+    read().filter(col("is_anomaly"))
+      .filter(col("run_at") >= lit(now) - expr(s"INTERVAL $days DAYS"))
+      .groupBy("table_name").agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col("table_name"))
+      .limit(top)
+
+  /** _get_anomaly_trends (api.py:569-639): densified per-day counts by
+   *  severity over the window — every calendar day appears, zero-filled
+   *  via a generated day spine left-joined to the grouped counts. */
+  def trends(now: java.sql.Timestamp, days: Int = 30): DataFrame = {
+    val slice = read().filter(col("is_anomaly"))
+      .filter(col("run_at") >= lit(now) - expr(s"INTERVAL $days DAYS"))
+    val daily = slice
+      .groupBy(to_date(col("run_at")).as("day"))
+      .agg(count(lit(1)).as("total"),
+        count(when(col("severity") === "high", 1)).as("high"),
+        count(when(col("severity") === "medium", 1)).as("medium"),
+        count(when(col("severity") === "low", 1)).as("low"))
+    // sequence(date, date) defaults to a 1-day step; avoids the ANSI
+    // date-minus-interval type promotion to timestamp
+    val spine = spark.range(1).select(explode(sequence(
+      date_sub(to_date(lit(now)), days), to_date(lit(now)))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("date"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("high"), lit(0L)).as("high"),
+        coalesce(col("medium"), lit(0L)).as("medium"),
+        coalesce(col("low"), lit(0L)).as("low"))
+      .orderBy("date")
+  }
+
+  /** Distinct series identities whose anomalies a user marked
+   *  'expected' — the re-alert suppression key set (api.py:223's status
+   *  filter feeding the scheduler: expected anomalies are excluded from
+   *  the active triage view, so re-detections of the same series don't
+   *  re-notify). Driver-small: bounded by configured series, not rows. */
+  def expectedSeries(): DataFrame =
+    read().filter(col("status") === "expected")
+      .select("table_name", "column_name", "metric_name").distinct()
+
+  def exists: Boolean = StoreIO.exists(spark, path)
+}
+
+object AnomaliesStore {
+  val ValidStatuses: Set[String] =
+    Set("open", "acknowledged", "resolved", "expected")
 }

@@ -154,6 +154,95 @@ class PersistenceSpec extends AnyFunSuite {
     assert(feed.head.getAs[String]("subtype") == "anomaly_detected")
   }
 
+  // ---- anomaly status lifecycle (api.py:275-332) ----------------------
+
+  private def detectedFrame(rows: Seq[(String, String, Double, String)]) = {
+    import spark.implicits._
+    rows.map { case (table, day, v, sev) =>
+      (table, "", "m", ts(s"$day 00:00:00"), v, 4.0, true, 3.0, sev, "zscore")
+    }.toDF("table_name", "column_name", "metric_name", "ts", "metric_value",
+      "score", "is_anomaly", "threshold", "severity", "method")
+  }
+
+  test("anomalies store: status lifecycle round-trip") {
+    val store = new graft.history.AnomaliesStore(spark,
+      tmp("graft_anom_status") + "/anomalies")
+    store.append(detectedFrame(Seq(
+      ("tableA", "2026-01-01", 100.0, "high"),
+      ("tableA", "2026-01-02", 90.0, "medium"),
+      ("tableB", "2026-01-02", 50.0, "low"))), ts("2026-01-03 00:00:00"))
+
+    // every row lands open with a deterministic id
+    val opened = store.list(now = Some(ts("2026-01-03 00:00:00"))).collect()
+    assert(opened.length == 3)
+    assert(opened.forall(_.getAs[String]("status") == "open"))
+    val id = opened.find(_.getAs[String]("severity") == "high").get
+      .getAs[String]("anomaly_id")
+
+    // resolve one by id: status + note + resolved stamps
+    store.updateStatus(id, "resolved", ts("2026-01-04 00:00:00"),
+      Some("bad load"), Some("oncall"))
+    val resolved = store.list(status = Some("resolved")).collect()
+    assert(resolved.length == 1)
+    assert(resolved.head.getAs[String]("anomaly_id") == id)
+    assert(resolved.head.getAs[String]("resolution_note") == "bad load")
+    assert(resolved.head.getAs[java.sql.Timestamp]("resolved_at") ==
+      ts("2026-01-04 00:00:00"))
+    assert(resolved.head.getAs[String]("resolved_by") == "oncall")
+
+    // acknowledge does NOT stamp resolved_at (api.py:304-307)
+    store.updateStatusWhere(col("table_name") === "tableB", "acknowledged",
+      ts("2026-01-05 00:00:00"))
+    val acked = store.list(status = Some("acknowledged")).collect()
+    assert(acked.length == 1)
+    assert(acked.head.getAs[java.sql.Timestamp]("resolved_at") == null)
+
+    // invalid status rejected before any rewrite
+    intercept[IllegalArgumentException] {
+      store.updateStatus(id, "closed", ts("2026-01-06 00:00:00"))
+    }
+
+    // summary counts line up (1 open, 1 acknowledged, 1 resolved)
+    val sum = store.summary(ts("2026-01-05 00:00:00"), days = 30).collect().head
+    assert(sum.getAs[Long]("total_anomalies") == 3)
+    assert(sum.getAs[Long]("open") == 1)
+    assert(sum.getAs[Long]("acknowledged") == 1)
+    assert(sum.getAs[Long]("resolved") == 1)
+    assert(sum.getAs[Long]("expected") == 0)
+    assert(sum.getAs[Long]("high_severity") == 1)
+  }
+
+  test("engine: expected-marked series do not re-notify on the next scan") {
+    val state = tmp("graft_engine_expected")
+    val engine = new GraftEngine(spark, sfDir, state)
+    import spark.implicits._
+    val pts = (Seq.fill(15)(10.0) :+ 100.0).zipWithIndex.map { case (v, i) =>
+      ("default", "tableA", null: String, "m", v,
+        ts(f"2026-01-${i + 1}%02d 00:00:00"))
+    }
+    engine.metrics.append(pts.toDF("connection_id", "table_name",
+      "column_name", "metric_name", "metric_value", "ts"))
+    engine.anomalyConfigs.createConfig(
+      AnomalyConfig("m", "tableA", detectionMethod = "zscore"),
+      ts("2026-01-20 00:00:00"))
+
+    engine.runAnomalyScanAll(ts("2026-01-20 00:00:00"), historyDays = 30,
+      persist = true)
+    assert(engine.events.feed(eventType = Some("anomaly")).count() == 1)
+
+    // triage: this series' spikes are expected — next scan re-detects,
+    // persists (history stays complete), but publishes nothing new
+    engine.anomalies.updateStatusWhere(col("table_name") === "tableA",
+      "expected", ts("2026-01-21 00:00:00"))
+    val stored = engine.anomalies.list(anomaliesOnly = true).count()
+    engine.runAnomalyScanAll(ts("2026-01-22 00:00:00"), historyDays = 30,
+      persist = true)
+    assert(engine.events.feed(eventType = Some("anomaly")).count() == 1)
+    assert(engine.anomalies.list(anomaliesOnly = true).count() == stored * 2)
+    // the re-detected rows land open; only the triaged originals are expected
+    assert(engine.anomalies.list(status = Some("expected")).count() == stored)
+  }
+
   test("engine: batch scan on a fresh install returns an empty frame") {
     val engine = new GraftEngine(spark, sfDir, tmp("graft_engine_empty"))
     // no metrics, no configs — schema-correct empty result, no throw
