@@ -1939,8 +1939,11 @@ object SparkEntry {
     Q("d06_ngram_jaccard",
       // exact word-3-gram Jaccard over the whole corpus via the inverted
       // index (posting-list self-join) — never all-pairs; the oracle
-      // mirrors the same index shape in SQL
-      (s, d) => Dedup.jaccardSimilarPairs(t(s, d, "documents"))
+      // mirrors the same index shape in SQL. Explicitly uncapped: the
+      // oracle pins the EXACT form (the public default caps stop-phrase
+      // posting lists at 1000)
+      (s, d) => Dedup.jaccardSimilarPairs(t(s, d, "documents"),
+          maxShingleDocFreq = Int.MaxValue)
         .orderBy("id_a", "id_b"),
       Some("""WITH toks AS (
           SELECT doc_id, list_filter(
@@ -1970,9 +1973,10 @@ object SparkEntry {
     Q("x25_containment",
       // asymmetric near-dup (a short doc quoted inside a long one):
       // containment = inter / min(|A|,|B|) over the SAME single-scan
-      // inverted index as d06 — symmetric Jaccard misses these pairs
+      // inverted index as d06 (uncapped: exact form for the oracle) —
+      // symmetric Jaccard misses these pairs
       (s, d) => Dedup.containmentPairs(t(s, d, "documents"),
-          threshold = 0.2)
+          threshold = 0.2, maxShingleDocFreq = Int.MaxValue)
         .orderBy("id_a", "id_b"),
       Some("""WITH toks AS (
           SELECT doc_id, list_filter(

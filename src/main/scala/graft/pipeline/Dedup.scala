@@ -314,19 +314,24 @@ object Dedup {
    *  by shingle builds each posting list and ordered pairs are emitted
    *  map-side within the list — never all-pairs, and no index self-join
    *  (which would shuffle the exploded index twice); the pair
-   *  aggregation is one more shuffle on (id_a, id_b). A shingle present in more than `maxShingleDocFreq`
-   *  documents is a stop-phrase: it contributes f² join rows but its
-   *  pairs are far below any useful threshold, so production runs cap
-   *  it (the cap biases Jaccard DOWN only for pairs whose sole overlap
-   *  is stop-phrases). The default leaves the computation exact, which
-   *  is what the d06 oracle checks. */
+   *  aggregation is one more shuffle on (id_a, id_b).
+   *
+   *  A shingle present in more than `maxShingleDocFreq` documents is a
+   *  stop-phrase: it contributes f² pair rows but its pairs are far
+   *  below any useful threshold. The DEFAULT caps it at 1000 — one
+   *  boilerplate phrase shared by 1M docs would otherwise emit 10^12
+   *  pairs and no real corpus survives that. The cap biases Jaccard
+   *  DOWN only for pairs whose sole overlap is stop-phrases; pass
+   *  `maxShingleDocFreq = Int.MaxValue` for the exact computation
+   *  (what the d06 oracle pins, viable when the corpus is known small
+   *  or pre-filtered). */
   def jaccardSimilarPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleK: Int = 3,
       threshold: Double = 0.5,
-      maxShingleDocFreq: Int = Int.MaxValue): DataFrame =
+      maxShingleDocFreq: Int = 1000): DataFrame =
     shinglePairCounts(docs, idCol, textCol, shingleK, maxShingleDocFreq)
       .withColumn("jaccard",
         round(col("inter").cast("double")
@@ -337,16 +342,18 @@ object Dedup {
   /** Asymmetric near-dup: containment = |A∩B| / min(|A|, |B|) — catches
    *  a short document QUOTED INSIDE a long one, which symmetric Jaccard
    *  misses (the union denominator drowns the small side). Same
-   *  single-scan inverted-index plan as [[jaccardSimilarPairs]]; both
-   *  scores are reported so callers can distinguish subset pairs
-   *  (containment≈1, jaccard low) from true twins (both high). */
+   *  single-scan inverted-index plan as [[jaccardSimilarPairs]],
+   *  including its default stop-phrase cap (pass Int.MaxValue for the
+   *  exact form the x25 oracle pins); both scores are reported so
+   *  callers can distinguish subset pairs (containment≈1, jaccard low)
+   *  from true twins (both high). */
   def containmentPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       shingleK: Int = 3,
       threshold: Double = 0.8,
-      maxShingleDocFreq: Int = Int.MaxValue): DataFrame =
+      maxShingleDocFreq: Int = 1000): DataFrame =
     shinglePairCounts(docs, idCol, textCol, shingleK, maxShingleDocFreq)
       .withColumn("containment",
         round(col("inter").cast("double")

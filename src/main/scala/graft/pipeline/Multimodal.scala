@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
  * Media rides as opaque `binary` columns with typed metadata; decode /
  * feature-extract run as partition-local batch functions (the Scala
  * analog of `mapInPandas`: one iterator per partition, vectorizable
- * batches, no per-row task overhead). The actual codec calls are STUBBED
- * (no image/audio libraries in this environment) behind
- * `MediaDecoder.decodeStub` — a deterministic fake with the real batch
- * shape — so the Spark-side schema, partitioning and UDF signatures are
- * real and tested while the codec is swappable.
+ * batches, no per-row task overhead).
+ *
+ * Image decode/resize are REAL: `javax.imageio` (PNG/JPEG/GIF) ships in
+ * the JDK's java.desktop module and needs no display in headless mode.
+ * WAV PCM sample extraction is REAL byte parsing off the RIFF walker.
+ * Only video frame payloads remain stubbed (`sampleFramesStub` — no
+ * video codec in the JDK); undecodable bytes fall back to the
+ * deterministic stub so mixed/corrupt corpora never kill a 100 TB scan.
  */
 object Multimodal {
 
@@ -35,11 +38,12 @@ object Multimodal {
       meanIntensity: Double,
       featureVec: Array[Float])
 
-  /** STUB decode: deterministic pseudo-features from the raw bytes.
-   *  Swap this for a real codec (JavaCV / TwelveMonkeys / ffmpeg) in a
-   *  full container — the signature is the contract: a BATCH of rows in,
-   *  a batch of features out, so a real decoder can amortize per-batch
-   *  model/codec setup exactly like `mapInPandas` does. */
+  /** STUB decode: deterministic pseudo-features from the raw bytes —
+   *  the fallback for formats the JDK can't decode (video, webp) and
+   *  for corrupt bytes, so a 100 TB scan degrades per-row instead of
+   *  failing. The signature is the contract: a BATCH of rows in, a
+   *  batch of features out, so a heavier codec (JavaCV / ffmpeg) can
+   *  amortize per-batch setup exactly like `mapInPandas` does. */
   def decodeStub(batch: Iterator[MediaRow], dim: Int = 16): Iterator[MediaFeatures] =
     batch.map { r =>
       val h = r.bytes.foldLeft(0xcbf29ce484222325L)((a, b) => (a ^ b) * 0x100000001b3L)
@@ -52,16 +56,57 @@ object Multimodal {
         featureVec = Array.fill(dim)(rnd.nextFloat()))
     }
 
+  /** REAL pixel decode of one blob via JDK ImageIO (PNG/JPEG/GIF).
+   *  None when the bytes aren't a decodable image — the caller decides
+   *  the fallback. ImageIO.read needs no display under headless. */
+  private[graft] def decodeImageBytes(
+      b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    sniffFormatBytes(b) match {
+      case "png" | "jpeg" | "gif" =>
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        catch { case _: Exception => None }
+      case _ => None
+    }
+
+  /** REAL image features: mean intensity = mean over pixels of
+   *  (R+G+B)/3/255, featureVec = dim-bin normalized grayscale histogram.
+   *  One bulk getRGB per image (no per-pixel JNI chatter); rows whose
+   *  bytes don't decode fall back to the deterministic stub. */
+  def decodeImages(
+      batch: Iterator[MediaRow], dim: Int = 16): Iterator[MediaFeatures] =
+    batch.map { r =>
+      decodeImageBytes(r.bytes) match {
+        case Some(img) =>
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sum = 0.0
+          val hist = new Array[Long](dim)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            val gray = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            sum += gray
+            hist(gray * dim / 256) += 1
+            i += 1
+          }
+          val n = (w.toLong * h).toDouble
+          MediaFeatures(r.id, r.meta.mediaType, r.bytes.length.toLong,
+            sum / n / 255.0, hist.map(c => (c / n).toFloat))
+        case None => decodeStub(Iterator.single(r), dim).next()
+      }
+    }
+
   /** Feature extraction over a media Dataset: partition-local batching,
    *  schema-preserving — repartition first so decode parallelism matches
-   *  cores, not input file layout. */
+   *  cores, not input file layout. Images decode for real (ImageIO);
+   *  everything else takes the stub path. */
   def extractFeatures(
       media: Dataset[MediaRow],
       partitions: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     val repart = if (partitions > 0) media.repartition(partitions) else media
-    repart.mapPartitions(batch => decodeStub(batch))
+    repart.mapPartitions(batch => decodeImages(batch))
   }
 
   /** Binary-column profile: sizes, null blobs, format histogram — the
@@ -184,13 +229,92 @@ object Multimodal {
     udf((b: Array[Byte]) =>
       if (b == null) None else imageDimsBytes(b)).apply(bin)
 
-  // ---- resize / frame-sample plumbing (pixel ops stubbed) ------------
+  // ---- PCM sample extraction (REAL, plain-offset reads) --------------
 
-  /** STUB resize: the partition-local batch contract for an image resize
-   *  pass. The metadata transform (width/height, proportional byte-size
-   *  model) is real; the pixel resample is the stubbed step — a real
-   *  implementation swaps the body for a codec call and keeps the
-   *  signature. Deterministic: same input row, same output bytes. */
+  /** WAV PCM samples as mono floats in [-1, 1]: walk RIFF for "fmt " +
+   *  "data" (same layout [[audioMetaBytes]] locates), then decode the
+   *  interleaved frames — u8, s16/s24/s32 LE (format 1) or f32 (format
+   *  3) — averaging channels. `maxSamples` caps the materialized array
+   *  (a 10-minute 48 kHz file is 28M samples; features only need a
+   *  bounded prefix). None for non-WAV / non-PCM / truncated bytes. */
+  private[graft] def audioSamplesBytes(
+      b: Array[Byte], maxSamples: Int = 1 << 20): Option[Array[Float]] = {
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def le32(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String =
+      new String(b.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    if (sniffFormatBytes(b) != "wav" || b.length < 36) return None
+    var fmtCode = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = 0L
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val ii = i.toInt
+      val id = tag(ii); val size = le32(ii + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        fmtCode = le16(ii + 8)
+        channels = le16(ii + 10)
+        bits = le16(ii + 22)
+      } else if (id == "data") {
+        dataOff = ii + 8
+        dataLen = math.min(size, b.length.toLong - dataOff)
+      }
+      i += 8L + size + (size & 1L)
+    }
+    val pcm = fmtCode == 1 && Set(8, 16, 24, 32)(bits)
+    val f32 = fmtCode == 3 && bits == 32
+    if (channels <= 0 || dataOff < 0 || !(pcm || f32)) return None
+    val bytesPerSample = bits / 8
+    val frameBytes = bytesPerSample * channels
+    val frames = math.min(dataLen / frameBytes, maxSamples.toLong).toInt
+    val out = new Array[Float](frames)
+    var f = 0
+    while (f < frames) {
+      var acc = 0.0f
+      var c = 0
+      while (c < channels) {
+        val o = dataOff + f * frameBytes + c * bytesPerSample
+        acc += (bits match {
+          case 8 => ((b(o) & 0xff) - 128) / 128.0f // u8 is offset-binary
+          case 16 => le16(o).toShort / 32768.0f
+          case 24 =>
+            val v = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) << 16)
+            v / 8388608.0f // sign carried by the unshifted top byte
+          case 32 =>
+            if (f32) java.lang.Float.intBitsToFloat(le32(o).toInt)
+            else le32(o).toInt / 2147483648.0f
+        })
+        c += 1
+      }
+      out(f) = acc / channels
+      f += 1
+    }
+    Some(out)
+  }
+
+  /** `struct(n_samples, rms, peak, mean)` from real WAV PCM decode
+   *  (null for non-WAV/non-PCM bytes) — the audio analog of
+   *  [[decodeImages]]'s intensity features, map-only over the corpus. */
+  def audioFeatures(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((b: Array[Byte]) =>
+      if (b == null) None
+      else audioSamplesBytes(b).map { s =>
+        var sum = 0.0; var sq = 0.0; var peak = 0.0f
+        s.foreach { v =>
+          sum += v; sq += v.toDouble * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+        }
+        val n = math.max(s.length, 1)
+        (s.length, math.sqrt(sq / n), peak.toDouble, sum / n)
+      }).apply(bin)
+
+  // ---- resize / frame-sample plumbing --------------------------------
+
+  /** STUB resize fallback for non-image bytes: the metadata transform
+   *  (width/height, proportional byte-size model) is real; the pixel
+   *  resample is faked deterministically. Real images take
+   *  [[resizeImages]]' ImageIO path instead. */
   def resizeStub(
       batch: Iterator[MediaRow],
       width: Int,
@@ -213,8 +337,37 @@ object Multimodal {
       }
     }
 
-  /** Resize a media Dataset: schema-preserving `mapPartitions` so a real
-   *  codec can amortize setup per batch; repartition first when decode
+  /** REAL image resize: ImageIO decode → bilinear Graphics2D resample →
+   *  re-encode in the source format. JPEG's writer rejects alpha, so
+   *  the canvas is RGB for jpeg and ARGB otherwise. Bytes that don't
+   *  decode fall back to the stub row-by-row. */
+  def resizeImages(
+      batch: Iterator[MediaRow],
+      width: Int,
+      height: Int): Iterator[MediaRow] =
+    batch.map { r =>
+      decodeImageBytes(r.bytes) match {
+        case Some(img) =>
+          val fmt = sniffFormatBytes(r.bytes)
+          val kind =
+            if (fmt == "jpeg") java.awt.image.BufferedImage.TYPE_INT_RGB
+            else java.awt.image.BufferedImage.TYPE_INT_ARGB
+          val out = new java.awt.image.BufferedImage(width, height, kind)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, width, height, null)
+          g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, fmt, baos)
+          MediaRow(r.id, baos.toByteArray,
+            r.meta.copy(width = width, height = height))
+        case None => resizeStub(Iterator.single(r), width, height).next()
+      }
+    }
+
+  /** Resize a media Dataset: schema-preserving `mapPartitions` so the
+   *  codec amortizes setup per batch; repartition first when decode
    *  parallelism should match cores rather than input file layout. */
   def resizeMedia(
       media: Dataset[MediaRow],
@@ -224,7 +377,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     val repart = if (partitions > 0) media.repartition(partitions) else media
-    repart.mapPartitions(batch => resizeStub(batch, width, height))
+    repart.mapPartitions(batch => resizeImages(batch, width, height))
   }
 
   /** One sampled video frame: the (media, frame) exploded grain a

@@ -1055,6 +1055,89 @@ class MultimodalSparkSpec extends AnyFunSuite {
     // fmt was parsed before the bogus chunk; no data chunk → duration -1
     assert(out(3L) == Some((1, 8000, 8, -1L)))
   }
+
+  /** Encode a BufferedImage with known pixels to real bytes. */
+  private def encode(fmt: String, pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  test("image decode extracts REAL pixel stats via JDK ImageIO") {
+    import spark.implicits._
+    // 2×2 PNG: black, white, mid-gray 128, mid-gray 64 → exact mean
+    val png = encode("png", Array(
+      Array(0x000000, 0xffffff),
+      Array(0x808080, 0x404040)))
+    val rows = Seq(Multimodal.MediaRow(1L, png,
+      Multimodal.MediaMeta("image", "png", 2, 2, 0L))).toDS()
+    val f = Multimodal.extractFeatures(rows).collect().head
+    val want = (0.0 + 255.0 + 128.0 + 64.0) / 4 / 255.0
+    assert(math.abs(f.meanIntensity - want) < 1e-12)
+    // grayscale histogram: one pixel per occupied bin, normalized
+    assert(math.abs(f.featureVec.sum - 1.0f) < 1e-6)
+    assert(f.featureVec(0) == 0.25f)  // black → bin 0
+    assert(f.featureVec(15) == 0.25f) // white → bin 15
+    assert(f.featureVec(8) == 0.25f)  // 128 → bin 8
+    assert(f.featureVec(4) == 0.25f)  // 64 → bin 4
+  }
+
+  test("image resize really resamples: dims re-read from output bytes") {
+    import spark.implicits._
+    // 4×4 PNG, solid red; resize to 2×2 must produce a real PNG whose
+    // header says 2×2 and whose pixels are still red (bilinear of a
+    // constant field is constant)
+    val png = encode("png", Array.fill(4)(Array.fill(4)(0xff0000)))
+    val rows = Seq(Multimodal.MediaRow(1L, png,
+      Multimodal.MediaMeta("image", "png", 4, 4, 0L))).toDS()
+    val out = Multimodal.resizeMedia(rows, 2, 2).collect().head
+    assert(Multimodal.sniffFormatBytes(out.bytes) == "png")
+    assert(Multimodal.imageDimsBytes(out.bytes) == Some((2, 2)))
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.bytes))
+    assert((back.getRGB(0, 0) & 0xffffff) == 0xff0000)
+    assert((back.getRGB(1, 1) & 0xffffff) == 0xff0000)
+    // jpeg path: alpha-free canvas, still encodes + reports resized dims
+    val jpg = encode("jpeg", Array.fill(4)(Array.fill(4)(0x808080)))
+    val jrows = Seq(Multimodal.MediaRow(2L, jpg,
+      Multimodal.MediaMeta("image", "jpeg", 4, 4, 0L))).toDS()
+    val jout = Multimodal.resizeMedia(jrows, 3, 3).collect().head
+    assert(Multimodal.sniffFormatBytes(jout.bytes) == "jpeg")
+    assert(Multimodal.imageDimsBytes(jout.bytes) == Some((3, 3)))
+  }
+
+  test("WAV PCM samples decode for real: 16-bit values round-trip") {
+    import spark.implicits._
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    // mono 8000 Hz s16: samples 0, +16384, -16384, +32767
+    val data = le16(0) ++ le16(16384) ++ le16(-16384 & 0xffff) ++ le16(32767)
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val s = Multimodal.audioSamplesBytes(wav).get
+    assert(s.length == 4)
+    assert(s(0) == 0.0f && s(1) == 0.5f && s(2) == -0.5f)
+    assert(math.abs(s(3) - 32767.0f / 32768.0f) < 1e-7)
+    // column form: n/rms/peak/mean over the decoded samples
+    val row = Seq((1L, wav)).toDF("id", "blob")
+      .select(Multimodal.audioFeatures(col("blob")).as("f"))
+      .collect().head.getStruct(0)
+    assert(row.getInt(0) == 4)
+    assert(row.getDouble(2) == 32767.0 / 32768.0) // peak
+    // stereo averaging: L=+0.5, R=-0.5 → one mono 0 sample
+    val st = "RIFF".getBytes ++ le32(36 + 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(4) ++ le16(16384) ++ le16(-16384 & 0xffff)
+    assert(Multimodal.audioSamplesBytes(st).get.toSeq == Seq(0.0f))
+  }
 }
 
 class JaccardPairsSpec extends AnyFunSuite {
@@ -1127,6 +1210,22 @@ class JaccardPairsSpec extends AnyFunSuite {
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truth(0.8).subsetOf(capped))
+  }
+
+  test("DEFAULT cap keeps a boilerplate corpus linear, finds real clones") {
+    import spark.implicits._
+    // 1100 docs share one boilerplate phrase (every boilerplate shingle's
+    // posting list exceeds the default 1000 cap → dropped, instead of
+    // emitting ~600k stop-phrase pairs); the planted clone pair shares
+    // unique shingles and must still surface
+    val boiler = "all rights reserved contact support for help"
+    val df = ((1 to 1100).map(i => (i.toLong, s"$boiler unique$i token$i")) ++
+      Seq((2001L, "zebra quokka lemur walrus gnu ibex"),
+        (2002L, "zebra quokka lemur walrus gnu ibex")))
+      .toDF("doc_id", "text")
+    val out = Dedup.jaccardSimilarPairs(df, threshold = 0.01).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((2001L, 2002L)))
   }
 }
 
