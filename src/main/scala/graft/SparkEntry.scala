@@ -1825,9 +1825,26 @@ object SparkEntry {
         FROM pairs WHERE j >= 0.9 ORDER BY id_a, id_b""")),
 
     Q("d04_simhash_neardup",
-      (s, d) => Dedup.nearDuplicatesSimhash(t(s, d, "documents"))
-        .orderBy("id_a", "id_b"),
-      None), // hash family not SQL-portable; covered by ScalaTest
+      // signature-replay oracle: the 64-bit simhash family is not
+      // SQL-portable, but the verification IS — Spark persists the
+      // signature table and DuckDB replays hamming ≤ 3 over all pairs
+      // (pigeonhole: a pair at hamming ≤ 3 always shares one of the 4
+      // chunk keys, so the bucketed candidate set equals all-pairs at
+      // this threshold).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.simhashSignatures(docs).write.mode("overwrite")
+          .parquet(freshState(s, "d04") + "/signatures")
+        Dedup.nearDuplicatesSimhash(docs).orderBy("id_a", "id_b")
+      },
+      Some("""WITH sig AS (SELECT doc_id, simhash
+          FROM read_parquet('/tmp/graft_qstate/d04/signatures/*.parquet')),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            bit_count(xor(a.simhash, b.simhash)) AS h
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(h AS INT) AS hamming
+        FROM pairs WHERE h <= 3 ORDER BY id_a, id_b""")),
 
     Q("d05_dup_clusters",
       // connected components over a deterministic candidate-pair graph
@@ -2163,29 +2180,85 @@ object SparkEntry {
         FROM pairs WHERE cos >= 0.99 ORDER BY id_a, id_b""")),
 
     Q("e03_knn_lsh",
+      // candidate-replay oracle: the hyperplane hash family is not
+      // SQL-portable, but the verification stage is — Spark persists
+      // the band-collision candidate pairs and DuckDB replays the
+      // exact-cosine + per-query top-k over that set. Spark ranks the
+      // SAME persisted frame, so both sides verify identical
+      // candidates. Recall vs brute force stays pinned in ScalaTest.
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val queries = emb.filter(col("vec_id") < 5)
-        Similarity.lshTopK(emb, queries, k = 10)
+        val candPath = freshState(s, "e03") + "/candidates"
+        Similarity.lshCandidates(emb, queries)
+          .write.mode("overwrite").parquet(candPath)
+        Similarity.rankCandidates(emb, queries, s.read.parquet(candPath),
+            k = 10)
           .select(col("query_id"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"), col("rank"))
           .orderBy("query_id", "rank")
       },
-      None), // approximate by design; recall pinned in ScalaTest
+      Some("""WITH cand AS (SELECT query_id, neighbor_id
+          FROM read_parquet('/tmp/graft_qstate/e03/candidates/*.parquet')),
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+            list_sum(list_transform(range(1, len(qe.embedding) + 1),
+              i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE))) /
+            (SQRT(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(list_sum(list_transform(ne.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM cand
+          JOIN e qe ON qe.vec_id = cand.query_id
+          JOIN e ne ON ne.vec_id = cand.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+          CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     Q("e05_knn_ivf",
       // the clustered-corpus ANN scale path: coarse cells from a
-      // bounded-scan centroid sample, nprobe-cell search
+      // bounded-scan centroid sample, nprobe-cell search. Same
+      // candidate-replay oracle shape as e03: the probed-cell pair set
+      // is persisted and DuckDB replays the exact-cosine top-k.
       (s, d) => {
         val emb = t(s, d, "embeddings")
         val queries = emb.filter(col("vec_id") < 5)
         val index = Similarity.ivfBuild(emb, k = 16)
-        Similarity.ivfTopK(index, queries, k = 10, nprobe = 4)
+        val candPath = freshState(s, "e05") + "/candidates"
+        Similarity.ivfCandidates(index, queries, nprobe = 4)
+          .write.mode("overwrite").parquet(candPath)
+        Similarity.rankCandidates(emb, queries, s.read.parquet(candPath),
+            k = 10)
           .select(col("query_id"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"), col("rank"))
           .orderBy("query_id", "rank")
       },
-      None), // approximate by design; recall pinned in IvfSpec
+      Some("""WITH cand AS (SELECT query_id, neighbor_id
+          FROM read_parquet('/tmp/graft_qstate/e05/candidates/*.parquet')),
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+            list_sum(list_transform(range(1, len(qe.embedding) + 1),
+              i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE))) /
+            (SQRT(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(list_sum(list_transform(ne.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM cand
+          JOIN e qe ON qe.vec_id = cand.query_id
+          JOIN e ne ON ne.vec_id = cand.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+          CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     Q("e07_semantic_dedup",
       // SemDeDup: coarse cells (8 fixed centroids = the first 8 vectors,

@@ -428,14 +428,25 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit fingerprints, candidates from 16-bit
    *  chunk equality (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 chunks
    *  equal), verified by exact hamming distance. */
+  /** (id, simhash) signature frame — the hash-family output alone.
+   *  Public so the d04 oracle can persist it and have DuckDB replay the
+   *  SQL-expressible verification (xor + bit_count hamming ≤ k) over
+   *  every pair. */
+  def simhashSignatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val shUdf = udf((text: String) => simhash64(text))
+    docs.select(col(idCol), shUdf(col(textCol)).as("simhash"))
+  }
+
   def nearDuplicatesSimhash(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    val shUdf = udf((text: String) => simhash64(text))
-    val fps = docs.select(col(idCol), shUdf(col(textCol)).as("simhash"))
+    val fps = simhashSignatures(docs, idCol, textCol)
     val chunks = fps.select(
       col(idCol), col("simhash"),
       explode(expr(
