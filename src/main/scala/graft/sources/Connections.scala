@@ -43,6 +43,16 @@ object Connections {
       Map("db" -> database, "schema" -> schema, "warehouse" -> warehouse,
         "user" -> user, "password" -> password))
 
+  /** Embedded Apache Derby builder — an in-process JDBC warehouse (the
+   *  derby jars ship with Spark, no server needed). This is the
+   *  integration-test analog of the reference's DB connections: the
+   *  same `readJdbc` path a Postgres/Snowflake URL takes, but against
+   *  a database that actually exists in this environment. */
+  def derbyEmbedded(dbDir: String): JdbcConnection =
+    JdbcConnection(
+      s"jdbc:derby:$dbDir;create=true",
+      Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+
   /** S1: scan a warehouse table over JDBC. `partitionColumn`/bounds
    *  split the read into `numPartitions` parallel range scans — the
    *  difference between a single-threaded pull and a cluster-wide one. */

@@ -158,6 +158,47 @@ class ConnectionsSpec extends AnyFunSuite {
       s"BNLJ must not build the query-log side:\n$plan")
   }
 
+  test("S1 integration: real JDBC round-trip vs embedded Derby, " +
+      "partitioned read + predicate pushdown in the plan") {
+    import SharedSpark.spark
+    import org.apache.spark.sql.functions.{col, sum}
+    // Derby writes derby.log under derby.system.home — keep it in /tmp
+    val home = Files.createTempDirectory("graft_derby").toString
+    System.setProperty("derby.system.home", home)
+    val conn = Connections.derbyEmbedded(s"$home/graftdb")
+    val jdbc = java.sql.DriverManager.getConnection(conn.url)
+    try {
+      val st = jdbc.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE orders_mirror (id INT NOT NULL, amount DOUBLE, category VARCHAR(8))")
+      val ins = jdbc.prepareStatement(
+        "INSERT INTO orders_mirror VALUES (?, ?, ?)")
+      (1 to 100).foreach { i =>
+        ins.setInt(1, i); ins.setDouble(2, i * 1.5)
+        ins.setString(3, if (i % 2 == 0) "even" else "odd")
+        ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally jdbc.close()
+
+    // partitioned scan: 4 parallel range reads, not one serial pull
+    val df = Connections.readJdbc(spark, conn, "orders_mirror",
+      partitionColumn = Some("id"), lowerBound = 1L, upperBound = 101L,
+      numPartitions = 4)
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 100)
+
+    // predicate pushdown: the filter must reach the JDBC scan (shipped
+    // as SQL to the database), not run Spark-side over a full pull
+    val filtered = df.filter(col("id") > 90).select("id", "amount")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(ID,90)"),
+      s"expected GreaterThan(ID,90) pushed to the JDBC source in:\n$plan")
+    assert(filtered.count() == 10)
+    val total = filtered.agg(sum("amount")).collect()(0).getDouble(0)
+    assert(total == (91 to 100).map(_ * 1.5).sum)
+  }
+
   test("catalog rowCounts: one job matches per-table count()") {
     import SharedSpark._
     val cat = graft.sources.Catalog(spark, sfDir)
