@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale soak: build a deterministic `mult`× corpus from an existing SF
+ * dir under /tmp and run the iterative/dedup family at BOTH scales, so
+ * the scaling curve (not just one point) is recorded. The point is to
+ * show the posting-list caps, banded candidate generation, and the
+ * O(log diameter) connected-components rounds actually bend the curve —
+ * a super-linear query here is a 100 TB bug even if sf0.1 looks fine.
+ *
+ * Replica construction keeps DUPLICATE DENSITY LINEAR in corpus size,
+ * like a real larger crawl, instead of quadratic:
+ *  - ids shift by a per-replica offset (chain/cluster topology repeats
+ *    per replica, so d05/x24/x35's component structure scales linearly);
+ *  - every 4th word is rekeyed per replica, so every 3-gram shingle
+ *    containing it changes and a replica is NOT a near-dup of its
+ *    source (within-replica near-dup pairs survive: similar docs get
+ *    similar replacements). Without this, every doc sits in a
+ *    mult-clique and pair output grows mult² — a different workload,
+ *    not a bigger one.
+ *
+ * Usage: graft.Soak [mult] [queryName ...]
+ *   SPARK_GRAFT_SF_DIR  source dir (default /root/testdata/sf0.1)
+ *   SPARK_GRAFT_CPUS    local parallelism (default 32)
+ * Prints one JSON line: per-query base/scaled seconds + ratio vs mult.
+ */
+object Soak {
+
+  val DefaultQueries: Seq[String] = Seq(
+    // the iterative/dedup family (documents-keyed)
+    "d05_dup_clusters", "d06_ngram_jaccard", "d07_cross_dedup",
+    "x24_canonical_pick", "x25_containment", "x35_leak_safe_split",
+    // profile battery (lineitem-keyed)
+    "p01_row_count", "p03_distinct_counts", "p05_numeric_stats",
+    "p08_median_quantiles", "p14_top_values", "p15_outliers_3sigma")
+
+  /** Deterministic mult× blow-up of documents/embeddings/lineitem into
+   *  `out`; every other table is mirrored verbatim so any registry
+   *  query can run against the soak dir. */
+  def buildCorpus(spark: SparkSession, src: String, out: String,
+      mult: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+
+    val reps = spark.range(mult).toDF("__rep")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    // id span rounded to a multiple of 10 so each replica repeats the
+    // d05 chain topology (pairs form at doc_id % 10 < 4) exactly
+    val docSpan = {
+      val m = docs.agg(max("doc_id")).head.getLong(0) + 1
+      (m + 9) / 10 * 10
+    }
+    docs.crossJoin(broadcast(reps))
+      .withColumn("doc_id", col("doc_id") + col("__rep") * docSpan)
+      .withColumn("text",
+        when(col("__rep") === 0, col("text")).otherwise(
+          array_join(
+            expr("""transform(
+                filter(split(lower(trim(text)), '\\s+'), w -> length(w) > 0),
+                (w, i) -> IF(i % 4 = 3,
+                  substring(md5(concat(w, 'r', cast(__rep as string))), 1, 6),
+                  w))"""),
+            " ")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("__rep")
+      .repartition(32)
+      .write.parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val embSpan = emb.agg(max("vec_id")).head.getLong(0) + 1
+    emb.crossJoin(broadcast(reps))
+      .withColumn("vec_id", col("vec_id") + col("__rep") * embSpan)
+      // per-replica deterministic jitter (~±0.2) so replicas are not
+      // cosine near-dups of their source
+      .withColumn("embedding",
+        when(col("__rep") === 0, col("embedding")).otherwise(
+          expr("""transform(embedding, (x, i) -> cast(
+              x + (pmod(hash(vec_id, i, __rep), 1000) - 500) / 2500.0
+              as float))""")))
+      .drop("__rep")
+      .repartition(32)
+      .write.parquet(s"$out/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val liSpan = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    li.crossJoin(broadcast(reps))
+      .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * liSpan)
+      .drop("__rep")
+      .repartition(32)
+      .write.parquet(s"$out/lineitem.parquet")
+
+    val scaled = Set("documents", "embeddings", "lineitem")
+    fs.listStatus(new org.apache.hadoop.fs.Path(src))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet")).filterNot(scaled)
+      .foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.parquet(s"$out/$t.parquet")
+      }
+  }
+
+  private def f2(v: Double): String = "%.2f".format(v)
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val names = if (args.length > 1) args.drop(1).toSeq else DefaultQueries
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = s"/tmp/graft_soak/x$mult"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    System.err.println(s"[soak] building ${mult}x corpus at $out from $src")
+    val tb0 = System.nanoTime()
+    buildCorpus(spark, src, out, mult)
+    System.err.println(f"[soak] corpus built in ${(System.nanoTime() - tb0) / 1e9}%.1f s")
+
+    // same measurement contract as Bench: noop sink (materializes every
+    // column), per-query persistent-RDD sweep, cache clear
+    def runOne(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[soak] $name @ $dir failed: ${e.getMessage}")
+          false
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      if (ok) elapsed else -1.0
+    }
+
+    // untimed warmup at base scale
+    runOne(names.head, src)
+
+    val rows = names.map { n =>
+      val base = runOne(n, src)
+      val scaled = runOne(n, out)
+      System.err.println(f"[soak] $n%-22s base=${base}%7.2f s  ${mult}x=${scaled}%7.2f s  ratio=${scaled / base}%5.2f")
+      (n, base, scaled)
+    }
+    val qs = rows.map { case (n, b, sc) =>
+      s""""$n":{"base":${f2(b)},"scaled":${f2(sc)},"ratio":${f2(sc / b)}}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"soak","mult":$mult,"src":"$src","queries":$qs}"""
+    try {
+      val fw = new java.io.FileWriter("SOAK_LOCAL.json")
+      fw.write(line); fw.close()
+    } catch { case _: Throwable => () }
+    println(line)
+    spark.stop()
+  }
+}
