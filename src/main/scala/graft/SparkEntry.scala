@@ -104,7 +104,7 @@ object SparkEntry {
   lazy val registry: Seq[Q] =
     profilerQueries ++ validationQueries ++ anomalyQueries ++
       trendQueries ++ pipelineQueries ++ sourceQueries ++ schemaQueries ++
-      operatorQueries
+      operatorQueries ++ batchQueries
 
   // ------------------------------------------------------------------
   // P-series: profiling operators
@@ -1496,6 +1496,43 @@ object SparkEntry {
           COALESCE(medium, 0) AS medium, COALESCE(low, 0) AS low
         FROM spine LEFT JOIN daily ON spine.day = daily.day
         ORDER BY date""")))
+
+  // ------------------------------------------------------------------
+  // B-series: batch multiplexer
+  // ------------------------------------------------------------------
+
+  private def batchQueries: Seq[Q] = Seq(
+    Q("b01_batch_multiplex",
+      // one call fanning to three sub-operations in a shared session
+      // (reference /api/batch, app.py:5853-5990): two real ops + one
+      // unknown route. Per-request isolation keeps the batch alive
+      // through the unknown op, and `head` (first cell of each
+      // sub-result) witnesses that the sub-queries actually executed —
+      // the oracle recomputes both values independently.
+      (s, d) => {
+        import graft.api.BatchRunner
+        BatchRunner.summary(s, d,
+            Seq(BatchRunner.BatchRequest("r1", "p01_row_count"),
+              BatchRunner.BatchRequest("r2", "d01_exact_dup_count"),
+              BatchRunner.BatchRequest("bad", "nope_no_such_op")),
+            queries)
+          .orderBy("id")
+      },
+      Some("""SELECT * FROM (VALUES
+          ('bad', 'nope_no_such_op', false, CAST(-1 AS BIGINT),
+            CAST(NULL AS VARCHAR), 'unknown op: nope_no_such_op'),
+          ('r1', 'p01_row_count', true, CAST(1 AS BIGINT),
+            CAST((SELECT COUNT(*) FROM lineitem) AS VARCHAR),
+            CAST(NULL AS VARCHAR)),
+          ('r2', 'd01_exact_dup_count', true, CAST(1 AS BIGINT),
+            CAST((SELECT COUNT(text) - COUNT(DISTINCT text) FROM
+              (SELECT text FROM documents
+               UNION ALL SELECT text FROM
+                 (SELECT text FROM documents ORDER BY doc_id LIMIT 50)))
+              AS VARCHAR),
+            CAST(NULL AS VARCHAR))
+        ) AS v(id, op, ok, rows, head, error)
+        ORDER BY id""")))
 
   // ------------------------------------------------------------------
   // T-series: trends / history analytics

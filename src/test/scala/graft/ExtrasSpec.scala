@@ -211,6 +211,45 @@ class ConnectionsSpec extends AnyFunSuite {
   }
 }
 
+class BatchRunnerSpec extends AnyFunSuite {
+  import graft.api.BatchRunner
+  import graft.api.BatchRunner.BatchRequest
+
+  private val registry: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map(
+      "nums" -> ((s, _) => s.range(5).toDF("n")),
+      "lit" -> ((s, _) => { import s.implicits._; Seq(("x", 1)).toDF("a", "b") }),
+      "boom" -> ((_, _) => throw new IllegalStateException("kaboom")))
+
+  test("run: per-request isolation — unknown and throwing ops become " +
+      "error entries, the rest build; blank id/op rows skipped") {
+    val out = BatchRunner.run(SharedSpark.spark, "/unused",
+      Seq(BatchRequest("a", "nums"), BatchRequest("b", "nope"),
+        BatchRequest("c", "boom"), BatchRequest("", "nums"),
+        BatchRequest("d", "")),
+      registry)
+    assert(out.map(_.id) == Seq("a", "b", "c")) // blanks skipped, order kept
+    assert(out(0).result.toOption.get.count() == 5)
+    assert(out(1).result == Left("unknown op: nope"))
+    assert(out(2).result.swap.toOption.get.contains("kaboom"))
+  }
+
+  test("summary: concurrent materialization yields (ok, rows, head) per " +
+      "sub-request; failures isolated") {
+    val df = BatchRunner.summary(SharedSpark.spark, "/unused",
+      Seq(BatchRequest("a", "nums"), BatchRequest("b", "lit"),
+        BatchRequest("c", "boom"), BatchRequest("d", "nope")),
+      registry, parallelism = 4)
+    val rows = df.collect().map(r => r.getString(0) ->
+      (r.getBoolean(2), r.getLong(3), Option(r.getString(4)))).toMap
+    assert(rows("a") == ((true, 5L, Some("0"))))
+    assert(rows("b") == ((true, 1L, Some("x"))))
+    assert(rows("c")._1 == false && rows("c")._2 == -1L)
+    assert(rows("d")._1 == false)
+    assert(df.collect().length == 4)
+  }
+}
+
 class StoresSpec extends AnyFunSuite {
   import SharedSpark._
 
