@@ -1990,6 +1990,50 @@ object SparkEntry {
         FROM p WHERE j >= CAST(0.5 AS DOUBLE)
         ORDER BY corpus_id, ref_id""")),
 
+    Q("d08_span_dedup",
+      // exact duplicate-span removal (Lee et al. 2022 substring dedup):
+      // every 9-token window occurring >1 time corpus-wide is removed
+      // except its first (doc_id, pos) occurrence; docs keep uncovered
+      // tokens. Catches boilerplate INSIDE otherwise-unique docs.
+      (s, d) => Dedup.duplicateSpanRemoval(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS w
+          FROM documents),
+        sp AS (
+          SELECT doc_id,
+            unnest(range(1, len(w) - 7)) - 1 AS spos,
+            unnest(list_transform(range(1, len(w) - 7),
+              i -> list_aggregate(w[i:i+8], 'string_agg', ' '))) AS span
+          FROM toks WHERE len(w) >= 9),
+        dup AS (
+          SELECT doc_id, spos FROM (
+            SELECT doc_id, spos,
+              ROW_NUMBER() OVER (PARTITION BY span
+                ORDER BY doc_id, spos) AS rn
+            FROM sp) WHERE rn > 1),
+        cov AS (
+          SELECT DISTINCT doc_id, tpos FROM (
+            SELECT doc_id, unnest(range(spos, spos + 9)) AS tpos FROM dup)),
+        tok AS (
+          SELECT doc_id, unnest(range(1, len(w) + 1)) - 1 AS tpos,
+            unnest(w) AS tok
+          FROM toks),
+        kept AS (
+          SELECT t.doc_id, t.tpos, t.tok FROM tok t
+          ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos),
+        reb AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+            string_agg(tok, ' ' ORDER BY tpos) AS cleaned
+          FROM kept GROUP BY 1)
+        SELECT toks.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+          CAST(len(w) - COALESCE(kept_tokens, 0) AS BIGINT) AS removed_tokens,
+          COALESCE(cleaned, '') AS cleaned_text
+        FROM toks LEFT JOIN reb ON toks.doc_id = reb.doc_id
+        ORDER BY toks.doc_id""")),
+
     Q("d06_ngram_jaccard",
       // exact word-3-gram Jaccard over the whole corpus via the inverted
       // index (posting-list self-join) — never all-pairs; the oracle

@@ -125,6 +125,64 @@ object Dedup {
     docs.agg(
       (count(col(textCol)) - countDistinct(col(textCol))).as("duplicate_count"))
 
+  /** Exact duplicate-SPAN removal (the substring-level dedup of
+   *  "Deduplicating Training Data Makes Language Models Better", Lee et
+   *  al. 2022, re-expressed at span granularity): any `spanLen`-token
+   *  window whose exact text occurs more than once in the corpus is
+   *  removed everywhere except its first occurrence (ordered by
+   *  (id, position)); a document keeps the tokens not covered by any
+   *  removed span. Catches copied boilerplate/quotes INSIDE otherwise
+   *  unique documents, which document-level dedup (exact or near) never
+   *  sees. Tokens are the lowercased whitespace split — the returned
+   *  `cleaned_text` is that normalized stream re-joined.
+   *
+   *  Scale shape: spans shuffle once keyed by md5(span) (16-byte keys,
+   *  never the span text); duplicate occurrences explode to covered
+   *  (id, position) pairs — O(duplicate occurrences × spanLen), linear
+   *  in corpus duplication, not corpus size²; the rebuild is one
+   *  per-document aggregate.
+   *
+   *  Returns (idCol, n_tokens, removed_tokens, cleaned_text), one row
+   *  per input document. */
+  def duplicateSpanRemoval(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      spanLen: Int = 9): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    def toks(df: DataFrame) = df.select(col(idCol),
+      expr(s"filter(split(lower(trim($textCol)), '\\\\s+'), w -> length(w) > 0)")
+        .as("w"))
+    val spans = toks(docs).filter(size(col("w")) >= spanLen)
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, size(w) - $spanLen),
+           |  i -> md5(cast(array_join(slice(w, i + 1, $spanLen), ' ') as binary)))"""
+          .stripMargin)).as(Seq("spos", "span_key")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("span_key").orderBy(col(idCol), col("spos"))
+    val covered = spans
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col(idCol),
+        explode(expr(s"sequence(spos, spos + ${spanLen - 1})")).as("tpos"))
+      .distinct()
+    val tokens = toks(docs)
+      .select(col(idCol), posexplode(col("w")).as(Seq("tpos", "tok")))
+    val rebuilt = tokens
+      .join(covered, Seq(idCol, "tpos"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(tpos, tok))), x -> x.tok)"),
+          " ").as("cleaned"))
+    toks(docs).select(col(idCol), size(col("w")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .cast("long").as("removed_tokens"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+  }
+
   // ---- MinHash-LSH near-dup -------------------------------------------
 
   /** Per-document MinHash signature + banded LSH keys.

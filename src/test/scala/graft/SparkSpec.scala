@@ -287,6 +287,34 @@ class DedupSparkSpec extends AnyFunSuite {
   private lazy val docs =
     spark.read.parquet(s"$sfDir/documents.parquet").cache()
 
+  test("duplicateSpanRemoval: first occurrence kept, later covered " +
+      "tokens dropped; short and unique docs untouched") {
+    import spark.implicits._
+    val phrase = (1 to 9).map(i => s"p$i").mkString(" ") // one exact 9-gram
+    val crafted = Seq(
+      (1L, s"alpha beta $phrase gamma"),       // first occurrence: kept
+      (2L, s"$phrase tail1 tail2"),            // later occurrence: removed
+      (3L, "short doc under span length"),     // < 9 tokens: untouched
+      (4L, (1 to 12).map(i => s"u$i").mkString(" ")) // unique: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpanRemoval(crafted).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((12L, 0L, s"alpha beta $phrase gamma")))
+    assert(out(2L) == ((11L, 9L, "tail1 tail2"))) // phrase scrubbed
+    assert(out(3L) == ((5L, 0L, "short doc under span length")))
+    assert(out(4L)._2 == 0L && out(4L)._1 == 12L)
+    // overlap: a 10-token repeat yields two overlapping dup 9-grams in
+    // the second doc; covered union must not double-remove or miss
+    val ten = (1 to 10).map(i => s"q$i").mkString(" ")
+    val ov = Seq((1L, s"$ten endA"), (2L, s"$ten endB"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanRemoval(ov).orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((0L, s"$ten enda")))
+    assert(got(2L) == ((10L, "endb"))) // all ten covered tokens gone
+  }
+
   test("crossCorpusNearDuplicates: finds cross pairs only, full recall") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
