@@ -619,6 +619,31 @@ class IvfSpec extends AnyFunSuite {
     // probing 6/16 cells scans ~38% of the corpus; recall must beat that
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
+
+  test("save/load round-trip: identical search results, cell-partitioned " +
+      "files, partition pruning on probe") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val built = Similarity.ivfBuild(emb, k = 8)
+    val dir = Files.createTempDirectory("graft_ivf").toString
+    Similarity.ivfSave(built, dir)
+    val loaded = Similarity.ivfLoad(spark, dir)
+    assert(loaded.idCol == built.idCol && loaded.embCol == built.embCol)
+    assert(loaded.centroids.length == built.centroids.length)
+    assert(loaded.centroids.zip(built.centroids)
+      .forall { case (a, b) => a.sameElements(b) })
+    def res(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopK(ix, queries, k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(res(loaded) == res(built))
+    // the assignment table is laid out one directory per cell, so an
+    // nprobe search prunes at the FILE level — the 100 TB win of saving
+    val scan = loaded.assigned.filter(col("__cell") === 0)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("__cell"),
+      s"expected __cell partition pruning in:\n$scan")
+  }
 }
 
 class ApproxModeSpec extends AnyFunSuite {
