@@ -108,7 +108,8 @@ object Bench {
     // CORRECTNESS entry prefixes) and values are centisecond precision;
     // the full-name full-precision record goes to BENCH_LOCAL.json.
     def f2(v: Double): String = {
-      val s = "%.2f".format(v)
+      // Locale.ROOT: a comma-decimal default locale would corrupt the JSON
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
     def shortId(name: String): String = name.indexOf('_') match {

@@ -104,7 +104,10 @@ object Soak {
       }
   }
 
-  private def f2(v: Double): String = "%.2f".format(v)
+  // Locale.ROOT: a comma-decimal default locale would print "1,23" and
+  // corrupt the JSON artifact
+  private def f2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
@@ -129,6 +132,9 @@ object Soak {
 
     // same measurement contract as Bench: noop sink (materializes every
     // column), per-query persistent-RDD sweep, cache clear
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+
     def runOne(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -154,7 +160,9 @@ object Soak {
       (n, base, scaled)
     }
     val qs = rows.map { case (n, b, sc) =>
-      s""""$n":{"base":${f2(b)},"scaled":${f2(sc)},"ratio":${f2(sc / b)}}"""
+      // -1 is the failure sentinel: a ratio over it is nonsense
+      val ratio = if (b > 0 && sc >= 0) f2(sc / b) else "null"
+      s""""$n":{"base":${f2(b)},"scaled":${f2(sc)},"ratio":$ratio}"""
     }.mkString("{", ",", "}")
     val line = s"""{"metric":"soak","mult":$mult,"src":"$src","queries":$qs}"""
     try {

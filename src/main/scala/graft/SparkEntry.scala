@@ -1458,7 +1458,8 @@ object SparkEntry {
         .orderBy("table_name", "day"),
       Some(s"""$duckTriagedAnomalies
         SELECT md5(concat_ws('|', table_name, '', 'daily_events',
-            CAST(CAST(day AS TIMESTAMP) AS VARCHAR), 'zscore')) AS anomaly_id,
+            CAST(CAST(day AS TIMESTAMP) AS VARCHAR), 'zscore',
+            CAST(run_at AS VARCHAR))) AS anomaly_id,
           table_name, strftime(day, '%Y-%m-%d') AS day, metric_value,
           severity, status, resolution_note, resolved_at, resolved_by
         FROM tri ORDER BY table_name, day""")),
@@ -1872,7 +1873,12 @@ object SparkEntry {
         val docs = t(s, d, "documents")
         Dedup.simhashSignatures(docs).write.mode("overwrite")
           .parquet(freshState(s, "d04") + "/signatures")
-        Dedup.nearDuplicatesSimhash(docs).orderBy("id_a", "id_b")
+        // uncapped exact form: the all-pairs replay assumes no chunk
+        // bucket was dropped (the public default caps at 1000, which on
+        // a boilerplate-heavy corpus could shed a true pair whose only
+        // shared chunk is the oversized bucket)
+        Dedup.nearDuplicatesSimhash(docs, maxBucketSize = Int.MaxValue)
+          .orderBy("id_a", "id_b")
       },
       Some("""WITH sig AS (SELECT doc_id, simhash
           FROM read_parquet('/tmp/graft_qstate/d04/signatures/*.parquet')),

@@ -50,7 +50,7 @@ object BatchRunner {
         case Some(fn) =>
           try BatchResponse(r.id, r.op, Right(fn(spark, dir)))
           catch {
-            case e: Throwable =>
+            case scala.util.control.NonFatal(e) =>
               BatchResponse(r.id, r.op,
                 Left(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
           }
@@ -83,14 +83,22 @@ object BatchRunner {
                     Some(err))
                 case BatchResponse(id, op, Right(df)) =>
                   try {
-                    val n = df.count()
-                    val head = df.limit(1).collect().headOption.flatMap(r0 =>
-                      if (r0.length > 0 && !r0.isNullAt(0))
-                        Some(r0.get(0).toString)
-                      else None)
-                    BatchSummaryRow(id, op, ok = true, n, head, None)
+                    // ONE job per sub-request: count + a witness value
+                    // in a single aggregate pass (count-then-limit(1)
+                    // would execute the full sub-plan twice)
+                    val agg = df.columns.headOption match {
+                      case Some(c0) => df.agg(
+                        org.apache.spark.sql.functions.count(
+                          org.apache.spark.sql.functions.lit(1)),
+                        org.apache.spark.sql.functions.first(
+                          df.col(c0), ignoreNulls = false)).head
+                      case None => org.apache.spark.sql.Row(df.count(), null)
+                    }
+                    val head = Option(agg.get(1)).map(_.toString)
+                    BatchSummaryRow(id, op, ok = true, agg.getLong(0), head,
+                      None)
                   } catch {
-                    case e: Throwable =>
+                    case scala.util.control.NonFatal(e) =>
                       BatchSummaryRow(id, op, ok = false, rows = -1L, None,
                         Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
                   }

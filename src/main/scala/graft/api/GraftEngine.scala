@@ -290,41 +290,47 @@ final class GraftEngine(
 
   /** Anomaly triage surface (api.py:275-332): update one anomaly's
    *  status; 'resolved' stamps resolved_at/by. Publishes the matching
-   *  acknowledged/resolved event like the reference. */
+   *  triage event like the reference — but only when the id actually
+   *  matched a row (the reference 404s on an unknown id; recording a
+   *  triage event for an update that never happened would corrupt the
+   *  feed). Returns whether the anomaly existed. */
   def updateAnomalyStatus(
       anomalyId: String,
       status: String,
       now: Timestamp,
       resolutionNote: Option[String] = None,
-      userId: Option[String] = None): Unit = {
-    anomalies.updateStatus(anomalyId, status, now, resolutionNote, userId)
-    val eventName =
-      if (status == "resolved") "anomaly_resolved" else "anomaly_acknowledged"
-    notifier.publish(GraftEvent("anomaly", eventName, connectionId, None,
-      Map("anomaly_id" -> anomalyId, "status" -> status) ++
-        userId.map("user_id" -> _), now))
+      userId: Option[String] = None): Boolean = {
+    val matched =
+      anomalies.updateStatus(anomalyId, status, now, resolutionNote, userId)
+    if (matched > 0L) {
+      val eventName = status match {
+        case "resolved" => "anomaly_resolved"
+        case "expected" => "anomaly_marked_expected"
+        case "open"     => "anomaly_reopened"
+        case _          => "anomaly_acknowledged"
+      }
+      notifier.publish(GraftEvent("anomaly", eventName, connectionId, None,
+        Map("anomaly_id" -> anomalyId, "status" -> status) ++
+          userId.map("user_id" -> _), now))
+    }
+    matched > 0L
   }
 
   /** get_dashboard_data (api.py:508-567): summary + recent open
    *  anomalies + densified daily trends + active-config count, one call. */
   def anomalyDashboard(
       now: Timestamp,
-      days: Int = 30): GraftEngine.AnomalyDashboard = {
-    val hasStore = anomalies.exists
-    def emptyList = {
-      import spark.implicits._
-      Seq.empty[(String, String)].toDF("anomaly_id", "severity").limit(0)
-    }
+      days: Int = 30): GraftEngine.AnomalyDashboard =
+    // fresh installs need no special-casing: an unwritten store reads
+    // as a schema-correct empty frame, so summary is one all-zero row,
+    // trends a zero-filled spine, and the listing empty — identical
+    // schemas either way
     GraftEngine.AnomalyDashboard(
-      summary = if (hasStore) anomalies.summary(now, days)
-        else spark.range(0).selectExpr("0L AS total_anomalies"),
-      recentAnomalies = if (hasStore)
-        anomalies.list(status = Some("open"), days = Some(days),
-          now = Some(now), limit = Some(10)) else emptyList,
-      trends = if (hasStore) anomalies.trends(now, days)
-        else spark.range(0).selectExpr("'' AS date", "0L AS total"),
+      summary = anomalies.summary(now, days),
+      recentAnomalies = anomalies.list(status = Some("open"),
+        days = Some(days), now = Some(now), limit = Some(10)),
+      trends = anomalies.trends(now, days),
       activeConfigs = anomalyConfigs.activeConfigs().size)
-  }
 
   /** Comprehensive collection (reference: collector.py:323-345): profile
    *  every table up to the tier's table cap, statting only the first

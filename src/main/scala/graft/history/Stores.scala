@@ -137,9 +137,12 @@ final class ChangesStore(spark: SparkSession, path: String) {
  *  carries `status` ∈ {open, acknowledged, resolved, expected} plus
  *  resolution_note / resolved_at / resolved_by, updated in place via the
  *  crash-safe store rewrite. `anomaly_id` is a deterministic md5 of the
- *  row's metric identity + timestamp + method — the library analog of
- *  the reference's DB-generated UUID, stable across re-reads so callers
- *  can address one anomaly without holding a handle to the row. */
+ *  row's metric identity + timestamp + method + scan run_at — the
+ *  library analog of the reference's DB-generated UUID (one id per
+ *  INSERTED detection, so a re-detection of the same spike in a later
+ *  scan is its own addressable row and triaging one never rewrites the
+ *  other), but stable across re-reads so callers can address a row
+ *  without holding a handle to it. */
 final class AnomaliesStore(spark: SparkSession, path: String) {
 
   import AnomaliesStore.ValidStatuses
@@ -154,7 +157,8 @@ final class AnomaliesStore(spark: SparkSession, path: String) {
       .withColumn("date", to_date(col("run_at")))
       .withColumn("anomaly_id", md5(concat_ws("|",
         col("table_name"), coalesce(col("column_name"), lit("")),
-        col("metric_name"), col("ts").cast("string"), col("method"))))
+        col("metric_name"), col("ts").cast("string"), col("method"),
+        col("run_at").cast("string"))))
       .withColumn("status", lit("open"))
       .withColumn("resolution_note", lit(null).cast("string"))
       .withColumn("resolved_at", lit(null).cast("timestamp"))
@@ -173,7 +177,8 @@ final class AnomaliesStore(spark: SparkSession, path: String) {
     if (!present("anomaly_id"))
       df = df.withColumn("anomaly_id", md5(concat_ws("|",
         col("table_name"), coalesce(col("column_name"), lit("")),
-        col("metric_name"), col("ts").cast("string"), col("method"))))
+        col("metric_name"), col("ts").cast("string"), col("method"),
+        col("run_at").cast("string"))))
     if (!present("resolution_note"))
       df = df.withColumn("resolution_note", lit(null).cast("string"))
     if (!present("resolved_at"))
@@ -183,7 +188,25 @@ final class AnomaliesStore(spark: SparkSession, path: String) {
     df
   }
 
-  private def read(): DataFrame = withLifecycleDefaults(spark.read.parquet(path))
+  /** Fresh-install contract: a store that was never written reads as a
+   *  schema-correct EMPTY frame (the standard every other store here
+   *  follows), so summary() yields one all-zero row, trends() a
+   *  zero-filled spine, and list() an empty listing — no caller-side
+   *  placeholder frames with divergent schemas. Column order matches
+   *  the parquet read-back of a written store (partition col `date`
+   *  last). */
+  private def read(): DataFrame =
+    if (!exists)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          """table_name STRING, column_name STRING, metric_name STRING,
+            |ts TIMESTAMP, metric_value DOUBLE, score DOUBLE,
+            |is_anomaly BOOLEAN, threshold DOUBLE, severity STRING,
+            |method STRING, run_at TIMESTAMP, anomaly_id STRING,
+            |status STRING, resolution_note STRING, resolved_at TIMESTAMP,
+            |resolved_by STRING, date DATE""".stripMargin))
+    else withLifecycleDefaults(spark.read.parquet(path))
 
   /** Filtered listing, newest first (get_anomalies, api.py:209-249:
    *  optional table/status filters, days lookback, limit). */
@@ -195,6 +218,9 @@ final class AnomaliesStore(spark: SparkSession, path: String) {
       now: Option[java.sql.Timestamp] = None,
       anomaliesOnly: Boolean = true,
       limit: Option[Int] = None): DataFrame = {
+    require(days.isEmpty || now.isDefined,
+      "list(days=...) needs now=... — a lookback without a reference " +
+        "time would silently scan the whole history")
     var df = read()
     tableName.foreach(t => df = df.filter(col("table_name") === t))
     metricName.foreach(m => df = df.filter(col("metric_name") === m))
@@ -214,22 +240,27 @@ final class AnomaliesStore(spark: SparkSession, path: String) {
       status: String,
       now: java.sql.Timestamp,
       resolutionNote: Option[String] = None,
-      userId: Option[String] = None): Unit =
+      userId: Option[String] = None): Long =
     updateStatusWhere(col("anomaly_id") === anomalyId, status, now,
       resolutionNote, userId)
 
   /** Bulk form of updateStatus — one store rewrite updates every row
    *  matching `cond` (the triage-a-whole-series gesture; the reference
    *  loops its single-id endpoint, which at Spark scale would be N full
-   *  rewrites instead of one). */
+   *  rewrites instead of one). Returns the number of rows matched —
+   *  0 means the id/filter hit nothing (the reference 404s there) and
+   *  the store was left untouched. */
   def updateStatusWhere(
       cond: org.apache.spark.sql.Column,
       status: String,
       now: java.sql.Timestamp,
       resolutionNote: Option[String] = None,
-      userId: Option[String] = None): Unit = {
+      userId: Option[String] = None): Long = {
     require(ValidStatuses(status),
       s"Invalid status: $status. Must be one of ${ValidStatuses.mkString(", ")}")
+    val matched =
+      if (!exists) 0L else read().filter(cond).count()
+    if (matched == 0L) return 0L
     val noteLit = resolutionNote.map(lit(_)).getOrElse(lit(null).cast("string"))
     val userLit = userId.map(lit(_)).getOrElse(lit(null).cast("string"))
     StoreIO.rewriteLocked(spark, path, Seq("date")) { raw =>
@@ -245,6 +276,7 @@ final class AnomaliesStore(spark: SparkSession, path: String) {
             .otherwise(col("resolved_by")))
         .withColumn("status", when(cond, status).otherwise(col("status")))
     }
+    matched
   }
 
   /** get_summary (api.py:356-506): one row of counts over the lookback —

@@ -158,11 +158,20 @@ object Dedup {
         s"""transform(sequence(0, size(w) - $spanLen),
            |  i -> md5(cast(array_join(slice(w, i + 1, $spanLen), ' ') as binary)))"""
           .stripMargin)).as(Seq("spos", "span_key")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("span_key").orderBy(col(idCol), col("spos"))
-    val covered = spans
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 1)
+    // canonical pick is an AGGREGATE (min struct + count, map-side
+    // combined), not a row_number window: a boilerplate span occurring
+    // 1M times folds to one (first, occ) row per partition before the
+    // shuffle, and the join back is AQE-skew-splittable — a window
+    // partition with 1M rows would sort in a single task and can't be
+    // split
+    val firsts = spans.groupBy("span_key")
+      .agg(min(struct(col(idCol), col("spos"))).as("first"),
+        count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select(col("span_key"), col(s"first.$idCol").as("__fid"),
+        col("first.spos").as("__fpos"))
+    val covered = spans.join(firsts, "span_key")
+      .filter(!(col(idCol) === col("__fid") && col("spos") === col("__fpos")))
       .select(col(idCol),
         explode(expr(s"sequence(spos, spos + ${spanLen - 1})")).as("tpos"))
       .distinct()

@@ -243,6 +243,25 @@ class PersistenceSpec extends AnyFunSuite {
     assert(engine.anomalies.list(status = Some("expected")).count() == stored)
   }
 
+  test("anomalies store: unknown-id update is a true no-op (0 matched, " +
+      "no rewrite) and a fresh dashboard reads schema-correct empties") {
+    val engine = new GraftEngine(spark, sfDir, tmp("graft_engine_dash"))
+    // unknown id: no event published, caller told nothing matched
+    assert(!engine.updateAnomalyStatus("no-such-id", "resolved",
+      ts("2026-01-01 00:00:00")))
+    assert(engine.events.feed(eventType = Some("anomaly")).count() == 0)
+    // fresh install: same schemas as a populated store would serve
+    val dash = engine.anomalyDashboard(ts("2026-01-01 00:00:00"))
+    val sum = dash.summary.collect()
+    assert(sum.length == 1 && sum.head.getAs[Long]("total_anomalies") == 0)
+    assert(dash.summary.columns.toSet.contains("detected_today"))
+    assert(dash.trends.columns.toSeq ==
+      Seq("date", "total", "high", "medium", "low"))
+    assert(dash.trends.count() == 31) // zero-filled 30-day spine
+    assert(dash.recentAnomalies.columns.contains("resolution_note"))
+    assert(dash.recentAnomalies.count() == 0)
+  }
+
   test("engine: batch scan on a fresh install returns an empty frame") {
     val engine = new GraftEngine(spark, sfDir, tmp("graft_engine_empty"))
     // no metrics, no configs — schema-correct empty result, no throw
