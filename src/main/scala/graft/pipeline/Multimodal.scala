@@ -219,6 +219,77 @@ object Multimodal {
     udf((b: Array[Byte]) =>
       if (b == null) None else audioMetaBytes(b)).apply(bin)
 
+  /** MP4/ISO-BMFF video metadata from the spec-fixed box layout — REAL
+   *  byte parsing like [[audioMetaBytes]] (boxes are [size:be32][4cc]
+   *  [payload]; no codec needed): walk the top level for `moov`, read
+   *  `mvhd` (timescale + duration → duration ms; version 0 and 1
+   *  layouts) and the first `trak`/`tkhd` with nonzero 16.16-fixed
+   *  width/height (the video track — audio tracks carry 0×0). Returns
+   *  (durationMs, width, height); None for non-MP4 / truncated bytes.
+   *  Frame PIXELS still need a codec and stay stubbed — this closes the
+   *  metadata half for video the way RIFF parsing did for audio. */
+  private[graft] def videoMetaBytes(b: Array[Byte]): Option[(Long, Int, Int)] = {
+    def be16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def be32(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int): String =
+      new String(b.slice(i, i + 4), java.nio.charset.StandardCharsets.US_ASCII)
+    if (sniffFormatBytes(b) != "mp4") return None
+    // iterate boxes in [from, to); size==1 → 64-bit largesize follows,
+    // size==0 → box runs to the end of the enclosing range
+    def children(lo: Long, hi: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var i = lo
+        def hasNext: Boolean = i + 8 <= hi
+        def next(): (String, Long, Long) = {
+          val ii = i.toInt
+          val size0 = be32(ii)
+          val t = tag(ii + 4)
+          val (payload, size) =
+            if (size0 == 1L && i + 16 <= hi) (i + 16, be64(ii + 8))
+            else if (size0 == 0L) (i + 8, hi - i)
+            else (i + 8, size0)
+          val end = if (size < 8) hi else math.min(i + size, hi) // malformed: stop
+          i = if (size < 8) hi else i + math.max(size, 8L)
+          (t, payload, end)
+        }
+      }
+    var durationMs = -1L; var width = 0; var height = 0
+    for ((t, p, e) <- children(0L, b.length.toLong) if t == "moov")
+      for ((ct, cp, ce) <- children(p, e)) ct match {
+        case "mvhd" if cp + 4 <= ce =>
+          val version = b(cp.toInt) & 0xff
+          if (version == 1 && cp + 32 <= ce) {
+            val timescale = be32((cp + 20).toInt)
+            if (timescale > 0) durationMs = be64((cp + 24).toInt) * 1000L / timescale
+          } else if (version == 0 && cp + 20 <= ce) {
+            val timescale = be32((cp + 12).toInt)
+            if (timescale > 0) durationMs = be32((cp + 16).toInt) * 1000L / timescale
+          }
+        case "trak" if width == 0 =>
+          for ((tt, tp, te) <- children(cp, ce) if tt == "tkhd") {
+            val version = b(tp.toInt) & 0xff
+            val (wOff, hOff) = if (version == 1) (88L, 92L) else (76L, 80L)
+            if (tp + hOff + 4 <= te) {
+              val w = be16((tp + wOff).toInt)  // integer part of 16.16
+              val h = be16((tp + hOff).toInt)
+              if (w > 0 && h > 0) { width = w; height = h }
+            }
+          }
+        case _ => ()
+      }
+    if (durationMs < 0 && width == 0) None
+    else Some((math.max(durationMs, 0L), width, height))
+  }
+
+  /** `struct(duration_ms, width, height)` column parsed from MP4 box
+   *  headers (null for non-video bytes). */
+  def videoMetadata(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((b: Array[Byte]) =>
+      if (b == null) None else videoMetaBytes(b)).apply(bin)
+
   /** `format` column from a binary column's magic bytes. */
   def sniffFormat(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     udf((b: Array[Byte]) => if (b == null) null else sniffFormatBytes(b)).apply(bin)

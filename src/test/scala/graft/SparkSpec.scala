@@ -1084,6 +1084,36 @@ class MultimodalSparkSpec extends AnyFunSuite {
     assert(out(3L) == Some((1, 8000, 8, -1L)))
   }
 
+  test("videoMetadata parses mvhd duration and tkhd dims from real MP4 " +
+      "box layout; junk and truncation stay null") {
+    import spark.implicits._
+    def be16(v: Int) = Array((v >>> 8).toByte, v.toByte)
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def box(tag: String, payload: Array[Byte]): Array[Byte] =
+      be32(8 + payload.length) ++ tag.getBytes ++ payload
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+    // mvhd v0: version+flags, ctime, mtime, timescale=1000, duration=5000
+    val mvhd = box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(5000) ++ Array.fill(80)(0.toByte))
+    // tkhd v0: 76 bytes of fixed fields, then 16.16-fixed width/height
+    val tkhd = box("tkhd",
+      Array.fill(76)(0.toByte) ++ be16(320) ++ be16(0) ++ be16(240) ++ be16(0))
+    // an audio track first (0x0 dims) — the walker must skip it
+    val tkhdAudio = box("tkhd", Array.fill(84)(0.toByte))
+    val moov = box("moov", mvhd ++ box("trak", tkhdAudio) ++ box("trak", tkhd))
+    val mp4 = ftyp ++ moov
+    val junk = Array.fill(32)(0x42.toByte)
+    val truncated = mp4.take(20) // moov cut off mid-box
+    val out = Seq((1L, mp4), (2L, junk), (3L, truncated)).toDF("id", "blob")
+      .select(col("id"), Multimodal.videoMetadata(col("blob")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getLong(0), s.getInt(1), s.getInt(2)))).toMap
+    assert(out(1L) == Some((5000L, 320, 240)))
+    assert(out(2L).isEmpty)
+    assert(out(3L).isEmpty)
+  }
+
   /** Encode a BufferedImage with known pixels to real bytes. */
   private def encode(fmt: String, pixels: Array[Array[Int]]): Array[Byte] = {
     val h = pixels.length; val w = pixels(0).length
