@@ -1,0 +1,115 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Sampling}
+
+/** Property-based invariants over randomized corpora (scalacheck Gen,
+ *  fixed seeds for reproducibility; small sizes — each case runs real
+ *  Spark jobs). These pin ALGEBRAIC contracts the example-based specs
+ *  can't: they must hold for EVERY input, not just the crafted ones. */
+class PropertySpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val genIds: Gen[List[Long]] =
+    Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 1000L))).map(_.distinct)
+
+  private val genDocs: Gen[List[(Long, String)]] =
+    Gen.chooseNum(2, 12).flatMap { n =>
+      Gen.listOfN(n, Gen.chooseNum(3, 30).flatMap(len =>
+        Gen.listOfN(len, Gen.chooseNum(0, 200).map(i => s"w$i"))
+          .map(_.mkString(" "))))
+    }.map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("hashSplit: partition of the corpus — complete, disjoint, " +
+      "deterministic, for arbitrary id sets") {
+    for (seed <- 1L to 5L) {
+      val ids = sample(genIds, seed)
+      val df = ids.toDF("doc_id")
+      val once = Sampling.hashSplit(df, "doc_id")
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(once.keySet == ids.toSet, s"seed=$seed: rows lost or invented")
+      assert(once.values.toSet.subsetOf(Set("train", "val", "test")))
+      val again = Sampling.hashSplit(df, "doc_id")
+        .select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(again == once, s"seed=$seed: split not deterministic")
+    }
+  }
+
+  test("exactDuplicateCount == total - distinct, for arbitrary corpora " +
+      "with planted duplicates") {
+    for (seed <- 1L to 5L) {
+      val docs = sample(genDocs, seed)
+      // plant duplicates: repeat a random subset of texts
+      val dups = docs.filter(_._1 % 3 == 0)
+        .map { case (id, t) => (id + 10000L, t) }
+      val all = docs ++ dups
+      val expected = all.size.toLong - all.map(_._2).distinct.size
+      val got = Dedup.exactDuplicateCount(all.toDF("doc_id", "text"))
+        .head.getLong(0)
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("duplicateSpanRemoval: removes nothing when every doc's tokens " +
+      "are globally unique; scrubs a whole-doc copy completely") {
+    for (seed <- 1L to 3L) {
+      val n = 3 + (seed % 3).toInt
+      // doc i uses tokens u{i}_{j}: no 9-gram can repeat anywhere
+      val uniq = (0 until n).map(i =>
+        (i.toLong, (0 until 15).map(j => s"u${i}_$j").mkString(" ")))
+      val clean = Dedup.duplicateSpanRemoval(uniq.toDF("doc_id", "text"))
+        .collect()
+      assert(clean.forall(_.getAs[Long]("removed_tokens") == 0L),
+        s"seed=$seed: unique corpus lost tokens")
+      // now copy doc 0 under the highest id: the copy's every token sits
+      // in some duplicated 9-gram, so it is scrubbed to empty and the
+      // original (first occurrence) keeps everything
+      val withCopy = uniq :+ ((n + 100).toLong, uniq.head._2)
+      val out = Dedup.duplicateSpanRemoval(withCopy.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+      assert(out(0L)._2 == 0L, s"seed=$seed: original lost tokens")
+      val (nTok, removed, cleaned) = out((n + 100).toLong)
+      assert(removed == nTok && cleaned.isEmpty,
+        s"seed=$seed: copy not fully scrubbed")
+    }
+  }
+
+  test("leakSafeSplit: no duplicate cluster ever straddles splits, for " +
+      "arbitrary pair graphs") {
+    for (seed <- 1L to 3L) {
+      val ids = sample(genIds, seed * 7 + 1).take(40)
+      if (ids.size >= 4) {
+        val docs = ids.toDF("doc_id")
+        // random chain pairs over the id list (consecutive sampled ids)
+        val sorted = ids.sorted
+        val pairs = sorted.zip(sorted.drop(1)).zipWithIndex
+          .collect { case ((a, b), i) if i % 2 == 0 => (a, b) }
+        if (pairs.nonEmpty) {
+          val clusters = Dedup.duplicateClusters(
+            pairs.toDF("id_a", "id_b"))
+          val split = Sampling.leakSafeSplit(docs, clusters)
+          val byCluster = split
+            .join(clusters, Seq("doc_id"), "left")
+            .select(
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.col("cluster_id"),
+                org.apache.spark.sql.functions.col("doc_id")).as("c"),
+              org.apache.spark.sql.functions.col("split"))
+            .distinct().groupBy("c").count().filter("count > 1").count()
+          assert(byCluster == 0L, s"seed=$seed: a cluster straddles splits")
+        }
+      }
+    }
+  }
+}
