@@ -3028,12 +3028,31 @@ object SparkEntry {
       Some(duckGopherFilterSql)),
 
     Q("x04_fingerprint",
-      // winnowing fingerprint per document; hash family not SQL-portable
-      // (rows-only check here; set semantics pinned in FingerprintSpec)
-      (s, d) => TextAnalysis.fingerprint(t(s, d, "documents"))
-        .select("doc_id", "fingerprint")
-        .orderBy("doc_id"),
-      None))
+      // hash-replay oracle: the Karp–Rabin family is not SQL-portable,
+      // but the winnowing SELECTION is — Spark persists the
+      // per-position hash stream and DuckDB replays the non-overlapping
+      // 16-wide window minima + xor fold (short docs: one min over all,
+      // the same contract winnowedMins applies)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextAnalysis.fingerprintHashes(docs).write.mode("overwrite")
+          .parquet(freshState(s, "x04") + "/hashes")
+        TextAnalysis.fingerprint(docs)
+          .select("doc_id", "fingerprint")
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id, pos, hash
+          FROM read_parquet('/tmp/graft_qstate/x04/hashes/*.parquet')),
+        n AS (SELECT doc_id, COUNT(*) AS len FROM h GROUP BY 1),
+        mins AS (
+          SELECT h.doc_id,
+            CASE WHEN n.len < 16 THEN 0 ELSE pos // 16 END AS w,
+            MIN(hash) AS m
+          FROM h JOIN n ON h.doc_id = n.doc_id
+          WHERE n.len < 16 OR (pos // 16) * 16 <= n.len - 16
+          GROUP BY 1, 2)
+        SELECT doc_id, CAST(bit_xor(m) AS BIGINT) AS fingerprint
+        FROM mins GROUP BY doc_id ORDER BY doc_id""")))
 
   /** DuckDB mirror of Drift.correlations — same decimal moments, same
    *  final double formula, so results match bit-for-bit. */

@@ -102,12 +102,13 @@ object TextAnalysis {
     when(cjk > 0, "zh").otherwise(pick)
   }
 
-  /** Winnowed Karp–Rabin window minima of a text: the classic winnowing
-   *  fingerprint set (one min hash per non-overlapping window of w-gram
-   *  hashes). A small local edit perturbs only the windows it touches —
-   *  the rest of the set is unchanged. */
-  private[graft] def winnowedMins(
-      text: String, gram: Int, window: Int): Array[Long] = {
+  /** Per-position Karp–Rabin w-gram hashes — the raw stream winnowing
+   *  selects minima from. A text shorter than `gram` contributes its
+   *  single fnv64 (same contract [[winnowedMins]] always had). Exposed
+   *  so the x04 oracle can persist the hash-family output and have
+   *  DuckDB replay the SQL-expressible selection (window minima + xor
+   *  fold) over it. */
+  private[graft] def krHashes(text: String, gram: Int): Array[Long] = {
     val t = text.toLowerCase.replaceAll("\\s+", " ")
     if (t.length < gram) Array(Dedup.fnv64(t))
     else {
@@ -123,19 +124,41 @@ object TextAnalysis {
         if (i >= gram - 1) hashes(i - gram + 1) = h
         i += 1
       }
-      if (hashes.length < window) Array(hashes.min)
-      else {
-        val mins = Array.newBuilder[Long]
-        var w0 = 0
-        while (w0 <= hashes.length - window) {
-          var m = Long.MaxValue
-          var j = w0
-          while (j < w0 + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
-          mins += m
-          w0 += window
-        }
-        mins.result()
+      hashes
+    }
+  }
+
+  /** (id, pos, hash) frame of [[krHashes]] per document — the persisted
+   *  fixture the x04 replay oracle verifies against. */
+  def fingerprintHashes(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gram: Int = 8): DataFrame = {
+    val hUdf = udf { text: String => krHashes(text, gram) }
+    docs.select(col(idCol),
+      posexplode(hUdf(col(textCol))).as(Seq("pos", "hash")))
+  }
+
+  /** Winnowed Karp–Rabin window minima of a text: the classic winnowing
+   *  fingerprint set (one min hash per non-overlapping window of w-gram
+   *  hashes). A small local edit perturbs only the windows it touches —
+   *  the rest of the set is unchanged. */
+  private[graft] def winnowedMins(
+      text: String, gram: Int, window: Int): Array[Long] = {
+    val hashes = krHashes(text, gram)
+    if (hashes.length < window) Array(hashes.min)
+    else {
+      val mins = Array.newBuilder[Long]
+      var w0 = 0
+      while (w0 <= hashes.length - window) {
+        var m = Long.MaxValue
+        var j = w0
+        while (j < w0 + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        mins += m
+        w0 += window
       }
+      mins.result()
     }
   }
 
