@@ -315,6 +315,17 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(got(2L) == ((10L, "endb"))) // all ten covered tokens gone
   }
 
+  test("duplicateSpanRemoval plan: hash-keyed joins only — no cartesian " +
+      "product, no nested-loop join, no window sort over span keys") {
+    val plan = Dedup.duplicateSpanRemoval(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // the canonical pick must stay an aggregate (AQE-splittable join
+    // back), not a Window whose hot span partition can't be split
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("crossCorpusNearDuplicates: finds cross pairs only, full recall") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
