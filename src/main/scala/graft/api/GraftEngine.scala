@@ -332,6 +332,38 @@ final class GraftEngine(
       trends = anomalies.trends(now, days),
       activeConfigs = anomalyConfigs.activeConfigs().size)
 
+  /** The read routes a dashboard page batches in one call (reference:
+   *  the frontend fans per-widget GETs through /api/batch,
+   *  app.py:5853). Route names mirror the REST paths; every route is a
+   *  read — side-effecting ops (profile runs, scans) stay single
+   *  explicit calls. */
+  def batchRoutes(
+      now: Timestamp,
+      days: Int = 30): Map[String, (SparkSession, String) => DataFrame] = {
+    val tables = catalog.listTables()
+    val perTable = tables.flatMap { t =>
+      Seq[(String, (SparkSession, String) => DataFrame)](
+        s"profiles/$t" -> ((_, _) => profiles.history(t)),
+        s"validations/$t" -> ((_, _) => validations.results(t)),
+        s"trends/$t" -> ((_, _) => metricTrends(t)),
+        s"anomalies/$t" -> ((_, _) => anomalies.list(tableName = Some(t),
+          days = Some(days), now = Some(now))))
+    }.toMap
+    perTable ++ Map[String, (SparkSession, String) => DataFrame](
+      "anomalies/summary" -> ((_, _) => anomalies.summary(now, days)),
+      "anomalies/trends" -> ((_, _) => anomalies.trends(now, days)),
+      "changes" -> ((_, _) => changes.list()),
+      "events" -> ((_, _) => events.feed()))
+  }
+
+  /** One call, many widgets: resolve `requests` against [[batchRoutes]]
+   *  in the shared session with per-request isolation. */
+  def batch(
+      requests: Seq[BatchRunner.BatchRequest],
+      now: Timestamp,
+      days: Int = 30): Seq[BatchRunner.BatchResponse] =
+    BatchRunner.run(spark, dataDir, requests, batchRoutes(now, days))
+
   /** Comprehensive collection (reference: collector.py:323-345): profile
    *  every table up to the tier's table cap, statting only the first
    *  `maxColumns` columns per table at lower depths ("low" = 5 cols,

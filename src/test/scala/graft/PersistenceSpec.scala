@@ -262,6 +262,23 @@ class PersistenceSpec extends AnyFunSuite {
     assert(dash.recentAnomalies.count() == 0)
   }
 
+  test("engine batch: dashboard fan-out over read routes, per-request " +
+      "isolation for unknown paths") {
+    import graft.api.BatchRunner
+    val engine = new GraftEngine(spark, sfDir, tmp("graft_engine_batch"))
+    engine.profileTable("region", ts("2026-01-01 00:00:00"))
+    val out = engine.batch(Seq(
+      BatchRunner.BatchRequest("p", "profiles/region"),
+      BatchRunner.BatchRequest("s", "anomalies/summary"),
+      BatchRunner.BatchRequest("bad", "nope/404")),
+      ts("2026-01-02 00:00:00"))
+    val byId = out.map(r => r.id -> r.result).toMap
+    assert(byId("p").toOption.get.count() == 1) // the one profile run
+    assert(byId("s").toOption.get.collect()
+      .head.getAs[Long]("total_anomalies") == 0L)
+    assert(byId("bad") == Left("unknown op: nope/404"))
+  }
+
   test("engine: batch scan on a fresh install returns an empty frame") {
     val engine = new GraftEngine(spark, sfDir, tmp("graft_engine_empty"))
     // no metrics, no configs — schema-correct empty result, no throw
