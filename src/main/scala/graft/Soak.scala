@@ -94,7 +94,21 @@ object Soak {
       .repartition(32)
       .write.parquet(s"$out/lineitem.parquet")
 
-    val scaled = Set("documents", "embeddings", "lineitem")
+    // events: each replica is a fresh user cohort with identical
+    // behavior — per-user session/funnel structure repeats, total users
+    // scale linearly (ts reads as long under nanosAsLong and is written
+    // back as long; SparkEntry.eventsTable converts either way)
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evSpans = ev.agg(max("event_id"), max("user_id")).head
+    val (evSpan, userSpan) = (evSpans.getLong(0) + 1, evSpans.getLong(1) + 1)
+    ev.crossJoin(broadcast(reps))
+      .withColumn("event_id", col("event_id") + col("__rep") * evSpan)
+      .withColumn("user_id", col("user_id") + col("__rep") * userSpan)
+      .drop("__rep")
+      .repartition(32)
+      .write.parquet(s"$out/events.parquet")
+
+    val scaled = Set("documents", "embeddings", "lineitem", "events")
     fs.listStatus(new org.apache.hadoop.fs.Path(src))
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .map(_.stripSuffix(".parquet")).filterNot(scaled)
