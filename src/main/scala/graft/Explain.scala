@@ -25,8 +25,10 @@ object Explain {
         "x29_chunk_windows", "x30_event_rollup", "x31_bigram_logprob",
         "j03_interval_join", "p33_percentile_rank", "a11_ewma",
         "x32_oov_rate", "x33_group_profile", "x34_fd_check", "p34_entropy",
-        "d08_span_dedup", "b01_batch_multiplex", "a13_anomaly_summary",
-        "t11_anomaly_dashboard")
+        // b01 deliberately absent: its summary frame is pre-computed
+        // driver-side, so the printed plan would be a LocalTableScan —
+        // nothing to audit
+        "d08_span_dedup", "a13_anomaly_summary", "t11_anomaly_dashboard")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -346,8 +346,11 @@ final class GraftEngine(
         s"profiles/$t" -> ((_, _) => profiles.history(t)),
         s"validations/$t" -> ((_, _) => validations.results(t)),
         s"trends/$t" -> ((_, _) => metricTrends(t)),
-        s"anomalies/$t" -> ((_, _) => anomalies.list(tableName = Some(t),
-          days = Some(days), now = Some(now))))
+        // table routes live under their own segment so a table named
+        // "summary"/"trends" can never shadow (or be shadowed by) the
+        // global aggregate routes below
+        s"anomalies/table/$t" -> ((_, _) => anomalies.list(
+          tableName = Some(t), days = Some(days), now = Some(now))))
     }.toMap
     perTable ++ Map[String, (SparkSession, String) => DataFrame](
       "anomalies/summary" -> ((_, _) => anomalies.summary(now, days)),

@@ -269,7 +269,10 @@ object Multimodal {
             if (timescale > 0) durationMs = be32((cp + 16).toInt) * 1000L / timescale
           }
         case "trak" if width == 0 =>
-          for ((tt, tp, te) <- children(cp, ce) if tt == "tkhd") {
+          // header-only tkhd (size 8): payload start == box end — guard
+          // BEFORE the version read or corrupt bytes kill the task
+          for ((tt, tp, te) <- children(cp, ce)
+               if tt == "tkhd" && tp + 4 <= te) {
             val version = b(tp.toInt) & 0xff
             val (wOff, hOff) = if (version == 1) (88L, 92L) else (76L, 80L)
             if (tp + hOff + 4 <= te) {
@@ -280,12 +283,16 @@ object Multimodal {
           }
         case _ => ()
       }
+    // -1 = dims parsed but duration unknown (missing/truncated mvhd) —
+    // the same unknown sentinel audioMetaBytes uses; never conflate
+    // with a genuinely zero-length video
     if (durationMs < 0 && width == 0) None
-    else Some((math.max(durationMs, 0L), width, height))
+    else Some((durationMs, width, height))
   }
 
   /** `struct(duration_ms, width, height)` column parsed from MP4 box
-   *  headers (null for non-video bytes). */
+   *  headers (null for non-video bytes; duration_ms = -1 when the
+   *  track dims parsed but mvhd didn't). */
   def videoMetadata(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     udf((b: Array[Byte]) =>
       if (b == null) None else videoMetaBytes(b)).apply(bin)

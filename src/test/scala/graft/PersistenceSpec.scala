@@ -270,12 +270,14 @@ class PersistenceSpec extends AnyFunSuite {
     val out = engine.batch(Seq(
       BatchRunner.BatchRequest("p", "profiles/region"),
       BatchRunner.BatchRequest("s", "anomalies/summary"),
+      BatchRunner.BatchRequest("a", "anomalies/table/region"),
       BatchRunner.BatchRequest("bad", "nope/404")),
       ts("2026-01-02 00:00:00"))
     val byId = out.map(r => r.id -> r.result).toMap
     assert(byId("p").toOption.get.count() == 1) // the one profile run
     assert(byId("s").toOption.get.collect()
       .head.getAs[Long]("total_anomalies") == 0L)
+    assert(byId("a").toOption.get.count() == 0) // listing, not summary
     assert(byId("bad") == Left("unknown op: nope/404"))
   }
 

@@ -1123,6 +1123,17 @@ class MultimodalSparkSpec extends AnyFunSuite {
     assert(out(1L) == Some((5000L, 320, 240)))
     assert(out(2L).isEmpty)
     assert(out(3L).isEmpty)
+    // header-only tkhd (size 8, no payload) at the very end of the
+    // bytes must not read past the array; dims without mvhd report the
+    // unknown-duration sentinel, not a fake 0
+    val emptyTkhd = ftyp ++ box("moov", box("trak", box("tkhd", Array[Byte]())))
+    val noMvhd = ftyp ++ box("moov", box("trak", tkhd))
+    val out2 = Seq((1L, emptyTkhd), (2L, noMvhd)).toDF("id", "blob")
+      .select(col("id"), Multimodal.videoMetadata(col("blob")).as("m"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1)).map(s =>
+        (s.getLong(0), s.getInt(1), s.getInt(2)))).toMap
+    assert(out2(1L).isEmpty)             // nothing parsed, no crash
+    assert(out2(2L) == Some((-1L, 320, 240)))
   }
 
   /** Encode a BufferedImage with known pixels to real bytes. */
