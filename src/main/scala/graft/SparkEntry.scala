@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.anomalies.Anomalies
 import graft.history.Trends
-import graft.pipeline.{Curation, Dedup, Pii, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Pii, Sampling, Similarity, TextAnalysis}
 import graft.profiler.{IncrementalProfile, Profiler}
 import graft.sources.Catalog
 import graft.types.ValidationRule
@@ -1886,6 +1886,29 @@ object SparkEntry {
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             bit_count(xor(a.simhash, b.simhash)) AS h
           FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(h AS INT) AS hamming
+        FROM pairs WHERE h <= 3 ORDER BY id_a, id_b""")),
+
+    Q("m01_image_neardup",
+      // image near-dup via dHash over REAL ImageIO-decoded pixels of a
+      // deterministic synthetic PNG corpus (no media files ship in
+      // testdata). Same signature-replay oracle as d04: Spark persists
+      // the (id, dhash) frame, DuckDB replays all-pairs hamming ≤ 3 —
+      // pigeonhole makes the bucketed candidate set equal to all-pairs
+      // at this threshold.
+      (s, _) => {
+        val imgs = Multimodal.syntheticImageCorpus(s, groups = 60)
+        Multimodal.imageSignatures(imgs).write.mode("overwrite")
+          .parquet(freshState(s, "m01") + "/signatures")
+        Multimodal.nearDuplicateImages(imgs, maxBucketSize = Int.MaxValue)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sig AS (SELECT id, dhash
+          FROM read_parquet('/tmp/graft_qstate/m01/signatures/*.parquet')),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+            bit_count(xor(a.dhash, b.dhash)) AS h
+          FROM sig a JOIN sig b ON a.id < b.id)
         SELECT id_a, id_b, CAST(h AS INT) AS hamming
         FROM pairs WHERE h <= 3 ORDER BY id_a, id_b""")),
 

@@ -512,21 +512,39 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    hammingNearDuplicates(simhashSignatures(docs, idCol, textCol),
+      idCol, "simhash", maxHamming, maxBucketSize)
+
+  /** Generic 64-bit hamming near-dup over ANY signature frame
+   *  (id, hash): candidates from 16-bit chunk equality, verified by
+   *  exact xor+bit_count. The pigeonhole guarantee (hamming ≤ 3 ⇒ at
+   *  least one of the 4 chunks equal) makes the bucketed candidate set
+   *  complete for `maxHamming ≤ 3`; larger thresholds turn this into a
+   *  recall-trading screen (same contract as banded MinHash). Shared by
+   *  text SimHash (d04) and image perceptual hashes — the hash family
+   *  differs, the scale shape (O(rows×4) bucket keys, capped buckets,
+   *  no self-join) is identical. */
+  def hammingNearDuplicates(
+      signatures: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    val fps = simhashSignatures(docs, idCol, textCol)
+    val fps = signatures.select(col(idCol), col(hashCol).as("__h64"))
     val chunks = fps.select(
-      col(idCol), col("simhash"),
+      col(idCol), col("__h64"),
       explode(expr(
         """transform(sequence(0, 3), i ->
           |  struct(i as chunk_idx,
-          |         cast(shiftright(simhash, i * 16) & 65535 as int) as chunk_key))"""
+          |         cast(shiftright(__h64, i * 16) & 65535 as int) as chunk_key))"""
           .stripMargin)).as("c"))
-      .select(col(idCol), col("simhash"),
+      .select(col(idCol), col("__h64"),
         col("c.chunk_idx"), col("c.chunk_key"))
     val buckets = chunks
       .groupBy("chunk_idx", "chunk_key")
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),
-        col("simhash").as("sh")))).as("members"))
+        col("__h64").as("sh")))).as("members"))
       .filter(size(col("members")).between(2, maxBucketSize))
     buckets
       .select(explode(expr(

@@ -387,6 +387,135 @@ object Multimodal {
         (s.length, math.sqrt(sq / n), peak.toDouble, sum / n)
       }).apply(bin)
 
+  // ---- perceptual hashing (image near-dup) ---------------------------
+
+  /** 64-bit difference hash (dHash) over REAL decoded pixels: ImageIO
+   *  decode → exact area-mean downsample to a 9×8 grayscale grid (pure
+   *  integer block averaging — no Graphics2D resampling, so the hash is
+   *  bit-stable across JVMs) → bit (y*8+x) = 1 iff grid(x+1,y) >
+   *  grid(x,y). Near-identical images (re-encode, resize, small edits)
+   *  land within a few bits of hamming distance; unrelated images are
+   *  ~32 bits apart. None for bytes ImageIO can't decode. */
+  private[graft] def dHashBytes(b: Array[Byte]): Option[Long] =
+    decodeImageBytes(b).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      // grid cell (gx, gy) = mean gray over pixel block
+      // [gx*w/9, (gx+1)*w/9) × [gy*h/8, (gy+1)*h/8)  (block ≥ 1 px when
+      // the source is smaller than the grid: indices clamp to ≥ 1 wide)
+      val grid = Array.ofDim[Double](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = gy * h / 8
+        val y1 = math.max((gy + 1) * h / 8, y0 + 1)
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9
+          val x1 = math.max((gx + 1) * w / 9, x0 + 1)
+          var sum = 0L; var n = 0
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val p = px(y * w + x)
+              sum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          grid(gy)(gx) = if (n == 0) 0.0 else sum.toDouble / n
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L; var bit = 0
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          if (grid(gy)(gx + 1) > grid(gy)(gx)) hash |= (1L << bit)
+          bit += 1
+          gx += 1
+        }
+        gy += 1
+      }
+      hash
+    }
+
+  /** Nullable `bigint` dHash column from a binary image column. */
+  def imageHash(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((b: Array[Byte]) =>
+      if (b == null) None else dHashBytes(b)).apply(bin)
+
+  /** (id, dhash) signature frame — the image analog of
+   *  [[graft.pipeline.Dedup.simhashSignatures]]; rows whose bytes don't
+   *  decode are dropped (they can't be perceptually compared). Public so
+   *  the m01 oracle can persist it and DuckDB can replay the hamming
+   *  verification over every pair. */
+  def imageSignatures(
+      df: DataFrame,
+      idCol: String = "id",
+      binCol: String = "bytes"): DataFrame =
+    df.select(col(idCol), imageHash(col(binCol)).as("dhash"))
+      .filter(col("dhash").isNotNull)
+
+  /** Image near-duplicate pairs (id_a, id_b, hamming): real pixel
+   *  decode → dHash → the same pigeonhole 16-bit-chunk bucketing SimHash
+   *  uses ([[graft.pipeline.Dedup.hammingNearDuplicates]]) — candidate
+   *  generation shuffles only (id, hash) keys, never pixel bytes, so the
+   *  plan scales to a 100 TB image corpus exactly like text SimHash. */
+  def nearDuplicateImages(
+      df: DataFrame,
+      idCol: String = "id",
+      binCol: String = "bytes",
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    Dedup.hammingNearDuplicates(
+      imageSignatures(df, idCol, binCol), idCol, "dhash",
+      maxHamming, maxBucketSize)
+
+  /** Deterministic synthetic PNG corpus for tests/benches (the
+   *  container ships no real image files): `groups` base patterns ×
+   *  `variants` per group. Variant 0 is the base image; variant v
+   *  nudges v pixels by +8 gray levels, so intra-group pairs sit at
+   *  hamming ≈ 0–2 (near-dups) while inter-group pairs are unrelated.
+   *  Encode is REAL ImageIO PNG; ids are group*variants+variant. */
+  def syntheticImageCorpus(
+      spark: SparkSession,
+      groups: Int,
+      variants: Int = 4,
+      side: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(groups.toLong * variants).map { id =>
+      val g = id / variants; val v = (id % variants).toInt
+      val rnd = new java.util.Random(g * 7919L + 17)
+      val img = new java.awt.image.BufferedImage(
+        side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < side) {
+        var x = 0
+        while (x < side) {
+          val gray = rnd.nextInt(256)
+          img.setRGB(x, y, (gray << 16) | (gray << 8) | gray)
+          x += 1
+        }
+        y += 1
+      }
+      var k = 0
+      while (k < v) { // nudge v deterministic pixels
+        val x = (k * 13 + 5) % side; val y2 = (k * 29 + 11) % side
+        val p = img.getRGB(x, y2) & 0xff
+        val np = math.min(p + 8, 255)
+        img.setRGB(x, y2, (np << 16) | (np << 8) | np)
+        k += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      (id, baos.toByteArray)
+    }.toDF("id", "bytes")
+  }
+
   // ---- resize / frame-sample plumbing --------------------------------
 
   /** STUB resize fallback for non-image bytes: the metadata transform

@@ -1218,6 +1218,49 @@ class MultimodalSparkSpec extends AnyFunSuite {
       "data".getBytes ++ le32(4) ++ le16(16384) ++ le16(-16384 & 0xffff)
     assert(Multimodal.audioSamplesBytes(st).get.toSeq == Seq(0.0f))
   }
+
+  test("dHash: stable under re-encode and brightness shift, far apart " +
+      "for unrelated images") {
+    val rnd = new java.util.Random(42)
+    val px = Array.fill(32)(Array.fill(32) {
+      val g = rnd.nextInt(256); (g << 16) | (g << 8) | g
+    })
+    val ha = Multimodal.dHashBytes(encode("png", px)).get
+    // identical pixels re-encoded lossless (grayscale fits gif's
+    // 256-entry palette exactly) → identical hash
+    assert(Multimodal.dHashBytes(encode("gif", px)).get == ha)
+    // global +10 brightness preserves adjacent-block comparisons except
+    // where the 255-clamp erodes a near-tie
+    val bright = px.map(_.map { p =>
+      val g = math.min((p & 0xff) + 10, 255); (g << 16) | (g << 8) | g
+    })
+    val hb = Multimodal.dHashBytes(encode("png", bright)).get
+    assert(java.lang.Long.bitCount(ha ^ hb) <= 3)
+    // an unrelated random image is many bits away
+    val rnd2 = new java.util.Random(77)
+    val other = Array.fill(32)(Array.fill(32) {
+      val g = rnd2.nextInt(256); (g << 16) | (g << 8) | g
+    })
+    val ho = Multimodal.dHashBytes(encode("png", other)).get
+    assert(java.lang.Long.bitCount(ha ^ ho) > 3)
+  }
+
+  test("image near-dup: bucketed pairs == brute-force pairs at hamming " +
+      "<= 3; planted variants found, no cross-group pair") {
+    val corpus = Multimodal.syntheticImageCorpus(spark, groups = 12)
+    val sigs = Multimodal.imageSignatures(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sigs.length == 48) // every synthetic PNG decoded
+    val brute = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val got = Multimodal.nearDuplicateImages(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute)           // pigeonhole candidates are complete
+    assert(brute.nonEmpty)         // the planted variants really collide
+    assert(brute.forall { case (a, b, _) => a / 4 == b / 4 })
+  }
 }
 
 class JaccardPairsSpec extends AnyFunSuite {
