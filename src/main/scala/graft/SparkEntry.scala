@@ -1912,6 +1912,41 @@ object SparkEntry {
         SELECT id_a, id_b, CAST(h AS INT) AS hamming
         FROM pairs WHERE h <= 3 ORDER BY id_a, id_b""")),
 
+    Q("m02_audio_features",
+      // audio-quality aggregates over REAL WAV PCM decode of a
+      // deterministic synthetic corpus: Spark persists the decoded
+      // (id, idx, v) sample grain and DuckDB replays the aggregation —
+      // rms / peak / silent / clipped over identical doubles, so the
+      // decode is pinned by spec and the distributed aggregation by the
+      // oracle (the d04 replay pattern, sample-level instead of
+      // signature-level).
+      (s, _) => {
+        val clips = Multimodal.syntheticAudioCorpus(s, 200)
+        val samples = clips.select(col("id"),
+          posexplode(Multimodal.audioSamples(col("bytes"))))
+          .select(col("id"), col("pos").as("idx"),
+            col("col").cast("double").as("v"))
+        samples.write.mode("overwrite")
+          .parquet(freshState(s, "m02") + "/samples")
+        samples.groupBy("id").agg(
+          count(lit(1)).as("n_samples"),
+          round(sqrt(avg(col("v") * col("v"))), 6).as("rms"),
+          round(max(abs(col("v"))), 6).as("peak"),
+          sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("silent_samples"),
+          sum(when(abs(col("v")) > 0.999, 1L).otherwise(0L))
+            .as("clipped_samples"))
+          .orderBy("id")
+      },
+      Some("""SELECT id, COUNT(*) AS n_samples,
+          ROUND(sqrt(AVG(v * v)), 6) AS rms,
+          ROUND(MAX(abs(v)), 6) AS peak,
+          CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS silent_samples,
+          CAST(SUM(CASE WHEN abs(v) > CAST(0.999 AS DOUBLE) THEN 1 ELSE 0 END)
+            AS BIGINT) AS clipped_samples
+        FROM read_parquet('/tmp/graft_qstate/m02/samples/*.parquet')
+        GROUP BY id ORDER BY id""")),
+
     Q("d05_dup_clusters",
       // connected components over a deterministic candidate-pair graph
       // (chains of 5 docs: n→n+1 when n%10<4), checked against DuckDB's

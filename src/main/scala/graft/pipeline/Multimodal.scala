@@ -371,6 +371,49 @@ object Multimodal {
     Some(out)
   }
 
+  /** `array<float>` column of the decoded mono PCM samples (null for
+   *  non-WAV/non-PCM bytes) — the exploded grain audio-quality
+   *  aggregates (RMS, silence ratio, clipping) run over. */
+  def audioSamples(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((b: Array[Byte]) =>
+      if (b == null) None else audioSamplesBytes(b)).apply(bin)
+
+  /** Deterministic synthetic WAV corpus for tests/benches (no media
+   *  files ship in the container): mono 8000 Hz s16 PCM clips, each a
+   *  silence prefix + a sine tone whose amplitude/frequency vary by id;
+   *  every 13th id overdrives the sine (amp 1.2) so the clamp produces
+   *  genuine clipping. Bytes are REAL spec-layout WAV — the decode path
+   *  under test is the same one arbitrary user audio takes. */
+  def syntheticAudioCorpus(
+      spark: SparkSession,
+      n: Int,
+      samplesPerClip: Int = 400): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val silence = ((id % 5) * samplesPerClip / 10).toInt
+      val amp = if (id % 13 == 0) 1.2 else 0.1 + (id % 7) * 0.14
+      val freq = 200.0 + (id % 11) * 150.0
+      val pcm = new Array[Short](samplesPerClip)
+      var i = silence
+      while (i < samplesPerClip) {
+        val v = amp * math.sin(2 * math.Pi * freq * (i - silence) / 8000.0)
+        pcm(i) = math.max(-32768.0, math.min(32767.0, v * 32767.0)).toShort
+        i += 1
+      }
+      val dataLen = pcm.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1)       // PCM, mono
+        .putInt(8000).putInt(16000)    // sample rate, byte rate
+        .putShort(2).putShort(16)      // block align, bits/sample
+        .put("data".getBytes).putInt(dataLen)
+      pcm.foreach(bb.putShort)
+      (id, bb.array())
+    }.toDF("id", "bytes")
+  }
+
   /** `struct(n_samples, rms, peak, mean)` from real WAV PCM decode
    *  (null for non-WAV/non-PCM bytes) — the audio analog of
    *  [[decodeImages]]'s intensity features, map-only over the corpus. */

@@ -1219,6 +1219,24 @@ class MultimodalSparkSpec extends AnyFunSuite {
     assert(Multimodal.audioSamplesBytes(st).get.toSeq == Seq(0.0f))
   }
 
+  test("synthetic audio corpus: real WAV bytes whose silence prefix and " +
+      "clipping decode as designed") {
+    val clips = Multimodal.syntheticAudioCorpus(spark, 26)
+    val rows = clips.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // id 7: (7%5)*40 = 80 silent samples, then a 0.24-amp tone
+    val s7 = Multimodal.audioSamplesBytes(rows(7L)).get
+    assert(s7.length == 400)
+    assert(s7.take(80).forall(_ == 0.0f))
+    assert(s7.drop(80).exists(_ != 0.0f))
+    // id 13 is overdriven (amp 1.2): the s16 clamp produces rail samples
+    assert(Multimodal.audioSamplesBytes(rows(13L)).get
+      .exists(v => math.abs(v) > 0.999f))
+    // id 1 (amp 0.24) never comes near the rail
+    assert(Multimodal.audioSamplesBytes(rows(1L)).get
+      .forall(v => math.abs(v) < 0.5f))
+  }
+
   test("dHash: stable under re-encode and brightness shift, far apart " +
       "for unrelated images") {
     val rnd = new java.util.Random(42)
