@@ -716,6 +716,31 @@ object SparkEntry {
                 AS BIGINT)) AS DOUBLE) / 1e6 / SUM(cnt), 6) AS entropy
         FROM c""")),
 
+    Q("p35_approx_top_values",
+      // P14's 100 TB path: mergeable frequent-items sketch (Misra–Gries)
+      // built map-side, treeReduce-merged — zero shuffle vs the exact
+      // path's (column, value) groupBy. Capacity 1024 ≫ the 25/150
+      // distinct brands/types, so the sketch never purges and every
+      // estimate is EXACT — the oracle compares against plain GROUP BY
+      // top-10 with the same (count desc, value) tiebreak.
+      (s, d) => Profiler.approxTopValues(
+          t(s, d, "part"), Seq("p_brand", "p_type"), k = 10)
+        .select(col("column_name"), col("value"), col("estimate"))
+        .orderBy(col("column_name"), col("estimate").desc, col("value")),
+      Some("""WITH b AS (
+          SELECT 'p_brand' AS column_name, p_brand AS value,
+            CAST(COUNT(*) AS BIGINT) AS estimate
+          FROM part GROUP BY p_brand
+          ORDER BY estimate DESC, value LIMIT 10),
+        c AS (
+          SELECT 'p_type' AS column_name, p_type AS value,
+            CAST(COUNT(*) AS BIGINT) AS estimate
+          FROM part GROUP BY p_type
+          ORDER BY estimate DESC, value LIMIT 10)
+        SELECT column_name, value, estimate
+        FROM (SELECT * FROM b UNION ALL SELECT * FROM c)
+        ORDER BY column_name, estimate DESC, value""")),
+
     Q("p31_ks_drift",
       // exact two-sample Kolmogorov–Smirnov D between odd- and even-order
       // lineitem prices; distributed prefix sums via range buckets (no

@@ -165,6 +165,73 @@ object Profiler {
       .drop("rank")
   }
 
+  /** P14 scale path: approximate top-K via a mergeable frequent-items
+   *  sketch (Misra–Gries / Space-Saving family — DataSketches
+   *  `ItemsSketch`, same library Spark's `hll_sketch_agg` wraps).
+   *
+   *  The exact [[topValues]] shuffles every distinct (column, value)
+   *  pair; this path shuffles NOTHING — one bounded sketch per
+   *  (partition, column) built map-side, combined with `treeReduce`
+   *  (log-depth executor-side merges), ~KBs per sketch regardless of
+   *  input size. At 100 TB with a high-cardinality column the exact
+   *  path's shuffle is the bottleneck; this is the one you run.
+   *
+   *  Guarantees (inherited from Misra–Gries): estimate error ≤
+   *  maximumError ≤ 3.5·N/maxMapSize, and when a column's distinct
+   *  count stays under ~0.75·maxMapSize the map never purges and every
+   *  count is EXACT (maximumError = 0) — which is what the p35 oracle
+   *  pins. Output: (column_name, value, estimate, lower_bound,
+   *  upper_bound), top-k by estimate with the value as tiebreak. */
+  def approxTopValues(
+      df: DataFrame,
+      columns: Seq[String],
+      k: Int = 10,
+      maxMapSize: Int = 1024): DataFrame = {
+    require(columns.nonEmpty, "approxTopValues needs at least one column")
+    require((maxMapSize & (maxMapSize - 1)) == 0,
+      "maxMapSize must be a power of 2")
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    import org.apache.datasketches.memory.Memory
+    val spark = df.sparkSession
+    val n = columns.size
+    val strs = df.select(columns.map(c => col(c).cast(StringType)): _*)
+    val merged: Array[Array[Byte]] = strs.rdd
+      .mapPartitions { it =>
+        val serDe = new ArrayOfStringsSerDe()
+        val sks = Array.fill(n)(new ItemsSketch[String](maxMapSize))
+        it.foreach { row =>
+          var i = 0
+          while (i < n) {
+            if (!row.isNullAt(i)) sks(i).update(row.getString(i))
+            i += 1
+          }
+        }
+        Iterator.single(sks.map(_.toByteArray(serDe)))
+      }
+      .treeReduce({ (a, b) =>
+        val serDe = new ArrayOfStringsSerDe()
+        a.zip(b).map { case (x, y) =>
+          ItemsSketch.getInstance[String](Memory.wrap(x), serDe)
+            .merge(ItemsSketch.getInstance[String](Memory.wrap(y), serDe))
+            .toByteArray(serDe)
+        }
+      }, depth = 2)
+    val serDe = new ArrayOfStringsSerDe()
+    val rows = columns.zip(merged).flatMap { case (cname, bytes) =>
+      val sk = ItemsSketch.getInstance[String](Memory.wrap(bytes), serDe)
+      sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+        .sortBy(r => (-r.getEstimate, r.getItem))
+        .take(k)
+        .map(r => (cname, r.getItem, r.getEstimate,
+          r.getLowerBound, r.getUpperBound))
+        .toSeq
+    }
+    import spark.implicits._
+    rows.toDF("column_name", "value", "estimate",
+      "lower_bound", "upper_bound")
+  }
+
   /** P20: regex pattern match counts/percentages for a string column
    *  (reference: app.py:4210-4237 — matching vs non-matching vs null,
    *  percentages over total rows). Single-pass conditional aggregate. */

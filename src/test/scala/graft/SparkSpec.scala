@@ -71,6 +71,38 @@ class ProfilerSparkSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, false)))
   }
 
+  test("approxTopValues: exact below capacity, bounded above it, " +
+      "partition-count invariant") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // low cardinality (3 flags, 2 statuses) ≪ capacity → sketch == exact
+    val exact = Profiler.topValues(df, Seq("l_returnflag", "l_linestatus"), 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val approx = Profiler.approxTopValues(
+        df, Seq("l_returnflag", "l_linestatus"), 5, maxMapSize = 64)
+      .select("column_name", "value", "estimate")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(approx == exact)
+    // repartitioned input merges to the identical sketch result
+    val repart = Profiler.approxTopValues(
+        df.repartition(13), Seq("l_returnflag", "l_linestatus"), 5,
+        maxMapSize = 64)
+      .select("column_name", "value", "estimate")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(repart == exact)
+    // high cardinality with a tiny map: estimates must bracket the truth
+    val out = Profiler.approxTopValues(df, Seq("l_orderkey"), 5,
+        maxMapSize = 64)
+      .collect()
+      .map(r => r.getString(1) -> (r.getLong(3), r.getLong(4))).toMap
+    val truth = df.groupBy("l_orderkey").count()
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    out.foreach { case (v, (lo, hi)) =>
+      assert(lo <= truth(v) && truth(v) <= hi,
+        s"bounds [$lo,$hi] miss true count ${truth(v)} for $v")
+    }
+  }
+
   test("profile: counts, stats, dupes, top values on a crafted frame") {
     val now = ts("2026-01-01 00:00:00")
     val p = Profiler.profile(crafted, "crafted", now = now)
