@@ -3344,7 +3344,40 @@ object SparkEntry {
         FROM tabs t LEFT JOIN log l
           ON l.query_type = 'SELECT'
           AND contains(lower(l.query_text), lower(t.table_name))
-        GROUP BY t.table_name ORDER BY t.table_name""")))
+        GROUP BY t.table_name ORDER BY t.table_name""")),
+
+    Q("s11_zonemap_pruned_scan",
+      // file-level zone-map data skipping (metastore-less Delta/Iceberg
+      // stats): events range-partitioned by ts into 8 files, a per-file
+      // min/max map built in one _metadata.file_path pass, then a
+      // 4-day window scan that reads ONLY the files whose zone
+      // intersects the window (the real predicate still applies after —
+      // pruning is a superset guarantee). Oracle = the plain filter
+      // over the original table; ZoneMapSpec asserts files were
+      // actually skipped.
+      (s, d) => {
+        val base = freshState(s, "s11")
+        eventsTable(s, d).repartitionByRange(8, col("ts"))
+          .write.parquet(base + "/data")
+        val zm = graft.sources.ZoneMap.build(s, base + "/data", Seq("ts"))
+        val lo = lit("2024-01-08 00:00:00").cast("timestamp")
+        val hi = lit("2024-01-12 00:00:00").cast("timestamp")
+        graft.sources.ZoneMap.prunedRead(s, base + "/data", zm, "ts", lo, hi)
+          .filter(col("ts") >= lo && col("ts") < hi)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value").cast("decimal(28,6)")).cast("double"), 6)
+              .as("total_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6)
+            AS total_value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+          AND ts < TIMESTAMP '2024-01-12 00:00:00'
+        GROUP BY event_type ORDER BY event_type""")))
 
   // ------------------------------------------------------------------
   // J-series: custom operators beyond Spark's built-ins

@@ -998,6 +998,39 @@ class CatalogSparkSpec extends AnyFunSuite {
   }
 }
 
+class ZoneMapSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("zone map prunes files a range predicate cannot match; pruned " +
+      "read + predicate == plain filter") {
+    val base = java.nio.file.Files.createTempDirectory("zonemap").toString
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.repartitionByRange(6, col("l_orderkey")).write.parquet(s"$base/data")
+    val zm = graft.sources.ZoneMap.build(spark, s"$base/data",
+      Seq("l_orderkey", "l_quantity"))
+    assert(zm.count() == 6)
+    // a narrow key window intersects few of the 6 range-partitioned files
+    val keys = li.agg(min("l_orderkey"), max("l_orderkey")).first()
+    val lo = keys.getLong(0); val hi = lo + (keys.getLong(1) - lo) / 10
+    val files = graft.sources.ZoneMap.pruneFiles(zm, "l_orderkey",
+      lit(lo), lit(hi))
+    assert(files.nonEmpty && files.length < 6,
+      s"expected real pruning, got ${files.length}/6 files")
+    val pruned = graft.sources.ZoneMap.prunedRead(spark, s"$base/data", zm,
+        "l_orderkey", lit(lo), lit(hi))
+      .filter(col("l_orderkey").between(lo, hi))
+    val full = li.filter(col("l_orderkey").between(lo, hi))
+    assert(pruned.count() == full.count())
+    assert(pruned.agg(sum("l_quantity")).first().get(0) ==
+      full.agg(sum("l_quantity")).first().get(0))
+    // a window beyond the data prunes everything — empty frame, data schema
+    val none = graft.sources.ZoneMap.prunedRead(spark, s"$base/data", zm,
+      "l_orderkey", lit(keys.getLong(1) + 1000), lit(keys.getLong(1) + 2000))
+    assert(none.count() == 0)
+    assert(none.columns.toSet == li.columns.toSet)
+  }
+}
+
 class MultimodalSparkSpec extends AnyFunSuite {
   import SharedSpark._
 
