@@ -104,7 +104,7 @@ object SparkEntry {
   lazy val registry: Seq[Q] =
     profilerQueries ++ validationQueries ++ anomalyQueries ++
       trendQueries ++ pipelineQueries ++ sourceQueries ++ schemaQueries ++
-      operatorQueries ++ batchQueries
+      operatorQueries ++ batchQueries ++ streamingQueries
 
   // ------------------------------------------------------------------
   // P-series: profiling operators
@@ -2517,6 +2517,51 @@ object SparkEntry {
           ROUND(scale, 9) AS scale
         FROM v ORDER BY vec_id""")),
 
+    Q("e09_knn_pq",
+      // product quantization, the memory-bound ANN scale path: 8
+      // subspaces × 16 sampled centroids compress 64 float dims to 8
+      // small codes (~32× less scored data per row), ADC top-k is a
+      // pure table-lookup scan. Replay oracle: codes + codebooks are
+      // persisted and DuckDB recomputes the SAME asymmetric distances
+      // from them — quantizer and scorer verified end-to-end.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val index = Similarity.pqBuild(emb, m = 8, ks = 16)
+        Similarity.pqSave(index, freshState(s, "e09"))
+        Similarity.pqTopK(index, emb.filter(col("vec_id") < 5), k = 10)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH cb AS (SELECT sub, code, centroid
+          FROM read_parquet('/tmp/graft_qstate/e09/codebooks/*.parquet')),
+        codes AS (SELECT vec_id, code
+          FROM read_parquet('/tmp/graft_qstate/e09/codes/*.parquet')),
+        q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+          WHERE vec_id < 5),
+        dt AS (
+          SELECT q.query_id, cb.sub, cb.code,
+            list_sum(list_transform(range(1, 9),
+              i -> (CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.centroid[i])
+                 * (CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.centroid[i])))
+              AS dist
+          FROM q CROSS JOIN cb),
+        exploded AS (
+          SELECT vec_id, CAST(t.i AS INT) - 1 AS sub, code[CAST(t.i AS INT)] AS cd
+          FROM codes, range(1, 9) t(i)),
+        scored AS (
+          SELECT dt.query_id, e.vec_id AS neighbor_id, SUM(dt.dist) AS adc
+          FROM exploded e JOIN dt ON dt.sub = e.sub AND dt.code = e.cd
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbor_id, adc,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc, neighbor_id) AS rank
+          FROM scored WHERE neighbor_id != query_id)
+        SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc_dist,
+          CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     Q("e06_label_centroids",
       // per-label mean embedding (class prototypes / IVF cell stats):
       // pipelined posexplode + map-side-combined (label, dim) aggregate
@@ -3618,4 +3663,152 @@ object SparkEntry {
             '2026-01-01 08:00:00'))
         AS t(event_type, subtype, table_name, data, ts)
         ORDER BY ts DESC""")))
+
+  // ------------------------------------------------------------------
+  // ST-series: Structured Streaming operators, oracle-gated.
+  //
+  // Each query drives a REAL bounded stream (file source →
+  // Trigger.AvailableNow → memory sink) through the StreamingDetect
+  // operators and compares the drained sink against the batch-
+  // equivalent DuckDB SQL. `maxFilesPerTrigger` is set far above the
+  // fixture's file count so the whole input lands in ONE micro-batch —
+  // that pins the stateful operators' first-seen/arrival-order
+  // semantics to something the batch oracle can express (min doc_id,
+  // ts-sorted series). The checkpoint lives in freshState so every
+  // invocation reprocesses the full input (idempotent for verify/bench
+  // reruns).
+  // ------------------------------------------------------------------
+
+  private def runBoundedStream(
+      s: SparkSession,
+      df: DataFrame,
+      name: String,
+      mode: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = freshState(s, name) + "/ckpt"
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Streaming read of a fixture parquet with the batch reader's schema
+   *  (file streams need one declared up front). The file source only
+   *  accepts directories, and the fixtures are single files — stage a
+   *  symlink inside a scratch dir (copy if the fs refuses links). */
+  private def streamOf(s: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    val srcDir =
+      if (!f.isFile) path
+      else {
+        val dir = java.nio.file.Paths.get(
+          freshState(s, "stream_in_" + f.getName.replace('.', '_')))
+        java.nio.file.Files.createDirectories(dir)
+        val link = dir.resolve(f.getName)
+        try java.nio.file.Files.createSymbolicLink(link, f.toPath)
+        catch {
+          case _: Exception => java.nio.file.Files.copy(f.toPath, link)
+        }
+        dir.toString
+      }
+    s.readStream
+      .schema(s.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", 1000000)
+      .parquet(srcDir)
+  }
+
+  /** Streaming twin of [[eventsTable]]: same nanos→timestamp
+   *  normalization on the unbounded frame. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val df = streamOf(s, s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+
+  private def streamingQueries: Seq[Q] = Seq(
+    Q("st01_stream_window_agg",
+      // watermarked per-window metric aggregation (the detectors' input
+      // stage) run as an actual stream; complete mode drains every
+      // window, so the sink must equal the batch per-day counts
+      (s, d) => {
+        val windows = graft.streaming.StreamingDetect.windowedSeries(
+          eventsStream(s, d).select(col("event_type"), col("ts")),
+          seriesCol = "event_type", windowLength = "1 day",
+          watermark = "2 days")
+        runBoundedStream(s, windows, "st01_sink", "complete")
+          .select(col("series"), col("ts").cast("date").as("day"),
+            col("value"))
+          .orderBy("series", "day")
+      },
+      Some("""SELECT event_type AS series,
+          CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS DATE) AS day,
+          CAST(COUNT(*) AS DOUBLE) AS value
+        FROM events GROUP BY 1, 2 ORDER BY series, day""")),
+
+    Q("st02_stream_dedup",
+      // ingest-time exact dedup: one state bit per content hash, only
+      // the first doc per hash passes; single-batch arrival makes
+      // "first" = min doc_id, which DuckDB states as a group-by
+      (s, d) => {
+        import s.implicits._
+        val docs = streamOf(s, s"$d/documents.parquet")
+          .select(col("doc_id").as("docId"), col("text"))
+          .as[graft.streaming.StreamingDetect.Doc]
+        val kept = graft.streaming.StreamingDetect.dedupStream(docs)
+        runBoundedStream(s, kept.toDF(), "st02_sink", "append")
+          .select(col("docId").as("doc_id"),
+            md5(col("text").cast("binary")).as("content_hash"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash
+        FROM documents GROUP BY md5(text) ORDER BY doc_id""")),
+
+    Q("st03_stream_zscore",
+      // the headline streaming detector: per-series rolling z-score in
+      // flatMapGroupsWithState, fed the SAME daily series as batch a02
+      // — so the emitted detections must match the batch rolling-window
+      // SQL row for row (7-point warm-up, trailing-7 stats)
+      (s, d) => {
+        import s.implicits._
+        val seriesPath = freshState(s, "st03_series") + "/series"
+        dailySeries(s, d)
+          .select(col("event_type").as("series"),
+            col("day").cast("timestamp").as("ts"), col("value"))
+          .write.mode("overwrite").parquet(seriesPath)
+        val pts = streamOf(s, seriesPath)
+          .as[graft.streaming.StreamingDetect.MetricEvent]
+        val det = graft.streaming.StreamingDetect.zscoreStream(
+          pts, windowSize = 7, sensitivity = 1.0)
+        runBoundedStream(s, det.toDF(), "st03_sink", "append")
+          .select(col("series").as("event_type"),
+            col("ts").cast("date").as("day"), col("value"),
+            round(col("score"), 6).as("score"),
+            col("isAnomaly").as("is_anomaly"), col("threshold"),
+            col("severity"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""WITH series AS ($duckDailySeries),
+        st AS (SELECT event_type, day, value,
+          AVG(value) OVER w AS m, STDDEV_POP(value) OVER w AS sd,
+          COUNT(value) OVER w AS cnt
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        scored AS (SELECT event_type, day, value,
+          CASE WHEN sd = 0 THEN 0.0 ELSE ABS((value - m) / sd) END AS raw_score
+          FROM st WHERE cnt = 7)
+        SELECT event_type, day, value, ROUND(raw_score, 6) AS score,
+          raw_score > 3.0 AS is_anomaly, CAST(3.0 AS DOUBLE) AS threshold,
+          CASE WHEN raw_score > 5.0 THEN 'high'
+            WHEN raw_score > 3.5 THEN 'medium'
+            ELSE 'low' END AS severity
+        FROM scored ORDER BY event_type, day""")))
 }

@@ -646,6 +646,53 @@ class IvfSpec extends AnyFunSuite {
   }
 }
 
+class PqSpec extends AnyFunSuite {
+  import SharedSpark._
+  import org.apache.spark.sql.functions.col
+
+  test("PQ codes are deterministic, bounded, and ~32x smaller than floats") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val a = Similarity.pqBuild(emb, m = 8, ks = 16)
+    val b = Similarity.pqBuild(emb, m = 8, ks = 16)
+    // same corpus + seed => identical codebooks and identical codes
+    assert(a.codebooks.length == 8 && a.codebooks.head.length == 16)
+    assert(a.codebooks.flatMap(_.flatMap(_.toSeq)).toSeq ==
+      b.codebooks.flatMap(_.flatMap(_.toSeq)).toSeq)
+    def codeMap(ix: Similarity.PqIndex) = ix.codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    val ca = codeMap(a)
+    assert(ca == codeMap(b))
+    // every code addresses a real centroid; 8 ints replace 64 floats
+    assert(ca.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
+  }
+
+  test("ADC top-k recall vs exact L2 beats chance by an order of magnitude") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val queries = emb.filter(col("vec_id") < 5)
+    // exact L2 ground truth (ADC approximates L2, not cosine)
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val qvecs = vecs.filter(_._1 < 5)
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = qvecs.flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid)
+        .sortBy { case (nid, nv) => (l2(qv, nv), nid) }
+        .take(10).map { case (nid, _) => (qid, nid) }
+    }.toSet
+    val index = Similarity.pqBuild(emb, m = 8, ks = 16)
+    val pq = Similarity.pqTopK(index, queries, k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    // random top-10 from a 500-vector corpus would land ~0.02; a sampled
+    // 16-centroid codebook is coarse, but ADC must still be far better
+    assert(recall >= 0.2, s"PQ recall too low: $recall")
+  }
+}
+
 class ApproxModeSpec extends AnyFunSuite {
   import SharedSpark._
   import org.apache.spark.sql.functions.col
