@@ -3810,5 +3810,95 @@ object SparkEntry {
           CASE WHEN raw_score > 5.0 THEN 'high'
             WHEN raw_score > 3.5 THEN 'medium'
             ELSE 'low' END AS severity
-        FROM scored ORDER BY event_type, day""")))
+        FROM scored ORDER BY event_type, day""")),
+
+    Q("st04_stream_sessionize",
+      // native session_window sessionization as a real watermarked
+      // stream: append mode emits exactly the sessions the final
+      // watermark (max ts - 2 h) closed — the oracle re-derives the
+      // same sessions with x16's lag/gap SQL and applies the SAME
+      // emission cutoff, so watermark semantics are verified too
+      (s, d) => {
+        val sessions = graft.streaming.StreamingDetect.sessionizeStream(
+          eventsStream(s, d).select(col("user_id"), col("ts"), col("value")),
+          keyCol = "user_id", tsCol = "ts", valueCol = "value",
+          gap = "6 hours", watermark = "2 hours")
+        runBoundedStream(s, sessions, "st04_sink", "append")
+          .select(col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"),
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_end"),
+            col("n_events"), col("value_sum"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH g AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 21600000000
+              THEN 1 ELSE 0 END AS opens
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        a AS (
+          SELECT user_id, ts, value,
+            SUM(opens) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_idx
+          FROM g),
+        sess AS (
+          SELECT user_id,
+            MIN(ts) AS session_start, MAX(ts) AS session_end,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+          FROM a GROUP BY user_id, session_idx)
+        SELECT user_id,
+          strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+          strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+          n_events, value_sum
+        FROM sess
+        WHERE session_end + INTERVAL 6 HOUR
+          < (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR
+        ORDER BY user_id, session_start""")),
+
+    Q("st05_stream_profile",
+      // continuous profiling: per-day column stats as a streaming
+      // aggregation whose rows are IncrementalProfile-mergeable slice
+      // states; complete mode drains every slice, so the sink must
+      // equal the batch per-day stats (HLL sketch column excluded —
+      // binary sketch bytes are engine-specific)
+      (s, d) => {
+        val prof = graft.streaming.StreamingDetect.streamingProfile(
+          eventsStream(s, d).select(col("ts"), col("value"),
+            col("event_type")),
+          tsCol = "ts", cols = Seq("event_type", "value"),
+          windowLength = "1 day", watermark = "2 days")
+        runBoundedStream(s, prof, "st05_sink", "complete")
+          .select(col("slice_id"), col("column").as("col_name"),
+            col("cnt"), col("nulls"), col("mn"), col("mx"),
+            round(col("sm"), 6).as("sm"))
+          .orderBy("slice_id", "col_name")
+      },
+      Some("""WITH w AS (
+          SELECT CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)
+              AS slice_end, value, event_type
+          FROM events),
+        per AS (
+          SELECT slice_end, 'event_type' AS col_name,
+            CAST(COUNT(event_type) AS BIGINT) AS cnt,
+            CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nulls,
+            CAST(NULL AS DOUBLE) AS mn, CAST(NULL AS DOUBLE) AS mx,
+            CAST(NULL AS DOUBLE) AS sm
+          FROM w GROUP BY slice_end
+          UNION ALL
+          SELECT slice_end, 'value' AS col_name,
+            CAST(COUNT(value) AS BIGINT) AS cnt,
+            CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nulls,
+            MIN(value) AS mn, MAX(value) AS mx,
+            ROUND(SUM(value), 6) AS sm
+          FROM w GROUP BY slice_end)
+        SELECT strftime(slice_end, '%Y-%m-%d %H:%M:%S') AS slice_id,
+          col_name, cnt, nulls, mn, mx, sm
+        FROM per ORDER BY slice_id, col_name""")))
 }
