@@ -3422,7 +3422,39 @@ object SparkEntry {
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
           AND ts < TIMESTAMP '2024-01-12 00:00:00'
-        GROUP BY event_type ORDER BY event_type""")))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    Q("s12_bloom_pruned_lookup",
+      // per-file Bloom-filter data skipping: the point-lookup
+      // complement of s11's zone maps. Events are HASH-partitioned on
+      // event_id, so every file's min/max range spans the whole domain
+      // and zone maps prune nothing — the per-file bloom sidecar still
+      // claims only the file(s) that can hold the key (no false
+      // negatives), and the lookup opens those alone. Oracle = the
+      // plain point query over the original table; BloomSkipSpec
+      // asserts files were actually skipped.
+      (s, d) => {
+        val base = freshState(s, "s12")
+        eventsTable(s, d).repartition(8, col("event_id"))
+          .write.parquet(base + "/data")
+        val blooms = graft.sources.BloomSkip.build(s, base + "/data",
+          "event_id")
+        val keys = Seq(11L, 222L, 3333L)
+        keys.map { k =>
+          graft.sources.BloomSkip.prunedRead(s, base + "/data", blooms,
+              lit(k))
+            .filter(col("event_id") === k)
+        }.reduce(_ unionAll _)
+          .select(col("event_id"), col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            round(col("value"), 6).as("value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, event_type,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+          ROUND(value, 6) AS value
+        FROM events WHERE event_id IN (11, 222, 3333)
+        ORDER BY event_id""")))
 
   // ------------------------------------------------------------------
   // J-series: custom operators beyond Spark's built-ins

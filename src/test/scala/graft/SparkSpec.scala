@@ -1031,6 +1031,52 @@ class ZoneMapSpec extends AnyFunSuite {
   }
 }
 
+class BloomSkipSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("per-file blooms prune point lookups where zone maps cannot; " +
+      "never a false negative") {
+    import graft.sources.BloomSkip
+    val base = java.nio.file.Files.createTempDirectory("bloomskip").toString
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // hash-partitioned on event_id: every file's ts/id RANGE spans the
+    // whole domain, so min/max skipping is useless here by construction
+    ev.repartition(8, col("event_id")).write.parquet(s"$base/data")
+    val blooms = BloomSkip.build(spark, s"$base/data", "event_id",
+      bits = 1 << 17)
+    assert(blooms.count() == 8)
+
+    // where each key REALLY lives (ground truth from the scan itself)
+    val truth = spark.read.parquet(s"$base/data")
+      .select(col("event_id"), col("_metadata.file_path").as("file"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val someIds = truth.keys.take(50).toSeq
+    someIds.foreach { id =>
+      val files = BloomSkip.pruneFiles(blooms, lit(id), bits = 1 << 17)
+      assert(files.contains(truth(id)),
+        s"false negative: file of event_id=$id pruned away")
+      assert(files.length < 8, s"no pruning for event_id=$id")
+    }
+
+    // absent keys: the filter claims few files (fp-rate sanity)
+    val maxId = truth.keys.max
+    val claimed = (1 to 50)
+      .map(i => BloomSkip.pruneFiles(blooms, lit(maxId + 1000L + i),
+        bits = 1 << 17).length)
+      .sum
+    assert(claimed <= 50, s"absent keys claimed $claimed/400 files")
+
+    // pruned read + real predicate == full scan + predicate
+    val id = someIds.head
+    val pruned = BloomSkip.prunedRead(spark, s"$base/data", blooms,
+        lit(id), bits = 1 << 17)
+      .filter(col("event_id") === id)
+    val full = ev.filter(col("event_id") === id)
+    assert(pruned.count() == full.count() && pruned.count() > 0)
+  }
+}
+
 class MultimodalSparkSpec extends AnyFunSuite {
   import SharedSpark._
 
