@@ -1240,6 +1240,38 @@ object SparkEntry {
             ELSE 'low' END AS severity
         FROM scored ORDER BY event_type, day""")),
 
+    Q("a14_seasonal_zscore",
+      // day-of-week adjusted z-score (beyond-reference): each point
+      // scored against its OWN weekday's mean/σ within the series, so
+      // a weekly cycle stops tripping the global detector every
+      // weekend; one window job partitioned by (series, dow)
+      (s, d) => Anomalies.seasonalZscore(dailySeries(s, d),
+          Seq("event_type"), "day", "value")
+        .select(col("event_type"), col("day"), col("value"),
+          round(col("score"), 6).as("score"), col("is_anomaly"),
+          col("threshold"), col("severity"))
+        .orderBy("event_type", "day"),
+      Some(s"""WITH series AS ($duckDailySeries),
+        st AS (SELECT event_type, day, value,
+          SUM(value) OVER w AS s, SUM(value * value) OVER w AS s2,
+          COUNT(value) OVER w AS n
+          FROM series
+          WINDOW w AS (PARTITION BY event_type, dayofweek(day))),
+        loo AS (SELECT event_type, day, value, n,
+          (s - value) / (n - 1) AS m,
+          SQRT(GREATEST((s2 - value * value) / (n - 1)
+            - ((s - value) / (n - 1)) * ((s - value) / (n - 1)),
+            CAST(0 AS DOUBLE))) AS sd
+          FROM st WHERE n >= 3),
+        scored AS (SELECT event_type, day, value,
+          CASE WHEN sd = 0 THEN 0.0 ELSE ABS((value - m) / sd) END AS raw_score
+          FROM loo)
+        SELECT event_type, day, value, ROUND(raw_score, 6) AS score,
+          raw_score > 3.0 AS is_anomaly, CAST(3.0 AS DOUBLE) AS threshold,
+          CASE WHEN raw_score > 5.0 THEN 'high' WHEN raw_score > 3.5 THEN 'medium'
+            ELSE 'low' END AS severity
+        FROM scored ORDER BY event_type, day""")),
+
     Q("a02_zscore_rolling",
       (s, d) => Anomalies.zscore(dailySeries(s, d), Seq("event_type"), "day",
         "value", sensitivity = 1.0, window = Some(7))

@@ -81,6 +81,56 @@ object Anomalies {
       .drop("__n", "__cnt", "__mean", "__std")
   }
 
+  /** Seasonal z-score (beyond-reference): daily metrics almost always
+   *  carry a weekly cycle (weekend traffic dips that a global z-score
+   *  flags every Saturday). Scores each point against the mean/σ of
+   *  ITS day-of-week within the series — the same window-function
+   *  shape as [[zscore]], partitioned by (series, dow), so thousands
+   *  of series × 7 seasons detect in one shuffle-free-after-partition
+   *  job.
+   *
+   *  Stats are LEAVE-ONE-OUT (point excluded from its own baseline):
+   *  a season holds only n/7 points, and a population z-score that
+   *  includes the point is bounded by √(n−1) — an 8-point season could
+   *  mathematically never cross the 3σ bar no matter how wild the
+   *  spike. Mean/variance come from windowed Σv, Σv² with the point
+   *  subtracted out, so the job stays one window pass. Needs ≥
+   *  `minPerSeason` points in the point's own season (default 3;
+   *  fewer → no verdict for that point, mirroring the global
+   *  detector's n≥2 guard). */
+  def seasonalZscore(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      sensitivity: Double = 1.0,
+      minPerSeason: Int = 3): DataFrame = {
+    val v = col(valueCol)
+    val threshold = 3.0 / sensitivity
+    val w = Window
+      .partitionBy((seriesCols.map(col) :+ col("__dow")): _*)
+      .orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val n1 = col("__n") - 1
+    val looMean = (col("__sum") - v) / n1
+    val looVar =
+      (col("__sum2") - v * v) / n1 - looMean * looMean
+    df.withColumn("__dow", dayofweek(col(tsCol).cast("date")))
+      .withColumn("__n", count(v).over(w))
+      .withColumn("__sum", sum(v).over(w))
+      .withColumn("__sum2", sum(v * v).over(w))
+      .filter(col("__n") >= minPerSeason)
+      .withColumn("__std", sqrt(greatest(looVar, lit(0.0))))
+      .withColumn("score",
+        when(col("__std") === 0.0, 0.0)
+          .otherwise(abs((v - looMean) / col("__std"))))
+      .withColumn("threshold", lit(threshold))
+      .withColumn("is_anomaly", col("score") > col("threshold"))
+      .withColumn("method", lit("seasonal_zscore"))
+      .withColumn("severity", severity(col("score"), "zscore"))
+      .drop("__n", "__sum", "__sum2", "__std", "__dow")
+  }
+
   /** A2: IQR detector (algorithms.py:64-132).
    *
    *  q1/q3 with np.percentile linear interpolation (exact `percentile`),
@@ -344,6 +394,9 @@ object Anomalies {
       case "ewma" =>
         ewma(eligible, seriesCols, tsCol, valueCol, sensitivity,
           window.getOrElse(7))
+      case "seasonal_zscore" =>
+        seasonalZscore(eligible, seriesCols, tsCol, valueCol, sensitivity,
+          minPerSeason = window.getOrElse(3))
       case other =>
         throw new IllegalArgumentException(s"unknown detection method: $other")
     }

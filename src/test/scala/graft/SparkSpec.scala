@@ -311,6 +311,35 @@ class AnomaliesSparkSpec extends AnyFunSuite {
     assert(math.abs(out(0).getAs[Double]("score")
       - 1.0 / (1.4826 * 4.5)) < 1e-9)
   }
+
+  test("seasonal z-score ignores the weekly cycle the global detector " +
+      "flags; a true weekday spike still fires") {
+    // 8 weeks of a strong weekend cycle (weekdays ~10, weekends 100)
+    // plus ONE genuinely anomalous Wednesday
+    val base = java.time.LocalDate.parse("2026-01-05") // a Monday
+    val rows = (0 until 56).map { i =>
+      val d = base.plusDays(i)
+      val weekend = d.getDayOfWeek.getValue >= 6
+      val v =
+        if (i == 30) 500.0 // Wednesday week 5
+        else if (weekend) 100.0 + (i % 3)
+        else 10.0 + (i % 5)
+      ("m1", java.sql.Date.valueOf(d), v)
+    }.toDF("series", "day", "value")
+    val seasonal = Anomalies.seasonalZscore(rows, Seq("series"), "day", "value")
+      .collect()
+    val flagged = seasonal.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.length == 1)
+    assert(flagged.head.getAs[Double]("value") == 500.0)
+    assert(flagged.head.getAs[String]("severity") == "high")
+    // the cycle itself is fully absorbed: every weekend point scores as
+    // ordinary within ITS weekday season (vs a global mean ~46 that
+    // would put weekends dozens of units off baseline)
+    val cyclePoints = seasonal.filter(r =>
+      r.getAs[Double]("value") >= 100.0 && r.getAs[Double]("value") < 200.0)
+    assert(cyclePoints.length == 16)
+    assert(cyclePoints.forall(_.getAs[Double]("score") < 2.0))
+  }
 }
 
 class DedupSparkSpec extends AnyFunSuite {
