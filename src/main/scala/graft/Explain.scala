@@ -28,7 +28,11 @@ object Explain {
         // b01 deliberately absent: its summary frame is pre-computed
         // driver-side, so the printed plan would be a LocalTableScan —
         // nothing to audit
-        "d08_span_dedup", "a13_anomaly_summary", "t11_anomaly_dashboard")
+        "d08_span_dedup", "a13_anomaly_summary", "t11_anomaly_dashboard",
+        // st01–st05 absent for the same reason: the streaming sink is
+        // drained into a memory table, so the audited plan would be a
+        // LocalTableScan; StreamingSpec pins their operator shapes
+        "e09_knn_pq", "s12_bloom_pruned_lookup", "a14_seasonal_zscore")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -3964,5 +3964,44 @@ object SparkEntry {
           FROM w GROUP BY slice_end)
         SELECT strftime(slice_end, '%Y-%m-%d %H:%M:%S') AS slice_id,
           col_name, cnt, nulls, mn, mx, sm
-        FROM per ORDER BY slice_id, col_name""")))
+        FROM per ORDER BY slice_id, col_name""")),
+
+    Q("st06_stream_stream_join",
+      // watermarked stream-stream interval join: purchases matched to
+      // the same user's views in the preceding hour. Both sides carry
+      // watermarks and the time-range condition bounds join state (a
+      // view can be dropped once the purchase watermark passes
+      // view_ts + 1 h) — the 100 TB/day shape for event-to-event
+      // attribution. Inner-join matches emit as they arrive, so a
+      // bounded run equals the batch join exactly.
+      (s, d) => {
+        val ev = eventsStream(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+            col("event_id").as("view_id"))
+          .withWatermark("view_ts", "2 hours")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("user_id"),
+            col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+          .withWatermark("purchase_ts", "2 hours")
+        val joined = purchases.join(views,
+          expr("""v_user = user_id AND view_ts <= purchase_ts
+            AND view_ts >= purchase_ts - INTERVAL 1 HOUR"""))
+        runBoundedStream(s, joined, "st06_sink", "append")
+          .select(col("purchase_id"), col("view_id"), col("user_id"),
+            date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss")
+              .as("purchase_ts"),
+            date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss")
+              .as("view_ts"))
+          .orderBy("purchase_id", "view_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+          p.user_id,
+          strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+          strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+        FROM events p JOIN events v
+          ON p.event_type = 'purchase' AND v.event_type = 'view'
+          AND v.user_id = p.user_id
+          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        ORDER BY purchase_id, view_id""")))
 }
