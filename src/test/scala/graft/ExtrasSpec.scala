@@ -646,6 +646,41 @@ class IvfSpec extends AnyFunSuite {
   }
 }
 
+class GraftFunctionsSpec extends AnyFunSuite {
+  import SharedSpark._
+  import org.apache.spark.sql.functions.{col, expr, max, abs => sqlAbs, sqrt, call_function}
+
+  test("graft_cosine: single-pass codegen expression is bit-identical " +
+      "to the composed three-dot form, SQL-callable") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val paired = emb.crossJoin(emb.limit(3)
+      .select(col("embedding").as("other")))
+    def dot(a: String, b: String) =
+      call_function("graft_dot", col(a), col(b))
+    val diff = paired
+      .select(
+        call_function("graft_cosine", col("embedding"), col("other"))
+          .as("fast"),
+        (dot("embedding", "other") /
+          (sqrt(dot("embedding", "embedding")) * sqrt(dot("other", "other"))))
+          .as("composed"))
+      .select(max(sqlAbs(col("fast") - col("composed"))).as("d"))
+      .head().getDouble(0)
+    assert(diff == 0.0, s"expected bit-identical cosine, max diff $diff")
+    // callable straight from SQL
+    emb.limit(5).createOrReplaceTempView("gf_emb")
+    val viaSql = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) c FROM gf_emb").collect()
+    assert(viaSql.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    // IEEE edges match the composed form: zero vector → NaN
+    val z = spark.sql(
+      """SELECT graft_cosine(array(CAST(0.0 AS FLOAT)),
+        array(CAST(1.0 AS FLOAT))) c""").head().getDouble(0)
+    assert(z.isNaN || z.isInfinite)
+  }
+}
+
 class PqSpec extends AnyFunSuite {
   import SharedSpark._
   import org.apache.spark.sql.functions.col
