@@ -3750,14 +3750,25 @@ object SparkEntry {
       mode: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val ckpt = freshState(s, name) + "/ckpt"
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Stateful streaming ops pay a FIXED per-partition state-store
+    // setup cost each micro-batch; at gate scale the state is tiny, so
+    // 32 partitions is almost pure overhead (stream-stream join: one
+    // store per side per partition). Cap partitions for the bounded
+    // run — results are partition-count independent; production
+    // streams size this by config to the real state volume.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, math.min(prev.toInt, 8).toString)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(key, prev)
     s.table(name)
   }
 
