@@ -2560,9 +2560,15 @@ object SparkEntry {
         val emb = t(s, d, "embeddings")
         val index = Similarity.pqBuild(emb, m = 8, ks = 16)
         Similarity.pqSave(index, freshState(s, "e09"))
-        Similarity.pqTopK(index, emb.filter(col("vec_id") < 5), k = 10)
+        // rank on the ROUNDED distance: vectors sharing a code word are
+        // exact ties in Spark's fixed-order sum but can differ by 1 ulp
+        // under DuckDB's per-group accumulation order — ranking on the
+        // quantized value keeps the tiebreak (neighbor_id) identical in
+        // both engines
+        Similarity.pqTopK(index, emb.filter(col("vec_id") < 5), k = 10,
+            rankOnRounded = Some(6))
           .select(col("query_id"), col("neighbor_id"),
-            round(col("adc_dist"), 6).as("adc_dist"), col("rank"))
+            col("adc_dist"), col("rank"))
           .orderBy("query_id", "rank")
       },
       Some("""WITH cb AS (SELECT sub, code, centroid
@@ -2582,7 +2588,8 @@ object SparkEntry {
           SELECT vec_id, CAST(t.i AS INT) - 1 AS sub, code[CAST(t.i AS INT)] AS cd
           FROM codes, range(1, 9) t(i)),
         scored AS (
-          SELECT dt.query_id, e.vec_id AS neighbor_id, SUM(dt.dist) AS adc
+          SELECT dt.query_id, e.vec_id AS neighbor_id,
+            ROUND(SUM(dt.dist), 6) AS adc
           FROM exploded e JOIN dt ON dt.sub = e.sub AND dt.code = e.cd
           GROUP BY 1, 2),
         ranked AS (
@@ -2590,7 +2597,7 @@ object SparkEntry {
             ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY adc, neighbor_id) AS rank
           FROM scored WHERE neighbor_id != query_id)
-        SELECT query_id, neighbor_id, ROUND(adc, 6) AS adc_dist,
+        SELECT query_id, neighbor_id, adc AS adc_dist,
           CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
@@ -3469,8 +3476,11 @@ object SparkEntry {
         val base = freshState(s, "s12")
         eventsTable(s, d).repartition(8, col("event_id"))
           .write.parquet(base + "/data")
-        val blooms = graft.sources.BloomSkip.build(s, base + "/data",
-          "event_id")
+        // the sidecar is the artifact: build once, persist, probe the
+        // persisted copy — probing must never rescan the data files
+        graft.sources.BloomSkip.build(s, base + "/data", "event_id")
+          .write.parquet(base + "/blooms")
+        val blooms = s.read.parquet(base + "/blooms")
         val keys = Seq(11L, 222L, 3333L)
         keys.map { k =>
           graft.sources.BloomSkip.prunedRead(s, base + "/data", blooms,

@@ -394,9 +394,13 @@ object Anomalies {
       case "ewma" =>
         ewma(eligible, seriesCols, tsCol, valueCol, sensitivity,
           window.getOrElse(7))
+      // `window` deliberately NOT forwarded: for every other method it
+      // means the trailing rolling length (typically 7), and reusing it
+      // as the per-season floor would silently blank short series when
+      // a stored config flips method to seasonal (7 weekday points =
+      // 7 weeks of history). Callers tune minPerSeason directly.
       case "seasonal_zscore" =>
-        seasonalZscore(eligible, seriesCols, tsCol, valueCol, sensitivity,
-          minPerSeason = window.getOrElse(3))
+        seasonalZscore(eligible, seriesCols, tsCol, valueCol, sensitivity)
       case other =>
         throw new IllegalArgumentException(s"unknown detection method: $other")
     }

@@ -96,7 +96,8 @@ case class ArrayFloatCosine(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val nx = x.numElements(); val ny = y.numElements()
+    val n = math.min(nx, ny)
     var s = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -105,11 +106,18 @@ case class ArrayFloatCosine(left: Expression, right: Expression)
       s += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
+    // norms run over each array's FULL length — identical to the
+    // composed graft_dot(a,a)/graft_dot(b,b), even on ragged inputs
+    while (i < nx) { val xi = x.getFloat(i).toDouble; na += xi * xi; i += 1 }
+    i = n
+    while (i < ny) { val yi = y.getFloat(i).toDouble; nb += yi * yi; i += 1 }
     s / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
@@ -118,12 +126,20 @@ case class ArrayFloatCosine(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |int $n = java.lang.Math.min($nx, $ny);
          |double $s = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |int $i = 0;
+         |for (; $i < $n; $i++) {
          |  double $xi = (double) $x.getFloat($i);
          |  double $yi = (double) $y.getFloat($i);
          |  $s += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |for (; $i < $nx; $i++) {
+         |  double $xi = (double) $x.getFloat($i); $na += $xi * $xi;
+         |}
+         |for ($i = $n; $i < $ny; $i++) {
+         |  double $yi = (double) $y.getFloat($i); $nb += $yi * $yi;
          |}
          |${ev.value} = $s / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin

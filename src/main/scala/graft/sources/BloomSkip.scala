@@ -92,19 +92,30 @@ object BloomSkip {
 
   /** Membership probe against a built sidecar: files whose filter
    *  claims `key` (no false negatives; ~1% false positives at default
-   *  sizing). Driver-small: one string per surviving file. */
-  def pruneFiles(blooms: DataFrame, key: Column, bits: Int = 1 << 17): Array[String] = {
+   *  sizing). The table size comes from the sidecar itself (bloom
+   *  length × 64) — a build/probe sizing mismatch is therefore
+   *  impossible, which protects the no-false-negative guarantee. The
+   *  sidecar is a row per file by construction, so it collects
+   *  driver-side and the membership test runs locally; key hashing
+   *  stays a one-row Spark expression so the probe bits are computed
+   *  by the SAME xxhash64 the build used. Persist/cache the sidecar
+   *  frame for repeated probes — like [[ZoneMap]], it is the artifact,
+   *  and re-deriving it from data would rescan what it exists to
+   *  skip. */
+  def pruneFiles(blooms: DataFrame, key: Column): Array[String] = {
     val spark = blooms.sparkSession
+    val rows = blooms.select(col("file"), col("bloom")).collect()
+    if (rows.isEmpty) return Array.empty
+    val mBits = rows.head.getSeq[Long](1).length * 64
     val hs = spark.range(1)
       .select(xxhash64(key.cast("string")),
         xxhash64(key.cast("string"), lit(0x9e3779b9L)))
       .head()
-    val ps = probes(hs.getLong(0), hs.getLong(1), bits)
-    val hit = ps.map(p =>
-      (element_at(col("bloom"), p / 64 + 1)
-        .bitwiseAND(lit(1L << (p & 63)))) =!= 0L)
-      .reduce(_ && _)
-    blooms.filter(hit).select("file").collect().map(_.getString(0))
+    val ps = probes(hs.getLong(0), hs.getLong(1), mBits)
+    rows.filter { r =>
+      val words = r.getSeq[Long](1)
+      ps.forall(p => (words(p >>> 6) & (1L << (p & 63))) != 0L)
+    }.map(_.getString(0))
   }
 
   /** Point-lookup read: open only the files whose Bloom filter claims
@@ -114,9 +125,8 @@ object BloomSkip {
       spark: SparkSession,
       path: String,
       blooms: DataFrame,
-      key: Column,
-      bits: Int = 1 << 17): DataFrame = {
-    val files = pruneFiles(blooms, key, bits)
+      key: Column): DataFrame = {
+    val files = pruneFiles(blooms, key)
     if (files.isEmpty) spark.read.parquet(path).limit(0)
     else spark.read.parquet(files.toIndexedSeq: _*)
   }

@@ -1073,7 +1073,7 @@ class BloomSkipSpec extends AnyFunSuite {
     // whole domain, so min/max skipping is useless here by construction
     ev.repartition(8, col("event_id")).write.parquet(s"$base/data")
     val blooms = BloomSkip.build(spark, s"$base/data", "event_id",
-      bits = 1 << 17)
+      bits = 1 << 17).cache()
     assert(blooms.count() == 8)
 
     // where each key REALLY lives (ground truth from the scan itself)
@@ -1082,7 +1082,7 @@ class BloomSkipSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val someIds = truth.keys.take(50).toSeq
     someIds.foreach { id =>
-      val files = BloomSkip.pruneFiles(blooms, lit(id), bits = 1 << 17)
+      val files = BloomSkip.pruneFiles(blooms, lit(id))
       assert(files.contains(truth(id)),
         s"false negative: file of event_id=$id pruned away")
       assert(files.length < 8, s"no pruning for event_id=$id")
@@ -1091,15 +1091,14 @@ class BloomSkipSpec extends AnyFunSuite {
     // absent keys: the filter claims few files (fp-rate sanity)
     val maxId = truth.keys.max
     val claimed = (1 to 50)
-      .map(i => BloomSkip.pruneFiles(blooms, lit(maxId + 1000L + i),
-        bits = 1 << 17).length)
+      .map(i => BloomSkip.pruneFiles(blooms, lit(maxId + 1000L + i)).length)
       .sum
     assert(claimed <= 50, s"absent keys claimed $claimed/400 files")
 
     // pruned read + real predicate == full scan + predicate
     val id = someIds.head
     val pruned = BloomSkip.prunedRead(spark, s"$base/data", blooms,
-        lit(id), bits = 1 << 17)
+        lit(id))
       .filter(col("event_id") === id)
     val full = ev.filter(col("event_id") === id)
     assert(pruned.count() == full.count() && pruned.count() > 0)
