@@ -2601,6 +2601,59 @@ object SparkEntry {
           CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    Q("e10_knn_ivfpq",
+      // IVF-PQ composition, the big-corpus ANN path: coarse cells prune
+      // the candidate set (e05's verified stage), ADC scores ONLY those
+      // candidates from their codes (e09's verified stage) — no raw
+      // vector is read during scoring. The oracle replays both stages
+      // from the persisted candidates + codes + codebooks.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        val ivf = Similarity.ivfBuild(emb, k = 16)
+        val pq = Similarity.pqBuild(emb, m = 8, ks = 16)
+        val base = freshState(s, "e10")
+        Similarity.pqSave(pq, base)
+        Similarity.ivfCandidates(ivf, queries, nprobe = 6)
+          .write.mode("overwrite").parquet(base + "/candidates")
+        Similarity.ivfPqTopK(ivf, pq, queries, k = 10, nprobe = 6,
+            rankOnRounded = Some(6))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH cb AS (SELECT sub, code, centroid
+          FROM read_parquet('/tmp/graft_qstate/e10/codebooks/*.parquet')),
+        codes AS (SELECT vec_id, code
+          FROM read_parquet('/tmp/graft_qstate/e10/codes/*.parquet')),
+        cand AS (SELECT query_id, neighbor_id
+          FROM read_parquet('/tmp/graft_qstate/e10/candidates/*.parquet')),
+        q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+          WHERE vec_id < 5),
+        dt AS (
+          SELECT q.query_id, cb.sub, cb.code,
+            list_sum(list_transform(range(1, 9),
+              i -> (CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.centroid[i])
+                 * (CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.centroid[i])))
+              AS dist
+          FROM q CROSS JOIN cb),
+        exploded AS (
+          SELECT c.query_id, c.neighbor_id,
+            CAST(t.i AS INT) - 1 AS sub, k.code[CAST(t.i AS INT)] AS cd
+          FROM cand c JOIN codes k ON k.vec_id = c.neighbor_id,
+            range(1, 9) t(i)),
+        scored AS (
+          SELECT e.query_id, e.neighbor_id, ROUND(SUM(dt.dist), 6) AS adc
+          FROM exploded e JOIN dt ON dt.query_id = e.query_id
+            AND dt.sub = e.sub AND dt.code = e.cd
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbor_id, adc,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, adc AS adc_dist,
+          CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     Q("e06_label_centroids",
       // per-label mean embedding (class prototypes / IVF cell stats):
       // pipelined posexplode + map-side-combined (label, dim) aggregate
@@ -4024,5 +4077,54 @@ object SparkEntry {
           ON p.event_type = 'purchase' AND v.event_type = 'view'
           AND v.user_id = p.user_id
           AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
-        ORDER BY purchase_id, view_id""")))
+        ORDER BY purchase_id, view_id""")),
+
+    Q("st07_stream_persist",
+      // the streaming → persistence glue end-to-end: rolling-zscore
+      // detections stream into the SAME locked, date-partitioned
+      // anomalies store the batch scans and dashboards read, via
+      // per-micro-batch foreachBatch appends. The oracle replays the
+      // detector math in SQL and checks the STORE's read-back —
+      // lifecycle columns included (every streamed row lands 'open').
+      (s, d) => {
+        import s.implicits._
+        val base = freshState(s, "st07")
+        dailySeries(s, d)
+          .select(col("event_type").as("series"),
+            col("day").cast("timestamp").as("ts"), col("value"))
+          .write.mode("overwrite").parquet(base + "/series")
+        val pts = streamOf(s, base + "/series")
+          .as[graft.streaming.StreamingDetect.MetricEvent]
+        val store = new graft.history.AnomaliesStore(s, base + "/anoms")
+        val q = graft.streaming.StreamingDetect.persistDetections(
+          graft.streaming.StreamingDetect.zscoreStream(pts, windowSize = 7),
+          store, java.sql.Timestamp.valueOf(NOW))
+        try q.processAllAvailable() finally q.stop()
+        store.list(anomaliesOnly = false)
+          .select(col("metric_name"), col("ts").cast("date").as("day"),
+            col("metric_value"), round(col("score"), 6).as("score"),
+            col("is_anomaly"), col("severity"), col("status"),
+            col("table_name"),
+            date_format(col("run_at"), "yyyy-MM-dd HH:mm:ss").as("run_at"))
+          .orderBy("metric_name", "day")
+      },
+      Some(s"""WITH series AS ($duckDailySeries),
+        st AS (SELECT event_type, day, value,
+          AVG(value) OVER w AS m, STDDEV_POP(value) OVER w AS sd,
+          COUNT(value) OVER w AS cnt
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        scored AS (SELECT event_type, day, value,
+          CASE WHEN sd = 0 THEN 0.0 ELSE ABS((value - m) / sd) END AS raw_score
+          FROM st WHERE cnt = 7)
+        SELECT event_type AS metric_name, day,
+          value AS metric_value, ROUND(raw_score, 6) AS score,
+          raw_score > 3.0 AS is_anomaly,
+          CASE WHEN raw_score > 5.0 THEN 'high'
+            WHEN raw_score > 3.5 THEN 'medium'
+            ELSE 'low' END AS severity,
+          'open' AS status, '__stream' AS table_name,
+          '$NOW' AS run_at
+        FROM scored ORDER BY metric_name, day""")))
 }

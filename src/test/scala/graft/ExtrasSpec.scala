@@ -726,6 +726,28 @@ class PqSpec extends AnyFunSuite {
     // 16-centroid codebook is coarse, but ADC must still be far better
     assert(recall >= 0.2, s"PQ recall too low: $recall")
   }
+
+  test("IVF-PQ: results stay inside the probed candidate set and ADC " +
+      "distances agree with the full PQ scan") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfBuild(emb, k = 16)
+    val pq = Similarity.pqBuild(emb, m = 8, ks = 16)
+    val cands = Similarity.ivfCandidates(ivf, queries, nprobe = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val res = Similarity.ivfPqTopK(ivf, pq, queries, k = 10, nprobe = 6)
+      .collect()
+    assert(res.nonEmpty)
+    // pruning is real: every emitted neighbor came from a probed cell
+    assert(res.forall(r => cands((r.getLong(0), r.getLong(1)))))
+    // scoring is the SAME quantizer: distances match the full scan's
+    val full = Similarity.pqTopK(pq, queries, k = emb.count().toInt)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(res.forall(r =>
+      math.abs(full((r.getLong(0), r.getLong(1))) - r.getDouble(2)) < 1e-9))
+  }
 }
 
 class ApproxModeSpec extends AnyFunSuite {
