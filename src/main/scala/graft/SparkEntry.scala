@@ -2654,6 +2654,46 @@ object SparkEntry {
           CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    Q("e11_kmeans_clusters",
+      // full-dim Lloyd k-means (corpus organization: topic cells,
+      // curriculum buckets). Deterministic build — hash-ordered seed +
+      // 3 aggregated Lloyd passes with 9 dp-rounded means (the e09
+      // machinery with one whole-vector subspace). Replay oracle:
+      // centroids + assignments are persisted and DuckDB recomputes
+      // every vector's squared distance to its assigned centroid from
+      // the raw embeddings, then re-aggregates size + inertia — the
+      // distance math and the reduction are verified end-to-end;
+      // nearest-centroid optimality is pinned by SimilaritySparkSpec.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val model = Similarity.kmeansBuild(emb, k = 8)
+        val base = freshState(s, "e11")
+        import s.implicits._
+        model.assignments.write.mode("overwrite")
+          .parquet(base + "/assignments")
+        model.centroids.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cluster", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(base + "/centroids")
+        Similarity.kmeansStats(emb, model).orderBy("cluster")
+      },
+      Some("""WITH cent AS (SELECT cluster, centroid
+          FROM read_parquet('/tmp/graft_qstate/e11/centroids/*.parquet')),
+        asg AS (SELECT vec_id, cluster
+          FROM read_parquet('/tmp/graft_qstate/e11/assignments/*.parquet')),
+        d AS (
+          SELECT a.cluster,
+            CAST(ROUND(list_sum(list_transform(range(1, 65),
+              i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                 * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])))
+              * 1e6, 0) AS BIGINT) AS micro
+          FROM embeddings e
+          JOIN asg a ON a.vec_id = e.vec_id
+          JOIN cent c ON c.cluster = a.cluster)
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS size,
+          ROUND(CAST(SUM(micro) AS DOUBLE) / 1e6, 6) AS inertia
+        FROM d GROUP BY cluster ORDER BY cluster""")),
+
     Q("e06_label_centroids",
       // per-label mean embedding (class prototypes / IVF cell stats):
       // pipelined posexplode + map-side-combined (label, dim) aggregate
@@ -3164,6 +3204,48 @@ object SparkEntry {
         FROM ranked WHERE rk <= 3 AND doc_id < 30
         ORDER BY doc_id, rk""")),
 
+    Q("x36_bm25_topk",
+      // BM25 lexical retrieval (the keyword side of a RAG/eval stack,
+      // next to e02's ANN side): postings prune to the query terms
+      // BEFORE df/scoring so everything past the corpus scan is
+      // |terms|-bounded; per-term scores quantize to integer micro-
+      // units before the per-doc sum (x13's discipline) so ranking is
+      // engine-exact; ties break on doc_id
+      (s, d) => TextAnalysis.bm25TopK(t(s, d, "documents"),
+          Seq("spark", "merge", "vector"), k = 10)
+        .orderBy("rank"),
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents),
+        tok AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tl FROM dl),
+        qtf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+          WHERE token IN ('spark', 'merge', 'vector') GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS df FROM qtf GROUP BY 1),
+        per_term AS (
+          SELECT qtf.doc_id,
+            CAST(ROUND(
+              ln((CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                * (qtf.tf * 2.2)
+                / (qtf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                    / (CAST(stats.tl AS DOUBLE) / stats.n))))
+                * 1e6, 0) AS BIGINT) AS micro
+          FROM qtf JOIN df USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN stats),
+        per_doc AS (
+          SELECT doc_id, SUM(micro) AS score_micro,
+            CAST(COUNT(*) AS BIGINT) AS n_terms
+          FROM per_term GROUP BY 1),
+        ranked AS (
+          SELECT doc_id, n_terms, score_micro,
+            ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+          FROM per_doc)
+        SELECT doc_id, CAST(rank AS INT) AS rank,
+          ROUND(CAST(score_micro AS DOUBLE) / 1e6, 6) AS bm25, n_terms
+        FROM ranked WHERE rank <= 10 ORDER BY rank""")),
+
     Q("x13_unigram_logprob",
       // CCNet-style unigram LM quality score: corpus unigram model in one
       // token-keyed agg, per-doc weighted average -ln p(token)
@@ -3549,7 +3631,25 @@ object SparkEntry {
           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
           ROUND(value, 6) AS value
         FROM events WHERE event_id IN (11, 222, 3333)
-        ORDER BY event_id""")))
+        ORDER BY event_id""")),
+
+    Q("s13_compaction",
+      // small-file compaction (the OPTIMIZE half of table maintenance,
+      // x26's z-order being the CLUSTER half): 64 deliberately tiny
+      // files bin-pack into right-sized ones via a shuffle-free
+      // coalesce — driver sees file metadata only, never rows. Oracle
+      // = the compacted copy reads back as EXACTLY the original table
+      // (compaction must move bytes, not change them); LayoutSpec
+      // asserts the file-count contract.
+      (s, d) => {
+        val base = freshState(s, "s13")
+        t(s, d, "orders").repartition(64)
+          .write.parquet(base + "/small")
+        graft.sources.Layout.compact(s, base + "/small",
+          base + "/compacted", targetBytes = 512L * 1024 * 1024)
+        s.read.parquet(base + "/compacted").orderBy("o_orderkey")
+      },
+      Some("SELECT * FROM orders ORDER BY o_orderkey")))
 
   // ------------------------------------------------------------------
   // J-series: custom operators beyond Spark's built-ins
@@ -3650,6 +3750,37 @@ object SparkEntry {
           AND epoch_us(c.ts) >= epoch_us(e.ts) - 86400000000
           AND epoch_us(c.ts) < epoch_us(e.ts)
         GROUP BY 1, 2 ORDER BY event_id""")),
+
+    Q("j04_salted_join",
+      // salted equi-join for the skew AQE can't fix (hot key inside a
+      // sort-merge join, build side too big to broadcast but cheap to
+      // replicate): small side replicates saltFactor ways, big side
+      // salts deterministically, a hot key's rows spread over
+      // saltFactor reducers. Oracle = the plain join — salting must
+      // redistribute work without changing one row.
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey").as("pk"), col("l_quantity"))
+        val small = t(s, d, "part")
+          .select(col("p_partkey").as("pk"), col("p_name"))
+        graft.pipeline.Skew.saltedJoin(big, small, "pk", saltFactor = 8)
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey AS pk,
+          l_quantity, p_name
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("x37_salted_count",
+      // two-phase salted aggregation: per-key counts where no reducer
+      // ever receives a hot key whole — phase 1 groups by (key, salt),
+      // phase 2 sums the partials. Oracle = the plain GROUP BY.
+      (s, d) => graft.pipeline.Skew.saltedCount(
+          t(s, d, "lineitem"), "l_suppkey", saltFactor = 16)
+        .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey, COUNT(*) AS count
+        FROM lineitem GROUP BY 1 ORDER BY l_suppkey""")),
 
     Q("x16_sessionize",
       // gap-based sessionization (6 h): one shuffle on user_id, session

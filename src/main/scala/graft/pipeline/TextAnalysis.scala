@@ -686,4 +686,71 @@ object TextAnalysis {
       .drop(("__toks" +: "__alpha" +: "__punct" +: "__stop" +:
         langMarkers.map(m => s"__lang_${m._1}")): _*)
   }
+
+  /** BM25 top-k document retrieval for a fixed bag of query terms — the
+   *  lexical-retrieval op a RAG/eval pipeline runs next to the ANN
+   *  path (e02/e03): score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 −
+   *  b + b·dl/avgdl)), idf(t) = ln((N − df + ½)/(df + ½) + 1).
+   *
+   *  Shape at scale: the (doc, token, tf) postings and per-doc lengths
+   *  are token-/doc-keyed partial aggregations (map-side combine, text
+   *  never shuffles whole); postings are pruned to the query terms
+   *  BEFORE document frequency is derived, so everything downstream of
+   *  the corpus scan is |terms|-bounded — df comes from the pruned
+   *  postings themselves (df(t) = #docs holding t), the df table and
+   *  the (N, Σdl) corpus stats are broadcast, and the final top-k is a
+   *  single window over docs that matched at least one term. Per-term
+   *  scores are quantized to integer micro-units BEFORE the per-doc
+   *  sum (the [[unigramLogProb]] discipline): integer sums are exact
+   *  under any partial-aggregation order, so ranking and the emitted
+   *  score are reproducible across engines. Ties break on doc id. */
+  def bm25TopK(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = docs
+      .select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__tl"))
+    val qtf = toks
+      .filter(col("token").isin(terms.map(_.toLowerCase): _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = qtf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val perTerm = qtf
+      .join(broadcast(df), "token")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      // arithmetic shape mirrors the oracle SQL exactly: idf and the
+      // tf-normalization are evaluated in the same operation order on
+      // both engines, then quantized — only libm-ulp noise is rounded
+      // away, never a reordering difference
+      .withColumn("__idf",
+        log((col("__n").cast("double") - col("df") + 0.5)
+          / (col("df") + 0.5) + 1.0))
+      .withColumn("__avgdl", col("__tl").cast("double") / col("__n"))
+      .withColumn("__micro",
+        round(col("__idf") * (col("tf") * (k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b)
+            * (col("dl").cast("double") / col("__avgdl")))) * 1e6, 0)
+          .cast("long"))
+    val perDoc = perTerm.groupBy(col(idCol))
+      .agg(sum(col("__micro")).as("__score_micro"),
+        count(lit(1)).as("n_terms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__score_micro").desc, col(idCol))
+    perDoc
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"),
+        round(col("__score_micro").cast("double") / 1e6, 6).as("bm25"),
+        col("n_terms"))
+  }
 }

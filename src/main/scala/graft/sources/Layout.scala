@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -104,4 +104,58 @@ object Layout {
     withZValue(df, colX, colY, bits)
       .repartitionByRange(numFiles, col("__z"))
       .drop("__z")
+
+  final case class CompactionStats(
+      filesBefore: Int,
+      filesAfter: Int,
+      bytesTotal: Long,
+      targetBytes: Long)
+
+  /** Small-file compaction (the OPTIMIZE half of a table-maintenance
+   *  loop; [[zorder]] is the CLUSTER half): rewrite a directory of many
+   *  small parquet files into ⌈totalBytes / targetBytes⌉ right-sized
+   *  ones. The file census is driver-side metadata (one listStatus, a
+   *  few strings per file — never data), and the rewrite is a
+   *  `coalesce`, NOT a repartition: each output task concatenates a
+   *  subset of input files with no shuffle and no ordering promise —
+   *  exactly the bin-packing contract. Streaming ingest at 100 TB
+   *  produces minute-sized files whose per-file open/footer cost comes
+   *  to dominate scans; compaction is what keeps zone maps ([[ZoneMap]])
+   *  and bloom sidecars ([[BloomSkip]]) worth building — both prune
+   *  per FILE, so a million tiny files means a million probes. */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactionStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files under $inPath")
+    val total = files.map(_.getLen).sum
+    val numOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    // Spark's file-scan partitioning IS a first-fit bin packer (files
+    // sorted by length, packed up to maxPartitionBytes) — scope its
+    // knobs to the rewrite so the bins track targetBytes instead of
+    // the session default, then cap at ⌈total/target⌉ (packing
+    // fragmentation can overshoot; coalesce merges, never splits).
+    val conf = spark.conf
+    val saved = Seq("spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      spark.read.parquet(inPath)
+        .coalesce(numOut)
+        .write.mode("overwrite").parquet(outPath)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    CompactionStats(files.length, after, total, targetBytes)
+  }
 }

@@ -937,4 +937,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(sHitsY == probes.size * files,
       s"expected y-predicates to hit every x-sorted file, got $sHitsY")
   }
+
+  test("compact bin-packs small files and moves bytes unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val data = (1 to 5000).map(i => (i.toLong, s"row_$i")).toDF("id", "s")
+    data.repartition(32).write.parquet(s"$base/small")
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/small") == 32)
+    val stats = Layout.compact(spark, s"$base/small", s"$base/out",
+      targetBytes = 64L * 1024 * 1024)
+    assert(stats.filesBefore == 32)
+    assert(stats.filesAfter == 1, s"expected 1 packed file, got $stats")
+    assert(parquetFiles(s"$base/out") == 1)
+    // compaction must not change one row
+    val out = spark.read.parquet(s"$base/out")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == (1 to 5000).map(i => (i.toLong, s"row_$i")))
+    // a tight byte budget splits into multiple right-sized files
+    val tight = Layout.compact(spark, s"$base/small", s"$base/out2",
+      targetBytes = math.max(1L, stats.bytesTotal / 4))
+    assert(tight.filesAfter >= 3 && tight.filesAfter <= 5,
+      s"expected ~4 files for a quarter-size budget, got $tight")
+    assert(spark.read.parquet(s"$base/out2").count() == 5000L)
+  }
 }

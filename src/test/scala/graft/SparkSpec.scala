@@ -644,6 +644,34 @@ class SimilaritySparkSpec extends AnyFunSuite {
       (0, 1) -> ((2L, 2.0)), (0, 2) -> ((2L, 3.0)),
       (1, 1) -> ((1L, 0.5)), (1, 2) -> ((1L, -0.5))))
   }
+
+  test("kmeans: every assignment is the nearest centroid; Lloyd refines") {
+    val model = Similarity.kmeansBuild(emb, k = 4)
+    assert(model.centroids.length == 4)
+    val asg = model.assignments.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(asg.size == emb.count())
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def d2(v: Array[Double], c: Array[Double]): Double =
+      v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+    // argmin optimality (ties keep the lowest index, like the encoder)
+    vecs.foreach { case (id, v) =>
+      val dists = model.centroids.map(d2(v, _))
+      assert(dists(asg(id)) <= dists.min + 1e-9,
+        s"vec $id assigned ${asg(id)} but nearer centroid exists")
+    }
+    // Lloyd refinement: 3 passes never lose to the raw seed
+    def inertia(m: Similarity.KmeansModel): Double =
+      Similarity.kmeansStats(emb, m).agg(sum("inertia")).first().getDouble(0)
+    val seedOnly = Similarity.kmeansBuild(emb, k = 4, lloydIters = 0)
+    assert(inertia(model) <= inertia(seedOnly) + 1e-6)
+    // stats cover every vector exactly once
+    val sizes = Similarity.kmeansStats(emb, model)
+      .collect().map(_.getLong(1)).sum
+    assert(sizes == emb.count())
+  }
 }
 
 class FingerprintSpec extends AnyFunSuite {
@@ -1691,6 +1719,32 @@ class GopherFilterSpec extends AnyFunSuite {
     val s = TextAnalysis.unigramLogProb(fixture).collect()
       .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("avg_neg_logprob"))).toMap
     assert(s(2L) > s(3L) && s(3L) > s(1L))
+  }
+
+  test("bm25: rare matched term outranks common one; dl normalizes") {
+    val fixture = Seq(
+      (1L, "quartz lattice"),                       // rare term, short doc
+      (2L, "common common common common common"),   // common term, high tf
+      (3L, "common filler filler filler filler filler filler filler"),
+      (4L, "filler filler filler"),                 // no query term
+      (5L, "common quartz"))                        // both terms
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(fixture, Seq("quartz", "common"), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3)))
+    // doc 4 matches nothing → absent; everything else present
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 5L))
+    val byDoc = out.map(o => o._1 -> o).toMap
+    // both-term doc carries n_terms 2 and beats every single-term doc
+    assert(byDoc(5L)._4 == 2L && byDoc(5L)._2 == 1)
+    // rare 'quartz' (df 2) outscores common 'common' (df 3) at equal tf
+    assert(byDoc(1L)._3 > byDoc(3L)._3)
+    // same term, same tf=1: the SHORTER doc scores higher (dl norm)
+    val ranks = out.sortBy(_._2).map(_._1).toSeq
+    assert(ranks.head == 5L)
+    // ranks are dense 1..n
+    assert(out.map(_._2).sorted.toSeq == (1 to out.length).toSeq)
   }
 }
 
