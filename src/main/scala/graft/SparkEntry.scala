@@ -1272,6 +1272,45 @@ object SparkEntry {
             ELSE 'low' END AS severity
         FROM scored ORDER BY event_type, day""")),
 
+    Q("a15_cusum",
+      // CUSUM changepoint detector (beyond-reference): cumulative
+      // drift catches sustained level shifts per-point detectors miss.
+      // The clamped recursion S⁺ₜ = max(0, S⁺ₜ₋₁ + dev) is rewritten as
+      // prefix-sum minus running-min — two stacked window passes, no
+      // UDF, exactly replayable as SQL
+      (s, d) => Anomalies.cusum(dailySeries(s, d),
+          Seq("event_type"), "day", "value")
+        .select(col("event_type"), col("day"), col("value"),
+          round(col("cusum_up"), 6).as("cusum_up"),
+          round(col("cusum_down"), 6).as("cusum_down"),
+          round(col("score"), 6).as("score"),
+          col("is_anomaly"), col("direction"))
+        .orderBy("event_type", "day"),
+      Some(s"""WITH series AS ($duckDailySeries),
+        st AS (SELECT event_type, day, value,
+          AVG(value) OVER (PARTITION BY event_type) AS m,
+          STDDEV_POP(value) OVER (PARTITION BY event_type) AS sd,
+          COUNT(value) OVER (PARTITION BY event_type) AS n
+          FROM series),
+        p AS (SELECT event_type, day, value, sd,
+          SUM(value - m - 0.5 * sd) OVER w AS p_up,
+          SUM(m - value - 0.5 * sd) OVER w AS p_dn
+          FROM st WHERE n >= 2 AND sd > 0
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        sc AS (SELECT event_type, day, value,
+          (p_up - LEAST(CAST(0 AS DOUBLE), MIN(p_up) OVER w)) / sd AS s_up,
+          (p_dn - LEAST(CAST(0 AS DOUBLE), MIN(p_dn) OVER w)) / sd AS s_dn
+          FROM p WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_type, day, value,
+          ROUND(s_up, 6) AS cusum_up, ROUND(s_dn, 6) AS cusum_down,
+          ROUND(GREATEST(s_up, s_dn), 6) AS score,
+          GREATEST(s_up, s_dn) > 4.0 AS is_anomaly,
+          CASE WHEN GREATEST(s_up, s_dn) <= 4.0 THEN 'none'
+            WHEN s_up >= s_dn THEN 'up' ELSE 'down' END AS direction
+        FROM sc ORDER BY event_type, day""")),
+
     Q("a02_zscore_rolling",
       (s, d) => Anomalies.zscore(dailySeries(s, d), Seq("event_type"), "day",
         "value", sensitivity = 1.0, window = Some(7))
@@ -3770,6 +3809,27 @@ object SparkEntry {
       Some("""SELECT l_orderkey, l_linenumber, l_partkey AS pk,
           l_quantity, p_name
         FROM lineitem JOIN part ON p_partkey = l_partkey
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("x38_adaptive_salted_join",
+      // differential salting: ONLY the hot keys (detected by a one-agg
+      // census) pay the replication tax — hot big rows spread over
+      // saltFactor reducers, cold rows join unsalted. Oracle = the
+      // plain join, again: redistribution must never change a row.
+      (s, d) => {
+        val big = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_suppkey").as("sk"), col("l_extendedprice"))
+        val small = t(s, d, "supplier")
+          .select(col("s_suppkey").as("sk"), col("s_name"))
+        val hot = graft.pipeline.Skew.hotKeys(big, "sk", minCount = 600L)
+        graft.pipeline.Skew.adaptiveSaltedJoin(big, small, "sk", hot,
+            saltFactor = 8)
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_suppkey AS sk,
+          l_extendedprice, s_name
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
         ORDER BY l_orderkey, l_linenumber""")),
 
     Q("x37_salted_count",

@@ -362,6 +362,63 @@ object Anomalies {
       .drop("__arr", "__sd", "__scale")
   }
 
+  /** CUSUM changepoint detector (beyond-reference): flags sustained
+   *  level SHIFTS that per-point detectors miss — ten consecutive
+   *  days each 1σ high never trip a 3σ z-score, but their cumulative
+   *  drift does. Tabular CUSUM with slack k·σ and decision bound h·σ:
+   *  S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ − kσ)), S⁻ mirrored. The clamped
+   *  recursion is NOT a recurrence here: S⁺ₜ ≡ Pₜ − min(0, min_{j≤t} Pⱼ)
+   *  for the plain prefix sum Pₜ of deviations, so the whole detector
+   *  is two stacked window passes (running sum, then running min) —
+   *  engine-portable, no UDF, thousands of series in one partitioned
+   *  job, and exactly replayable as SQL (the a15 oracle). Scores are
+   *  emitted in σ units; direction says which side drifted. */
+  def cusum(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      k: Double = 0.5,
+      h: Double = 4.0,
+      sensitivity: Double = 1.0): DataFrame = {
+    require(k >= 0.0 && h > 0.0, "need slack k >= 0 and bound h > 0")
+    val part = Window.partitionBy(seriesCols.map(col): _*)
+    val v = col(valueCol)
+    val wAll = part.orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = part.orderBy(col(tsCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val threshold = h / sensitivity
+    df
+      .withColumn("__n", count(v).over(wAll))
+      .withColumn("__mean", avg(v).over(wAll))
+      .withColumn("__sd", stddev_pop(v).over(wAll))
+      .filter(col("__n") >= 2 && col("__sd") > 0.0)
+      .withColumn("__pUp",
+        sum(v - col("__mean") - lit(k) * col("__sd")).over(wRun))
+      .withColumn("__pDn",
+        sum(col("__mean") - v - lit(k) * col("__sd")).over(wRun))
+      .withColumn("__sUp",
+        (col("__pUp") - least(lit(0.0), min(col("__pUp")).over(wRun)))
+          / col("__sd"))
+      .withColumn("__sDn",
+        (col("__pDn") - least(lit(0.0), min(col("__pDn")).over(wRun)))
+          / col("__sd"))
+      .withColumn("score", greatest(col("__sUp"), col("__sDn")))
+      .withColumn("threshold", lit(threshold))
+      .withColumn("is_anomaly", col("score") > col("threshold"))
+      .withColumn("direction",
+        when(!col("is_anomaly"), "none")
+          .when(col("__sUp") >= col("__sDn"), "up")
+          .otherwise("down"))
+      .withColumn("method", lit("cusum"))
+      .withColumn("severity", severity(col("score") - lit(threshold - 3.0),
+        "zscore"))
+      .drop("__n", "__mean", "__sd", "__pUp", "__pDn")
+      .withColumnRenamed("__sUp", "cusum_up")
+      .withColumnRenamed("__sDn", "cusum_down")
+  }
+
   /** A1–A5 dispatch by configured method (detector.py:92-127 defaults).
    *  `minDataPoints` guards short series (detector.py:59-62). */
   def detect(
@@ -401,6 +458,9 @@ object Anomalies {
       // 7 weeks of history). Callers tune minPerSeason directly.
       case "seasonal_zscore" =>
         seasonalZscore(eligible, seriesCols, tsCol, valueCol, sensitivity)
+      case "cusum" =>
+        cusum(eligible, seriesCols, tsCol, valueCol,
+          sensitivity = sensitivity)
       case other =>
         throw new IllegalArgumentException(s"unknown detection method: $other")
     }

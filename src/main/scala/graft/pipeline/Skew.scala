@@ -58,4 +58,56 @@ object Skew {
       .drop(saltedSmall(key))
       .drop("__salt")
   }
+
+  /** Keys whose row count reaches `minCount` — the planning input for
+   *  differential salting. One partial-aggregated count; the result is
+   *  hot-key-sized (small by definition: a key is only hot when few
+   *  keys hold a large share of the rows). */
+  def hotKeys(df: DataFrame, key: String, minCount: Long): DataFrame =
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("key_count"))
+      .filter(col("key_count") >= minCount)
+
+  /** Differential salted join: salt ONLY the hot keys. [[saltedJoin]]
+   *  replicates the whole small side `saltFactor` times — fine when it
+   *  is tiny, a `saltFactor`× shuffle tax when it isn't. Here the
+   *  hot-key frame (broadcast, hot-key-sized) marks each side: hot big
+   *  rows salt over `saltFactor` reducers, cold rows keep salt 0; hot
+   *  small rows replicate `saltFactor` ways, cold rows once. The join
+   *  stays a plain equi-join on (key, salt) and the replication tax is
+   *  paid only where the skew is. */
+  def adaptiveSaltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      hot: DataFrame,
+      saltFactor: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left", "leftouter")(
+      joinType.toLowerCase.replace("_", "")),
+      s"adaptiveSaltedJoin supports inner/left joins only, got '$joinType'")
+    val hotSet = broadcast(hot.select(col(key)).distinct()
+      .withColumn("__hot", lit(true)))
+    val saltedBig = big
+      .join(hotSet, Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull,
+          pmod(xxhash64(col(key), spark_partition_id(),
+            monotonically_increasing_id()), lit(saltFactor.toLong)))
+          .otherwise(lit(0L)))
+      .drop("__hot")
+    val saltedSmall = small
+      .join(hotSet, Seq(key), "left")
+      .withColumn("__salt", explode(
+        when(col("__hot").isNotNull,
+          sequence(lit(0L), lit(saltFactor.toLong - 1)))
+          .otherwise(array(lit(0L)))))
+      .drop("__hot")
+    saltedBig.join(saltedSmall,
+      saltedBig(key) === saltedSmall(key) &&
+        saltedBig("__salt") === saltedSmall("__salt"),
+      joinType)
+      .drop(saltedSmall(key))
+      .drop("__salt")
+  }
 }

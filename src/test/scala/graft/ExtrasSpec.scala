@@ -572,6 +572,34 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
     assert(plain.count(_._1 == "hot") == 2000)
   }
+
+  test("adaptive salted join: hot keys detected, result matches plain " +
+      "join, cold small rows not replicated") {
+    import graft.pipeline.Skew
+    import org.apache.spark.sql.functions.col
+    val big = (Seq.fill(2000)(("hot", 1)) ++
+      (1 to 200).map(i => (s"k$i", i))).toDF("k", "v")
+    val small = (Seq(("hot", 99), ("nomatch", 0)) ++
+      (1 to 100).map(i => (s"k$i", i))).toDF("k", "w")
+    val hot = Skew.hotKeys(big, "k", minCount = 1000L)
+    assert(hot.collect().map(_.getString(0)).toSeq == Seq("hot"))
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "w").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+    val plain = normalize(big.join(small, "k"))
+    val inner = normalize(Skew.adaptiveSaltedJoin(big, small, "k", hot,
+      saltFactor = 8))
+    assert(inner == plain)
+    // left join keeps unmatched big rows exactly once
+    val left = Skew.adaptiveSaltedJoin(
+      big, small.filter(col("k") =!= "k1"), "k", hot, joinType = "left")
+    assert(left.count() == big.count())
+    assert(left.filter(col("k") === "k1" && col("w").isNull).count() == 1)
+    // a full-outer ask is rejected rather than silently wrong
+    intercept[IllegalArgumentException] {
+      Skew.adaptiveSaltedJoin(big, small, "k", hot, joinType = "outer")
+    }
+  }
 }
 
 class BucketingSpec extends AnyFunSuite {

@@ -340,6 +340,40 @@ class AnomaliesSparkSpec extends AnyFunSuite {
     assert(cyclePoints.length == 16)
     assert(cyclePoints.forall(_.getAs[Double]("score") < 2.0))
   }
+
+  test("cusum: window rewrite equals the clamped recursion; a sustained " +
+      "1σ shift fires where the per-point z-score stays silent") {
+    import graft.anomalies.Anomalies
+    // 20 points alternating around 10, then 12 points shifted up to 13:
+    // the largest single deviation is ~1.6σ of the pooled series — far
+    // from a 3σ point outlier — but the sustained drift crosses h=4σ
+    val vals = (0 until 20).map(i => 10.0 + (if (i % 2 == 0) 1.0 else -1.0)) ++
+      (0 until 12).map(i => 13.0 + (if (i % 2 == 0) 1.0 else -1.0))
+    val df = vals.zipWithIndex.map { case (v, i) => ("m1", i.toLong, v) }
+      .toDF("series", "ts", "value")
+    val k = 0.5
+    val out = Anomalies.cusum(df, Seq("series"), "ts", "value", k = k)
+      .orderBy("ts").collect()
+    assert(out.length == vals.length)
+    // direct tabular recursion: S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ − kσ))
+    val mean = vals.sum / vals.size
+    val sd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.size)
+    var sUp = 0.0; var sDn = 0.0
+    vals.zip(out).foreach { case (x, row) =>
+      sUp = math.max(0.0, sUp + (x - mean - k * sd))
+      sDn = math.max(0.0, sDn + (mean - x - k * sd))
+      assert(math.abs(row.getAs[Double]("cusum_up") - sUp / sd) < 1e-9)
+      assert(math.abs(row.getAs[Double]("cusum_down") - sDn / sd) < 1e-9)
+    }
+    // the global z-score never fires on this series...
+    val z = Anomalies.zscore(df, Seq("series"), "ts", "value").collect()
+    assert(z.forall(!_.getAs[Boolean]("is_anomaly")))
+    // ...but CUSUM flags the shifted tail, upward, and nothing before it
+    val flagged = out.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.nonEmpty)
+    assert(flagged.forall(_.getAs[String]("direction") == "up"))
+    assert(flagged.forall(_.getLong(1) >= 20L))
+  }
 }
 
 class DedupSparkSpec extends AnyFunSuite {
