@@ -741,6 +741,40 @@ object SparkEntry {
         FROM (SELECT * FROM b UNION ALL SELECT * FROM c)
         ORDER BY column_name, estimate DESC, value""")),
 
+    Q("p36_equidepth_histogram",
+      // quantile-binned histogram (the skew-robust complement of p28's
+      // equal-width bins). Edge-replay oracle: interpolated percentile
+      // edges are float-fragile to recompute bit-identically across
+      // engines, so Spark persists its raw-precision edge table and
+      // DuckDB re-buckets every lineitem row against those same bits —
+      // the bucketing join, boundary semantics (interior edges go
+      // right, last bin closed) and counts are all verified; the edge
+      // computation itself is pinned by ProfilerSparkSpec.
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val path = freshState(s, "p36") + "/edges"
+        Profiler.quantileEdges(li, "l_extendedprice", 8)
+          .write.mode("overwrite").parquet(path)
+        // re-read the persisted edges: Spark and DuckDB then bucket
+        // against the SAME bits by construction
+        Profiler.histogramWithEdges(li, "l_extendedprice", s.read.parquet(path))
+      },
+      Some("""WITH e AS (
+          SELECT bucket, lo, hi,
+            MAX(bucket) OVER () AS lastb
+          FROM read_parquet('/tmp/graft_qstate/p36/edges/*.parquet')),
+        counted AS (
+          SELECT e.bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem l JOIN e
+            ON l.l_extendedprice >= e.lo
+           AND (l.l_extendedprice < e.hi
+                OR (e.bucket = e.lastb AND l.l_extendedprice <= e.hi))
+          GROUP BY e.bucket)
+        SELECT e.bucket, ROUND(e.lo, 6) AS lo, ROUND(e.hi, 6) AS hi,
+          COALESCE(c.cnt, 0) AS cnt
+        FROM e LEFT JOIN counted c ON e.bucket = c.bucket
+        ORDER BY e.bucket""")),
+
     Q("p31_ks_drift",
       // exact two-sample Kolmogorov–Smirnov D between odd- and even-order
       // lineitem prices; distributed prefix sums via range buckets (no
@@ -2041,6 +2075,45 @@ object SparkEntry {
           CAST(SUM(CASE WHEN abs(v) > CAST(0.999 AS DOUBLE) THEN 1 ELSE 0 END)
             AS BIGINT) AS clipped_samples
         FROM read_parquet('/tmp/graft_qstate/m02/samples/*.parquet')
+        GROUP BY id ORDER BY id""")),
+
+    Q("m03_video_frames",
+      // video-frame aggregates over REAL MJPEG-in-AVI decode of a
+      // deterministic synthetic corpus: the AVI container walk yields
+      // per-frame JPEG payloads, ImageIO decodes pixels, and Spark
+      // persists the (id, frame_idx, ts_ms, mean_intensity) frame grain
+      // that DuckDB re-aggregates — the m02 sample-replay pattern at the
+      // frame level, so the distributed explode+decode+agg is oracle-
+      // gated while the pixel decode itself is pinned by spec.
+      (s, _) => {
+        val vids = Multimodal.syntheticVideoCorpus(s, 120)
+        val media = {
+          import s.implicits._
+          vids.as[(Long, Array[Byte])].map { case (id, bytes) =>
+            Multimodal.MediaRow(id, bytes,
+              Multimodal.MediaMeta("video", "avi", 32, 32, 0L))
+          }
+        }
+        val feats = Multimodal.frameFeatures(
+          Multimodal.sampleFrames(media, intervalMs = 250L))
+          .select(col("id"), col("frame_idx"), col("ts_ms"),
+            round(col("mean_intensity"), 6).as("mean_intensity"))
+        feats.write.mode("overwrite")
+          .parquet(freshState(s, "m03") + "/frames")
+        feats.groupBy("id").agg(
+          count(lit(1)).as("n_frames"),
+          max(col("ts_ms")).as("last_ts_ms"),
+          round(avg(col("mean_intensity")), 6).as("avg_intensity"),
+          round(min(col("mean_intensity")), 6).as("min_intensity"),
+          round(max(col("mean_intensity")), 6).as("max_intensity"))
+          .orderBy("id")
+      },
+      Some("""SELECT id, COUNT(*) AS n_frames,
+          MAX(ts_ms) AS last_ts_ms,
+          ROUND(AVG(mean_intensity), 6) AS avg_intensity,
+          ROUND(MIN(mean_intensity), 6) AS min_intensity,
+          ROUND(MAX(mean_intensity), 6) AS max_intensity
+        FROM read_parquet('/tmp/graft_qstate/m03/frames/*.parquet')
         GROUP BY id ORDER BY id""")),
 
     Q("d05_dup_clusters",
@@ -3831,6 +3904,199 @@ object SparkEntry {
           l_extendedprice, s_name
         FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
         ORDER BY l_orderkey, l_linenumber""")),
+
+    Q("x39_perplexity_buckets",
+      // CCNet-style corpus partitioning (Wenzek et al. 2019): per-doc
+      // unigram-LM score (x13's exact micro-nat machinery) → tertile
+      // head/middle/tail buckets. Threshold-replay oracle: the LM pass
+      // runs ONCE and persists scores, the interpolated tertile cut
+      // points are float-fragile to recompute bit-identically across
+      // engines, so Spark persists its raw-precision (t1, t2) row and
+      // DuckDB re-labels every persisted score against those same bits
+      // — the bucketing comparisons and labels are fully verified; the
+      // threshold computation itself is pinned by TextAnalysisSparkSpec.
+      (s, d) => {
+        val base = freshState(s, "x39")
+        val scoresPath = base + "/scores"
+        TextAnalysis.unigramLogProb(t(s, d, "documents"))
+          .write.mode("overwrite").parquet(scoresPath)
+        val scored = s.read.parquet(scoresPath)
+        val thPath = base + "/thresholds"
+        TextAnalysis.perplexityThresholds(scored)
+          .write.mode("overwrite").parquet(thPath)
+        TextAnalysis.perplexityBuckets(scored, s.read.parquet(thPath))
+          .select(col("doc_id"), col("n_tokens"),
+            col("avg_neg_logprob"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT s.doc_id, s.n_tokens, s.avg_neg_logprob,
+          CASE WHEN s.avg_neg_logprob <= t.t1 THEN 'head'
+               WHEN s.avg_neg_logprob <= t.t2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM read_parquet('/tmp/graft_qstate/x39/scores/*.parquet') s
+        CROSS JOIN read_parquet('/tmp/graft_qstate/x39/thresholds/*.parquet') t
+        ORDER BY s.doc_id""")),
+
+    Q("x40_normalized_dedup",
+      // typography-insensitive exact dedup: NFD accent-strip +
+      // lowercase + separator-collapse normalization, then md5-keyed
+      // grouping (the exact-dedup plan — 16-byte keys shuffle, never
+      // text). The ASCII corpus carries no typographic variants, so
+      // deterministic ones are injected from doc_id the same way on
+      // both engines (the p21/x14 recipe): accented + uppercased +
+      // re-punctuated copies that normalize back onto their original.
+      // The normalization pipeline itself is replayed in full by
+      // DuckDB (nfc_normalize/strip_accents/lower + the same RE2
+      // character classes), so the UDF semantics are oracle-verified,
+      // not just pinned.
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val variants = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(upper(regexp_replace(col("text"), "a", "á")),
+              lit(" !!")).as("text"))
+        TextAnalysis.normalizedDupGroups(docs.union(variants))
+          .orderBy("norm_md5")
+      },
+      Some("""WITH var AS (
+          SELECT doc_id + 100000 AS doc_id,
+            upper(replace(text, 'a', chr(225))) || ' !!' AS text
+          FROM documents WHERE doc_id % 10 = 0),
+        all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id, text FROM var),
+        norm AS (
+          SELECT doc_id,
+            md5(trim(regexp_replace(lower(strip_accents(nfc_normalize(text))),
+              '[^\p{L}\p{Nd}]+', ' ', 'g'))) AS norm_md5
+          FROM all_docs)
+        SELECT norm_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          MIN(doc_id) AS canonical_id
+        FROM norm GROUP BY 1 HAVING COUNT(*) >= 2
+        ORDER BY norm_md5""")),
+
+    Q("x41_corpus_overlap",
+      // corpus-LEVEL shingle overlap (no pairs materialized): split
+      // documents into odd/even halves as two "snapshots" and measure
+      // distinct-trigram counts, common count, Jaccard, containment —
+      // the "is B a re-crawl of A / does the benchmark leak" one-row
+      // answer, linear in distinct shingles
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.corpusShingleOverlap(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS ts
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+          FROM toks WHERE len(ts) >= 3),
+        tagged AS (
+          SELECT shingle,
+            MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+            MAX(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+          FROM sh GROUP BY 1)
+        SELECT CAST(SUM(a) AS BIGINT) AS shingles_a,
+          CAST(SUM(b) AS BIGINT) AS shingles_b,
+          CAST(SUM(a * b) AS BIGINT) AS common,
+          ROUND(CAST(SUM(a * b) AS DOUBLE)
+            / (SUM(a) + SUM(b) - SUM(a * b)), 6) AS jaccard,
+          ROUND(CAST(SUM(a * b) AS DOUBLE)
+            / LEAST(SUM(a), SUM(b)), 6) AS containment
+        FROM tagged""")),
+
+    Q("x42_mojibake_scan",
+      // encoding-damage scan: U+FFFD, C1 controls, Ã/Â+Latin-1 pairs,
+      // â€-triples — the wrong-charset artifacts every web crawl
+      // carries. The ASCII corpus is clean, so deterministic damage is
+      // injected from doc_id identically on both engines (the x14/x40
+      // recipe); the regexes are shared RE2/Java syntax and run
+      // verbatim in DuckDB, so the detector itself is oracle-verified
+      (s, d) => {
+        val id = col("doc_id")
+        val damaged = t(s, d, "documents").select(id, concat(
+          col("text"),
+          when(id % 4 === 0, " cafÃ©").otherwise(""),
+          when(id % 6 === 0, " donâ€™t").otherwise(""),
+          when(id % 9 === 0, " x�y").otherwise(""),
+          when(id % 10 === 0, "\u0085ok").otherwise("")).as("text"))
+        TextAnalysis.mojibakeScan(damaged)
+          .filter(col("mojibake_chars") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH damaged AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 4 = 0
+                 THEN ' caf' || chr(195) || chr(169) ELSE '' END
+            || CASE WHEN doc_id % 6 = 0
+                 THEN ' don' || chr(226) || chr(8364) || chr(8482) || 't'
+                 ELSE '' END
+            || CASE WHEN doc_id % 9 = 0
+                 THEN ' x' || chr(65533) || 'y' ELSE '' END
+            || CASE WHEN doc_id % 10 = 0
+                 THEN chr(133) || 'ok' ELSE '' END AS text
+          FROM documents),
+        scanned AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, chr(65533))) AS INTEGER)
+              AS replacement_chars,
+            CAST(len(regexp_extract_all(text, '[\x{80}-\x{9F}]')) AS INTEGER)
+              AS c1_controls,
+            CAST(len(regexp_extract_all(text,
+              '[' || chr(195) || chr(194) || '][\x{A0}-\x{BF}\x{80}-\x{9F}]'))
+              AS INTEGER) AS latin1_pairs,
+            CAST(len(regexp_extract_all(text, chr(226) || chr(8364) || '.'))
+              AS INTEGER) AS punct_triples
+          FROM damaged)
+        SELECT doc_id, replacement_chars, c1_controls, latin1_pairs,
+          punct_triples,
+          replacement_chars + c1_controls + latin1_pairs + punct_triples
+            AS mojibake_chars
+        FROM scanned
+        WHERE replacement_chars + c1_controls + latin1_pairs
+          + punct_triples > 0
+        ORDER BY doc_id""")),
+
+    Q("x43_mixture_plan",
+      // token-budgeted data-mixing plan: exactly-representable
+      // normalized weights (.5/.25/.125/.125 — identical double
+      // literals on both engines), 1M-token budget; unweighted sources
+      // report rate 0. One source-keyed agg, k-row result.
+      (s, d) => Sampling.mixturePlan(t(s, d, "documents"),
+          weights = Map("src0" -> 0.5, "src1" -> 0.25,
+            "src2" -> 0.125, "src3" -> 0.125),
+          tokenBudget = 1000000L)
+        .orderBy("source"),
+      Some("""WITH tok AS (
+          SELECT source,
+            CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+          FROM documents WHERE source IS NOT NULL),
+        agg AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n) AS BIGINT) AS tokens
+          FROM tok GROUP BY 1),
+        w AS (SELECT * FROM (VALUES
+            ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+            ('src2', CAST(0.125 AS DOUBLE)), ('src3', CAST(0.125 AS DOUBLE)))
+          t(source, weight))
+        SELECT agg.source, n_docs, tokens,
+          ROUND(COALESCE(weight, 0), 6) AS weight,
+          CAST(ROUND(1000000 * COALESCE(weight, 0), 0) AS BIGINT)
+            AS target_tokens,
+          ROUND(LEAST(CAST(1 AS DOUBLE),
+            ROUND(1000000 * COALESCE(weight, 0), 0) / tokens), 6)
+            AS sample_rate,
+          ROUND(ROUND(1000000 * COALESCE(weight, 0), 0) / tokens, 6)
+            AS epochs
+        FROM agg LEFT JOIN w ON agg.source = w.source
+        ORDER BY agg.source""")),
 
     Q("x37_salted_count",
       // two-phase salted aggregation: per-key counts where no reducer

@@ -432,21 +432,16 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"),
         col("containment"), col("jaccard"))
 
-  /** Shared candidate machinery: (id_a, id_b, inter, __sza, __szb) for
-   *  every ordered doc pair sharing ≥1 shingle (df-capped). */
-  private def shinglePairCounts(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      shingleK: Int,
-      maxShingleDocFreq: Int): DataFrame = {
-    // compiled UDF, not transform/slice/filter expressions: Spark's
-    // higher-order functions evaluate interpreted per element, and the
-    // expression version benched 3.5× slower on this exact shape (same
-    // finding as the round-2 e03 fix). Tokenization parity with the SQL
-    // oracle: split on \s+ then drop empties (which subsumes trim), and
-    // ROOT-locale lowercase (Spark's lower() is locale-independent).
-    val shUdf = udf { text: String =>
+  /** Compiled distinct-word-k-gram shingler — a UDF, not transform/
+   *  slice/filter expressions: Spark's higher-order functions evaluate
+   *  interpreted per element, and the expression version benched 3.5×
+   *  slower on this exact shape (same finding as the round-2 e03 fix).
+   *  Tokenization parity with the SQL oracles: split on \s+ then drop
+   *  empties (which subsumes trim), and ROOT-locale lowercase (Spark's
+   *  lower() is locale-independent). */
+  private[graft] def shingleUdf(
+      shingleK: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
       if (text == null) Array.empty[String]
       else {
         val ts = text.toLowerCase(java.util.Locale.ROOT)
@@ -455,6 +450,57 @@ object Dedup {
         else ts.sliding(shingleK).map(_.mkString(" ")).toArray.distinct
       }
     }
+
+  /** Corpus-LEVEL shingle overlap — one row summarizing how much two
+   *  corpora share (a training shard vs an eval benchmark, or two crawl
+   *  snapshots): distinct-shingle counts per side, the common count,
+   *  Jaccard, and containment against the smaller side. The
+   *  corpus-granularity complement of [[jaccardSimilarPairs]] (which
+   *  scores document pairs): answers "is snapshot B mostly a re-crawl
+   *  of A?" / "what fraction of the benchmark leaks into training?"
+   *  without materializing any pair.
+   *
+   *  Scale shape: shingle map-side with the compiled shingler, tag each
+   *  side with presence flags, then ONE shuffle keyed by shingle whose
+   *  map-side partial max collapses per-corpus duplicates before any
+   *  row moves; the final reduce is a single k-cell aggregation. No
+   *  posting lists, no pair emission — linear in distinct shingles. */
+  def corpusShingleOverlap(
+      docsA: DataFrame,
+      docsB: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3): DataFrame = {
+    val sh = shingleUdf(shingleK)
+    def side(df: DataFrame, ia: Int, ib: Int): DataFrame =
+      df.select(explode(sh(col(textCol))).as("shingle"))
+        .select(col("shingle"), lit(ia).as("__ia"), lit(ib).as("__ib"))
+    side(docsA, 1, 0).union(side(docsB, 0, 1))
+      .groupBy(col("shingle"))
+      .agg(max(col("__ia")).as("__a"), max(col("__ib")).as("__b"))
+      .agg(
+        sum(col("__a")).as("shingles_a"),
+        sum(col("__b")).as("shingles_b"),
+        sum(col("__a") * col("__b")).as("common"))
+      .select(
+        col("shingles_a"), col("shingles_b"), col("common"),
+        round(col("common").cast("double")
+          / (col("shingles_a") + col("shingles_b") - col("common")), 6)
+          .as("jaccard"),
+        round(col("common").cast("double")
+          / least(col("shingles_a"), col("shingles_b")), 6)
+          .as("containment"))
+  }
+
+  /** Shared candidate machinery: (id_a, id_b, inter, __sza, __szb) for
+   *  every ordered doc pair sharing ≥1 shingle (df-capped). */
+  private def shinglePairCounts(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      maxShingleDocFreq: Int): DataFrame = {
+    val shUdf = shingleUdf(shingleK)
     val shingled = docs
       .select(col(idCol), shUdf(col(textCol)).as("shingles"))
       .filter(size(col("shingles")) > 0)

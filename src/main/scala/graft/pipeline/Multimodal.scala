@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
  * Image decode/resize are REAL: `javax.imageio` (PNG/JPEG/GIF) ships in
  * the JDK's java.desktop module and needs no display in headless mode.
  * WAV PCM sample extraction is REAL byte parsing off the RIFF walker.
- * Only video frame payloads remain stubbed (`sampleFramesStub` — no
- * video codec in the JDK); undecodable bytes fall back to the
- * deterministic stub so mixed/corrupt corpora never kill a 100 TB scan.
+ * Video frames are REAL for MJPEG-in-AVI (container parse yields per-
+ * frame JPEG payloads ImageIO decodes); inter-frame codecs (H.264 in
+ * MP4) genuinely need an external codec and take the deterministic
+ * stub fallback, so mixed/corrupt corpora never kill a 100 TB scan.
  */
 object Multimodal {
 
@@ -141,6 +142,8 @@ object Multimodal {
       at(8) == 'W' && at(9) == 'E' && at(10) == 'B' && at(11) == 'P') "webp"
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') "wav"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ') "avi"
     else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
     else "unknown"
   }
@@ -290,12 +293,91 @@ object Multimodal {
     else Some((durationMs, width, height))
   }
 
+  // ---- AVI container (REAL frame payload extraction) -----------------
+
+  /** RIFF chunk walker shared by the AVI paths: iterate
+   *  `[fourcc][size:le32][payload]` chunks in `[lo, hi)` as
+   *  (id, payloadStart, payloadEnd). Chunk sizes are u32 and
+   *  word-aligned; malformed sizes clamp to the enclosing range and the
+   *  cursor always advances, so corrupt bytes terminate instead of
+   *  spinning a 100 TB task. */
+  private def riffChildren(
+      b: Array[Byte], lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var i = lo
+      def hasNext: Boolean = i + 8 <= hi
+      def next(): (String, Int, Int) = {
+        val id = new String(b.slice(i, i + 4),
+          java.nio.charset.StandardCharsets.US_ASCII)
+        val size = (b(i + 4) & 0xffL) | ((b(i + 5) & 0xffL) << 8) |
+          ((b(i + 6) & 0xffL) << 16) | ((b(i + 7) & 0xffL) << 24)
+        val p = i + 8
+        val end = math.min(p.toLong + size, hi.toLong).toInt
+        i = math.max(
+          math.min(p.toLong + size + (size & 1L), hi.toLong), (i + 8).toLong).toInt
+        (id, p, end)
+      }
+    }
+
+  /** AVI video metadata from the spec-fixed `avih` main header (inside
+   *  LIST hdrl): (durationMs = usPerFrame × totalFrames / 1000, width,
+   *  height). REAL byte parsing like [[videoMetaBytes]] did for MP4 —
+   *  the reference has no media ops; this follows the builder brief's
+   *  multimodal requirement. None for non-AVI / truncated bytes. */
+  private[graft] def aviMetaBytes(b: Array[Byte]): Option[(Long, Int, Int)] = {
+    def le32(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(b.slice(i, i + 4),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    if (sniffFormatBytes(b) != "avi") return None
+    var usPerFrame = 0L; var totalFrames = 0L; var w = 0; var h = 0
+    for ((id, p, e) <- riffChildren(b, 12, b.length)
+         if id == "LIST" && p + 4 <= e && tag(p) == "hdrl")
+      for ((cid, cp, ce) <- riffChildren(b, p + 4, e)
+           if cid == "avih" && cp + 40 <= ce) {
+        usPerFrame = le32(cp)
+        totalFrames = le32(cp + 16)
+        w = le32(cp + 32).toInt
+        h = le32(cp + 36).toInt
+      }
+    if (w <= 0 || h <= 0) None
+    else Some((
+      if (usPerFrame > 0) usPerFrame * totalFrames / 1000L else -1L, w, h))
+  }
+
+  /** REAL per-frame payloads from an AVI container: walk LIST movi (and
+   *  nested LIST rec groupings) for `##db`/`##dc` stream chunks in file
+   *  order. For MJPEG — the one video codec the JDK can decode, because
+   *  every frame IS a JPEG — the returned payloads feed straight into
+   *  [[decodeImageBytes]]. Empty for non-AVI bytes. */
+  private[graft] def aviFrameBytes(b: Array[Byte]): Array[Array[Byte]] = {
+    def tag(i: Int): String = new String(b.slice(i, i + 4),
+      java.nio.charset.StandardCharsets.US_ASCII)
+    if (sniffFormatBytes(b) != "avi") return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def isFrameChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id(2) == 'd' || id(2) == 'D') &&
+        (id(3) == 'b' || id(3) == 'c' || id(3) == 'B' || id(3) == 'C')
+    def walk(lo: Int, hi: Int, inMovi: Boolean): Unit =
+      for ((id, p, e) <- riffChildren(b, lo, hi))
+        if (id == "LIST" && p + 4 <= e) {
+          val lt = tag(p)
+          if (lt == "movi" || (inMovi && lt == "rec "))
+            walk(p + 4, e, inMovi = true)
+        } else if (inMovi && isFrameChunk(id) && e > p)
+          out += java.util.Arrays.copyOfRange(b, p, e)
+    walk(12, b.length, inMovi = false)
+    out.toArray
+  }
+
   /** `struct(duration_ms, width, height)` column parsed from MP4 box
-   *  headers (null for non-video bytes; duration_ms = -1 when the
-   *  track dims parsed but mvhd didn't). */
+   *  or AVI `avih` headers (null for non-video bytes; duration_ms = -1
+   *  when dims parsed but the duration header didn't). */
   def videoMetadata(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     udf((b: Array[Byte]) =>
-      if (b == null) None else videoMetaBytes(b)).apply(bin)
+      if (b == null) None
+      else videoMetaBytes(b).orElse(aviMetaBytes(b))).apply(bin)
 
   /** `format` column from a binary column's magic bytes. */
   def sniffFormat(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -658,9 +740,35 @@ object Multimodal {
       }
     }
 
+  /** REAL frame-sample for AVI bytes: container-parse the `##db`/`##dc`
+   *  payloads ([[aviFrameBytes]]), then emit the frame nearest each
+   *  `intervalMs` tick — payloads are the codec's actual frame bytes
+   *  (JPEGs for MJPEG, so [[decodeImageBytes]] decodes them with no
+   *  codec library). Rows whose bytes aren't a parseable AVI fall back
+   *  to [[sampleFramesStub]] so mixed/corrupt corpora degrade per-row. */
+  def sampleFramesReal(
+      batch: Iterator[MediaRow],
+      intervalMs: Long,
+      frameBytes: Int = 64): Iterator[FrameRow] =
+    batch.flatMap { r =>
+      val frames = aviFrameBytes(r.bytes)
+      if (frames.isEmpty) sampleFramesStub(Iterator.single(r), intervalMs, frameBytes)
+      else {
+        val dur = aviMetaBytes(r.bytes).map(_._1).filter(_ > 0)
+          .getOrElse(math.max(r.meta.durationMs, frames.length.toLong))
+        val n = math.max(1L, (dur + intervalMs - 1) / intervalMs).toInt
+        (0 until n).iterator.map { idx =>
+          val t = idx * intervalMs
+          val fi = math.min(t * frames.length / dur, frames.length - 1L).toInt
+          FrameRow(r.id, idx, t, frames(fi))
+        }
+      }
+    }
+
   /** Frame sampling over a video Dataset — a partition-local flatMap, so
    *  the explosion never shuffles the source bytes; downstream per-frame
-   *  work inherits the partitioning. */
+   *  work inherits the partitioning. AVI rows yield REAL codec payloads;
+   *  other containers (MP4 — no JDK codec) take the stub path. */
   def sampleFrames(
       media: Dataset[MediaRow],
       intervalMs: Long = 1000L,
@@ -669,7 +777,111 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     val repart = if (partitions > 0) media.repartition(partitions) else media
-    repart.mapPartitions(batch => sampleFramesStub(batch, intervalMs, frameBytes))
+    repart.mapPartitions(batch => sampleFramesReal(batch, intervalMs, frameBytes))
+  }
+
+  /** Per-frame pixel features off the sampled grain: ImageIO decode of
+   *  each frame payload (REAL for MJPEG frames) → mean intensity, dims.
+   *  -1 marks undecodable payloads (stub frames, corrupt chunks) so a
+   *  quality filter can drop them without killing the scan. Map-only;
+   *  inherits [[sampleFrames]]' partitioning. */
+  def frameFeatures(frames: Dataset[FrameRow]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions(_.map { fr =>
+      decodeImageBytes(fr.frameBytes) match {
+        case Some(img) =>
+          val w = img.getWidth; val h = img.getHeight
+          val px = img.getRGB(0, 0, w, h, null, 0, w)
+          var sum = 0.0
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            sum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            i += 1
+          }
+          (fr.mediaId, fr.frameIdx, fr.tsMs, w, h,
+            sum / (w.toLong * h) / 255.0)
+        case None => (fr.mediaId, fr.frameIdx, fr.tsMs, 0, 0, -1.0)
+      }
+    }).toDF("id", "frame_idx", "ts_ms", "width", "height", "mean_intensity")
+  }
+
+  /** Minimal spec-layout MJPEG-in-AVI writer (synthetic fixtures only —
+   *  RIFF [LIST hdrl [avih, LIST strl [strh, strf]], LIST movi [00dc…]]
+   *  with each `00dc` payload a complete JPEG). The READ path under
+   *  test is the same one arbitrary user AVIs take. */
+  private[graft] def buildAviMjpeg(
+      frames: Seq[Array[Byte]],
+      width: Int,
+      height: Int,
+      fps: Int): Array[Byte] = {
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes).putInt(payload.length).put(payload)
+      bb.array()
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes ++ children)
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+        .putInt(frames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(width).putInt(height)
+      bb.array()
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes).put("MJPG".getBytes)
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(1).putInt(fps)              // scale, rate → fps
+        .putInt(0).putInt(frames.length)    // start, length
+        .putInt(0).putInt(-1).putInt(0)     // sugBuf, quality, sampleSize
+      bb.array()
+    }
+    val strf = { // BITMAPINFOHEADER
+      val bb = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .put("MJPG".getBytes).putInt(width * height * 3)
+      bb.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.map(chunk("00dc", _)).fold(Array.empty[Byte])(_ ++ _))
+    chunk("RIFF", "AVI ".getBytes ++ hdrl ++ movi)
+  }
+
+  /** Deterministic synthetic MJPEG-AVI corpus (the container ships no
+   *  media files): each video is `framesPerVideo` REAL JPEG frames —
+   *  uniform gray varying by (id, frame) — in a spec-layout AVI. The
+   *  sample/decode path under test is the one arbitrary MJPEG takes. */
+  def syntheticVideoCorpus(
+      spark: SparkSession,
+      n: Int,
+      framesPerVideo: Int = 4,
+      side: Int = 32,
+      fps: Int = 4): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val frames = (0 until framesPerVideo).map { f =>
+        val gray = ((id * 53 + f * 40) % 240 + 8).toInt
+        val img = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = img.createGraphics()
+        g2.setColor(new java.awt.Color(gray, gray, gray))
+        g2.fillRect(0, 0, side, side)
+        g2.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpeg", baos)
+        baos.toByteArray
+      }
+      (id, buildAviMjpeg(frames, side, side, fps))
+    }.toDF("id", "bytes")
   }
 
   /** Deterministic synthetic media table for tests/benches (the container

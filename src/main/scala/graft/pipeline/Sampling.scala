@@ -297,4 +297,49 @@ object Sampling {
         floor((col("__cum") - col(sizeCol).cast("long")) / budget))
       .drop("__cum")
   }
+
+  /** Token-budgeted mixture plan — the data-mixing step of assembling a
+   *  training run: given target mixture `weights` (source → relative
+   *  weight, e.g. web 0.6 / code 0.25 / books 0.15) and a total
+   *  `tokenBudget`, report per source what the corpus HAS (docs,
+   *  tokens) and what the plan NEEDS: `target_tokens` (the budget split
+   *  by normalized weight), `sample_rate` (fraction of the source to
+   *  keep, capped at 1), and `epochs` (>1 = the source must repeat to
+   *  fill its slot — the up-sampling signal). Weights are normalized
+   *  driver-side so engines share the exact same double literals;
+   *  unweighted sources report with rate 0 (the "you forgot a source"
+   *  guard). One source-keyed agg over a map-side token count — a
+   *  k-row result regardless of corpus size. */
+  def mixturePlan(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      tokenBudget: Long,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty, "mixturePlan needs at least one weight")
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totalW = weights.values.sum
+    val wDf = weights.toSeq.map { case (s, w) => (s, w / totalW) }
+      .toDF(sourceCol, "weight")
+    val tok = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    docs.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tok).as("tokens"))
+      .join(broadcast(wDf), Seq(sourceCol), "left")
+      .select(
+        col(sourceCol),
+        col("n_docs"),
+        col("tokens"),
+        round(coalesce(col("weight"), lit(0.0)), 6).as("weight"),
+        round(lit(tokenBudget.toDouble) * coalesce(col("weight"), lit(0.0)), 0)
+          .cast("long").as("target_tokens"),
+        round(least(lit(1.0),
+          round(lit(tokenBudget.toDouble) * coalesce(col("weight"), lit(0.0)), 0)
+            / col("tokens")), 6).as("sample_rate"),
+        round(
+          round(lit(tokenBudget.toDouble) * coalesce(col("weight"), lit(0.0)), 0)
+            / col("tokens"), 6).as("epochs"))
+  }
 }

@@ -753,4 +753,134 @@ object TextAnalysis {
         round(col("__score_micro").cast("double") / 1e6, 6).as("bm25"),
         col("n_terms"))
   }
+
+  /** Tertile cut points over a per-doc quality score — the CCNet
+   *  partitioning step (Wenzek et al. 2019: rank documents by LM score,
+   *  split head/middle/tail). One row `(t1, t2)` = the 1/3 and 2/3
+   *  exact interpolated percentiles (`exact=false` swaps in
+   *  `percentile_approx`, the mergeable-sketch 100 TB path — cut
+   *  points don't need exactness, only stability). */
+  def perplexityThresholds(
+      scored: DataFrame,
+      scoreCol: String = "avg_neg_logprob",
+      exact: Boolean = true): DataFrame = {
+    // interpolate Scala doubles: "0.3333333333333333" round-trips to the
+    // exact double 1.0/3 (SQL-side `1.0/3` would be 6-digit DECIMAL math)
+    val probs = s"array(${1.0 / 3}, ${2.0 / 3})"
+    val agg =
+      if (exact) expr(s"percentile($scoreCol, $probs)")
+      else expr(s"percentile_approx($scoreCol, $probs, 10000)")
+    scored.agg(agg.as("__t"))
+      .select(col("__t").getItem(0).as("t1"), col("__t").getItem(1).as("t2"))
+  }
+
+  /** CCNet-style perplexity bucketing: label each scored document
+   *  `head` (score ≤ t1: most fluent third under the LM), `middle`, or
+   *  `tail` (least fluent — the slice CCNet drops or down-samples).
+   *  Takes the score frame ([[unigramLogProb]] output or a persisted
+   *  copy) and a one-row `(t1, t2)` threshold frame so the expensive LM
+   *  pass runs ONCE and thresholds can be frozen for drift-stable
+   *  bucketing across corpus versions. Broadcast one-row join + a
+   *  map-only CASE — nothing here shuffles the corpus. */
+  def perplexityBuckets(
+      scored: DataFrame,
+      thresholds: DataFrame,
+      scoreCol: String = "avg_neg_logprob"): DataFrame =
+    scored.crossJoin(broadcast(thresholds))
+      .withColumn("bucket",
+        when(col(scoreCol) <= col("t1"), "head")
+          .when(col(scoreCol) <= col("t2"), "middle")
+          .otherwise("tail"))
+      .drop("t1", "t2")
+
+  /** Encoding-damage (mojibake) scan — the text-quality check that
+   *  catches bytes decoded under the wrong charset, which every
+   *  web-crawl corpus carries: U+FFFD replacement chars (decoder gave
+   *  up), stray C1 controls U+0080–U+009F (cp1252 bytes read as
+   *  Latin-1), `Ã`/`Â` + Latin-1-supplement pairs (UTF-8 accents read
+   *  as Latin-1: `é` → `Ã©`), and `â€`-prefixed triples (UTF-8 curly
+   *  punctuation read as cp1252: `’` → `â€™`). Pure codegen'd
+   *  `regexp_count` columns — map-only, inlined into the scan; the
+   *  character classes are shared RE2/Java syntax so an oracle can run
+   *  the identical patterns. Returns per-doc artifact counts plus the
+   *  total; filter `mojibake_chars > 0` to quarantine. */
+  def mojibakeScan(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val repl = regexp_count(t, lit("�"))
+    val c1 = regexp_count(t, lit("[\\x{80}-\\x{9F}]"))
+    val latin1 = regexp_count(t, lit("[ÃÂ][\\x{A0}-\\x{BF}\\x{80}-\\x{9F}]"))
+    val punct = regexp_count(t, lit("â€."))
+    docs.select(
+      col(idCol),
+      repl.as("replacement_chars"),
+      c1.as("c1_controls"),
+      latin1.as("latin1_pairs"),
+      punct.as("punct_triples"),
+      (repl + c1 + latin1 + punct).as("mojibake_chars"))
+  }
+
+  /** Dedup-grade text normalization: Unicode NFD → strip combining
+   *  marks (accents) → lowercase → every run of non-letter/non-digit
+   *  (punctuation, whitespace, control) to ONE space → trim. The canonical
+   *  key for "same text modulo typography" duplicate detection —
+   *  `café`, `Cafe!` and `café` all map to `cafe`. A UDF because
+   *  Spark SQL has no Unicode normalizer; java.text.Normalizer is
+   *  allocation-light and the op stays map-only, inlined into the scan
+   *  stage (no shuffle, no materialized intermediate). */
+  def normalizeText(text: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        val decomposed = java.text.Normalizer.normalize(
+          s, java.text.Normalizer.Form.NFD)
+        val sb = new java.lang.StringBuilder(decomposed.length)
+        var i = 0
+        var lastSpace = true // leading whitespace collapses to nothing
+        while (i < decomposed.length) {
+          val c = decomposed.charAt(i)
+          val t = Character.getType(c)
+          val isMark = t == Character.NON_SPACING_MARK ||
+            t == Character.COMBINING_SPACING_MARK ||
+            t == Character.ENCLOSING_MARK
+          if (!isMark) {
+            // kept classes are exactly RE2's \p{L} (isLetter) and
+            // \p{Nd} (isDigit) so an oracle can replay this as
+            // regexp_replace(..., '[^\p{L}\p{Nd}]+', ' ', 'g')
+            if (Character.isLetter(c) || Character.isDigit(c)) {
+              sb.append(Character.toLowerCase(c))
+              lastSpace = false
+            } else if (!lastSpace) { // punct/space/control run → one ' '
+              sb.append(' ')
+              lastSpace = true
+            }
+          }
+          i += 1
+        }
+        var end = sb.length
+        if (end > 0 && sb.charAt(end - 1) == ' ') end -= 1
+        sb.substring(0, end)
+      }
+    }
+    f(text)
+  }
+
+  /** Normalized exact dedup: group documents by the md5 of their
+   *  [[normalizeText]] form and report groups of typographic variants
+   *  (≥ 2 docs) with the smallest doc id as canonical. The
+   *  exact-dedup plan shape of `Dedup.duplicateGroups` — 16-byte keys
+   *  shuffle, never the text — applied to the normalized key, so
+   *  curly-quote/accent/case/punctuation variants that exact dedup
+   *  misses collapse into one group. */
+  def normalizedDupGroups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), md5(normalizeText(col(textCol))).as("norm_md5"))
+      .filter(col("norm_md5").isNotNull)
+      .groupBy(col("norm_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+      .filter(col("n_docs") >= 2)
 }

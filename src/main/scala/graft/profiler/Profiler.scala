@@ -284,6 +284,73 @@ object Profiler {
       .orderBy("bucket")
   }
 
+  /** Quantile bin edges for [[equiDepthHistogram]]: one aggregation
+   *  producing `buckets` (bucket, lo, hi) rows from the exact
+   *  `percentile(col, array(0, 1/k, …, 1))` (linear interpolation; the
+   *  oracle-parity form). `exact=false` is the 100 TB path —
+   *  `percentile_approx` sketches merge without the exact percentile's
+   *  per-partition value buffering. Raw full-precision doubles: callers
+   *  round for display, the bucketing itself must use these bits. */
+  def quantileEdges(
+      df: DataFrame,
+      column: String,
+      buckets: Int,
+      exact: Boolean = true): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val probs = (0 to buckets).map(i => i.toDouble / buckets).mkString(", ")
+    val agg =
+      if (exact) expr(s"percentile($column, array($probs))")
+      else expr(s"percentile_approx($column, array($probs), 10000)")
+    df.agg(agg.as("__edges"))
+      .select(posexplode(col("__edges")).as(Seq("bucket", "lo")))
+      .withColumn("hi", lead(col("lo"), 1).over(
+        Window.orderBy("bucket")))
+      .filter(col("hi").isNotNull)
+  }
+
+  /** Equi-depth histogram — the quantile-binned complement of the
+   *  equal-width [[histogram]] (skew-robust: every bin holds ~n/k rows,
+   *  so one hot value can't blank out the rest of the chart). Bin i =
+   *  [lo, hi) with the last bin closed; a value equal to an interior
+   *  edge goes RIGHT (x ≥ lo wins), duplicate edges from discrete data
+   *  yield empty bins rather than double counts. The bin frame is tiny
+   *  (k rows) and broadcast, so counting is a map-only scan + one
+   *  k-cell aggregation — no global sort, no row shuffle. */
+  def equiDepthHistogram(
+      df: DataFrame,
+      column: String,
+      buckets: Int = 10,
+      exact: Boolean = true): DataFrame =
+    histogramWithEdges(df, column, quantileEdges(df, column, buckets, exact))
+
+  /** Count rows per pre-computed (bucket, lo, hi) bin — split out so a
+   *  persisted edge table can be replayed (the oracle path) or reused
+   *  across days for drift-stable binning. */
+  def histogramWithEdges(
+      df: DataFrame,
+      column: String,
+      edges: DataFrame): DataFrame = {
+    val c = col(column).cast(DoubleType)
+    val lastBucket = max(col("bucket")).over(Window.partitionBy())
+    val bins = broadcast(edges.select(col("bucket"), col("lo"), col("hi"),
+      lastBucket.as("__last")))
+    val counted = df.select(c.as("__x")).filter(col("__x").isNotNull)
+      .join(bins,
+        col("__x") >= col("lo") &&
+          (col("__x") < col("hi") ||
+            (col("bucket") === col("__last") && col("__x") <= col("hi"))))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    // broadcast the k-cell count side: a left join can only broadcast-
+    // build its right input (build-left is unsupported and warns)
+    bins.select(col("bucket"), col("lo"), col("hi"))
+      .join(broadcast(counted), Seq("bucket"), "left")
+      .select(col("bucket"),
+        round(col("lo"), 6).as("lo"),
+        round(col("hi"), 6).as("hi"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("bucket")
+  }
+
   /** P4: fully-duplicated row count = COUNT(*) − COUNT(DISTINCT *).
    *
    *  Scale path (default): rows are reduced map-side to TWO independent

@@ -152,6 +152,30 @@ class ProfilerSparkSpec extends AnyFunSuite {
     assert(out(4).getAs[Long]("cnt") >= 1)
   }
 
+  test("equi-depth histogram: ~n/k per bin, right-closed edges, skew-robust") {
+    import spark.implicits._
+    // 1..100 in 4 buckets → exactly 25 per bin (interpolated edges at
+    // 25.75/50.5/75.25 never collide with integer data)
+    val uniform = (1 to 100).toDF("v")
+    val out = Profiler.equiDepthHistogram(uniform, "v", 4).collect()
+    assert(out.length == 4)
+    assert(out.map(_.getAs[Long]("cnt")).toSeq == Seq(25L, 25L, 25L, 25L))
+    assert(out.head.getAs[Double]("lo") == 1.0)
+    assert(out.last.getAs[Double]("hi") == 100.0)
+    // two-value skew: edges collapse to [1, 1, 1.5, 2, 2] — bin0 [1,1)
+    // is empty (a value equal to an interior edge goes RIGHT), bin1
+    // holds the 1s, bin3's closed end holds the 2s; exactly one bin per
+    // row, no double counting
+    val skew = (Seq.fill(50)(1) ++ Seq.fill(50)(2)).toDF("v")
+    val so = Profiler.equiDepthHistogram(skew, "v", 4).collect()
+    assert(so.map(_.getAs[Long]("cnt")).toSeq == Seq(0L, 50L, 0L, 50L))
+    // duplicate edges (lo == hi interior bins) stay EMPTY, never double
+    // counted; nulls are excluded
+    val withNulls = (Seq.fill(10)(Some(5)) ++ Seq(None)).toDF("v")
+    val no = Profiler.equiDepthHistogram(withNulls, "v", 2).collect()
+    assert(no.map(_.getAs[Long]("cnt")).sum == 10L)
+  }
+
   test("profile populates distribution_data for numeric columns") {
     val p = Profiler.profile(crafted, "crafted", distributionBuckets = 5)
     val byName = p.columns.map(c => c.name -> c).toMap
@@ -381,6 +405,30 @@ class DedupSparkSpec extends AnyFunSuite {
 
   private lazy val docs =
     spark.read.parquet(s"$sfDir/documents.parquet").cache()
+
+  test("corpusShingleOverlap: counts, jaccard, containment; " +
+      "per-doc duplicate shingles counted once") {
+    import spark.implicits._
+    // A: {a b c, b c d} ∪ {a b c} again (doc 3 repeats doc 1's trigram —
+    // distinct at corpus level); B: {b c d, c d e}
+    val a = Seq((1L, "a b c d"), (3L, "a b c")).toDF("doc_id", "text")
+    val b = Seq((2L, "b c d e")).toDF("doc_id", "text")
+    val r = Dedup.corpusShingleOverlap(a, b).collect().head
+    assert(r.getAs[Long]("shingles_a") == 2L)
+    assert(r.getAs[Long]("shingles_b") == 2L)
+    assert(r.getAs[Long]("common") == 1L)
+    assert(r.getAs[Double]("jaccard") == 0.333333)
+    assert(r.getAs[Double]("containment") == 0.5)
+    // disjoint corpora: zero overlap, jaccard 0
+    val c = Seq((9L, "x y z w")).toDF("doc_id", "text")
+    val r2 = Dedup.corpusShingleOverlap(a, c).collect().head
+    assert(r2.getAs[Long]("common") == 0L)
+    assert(r2.getAs[Double]("jaccard") == 0.0)
+    // identical corpora: full overlap both measures
+    val r3 = Dedup.corpusShingleOverlap(a, a).collect().head
+    assert(r3.getAs[Double]("jaccard") == 1.0)
+    assert(r3.getAs[Double]("containment") == 1.0)
+  }
 
   test("duplicateSpanRemoval: first occurrence kept, later covered " +
       "tokens dropped; short and unique docs untouched") {
@@ -827,6 +875,33 @@ class SamplingSpec extends AnyFunSuite {
 
   private lazy val ids = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
 
+  test("mixturePlan: budget split by normalized weight, rate capped, " +
+      "epochs signal upsampling, unweighted source rates 0") {
+    val docs = Seq(
+      (1L, "web", "a b c d"), (2L, "web", "e f g h"),   // 8 tokens
+      (3L, "code", "x y"),                              // 2 tokens
+      (4L, "books", "p q r s t u")                      // 6 tokens — no weight
+    ).toDF("doc_id", "source", "text")
+    // weights 3:1 normalize to 0.75/0.25 exactly; budget 8 tokens
+    val out = Sampling.mixturePlan(docs,
+        Map("web" -> 3.0, "code" -> 1.0), tokenBudget = 8L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("tokens"), r.getAs[Double]("weight"),
+          r.getAs[Long]("target_tokens"), r.getAs[Double]("sample_rate"),
+          r.getAs[Double]("epochs"))).toMap
+    // web: target 6 of 8 tokens → rate .75, epochs .75
+    assert(out("web") == ((8L, 0.75, 6L, 0.75, 0.75)))
+    // code: target 2 of 2 → rate capped at 1, epochs exactly 1
+    assert(out("code") == ((2L, 0.25, 2L, 1.0, 1.0)))
+    // books: unweighted → everything 0
+    assert(out("books") == ((6L, 0.0, 0L, 0.0, 0.0)))
+    // upsampling: code-heavy weights make the small source repeat
+    val up = Sampling.mixturePlan(docs,
+        Map("web" -> 1.0, "code" -> 1.0), tokenBudget = 16L)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("epochs")).toMap
+    assert(up("code") == 4.0) // 8-token slot over a 2-token source
+  }
+
   test("hashSplit is stable, disjoint, and near the requested fractions") {
     val a = Sampling.hashSplit(ids).groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1224,6 +1299,50 @@ class MultimodalSparkSpec extends AnyFunSuite {
     assert(out.filter(_.mediaId == 1L).map(_.tsMs).sorted.toSeq ==
       Seq(0L, 1000L, 2000L))
     assert(out.forall(_.frameBytes.length == 64))
+  }
+
+  test("AVI: metadata, REAL MJPEG frame decode, corrupt fallback") {
+    import spark.implicits._
+    // craft one 3-frame MJPEG AVI with known uniform grays
+    val grays = Seq(40, 120, 200)
+    val frames = grays.map { gray =>
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(gray, gray, gray))
+      g2.fillRect(0, 0, 16, 16)
+      g2.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", baos)
+      baos.toByteArray
+    }
+    val avi = Multimodal.buildAviMjpeg(frames, 16, 16, fps = 2)
+    assert(Multimodal.sniffFormatBytes(avi) == "avi")
+    // avih header: 3 frames at 2 fps → 1500 ms, 16×16
+    assert(Multimodal.aviMetaBytes(avi).contains((1500L, 16, 16)))
+    // container walk recovers every frame payload, byte-identical
+    val payloads = Multimodal.aviFrameBytes(avi)
+    assert(payloads.map(_.toSeq).toSeq == frames.map(_.toSeq))
+    // end-to-end over a Dataset: sample at the frame rate, decode pixels
+    val vids = Seq(Multimodal.MediaRow(7L, avi,
+      Multimodal.MediaMeta("video", "avi", 16, 16, 1500L))).toDS()
+    val feats = Multimodal.frameFeatures(
+      Multimodal.sampleFrames(vids, intervalMs = 500L)).collect()
+      .sortBy(_.getInt(1))
+    assert(feats.length == 3)
+    feats.zip(grays).foreach { case (r, gray) =>
+      assert(r.getInt(3) == 16 && r.getInt(4) == 16)
+      // JPEG round-trips a uniform image near-exactly
+      assert(math.abs(r.getDouble(5) - gray / 255.0) < 3.0 / 255.0,
+        s"frame gray ${r.getDouble(5)} vs ${gray / 255.0}")
+    }
+    // corrupt AVI (valid magic, garbage body) degrades to the stub path
+    val junk = "RIFF".getBytes ++ Array[Byte](8, 0, 0, 0) ++
+      "AVI ".getBytes ++ Array.fill(64)(0x5a.toByte)
+    val bad = Seq(Multimodal.MediaRow(9L, junk,
+      Multimodal.MediaMeta("video", "avi", 0, 0, 900L))).toDS()
+    val stubFrames = Multimodal.sampleFrames(bad, intervalMs = 1000L).collect()
+    assert(stubFrames.length == 1 && stubFrames.head.frameBytes.length == 64)
   }
 
   test("format sniffing + image dimensions from real header bytes") {
@@ -1676,6 +1795,59 @@ class GopherFilterSpec extends AnyFunSuite {
     assert(math.abs(out(3L)._2 - (-math.log(1.0 / 3.0))) < 1e-5)
     // the rarer transition scores strictly worse
     assert(out(3L)._2 > out(1L)._2)
+  }
+
+  test("normalizeText: accents, case, punct/control runs, CJK kept") {
+    import spark.implicits._
+    val in = Seq(
+      "  CafÉ, bar!  ",          // precomposed É + punct + pad
+      "cafe\u0301\tBAR",              // combining acute + tab
+      "café bar",                // already canonical
+      "一 二,三",         // CJK letters survive, comma folds
+      "a\u0007b",                     // control char = separator
+      "").toDF("text")
+    val out = in.select(TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[String].collect().toSeq
+    assert(out(0) == "cafe bar" && out(1) == "cafe bar" && out(2) == "cafe bar")
+    assert(out(3) == "一 二 三")
+    assert(out(4) == "a b")
+    assert(out(5) == "")
+    // null passes through
+    val n = Seq(Option.empty[String]).toDF("text")
+      .select(TextAnalysis.normalizeText(col("text"))).collect()
+    assert(n.head.isNullAt(0))
+    // dup grouping: variants collapse onto the original, singletons drop
+    val docs = Seq(
+      (1L, "The quick brown fox"), (2L, "the QUICK, brown fox!!"),
+      (3L, "thé quick brown fox"), (4L, "something else")).toDF("doc_id", "text")
+    val g = TextAnalysis.normalizedDupGroups(docs).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("n_docs") == 3L)
+    assert(g.head.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("perplexity buckets: tertile thresholds, head=most fluent") {
+    import spark.implicits._
+    // 9 docs with strictly ordered scores → 3 per tertile
+    val scored = (1 to 9).map(i => (i.toLong, 10L, i * 1.0))
+      .toDF("doc_id", "n_tokens", "avg_neg_logprob")
+    val th = TextAnalysis.perplexityThresholds(scored).collect().head
+    // percentile([1..9], 1/3) = 1 + 8/3 = 3.666…, 2/3 → 6.333…
+    assert(math.abs(th.getAs[Double]("t1") - (1 + 8.0 / 3)) < 1e-9)
+    assert(math.abs(th.getAs[Double]("t2") - (1 + 16.0 / 3)) < 1e-9)
+    val buckets = TextAnalysis.perplexityBuckets(
+        scored, TextAnalysis.perplexityThresholds(scored))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+      .toMap
+    assert((1 to 3).forall(i => buckets(i.toLong) == "head"))
+    assert((4 to 6).forall(i => buckets(i.toLong) == "middle"))
+    assert((7 to 9).forall(i => buckets(i.toLong) == "tail"))
+    // approx thresholds drive the same labeling on well-separated data
+    val approxTh = TextAnalysis.perplexityThresholds(scored, exact = false)
+    val ab = TextAnalysis.perplexityBuckets(scored, approxTh)
+      .collect().map(r => r.getAs[String]("bucket"))
+    assert(ab.count(_ == "head") + ab.count(_ == "middle") +
+      ab.count(_ == "tail") == 9)
   }
 
   test("chunkDocuments: overlap, tail chunk, empty doc dropped") {
