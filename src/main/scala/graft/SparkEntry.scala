@@ -31,18 +31,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark reads as
-   *  a nanos-since-epoch long under spark.sql.legacy.parquet.nanosAsLong
-   *  (set in Verify/Bench sessions). Normalize to a proper timestamp
-   *  (microsecond truncation — matches DuckDB's ns→us cast). */
-  private def eventsTable(s: SparkSession, dir: String): DataFrame = {
-    val df = t(s, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => df
-    }
-  }
+  /** events.parquet has carried several physical ts encodings across
+   *  driver testdata generations — TIMESTAMP(NANOS) (read as long under
+   *  spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS,
+   *  isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). Normalize all of
+   *  them to TimestampType via the shared [[graft.operators.TsNorm]]
+   *  (UTC session → value-identical). */
+  private[graft] def eventsTable(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TsNorm.normalizeTs(t(s, dir, "events"), "ts")
 
   private def anyToDouble(v: Any): Double = v match {
     case d: Double => d
@@ -474,17 +470,47 @@ object SparkEntry {
         (SELECT COUNT(*) FROM lineitem) AS row_count""")),
 
     // the 100 TB scan mode: HLL distinct + approximate percentile — no
-    // expand explosion, constant memory; benched alongside the exact path
+    // expand explosion, constant memory; benched alongside the exact path.
+    // Oracle lane: the sketches can't hash-match DuckDB, so the query
+    // emits TOLERANCE VERDICTS (|approx−exact| within the sketch's
+    // published error: HLL rsd 5%, percentile_approx accuracy 1000) and
+    // the oracle pins them TRUE plus the exact row count — a failed
+    // sketch flips a boolean and the hash mismatches.
     Q("p27_profile_approx_mode",
       (s, d) => {
         val df = t(s, d, "lineitem")
         val exprs = Profiler.aggExprs(df.schema, exact = false,
           java.sql.Timestamp.valueOf(NOW))
-        df.agg(exprs.head, exprs.tail: _*)
-          .select(col("__row_count"), col("l_quantity__distinct"),
-            col("l_orderkey__distinct"))
+        val approx = df.agg(exprs.head, exprs.tail: _*)
+          .select(col("__row_count").as("row_count"),
+            col("l_orderkey__distinct").as("__ad_ok"),
+            col("l_quantity__distinct").as("__ad_qty"),
+            col("l_extendedprice__median").as("__am_price"))
+        // exact twin on just the 3 checked columns (column-pruned scan)
+        val exact = df.agg(
+          countDistinct(col("l_orderkey")).as("__ed_ok"),
+          countDistinct(col("l_quantity")).as("__ed_qty"),
+          expr("percentile(l_extendedprice, 0.5)").as("__em_price"))
+        // rel tolerance with a small absolute floor: HLL++ bias
+        // correction on tiny cardinalities (l_quantity has ~50) leaves
+        // an absolute wobble of a few counts that a pure 5% gate trips
+        def withinRel(a: Column, e: Column, tol: Double,
+            absFloor: Double = 0.0): Column =
+          abs(a.cast("double") - e.cast("double")) <=
+            greatest(e.cast("double") * tol, lit(absFloor))
+        approx.crossJoin(exact) // 1 row × 1 row
+          .select(
+            col("row_count"),
+            withinRel(col("__ad_ok"), col("__ed_ok"), 0.05)
+              .as("distinct_orderkey_ok"),
+            withinRel(col("__ad_qty"), col("__ed_qty"), 0.05, absFloor = 5.0)
+              .as("distinct_quantity_ok"),
+            withinRel(col("__am_price"), col("__em_price"), 0.01)
+              .as("median_price_ok"))
       },
-      None), // approximate by design — bench entry + rows-only check
+      Some("""SELECT (SELECT COUNT(*) FROM lineitem) AS row_count,
+        TRUE AS distinct_orderkey_ok, TRUE AS distinct_quantity_ok,
+        TRUE AS median_price_ok""")),
 
     Q("p28_histogram",
       // P28 / §1.3 distribution_data: 10 equal-width buckets over
@@ -4098,6 +4124,61 @@ object SparkEntry {
         FROM agg LEFT JOIN w ON agg.source = w.source
         ORDER BY agg.source""")),
 
+    Q("x44_language_id",
+      // multilingual two-tier language ID (script blocks, then stopword
+      // profiles). Score-replay oracle (the x04 pattern): Spark persists
+      // the per-(doc, candidate) score frame, DuckDB replays the argmax
+      // — tier-1 min prio with score>0, else tier-2 (max score, min
+      // prio), else 'und' — so the pick logic itself is cross-checked.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextAnalysis.languageScores(docs).write.mode("overwrite")
+          .parquet(freshState(s, "x44") + "/scores")
+        docs.select(col("doc_id"),
+            TextAnalysis.detectLanguage(col("text")).as("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sc AS (SELECT * FROM
+          read_parquet('/tmp/graft_qstate/x44/scores/*.parquet')),
+        t1 AS (SELECT doc_id, arg_min(lang, prio) AS lang
+          FROM sc WHERE tier = 1 AND score > 0 GROUP BY doc_id),
+        t2 AS (SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, prio ASC) AS rn
+            FROM sc WHERE tier = 2 AND score > 0) WHERE rn = 1)
+        SELECT d.doc_id, COALESCE(t1.lang, t2.lang, 'und') AS lang
+        FROM documents d
+        LEFT JOIN t1 ON d.doc_id = t1.doc_id
+        LEFT JOIN t2 ON d.doc_id = t2.doc_id
+        ORDER BY d.doc_id""")),
+
+    Q("x46_bpe_token_stats",
+      // rank-greedy BPE piece counts under the pluggable merges table.
+      // The tokenizer is not SQL-portable, so the per-doc counts are
+      // persisted and the oracle replays the per-source aggregation
+      // over the identical frame (the x04 replay pattern); the
+      // tokenizer itself is pinned by BpeSpec fixtures.
+      (s, d) => {
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+            TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+          .write.mode("overwrite")
+          .parquet(freshState(s, "x46") + "/counts")
+        s.read.parquet("/tmp/graft_qstate/x46/counts")
+          .filter(col("source").isNotNull)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_bpe_tokens").as("total_bpe_tokens"),
+            (sum("n_bpe_tokens").cast("double") / count(lit(1)))
+              .as("avg_bpe_tokens"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+        CAST(SUM(n_bpe_tokens) AS DOUBLE) / COUNT(*) AS avg_bpe_tokens
+        FROM read_parquet('/tmp/graft_qstate/x46/counts/*.parquet')
+        WHERE source IS NOT NULL
+        GROUP BY source ORDER BY source""")),
+
     Q("x37_salted_count",
       // two-phase salted aggregation: per-key counts where no reducer
       // ever receives a hot key whole — phase 1 groups by (key, salt),
@@ -4317,16 +4398,12 @@ object SparkEntry {
       .parquet(srcDir)
   }
 
-  /** Streaming twin of [[eventsTable]]: same nanos→timestamp
-   *  normalization on the unbounded frame. */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val df = streamOf(s, s"$dir/events.parquet")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => df
-    }
-  }
+  /** Streaming twin of [[eventsTable]]: same encoding normalization on
+   *  the unbounded frame (TsNorm is a plan-time rewrite, so it applies
+   *  to streaming frames unchanged). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TsNorm.normalizeTs(
+      streamOf(s, s"$dir/events.parquet"), "ts")
 
   private def streamingQueries: Seq[Q] = Seq(
     Q("st01_stream_window_agg",

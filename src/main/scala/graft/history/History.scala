@@ -88,7 +88,14 @@ object Trends {
       seriesCols: Seq[String],
       tsCol: String = "ts",
       valueCol: String = "metric_value"): DataFrame = {
-    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy(col(tsCol))
+    // the extra isNull key keeps the partition spec non-foldable: when a
+    // caller tags a single series with a literal column, Catalyst's
+    // FoldablePropagation + EliminateWindowPartitions would fold the
+    // spec empty and WindowExec would log its move-everything warning.
+    // isNull(ts) is constant-false for real rows, so partitioning is
+    // unchanged; the frame here is per-day aggregates (tiny) either way.
+    val w = Window.partitionBy(
+      (seriesCols.map(col) :+ col(tsCol).isNull): _*).orderBy(col(tsCol))
     rowCounts
       .withColumn("prev_value", lag(col(valueCol), 1).over(w))
       .withColumn("growth_pct",
@@ -172,17 +179,22 @@ object Trends {
       objectCols: Seq[String] = Seq("object_type", "object_name"),
       tsCol: String = "check_timestamp",
       changedCol: String = "change_detected"): DataFrame = {
+    // accept any physical ts encoding; integer epoch-micros arithmetic
+    // (cast-to-double on timestamps is the fragile form: it rejects NTZ
+    // outright and loses sub-second precision past 2^53 µs)
+    val checksN = graft.operators.TsNorm.normalizeTs(checks, tsCol)
     val parts = objectCols.map(col)
     val wChg = Window.partitionBy(parts: _*).orderBy(col(tsCol))
     // hours between consecutive DETECTED changes: restrict to changed rows
-    val changed = checks.filter(col(changedCol))
+    val changed = checksN.filter(col(changedCol))
       .withColumn("__prevTs", lag(col(tsCol), 1).over(wChg))
       .withColumn("__hours",
-        (col(tsCol).cast("double") - col("__prevTs").cast("double")) / 3600.0)
+        (unix_micros(col(tsCol)) - unix_micros(col("__prevTs")))
+          .cast("double") / 3.6e9)
     val avgHours = changed.groupBy(parts: _*)
       .agg(avg(col("__hours")).as("avg_hours_between_changes"),
         max(col(tsCol)).as("most_recent_change"))
-    val base = checks.groupBy(parts: _*).agg(
+    val base = checksN.groupBy(parts: _*).agg(
       count(lit(1)).as("total_checks"),
       coalesce(sum(when(col(changedCol), 1L).otherwise(0L)), lit(0L))
         .as("changes_detected"))

@@ -54,14 +54,18 @@ object Funnel {
       .select(col("r.*"))
       .groupBy("step_idx", "step")
       .agg(sum(col("__reached")).as("users"))
-    // conversion vs step 1 — window over the k-row summary frame only
-    val first = first_value(col("users"))
-      .over(Window.orderBy(col("step_idx"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    counts
+    // conversion vs step 1 — 1-row broadcast of the first step's count
+    // instead of an unpartitioned window over the k-row summary (empty
+    // partition spec logs the WindowExec warning; min_by picks the
+    // users count at the smallest step_idx)
+    val firstStep = counts.agg(
+      min_by(col("users"), col("step_idx")).as("__first"))
+    counts.crossJoin(broadcast(firstStep))
       .withColumn("conversion",
-        when(first > 0, round(col("users").cast("double") / first, 6))
+        when(col("__first") > 0,
+          round(col("users").cast("double") / col("__first"), 6))
           .otherwise(lit(null).cast("double")))
+      .drop("__first")
   }
 
   /** Cohort retention: users cohorted by first-seen DATE; one row per

@@ -46,15 +46,20 @@ object RangeJoin {
 
     def bucketOf(c: org.apache.spark.sql.Column) = bucketIdOf(c, widthUs)
 
+    // accept any physical ts encoding (LTZ / NTZ / nanos-long), not
+    // just what eventsTable happened to produce
+    val leftN = TsNorm.normalizeTs(left, leftTsCol)
+    val rightN = TsNorm.normalizeTs(right, rightTsCol)
+
     val lUs = unix_micros(col(leftTsCol))
-    val l = left
+    val l = leftN
       .withColumn("__lus", lUs)
       .withColumn("__bucket",
         explode(sequence(
           bucketOf(lUs - lowerUs),
           bucketOf(lUs + upperUs - 1))))
-    val rCols = right.columns.map(c => col(c).as(s"r_$c")).toSeq
-    val r = right.select(rCols: _*)
+    val rCols = rightN.columns.map(c => col(c).as(s"r_$c")).toSeq
+    val r = rightN.select(rCols: _*)
       .withColumn("__rus", unix_micros(col(s"r_$rightTsCol")))
       .withColumn("__bucket", bucketOf(col("__rus")))
 
@@ -80,19 +85,22 @@ object RangeJoin {
     // with k matches each produce m·k pair rows that the value-keyed
     // groupBy merges — divide by the row-value's multiplicity to get
     // each row's own k (exact: identical rows have identical matches)
-    val pairs = rangeJoin(left, right, keyCols, leftTsCol, rightTsCol,
+    // normalize before the back-join: the pair rows carry the
+    // normalized ts, so the outer frame must carry the same values
+    val leftN = TsNorm.normalizeTs(left, leftTsCol)
+    val pairs = rangeJoin(leftN, right, keyCols, leftTsCol, rightTsCol,
       lowerSec, upperSec)
     val grouped = pairs
-      .groupBy(left.columns.map(col).toSeq: _*)
+      .groupBy(leftN.columns.map(col).toSeq: _*)
       .agg(count(lit(1)).as("__total"))
-    val mult = left
-      .groupBy(left.columns.map(col).toSeq: _*)
+    val mult = leftN
+      .groupBy(leftN.columns.map(col).toSeq: _*)
       .agg(count(lit(1)).as("__m"))
     // a left row containing a NULL column never matches its own group in
     // the using-joins (null ≠ null), so both sides come back null —
     // coalesce keeps the documented "0 for no matches" contract
-    left.join(grouped, left.columns.toSeq, "left")
-      .join(mult, left.columns.toSeq, "left")
+    leftN.join(grouped, leftN.columns.toSeq, "left")
+      .join(mult, leftN.columns.toSeq, "left")
       .withColumn(countName,
         (coalesce(col("__total"), lit(0L))
           / coalesce(col("__m"), lit(1L))).cast("long"))
@@ -123,14 +131,16 @@ object RangeJoin {
     val widthUs = bucketSec * 1000000L
     def bucketOf(c: org.apache.spark.sql.Column) = bucketIdOf(c, widthUs)
 
-    val l = left
+    val leftN = TsNorm.normalizeTs(left, leftStartCol, leftEndCol)
+    val rightN = TsNorm.normalizeTs(right, rightStartCol, rightEndCol)
+    val l = leftN
       .withColumn("__ls", unix_micros(col(leftStartCol)))
       .withColumn("__le", unix_micros(col(leftEndCol)))
       .filter(col("__le") > col("__ls"))
       .withColumn("__bucket", explode(sequence(
         bucketOf(col("__ls")), bucketOf(col("__le") - 1))))
-    val rCols = right.columns.map(c => col(c).as(s"r_$c")).toSeq
-    val r = right.select(rCols: _*)
+    val rCols = rightN.columns.map(c => col(c).as(s"r_$c")).toSeq
+    val r = rightN.select(rCols: _*)
       .withColumn("__rs", unix_micros(col(s"r_$rightStartCol")))
       .withColumn("__re", unix_micros(col(s"r_$rightEndCol")))
       .filter(col("__re") > col("__rs"))

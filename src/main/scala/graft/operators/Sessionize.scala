@@ -26,12 +26,14 @@ object Sessionize {
       keyCol: String = "user_id",
       tsCol: String = "ts",
       gapSeconds: Long = 1800L): DataFrame = {
+    // accept any physical ts encoding (LTZ / NTZ / nanos-long)
+    val eventsN = TsNorm.normalizeTs(events, tsCol)
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
     val us = unix_micros(col(tsCol))
     val prevUs = lag(us, 1).over(w)
     val opens = when(
       prevUs.isNull || us - prevUs > gapSeconds * 1000000L, 1L).otherwise(0L)
-    events.withColumn("session_idx",
+    eventsN.withColumn("session_idx",
       sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0)))
   }
 

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+/**
+ * Physical-encoding normalization for event timestamps.
+ *
+ * Real parquet corpora carry at least three encodings of "a timestamp":
+ *  - TIMESTAMP(MICROS/MILLIS, adjustedToUTC=true) → Spark `TimestampType`;
+ *  - TIMESTAMP(..., adjustedToUTC=false) — what Spark 3.4+, pandas and
+ *    Arrow write for naive datetimes → Spark `TimestampNTZType`;
+ *  - TIMESTAMP(NANOS), which Spark only reads as a nanos-since-epoch
+ *    long under `spark.sql.legacy.parquet.nanosAsLong`.
+ *
+ * Every event-time operator in this engine (sessionize, range/interval
+ * join, change analytics, streaming watermarks) does its arithmetic on
+ * integer epoch micros and its windowing on `TimestampType`, so they all
+ * normalize through here instead of assuming one encoding at the scan.
+ * With a UTC session zone the NTZ→LTZ cast is value-identical, matching
+ * the reference's naive-datetime semantics (SQLAlchemy returns naive
+ * datetimes; core/anomalies/algorithms.py never touches a timezone).
+ */
+object TsNorm {
+
+  /** Normalize the named columns to `TimestampType`. Columns already
+   *  LTZ (or absent from the frame) pass through untouched, so calling
+   *  this at every operator entry is free for already-normal input —
+   *  it's a plan-time rewrite, never a data scan. */
+  def normalizeTs(df: DataFrame, cols: String*): DataFrame =
+    cols.foldLeft(df) { (d, name) =>
+      if (!d.columns.contains(name)) d
+      else d.schema(name).dataType match {
+        case LongType =>
+          // nanos-as-long legacy read; integral `div` (a double divide
+          // would lose precision above 2^53 ns) then truncate to micros
+          // (matches DuckDB's ns→us cast)
+          d.withColumn(name, expr(s"timestamp_micros(`$name` div 1000)"))
+        case TimestampNTZType =>
+          d.withColumn(name, col(name).cast(TimestampType))
+        case _ => d
+      }
+    }
+}

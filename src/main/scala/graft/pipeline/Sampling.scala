@@ -124,39 +124,44 @@ object Sampling {
         hashBucket(concat_ws("|", col(stratumCol).cast("string"),
           col(idCol).cast("string")), buckets).as("__bucket"))
       .agg(count(lit(1)).as("__cnt"))
-    // windows over the ≤ strata×buckets cell frame, not over the data
-    val wStr = Window.partitionBy(col("stratum"))
-    val wAll = Window.partitionBy()
+    // stratum-level stats on a per-stratum frame (≤ #strata rows) with
+    // 1-row broadcast totals — no global windows over the cell frame
+    // (empty-partition windows single-thread the frame AND log the
+    // WindowExec warning). The duplicated aggregates below all hang off
+    // the same cells shuffle, which exchange reuse dedupes.
     def nano(c: Column): Column = round(c * 1e9, 0).cast("long")
-    cells
-      .withColumn("__ns", sum(col("__cnt")).over(wStr))
-      .withColumn("__n", sum(col("__cnt")).over(wAll))
+    val strata = cells.groupBy("stratum").agg(sum(col("__cnt")).as("__ns"))
+    val total = strata.agg(sum(col("__ns")).as("__n"))
+    val strataP = strata.crossJoin(broadcast(total))
       .withColumn("__p", col("__ns").cast("double") / col("__n"))
       .withColumn("__pow", pow(col("__p"), lit(alpha)))
-      // order-independent Σ p^alpha: one nano term per stratum (cells
-      // within a stratum all carry the same __pow — count it once, at
-      // the stratum's first bucket)
-      .withColumn("__minb", min(col("__bucket")).over(wStr))
-      .withColumn("__sum_pow",
-        sum(when(col("__bucket") === col("__minb"),
-          nano(col("__pow"))).otherwise(0L)).over(wAll).cast("double") / 1e9)
+    // order-independent Σ p^alpha: nano-quantized terms over the
+    // stratum frame (one term per stratum, exactly as before)
+    val sumPow = strataP.agg(sum(nano(col("__pow"))).as("__spn"))
+    val perStratum = strataP.crossJoin(broadcast(sumPow))
+      .withColumn("__sum_pow", col("__spn").cast("double") / 1e9)
       .withColumn("__w", col("__pow") / col("__sum_pow"))
       .withColumn("__r",
         least(lit(1.0), col("__w") * col("__n") / col("__ns")))
       .withColumn("__thr", floor(col("__r") * buckets).cast("int"))
+    val sampled = cells
+      .join(perStratum.select(col("stratum"), col("__thr")), Seq("stratum"))
       .groupBy(col("stratum"))
-      .agg(
-        max(col("__ns")).as("n_docs"),
-        round(max(col("__p")), 6).as("share"),
-        round(max(col("__w")), 6).as("weight"),
-        round(max(col("__r")), 6).as("keep_rate"),
+      .agg(sum(when(col("__bucket") < col("__thr"), col("__cnt"))
+        .otherwise(0L)).as("n_sampled"))
+    perStratum.join(sampled, Seq("stratum"))
+      .select(
+        col("stratum"),
+        col("__ns").as("n_docs"),
+        round(col("__p"), 6).as("share"),
+        round(col("__w"), 6).as("weight"),
+        round(col("__r"), 6).as("keep_rate"),
         // the EXACT integer threshold the plan realized — feed this to
         // [[stratifiedSampleByThreshold]] to materialize the identical
         // row set. (keep_rate is display-rounded to 6 dp; recomputing a
         // threshold from it can land one bucket off at a boundary.)
-        max(col("__thr")).as("keep_threshold"),
-        sum(when(col("__bucket") < col("__thr"), col("__cnt"))
-          .otherwise(0L)).as("n_sampled"))
+        col("__thr").as("keep_threshold"),
+        col("n_sampled"))
   }
 
   /** Materialize a mix plan: keep rows whose per-stratum md5 bucket is
@@ -315,7 +320,8 @@ object Sampling {
       weights: Map[String, Double],
       tokenBudget: Long,
       sourceCol: String = "source",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokenCol: String = ""): DataFrame = {
     require(weights.nonEmpty, "mixturePlan needs at least one weight")
     require(tokenBudget > 0, "tokenBudget must be positive")
     val spark = docs.sparkSession
@@ -323,7 +329,12 @@ object Sampling {
     val totalW = weights.values.sum
     val wDf = weights.toSeq.map { case (s, w) => (s, w / totalW) }
       .toDF(sourceCol, "weight")
-    val tok = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    // a precomputed token-count column (e.g. BPE pieces from
+    // TextAnalysis.bpeTokenCount) overrides the whitespace count, so
+    // plans can budget in REAL tokenizer tokens, not word counts
+    val tok =
+      if (tokenCol.nonEmpty) col(tokenCol).cast("long")
+      else TextAnalysis.tokenCount(col(textCol)).cast("long")
     docs.filter(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"), sum(tok).as("tokens"))

@@ -102,6 +102,185 @@ object TextAnalysis {
     when(cjk > 0, "zh").otherwise(pick)
   }
 
+  // ---- Multilingual language ID (x44) -------------------------------
+  //
+  // Two-tier detector over public per-language profiles:
+  //   tier 1: Unicode script blocks (decisive for non-Latin languages) —
+  //           first script in priority order with any characters wins.
+  //           Kana outranks Han because Japanese text mixes both;
+  //           Hangul before Han for the same reason.
+  //   tier 2: per-language stopword profiles (top distinctive function
+  //           words from the public Snowball/NLTK lists) for
+  //           Latin-script languages — most hits wins, ties break by
+  //           profile order.
+  // Everything is a deterministic codegen'd expression (regexp counts +
+  // token-set membership): map-only at any scale, and the scores are
+  // persistable so an external engine can replay the argmax (the x44
+  // score-replay oracle).
+
+  /** (lang, script char-class) in priority order. */
+  val scriptProfiles: Seq[(String, String)] = Seq(
+    "ja" -> "\\u3040-\\u30ff",                            // hiragana+katakana
+    "ko" -> "\\uac00-\\ud7af\\u1100-\\u11ff\\u3130-\\u318f", // hangul
+    "zh" -> "\\u4e00-\\u9fff",                            // han
+    "ru" -> "\\u0400-\\u04ff",                            // cyrillic
+    "ar" -> "\\u0600-\\u06ff",                            // arabic
+    "he" -> "\\u0590-\\u05ff",                            // hebrew
+    "el" -> "\\u0370-\\u03ff",                            // greek
+    "th" -> "\\u0e00-\\u0e7f",                            // thai
+    "hi" -> "\\u0900-\\u097f")                            // devanagari
+
+  /** (lang, distinctive stopwords) in tie-break priority order —
+   *  drawn from the public Snowball stopword lists, trimmed to words
+   *  that separate the languages rather than the full lists. */
+  val latinProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "was", "that", "this", "with",
+      "have", "from"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "nicht", "ein", "mit",
+      "auf", "für"),
+    "fr" -> Seq("le", "les", "est", "dans", "que", "pour", "une", "avec",
+      "sur", "pas"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por", "con", "para",
+      "como", "más"),
+    "it" -> Seq("il", "che", "di", "per", "sono", "della", "anche",
+      "come", "gli", "questo"),
+    "pt" -> Seq("o", "os", "as", "um", "uma", "não", "para", "com",
+      "por", "mais"),
+    "nl" -> Seq("de", "het", "een", "van", "niet", "met", "voor", "zijn",
+      "dat", "ook"),
+    "sv" -> Seq("och", "att", "det", "som", "en", "på", "är", "av",
+      "för", "med"),
+    "pl" -> Seq("nie", "się", "jest", "na", "do", "że", "po", "jak",
+      "ale", "tym"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "gibi", "çok", "daha",
+      "olarak", "ama"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+      "ini", "dari", "akan"))
+
+  private def scriptCount(text: Column, range: String): Column =
+    length(regexp_replace(text, s"[^$range]", ""))
+
+  private def lowerHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokenArr(lower(text)), t => t.isInCollection(words)))
+
+  /** Multilingual pick as ONE map-only expression — the operator form
+   *  a curation pipeline inlines next to quality scoring. Must stay in
+   *  lock-step with the [[languageScores]] replay contract: tier-1
+   *  scripts in order, then tier-2 stopword argmax (first profile wins
+   *  ties), else "und". */
+  def detectLanguage(text: Column): Column = {
+    val latinScores = latinProfiles.map { case (l, ws) => (l, lowerHits(text, ws)) }
+    val best = latinScores.map(_._2).reduce(greatest(_, _))
+    val latinPick = latinScores.foldRight(lit("und"): Column) {
+      case ((l, s), acc) => when(s === best && best > 0, l).otherwise(acc)
+    }
+    scriptProfiles.foldRight(latinPick) { case ((l, range), acc) =>
+      when(scriptCount(text, range) > 0, l).otherwise(acc)
+    }
+  }
+
+  /** Long score frame (id, lang, tier, prio, score) — one row per
+   *  (document, candidate language). Persisting this lets any SQL
+   *  engine replay the [[detectLanguage]] argmax: tier-1 rows with
+   *  score > 0 pick min prio; else tier-2 rows with score > 0 pick
+   *  (max score, min prio); else "und". */
+  def languageScores(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val entries =
+      scriptProfiles.zipWithIndex.map { case ((l, range), i) =>
+        struct(lit(l).as("lang"), lit(1).as("tier"), lit(i).as("prio"),
+          scriptCount(t, range).cast("long").as("score"))
+      } ++
+      latinProfiles.zipWithIndex.map { case ((l, ws), i) =>
+        struct(lit(l).as("lang"), lit(2).as("tier"), lit(i).as("prio"),
+          lowerHits(t, ws).cast("long").as("score"))
+      }
+    docs.select(col(idCol), explode(array(entries: _*)).as("__s"))
+      .select(col(idCol), col("__s.lang"), col("__s.tier"),
+        col("__s.prio"), col("__s.score"))
+  }
+
+  // ---- Subword/BPE token counting (x46) -----------------------------
+  //
+  // Byte-pair encoding with a PLUGGABLE merges table — the standard
+  // public algorithm (Sennrich et al. 2016; the GPT-2/RoBERTa vocab
+  // format): a word starts as characters, and merge rules apply
+  // greedily in rank order (lowest rank first) until none apply. The
+  // merges table is data, not code — load a real tokenizer's
+  // merges.txt lines into `merges` to reproduce its segmentation; the
+  // built-in [[demoMerges]] (common English digraph/affix pairs) keeps
+  // the op deterministic and self-contained where no vocab file ships.
+  //
+  // The tokenizer is genuinely iterative (rank-greedy pair reduction),
+  // so it runs as a Scala UDF over the pre-tokenized words — the one
+  // op class where a UDF beats expression contortions. At 100 TB it is
+  // still map-only: no shuffle, no state, pure per-row compute.
+
+  /** Built-in demo merges (rank order): frequent English pairs. */
+  val demoMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("in", "g"), ("o", "u"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "r"), ("t", "i"),
+    ("s", "t"), ("a", "r"), ("te", "d"), ("o", "f"), ("i", "s"))
+
+  /** BPE-encode one lowercase word into its pieces. */
+  private[graft] def bpeWord(
+      word: String, ranks: Map[(String, String), Int]): List[String] = {
+    var pieces = word.map(_.toString).toList
+    var done = pieces.lengthCompare(2) < 0
+    while (!done) {
+      // lowest-rank adjacent pair in the current segmentation
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var i = 0
+      var it = pieces
+      while (it.tail.nonEmpty) {
+        val r = ranks.getOrElse((it.head, it.tail.head), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        it = it.tail
+        i += 1
+      }
+      if (bestIdx < 0 || bestRank == Int.MaxValue) done = true
+      else {
+        val (pre, rest) = pieces.splitAt(bestIdx)
+        pieces = pre ::: (rest.head + rest.tail.head) :: rest.tail.tail
+        if (pieces.lengthCompare(2) < 0) done = true
+      }
+    }
+    pieces
+  }
+
+  /** Piece count per text under the given merges table — the size
+   *  column for [[Sampling.packSequences]] / [[Sampling.mixturePlan]]
+   *  token budgeting. Deterministic; blank text counts 0. */
+  def bpeTokenCount(
+      text: Column,
+      merges: Seq[(String, String)] = demoMerges): Column = {
+    val ranks = merges.zipWithIndex.toMap
+    val count = udf { t: String =>
+      if (t == null) 0L
+      else t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .map(w => bpeWord(w, ranks).length.toLong).sum
+    }
+    count(text)
+  }
+
+  /** The pieces themselves (per-doc array) — spec/debug surface. */
+  def bpeTokens(
+      text: Column,
+      merges: Seq[(String, String)] = demoMerges): Column = {
+    val ranks = merges.zipWithIndex.toMap
+    val toks = udf { t: String =>
+      if (t == null) Array.empty[String]
+      else t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => bpeWord(w, ranks))
+    }
+    toks(text)
+  }
+
   /** Per-position Karp–Rabin w-gram hashes — the raw stream winnowing
    *  selects minima from. A text shorter than `gram` contributes its
    *  single fnv64 (same contract [[winnowedMins]] always had). Exposed
@@ -744,11 +923,22 @@ object TextAnalysis {
     val perDoc = perTerm.groupBy(col(idCol))
       .agg(sum(col("__micro")).as("__score_micro"),
         count(lit(1)).as("n_terms"))
-    val w = org.apache.spark.sql.expressions.Window
+    // global top-k via orderBy+limit — Spark plans TakeOrderedAndProject
+    // (per-partition top-k, then a k-row merge), unlike a global
+    // row_number window which moves EVERY scored doc to one partition
+    // (and logs the WindowExec warning). Ranks are then assigned with a
+    // broadcast self-join over the k-row result: rank = 1 + #better.
+    val topk = perDoc
       .orderBy(col("__score_micro").desc, col(idCol))
-    perDoc
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .limit(k)
+    val other = topk.select(col("__score_micro").as("__s2"),
+      col(idCol).as("__id2"))
+    topk.join(broadcast(other),
+        col("__s2") > col("__score_micro") ||
+          (col("__s2") === col("__score_micro") && col("__id2") < col(idCol)),
+        "left")
+      .groupBy(col(idCol), col("__score_micro"), col("n_terms"))
+      .agg((count(col("__id2")) + 1).cast("int").as("rank"))
       .select(col(idCol), col("rank"),
         round(col("__score_micro").cast("double") / 1e6, 6).as("bm25"),
         col("n_terms"))

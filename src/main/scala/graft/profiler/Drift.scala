@@ -208,16 +208,19 @@ object Drift {
           .otherwise(least(lit(buckets - 1),
             floor((col("__v") - col("__mn"))
               / ((col("__mx") - col("__mn")) / buckets)).cast("int"))))
-    // bucket offsets: subtotal per bucket, then an exclusive running sum
-    // over the ≤`buckets`-row summary (single-partition window over a
-    // driver-small frame — the only non-parallel step, O(buckets))
-    val offW = Window.orderBy(col("__bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("__bucket")
+    // bucket offsets: subtotal per bucket, then an exclusive prefix sum
+    // computed as a broadcast self-join over the ≤`buckets`-row summary
+    // (O(buckets²) pairs of a tiny frame — no single-partition window,
+    // no WindowExec move-everything warning, stays parallel)
+    val sub = bucketed.groupBy("__bucket")
       .agg(sum(col("__cb")).as("__bb"), sum(col("__ca")).as("__ba"))
-      .select(col("__bucket"),
-        coalesce(sum(col("__bb")).over(offW), lit(0L)).as("__ob"),
-        coalesce(sum(col("__ba")).over(offW), lit(0L)).as("__oa"))
+    val offsets = sub
+      .join(broadcast(sub.select(col("__bucket").as("__pb"),
+        col("__bb").as("__pbb"), col("__ba").as("__pba"))),
+        col("__pb") < col("__bucket"), "left")
+      .groupBy("__bucket")
+      .agg(coalesce(sum(col("__pbb")), lit(0L)).as("__ob"),
+        coalesce(sum(col("__pba")), lit(0L)).as("__oa"))
     val inW = Window.partitionBy(col("__bucket")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed.join(broadcast(offsets), Seq("__bucket"))
@@ -252,16 +255,31 @@ object Drift {
   def mutualInformation(
       df: DataFrame,
       colA: String,
-      colB: String): DataFrame = {
+      colB: String,
+      maxCells: Long = 1L << 22): DataFrame = {
     val cells = df
       .filter(col(colA).isNotNull && col(colB).isNotNull)
       .groupBy(col(colA).as("__a"), col(colB).as("__b"))
       .agg(count(lit(1)).as("__nab"))
-    // windows over the cell frame (≤ K_a×K_b rows), not over the data
+    // grand total + cardinality guard as a broadcast 1-row frame, not a
+    // global window (an empty partition spec moves the whole cell frame
+    // to one partition AND logs the WindowExec warning; the duplicated
+    // aggregate here shares the cells shuffle via exchange reuse).
+    // assert_true fires if two high-cardinality columns blow the cell
+    // frame past maxCells — MI over such a pair is meaningless anyway
+    // (every cell count ≈ 1) and the plan would otherwise grind through
+    // a K_a×K_b explosion silently.
+    val stats = cells.agg(
+      sum(col("__nab")).as("__n"), count(lit(1)).as("__ncells"))
     val withMargins = cells
+      .crossJoin(broadcast(stats))
+      .where(coalesce(
+        assert_true(col("__ncells") <= maxCells,
+          lit(s"mutualInformation: cell frame exceeds maxCells=$maxCells; " +
+            "bucket or cap the category cardinality first")).cast("boolean"),
+        lit(true)))
       .withColumn("__na", sum(col("__nab")).over(Window.partitionBy(col("__a"))))
       .withColumn("__nb", sum(col("__nab")).over(Window.partitionBy(col("__b"))))
-      .withColumn("__n", sum(col("__nab")).over(Window.partitionBy()))
     def nano(c: Column): Column = round(c * 1e9, 0).cast("long")
     val nab = col("__nab").cast("double")
     val e = col("__na").cast("double") * col("__nb") / col("__n")
@@ -370,12 +388,17 @@ object Drift {
           .otherwise(least(lit(buckets - 1),
             floor((col("value") - col("__mn"))
               / ((col("__mx") - col("__mn")) / buckets)).cast("int"))))
-    val offW = Window.orderBy(col("__bucket"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("__bucket")
+    // exclusive prefix per bucket via broadcast self-join over the
+    // ≤`buckets`-row summary (the p31 pattern: no single-partition
+    // window, no WindowExec warning, O(buckets²) tiny pairs)
+    val sub = bucketed.groupBy("__bucket")
       .agg(sum(col("cnt")).as("__bc"))
-      .select(col("__bucket"),
-        coalesce(sum(col("__bc")).over(offW), lit(0L)).as("__off"))
+    val offsets = sub
+      .join(broadcast(sub.select(col("__bucket").as("__pb"),
+        col("__bc").as("__pbc"))),
+        col("__pb") < col("__bucket"), "left")
+      .groupBy("__bucket")
+      .agg(coalesce(sum(col("__pbc")), lit(0L)).as("__off"))
     val inW = Window.partitionBy(col("__bucket")).orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed.join(broadcast(offsets), Seq("__bucket"))

@@ -301,11 +301,15 @@ object Profiler {
     val agg =
       if (exact) expr(s"percentile($column, array($probs))")
       else expr(s"percentile_approx($column, array($probs), 10000)")
+    // pair (lo, hi) = (edge[i], edge[i+1]) inside the single-row array
+    // BEFORE exploding — no unpartitioned lead() window (which logs the
+    // WindowExec single-partition warning on every call) and no join
     df.agg(agg.as("__edges"))
-      .select(posexplode(col("__edges")).as(Seq("bucket", "lo")))
-      .withColumn("hi", lead(col("lo"), 1).over(
-        Window.orderBy("bucket")))
-      .filter(col("hi").isNotNull)
+      .select(posexplode(expr(
+        """transform(slice(__edges, 1, size(__edges) - 1),
+          |  (lo, i) -> struct(lo AS lo, __edges[i + 1] AS hi))"""
+          .stripMargin)).as(Seq("bucket", "__s")))
+      .select(col("bucket"), col("__s.lo"), col("__s.hi"))
   }
 
   /** Equi-depth histogram — the quantile-binned complement of the
@@ -331,9 +335,10 @@ object Profiler {
       column: String,
       edges: DataFrame): DataFrame = {
     val c = col(column).cast(DoubleType)
-    val lastBucket = max(col("bucket")).over(Window.partitionBy())
-    val bins = broadcast(edges.select(col("bucket"), col("lo"), col("hi"),
-      lastBucket.as("__last")))
+    // last-bucket id as a 1-row cross join over the k-row edge frame —
+    // not a global window (empty partition spec = WindowExec warning)
+    val bins = broadcast(edges.select(col("bucket"), col("lo"), col("hi"))
+      .crossJoin(edges.agg(max(col("bucket")).as("__last"))))
     val counted = df.select(c.as("__x")).filter(col("__x").isNotNull)
       .join(bins,
         col("__x") >= col("lo") &&

@@ -48,7 +48,7 @@ object StreamingDetect {
       valueCol: String = "value",
       windowLength: String = "1 hour",
       watermark: String = "2 hours"): DataFrame =
-    events
+    graft.operators.TsNorm.normalizeTs(events, tsCol)
       .withWatermark(tsCol, watermark)
       .groupBy(col(seriesCol), window(col(tsCol), windowLength))
       .agg(count(lit(1)).cast("double").as("value"))
@@ -126,7 +126,7 @@ object StreamingDetect {
           .as(s"${name}__sm"),
         hll_sketch_agg(c.cast(StringType)).as(s"${name}__hll"))
     }
-    val perWindow = events
+    val perWindow = graft.operators.TsNorm.normalizeTs(events, tsCol)
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLength))
       .agg(aggs.head, aggs.tail: _*)
@@ -162,7 +162,7 @@ object StreamingDetect {
       valueCol: String = "value",
       gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =
-    events
+    graft.operators.TsNorm.normalizeTs(events, tsCol)
       .withWatermark(tsCol, watermark)
       .groupBy(col(keyCol), session_window(col(tsCol), gap))
       .agg(

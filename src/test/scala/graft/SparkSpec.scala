@@ -27,6 +27,12 @@ object SharedSpark {
     s
   }
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Events fixture through the SAME reader as the main code — the
+   *  driver has regenerated events.parquet with different physical ts
+   *  encodings across rounds (nanos-long, then TIMESTAMP_NTZ); specs
+   *  must not hand-roll a conversion that assumes one of them. */
+  def eventsDF: DataFrame = SparkEntry.eventsTable(spark, sfDir)
 }
 
 class ProfilerSparkSpec extends AnyFunSuite {
@@ -1204,8 +1210,7 @@ class BloomSkipSpec extends AnyFunSuite {
       "never a false negative") {
     import graft.sources.BloomSkip
     val base = java.nio.file.Files.createTempDirectory("bloomskip").toString
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = eventsDF
     // hash-partitioned on event_id: every file's ts/id RANGE spans the
     // whole domain, so min/max skipping is useless here by construction
     ev.repartition(8, col("event_id")).write.parquet(s"$base/data")
@@ -2044,8 +2049,7 @@ class RangeJoinSpec extends AnyFunSuite {
   }
 
   test("band join never plans a nested-loop or cartesian join") {
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = eventsDF
     val err = ev.filter(col("event_type") === "error")
       .select("event_id", "user_id", "ts")
     val clk = ev.filter(col("event_type") === "click").select("user_id", "ts")
@@ -2245,6 +2249,20 @@ class DriftSpec extends AnyFunSuite {
     assert(r.getLong(r.fieldIndex("ka")) == 1L)
     assert(r.isNullAt(r.fieldIndex("cramers_v"))) // min(ka,kb) = 1
   }
+
+  test("mutual information guards against cell-frame explosion") {
+    // two high-cardinality columns: 100 × 100 cells > maxCells=50
+    val big = (1 to 100).flatMap(i => (1 to 100).map(j => (s"a$i", s"b$j")))
+      .toDF("a", "b")
+    val e = intercept[Exception] {
+      Drift.mutualInformation(big, "a", "b", maxCells = 50L).collect()
+    }
+    assert(e.getMessage.contains("maxCells") ||
+      e.getCause != null && e.getCause.getMessage.contains("maxCells"))
+    // same frame under the default cap still computes
+    val ok = Drift.mutualInformation(big, "a", "b").collect()(0)
+    assert(ok.getLong(ok.fieldIndex("n_cells")) == 10000L)
+  }
 }
 
 class FunnelSpec extends AnyFunSuite {
@@ -2318,5 +2336,223 @@ class FunnelSpec extends AnyFunSuite {
     val out = Funnel.retentionCohorts(events, "user_id", "ts", maxDays = 30)
       .collect()
     assert(out.map(_.getAs[Int]("day_offset")).toSet == Set(0))
+  }
+}
+
+class TsNormSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.operators.{RangeJoin, Sessionize, TsNorm}
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** The same rows written to parquet as TIMESTAMP (LTZ) and as
+   *  TIMESTAMP_NTZ — the two encodings modern writers produce. */
+  private lazy val (ltzDir, ntzDir): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("tsnorm").toString
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0),
+      (1L, ts("2024-01-01 11:00:00"), 4.0),
+      (2L, ts("2024-01-01 10:03:00"), 8.0))
+      .toDF("user_id", "ts", "value")
+    rows.write.parquet(s"$base/ltz")
+    rows.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.parquet(s"$base/ntz")
+    (s"$base/ltz", s"$base/ntz")
+  }
+
+  private def read(dir: String) = spark.read.parquet(dir)
+
+  test("NTZ parquet reads as TIMESTAMP_NTZ and normalizes to TIMESTAMP") {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    assert(read(ntzDir).schema("ts").dataType == TimestampNTZType)
+    val norm = TsNorm.normalizeTs(read(ntzDir), "ts")
+    assert(norm.schema("ts").dataType == TimestampType)
+    // UTC session zone: values identical to the LTZ read
+    assert(norm.orderBy("user_id", "ts").collect().toSeq ==
+      read(ltzDir).orderBy("user_id", "ts").collect().toSeq)
+  }
+
+  test("sessionize gives identical output on LTZ and NTZ input") {
+    def run(dir: String) =
+      Sessionize.sessionize(read(dir), gapSeconds = 1800L, valueCol = "value")
+        .orderBy("user_id", "session_idx").collect().toSeq
+    assert(run(ltzDir) == run(ntzDir))
+    assert(run(ntzDir).nonEmpty)
+  }
+
+  test("range join gives identical output on LTZ and NTZ input") {
+    def run(dir: String) = {
+      val df = read(dir)
+      RangeJoin.rangeJoin(df, df, Seq("user_id"), lowerSec = 900L)
+        .orderBy("user_id", "ts", "r_ts").collect().toSeq
+    }
+    assert(run(ltzDir) == run(ntzDir))
+    assert(run(ntzDir).nonEmpty)
+  }
+
+  test("interval join accepts NTZ bounds") {
+    val iv = read(ntzDir)
+      .withColumn("start", col("ts"))
+      .withColumn("end", expr("ts + interval 20 minutes")
+        .cast("timestamp_ntz"))
+    val out = RangeJoin.intervalJoin(iv, iv, Seq("user_id"),
+      bucketSec = 600L)
+    assert(out.count() > 0)
+  }
+
+  test("changeFrequency epoch math works on NTZ timestamps") {
+    val checks = read(ntzDir).select(
+      lit("table").as("object_type"),
+      concat(lit("t"), col("user_id")).as("object_name"),
+      col("ts").as("check_timestamp"),
+      (col("value") > 1.5).as("change_detected"))
+    val out = Trends.changeFrequency(checks)
+      .orderBy("object_name").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[String]("frequency")).forall(_ != null))
+  }
+
+  test("streaming watermark accepts NTZ event time") {
+    import graft.streaming.StreamingDetect
+    // batch frame is enough to exercise the analysis rule that rejects
+    // NTZ event time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE is thrown at
+    // analysis, not execution)
+    val out = StreamingDetect.windowedSeries(
+      read(ntzDir).withColumn("series", lit("s")),
+      windowLength = "1 hour", watermark = "2 hours")
+    assert(out.count() > 0)
+  }
+}
+
+class LanguageIdSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.TextAnalysis
+
+  private val fixtures = Seq(
+    // non-Latin scripts (tier 1)
+    (1L, "これは日本語のテキストです"),                    // kana+han → ja
+    (2L, "这是一段中文文本，用于测试语言识别"),              // han only → zh
+    (3L, "한국어 텍스트입니다 언어 감지 테스트"),            // hangul → ko
+    (4L, "Это русский текст для проверки"),                // cyrillic → ru
+    (5L, "هذا نص عربي لاختبار اللغة"),                     // arabic → ar
+    (6L, "Αυτό είναι ελληνικό κείμενο"),                   // greek → el
+    (7L, "यह एक हिंदी पाठ है"),                             // devanagari → hi
+    // Latin-script stopword profiles (tier 2)
+    (8L, "the cat and the dog of the house that is old"),  // en
+    (9L, "der Hund und die Katze ist nicht auf das Dach"), // de
+    (10L, "le chat est dans les maisons pour une nuit"),   // fr
+    (11L, "el perro es una mascota por las noches con"),   // es
+    // no signal
+    (12L, ""),                                             // und
+    (13L, "12345 67890 %%%"))                              // und
+    .toDF("doc_id", "text")
+
+  private val expected = Map(1L -> "ja", 2L -> "zh", 3L -> "ko",
+    4L -> "ru", 5L -> "ar", 6L -> "el", 7L -> "hi", 8L -> "en",
+    9L -> "de", 10L -> "fr", 11L -> "es", 12L -> "und", 13L -> "und")
+
+  test("detectLanguage picks the right language per script/profile") {
+    val got = fixtures
+      .select(col("doc_id"), TextAnalysis.detectLanguage(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    expected.foreach { case (id, lang) =>
+      assert(got(id) == lang, s"doc $id: got ${got(id)}, want $lang")
+    }
+  }
+
+  test("languageScores replay (argmax over the persisted frame) agrees " +
+      "with detectLanguage") {
+    val scores = TextAnalysis.languageScores(fixtures)
+    // replay the pick contract in Spark SQL (mirrors the x44 DuckDB SQL)
+    scores.createOrReplaceTempView("__lang_scores")
+    fixtures.createOrReplaceTempView("__lang_docs")
+    val replay = spark.sql("""
+      WITH t1 AS (SELECT doc_id, min_by(lang, prio) AS lang
+        FROM __lang_scores WHERE tier = 1 AND score > 0 GROUP BY doc_id),
+      t2 AS (SELECT doc_id, lang FROM (
+          SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, prio ASC) AS rn
+          FROM __lang_scores WHERE tier = 2 AND score > 0) WHERE rn = 1)
+      SELECT d.doc_id, COALESCE(t1.lang, t2.lang, 'und') AS lang
+      FROM __lang_docs d
+      LEFT JOIN t1 ON d.doc_id = t1.doc_id
+      LEFT JOIN t2 ON d.doc_id = t2.doc_id""")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = fixtures
+      .select(col("doc_id"), TextAnalysis.detectLanguage(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replay == direct)
+  }
+
+  test("japanese with han characters still picks ja (kana priority)") {
+    val got = Seq((1L, "日本語の文章には漢字もある"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.detectLanguage(col("text"))).collect()(0).getString(0)
+    assert(got == "ja")
+  }
+}
+
+class BpeSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.{Sampling, TextAnalysis}
+
+  test("bpeWord applies merges in rank order, stops when none apply") {
+    // ranks: (t,h)=0 (th,e)=1 (i,n)=2 ...
+    val ranks = TextAnalysis.demoMerges.zipWithIndex.toMap
+    // "the": t h e -> th e -> the
+    assert(TextAnalysis.bpeWord("the", ranks) == List("the"))
+    // "thin": t h i n -> th i n -> th in
+    assert(TextAnalysis.bpeWord("thin", ranks) == List("th", "in"))
+    // no applicable merge: pieces stay characters
+    assert(TextAnalysis.bpeWord("xyz", ranks) == List("x", "y", "z"))
+    // single char / empty edge cases
+    assert(TextAnalysis.bpeWord("a", ranks) == List("a"))
+  }
+
+  test("custom merges table changes the segmentation (pluggable)") {
+    val custom = Seq(("x", "y"), ("xy", "z"))
+    val ranks = custom.zipWithIndex.toMap
+    assert(TextAnalysis.bpeWord("xyz", ranks) == List("xyz"))
+    val df = Seq((1L, "xyz xyz")).toDF("doc_id", "text")
+    val n = df.select(TextAnalysis.bpeTokenCount(col("text"), custom))
+      .collect()(0).getLong(0)
+    assert(n == 2L)
+  }
+
+  test("bpeTokenCount sums word pieces; blank text counts 0") {
+    val df = Seq(
+      (1L, "the thin thing"),   // the=1, thin=2, thing: th in g -> th ing = 2
+      (2L, ""),
+      (3L, "   "),
+      (4L, "xyz"))              // 3 chars
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 5L, 2L -> 0L, 3L -> 0L, 4L -> 3L))
+  }
+
+  test("mixturePlan budgets in a precomputed token-count column") {
+    val docs = Seq(
+      (1L, "srcA", "the the the the"),  // 4 words but 4 BPE pieces
+      (2L, "srcB", "xyz"))              // 1 word but 3 BPE pieces
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_bpe", TextAnalysis.bpeTokenCount(col("text")))
+    val plan = Sampling.mixturePlan(docs,
+        weights = Map("srcA" -> 0.5, "srcB" -> 0.5),
+        tokenBudget = 6L, tokenCol = "n_bpe")
+      .orderBy("source").collect()
+    // srcA: 4 BPE tokens, target 3 -> rate 0.75; srcB: 3, target 3 -> 1.0
+    assert(plan(0).getAs[Long]("tokens") == 4L)
+    assert(plan(0).getAs[Double]("sample_rate") == 0.75)
+    assert(plan(1).getAs[Long]("tokens") == 3L)
+    assert(plan(1).getAs[Double]("sample_rate") == 1.0)
   }
 }
