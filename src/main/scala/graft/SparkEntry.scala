@@ -4179,6 +4179,93 @@ object SparkEntry {
         WHERE source IS NOT NULL
         GROUP BY source ORDER BY source""")),
 
+    Q("x45_hybrid_rrf",
+      // hybrid retrieval: BM25 lexical arm (x36's scorer) + brute-force
+      // cosine ANN arm (e02's scorer) fused with reciprocal-rank fusion.
+      // Both arm rankings are persisted and the oracle recomputes RRF
+      // from them (replay pattern), so the fusion arithmetic itself is
+      // cross-checked; doc_id and vec_id share the id space by fixture
+      // construction (embedding i belongs to document i).
+      (s, d) => {
+        val state = freshState(s, "x45")
+        TextAnalysis.bm25TopK(t(s, d, "documents"),
+            Seq("spark", "merge", "vector"), k = 20)
+          .select(col("doc_id"), col("rank"))
+          .write.parquet(state + "/bm25")
+        val emb = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+          .write.parquet(state + "/ann")
+        TextAnalysis.rrfFuse(Seq(
+            s.read.parquet(state + "/bm25"),
+            s.read.parquet(state + "/ann")), topK = 10)
+          .orderBy("rank")
+      },
+      Some("""WITH arms AS (
+          SELECT doc_id, rank
+          FROM read_parquet('/tmp/graft_qstate/x45/bm25/*.parquet')
+          UNION ALL
+          SELECT doc_id, rank
+          FROM read_parquet('/tmp/graft_qstate/x45/ann/*.parquet')),
+        sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_arms,
+            CAST(SUM(CAST(ROUND(1e9 / (60 + rank), 0) AS BIGINT)) AS BIGINT)
+              AS nano
+          FROM arms GROUP BY 1),
+        ranked AS (SELECT doc_id, n_arms, nano,
+            ROW_NUMBER() OVER (ORDER BY nano DESC, doc_id) AS rank FROM sc)
+        SELECT doc_id, CAST(rank AS INT) AS rank,
+          ROUND(CAST(nano AS DOUBLE) / 1e9, 6) AS rrf_score, n_arms
+        FROM ranked WHERE rank <= 10 ORDER BY rank""")),
+
+    Q("x47_url_domains",
+      // URL extraction → host → registered domain → per-domain mix
+      // stats (the domain-cap prerequisite). The synthetic corpus holds
+      // no URLs, so the query derives a deterministic URL-bearing
+      // column from fixture data — the SAME derivation in the oracle —
+      // and the extraction/psl/aggregation logic is what gets checked:
+      // multi-label suffix folding (example.co.uk), port stripping, and
+      // subdomain folding (cdnN.assets-example.com).
+      (s, d) => {
+        val urlText = concat(
+          lit("see https://www."), col("source"),
+          lit(".example.co.uk/p/"), col("doc_id"),
+          lit(" mirror http://m."), col("source"),
+          lit(".example.co.uk:8080/q"),
+          lit(" and http://cdn"), pmod(col("doc_id"), lit(7)),
+          lit(".assets-example.com/img.png"),
+          lit(" via https://"), col("source"), lit("-host.net/a"))
+        TextAnalysis.domainMix(
+            t(s, d, "documents").withColumn("__text", urlText),
+            textCol = "__text")
+          .orderBy("registered_domain")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            'see https://www.' || source || '.example.co.uk/p/'
+              || CAST(doc_id AS VARCHAR)
+              || ' mirror http://m.' || source || '.example.co.uk:8080/q'
+              || ' and http://cdn' || CAST(doc_id % 7 AS VARCHAR)
+              || '.assets-example.com/img.png'
+              || ' via https://' || source || '-host.net/a' AS text
+          FROM documents),
+        u AS (SELECT doc_id, unnest(regexp_extract_all(text,
+            'https?://[\w.-]+(?::\d+)?(?:/[^\s]*)?')) AS url FROM d),
+        h AS (SELECT doc_id,
+            lower(regexp_extract(url, '^https?://([^/:]+)', 1)) AS host
+          FROM u),
+        r AS (SELECT doc_id, host, string_split(host, '.') AS l FROM h),
+        rd AS (SELECT doc_id,
+            CASE WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN
+                ('co.uk','org.uk','gov.uk','ac.uk','com.au','net.au',
+                 'org.au','co.jp','or.jp','ne.jp','com.br','com.cn',
+                 'co.in','co.kr','com.mx','com.tr','co.za','com.sg')
+              THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+              WHEN len(l) >= 2 THEN l[-2] || '.' || l[-1]
+              ELSE host END AS registered_domain
+          FROM r)
+        SELECT registered_domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+          CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM rd GROUP BY 1 ORDER BY 1""")),
+
     Q("x37_salted_count",
       // two-phase salted aggregation: per-key counts where no reducer
       // ever receives a hot key whole — phase 1 groups by (key, salt),

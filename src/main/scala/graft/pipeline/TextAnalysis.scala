@@ -158,7 +158,10 @@ object TextAnalysis {
       "ini", "dari", "akan"))
 
   private def scriptCount(text: Column, range: String): Column =
-    length(regexp_replace(text, s"[^$range]", ""))
+    // regexp_count of the positive class: counts chars in the block
+    // without materializing a stripped copy per script (9 scripts ×
+    // 1 string alloc per row adds up at corpus scale)
+    regexp_count(text, lit(s"[$range]"))
 
   private def lowerHits(text: Column, words: Seq[String]): Column =
     size(filter(tokenArr(lower(text)), t => t.isInCollection(words)))
@@ -943,6 +946,101 @@ object TextAnalysis {
         round(col("__score_micro").cast("double") / 1e6, 6).as("bm25"),
         col("n_terms"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid
+   *  retrieval step that merges a lexical ranking (BM25) with a vector
+   *  ranking (ANN): score(d) = Σ_arms 1/(k0 + rank_arm(d)), k0 = 60 by
+   *  convention. Per-arm terms are nano-quantized before summing so the
+   *  fusion is order-independent and engine-exact (the x13 discipline);
+   *  the final top-k uses orderBy+limit (distributed TakeOrdered) plus
+   *  a k-row broadcast self-join for rank assignment — no global
+   *  window, no single-partition funnel, regardless of how many docs
+   *  the arms cover.
+   *
+   *  Inputs are (idCol, rankCol) frames; a doc absent from an arm
+   *  simply contributes nothing for it (standard RRF). */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String = "doc_id",
+      rankCol: String = "rank",
+      k0: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val union = rankings.map(_.select(col(idCol), col(rankCol)))
+      .reduce(_ unionByName _)
+    val scored = union.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_arms"),
+        sum(round(lit(1e9) / (lit(k0) + col(rankCol)), 0).cast("long"))
+          .as("__nano"))
+    val topk = scored.orderBy(col("__nano").desc, col(idCol)).limit(topK)
+    val other = topk.select(col("__nano").as("__n2"), col(idCol).as("__id2"))
+    topk.join(broadcast(other),
+        col("__n2") > col("__nano") ||
+          (col("__n2") === col("__nano") && col("__id2") < col(idCol)),
+        "left")
+      .groupBy(col(idCol), col("__nano"), col("n_arms"))
+      .agg((count(col("__id2")) + 1).cast("int").as("rank"))
+      .select(col(idCol), col("rank"),
+        round(col("__nano").cast("double") / 1e9, 6).as("rrf_score"),
+        col("n_arms"))
+  }
+
+  // ---- URL / domain extraction (x47) --------------------------------
+  //
+  // The web-pipeline "domain cap" needs a registered domain per URL:
+  // extract URLs from text (one codegen'd regexp pass), parse the host
+  // with Spark's parse_url, and fold the host to its registered domain
+  // with a public-suffix-list subset (the multi-label ccTLD registries
+  // where "last two labels" is wrong). The domain column then feeds
+  // [[Sampling.capPerStratum]] (per-domain caps) and source-mix stats.
+
+  /** Multi-label public suffixes (subset of the public suffix list). */
+  val multiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "co.in", "co.kr",
+    "com.mx", "com.tr", "co.za", "com.sg")
+
+  /** All http(s) URLs in a text column (array). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text,
+      lit("https?://[\\w.-]+(?::\\d+)?(?:/[^\\s]*)?"), lit(0))
+
+  /** Lowercased hostname (no port, no path). */
+  def urlHost(url: Column): Column = lower(parse_url(url, lit("HOST")))
+
+  /** Registered domain: last 2 host labels, or last 3 when the last 2
+   *  are a multi-label public suffix (news.bbc.co.uk → bbc.co.uk). */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val last2 = concat_ws(".",
+      element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    when(size(labels) >= 3 && last2.isInCollection(multiLabelSuffixes), last3)
+      .when(size(labels) >= 2, last2)
+      .otherwise(host)
+  }
+
+  /** (id, url, host, registered_domain) — one row per URL occurrence;
+   *  map-only + explode, no shuffle. */
+  def urlDomains(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(extractUrls(col(textCol))).as("url"))
+      .withColumn("host", urlHost(col("url")))
+      .withColumn("registered_domain", registeredDomain(col("host")))
+
+  /** Per-registered-domain source-mix stats (URL count, distinct docs)
+   *  — the before/after picture for a domain-cap pass. */
+  def domainMix(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    urlDomains(docs, idCol, textCol)
+      .groupBy(col("registered_domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"))
 
   /** Tertile cut points over a per-doc quality score — the CCNet
    *  partitioning step (Wenzek et al. 2019: rank documents by LM score,

@@ -2556,3 +2556,51 @@ class BpeSpec extends AnyFunSuite {
     assert(plan(1).getAs[Double]("sample_rate") == 1.0)
   }
 }
+
+class UrlDomainSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.{Sampling, TextAnalysis}
+
+  private lazy val docs = Seq(
+    (1L, "read https://news.bbc.co.uk/story/1 and http://www.bbc.co.uk/x"),
+    (2L, "img at http://cdn1.assets.example.com:8080/a.png"),
+    (3L, "see https://example.com/ and https://sub.example.com/b"),
+    (4L, "bare host http://localhost/path"),
+    (5L, "no urls here at all"))
+    .toDF("doc_id", "text")
+
+  test("urlDomains extracts host and folds to registered domain") {
+    val got = TextAnalysis.urlDomains(docs)
+      .select("doc_id", "host", "registered_domain")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == Set(
+      (1L, "news.bbc.co.uk", "bbc.co.uk"),      // multi-label suffix
+      (1L, "www.bbc.co.uk", "bbc.co.uk"),
+      (2L, "cdn1.assets.example.com", "example.com"), // port stripped
+      (3L, "example.com", "example.com"),
+      (3L, "sub.example.com", "example.com"),
+      (4L, "localhost", "localhost")))          // single label: as-is
+  }
+
+  test("domainMix counts urls and distinct docs per domain") {
+    val got = TextAnalysis.domainMix(docs)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("bbc.co.uk") == (2L, 1L))
+    assert(got("example.com") == (3L, 2L))
+  }
+
+  test("registered_domain feeds capPerStratum (the x22 domain cap)") {
+    val urls = TextAnalysis.urlDomains(docs)
+    val capped = Sampling.capPerStratum(urls,
+      idCol = "url", stratumCol = "registered_domain", maxPerStratum = 1)
+    val perDomain = capped.groupBy("registered_domain").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDomain.values.forall(_ == 1L))
+    assert(perDomain.keySet ==
+      Set("bbc.co.uk", "example.com", "localhost"))
+  }
+}
