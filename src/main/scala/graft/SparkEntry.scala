@@ -486,11 +486,21 @@ object SparkEntry {
             col("l_orderkey__distinct").as("__ad_ok"),
             col("l_quantity__distinct").as("__ad_qty"),
             col("l_extendedprice__median").as("__am_price"))
-        // exact twin on just the 3 checked columns (column-pruned scan)
-        val exact = df.agg(
+        // exact distinct twin on just the 2 checked columns (pruned
+        // scan; the battery's shuffle is shared via exchange reuse)
+        val exactD = df.agg(
           countDistinct(col("l_orderkey")).as("__ed_ok"),
-          countDistinct(col("l_quantity")).as("__ed_qty"),
-          expr("percentile(l_extendedprice, 0.5)").as("__em_price"))
+          countDistinct(col("l_quantity")).as("__ed_qty"))
+        // median check by RANK, not value: the fraction of rows ≤ the
+        // approx median must sit at 0.5 ± 1% (accuracy 1000 ⇒ rank
+        // error ≤ 0.1%). A map-only conditional sum — an exact
+        // percentile here would cost more than the whole approx lane
+        // and this query's bench number is the approx lane's cost.
+        val rank = df
+          .select(col("l_extendedprice").cast("double").as("__p"))
+          .crossJoin(broadcast(approx.select(col("__am_price"))))
+          .agg((sum(when(col("__p") <= col("__am_price"), 1L).otherwise(0L))
+            .cast("double") / count(col("__p"))).as("__mfrac"))
         // rel tolerance with a small absolute floor: HLL++ bias
         // correction on tiny cardinalities (l_quantity has ~50) leaves
         // an absolute wobble of a few counts that a pure 5% gate trips
@@ -498,15 +508,14 @@ object SparkEntry {
             absFloor: Double = 0.0): Column =
           abs(a.cast("double") - e.cast("double")) <=
             greatest(e.cast("double") * tol, lit(absFloor))
-        approx.crossJoin(exact) // 1 row × 1 row
+        approx.crossJoin(exactD).crossJoin(rank) // 1 row × 1 row × 1 row
           .select(
             col("row_count"),
             withinRel(col("__ad_ok"), col("__ed_ok"), 0.05)
               .as("distinct_orderkey_ok"),
             withinRel(col("__ad_qty"), col("__ed_qty"), 0.05, absFloor = 5.0)
               .as("distinct_quantity_ok"),
-            withinRel(col("__am_price"), col("__em_price"), 0.01)
-              .as("median_price_ok"))
+            (abs(col("__mfrac") - 0.5) <= 0.01).as("median_price_ok"))
       },
       Some("""SELECT (SELECT COUNT(*) FROM lineitem) AS row_count,
         TRUE AS distinct_orderkey_ok, TRUE AS distinct_quantity_ok,
@@ -4132,10 +4141,13 @@ object SparkEntry {
       // prio), else 'und' — so the pick logic itself is cross-checked.
       (s, d) => {
         val docs = t(s, d, "documents")
+        val state = freshState(s, "x44")
         TextAnalysis.languageScores(docs).write.mode("overwrite")
-          .parquet(freshState(s, "x44") + "/scores")
-        docs.select(col("doc_id"),
-            TextAnalysis.detectLanguage(col("text")).as("lang"))
+          .parquet(state + "/scores")
+        // picks from the persisted frame (ONE corpus scoring pass; the
+        // expression twin detectLanguage is pinned by LanguageIdSpec)
+        TextAnalysis.languagePicks(
+            s.read.parquet(state + "/scores"), docs)
           .orderBy("doc_id")
       },
       Some("""WITH sc AS (SELECT * FROM

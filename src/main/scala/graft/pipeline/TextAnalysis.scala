@@ -183,10 +183,11 @@ object TextAnalysis {
   }
 
   /** Long score frame (id, lang, tier, prio, score) — one row per
-   *  (document, candidate language). Persisting this lets any SQL
-   *  engine replay the [[detectLanguage]] argmax: tier-1 rows with
-   *  score > 0 pick min prio; else tier-2 rows with score > 0 pick
-   *  (max score, min prio); else "und". */
+   *  (document, candidate language) with a POSITIVE score; an absent
+   *  row means score 0, so the frame stays ~languages-hit × docs, not
+   *  20 × docs. Persisting this lets any SQL engine replay the
+   *  [[detectLanguage]] argmax: tier-1 rows pick min prio; else tier-2
+   *  rows pick (max score, min prio); else "und". */
   def languageScores(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -204,6 +205,34 @@ object TextAnalysis {
     docs.select(col(idCol), explode(array(entries: _*)).as("__s"))
       .select(col(idCol), col("__s.lang"), col("__s.tier"),
         col("__s.prio"), col("__s.score"))
+      .filter(col("score") > 0)
+  }
+
+  /** Argmax picks over a [[languageScores]] frame: one (id, lang) row
+   *  per document in `docs` — the frame-shaped twin of
+   *  [[detectLanguage]] (LanguageIdSpec pins their equivalence). Use
+   *  this when the scores are already materialized: it reads the
+   *  (sparse) score frame instead of re-running 20 scoring expressions
+   *  over the corpus text. */
+  def languagePicks(
+      scores: DataFrame,
+      docs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val t1 = scores.filter(col("tier") === 1)
+      .groupBy(col(idCol))
+      .agg(min_by(col("lang"), col("prio")).as("__l1"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("prio"))
+    val t2 = scores.filter(col("tier") === 2)
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("lang").as("__l2"))
+    docs.select(col(idCol))
+      .join(t1, Seq(idCol), "left")
+      .join(t2, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__l1"), col("__l2"), lit("und")).as("lang"))
   }
 
   // ---- Subword/BPE token counting (x46) -----------------------------
@@ -930,18 +959,18 @@ object TextAnalysis {
     // (per-partition top-k, then a k-row merge), unlike a global
     // row_number window which moves EVERY scored doc to one partition
     // (and logs the WindowExec warning). Ranks are then assigned with a
-    // broadcast self-join over the k-row result: rank = 1 + #better.
-    val topk = perDoc
+    // row_number over the k-row result only. The partition key
+    // `idCol.isNull` is constant-false but NON-foldable: a literal
+    // would be folded away by EliminateWindowPartitions and the warning
+    // would return; a self-join alternative would recompute the whole
+    // scoring pipeline (TakeOrdered is not a reusable exchange).
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol).isNull)
+      .orderBy(col("__score_micro").desc, col(idCol))
+    perDoc
       .orderBy(col("__score_micro").desc, col(idCol))
       .limit(k)
-    val other = topk.select(col("__score_micro").as("__s2"),
-      col(idCol).as("__id2"))
-    topk.join(broadcast(other),
-        col("__s2") > col("__score_micro") ||
-          (col("__s2") === col("__score_micro") && col("__id2") < col(idCol)),
-        "left")
-      .groupBy(col(idCol), col("__score_micro"), col("n_terms"))
-      .agg((count(col("__id2")) + 1).cast("int").as("rank"))
+      .withColumn("rank", row_number().over(wTop))
       .select(col(idCol), col("rank"),
         round(col("__score_micro").cast("double") / 1e6, 6).as("bm25"),
         col("n_terms"))
@@ -952,10 +981,9 @@ object TextAnalysis {
    *  ranking (ANN): score(d) = Σ_arms 1/(k0 + rank_arm(d)), k0 = 60 by
    *  convention. Per-arm terms are nano-quantized before summing so the
    *  fusion is order-independent and engine-exact (the x13 discipline);
-   *  the final top-k uses orderBy+limit (distributed TakeOrdered) plus
-   *  a k-row broadcast self-join for rank assignment — no global
-   *  window, no single-partition funnel, regardless of how many docs
-   *  the arms cover.
+   *  the final top-k uses orderBy+limit (distributed TakeOrdered), so
+   *  no single-partition funnel ever sees more than topK rows
+   *  regardless of how many docs the arms cover.
    *
    *  Inputs are (idCol, rankCol) frames; a doc absent from an arm
    *  simply contributes nothing for it (standard RRF). */
@@ -972,14 +1000,13 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_arms"),
         sum(round(lit(1e9) / (lit(k0) + col(rankCol)), 0).cast("long"))
           .as("__nano"))
-    val topk = scored.orderBy(col("__nano").desc, col(idCol)).limit(topK)
-    val other = topk.select(col("__nano").as("__n2"), col(idCol).as("__id2"))
-    topk.join(broadcast(other),
-        col("__n2") > col("__nano") ||
-          (col("__n2") === col("__nano") && col("__id2") < col(idCol)),
-        "left")
-      .groupBy(col(idCol), col("__nano"), col("n_arms"))
-      .agg((count(col("__id2")) + 1).cast("int").as("rank"))
+    // rank over the topK-row result only (same non-foldable constant
+    // partition trick as bm25TopK — no warning, no upstream recompute)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol).isNull)
+      .orderBy(col("__nano").desc, col(idCol))
+    scored.orderBy(col("__nano").desc, col(idCol)).limit(topK)
+      .withColumn("rank", row_number().over(wTop))
       .select(col(idCol), col("rank"),
         round(col("__nano").cast("double") / 1e9, 6).as("rrf_score"),
         col("n_arms"))

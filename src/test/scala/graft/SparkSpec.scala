@@ -2489,6 +2489,16 @@ class LanguageIdSpec extends AnyFunSuite {
     assert(replay == direct)
   }
 
+  test("languagePicks over the sparse score frame equals detectLanguage") {
+    val picks = TextAnalysis.languagePicks(
+        TextAnalysis.languageScores(fixtures), fixtures)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = fixtures
+      .select(col("doc_id"), TextAnalysis.detectLanguage(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(picks == direct)
+  }
+
   test("japanese with han characters still picks ja (kana priority)") {
     val got = Seq((1L, "日本語の文章には漢字もある"))
       .toDF("doc_id", "text")
