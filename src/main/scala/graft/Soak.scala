@@ -35,7 +35,12 @@ object Soak {
     "x24_canonical_pick", "x25_containment", "x35_leak_safe_split",
     // profile battery (lineitem-keyed)
     "p01_row_count", "p03_distinct_counts", "p05_numeric_stats",
-    "p08_median_quantiles", "p14_top_values", "p15_outliers_3sigma")
+    "p08_median_quantiles", "p14_top_values", "p15_outliers_3sigma",
+    // round-9 text/retrieval family (documents-keyed): language-ID
+    // scoring+argmax, BPE piece counting, BM25+ANN fusion, URL/domain
+    // extraction — all map-only or token-keyed; must stay ~linear
+    "x44_language_id", "x45_hybrid_rrf", "x46_bpe_token_stats",
+    "x47_url_domains")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -28,6 +28,11 @@ object Curation {
       minQualityScore: Double = 0.5,
       minTokens: Int = 10,
       allowedLangs: Seq[String] = Nil, // empty = any language
+      // language gate detector: false = the 4-language heuristic baked
+      // into profileText's lang_detected; true = the two-tier
+      // multilingual detector (9 scripts + 11 stopword profiles) —
+      // required when allowedLangs names non-Latin languages
+      multilingualId: Boolean = false,
       // decontamination: max fraction of a doc's distinct n-grams found
       // in the benchmark set; None or no benchmark = skip the gate
       maxContamination: Option[Double] = Some(0.2),
@@ -46,8 +51,12 @@ object Curation {
     var kept = TextAnalysis.profileText(docs, textCol)
       .filter(col("quality_score") >= config.minQualityScore)
       .filter(col("n_tokens") >= config.minTokens)
-    if (config.allowedLangs.nonEmpty)
-      kept = kept.filter(col("lang_detected").isInCollection(config.allowedLangs))
+    if (config.allowedLangs.nonEmpty) {
+      val langCol =
+        if (config.multilingualId) TextAnalysis.detectLanguage(col(textCol))
+        else col("lang_detected")
+      kept = kept.filter(langCol.isInCollection(config.allowedLangs))
+    }
 
     // 2. decontamination (broadcast benchmark, one pass)
     (benchmark, config.maxContamination) match {

@@ -637,8 +637,11 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // coalesce: SUM over an empty frame is NULL — a corpus with no
+    // duplicate pairs at all must converge on round 1, not NPE
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head()
         .getDecimal(0)
     var prev = labelSum(labels)
     var round = 0

@@ -251,6 +251,18 @@ object TextAnalysis {
   // op class where a UDF beats expression contortions. At 100 TB it is
   // still map-only: no shuffle, no state, pure per-row compute.
 
+  /** Parse a merges.txt-format table ("a b" per line, rank = line
+   *  position; '#'-prefixed header/comment lines skipped) — the
+   *  GPT-2/RoBERTa vocabulary file format, so a real tokenizer's
+   *  merges table drops straight into [[bpeTokenCount]]. */
+  def mergesFromLines(lines: Seq[String]): Seq[(String, String)] =
+    lines.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .flatMap(l => l.split("\\s+") match {
+        case Array(a, b) => Some((a, b))
+        case _ => None
+      })
+
   /** Built-in demo merges (rank order): frequent English pairs. */
   val demoMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),

@@ -2614,3 +2614,32 @@ class UrlDomainSpec extends AnyFunSuite {
       Set("bbc.co.uk", "example.com", "localhost"))
   }
 }
+
+class CurationLangSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.{Curation, TextAnalysis}
+
+  test("mergesFromLines parses the merges.txt format") {
+    val lines = Seq("#version: 0.2", "t h", "th e", "", "i n", "bad line x")
+    assert(TextAnalysis.mergesFromLines(lines) ==
+      Seq(("t", "h"), ("th", "e"), ("i", "n")))
+  }
+
+  test("multilingual curation gate keeps non-Latin languages the " +
+      "lightweight detector cannot name") {
+    val longDe = ("der Hund und die Katze ist nicht auf das Dach " * 3).trim
+    val longJa = "これは日本語のテキストです品質チェックのための長い文章" * 2
+    val docs = Seq(
+      (1L, longDe + " more words to pass the token gate yes indeed ok fine"),
+      (2L, longJa))
+      .toDF("doc_id", "text")
+    val cfg = Curation.CurationConfig(
+      minQualityScore = 0.0, minTokens = 1, allowedLangs = Seq("ja"),
+      multilingualId = true, maxContamination = None)
+    val kept = Curation.curateCorpus(docs, config = cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+}
