@@ -1873,6 +1873,78 @@ object SparkEntry {
         FROM base b LEFT JOIN agg_changed a ON b.object_name = a.object_name
         ORDER BY b.object_name""")),
 
+    Q("t06_refresh_suggestion",
+      // T6: per-object refresh-interval suggestion — the t05 frequency
+      // frame mapped through the REAL Trends.suggestRefreshInterval
+      // (as a UDF over the pure function, so the shipped arithmetic is
+      // what's checked). avg_hours is 6dp-rounded BEFORE the suggestion
+      // on both engines: t05 proves the rounded values hash-match, so
+      // the floor()s inside the suggestion see identical inputs.
+      (s, d) => {
+        val checks = eventsTable(s, d).select(
+          lit("table").as("object_type"),
+          col("event_type").as("object_name"),
+          col("ts").as("check_timestamp"),
+          (col("value") > 250).as("change_detected"))
+        val suggest = udf { (freq: String, avg: java.lang.Double, n: Long) =>
+          Trends.suggestRefreshInterval(
+            freq, Option(avg).map(_.doubleValue), n)
+        }
+        Trends.changeFrequency(checks)
+          .select(col("object_name"), col("frequency"),
+            col("total_checks"),
+            suggest(col("frequency"),
+              round(col("avg_hours_between_changes"), 6),
+              col("total_checks")).as("suggested_interval_hours"))
+          .orderBy("object_name")
+      },
+      Some("""WITH checks AS (
+          SELECT event_type AS object_name,
+            ts AS check_timestamp, value > 250 AS change_detected
+          FROM events),
+        changed AS (
+          SELECT object_name,
+            (epoch(check_timestamp) - epoch(LAG(check_timestamp, 1)
+              OVER (PARTITION BY object_name ORDER BY check_timestamp))) / 3600.0
+              AS hours
+          FROM checks WHERE change_detected),
+        agg_changed AS (
+          SELECT object_name, AVG(hours) AS avg_hours
+          FROM changed GROUP BY object_name),
+        base AS (
+          SELECT object_name,
+            CAST(COUNT(*) AS BIGINT) AS total_checks,
+            CAST(COUNT(CASE WHEN change_detected THEN 1 END) AS BIGINT)
+              AS changes_detected
+          FROM checks GROUP BY object_name),
+        f AS (
+          SELECT b.object_name, b.total_checks,
+            CASE WHEN CAST(b.changes_detected AS DOUBLE) / b.total_checks >= 0.5
+                THEN 'high'
+              WHEN CAST(b.changes_detected AS DOUBLE) / b.total_checks >= 0.1
+                THEN 'medium'
+              ELSE 'low' END AS frequency,
+            ROUND(CASE WHEN b.changes_detected >= 2 THEN a.avg_hours END, 6)
+              AS avg_hours
+          FROM base b LEFT JOIN agg_changed a ON b.object_name = a.object_name),
+        s AS (
+          SELECT object_name, frequency, total_checks,
+            CASE WHEN total_checks < 5 THEN 24
+              WHEN frequency = 'high' THEN
+                CASE WHEN avg_hours IS NOT NULL THEN
+                    GREATEST(1, LEAST(CAST(FLOOR(avg_hours / 3) AS INT), 24))
+                  ELSE GREATEST(1, 12) END
+              WHEN frequency = 'medium' THEN
+                CASE WHEN avg_hours IS NOT NULL AND avg_hours < 24 THEN
+                    GREATEST(1, CAST(FLOOR(avg_hours * 0.75) AS INT))
+                  ELSE 24 END
+              ELSE LEAST(168, 48) END AS raw
+          FROM f)
+        SELECT object_name, frequency, total_checks,
+          CAST(GREATEST(1, LEAST(168, raw)) AS INT)
+            AS suggested_interval_hours
+        FROM s ORDER BY object_name""")),
+
     Q("t07_high_impact_objects",
       (s, d) => {
         val checks = eventsTable(s, d).select(

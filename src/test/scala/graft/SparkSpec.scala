@@ -2643,3 +2643,52 @@ class CurationLangSpec extends AnyFunSuite {
     assert(kept == Set(2L))
   }
 }
+
+class PlanShapeSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.{Sampling, TextAnalysis}
+
+  // clearCache: an earlier suite may hold a cached documents scan, and
+  // cache substitution would swap the parquet scan (and its ReadSchema/
+  // pushdown markers) for an InMemoryRelation; sparkPlan (pre-AQE)
+  // keeps the assertions independent of adaptive re-planning state
+  private def planOf(df: DataFrame): String = {
+    spark.catalog.clearCache()
+    df.queryExecution.sparkPlan.toString
+  }
+
+  test("capPerStratum plans a map-side WindowGroupLimit, not a full sort") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(Sampling.capPerStratum(docs,
+      idCol = "doc_id", stratumCol = "source", maxPerStratum = 10))
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("bm25TopK top-k plans TakeOrdered, never a global-sort window") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(TextAnalysis.bm25TopK(docs, Seq("spark"), k = 10))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("rrfFuse top-k plans TakeOrdered over the fused scores") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val plan = planOf(TextAnalysis.rrfFuse(Seq(a, b), topK = 2))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
+
+  test("documents scan prunes columns: urlDomains reads only id + text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(TextAnalysis.urlDomains(docs))
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+      s"expected doc_id+text in $readSchema")
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("source"),
+      s"expected pruned scan, got $readSchema")
+  }
+}
