@@ -40,7 +40,12 @@ object Soak {
     // scoring+argmax, BPE piece counting, BM25+ANN fusion, URL/domain
     // extraction — all map-only or token-keyed; must stay ~linear
     "x44_language_id", "x45_hybrid_rrf", "x46_bpe_token_stats",
-    "x47_url_domains")
+    "x47_url_domains",
+    // event-time family (events-keyed, TsNorm-normalized): gap
+    // sessionization (one user_id shuffle) and the bucketed band/
+    // interval joins (co-partitioned (key, bucket) equi-joins — the
+    // whole point is that they NEVER go quadratic in events)
+    "x16_sessionize", "j02_range_join", "j03_interval_join")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

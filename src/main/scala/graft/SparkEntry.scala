@@ -3575,6 +3575,33 @@ object SparkEntry {
         SELECT doc_id, CAST(bit_xor(m) AS BIGINT) AS fingerprint
         FROM mins GROUP BY doc_id ORDER BY doc_id""")))
 
+  /** DuckDB mirror of Catalog.keyIntegrity — every check rebuilt in SQL
+   *  from the SAME declared sidecar keys, so the constants can't drift
+   *  between engine and oracle. */
+  private lazy val duckKeyIntegritySql: String = {
+    val pk = graft.sources.Catalog.primaryKeys.toSeq.sortBy(_._1).map {
+      case (t0, cols) =>
+        val tuple =
+          if (cols.size == 1) cols.head else cols.mkString("(", ", ", ")")
+        s"""SELECT '$t0' AS table_name,
+           'pk:${cols.mkString(",")}' AS constraint_name,
+           CAST(COUNT(*) - COUNT(DISTINCT $tuple) AS BIGINT) AS violations
+           FROM $t0"""
+    }
+    val fk = graft.sources.Catalog.foreignKeys.toSeq.sortBy(_._1).flatMap {
+      case (t0, fks) => fks.map { k =>
+        s"""SELECT '$t0' AS table_name,
+           'fk:${k.column}->${k.refTable}.${k.refColumn}' AS constraint_name,
+           CAST((SELECT COUNT(*) FROM $t0 WHERE ${k.column} IS NOT NULL
+             AND ${k.column} NOT IN
+               (SELECT ${k.refColumn} FROM ${k.refTable})) AS BIGINT)
+             AS violations"""
+      }
+    }
+    (pk ++ fk).mkString("\nUNION ALL\n") +
+      "\nORDER BY table_name, constraint_name"
+  }
+
   /** DuckDB mirror of Drift.correlations — same decimal moments, same
    *  final double formula, so results match bit-for-bit. */
   private lazy val duckCorrelationsSql: String = {
@@ -3741,6 +3768,15 @@ object SparkEntry {
               ELSE lower(column_type) END END AS data_type,
           TRUE AS nullable
         FROM (DESCRIBE lineitem) ORDER BY column_name""")),
+
+    Q("s06_key_integrity",
+      // S6: the PK/FK sidecar validated AGAINST the data — duplicate
+      // PK tuples and FK orphan counts per declared constraint, one
+      // unioned job (key-only left-anti joins, distinct-count aggs).
+      // The oracle rebuilds every check from the same declared keys.
+      (s, d) => Catalog(s, d).keyIntegrity()
+        .orderBy("table_name", "constraint_name"),
+      Some(duckKeyIntegritySql)),
 
     Q("s07_preview",
       (s, d) => Catalog(s, d)

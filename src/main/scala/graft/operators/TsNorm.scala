@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StringType, TimestampNTZType,
+  TimestampType}
 
 /**
  * Physical-encoding normalization for event timestamps.
@@ -38,6 +39,10 @@ object TsNorm {
           // (matches DuckDB's ns→us cast)
           d.withColumn(name, expr(s"timestamp_micros(`$name` div 1000)"))
         case TimestampNTZType =>
+          d.withColumn(name, col(name).cast(TimestampType))
+        case StringType =>
+          // ISO-8601 text timestamps (some exporters write these);
+          // cast parses in the session zone — UTC here
           d.withColumn(name, col(name).cast(TimestampType))
         case _ => d
       }

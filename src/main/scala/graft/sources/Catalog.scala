@@ -79,6 +79,42 @@ final class Catalog(val spark: SparkSession, val dir: String) {
   def snapshot(): Map[String, TableMeta] =
     listTables().map(n => n -> tableMeta(n)).toMap
 
+  /** S6 validation: check the declared key sidecar AGAINST the data —
+   *  one row per constraint with its violation count (PK: duplicate key
+   *  tuples; FK: child rows whose non-null key has no parent — the
+   *  referential-integrity scan, reference collector.py:112-148 reads
+   *  these constraints and the validation families assert them). All
+   *  checks union into ONE job; each FK check is a key-only left-anti
+   *  join (shuffles 8-byte keys, never rows; AQE broadcasts small
+   *  parents), each PK check one distinct-count aggregate. */
+  def keyIntegrity(): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pkRows = Catalog.primaryKeys.toSeq.sortBy(_._1).map {
+      case (t0, cols) =>
+        table(t0).agg(
+          (count(lit(1)) - countDistinct(cols.head, cols.tail: _*))
+            .as("violations"))
+          .select(lit(t0).as("table_name"),
+            lit("pk:" + cols.mkString(",")).as("constraint_name"),
+            col("violations"))
+    }
+    val fkRows = Catalog.foreignKeys.toSeq.sortBy(_._1).flatMap {
+      case (t0, fks) => fks.map { fk =>
+        val child = table(t0).select(col(fk.column).as("__k"))
+          .filter(col("__k").isNotNull)
+        val parent = table(fk.refTable)
+          .select(col(fk.refColumn).as("__k")).distinct()
+        child.join(parent, Seq("__k"), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(t0).as("table_name"),
+            lit(s"fk:${fk.column}->${fk.refTable}.${fk.refColumn}")
+              .as("constraint_name"),
+            col("violations"))
+      }
+    }
+    (pkRows ++ fkRows).reduce(_ unionByName _)
+  }
+
   /** Row counts for many tables in ONE Spark job: each table contributes
    *  a single-row `count` aggregate (present even for empty tables) and
    *  the union-all runs every scan in parallel — versus one `count()`

@@ -2375,6 +2375,16 @@ class TsNormSpec extends AnyFunSuite {
       read(ltzDir).orderBy("user_id", "ts").collect().toSeq)
   }
 
+  test("ISO string timestamps normalize to TIMESTAMP too") {
+    import org.apache.spark.sql.types.TimestampType
+    val s1 = read(ntzDir).withColumn("ts",
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+    val norm = TsNorm.normalizeTs(s1, "ts")
+    assert(norm.schema("ts").dataType == TimestampType)
+    assert(norm.orderBy("user_id", "ts").collect().toSeq ==
+      read(ltzDir).orderBy("user_id", "ts").collect().toSeq)
+  }
+
   test("sessionize gives identical output on LTZ and NTZ input") {
     def run(dir: String) =
       Sessionize.sessionize(read(dir), gapSeconds = 1800L, valueCol = "value")
