@@ -501,9 +501,13 @@ object SparkEntry {
           .crossJoin(broadcast(approx.select(col("__am_price"))))
           .agg((sum(when(col("__p") <= col("__am_price"), 1L).otherwise(0L))
             .cast("double") / count(col("__p"))).as("__mfrac"))
-        // rel tolerance with a small absolute floor: HLL++ bias
-        // correction on tiny cardinalities (l_quantity has ~50) leaves
-        // an absolute wobble of a few counts that a pure 5% gate trips
+        // tolerance = 3σ of the sketch's rsd (0.05 × 3 = 15%), with a
+        // small absolute floor for tiny cardinalities (l_quantity has
+        // ~50 and HLL++ bias correction wobbles a few counts). rsd is a
+        // STANDARD DEVIATION, not a bound — a 1σ gate would flip on
+        // ~1/3 of regenerated fixtures with no code bug, and the gate's
+        // job is catching broken sketches (off by orders), not grading
+        // precision.
         def withinRel(a: Column, e: Column, tol: Double,
             absFloor: Double = 0.0): Column =
           abs(a.cast("double") - e.cast("double")) <=
@@ -511,9 +515,9 @@ object SparkEntry {
         approx.crossJoin(exactD).crossJoin(rank) // 1 row × 1 row × 1 row
           .select(
             col("row_count"),
-            withinRel(col("__ad_ok"), col("__ed_ok"), 0.05)
+            withinRel(col("__ad_ok"), col("__ed_ok"), 0.15)
               .as("distinct_orderkey_ok"),
-            withinRel(col("__ad_qty"), col("__ed_qty"), 0.05, absFloor = 5.0)
+            withinRel(col("__ad_qty"), col("__ed_qty"), 0.15, absFloor = 5.0)
               .as("distinct_quantity_ok"),
             (abs(col("__mfrac") - 0.5) <= 0.01).as("median_price_ok"))
       },
@@ -3583,18 +3587,24 @@ object SparkEntry {
       case (t0, cols) =>
         val tuple =
           if (cols.size == 1) cols.head else cols.mkString("(", ", ", ")")
+        // WHERE all-non-null mirrors the Spark side's filter — the two
+        // engines disagree on partial-NULL tuples in COUNT(DISTINCT)
+        val nonNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
         s"""SELECT '$t0' AS table_name,
            'pk:${cols.mkString(",")}' AS constraint_name,
            CAST(COUNT(*) - COUNT(DISTINCT $tuple) AS BIGINT) AS violations
-           FROM $t0"""
+           FROM $t0 WHERE $nonNull"""
     }
     val fk = graft.sources.Catalog.foreignKeys.toSeq.sortBy(_._1).flatMap {
       case (t0, fks) => fks.map { k =>
+        // NOT EXISTS, not NOT IN: a single NULL parent key makes NOT IN
+        // return UNKNOWN for every orphan (violations=0) while Spark's
+        // left_anti still counts them — NOT EXISTS matches left_anti
         s"""SELECT '$t0' AS table_name,
            'fk:${k.column}->${k.refTable}.${k.refColumn}' AS constraint_name,
-           CAST((SELECT COUNT(*) FROM $t0 WHERE ${k.column} IS NOT NULL
-             AND ${k.column} NOT IN
-               (SELECT ${k.refColumn} FROM ${k.refTable})) AS BIGINT)
+           CAST((SELECT COUNT(*) FROM $t0 c WHERE c.${k.column} IS NOT NULL
+             AND NOT EXISTS (SELECT 1 FROM ${k.refTable} p
+               WHERE p.${k.refColumn} = c.${k.column})) AS BIGINT)
              AS violations"""
       }
     }
@@ -4279,11 +4289,12 @@ object SparkEntry {
       // over the identical frame (the x04 replay pattern); the
       // tokenizer itself is pinned by BpeSpec fixtures.
       (s, d) => {
+        val state = freshState(s, "x46")
         t(s, d, "documents").select(col("doc_id"), col("source"),
             TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
           .write.mode("overwrite")
-          .parquet(freshState(s, "x46") + "/counts")
-        s.read.parquet("/tmp/graft_qstate/x46/counts")
+          .parquet(state + "/counts")
+        s.read.parquet(state + "/counts")
           .filter(col("source").isNotNull)
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
@@ -4311,11 +4322,11 @@ object SparkEntry {
         TextAnalysis.bm25TopK(t(s, d, "documents"),
             Seq("spark", "merge", "vector"), k = 20)
           .select(col("doc_id"), col("rank"))
-          .write.parquet(state + "/bm25")
+          .write.mode("overwrite").parquet(state + "/bm25")
         val emb = t(s, d, "embeddings")
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 20)
           .select(col("neighbor_id").as("doc_id"), col("rank"))
-          .write.parquet(state + "/ann")
+          .write.mode("overwrite").parquet(state + "/ann")
         TextAnalysis.rrfFuse(Seq(
             s.read.parquet(state + "/bm25"),
             s.read.parquet(state + "/ann")), topK = 10)
@@ -4368,7 +4379,8 @@ object SparkEntry {
               || ' via https://' || source || '-host.net/a' AS text
           FROM documents),
         u AS (SELECT doc_id, unnest(regexp_extract_all(text,
-            'https?://[\w.-]+(?::\d+)?(?:/[^\s]*)?')) AS url FROM d),
+            'https?://[\w-]+(?:\.[\w-]+)*(?::\d+)?(?:/[^\s]*)?')) AS url
+          FROM d),
         h AS (SELECT doc_id,
             lower(regexp_extract(url, '^https?://([^/:]+)', 1)) AS host
           FROM u),

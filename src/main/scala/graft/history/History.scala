@@ -92,11 +92,14 @@ object Trends {
     // caller tags a single series with a literal column, Catalyst's
     // FoldablePropagation + EliminateWindowPartitions would fold the
     // spec empty and WindowExec would log its move-everything warning.
-    // isNull(ts) is constant-false for real rows, so partitioning is
-    // unchanged; the frame here is per-day aggregates (tiny) either way.
+    // Null-ts rows are dropped first (a point with no timestamp cannot
+    // sit in a time series), so isNull(ts) is constant-false for every
+    // surviving row and partitioning is genuinely unchanged; the frame
+    // here is per-day aggregates (tiny) either way.
     val w = Window.partitionBy(
       (seriesCols.map(col) :+ col(tsCol).isNull): _*).orderBy(col(tsCol))
     rowCounts
+      .filter(col(tsCol).isNotNull)
       .withColumn("prev_value", lag(col(valueCol), 1).over(w))
       .withColumn("growth_pct",
         when(col("prev_value").isNotNull && col("prev_value") =!= 0.0,

@@ -34,10 +34,23 @@ object TsNorm {
       if (!d.columns.contains(name)) d
       else d.schema(name).dataType match {
         case LongType =>
-          // nanos-as-long legacy read; integral `div` (a double divide
-          // would lose precision above 2^53 ns) then truncate to micros
-          // (matches DuckDB's ns→us cast)
-          d.withColumn(name, expr(s"timestamp_micros(`$name` div 1000)"))
+          // epoch-integer column: dispatch on magnitude instead of
+          // assuming one unit — seconds (~1e9 for 2001-2100), millis
+          // (~1e12), micros (~1e15), nanos (~1e18) are separated by
+          // ~250× so the per-value bands are unambiguous for any
+          // timestamp between 1973 and 5138. Integral `div` (a double
+          // divide would lose precision above 2^53) truncates toward
+          // the micro grid, matching DuckDB's ns→us cast.
+          d.withColumn(name, expr(
+            s"""CASE
+               |  WHEN abs(`$name`) < ${100000000000L} THEN
+               |    timestamp_seconds(`$name`)
+               |  WHEN abs(`$name`) < ${100000000000000L} THEN
+               |    timestamp_millis(`$name`)
+               |  WHEN abs(`$name`) < ${100000000000000000L} THEN
+               |    timestamp_micros(`$name`)
+               |  ELSE timestamp_micros(`$name` div 1000)
+               |END""".stripMargin))
         case TimestampNTZType =>
           d.withColumn(name, col(name).cast(TimestampType))
         case StringType =>

@@ -103,9 +103,10 @@ object Sampling {
    *  n_docs, share, weight, keep_rate, n_sampled). ONE scan: rows
    *  collapse to (stratum, bucket) cells with map-side combine — at most
    *  strata×`buckets` cells ever shuffle; shares/weights/thresholds are
-   *  windows over the cell frame, and n_sampled is the sum of cells
-   *  under the threshold. The nano-quantized Σ p^alpha keeps the weight
-   *  normalization order-independent and engine-portable.
+   *  computed on a per-stratum frame with 1-row broadcast totals, and
+   *  n_sampled is the sum of cells under the threshold. The
+   *  nano-quantized Σ p^alpha keeps the weight normalization
+   *  order-independent and engine-portable.
    *
    *  To materialize the resampled corpus itself, feed the returned
    *  keep_threshold map to [[stratifiedSampleByThreshold]] — same hash,

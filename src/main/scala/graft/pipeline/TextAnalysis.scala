@@ -936,7 +936,11 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    // null ids are meaningless retrieval results AND would split the
+    // constant `idCol.isNull` rank partition below into two groups
+    // with duplicate rank 1s — drop them at the source
     val toks = docs
+      .filter(col(idCol).isNotNull)
       .select(col(idCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)
@@ -1006,8 +1010,11 @@ object TextAnalysis {
       k0: Int = 60,
       topK: Int = 10): DataFrame = {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    // null ids dropped for the same reason as bm25TopK: they'd split
+    // the constant rank partition and duplicate rank numbers
     val union = rankings.map(_.select(col(idCol), col(rankCol)))
       .reduce(_ unionByName _)
+      .filter(col(idCol).isNotNull)
     val scored = union.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_arms"),
         sum(round(lit(1e9) / (lit(k0) + col(rankCol)), 0).cast("long"))
@@ -1039,10 +1046,14 @@ object TextAnalysis {
     "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "co.in", "co.kr",
     "com.mx", "com.tr", "co.za", "com.sg")
 
-  /** All http(s) URLs in a text column (array). */
+  /** All http(s) URLs in a text column (array). The host is matched as
+   *  dot-SEPARATED labels (`[\w-]+(\.[\w-]+)*`), not a `[\w.-]+` run —
+   *  a sentence-final period after the URL ("see https://example.com.")
+   *  must not be captured into the host, or the registered domain
+   *  degrades to garbage like "com.". */
   def extractUrls(text: Column): Column =
     regexp_extract_all(text,
-      lit("https?://[\\w.-]+(?::\\d+)?(?:/[^\\s]*)?"), lit(0))
+      lit("https?://[\\w-]+(?:\\.[\\w-]+)*(?::\\d+)?(?:/[^\\s]*)?"), lit(0))
 
   /** Lowercased hostname (no port, no path). */
   def urlHost(url: Column): Column = lower(parse_url(url, lit("HOST")))

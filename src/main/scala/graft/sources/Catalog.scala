@@ -91,7 +91,13 @@ final class Catalog(val spark: SparkSession, val dir: String) {
     import org.apache.spark.sql.functions._
     val pkRows = Catalog.primaryKeys.toSeq.sortBy(_._1).map {
       case (t0, cols) =>
-        table(t0).agg(
+        // uniqueness over fully-non-null key tuples only: a NULL key
+        // part is a nullability violation, not a duplicate, and Spark's
+        // countDistinct / DuckDB's COUNT(DISTINCT struct) disagree on
+        // partial-NULL tuples — excluding them keeps both engines on
+        // identical semantics
+        val nonNull = cols.map(col(_).isNotNull).reduce(_ && _)
+        table(t0).filter(nonNull).agg(
           (count(lit(1)) - countDistinct(cols.head, cols.tail: _*))
             .as("violations"))
           .select(lit(t0).as("table_name"),

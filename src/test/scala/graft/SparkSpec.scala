@@ -2375,6 +2375,18 @@ class TsNormSpec extends AnyFunSuite {
       read(ltzDir).orderBy("user_id", "ts").collect().toSeq)
   }
 
+  test("epoch-long columns dispatch on magnitude: s / ms / us / ns") {
+    val t0 = ts("2024-01-01 10:00:00")
+    val sec = t0.getTime / 1000L
+    val rows = Seq(
+      ("s", sec), ("ms", sec * 1000L),
+      ("us", sec * 1000000L), ("ns", sec * 1000000000L))
+      .toDF("unit", "ts")
+    val norm = TsNorm.normalizeTs(rows, "ts").collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    norm.foreach { case (u, v) => assert(v == t0, s"unit $u: got $v") }
+  }
+
   test("ISO string timestamps normalize to TIMESTAMP too") {
     import org.apache.spark.sql.types.TimestampType
     val s1 = read(ntzDir).withColumn("ts",
@@ -2588,7 +2600,8 @@ class UrlDomainSpec extends AnyFunSuite {
     (2L, "img at http://cdn1.assets.example.com:8080/a.png"),
     (3L, "see https://example.com/ and https://sub.example.com/b"),
     (4L, "bare host http://localhost/path"),
-    (5L, "no urls here at all"))
+    (5L, "no urls here at all"),
+    (6L, "sentence ends with https://tail.example.org. Next sentence."))
     .toDF("doc_id", "text")
 
   test("urlDomains extracts host and folds to registered domain") {
@@ -2602,7 +2615,9 @@ class UrlDomainSpec extends AnyFunSuite {
       (2L, "cdn1.assets.example.com", "example.com"), // port stripped
       (3L, "example.com", "example.com"),
       (3L, "sub.example.com", "example.com"),
-      (4L, "localhost", "localhost")))          // single label: as-is
+      (4L, "localhost", "localhost"),           // single label: as-is
+      // sentence-final period NOT captured into the host
+      (6L, "tail.example.org", "example.org")))
   }
 
   test("domainMix counts urls and distinct docs per domain") {
@@ -2621,7 +2636,7 @@ class UrlDomainSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(perDomain.values.forall(_ == 1L))
     assert(perDomain.keySet ==
-      Set("bbc.co.uk", "example.com", "localhost"))
+      Set("bbc.co.uk", "example.com", "example.org", "localhost"))
   }
 }
 
