@@ -35,12 +35,17 @@ object Dedup {
 
   private val MersennePrime = (1L << 61) - 1
 
-  /** Seeded universal-hash family for MinHash permutations. */
+  /** Seeded universal-hash family for MinHash permutations. abs() has a
+   *  NEGATIVE fixed point at Long.MinValue that would violate permute's
+   *  a < 2^61 precondition (~2^-63 of draws under arbitrary seeds) —
+   *  absSafe folds only that one value and keeps every other draw
+   *  bit-identical, so existing persisted signatures are unchanged. */
   private[graft] def hashFamily(n: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new java.util.Random(seed)
+    def absSafe(x: Long): Long = if (x == Long.MinValue) 0L else math.abs(x)
     Array.fill(n) {
-      val a = math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1
-      val b = math.abs(rnd.nextLong()) % MersennePrime
+      val a = absSafe(rnd.nextLong()) % (MersennePrime - 1) + 1
+      val b = absSafe(rnd.nextLong()) % MersennePrime
       (a, b)
     }
   }
@@ -107,12 +112,16 @@ object Dedup {
 
   /** Exact duplicate groups: md5 of the raw text (16-byte shuffle key, not
    *  the document body). Returns (text_hash, count, doc_ids) for groups
-   *  with count > 1. */
+   *  with count > 1. NULL text is absent content, not duplicate content
+   *  — those rows are excluded (md5(NULL)=NULL would otherwise group
+   *  every null-text doc into one bogus duplicate group, contradicting
+   *  [[exactDuplicateCount]], whose count/countDistinct skip nulls). */
   def exactDuplicates(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), md5(col(textCol).cast("binary")).as("text_hash"))
       .groupBy("text_hash")
       .agg(count(lit(1)).as("cnt"), sort_array(collect_list(col(idCol))).as("doc_ids"))
@@ -184,7 +193,10 @@ object Dedup {
         array_join(expr(
           "transform(array_sort(collect_list(struct(tpos, tok))), x -> x.tok)"),
           " ").as("cleaned"))
-    toks(docs).select(col(idCol), size(col("w")).cast("long").as("n_tokens"))
+    // coalesce: size(NULL array) is NULL for null-text docs — report 0
+    // tokens (consistent with cleaned_text's "" coalesce below)
+    toks(docs).select(col(idCol),
+        coalesce(size(col("w")), lit(0)).cast("long").as("n_tokens"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
@@ -220,7 +232,10 @@ object Dedup {
       }.toArray
       (sig, bands)
     }
+    // null text carries no shingles and cannot be a near-dup of
+    // anything — filter BEFORE the UDF (shingleHashes would NPE)
     docs
+      .filter(col(textCol).isNotNull)
       .withColumn("__s", sigUdf(col(textCol)))
       .select(col(idCol), col("__s._1").as("signature"), col("__s._2").as("bands"))
   }
@@ -268,11 +283,12 @@ object Dedup {
       numHashes: Int = 128,
       numBands: Int = 16,
       threshold: Double = 0.7,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame =
     nearDuplicatesFromSignatures(
       minhashSignatures(docs, idCol, textCol, shingleK, numHashes,
         numBands, seed),
-      idCol, threshold)
+      idCol, threshold, maxBucketSize)
 
   /** Verify stage over a precomputed (or persisted) signature frame —
    *  the explicit scale path: compute signatures once, write them out,
@@ -286,8 +302,9 @@ object Dedup {
   def nearDuplicatesFromSignatures(
       sigs: DataFrame,
       idCol: String = "doc_id",
-      threshold: Double = 0.7): DataFrame = {
-    val pairs = lshCandidatePairs(sigs, idCol)
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = lshCandidatePairs(sigs, idCol, maxBucketSize)
     val sigA = sigs.select(col(idCol).as("id_a"), col("signature").as("sig_a"))
     val sigB = sigs.select(col(idCol).as("id_b"), col("signature").as("sig_b"))
     pairs.join(sigA, "id_a").join(sigB, "id_b")
@@ -308,7 +325,8 @@ object Dedup {
       textCol: String = "text",
       shingleK: Int = 3): DataFrame = {
     val shUdf = udf((text: String) => shingleHashes(text, shingleK))
-    val sh = docs.select(col(idCol), shUdf(col(textCol)).as("sh"))
+    val sh = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), shUdf(col(textCol)).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -345,22 +363,22 @@ object Dedup {
         seed)
         .select(col(idCol).as(as),
           posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    def capped(e: DataFrame, as: String) = {
+    def capped(e: DataFrame) = {
       val counts = e.groupBy("band_idx", "band_key")
         .agg(count(lit(1)).as("__c"))
         .filter(col("__c") <= maxBucketSize)
         .drop("__c")
       e.join(counts, Seq("band_idx", "band_key"), "left_semi")
     }
-    val ec = capped(explodeBands(corpus, "corpus_id"), "corpus_id")
-    val er = capped(explodeBands(reference, "ref_id"), "ref_id")
+    val ec = capped(explodeBands(corpus, "corpus_id"))
+    val er = capped(explodeBands(reference, "ref_id"))
     val cand = ec.join(er, Seq("band_idx", "band_key"))
       .select(col("corpus_id"), col("ref_id")).distinct()
     val shUdf = udf((text: String) => shingleHashes(text, shingleK))
-    val shc = corpus.select(col(idCol).as("corpus_id"),
-      shUdf(col(textCol)).as("__shc"))
-    val shr = reference.select(col(idCol).as("ref_id"),
-      shUdf(col(textCol)).as("__shr"))
+    val shc = corpus.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("corpus_id"), shUdf(col(textCol)).as("__shc"))
+    val shr = reference.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("ref_id"), shUdf(col(textCol)).as("__shr"))
     cand.join(shc, "corpus_id").join(shr, "ref_id")
       .withColumn("jaccard",
         size(array_intersect(col("__shc"), col("__shr"))).cast("double")
@@ -550,7 +568,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val shUdf = udf((text: String) => simhash64(text))
-    docs.select(col(idCol), shUdf(col(textCol)).as("simhash"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), shUdf(col(textCol)).as("simhash"))
   }
 
   def nearDuplicatesSimhash(
@@ -601,8 +620,11 @@ object Dedup {
         .as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         bit_count(expr("p.sh_a ^ p.sh_b")).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: most chunk-collision candidates fail
+      // the exact hamming test, so dropping them first keeps them out
+      // of the dedup shuffle entirely (same result, less volume)
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ---- duplicate clustering (pairs → components → keep-set) -----------
@@ -628,6 +650,20 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxRounds: Int = 25): DataFrame = {
+    // ids must be integral: a silent cast("long") on string/UUID ids
+    // yields NULL, drops every edge, and returns an empty cluster frame
+    // (exact duplicates then silently survive dedup). Fail loudly —
+    // callers with non-numeric ids should dictionary-encode them first.
+    Seq(idA, idB).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+        ShortType}
+      val dt = pairs.schema(c).dataType
+      val integral = dt == ByteType || dt == ShortType ||
+        dt == IntegerType || dt == LongType
+      require(integral,
+        s"duplicateClusters needs integral ids; '$c' is ${dt.simpleString}" +
+          " — map ids to longs (e.g. a dictionary join) before clustering")
+    }
     val e0 = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))
     val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -691,14 +727,16 @@ object Dedup {
       jaccardThreshold: Double = 0.9,
       shingleK: Int = 3,
       numHashes: Int = 128,
-      numBands: Int = 32): DataFrame = {
+      numBands: Int = 32,
+      maxBucketSize: Int = 1000): DataFrame = {
     // exact groups → star pairs (every member ↔ the group head)
     val exactPairs = exactDuplicates(docs, idCol, textCol)
       .select(col("doc_ids")(0).as("id_a"),
         explode(expr("slice(doc_ids, 2, size(doc_ids) - 1)")).as("id_b"))
     val sigs = minhashSignatures(docs, idCol, textCol,
       shingleK = shingleK, numHashes = numHashes, numBands = numBands)
-    val nearPairs = ngramJaccard(docs, lshCandidatePairs(sigs, idCol),
+    val nearPairs = ngramJaccard(docs,
+      lshCandidatePairs(sigs, idCol, maxBucketSize),
       idCol, textCol, shingleK)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
