@@ -74,8 +74,10 @@ case class ArrayFloatDotProduct(left: Expression, right: Expression)
  * `graft_dot(a,b) / (sqrt(graft_dot(a,a)) * sqrt(graft_dot(b,b)))`
  * traverses both arrays three times. Each accumulator adds in the same
  * index order as its standalone loop, so results are bit-identical to
- * the composed form (including its IEEE edge cases: a zero vector
- * yields NaN/±Inf exactly as the division would).
+ * the guarded composed form. Zero-norm vectors score 0.0 (defined "no
+ * similarity"), NOT IEEE NaN — NaN sorts above every double in Spark's
+ * total order and would rank a zero vector #1 in every top-k; the
+ * Similarity.cosine fallback applies the identical guard.
  */
 case class ArrayFloatCosine(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -111,7 +113,12 @@ case class ArrayFloatCosine(left: Expression, right: Expression)
     while (i < nx) { val xi = x.getFloat(i).toDouble; na += xi * xi; i += 1 }
     i = n
     while (i < ny) { val yi = y.getFloat(i).toDouble; nb += yi * yi; i += 1 }
-    s / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard: cosine with a zero vector is undefined; raw IEEE
+    // division gives NaN, and Spark's total order puts NaN ABOVE every
+    // double — a zero vector would rank #1 in every top-k and pass
+    // every >= tau gate. Define it as 0 (no similarity) instead.
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else s / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -141,7 +148,8 @@ case class ArrayFloatCosine(left: Expression, right: Expression)
          |for ($i = $n; $i < $ny; $i++) {
          |  double $yi = (double) $y.getFloat($i); $nb += $yi * $yi;
          |}
-         |${ev.value} = $s / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |double ${s}_d = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = (${s}_d == 0.0) ? 0.0 : $s / ${s}_d;
        """.stripMargin
     })
 

@@ -701,11 +701,13 @@ class GraftFunctionsSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       "SELECT graft_cosine(embedding, embedding) c FROM gf_emb").collect()
     assert(viaSql.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
-    // IEEE edges match the composed form: zero vector → NaN
+    // zero-norm edge is DEFINED as 0.0, never NaN: NaN sorts above
+    // every double in Spark's total order and would rank a zero vector
+    // #1 in every top-k (ZeroVectorSpec covers the operator side)
     val z = spark.sql(
       """SELECT graft_cosine(array(CAST(0.0 AS FLOAT)),
         array(CAST(1.0 AS FLOAT))) c""").head().getDouble(0)
-    assert(z.isNaN || z.isInfinite)
+    assert(z == 0.0)
   }
 }
 

@@ -2717,3 +2717,57 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected pruned scan, got $readSchema")
   }
 }
+
+class ZeroVectorSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.Similarity
+
+  private lazy val emb = Seq(
+    (1L, Seq(1.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f)),
+    (3L, Seq(0.0f, 0.0f)),             // zero vector
+    (4L, null.asInstanceOf[Seq[Float]])) // null vector
+    .toDF("vec_id", "embedding")
+
+  test("zero-norm cosine scores 0, never NaN, in both engine paths") {
+    // native graft_cosine (extensions registered in SharedSpark)
+    val natives = emb.filter(col("vec_id") === 3)
+      .crossJoin(emb.filter(col("vec_id") === 1)
+        .select(col("embedding").as("other")))
+      .select(expr("graft_cosine(embedding, other)").as("c"))
+      .collect()(0).getDouble(0)
+    assert(natives == 0.0)
+    // composed fallback
+    val composed = emb.filter(col("vec_id") === 3)
+      .crossJoin(emb.filter(col("vec_id") === 1)
+        .select(col("embedding").as("other")))
+      .select(Similarity.cosine(col("embedding"), col("other")).as("c"))
+      .collect()(0).getDouble(0)
+    assert(composed == 0.0)
+  }
+
+  test("zero vector never ranks #1 in brute-force top-k") {
+    val got = Similarity.bruteForceTopK(
+        emb.filter(col("embedding").isNotNull),
+        emb.filter(col("vec_id") === 1), k = 2)
+      .orderBy("rank").collect()
+    assert(got(0).getAs[Long]("neighbor_id") == 2L) // real neighbor first
+    assert(!got(0).getAs[Double]("cosine").isNaN)
+  }
+
+  test("null embeddings do not crash LSH / IVF / semantic dedup") {
+    val cand = Similarity.lshTopK(emb, emb.filter(col("vec_id") === 1),
+      k = 2, dims = 2)
+    assert(cand.count() >= 0) // no NPE
+    val ivf = Similarity.ivfBuild(emb.filter(col("vec_id") =!= 3), k = 2)
+    assert(Similarity.ivfTopK(ivf, emb.filter(col("vec_id") === 1),
+      k = 2).count() >= 0)
+    val dedup = Similarity.semanticDedupAuto(emb, k = 2, tau = 0.95)
+    // zero vector must NOT be flagged as anyone's semantic duplicate
+    val flagged = dedup.filter(col("vec_id") === 3)
+      .select("is_dup").collect()
+    assert(flagged.isEmpty || !flagged(0).getBoolean(0))
+  }
+}
