@@ -40,14 +40,23 @@ object TsNorm {
           // ~250× so the per-value bands are unambiguous for any
           // timestamp between 1973 and 5138. Integral `div` (a double
           // divide would lose precision above 2^53) truncates toward
-          // the micro grid, matching DuckDB's ns→us cast.
+          // the micro grid, matching DuckDB's ns→us cast. Bands use
+          // sign-aware comparisons, not abs(): under ANSI mode
+          // abs(Long.MinValue) raises ARITHMETIC_OVERFLOW, so one
+          // pathological sentinel value would fail the whole query.
+          // (Note: epoch-MILLIS values before ~1973-03 fall under 1e11
+          // and land in the seconds band — pre-1973 millis data must be
+          // normalized upstream; see the magnitude table above.)
           d.withColumn(name, expr(
             s"""CASE
-               |  WHEN abs(`$name`) < ${100000000000L} THEN
+               |  WHEN `$name` < ${100000000000L}
+               |       AND `$name` > ${-100000000000L} THEN
                |    timestamp_seconds(`$name`)
-               |  WHEN abs(`$name`) < ${100000000000000L} THEN
+               |  WHEN `$name` < ${100000000000000L}
+               |       AND `$name` > ${-100000000000000L} THEN
                |    timestamp_millis(`$name`)
-               |  WHEN abs(`$name`) < ${100000000000000000L} THEN
+               |  WHEN `$name` < ${100000000000000000L}
+               |       AND `$name` > ${-100000000000000000L} THEN
                |    timestamp_micros(`$name`)
                |  ELSE timestamp_micros(`$name` div 1000)
                |END""".stripMargin))

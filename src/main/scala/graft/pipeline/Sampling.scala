@@ -111,7 +111,13 @@ object Sampling {
    *  To materialize the resampled corpus itself, feed the returned
    *  keep_threshold map to [[stratifiedSampleByThreshold]] — same hash,
    *  same buckets, exactly the plan's rows (keep_rate is display-rounded
-   *  and can land one bucket off if re-floored). */
+   *  and can land one bucket off if re-floored).
+   *
+   *  NULL-stratum contract: rows with a NULL stratum are excluded from
+   *  the plan entirely — they get no output row AND are excluded from
+   *  the grand total `N`, so every emitted share/weight is relative to
+   *  the non-NULL corpus. Callers wanting NULLs resampled should
+   *  coalesce the stratum to a sentinel value first. */
   def temperatureResample(
       df: DataFrame,
       idCol: String,

@@ -732,6 +732,20 @@ class PqSpec extends AnyFunSuite {
     assert(ca.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
   }
 
+  test("PQ search fails loudly on a non-long id column in the QUERIES frame") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val index = Similarity.pqBuild(emb.limit(50), m = 8, ks = 16)
+    // an int-id queries frame passes the codes-side guard but would
+    // ClassCastException at getLong without the queries-side check
+    val badQueries = emb.limit(3)
+      .withColumn("vec_id", col("vec_id").cast("int"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(index, badQueries, k = 3).collect()
+    }
+    assert(e.getMessage.contains("queries frame"))
+  }
+
   test("ADC top-k recall vs exact L2 beats chance by an order of magnitude") {
     import graft.pipeline.Similarity
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()

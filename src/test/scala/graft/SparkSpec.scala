@@ -2387,6 +2387,25 @@ class TsNormSpec extends AnyFunSuite {
     norm.foreach { case (u, v) => assert(v == t0, s"unit $u: got $v") }
   }
 
+  test("epoch-long dispatch survives Long.MinValue under ANSI mode") {
+    // abs(Long.MinValue) raises ARITHMETIC_OVERFLOW under ANSI; the
+    // sign-aware bands must route the sentinel to the nanos arm
+    // (div truncates; the result is an extreme-but-valid micros value
+    // only after the div, and Spark's timestamp_micros then overflows
+    // the timestamp range — so just prove the query RUNS and ordinary
+    // values alongside it are untouched)
+    val t0 = ts("2024-01-01 10:00:00")
+    val rows = Seq(("ok", t0.getTime / 1000L), ("min", Long.MinValue))
+      .toDF("tag", "ts")
+    // collect BOTH rows so the CASE provably evaluates on the sentinel
+    // (a post-norm filter on tag would be pushed below the projection
+    // and skip it)
+    val norm = TsNorm.normalizeTs(rows, "ts").collect()
+    assert(norm.length == 2)
+    val ok = norm.find(_.getString(0) == "ok").get
+    assert(ok.getTimestamp(1) == t0)
+  }
+
   test("ISO string timestamps normalize to TIMESTAMP too") {
     import org.apache.spark.sql.types.TimestampType
     val s1 = read(ntzDir).withColumn("ts",
