@@ -2089,7 +2089,7 @@ object SparkEntry {
           .orderBy("id_a", "id_b")
       },
       Some("""WITH words AS (
-          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
           FROM documents),
         sh AS (
           SELECT doc_id, list_distinct(list_transform(

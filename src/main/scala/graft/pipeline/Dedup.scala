@@ -63,9 +63,20 @@ object Dedup {
     r
   }
 
-  /** Word k-gram shingle hashes of a text (distinct). */
+  /** Word k-gram shingle hashes of a text (distinct).
+   *
+   *  ONE normalization across the whole dedup stack: ROOT-locale
+   *  lowercase, then \s+ split dropping empties — identical to
+   *  [[shingleUdf]] (inverted-index path) and the span-dedup
+   *  tokenizer, so a case-variant pair gets the same near-dup verdict
+   *  from MinHash/SimHash as from d06/d08 (the dedup literature
+   *  case-folds; a divergence here let the same pair be a dup on one
+   *  pipeline and not the other). NOTE: this changes MinHash/SimHash
+   *  signature values for mixed-case corpora — persisted signature
+   *  stores built before the unification must be recomputed. */
   private[graft] def shingleHashes(text: String, k: Int): Array[Long] = {
-    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    val words = text.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+").filter(_.nonEmpty)
     if (words.length < k) {
       if (words.isEmpty) Array.empty
       else Array(fnv64(words.mkString(" ")))
@@ -91,10 +102,12 @@ object Dedup {
       m
     }
 
-  /** 64-bit SimHash of a token multiset. */
+  /** 64-bit SimHash of a token multiset (same ROOT-locale lowercase
+   *  normalization as [[shingleHashes]] — see the note there). */
   private[graft] def simhash64(text: String): Long = {
     val votes = new Array[Int](64)
-    text.trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
+    text.toLowerCase(java.util.Locale.ROOT)
+      .trim.split("\\s+").filter(_.nonEmpty).foreach { w =>
       val h = fnv64(w)
       var b = 0
       while (b < 64) {

@@ -436,6 +436,37 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(r3.getAs[Double]("containment") == 1.0)
   }
 
+  test("one normalization across the dedup stack: a case-variant pair " +
+      "gets the same verdict from MinHash, SimHash and exact Jaccard") {
+    import spark.implicits._
+    // identical except for case: under unified lowercasing every
+    // pipeline must call them duplicates; a third unrelated doc must
+    // pair with neither
+    val body = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val pair = Seq(
+      (1L, body),
+      (2L, body.toUpperCase(java.util.Locale.ROOT)),
+      (3L, (1 to 20).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // MinHash-LSH: case variants share every shingle → est_jaccard 1.0
+    val mh = Dedup.nearDuplicatesMinhash(pair, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mh.toSet == Set((1L, 2L)))
+    // SimHash: identical token multisets → hamming 0
+    val sh = Dedup.nearDuplicatesSimhash(pair)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sh.toSet == Set((1L, 2L)))
+    // exact inverted-index Jaccard (the d06 path) agrees
+    val ij = Dedup.jaccardSimilarPairs(pair, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ij.toSet == Set((1L, 2L)))
+    // and the exact verify stage scores the pair 1.0 under the same
+    // normalization
+    val j = Dedup.ngramJaccard(pair,
+        Seq((1L, 2L)).toDF("id_a", "id_b")).collect().head.getDouble(2)
+    assert(j == 1.0)
+  }
+
   test("duplicateSpanRemoval: first occurrence kept, later covered " +
       "tokens dropped; short and unique docs untouched") {
     import spark.implicits._
