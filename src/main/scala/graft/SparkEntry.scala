@@ -2378,6 +2378,66 @@ object SparkEntry {
         FROM toks LEFT JOIN reb ON toks.doc_id = reb.doc_id
         ORDER BY toks.doc_id""")),
 
+    Q("d09_string_id_dedup",
+      // string-keyed corpora (URLs/UUIDs) run the SAME dedup stack:
+      // duplicateClusters dictionary-encodes the ids to dense longs
+      // (denseIdDictionary — bucketed rank, no global sort), clusters
+      // on longs, then decodes and relabels each cluster to its
+      // minimum member id in STRING space — which is exactly what the
+      // oracle can express without ever seeing the dictionary.
+      // End-to-end: exact dups + LSH near-dups → components → keep set.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sdocs = docs.select(
+          concat(lit("doc-"),
+            lpad(col("doc_id").cast("string"), 6, "0")).as("sid"),
+          col("text"))
+        Dedup.dedupCorpus(sdocs, idCol = "sid")
+          .select(col("sid")).orderBy("sid")
+      },
+      Some("""WITH RECURSIVE sdocs AS (
+          SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS sid,
+            text
+          FROM documents),
+        eg AS (
+          SELECT text, MIN(sid) AS head FROM sdocs
+          WHERE text IS NOT NULL GROUP BY text HAVING COUNT(*) > 1),
+        epairs AS (
+          SELECT eg.head AS id_a, s.sid AS id_b
+          FROM eg JOIN sdocs s ON s.text = eg.text AND s.sid != eg.head),
+        words AS (
+          SELECT sid, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS w
+          FROM sdocs),
+        sh AS (
+          SELECT sid, list_distinct(list_transform(
+            range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM words WHERE len(w) >= 3),
+        npairs AS (
+          SELECT a.sid AS id_a, b.sid AS id_b
+          FROM sh a JOIN sh b ON a.sid < b.sid
+          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= CAST(0.9 AS DOUBLE)),
+        allp AS (
+          SELECT id_a, id_b FROM epairs
+          UNION SELECT id_a, id_b FROM npairs),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM allp
+          UNION SELECT id_b AS src, id_a AS dst FROM allp),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        clust AS (
+          SELECT src AS sid, LEAST(src, MIN(dst)) AS cluster_id
+          FROM reach GROUP BY src)
+        SELECT s.sid FROM sdocs s
+        WHERE s.sid NOT IN
+          (SELECT sid FROM clust WHERE sid != cluster_id)
+        ORDER BY sid""")),
+
     Q("d06_ngram_jaccard",
       // exact word-3-gram Jaccard over the whole corpus via the inverted
       // index (posting-list self-join) — never all-pairs; the oracle

@@ -642,6 +642,56 @@ object Dedup {
 
   // ---- duplicate clustering (pairs → components → keep-set) -----------
 
+  /** Deterministic dense long ids for an arbitrary orderable id column —
+   *  the dictionary-encode step that lets URL/UUID-keyed corpora use the
+   *  long-keyed clustering stack. Returns (idCol, dense_id) with
+   *  dense_id ∈ 1..N, assigned by (hash-bucket, id) order.
+   *
+   *  Scale shape: NO global sort and NO single-partition rank over the
+   *  data. Ids bucket by xxhash64 mod `buckets`, rank within their
+   *  bucket (a window whose partitions are ~N/buckets rows), and add a
+   *  per-bucket offset computed on the `buckets`-row count frame — the
+   *  only single-partition window runs over ≤ `buckets` rows, which is
+   *  bounded by construction. Deterministic across runs and cluster
+   *  layouts (hash + in-bucket order are both data-only functions);
+   *  NULL ids carry no identity and are excluded. */
+  def denseIdDictionary(
+      df: DataFrame,
+      idCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val distinct = df.select(col(idCol))
+      .filter(col(idCol).isNotNull).distinct()
+      .withColumn("__b",
+        pmod(xxhash64(col(idCol)), lit(buckets.toLong)).cast("int"))
+    val counts = distinct.groupBy("__b").agg(count(lit(1)).as("__c"))
+    val offsets = counts
+      .withColumn("__off", coalesce(
+        sum("__c").over(Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    distinct
+      .withColumn("__r",
+        row_number().over(Window.partitionBy("__b").orderBy(col(idCol))))
+      .join(broadcast(offsets), Seq("__b"))
+      .select(col(idCol), (col("__off") + col("__r")).as("dense_id"))
+  }
+
+  /** Attach a dense long surrogate id to `df` (see
+   *  [[denseIdDictionary]]) and return (df + `denseCol`, dictionary) —
+   *  the dictionary is the decode join: (idCol, dense_id). Rows whose
+   *  id is NULL are dropped (they carry no identity to encode). */
+  def withDenseIds(
+      df: DataFrame,
+      idCol: String,
+      denseCol: String = "dense_id",
+      buckets: Int = 4096): (DataFrame, DataFrame) = {
+    val dict = denseIdDictionary(df, idCol, buckets)
+    (df.join(dict.withColumnRenamed("dense_id", denseCol), Seq(idCol)),
+      dict)
+  }
+
   /** Connected components over near-duplicate candidate pairs: each doc
    *  gets `cluster_id` = the minimum doc id reachable through the pair
    *  graph. This is the step that turns pairwise dedup output into
@@ -657,25 +707,54 @@ object Dedup {
    *  flat; convergence is detected by the (monotonically decreasing)
    *  label sum going stable — one tiny aggregate per round.
    *
-   *  Output: (doc_id, cluster_id), one row per doc present in `pairs`. */
+   *  Output: (doc_id, cluster_id), one row per doc present in `pairs`,
+   *  in the INPUT id type: integral ids cluster directly (as longs);
+   *  string/UUID ids are dictionary-encoded via [[denseIdDictionary]],
+   *  clustered dense, then decoded with cluster_id relabeled to the
+   *  minimum member id under the id type's own ordering. */
   def duplicateClusters(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
       maxRounds: Int = 25): DataFrame = {
-    // ids must be integral: a silent cast("long") on string/UUID ids
-    // yields NULL, drops every edge, and returns an empty cluster frame
-    // (exact duplicates then silently survive dedup). Fail loudly —
-    // callers with non-numeric ids should dictionary-encode them first.
-    Seq(idA, idB).foreach { c =>
-      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
-        ShortType}
-      val dt = pairs.schema(c).dataType
-      val integral = dt == ByteType || dt == ShortType ||
-        dt == IntegerType || dt == LongType
-      require(integral,
-        s"duplicateClusters needs integral ids; '$c' is ${dt.simpleString}" +
-          " — map ids to longs (e.g. a dictionary join) before clustering")
+    // the label-propagation loop needs integral ids (a silent
+    // cast("long") on string/UUID ids yields NULL, drops every edge,
+    // and exact duplicates silently survive dedup). Non-integral but
+    // orderable ids — URLs, UUIDs — dictionary-encode through
+    // [[denseIdDictionary]], cluster on the dense longs, then decode
+    // and RELABEL so the output contract (cluster_id = minimum member
+    // id) holds in the caller's own id space, independent of
+    // dictionary assignment order.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType, StringType}
+    val idTypes = Seq(idA, idB).map(c => pairs.schema(c).dataType)
+    val integral = idTypes.forall(dt => dt == ByteType || dt == ShortType ||
+      dt == IntegerType || dt == LongType)
+    if (!integral) {
+      require(idTypes.forall(_ == StringType),
+        s"duplicateClusters needs integral or string ids; " +
+          s"'$idA'/'$idB' are ${idTypes.map(_.simpleString).mkString("/")}" +
+          " — cast other id types to string (or encode to long) first")
+      val ids = pairs.select(col(idA).as("id"))
+        .unionByName(pairs.select(col(idB).as("id")))
+      // eager checkpoint: the dictionary is re-joined on both pair
+      // sides and again at decode — recomputing the rank window each
+      // time would triple the encode cost and deepen the loop's lineage
+      val dict = denseIdDictionary(ids, "id").localCheckpoint(true)
+      val densePairs = pairs
+        .join(dict.select(col("id").as(idA), col("dense_id").as("__da")),
+          Seq(idA))
+        .join(dict.select(col("id").as(idB), col("dense_id").as("__db")),
+          Seq(idB))
+        .select(col("__da").as("id_a"), col("__db").as("id_b"))
+      val dense = duplicateClusters(densePairs, "id_a", "id_b", maxRounds)
+      val decoded = dense.join(
+        dict.select(col("dense_id").as("doc_id"), col("id").as("__orig")),
+        Seq("doc_id"))
+      val relabel = decoded.groupBy("cluster_id")
+        .agg(min(col("__orig")).as("__cmin"))
+      return decoded.join(relabel, Seq("cluster_id"))
+        .select(col("__orig").as("doc_id"), col("__cmin").as("cluster_id"))
     }
     val e0 = pairs.select(col(idA).cast("long").as("src"),
       col(idB).cast("long").as("dst"))

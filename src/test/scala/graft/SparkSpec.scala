@@ -436,6 +436,49 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(r3.getAs[Double]("containment") == 1.0)
   }
 
+  test("denseIdDictionary: dense 1..N, deterministic, decode-joinable") {
+    import spark.implicits._
+    val ids = Seq("url-c", "url-a", "url-b", "url-a", null)
+      .toDF("sid")
+    val dict = Dedup.denseIdDictionary(ids, "sid", buckets = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // NULL excluded, duplicates collapsed, ids dense over 1..3
+    assert(dict.keySet == Set("url-a", "url-b", "url-c"))
+    assert(dict.values.toSet == Set(1L, 2L, 3L))
+    // deterministic across runs (hash + in-bucket order are data-only)
+    val again = Dedup.denseIdDictionary(ids, "sid", buckets = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dict == again)
+    // withDenseIds: joined frame carries the same mapping
+    val (withIds, d2) = Dedup.withDenseIds(ids.filter($"sid".isNotNull), "sid")
+    assert(withIds.columns.toSet == Set("sid", "dense_id"))
+    assert(d2.count() == 3 && withIds.count() == 4)
+  }
+
+  test("duplicateClusters on string ids: encode, cluster, decode, " +
+      "relabel to min member id in string space") {
+    import spark.implicits._
+    // chain u-d ~ u-b ~ u-c plus isolated pair (u-z, u-a2): cluster
+    // labels must be the lexicographic minima (u-b, u-a2), NOT any
+    // dictionary artifact
+    val pairs = Seq(("u-d", "u-b"), ("u-b", "u-c"), ("u-z", "u-a2"))
+      .toDF("id_a", "id_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      "u-b" -> "u-b", "u-c" -> "u-b", "u-d" -> "u-b",
+      "u-z" -> "u-a2", "u-a2" -> "u-a2"))
+    // end to end: dedupCorpus keeps one doc per string-keyed dup group
+    val corpus = Seq(
+      ("site/2", "the quick brown fox jumps over the lazy dog"),
+      ("site/1", "the quick brown fox jumps over the lazy dog"),
+      ("site/3", "a completely different document body here"))
+      .toDF("sid", "text")
+    val kept = Dedup.dedupCorpus(corpus, idCol = "sid")
+      .select("sid").collect().map(_.getString(0)).toSet
+    assert(kept == Set("site/1", "site/3"))
+  }
+
   test("one normalization across the dedup stack: a case-variant pair " +
       "gets the same verdict from MinHash, SimHash and exact Jaccard") {
     import spark.implicits._
