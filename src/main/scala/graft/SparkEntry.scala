@@ -2808,8 +2808,10 @@ object SparkEntry {
         .select(col("vec_id"),
           aggregate(col("qvec"), lit(0L),
             (acc, v) => acc + v.cast("long")).as("q_sum"),
-          array_min(col("qvec")).as("q_min"),
-          array_max(col("qvec")).as("q_max"),
+          // codes are tinyint since the byte-code change; widen the
+          // emitted extrema to INT for oracle schema parity
+          array_min(col("qvec")).cast("int").as("q_min"),
+          array_max(col("qvec")).cast("int").as("q_max"),
           round(col("scale"), 9).as("scale"))
         .orderBy("vec_id"),
       Some("""WITH q AS (

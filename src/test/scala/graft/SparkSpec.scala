@@ -751,10 +751,16 @@ class SimilaritySparkSpec extends AnyFunSuite {
   test("int8 quantization: bounded error, scale-free cosine, zero-safe") {
     import spark.implicits._
     val q = Similarity.quantizeEmbeddings(emb)
+    // the 4× read-shrink is real only if codes are BYTES on disk
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    assert(q.schema("qvec").dataType == ArrayType(ByteType),
+      s"qvec must be array<tinyint>, got ${q.schema("qvec").dataType}")
     // every element lands in [-127, 127] and the max element hits ±127
     val bounds = q.select(
-      min(array_min(col("qvec"))), max(array_max(col("qvec"))),
-      max(greatest(abs(array_min(col("qvec"))), array_max(col("qvec"))))
+      min(array_min(col("qvec"))).cast("int"),
+      max(array_max(col("qvec"))).cast("int"),
+      max(greatest(abs(array_min(col("qvec"))).cast("int"),
+        array_max(col("qvec")).cast("int")))
     ).first()
     assert(bounds.getInt(0) >= -127 && bounds.getInt(1) <= 127)
     assert(bounds.getInt(2) == 127) // scale anchored to the max element
@@ -768,27 +774,43 @@ class SimilaritySparkSpec extends AnyFunSuite {
       x.zip(y).map { case (p, r) => p.toDouble * r.toDouble }.sum
     def fcos(x: Seq[Float], y: Seq[Float]): Double =
       fdot(x, y) / math.sqrt(fdot(x, x) * fdot(y, y))
-    def idot(x: Seq[Int], y: Seq[Int]): Double =
+    def idot(x: Seq[Byte], y: Seq[Byte]): Double =
       x.zip(y).map { case (p, r) => p.toLong * r.toLong }.sum.toDouble
-    def icos(x: Seq[Int], y: Seq[Int]): Double =
+    def icos(x: Seq[Byte], y: Seq[Byte]): Double =
       idot(x, y) / math.sqrt(idot(x, x) * idot(y, y))
-    val qa = a.getSeq[Int](0); val ea = a.getSeq[Float](1)
+    val qa = a.getSeq[Byte](0); val ea = a.getSeq[Float](1)
     pairs.foreach { r =>
       val err = math.abs(
-        icos(qa, r.getSeq[Int](1)) - fcos(ea, r.getSeq[Float](2)))
+        icos(qa, r.getSeq[Byte](1)) - fcos(ea, r.getSeq[Float](2)))
       assert(err < 0.02, s"vec ${r.getLong(0)}: quantized cosine off by $err")
     }
     // quantizedCosine column expression agrees with the scala math
     val viaCol = q.filter(col("vec_id") === 1)
       .select(Similarity.quantizedCosine(
         typedLit(qa.toList), col("qvec"))).first().getDouble(0)
-    val byHand = icos(qa, pairs.find(_.getLong(0) == 1L).get.getSeq[Int](1))
+    val byHand = icos(qa, pairs.find(_.getLong(0) == 1L).get.getSeq[Byte](1))
     assert(math.abs(viaCol - byHand) < 1e-12)
     // all-zero vector: zeros + scale 0, no division blowup
     val z = Similarity.quantizeEmbeddings(
       Seq((99L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")).first()
-    assert(z.getSeq[Int](z.fieldIndex("qvec")).toList == List(0, 0))
+    assert(z.getSeq[Byte](z.fieldIndex("qvec")).toList ==
+      List(0.toByte, 0.toByte))
     assert(z.getAs[Double]("scale") == 0.0)
+    // the shrink is real where it matters — memory during scoring:
+    // byte codes cache ~4× smaller than the same values as ints.
+    // (Parquet is NOT where the win shows: it has no INT8 physical
+    // type and stores tinyint as annotated INT32, so files are the
+    // same size; Tungsten arrays and the columnar cache hold 1 byte
+    // per element.)
+    val qb = q.select(col("qvec")).cache()
+    val qi = q.select(transform(col("qvec"), c => c.cast("int")).as("qvec"))
+      .cache()
+    qb.count(); qi.count()
+    val (bs, is) = (
+      qb.queryExecution.optimizedPlan.stats.sizeInBytes,
+      qi.queryExecution.optimizedPlan.stats.sizeInBytes)
+    qb.unpersist(); qi.unpersist()
+    assert(bs * 2 < is, s"byte codes cache $bs, not smaller than ints $is")
   }
 
   test("labelCentroids: per-(label, dim) means, nulls dropped, 1-based dims") {
