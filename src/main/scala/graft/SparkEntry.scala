@@ -2438,6 +2438,51 @@ object SparkEntry {
           (SELECT sid FROM clust WHERE sid != cluster_id)
         ORDER BY sid""")),
 
+    Q("d10_incremental_minhash",
+      // the daily-ingest shape: a persisted signature store covers the
+      // standing corpus (doc_id < 450); a new slice (doc_id ≥ 450) is
+      // signed with the STORE's parameters, matched against the store
+      // via a band-keyed cross join + within-slice LSH, and appended —
+      // old text is never re-read, old signatures never recomputed.
+      // Replay oracle (d04 pattern): DuckDB recomputes signature
+      // agreement over the persisted post-append store for every pair
+      // touching the slice; at threshold 0.9 with 128 hashes / 32
+      // bands the pigeonhole makes banded candidates EQUAL all-pairs,
+      // so both engines see the identical pair set.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val stateDir = freshState(s, "d10")
+        Dedup.minhashStoreSave(
+          Dedup.minhashStoreCreate(docs.filter(col("doc_id") < 450),
+            numBands = 32),
+          stateDir)
+        Dedup.minhashStoreAppend(stateDir, docs.filter(col("doc_id") >= 450))
+        // compute from the PERSISTED post-append table (what the
+        // oracle replays), split back at the ingest boundary
+        val full = Dedup.minhashStoreLoad(s, stateDir)
+        Dedup.incrementalNearDuplicatesFromSignatures(
+            full.copy(sigs = full.sigs.filter(col("doc_id") < 450)),
+            full.sigs.filter(col("doc_id") >= 450),
+            threshold = 0.9, maxBucketSize = Int.MaxValue)
+          .select(col("id_a"), col("id_b"),
+            round(col("est_jaccard"), 6).as("est_jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sig AS (
+          SELECT doc_id, signature
+          FROM read_parquet('/tmp/graft_qstate/d10/signatures/*.parquet')),
+        pairs AS (
+          SELECT n.doc_id AS id_a, o.doc_id AS id_b,
+            CAST(len(list_filter(range(1, 129),
+              i -> n.signature[i] = o.signature[i])) AS DOUBLE)
+              / 128.0 AS est
+          FROM sig n JOIN sig o
+            ON n.doc_id >= 450
+           AND (o.doc_id < 450 OR o.doc_id > n.doc_id))
+        SELECT id_a, id_b, ROUND(est, 6) AS est_jaccard
+        FROM pairs WHERE est >= CAST(0.9 AS DOUBLE)
+        ORDER BY id_a, id_b""")),
+
     Q("d06_ngram_jaccard",
       // exact word-3-gram Jaccard over the whole corpus via the inverted
       // index (posting-list self-join) — never all-pairs; the oracle

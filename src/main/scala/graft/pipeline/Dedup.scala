@@ -329,6 +329,141 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  // ---- incremental MinHash (persisted signature store) ----------------
+
+  /** A MinHash signature store: the signature frame plus the hash-family
+   *  parameters that produced it. Persisting BOTH is what makes dedup
+   *  incremental — a new ingest slice must be signed with the exact
+   *  same (shingleK, numHashes, numBands, seed) or band keys and
+   *  signature agreement are meaningless across the corpus boundary. */
+  final case class MinhashStore(
+      sigs: DataFrame,
+      idCol: String,
+      shingleK: Int,
+      numHashes: Int,
+      numBands: Int,
+      seed: Long)
+
+  /** Sign a corpus into a [[MinhashStore]] (see [[minhashSignatures]]). */
+  def minhashStoreCreate(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 16,
+      seed: Long = 42L): MinhashStore =
+    MinhashStore(
+      minhashSignatures(docs, idCol, textCol, shingleK, numHashes,
+        numBands, seed),
+      idCol, shingleK, numHashes, numBands, seed)
+
+  /** Persist a store: signatures to `path`/signatures (append-friendly
+   *  parquet — later ingests add files, never rewrite), parameters to a
+   *  one-row meta sidecar so load needs only the path. */
+  def minhashStoreSave(store: MinhashStore, path: String): Unit = {
+    val spark = store.sigs.sparkSession
+    store.sigs.write.mode("overwrite").parquet(s"$path/signatures")
+    import spark.implicits._
+    Seq((store.idCol, store.shingleK, store.numHashes, store.numBands,
+        store.seed))
+      .toDF("id_col", "shingle_k", "num_hashes", "num_bands", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[minhashStoreSave]]d store. The signature frame stays a
+   *  lazy scan — nothing is collected. */
+  def minhashStoreLoad(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): MinhashStore = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    MinhashStore(spark.read.parquet(s"$path/signatures"),
+      m.getString(0), m.getInt(1), m.getInt(2), m.getInt(3), m.getLong(4))
+  }
+
+  /** Sign a NEW ingest slice with the store's own parameters and append
+   *  it to the persisted signature table — old documents are never
+   *  re-read and old signatures never recomputed (the daily-ingest
+   *  shape: the signing cost is O(slice), not O(corpus)). Caller
+   *  contract: slice ids must be new to the store; appending an id
+   *  twice leaves two signature rows for it. Returns the reloaded
+   *  store covering old + new. */
+  def minhashStoreAppend(
+      path: String,
+      newDocs: DataFrame,
+      textCol: String = "text"): MinhashStore = {
+    val spark = newDocs.sparkSession
+    val store = minhashStoreLoad(spark, path)
+    minhashSignatures(newDocs, store.idCol, textCol, store.shingleK,
+        store.numHashes, store.numBands, store.seed)
+      .write.mode("append").parquet(s"$path/signatures")
+    minhashStoreLoad(spark, path)
+  }
+
+  /** Near-duplicates of a NEW slice against a signature store, without
+   *  recomputing old signatures: sign the slice with the store's
+   *  parameters, then [[incrementalNearDuplicatesFromSignatures]].
+   *  Run this BEFORE [[minhashStoreAppend]] (or pass disjoint frames),
+   *  so the slice isn't matched against its own appended copy. */
+  def incrementalNearDuplicates(
+      store: MinhashStore,
+      newDocs: DataFrame,
+      textCol: String = "text",
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame =
+    incrementalNearDuplicatesFromSignatures(store,
+      minhashSignatures(newDocs, store.idCol, textCol, store.shingleK,
+        store.numHashes, store.numBands, store.seed),
+      threshold, maxBucketSize)
+
+  /** The incremental verify core: candidates are the band-keyed
+   *  equi-join of the NEW slice's band keys against the store's (each
+   *  side's degenerate buckets capped independently, as in
+   *  [[crossCorpusNearDuplicates]]) plus LSH pairs WITHIN the slice;
+   *  signature agreement ≥ `threshold` verifies. Old×old pairs are
+   *  never formed — per ingest the pair volume is O(slice × matches),
+   *  not O(corpus²). Returns (id_a = new doc, id_b = store doc or a
+   *  later slice doc, est_jaccard).
+   *
+   *  Completeness note (mirrors d04's pigeonhole): at threshold t with
+   *  b bands over h hashes, a pair with agreement ≥ t mismatches in at
+   *  most (1−t)·h positions, which can spoil at most that many bands —
+   *  if (1−t)·h < b, some band agrees fully and the banded candidate
+   *  set EQUALS all-pairs at the threshold (e.g. t=0.9, h=128, b=32:
+   *  12.8 < 32). Below that, banding is the usual recall trade. */
+  def incrementalNearDuplicatesFromSignatures(
+      store: MinhashStore,
+      newSigs: DataFrame,
+      threshold: Double = 0.7,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val idCol = store.idCol
+    def bandsOf(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    def capped(e: DataFrame) = {
+      val counts = e.groupBy("band_idx", "band_key")
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") <= maxBucketSize).drop("__c")
+      e.join(counts, Seq("band_idx", "band_key"), "left_semi")
+    }
+    val cross = capped(bandsOf(newSigs, "id_a"))
+      .join(capped(bandsOf(store.sigs, "id_b")), Seq("band_idx", "band_key"))
+      .select(col("id_a"), col("id_b"))
+    val within = lshCandidatePairs(newSigs, idCol, maxBucketSize)
+    val cands = cross.unionByName(within).distinct()
+    val sigA = newSigs
+      .select(col(idCol).as("id_a"), col("signature").as("sig_a"))
+    val sigB = store.sigs.select(col(idCol), col("signature"))
+      .unionByName(newSigs.select(col(idCol), col("signature")))
+      .select(col(idCol).as("id_b"), col("signature").as("sig_b"))
+    cands.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+      .withColumn("est_jaccard",
+        expr("""aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
+                |0, (acc, v) -> acc + v)""".stripMargin).cast("double")
+          / size(col("sig_a")))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** Exact n-gram Jaccard for a set of candidate pairs (verification
    *  stage; joins shingle arrays to candidates only — O(candidates)). */
   def ngramJaccard(

@@ -436,6 +436,41 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(r3.getAs[Double]("containment") == 1.0)
   }
 
+  test("incremental MinHash store: save/append/load roundtrip, and the " +
+      "incremental pairs equal a full recompute restricted to the slice") {
+    import spark.implicits._
+    val corpus = docs.filter(col("doc_id") < 450)
+    val slice = docs.filter(col("doc_id") >= 450)
+    val dir = java.nio.file.Files.createTempDirectory("mhstore").toString
+    val store0 = Dedup.minhashStoreCreate(corpus, numBands = 32)
+    Dedup.minhashStoreSave(store0, s"$dir/st")
+    val loaded = Dedup.minhashStoreLoad(spark, s"$dir/st")
+    assert(loaded.numHashes == 128 && loaded.numBands == 32 &&
+      loaded.seed == 42L && loaded.shingleK == 3 && loaded.idCol == "doc_id")
+    assert(loaded.sigs.count() == corpus.count())
+    // incremental BEFORE append: pairs of the slice vs store + within
+    val inc = Dedup.incrementalNearDuplicates(loaded, slice,
+        threshold = 0.9, maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: full recompute over the whole corpus, restricted
+    // to pairs touching the slice (signature agreement is
+    // deterministic, so the sets must be EQUAL, not just similar)
+    val full = Dedup.nearDuplicatesMinhash(docs, numBands = 32,
+        threshold = 0.9, maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a >= 450 || b >= 450 }
+      .map { case (a, b) => // orient as (slice doc, match) like inc
+        if (a >= 450) (a, b) else (b, a) }
+      .map { case (a, b) =>
+        if (b >= 450 && b < a) (b, a) else (a, b) }.toSet
+    assert(inc == full, s"incremental=${inc.size} full=${full.size}")
+    // append grows the persisted table; a reload sees old + new
+    val appended = Dedup.minhashStoreAppend(s"$dir/st", slice)
+    assert(appended.sigs.count() == docs.count())
+  }
+
   test("denseIdDictionary: dense 1..N, deterministic, decode-joinable") {
     import spark.implicits._
     val ids = Seq("url-c", "url-a", "url-b", "url-a", null)
