@@ -45,7 +45,14 @@ object Soak {
     // sessionization (one user_id shuffle) and the bucketed band/
     // interval joins (co-partitioned (key, bucket) equi-joins — the
     // whole point is that they NEVER go quadratic in events)
-    "x16_sessionize", "j02_range_join", "j03_interval_join")
+    "x16_sessionize", "j02_range_join", "j03_interval_join",
+    // key-integrity (lineitem-keyed anti-joins; 10× lineitem against
+    // unscaled orders also stresses the orphan-count path) and the
+    // events-keyed refresh suggestion
+    "s06_key_integrity", "t06_refresh_suggestion",
+    // round-10 dedup additions: string-id dictionary-encode clustering
+    // and the incremental signature-store ingest
+    "d09_string_id_dedup", "d10_incremental_minhash")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry
