@@ -424,11 +424,16 @@ object SparkEntry {
       (s, d) => {
         val cat = Catalog(s, d)
         import s.implicits._
-        // all table counts in ONE union-all job, not n serial count()s
-        val counts = cat.rowCounts()
-        val rows = cat.listTables().map { tn =>
-          val schema = cat.schemaOf(tn)
-          val meta = cat.tableMeta(tn)
+        // resolve each table handle ONCE: spark.read.parquet reads the
+        // footer eagerly, so the old loop (rowCounts + schemaOf +
+        // tableMeta each opening the table) paid three serial footer
+        // rounds per table — the dominant cost of this query. Counts
+        // still run as ONE union-all job over the resolved handles.
+        val resolved = cat.listTables().map(tn => tn -> cat.table(tn))
+        val counts = cat.rowCountsResolved(resolved)
+        val rows = resolved.map { case (tn, df) =>
+          val schema = df.schema
+          val meta = cat.tableMeta(tn, schema)
           val nullableFrac =
             if (schema.isEmpty) 0.0
             else schema.count(_.nullable).toDouble / schema.length
@@ -2138,10 +2143,16 @@ object SparkEntry {
       // pigeonhole makes the bucketed candidate set equal to all-pairs
       // at this threshold.
       (s, _) => {
+        val state = freshState(s, "m01")
         val imgs = Multimodal.syntheticImageCorpus(s, groups = 60)
         Multimodal.imageSignatures(imgs).write.mode("overwrite")
-          .parquet(freshState(s, "m01") + "/signatures")
-        Multimodal.nearDuplicateImages(imgs, maxBucketSize = Int.MaxValue)
+          .parquet(state + "/signatures")
+        // hamming stage over the PERSISTED signatures: the old body
+        // called nearDuplicateImages(imgs), re-encoding and re-decoding
+        // all 240 PNGs a second time for the same dhash values the
+        // sink already holds — ImageIO work is the whole cost here
+        Dedup.hammingNearDuplicates(s.read.parquet(state + "/signatures"),
+            "id", "dhash", maxHamming = 3, maxBucketSize = Int.MaxValue)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH sig AS (SELECT id, dhash

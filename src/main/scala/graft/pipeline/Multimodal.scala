@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write
+  // of an in-memory byte array creates (and synchronizes on) a temp
+  // cache file. All our media rides as binary columns already in
+  // memory, so the cache buys nothing and its file churn + registry
+  // locking serialize the 32-thread decode path. Executor-side too:
+  // this object initializes inside each task's JVM before first use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata sidecar for a media column. */
   final case class MediaMeta(
       mediaType: String, // image | audio | video

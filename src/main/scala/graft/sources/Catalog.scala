@@ -55,10 +55,21 @@ final class Catalog(val spark: SparkSession, val dir: String) {
    *  catalog, so the conventional TPC-H-ish keys are declared here
    *  (the reference gets these from inspector.get_pk_constraint /
    *  get_foreign_keys, collector.py:112-148). */
-  def tableMeta(name: String): TableMeta = {
+  def tableMeta(name: String): TableMeta =
+    tableMeta(name, schemaOf(name))
+
+  /** [[tableMeta]] without a fresh footer read — for callers that
+   *  already hold the table's resolved schema (every
+   *  `spark.read.parquet` resolves the footer eagerly, so a
+   *  metadata loop that calls `table`/`schemaOf`/`tableMeta`
+   *  separately pays three serial footer rounds per table). */
+  def tableMeta(name: String, schema: StructType): TableMeta = {
     val pks = Catalog.primaryKeys.getOrElse(name, Nil)
     val fks = Catalog.foreignKeys.getOrElse(name, Nil)
-    TableMeta(name, columns(name), pks, fks)
+    TableMeta(name,
+      schema.fields.toSeq
+        .map(f => ColumnMeta(f.name, f.dataType.simpleString, f.nullable)),
+      pks, fks)
   }
 
   /** S7: data preview with column restriction + row cap
@@ -125,12 +136,19 @@ final class Catalog(val spark: SparkSession, val dir: String) {
    *  a single-row `count` aggregate (present even for empty tables) and
    *  the union-all runs every scan in parallel — versus one `count()`
    *  action per table in a serial driver loop (n sequential jobs). */
-  def rowCounts(names: Seq[String] = listTables()): Map[String, Long] = {
+  def rowCounts(names: Seq[String] = listTables()): Map[String, Long] =
+    rowCountsResolved(names.map(n => n -> table(n)))
+
+  /** [[rowCounts]] over already-resolved handles (one union-all job;
+   *  no fresh footer reads — see [[tableMeta]]'s note; a separate name
+   *  because both signatures erase to Seq). */
+  def rowCountsResolved(
+      resolved: Seq[(String, DataFrame)]): Map[String, Long] = {
     import org.apache.spark.sql.functions._
-    if (names.isEmpty) Map.empty
-    else names.map(n =>
-        table(n).agg(count(lit(1)).as("rc"))
-          .select(lit(n).as("table_name"), col("rc")))
+    if (resolved.isEmpty) Map.empty
+    else resolved.map { case (n, df) =>
+        df.agg(count(lit(1)).as("rc"))
+          .select(lit(n).as("table_name"), col("rc")) }
       .reduce(_ unionByName _)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
