@@ -28,11 +28,20 @@ object Drift {
   /** Pairwise Pearson correlation for `cols` in ONE pass: moments
    *  n, Σx, Σx², Σxy as decimal-exact sums; output one row per
    *  unordered pair (col_a < col_b). Rows where either side is null
-   *  are dropped per-pair (pairwise deletion, matching SQL CORR). */
+   *  are dropped per-pair (pairwise deletion, matching SQL CORR).
+   *
+   *  `exact = false` is the scale twin (the p27 dual-mode pattern):
+   *  moments sum as plain doubles — codegen'd primitive accumulation
+   *  instead of per-row Decimal objects, same single-scan plan. The
+   *  result is FP-accumulation-order dependent in the last ulps, so
+   *  the 6 dp rounding almost always agrees with the exact path but is
+   *  not engine-portable bit-for-bit; the oracle pins the exact form. */
   def correlations(
       df: DataFrame,
-      cols: Seq[String]): DataFrame = {
+      cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
+    if (!exact) return correlationsDouble(df, cols)
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
@@ -53,6 +62,43 @@ object Drift {
         sum((x * y).cast("decimal(38,12)")).cast("double").as(s"__sxy_$i"),
         sum((x * x).cast("decimal(38,12)")).cast("double").as(s"__sxx_$i"),
         sum((y * y).cast("decimal(38,12)")).cast("double").as(s"__syy_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = col(s"__n_$i").cast("double")
+      val cov = n * col(s"__sxy_$i") - col(s"__sx_$i") * col(s"__sy_$i")
+      val vx = n * col(s"__sxx_$i") - col(s"__sx_$i") * col(s"__sx_$i")
+      val vy = n * col(s"__syy_$i") - col(s"__sy_$i") * col(s"__sy_$i")
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__n_$i").as("n"),
+        when(vx > 0 && vy > 0, round(cov / sqrt(vx * vy), 6))
+          .otherwise(lit(null).cast("double")).as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Double-moment arm of [[correlations]] — identical plan shape (one
+   *  scan, partial/final hash agg of 6 moments per pair), primitive
+   *  double sums in place of decimal. Kept private; reach it through
+   *  `correlations(df, cols, exact = false)`. */
+  private def correlationsDouble(
+      df: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val bothPresent = col(a).isNotNull && col(b).isNotNull
+      val x = when(bothPresent, col(a)).cast("double")
+      val y = when(bothPresent, col(b)).cast("double")
+      Seq(
+        count(when(bothPresent, lit(1))).as(s"__n_$i"),
+        sum(x).as(s"__sx_$i"),
+        sum(y).as(s"__sy_$i"),
+        sum(x * y).as(s"__sxy_$i"),
+        sum(x * x).as(s"__sxx_$i"),
+        sum(y * y).as(s"__syy_$i"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = pairs.zipWithIndex.map { case ((a, b), i) =>

@@ -2220,6 +2220,28 @@ class DriftSpec extends AnyFunSuite {
   import spark.implicits._
   import graft.profiler.Drift
 
+  test("correlations: the double fast path agrees with the decimal " +
+      "exact path at the emitted 6 dp on real data") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    val exact = asMap(Drift.correlations(li, cols))
+    val fast = asMap(Drift.correlations(li, cols, exact = false))
+    assert(exact.keySet == fast.keySet && exact.nonEmpty)
+    exact.foreach { case (k, (n, c)) =>
+      assert(fast(k)._1 == n, s"$k: n differs")
+      (c, fast(k)._2) match {
+        case (Some(a), Some(b)) =>
+          // both emit round(·, 6); FP accumulation order can flip the
+          // final rounded digit — allow exactly that much
+          assert(math.abs(a - b) <= 1e-6 + 1e-12, s"$k: $a vs $b")
+        case (x, y) => assert(x == y, s"$k: null-ness differs")
+      }
+    }
+  }
+
   test("categoricalDrift: a null category in both slices is not drift") {
     val before = (Seq.fill(50)(Some("a")) ++ Seq.fill(50)(Option.empty[String]))
       .toDF("v")
