@@ -2145,13 +2145,13 @@ object SparkEntry {
       (s, _) => {
         val state = freshState(s, "m01")
         val imgs = Multimodal.syntheticImageCorpus(s, groups = 60)
-        Multimodal.imageSignatures(imgs).write.mode("overwrite")
-          .parquet(state + "/signatures")
-        // hamming stage over the PERSISTED signatures: the old body
-        // called nearDuplicateImages(imgs), re-encoding and re-decoding
-        // all 240 PNGs a second time for the same dhash values the
-        // sink already holds — ImageIO work is the whole cost here
-        Dedup.hammingNearDuplicates(s.read.parquet(state + "/signatures"),
+        // cache the 240-row signature frame so the ImageIO encode +
+        // decode runs ONCE (the old body re-ran it for the hamming
+        // stage — ImageIO work is the whole cost here). The cache is
+        // bench-safe: Bench/Verify sweep persistent RDDs per query.
+        val sigs = Multimodal.imageSignatures(imgs).cache()
+        sigs.write.mode("overwrite").parquet(state + "/signatures")
+        Dedup.hammingNearDuplicates(sigs,
             "id", "dhash", maxHamming = 3, maxBucketSize = Int.MaxValue)
           .orderBy("id_a", "id_b")
       },
