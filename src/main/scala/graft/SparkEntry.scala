@@ -2238,6 +2238,41 @@ object SparkEntry {
         FROM read_parquet('/tmp/graft_qstate/m03/frames/*.parquet')
         GROUP BY id ORDER BY id""")),
 
+    Q("m04_incremental_image_dedup",
+      // the d10 ingest shape for the image family: a persisted dHash
+      // signature store covers the standing corpus (id < 198); a new
+      // slice (id ≥ 198, straddling group 49 so true near-dup pairs
+      // cross the ingest boundary) appends its signatures and matches
+      // via the 16-bit chunk-keyed cross join + within-slice hamming —
+      // old images are never re-decoded. Replay oracle over the
+      // persisted post-append store (pigeonhole: hamming ≤ 3 ⇒ a
+      // shared chunk, so candidates ≡ all-pairs).
+      (s, _) => {
+        val state = freshState(s, "m04")
+        val imgs = Multimodal.syntheticImageCorpus(s, groups = 60)
+        val sigs = Multimodal.imageSignatures(imgs).cache()
+        sigs.filter(col("id") < 198).write.mode("overwrite")
+          .parquet(state + "/signatures")
+        sigs.filter(col("id") >= 198).write.mode("append")
+          .parquet(state + "/signatures")
+        val persisted = s.read.parquet(state + "/signatures")
+        Dedup.incrementalHammingNearDuplicates(
+            persisted.filter(col("id") < 198),
+            persisted.filter(col("id") >= 198),
+            "id", "dhash", maxHamming = 3, maxBucketSize = Int.MaxValue)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sig AS (
+          SELECT id, dhash
+          FROM read_parquet('/tmp/graft_qstate/m04/signatures/*.parquet')),
+        pairs AS (
+          SELECT n.id AS id_a, o.id AS id_b,
+            bit_count(xor(n.dhash, o.dhash)) AS h
+          FROM sig n JOIN sig o
+            ON n.id >= 198 AND (o.id < 198 OR o.id > n.id))
+        SELECT id_a, id_b, CAST(h AS INT) AS hamming
+        FROM pairs WHERE h <= 3 ORDER BY id_a, id_b""")),
+
     Q("d05_dup_clusters",
       // connected components over a deterministic candidate-pair graph
       // (chains of 5 docs: n→n+1 when n%10<4), checked against DuckDB's

@@ -775,6 +775,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental 64-bit hamming near-dup — the ingest shape of
+   *  [[incrementalNearDuplicatesFromSignatures]] for the hamming
+   *  family (text SimHash, image dHash): candidates are the 16-bit
+   *  chunk-keyed equi-join of the NEW slice's signatures against the
+   *  persisted store's (each side's degenerate chunk buckets capped
+   *  independently) plus [[hammingNearDuplicates]] WITHIN the slice;
+   *  exact xor+bit_count verifies. Old×old pairs are never formed, old
+   *  media never re-decoded — per ingest the cost is O(slice ×
+   *  matches). The pigeonhole guarantee carries over: at maxHamming ≤
+   *  3 one of the 4 chunks must agree, so the candidate set equals
+   *  all-pairs at the threshold. Returns (id_a = new doc, id_b = store
+   *  doc or a later slice doc, hamming); caller contract as in
+   *  [[minhashStoreAppend]]: slice ids are new to the store. */
+  def incrementalHammingNearDuplicates(
+      storeSigs: DataFrame,
+      newSigs: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    def side(df: DataFrame, idAs: String, hAs: String) = {
+      val e = df.select(col(idCol).as(idAs), col(hashCol).as(hAs))
+        .select(col(idAs), col(hAs), explode(expr(
+          s"""transform(sequence(0, 3), i ->
+             |  struct(i as chunk_idx,
+             |         cast(shiftright($hAs, i * 16) & 65535 as int)
+             |           as chunk_key))""".stripMargin)).as("c"))
+        .select(col(idAs), col(hAs), col("c.chunk_idx"), col("c.chunk_key"))
+      val counts = e.groupBy("chunk_idx", "chunk_key")
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") <= maxBucketSize).drop("__c")
+      e.join(counts, Seq("chunk_idx", "chunk_key"), "left_semi")
+    }
+    val cross = side(newSigs, "id_a", "__ha")
+      .join(side(storeSigs, "id_b", "__hb"), Seq("chunk_idx", "chunk_key"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(expr("__ha ^ __hb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val within = hammingNearDuplicates(newSigs, idCol, hashCol,
+      maxHamming, maxBucketSize)
+    // the pair spaces are disjoint (id_b < store ids vs slice ids), so
+    // a plain union is already duplicate-free
+    cross.unionByName(within)
+  }
+
   // ---- duplicate clustering (pairs → components → keep-set) -----------
 
   /** Deterministic dense long ids for an arbitrary orderable id column —

@@ -471,6 +471,26 @@ class DedupSparkSpec extends AnyFunSuite {
     assert(appended.sigs.count() == docs.count())
   }
 
+  test("incremental hamming near-dup equals a full recompute " +
+      "restricted to pairs touching the slice") {
+    val sigs = Dedup.simhashSignatures(docs).cache()
+    val store = sigs.filter(col("doc_id") < 450)
+    val slice = sigs.filter(col("doc_id") >= 450)
+    val inc = Dedup.incrementalHammingNearDuplicates(store, slice,
+        "doc_id", "simhash", maxHamming = 3,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.hammingNearDuplicates(sigs, "doc_id", "simhash",
+        maxHamming = 3, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a >= 450 || b >= 450 }
+      .map { case (a, b) => if (a >= 450) (a, b) else (b, a) }
+      .map { case (a, b) =>
+        if (b >= 450 && b < a) (b, a) else (a, b) }.toSet
+    assert(inc == full, s"incremental=${inc.size} full=${full.size}")
+    sigs.unpersist()
+  }
+
   test("denseIdDictionary: dense 1..N, deterministic, decode-joinable") {
     import spark.implicits._
     val ids = Seq("url-c", "url-a", "url-b", "url-a", null)
