@@ -1160,6 +1160,23 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureResample NULL-stratum contract: excluded from the " +
+      "plan AND from the grand total") {
+    val docs = ids.withColumn("src",
+      when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+        .otherwise(when(col("doc_id") % 2 === 0, "a").otherwise("b")))
+    val plan = Sampling.temperatureResample(docs, "doc_id", "src", 0.5)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_docs")).toMap
+    // no NULL-stratum row...
+    assert(!plan.keySet.contains(null))
+    assert(plan.keySet == Set("a", "b"))
+    // ...and shares are relative to the NON-NULL corpus: the per-
+    // stratum n_docs sum equals the non-null count, so nothing was
+    // silently counted in N without getting a row
+    val nonNull = docs.filter(col("src").isNotNull).count()
+    assert(plan.values.sum == nonNull)
+  }
+
   test("weightedSample: deterministic, exact k, weight-biased") {
     val weighted = ids.withColumn("w",
       when(col("doc_id") < 100, 1000.0).otherwise(1.0)) // 100 heavy rows
