@@ -2916,6 +2916,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected TakeOrderedAndProject in:\n$plan")
   }
 
+  test("denseIdDictionary never plans a data-sized single partition: " +
+      "the only SinglePartition exchange feeds the bucket-count frame") {
+    import graft.pipeline.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("cast(doc_id as string) as sid")
+    // executedPlan, not sparkPlan: exchanges are inserted by
+    // EnsureRequirements during physical preparation, and partitioning
+    // is exactly what this test is about
+    spark.catalog.clearCache()
+    val plan = Dedup.denseIdDictionary(docs, "sid")
+      .queryExecution.executedPlan.toString
+    // the in-bucket rank window must run hash-partitioned by bucket
+    assert(plan.contains("hashpartitioning(__b"),
+      s"expected a __b-hash-partitioned window in:\n$plan")
+    // a SinglePartition exchange may appear ONLY under the ≤buckets-row
+    // offsets aggregation (its input is a hash AGGREGATE of __b, never
+    // the raw id rows); a Sort/Window over SinglePartition whose child
+    // scans ids would be the global-rank anti-pattern
+    val single = "SinglePartition".r.findAllIn(plan).size
+    assert(single <= 1, s"expected at most one SinglePartition in:\n$plan")
+  }
+
   test("documents scan prunes columns: urlDomains reads only id + text") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(TextAnalysis.urlDomains(docs))
