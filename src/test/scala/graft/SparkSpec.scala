@@ -1028,7 +1028,7 @@ class IncrementalProfileSpec extends AnyFunSuite {
 class SamplingSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
-  import graft.pipeline.Sampling
+  import graft.pipeline.{Dedup, Sampling}
 
   private lazy val ids = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
 
@@ -1175,6 +1175,22 @@ class SamplingSpec extends AnyFunSuite {
     // silently counted in N without getting a row
     val nonNull = docs.filter(col("src").isNotNull).count()
     assert(plan.values.sum == nonNull)
+  }
+
+  test("leakSafeSplit holds for string-keyed corpora via string-id " +
+      "clusters: near-dup URLs never straddle a split") {
+    import spark.implicits._
+    val corpus = Seq("url-a", "url-b", "url-c", "url-d", "url-e")
+      .map(s => (s, s"body of $s")).toDF("sid", "text")
+    val clusters = Dedup.duplicateClusters(
+      Seq(("url-a", "url-b"), ("url-c", "url-d")).toDF("id_a", "id_b"))
+    val out = Sampling.leakSafeSplit(corpus, clusters, idCol = "sid")
+      .select("sid", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.size == 5)
+    // cluster cohesion in string space: paired ids share a split
+    assert(out("url-a") == out("url-b"))
+    assert(out("url-c") == out("url-d"))
   }
 
   test("weightedSample: deterministic, exact k, weight-biased") {
