@@ -2498,17 +2498,25 @@ object SparkEntry {
       (s, d) => {
         val docs = t(s, d, "documents")
         val stateDir = freshState(s, "d10")
+        // proportional ingest boundary (last 10% of ids are the "new"
+        // slice) so the small-slice shape — and the oracle's pair
+        // count — holds at EVERY SF: a fixed literal flipped 90% of a
+        // bigger corpus into the slice and made the sf0.1 replay
+        // oracle quadratic in the whole corpus. Integer arithmetic
+        // matches DuckDB's // exactly.
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val cut = 9L * (maxId + 1L) / 10L
         Dedup.minhashStoreSave(
-          Dedup.minhashStoreCreate(docs.filter(col("doc_id") < 450),
+          Dedup.minhashStoreCreate(docs.filter(col("doc_id") < cut),
             numBands = 32),
           stateDir)
-        Dedup.minhashStoreAppend(stateDir, docs.filter(col("doc_id") >= 450))
+        Dedup.minhashStoreAppend(stateDir, docs.filter(col("doc_id") >= cut))
         // compute from the PERSISTED post-append table (what the
         // oracle replays), split back at the ingest boundary
         val full = Dedup.minhashStoreLoad(s, stateDir)
         Dedup.incrementalNearDuplicatesFromSignatures(
-            full.copy(sigs = full.sigs.filter(col("doc_id") < 450)),
-            full.sigs.filter(col("doc_id") >= 450),
+            full.copy(sigs = full.sigs.filter(col("doc_id") < cut)),
+            full.sigs.filter(col("doc_id") >= cut),
             threshold = 0.9, maxBucketSize = Int.MaxValue)
           .select(col("id_a"), col("id_b"),
             round(col("est_jaccard"), 6).as("est_jaccard"))
@@ -2517,14 +2525,16 @@ object SparkEntry {
       Some("""WITH sig AS (
           SELECT doc_id, signature
           FROM read_parquet('/tmp/graft_qstate/d10/signatures/*.parquet')),
+        cut AS (
+          SELECT 9 * (MAX(doc_id) + 1) // 10 AS c FROM sig),
         pairs AS (
           SELECT n.doc_id AS id_a, o.doc_id AS id_b,
             CAST(len(list_filter(range(1, 129),
               i -> n.signature[i] = o.signature[i])) AS DOUBLE)
               / 128.0 AS est
           FROM sig n JOIN sig o
-            ON n.doc_id >= 450
-           AND (o.doc_id < 450 OR o.doc_id > n.doc_id))
+            ON n.doc_id >= (SELECT c FROM cut)
+           AND (o.doc_id < (SELECT c FROM cut) OR o.doc_id > n.doc_id))
         SELECT id_a, id_b, ROUND(est, 6) AS est_jaccard
         FROM pairs WHERE est >= CAST(0.9 AS DOUBLE)
         ORDER BY id_a, id_b""")),
