@@ -2433,7 +2433,11 @@ object SparkEntry {
       // oracle can express without ever seeing the dictionary.
       // End-to-end: exact dups + LSH near-dups → components → keep set.
       (s, d) => {
-        val docs = t(s, d, "documents")
+        // fixture capped at 500 docs at ANY SF: the query exercises the
+        // string-id encode/cluster/decode plumbing, which doesn't need
+        // corpus scale — and the REPLAY oracle is all-pairs trigram
+        // Jaccard, which at sf0.1's 5000 docs cost DuckDB ~45 min
+        val docs = t(s, d, "documents").filter(col("doc_id") < 500)
         val sdocs = docs.select(
           concat(lit("doc-"),
             lpad(col("doc_id").cast("string"), 6, "0")).as("sid"),
@@ -2444,7 +2448,7 @@ object SparkEntry {
       Some("""WITH RECURSIVE sdocs AS (
           SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS sid,
             text
-          FROM documents),
+          FROM documents WHERE doc_id < 500),
         eg AS (
           SELECT text, MIN(sid) AS head FROM sdocs
           WHERE text IS NOT NULL GROUP BY text HAVING COUNT(*) > 1),
