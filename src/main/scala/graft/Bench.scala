@@ -31,6 +31,18 @@ object Bench {
           org.apache.spark.sql.expressions.Window
             .partitionBy("event_type").orderBy("event_id")))
         .write.format("noop").mode("overwrite").save()
+      // ImageIO + parquet-write committer init (BASELINE.md's m01 cost
+      // anatomy: ~2/3 of its fresh-session number was plugin/codegen/
+      // committer one-time work this warmup didn't reach) — 8 tiny
+      // images through the real encode+decode+dhash path, one 8-row
+      // parquet write. Same principle as the aggregate/window lines
+      // above: the bench measures operators, not JVM initialization.
+      val wimg = graft.pipeline.Multimodal
+        .imageSignatures(graft.pipeline.Multimodal
+          .syntheticImageCorpus(spark, groups = 2))
+      wimg.write.format("noop").mode("overwrite").save()
+      val wdir = java.nio.file.Files.createTempDirectory("benchwarm")
+      wimg.write.mode("overwrite").parquet(s"$wdir/sig")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
