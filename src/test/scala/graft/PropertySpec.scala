@@ -112,4 +112,49 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  private val genStringIds: Gen[List[String]] =
+    Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 500).map(i => s"u-$i")))
+      .map(_.distinct)
+
+  test("denseIdDictionary: a bijection onto 1..N for arbitrary string " +
+      "id sets, stable across repeated builds") {
+    for (seed <- 1L to 5L) {
+      val ids = sample(genStringIds, seed)
+      val df = ids.map(Tuple1(_)).toDF("sid")
+      val dict = Dedup.denseIdDictionary(df, "sid", buckets = 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // bijection: every id encoded, codes exactly 1..N, no collisions
+      assert(dict.keySet == ids.toSet, s"seed=$seed: ids lost/invented")
+      assert(dict.values.toSet == (1L to ids.size.toLong).toSet,
+        s"seed=$seed: codes not dense 1..N")
+      // determinism: a rebuild maps every id identically
+      val again = Dedup.denseIdDictionary(df, "sid", buckets = 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(dict == again, s"seed=$seed: rebuild changed the mapping")
+    }
+  }
+
+  test("string-id duplicateClusters: same components as clustering the " +
+      "ids' numeric twins, labels are per-cluster minima") {
+    for (seed <- 1L to 5L) {
+      val ids = sample(genIds, seed).sorted
+      val pairs = ids.zip(ids.drop(1)).zipWithIndex
+        .collect { case ((a, b), i) if i % 3 != 2 => (a, b) }
+      if (pairs.nonEmpty) {
+        // numeric ground truth
+        val num = Dedup.duplicateClusters(pairs.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // same graph with zero-padded string ids: component structure
+        // and (lexicographic == numeric under padding) minima must match
+        def s(x: Long) = f"id-$x%06d"
+        val str = Dedup.duplicateClusters(
+            pairs.map { case (a, b) => (s(a), s(b)) }.toDF("id_a", "id_b"))
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(str == num.map { case (k, v) => s(k) -> s(v) },
+          s"seed=$seed: string-path clusters diverge from numeric")
+      }
+    }
+  }
 }
