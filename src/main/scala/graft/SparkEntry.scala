@@ -2750,6 +2750,56 @@ object SparkEntry {
           CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    Q("e12_incremental_embedding_dedup",
+      // the d10/m04 ingest shape for the cosine family: the standing
+      // corpus's banded hyperplane signatures are PERSISTED; a new
+      // slice (last 10% of ids) signs at O(slice), candidates come
+      // from the band-keyed cross join vs the store plus within-slice
+      // buckets, exact cosine verifies. Candidate-replay oracle (e03
+      // pattern): the candidate set is persisted and DuckDB re-scores
+      // it — threshold 0.2 because this fixture's max cosine is ~0.51
+      // (e04 pins the ≥0.99 lane at zero rows).
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val state = freshState(s, "e12")
+        val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+        val cut = 9L * (maxId + 1L) / 10L
+        val store = emb.filter(col("vec_id") < cut)
+        val slice = emb.filter(col("vec_id") >= cut)
+        Similarity.embeddingBandSignatures(store).write.mode("overwrite")
+          .parquet(state + "/store_sigs")
+        val storeSigs = s.read.parquet(state + "/store_sigs")
+        // persist the exact candidate set the verifier scores (the
+        // generators are seed-deterministic, so the incremental call
+        // below sees the identical pairs)
+        Similarity.incrementalEmbeddingCandidates(storeSigs,
+            Similarity.embeddingBandSignatures(slice))
+          .unionByName(Similarity.embeddingCandidatePairs(slice))
+          .write.mode("overwrite").parquet(state + "/candidates")
+        Similarity.incrementalNearDuplicateEmbeddings(storeSigs, store,
+            slice, threshold = 0.2)
+          .select(col("id_a"), col("id_b"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH cand AS (
+          SELECT id_a, id_b
+          FROM read_parquet('/tmp/graft_qstate/e12/candidates/*.parquet')),
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        scored AS (
+          SELECT cand.id_a, cand.id_b,
+            list_sum(list_transform(range(1, len(a.embedding) + 1),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+            (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM cand
+          JOIN e a ON a.vec_id = cand.id_a
+          JOIN e b ON b.vec_id = cand.id_b)
+        SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+        FROM scored WHERE cos >= CAST(0.2 AS DOUBLE)
+        ORDER BY id_a, id_b""")),
+
     Q("e04_embedding_neardup",
       (s, d) => Similarity.nearDuplicateEmbeddings(
         t(s, d, "embeddings"), threshold = 0.99)

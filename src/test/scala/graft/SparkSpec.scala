@@ -803,6 +803,26 @@ class SimilaritySparkSpec extends AnyFunSuite {
     assert(out.exists(_._3) && out.exists(!_._3))
   }
 
+  test("incremental embedding near-dup equals a full recompute " +
+      "restricted to pairs touching the slice") {
+    val cut = 450L
+    val store = emb.filter(col("vec_id") < cut)
+    val slice = emb.filter(col("vec_id") >= cut)
+    val storeSigs = Similarity.embeddingBandSignatures(store)
+    val inc = Similarity.incrementalNearDuplicateEmbeddings(
+        storeSigs, store, slice, threshold = 0.2,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.nearDuplicateEmbeddings(emb, threshold = 0.2,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a >= cut || b >= cut }
+      .map { case (a, b) => if (a >= cut) (a, b) else (b, a) }
+      .map { case (a, b) =>
+        if (b >= cut && b < a) (b, a) else (a, b) }.toSet
+    assert(inc == full, s"incremental=${inc.size} full=${full.size}")
+  }
+
   test("int8 quantization: bounded error, scale-free cosine, zero-safe") {
     import spark.implicits._
     val q = Similarity.quantizeEmbeddings(emb)
