@@ -51,8 +51,9 @@ object Soak {
     // events-keyed refresh suggestion
     "s06_key_integrity", "t06_refresh_suggestion",
     // round-10 dedup additions: string-id dictionary-encode clustering
-    // and the incremental signature-store ingest
-    "d09_string_id_dedup", "d10_incremental_minhash")
+    // and the incremental signature-store ingest trio
+    "d09_string_id_dedup", "d10_incremental_minhash",
+    "e12_incremental_embedding_dedup")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry
