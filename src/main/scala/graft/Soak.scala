@@ -53,7 +53,14 @@ object Soak {
     // round-10 dedup additions: string-id dictionary-encode clustering
     // and the incremental signature-store ingest trio
     "d09_string_id_dedup", "d10_incremental_minhash",
-    "e12_incremental_embedding_dedup")
+    "e12_incremental_embedding_dedup",
+    // round-10 sketch family: mergeable quantiles (log-binned groupBy —
+    // must stay scan-bound), mergeable heavy hitters (O(k) states),
+    // KMV corpus overlap (distinct-shingle shuffle + TakeOrdered k),
+    // and the store-bootstrapped streaming near-dup (state load is
+    // O(store), per-batch work O(slice×bucket))
+    "p37_mergeable_quantiles", "p38_mergeable_topk", "x48_kmv_overlap",
+    "st08_stream_neardup_bootstrap")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

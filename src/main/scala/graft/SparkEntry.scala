@@ -819,6 +819,114 @@ object SparkEntry {
         FROM e LEFT JOIN counted c ON e.bucket = c.bucket
         ORDER BY e.bucket""")),
 
+    Q("p37_mergeable_quantiles",
+      // mergeable quantiles (LogSketch: DDSketch-style fixed log-binned
+      // buckets, α = 1%) — the quantile column IncrementalProfile's
+      // mergeable states couldn't carry. Slice states built
+      // independently on the even/odd halves merge by pure count
+      // addition into EXACTLY the single-pass whole-table sketch
+      // (asserted cell for cell), and the merged estimates land within
+      // the sketch's relative-error bound of exact percentiles. Oracle
+      // lane: p27 pattern — the sketch isn't SQL-portable, so the
+      // query emits equality/tolerance verdicts the oracle pins TRUE,
+      // plus the exact non-null count.
+      (s, d) => {
+        import graft.profiler.LogSketch
+        val alpha = 0.01
+        val li = t(s, d, "lineitem")
+        val cn = "l_extendedprice"
+        val even = LogSketch.sliceState(
+          li.filter(col("l_orderkey") % 2 === 0), cn, alpha, "even")
+        val odd = LogSketch.sliceState(
+          li.filter(col("l_orderkey") % 2 =!= 0), cn, alpha, "odd")
+        val merged = LogSketch.merge(even.unionByName(odd))
+        val full = LogSketch.merge(LogSketch.sliceState(li, cn, alpha, "full"))
+        val mergeExact = merged
+          .select(col("lane"), col("bucket"), col("cnt").as("__m"))
+          .join(full.select(col("lane"), col("bucket"), col("cnt").as("__f")),
+            Seq("lane", "bucket"), "full")
+          .agg(coalesce(bool_and(col("__m") === col("__f")), lit(true))
+            .as("merge_exact"))
+        val ests = LogSketch.quantiles(merged, alpha, Seq(0.5, 0.9, 0.99))
+          .agg(
+            max(when(col("q") === 0.5, col("estimate"))).as("__e50"),
+            max(when(col("q") === 0.9, col("estimate"))).as("__e90"),
+            max(when(col("q") === 0.99, col("estimate"))).as("__e99"),
+            max(col("n")).as("n"))
+        val exact = li.agg(
+          percentile(col(cn), lit(0.5)).as("__x50"),
+          percentile(col(cn), lit(0.9)).as("__x90"),
+          percentile(col(cn), lit(0.99)).as("__x99"))
+        // 2α, not α: the sketch's bound is α on the value at ITS rank
+        // convention (⌈q·n⌉); the interpolated exact percentile sits at
+        // most one order statistic away, and the doubled bound absorbs
+        // that rank drift on any non-degenerate distribution
+        def ok(e: Column, x: Column): Column =
+          abs(e - x) <= lit(2 * alpha) * abs(x)
+        ests.crossJoin(exact).crossJoin(mergeExact) // 1 row × 1 × 1
+          .select(col("n"), col("merge_exact"),
+            ok(col("__e50"), col("__x50")).as("p50_ok"),
+            ok(col("__e90"), col("__x90")).as("p90_ok"),
+            ok(col("__e99"), col("__x99")).as("p99_ok"))
+      },
+      Some("""SELECT CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+        TRUE AS merge_exact, TRUE AS p50_ok, TRUE AS p90_ok,
+        TRUE AS p99_ok FROM lineitem""")),
+
+    Q("p38_mergeable_topk",
+      // mergeable heavy hitters with deterministic bounds — the top-K
+      // member of the mergeable-state family (p29 count/sum/HLL, p37
+      // quantiles). Four slice states (l_orderkey % 4) each keep exact
+      // counts only for values with k·f_s > n_s (O(k) state); the
+      // merge brackets every candidate's global count in
+      // [lower, upper] by pure integer arithmetic. Unlike Misra–Gries
+      // the merged numbers are order-independent and exact, so the
+      // ENTIRE operator replays in DuckDB — full row-hash oracle, and
+      // in_bounds doubles as the bracketing proof.
+      (s, d) => {
+        import graft.profiler.MergeableTopK
+        val k = 8
+        val li = t(s, d, "lineitem")
+        val states = (0 until 4).map(i =>
+          MergeableTopK.sliceState(
+            li.filter(col("l_orderkey") % 4 === i),
+            "l_linenumber", k, s"s$i"))
+          .reduce(_ unionByName _)
+        val exact = li.where(col("l_linenumber").isNotNull)
+          .groupBy(col("l_linenumber").cast("string").as("value"))
+          .agg(count(lit(1)).as("__f"))
+        MergeableTopK.merge(states, k)
+          .join(exact, Seq("value"))
+          .select(col("value"), col("lower"), col("upper"),
+            col("slices_present"),
+            col("__f").between(col("lower"), col("upper")).as("in_bounds"))
+          .orderBy(col("lower").desc, col("value"))
+      },
+      Some("""WITH d AS (
+          SELECT l_orderkey % 4 AS slice,
+            CAST(l_linenumber AS VARCHAR) AS value
+          FROM lineitem WHERE l_linenumber IS NOT NULL),
+        c AS (SELECT slice, value, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+        t AS (SELECT slice, SUM(cnt) AS n FROM c GROUP BY 1),
+        cand AS (
+          SELECT c.slice, c.value, c.cnt, t.n
+          FROM c JOIN t USING (slice) WHERE c.cnt * 8 > t.n),
+        mt AS (SELECT SUM(n // 8) AS miss_all FROM t),
+        m AS (
+          SELECT value, SUM(cnt) AS lower, SUM(n // 8) AS miss_present,
+            COUNT(*) AS slices_present
+          FROM cand GROUP BY 1),
+        ex AS (
+          SELECT CAST(l_linenumber AS VARCHAR) AS value, COUNT(*) AS f
+          FROM lineitem WHERE l_linenumber IS NOT NULL GROUP BY 1)
+        SELECT m.value, CAST(m.lower AS BIGINT) AS lower,
+          CAST(m.lower + mt.miss_all - m.miss_present AS BIGINT) AS upper,
+          CAST(m.slices_present AS BIGINT) AS slices_present,
+          ex.f BETWEEN m.lower
+            AND m.lower + mt.miss_all - m.miss_present AS in_bounds
+        FROM m CROSS JOIN mt JOIN ex ON ex.value = m.value
+        ORDER BY 2 DESC, 1""")),
+
     Q("p31_ks_drift",
       // exact two-sample Kolmogorov–Smirnov D between odd- and even-order
       // lineitem prices; distributed prefix sums via range buckets (no
@@ -4615,6 +4723,87 @@ object SparkEntry {
           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
         FROM rd GROUP BY 1 ORDER BY 1""")),
 
+    Q("x48_kmv_overlap",
+      // the 100 TB twin of x41: corpus overlap from K-minimum-values
+      // sketches (k = 256 smallest md5 values of each side's distinct
+      // shingles) instead of shuffling every distinct shingle of both
+      // corpora. md5 keeps the sketch deterministic and engine-
+      // portable, so the ENTIRE estimator replays exactly in DuckDB —
+      // full row-hash oracle, not a pinned verdict — and the _ok
+      // columns additionally bound the estimates against the exact
+      // x41-style overlap (KMV standard error ≈ 1/√k ≈ 0.0625; the
+      // 0.2 gate is >3σ).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val k = 256
+        val skA = Dedup.kmvShingleSketch(docs.filter(col("doc_id") % 2 === 0), k = k)
+        val skB = Dedup.kmvShingleSketch(docs.filter(col("doc_id") % 2 === 1), k = k)
+        val est = Dedup.kmvOverlap(skA, skB, k)
+        val exact = Dedup.corpusShingleOverlap(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+          .select(
+            (col("common").cast("double") /
+              (col("shingles_a") + col("shingles_b") - col("common")))
+              .as("__jx"),
+            (col("common").cast("double") /
+              least(col("shingles_a"), col("shingles_b"))).as("__cx"))
+        est.crossJoin(exact) // 1 row × 1 row
+          .select(
+            col("sample_k"), col("sample_inter"),
+            col("jaccard_est"), col("containment_est"),
+            round(col("__jx"), 6).as("jaccard_exact"),
+            round(col("__cx"), 6).as("containment_exact"),
+            (abs(col("jaccard_est") - col("__jx")) <= 0.2).as("jaccard_ok"),
+            (abs(col("containment_est") - col("__cx")) <= 0.2)
+              .as("containment_ok"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS ts
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+          FROM toks WHERE len(ts) >= 3),
+        ska AS (SELECT DISTINCT md5(shingle) AS h FROM sh
+          WHERE doc_id % 2 = 0 ORDER BY h LIMIT 256),
+        skb AS (SELECT DISTINCT md5(shingle) AS h FROM sh
+          WHERE doc_id % 2 = 1 ORDER BY h LIMIT 256),
+        s AS (SELECT h FROM
+          (SELECT h FROM ska UNION SELECT h FROM skb) ORDER BY h LIMIT 256),
+        f AS (SELECT
+            CAST(COUNT(*) AS BIGINT) AS sample_k,
+            CAST(SUM(CASE WHEN h IN (SELECT h FROM ska)
+              AND h IN (SELECT h FROM skb) THEN 1 ELSE 0 END) AS BIGINT)
+              AS sample_inter,
+            SUM(CASE WHEN h IN (SELECT h FROM ska) THEN 1 ELSE 0 END) AS sa,
+            SUM(CASE WHEN h IN (SELECT h FROM skb) THEN 1 ELSE 0 END) AS sb
+          FROM s),
+        tagged AS (
+          SELECT shingle,
+            MAX(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS a,
+            MAX(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS b
+          FROM sh GROUP BY 1),
+        exact AS (
+          SELECT CAST(SUM(a * b) AS DOUBLE)
+              / (SUM(a) + SUM(b) - SUM(a * b)) AS jx,
+            CAST(SUM(a * b) AS DOUBLE) / LEAST(SUM(a), SUM(b)) AS cx
+          FROM tagged)
+        SELECT sample_k, sample_inter,
+          ROUND(CAST(sample_inter AS DOUBLE) / sample_k, 6) AS jaccard_est,
+          ROUND(CAST(sample_inter AS DOUBLE) / LEAST(sa, sb), 6)
+            AS containment_est,
+          ROUND(jx, 6) AS jaccard_exact,
+          ROUND(cx, 6) AS containment_exact,
+          ABS(CAST(sample_inter AS DOUBLE) / sample_k - jx) <= 0.2
+            AS jaccard_ok,
+          ABS(CAST(sample_inter AS DOUBLE) / LEAST(sa, sb) - cx) <= 0.2
+            AS containment_ok
+        FROM f, exact""")),
+
     Q("x37_salted_count",
       // two-phase salted aggregation: per-key counts where no reducer
       // ever receives a hot key whole — phase 1 groups by (key, salt),
@@ -5096,5 +5285,53 @@ object SparkEntry {
             ELSE 'low' END AS severity,
           'open' AS status, '__stream' AS table_name,
           '$NOW' AS run_at
-        FROM scored ORDER BY metric_name, day""")))
+        FROM scored ORDER BY metric_name, day""")),
+
+    Q("st08_stream_neardup_bootstrap",
+      // daily-ingest near-dup screening end to end: the standing corpus
+      // (doc_id < cut) was SimHash-signed ONCE by the batch pipeline;
+      // the new slice streams in and is screened against the corpus AND
+      // earlier arrivals via per-chunk state BOOTSTRAPPED from the
+      // persisted store (initial-state flatMapGroupsWithState) — no old
+      // text re-read, no batch re-run. Replay oracle (d04 pattern):
+      // DuckDB recomputes hamming ≤ 3 over the persisted signature
+      // table for every pair touching the slice; pigeonhole makes the
+      // 4-chunk candidates equal all-pairs at this threshold, and
+      // docId-ordered processing pins emission direction to
+      // (later, earlier).
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val cut = 9L * (maxId + 1L) / 10L // d10's proportional boundary
+        val base = freshState(s, "st08")
+        Dedup.simhashSignatures(docs).write.mode("overwrite")
+          .parquet(base + "/signatures")
+        docs.filter(col("doc_id") >= cut).select("doc_id", "text")
+          .write.mode("overwrite").parquet(base + "/slice")
+        val store = s.read.parquet(base + "/signatures")
+          .filter(col("doc_id") < cut)
+        val slice = streamOf(s, base + "/slice")
+          .select(col("doc_id").as("docId"), col("text"))
+          .as[graft.streaming.StreamingDetect.Doc]
+        val det = graft.streaming.StreamingDetect.nearDupStreamWithStore(
+          slice, store, maxHamming = 3, maxBucketSize = Int.MaxValue)
+        runBoundedStream(s, det.toDF(), "st08_sink", "append")
+          // a pair sharing two chunks emits twice (by design — cheaper
+          // than cross-key coordination inside the stream)
+          .dropDuplicates("docId", "dupOf")
+          .select(col("docId").as("doc_id"), col("dupOf").as("dup_of"),
+            col("hamming"))
+          .orderBy("doc_id", "dup_of")
+      },
+      Some("""WITH sig AS (SELECT doc_id, simhash
+          FROM read_parquet('/tmp/graft_qstate/st08/signatures/*.parquet')),
+        cut AS (SELECT 9 * (MAX(doc_id) + 1) // 10 AS c FROM sig),
+        pairs AS (
+          SELECT n.doc_id AS doc_id, o.doc_id AS dup_of,
+            bit_count(xor(n.simhash, o.simhash)) AS h
+          FROM sig n JOIN sig o
+            ON n.doc_id >= (SELECT c FROM cut) AND o.doc_id < n.doc_id)
+        SELECT doc_id, dup_of, CAST(h AS INT) AS hamming
+        FROM pairs WHERE h <= 3 ORDER BY doc_id, dup_of""")))
 }

@@ -658,6 +658,70 @@ object Dedup {
           .as("containment"))
   }
 
+  /** K-minimum-values (KMV) sketch of a corpus's distinct-shingle set
+   *  (Beyer et al., "On synopses for distinct-value estimation under
+   *  multiset operations", SIGMOD 2007): the k smallest md5 values over
+   *  the distinct shingles. The 100 TB twin of
+   *  [[corpusShingleOverlap]]: the exact form shuffles every distinct
+   *  shingle of BOTH corpora each time two corpora are compared; a KMV
+   *  sketch is computed per corpus ONCE (k tiny rows), persists, and
+   *  any two sketches compare in milliseconds — n corpora need n
+   *  sketch passes, not n² shuffles. md5 (not a seeded hash) keeps the
+   *  sketch deterministic and engine-portable, so the whole estimator
+   *  replays exactly in SQL.
+   *
+   *  Plan shape: map-side shingling → hash-distinct with partial
+   *  aggregation → global k-smallest via sort+limit (Spark plans
+   *  TakeOrdered: per-partition top-k, driver merges k rows). */
+  def kmvShingleSketch(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleK: Int = 3,
+      k: Int = 256): DataFrame = {
+    require(k > 0, "k must be positive")
+    val sh = shingleUdf(shingleK)
+    docs.select(explode(sh(col(textCol))).as("shingle"))
+      .select(md5(col("shingle").cast("binary")).as("h"))
+      .distinct()
+      .orderBy("h").limit(k)
+  }
+
+  /** Merge KMV sketches — the sketch of the UNION of the sketched sets
+   *  is exactly the k smallest of the combined sketches (closure under
+   *  union is KMV's defining property; no rescan of any corpus). */
+  def kmvMerge(sketches: Seq[DataFrame], k: Int): DataFrame = {
+    require(sketches.nonEmpty, "no sketches to merge")
+    sketches.reduce(_ unionByName _).distinct().orderBy("h").limit(k)
+  }
+
+  /** Overlap estimates between two KMV-sketched corpora, one row:
+   *  sample sizes, Jaccard and containment (vs the smaller side)
+   *  estimates. Estimator: within S = the k smallest of A∪B (a uniform
+   *  size-k sample of the union under the hash order), the fraction
+   *  present in both sketches estimates J(A,B); standard error
+   *  ≈ sqrt(J(1−J)/k). When the union holds ≤ k distinct shingles the
+   *  sample IS the population and the estimates are exact. Everything
+   *  is broadcast k-row frames — no data motion. */
+  def kmvOverlap(skA: DataFrame, skB: DataFrame, k: Int): DataFrame = {
+    val inS = kmvMerge(Seq(skA, skB), k)
+      .join(broadcast(skA.select(col("h"), lit(1).as("__a"))), Seq("h"), "left")
+      .join(broadcast(skB.select(col("h"), lit(1).as("__b"))), Seq("h"), "left")
+      .agg(
+        count(lit(1)).as("sample_k"),
+        sum(coalesce(col("__a"), lit(0)) * coalesce(col("__b"), lit(0)))
+          .as("sample_inter"),
+        sum(coalesce(col("__a"), lit(0))).as("sample_a"),
+        sum(coalesce(col("__b"), lit(0))).as("sample_b"))
+    inS.select(
+      col("sample_k").cast("long").as("sample_k"),
+      col("sample_inter").cast("long").as("sample_inter"),
+      round(col("sample_inter").cast("double") / col("sample_k"), 6)
+        .as("jaccard_est"),
+      round(col("sample_inter").cast("double")
+        / least(col("sample_a"), col("sample_b")), 6)
+        .as("containment_est"))
+  }
+
   /** Shared candidate machinery: (id_a, id_b, inter, __sza, __szb) for
    *  every ordered doc pair sharing ≥1 shingle (df-capped). */
   private def shinglePairCounts(

@@ -84,3 +84,73 @@ object IncrementalProfile {
         col("mx"), col("sm"),
         hll_sketch_estimate(col("hll")).as("distinct_estimate"))
 }
+
+/**
+ * Mergeable heavy hitters with DETERMINISTIC count bounds — the top-K
+ * member of the mergeable-state family (count/sum/min/max/HLL merge in
+ * [[IncrementalProfile]], quantiles in [[graft.profiler.LogSketch]]).
+ *
+ * Per slice s (n_s non-null rows, capacity k), the state keeps the
+ * EXACT count of every value v with k·f_s(v) > n_s — at most k−1
+ * values, so state is O(k) regardless of slice size. Merging is pure
+ * arithmetic over state rows:
+ *
+ *   lower(v) = Σ f_s(v) over slices whose state has v
+ *   upper(v) = lower(v) + Σ ⌊n_s/k⌋ over slices whose state lacks v
+ *
+ * Guarantees (pigeonhole over sums): every v with GLOBAL count
+ * k·f(v) > n appears in at least one slice state, and the true count
+ * always sits in [lower, upper]. Unlike Misra–Gries / SpaceSaving
+ * summaries (whose merged counter values depend on merge order), every
+ * number here is exact integer arithmetic — order-independent,
+ * deterministic, and replayable in plain SQL, so the whole operator is
+ * oracle-checkable. The price is the bound width (≤ slices·⌊n_s/k⌋
+ * for a value missing everywhere) instead of MG's single-summary n/k —
+ * the right trade for persisted per-partition states, where slices are
+ * few (days) and k is small.
+ */
+object MergeableTopK {
+
+  /** One pass over a slice → its heavy-hitter state: one row per
+   *  candidate value, `(slice_id, value, cnt, n)` with n = the slice's
+   *  non-null total (carried on every row so merge needs no side
+   *  table). The candidate filter is the integer compare k·cnt > n —
+   *  no float thresholds to diverge across engines. */
+  def sliceState(
+      df: DataFrame,
+      column: String,
+      k: Int,
+      sliceId: String): DataFrame = {
+    require(k > 1, "capacity k must be > 1")
+    val counts = df.where(col(column).isNotNull)
+      .groupBy(col(column).cast(StringType).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("n"))
+    counts.crossJoin(broadcast(total))
+      .where(col("cnt") * k > col("n"))
+      .select(lit(sliceId).as("slice_id"), col("value"), col("cnt"),
+        col("n"))
+  }
+
+  /** Merge slice states → `(value, lower, upper, slices_present)`,
+   *  descending by lower bound. Metadata-only: joins the candidate
+   *  rows against the (broadcast, one-row-per-slice) totals frame. */
+  def merge(states: DataFrame, k: Int): DataFrame = {
+    require(k > 1, "capacity k must be > 1")
+    val perSlice = states.select("slice_id", "n").distinct()
+      .select(col("slice_id"), floor(col("n") / k).as("__miss"))
+    val missTotal = perSlice.agg(sum("__miss").as("__miss_all"))
+    states
+      .groupBy("value")
+      .agg(
+        sum("cnt").as("lower"),
+        sum(floor(col("n") / k)).as("__miss_present"),
+        count(lit(1)).as("slices_present"))
+      .crossJoin(broadcast(missTotal))
+      .select(col("value"), col("lower"),
+        (col("lower") + col("__miss_all") - col("__miss_present"))
+          .as("upper"),
+        col("slices_present"))
+      .orderBy(col("lower").desc, col("value"))
+  }
+}

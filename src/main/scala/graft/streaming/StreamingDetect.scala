@@ -237,25 +237,60 @@ object StreamingDetect {
       "maxHamming must be in [0, 3] for the 4-chunk scheme")
     val spark = docs.sparkSession
     import spark.implicits._
+    chunkKeyed(docs)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        nearDupStep(maxHamming, maxBucketSize))
+  }
 
-    def step(
-        key: (Int, Int),
-        events: Iterator[ChunkKeyed],
-        state: GroupState[List[(Long, Long)]]): Iterator[NearDupCandidate] = {
-      var seen = state.getOption.getOrElse(Nil)
-      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
-      events.toSeq.sortBy(_.docId).foreach { e =>
-        seen.foreach { case (id, sh) =>
-          val h = java.lang.Long.bitCount(sh ^ e.simhash)
-          if (h <= maxHamming && id != e.docId)
-            out += NearDupCandidate(e.docId, id, h)
-        }
-        if (seen.size < maxBucketSize) seen = (e.docId, e.simhash) :: seen
+  /** [[nearDupStream]] with its per-chunk state BOOTSTRAPPED from a
+   *  persisted batch signature store (`(doc_id, simhash)` — the frame
+   *  `Dedup.simhashSignatures` writes). This is the daily-ingest shape
+   *  end to end: the standing corpus was signed ONCE by the batch
+   *  pipeline; the stream screens every arriving document against the
+   *  corpus AND earlier arrivals without re-reading a byte of old
+   *  text. Uses Structured Streaming's initial-state overload, so the
+   *  store loads once at query start, partitioned by the same chunk
+   *  keys the stream shuffles on — the streaming twin of the batch
+   *  `Dedup.incrementalHammingNearDuplicates`. Store entries admit in
+   *  docId order under the same `maxBucketSize` cap as arrivals. */
+  def nearDupStreamWithStore(
+      docs: Dataset[Doc],
+      storeSigs: DataFrame,
+      idCol: String = "doc_id",
+      sigCol: String = "simhash",
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): Dataset[NearDupCandidate] = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0, 3] for the 4-chunk scheme")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val initial = storeSigs
+      .select(col(idCol).cast("long"), col(sigCol).cast("long"))
+      .as[(Long, Long)]
+      .flatMap { case (id, sh) =>
+        (0 until 4).map(i =>
+          ChunkKeyed(i, ((sh >>> (i * 16)) & 0xffffL).toInt, id, sh))
       }
-      state.update(seen)
-      out.iterator
-    }
+      .groupByKey(k => (k.chunkIdx, k.chunkKey))
+      .mapGroups { (key, it) =>
+        val sigs = it.map(e => (e.docId, e.simhash)).toSeq
+          .sortBy(_._1).take(maxBucketSize).reverse.toList
+        (key, sigs)
+      }
+      .groupByKey(_._1).mapValues(_._2)
+    chunkKeyed(docs)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout(), initial)(
+        nearDupStep(maxHamming, maxBucketSize))
+  }
 
+  /** SimHash each doc and key it by its four 16-bit chunks. */
+  private def chunkKeyed(
+      docs: Dataset[Doc]): org.apache.spark.sql.KeyValueGroupedDataset[
+      (Int, Int), ChunkKeyed] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs
       .flatMap { d =>
         val sh = graft.pipeline.Dedup.simhash64(d.text)
@@ -263,8 +298,26 @@ object StreamingDetect {
           ChunkKeyed(i, ((sh >>> (i * 16)) & 0xffffL).toInt, d.docId, sh))
       }
       .groupByKey(k => (k.chunkIdx, k.chunkKey))
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(step)
+  }
+
+  /** Per-chunk match-then-admit step shared by the cold-start and
+   *  store-seeded near-dup streams. */
+  private def nearDupStep(maxHamming: Int, maxBucketSize: Int)(
+      key: (Int, Int),
+      events: Iterator[ChunkKeyed],
+      state: GroupState[List[(Long, Long)]]): Iterator[NearDupCandidate] = {
+    var seen = state.getOption.getOrElse(Nil)
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearDupCandidate]
+    events.toSeq.sortBy(_.docId).foreach { e =>
+      seen.foreach { case (id, sh) =>
+        val h = java.lang.Long.bitCount(sh ^ e.simhash)
+        if (h <= maxHamming && id != e.docId)
+          out += NearDupCandidate(e.docId, id, h)
+      }
+      if (seen.size < maxBucketSize) seen = (e.docId, e.simhash) :: seen
+    }
+    state.update(seen)
+    out.iterator
   }
 
   /** Persist a streaming detection frame into the engine's durable

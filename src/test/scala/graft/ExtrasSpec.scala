@@ -439,6 +439,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("near-dup stream bootstrapped from a persisted batch store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 160).map(i => s"word$i").mkString(" ")
+    val nearCopy = ((1 to 159).map(i => s"word$i") :+ "changed").mkString(" ")
+    val unrelated = (1 to 160).map(i => s"other$i").mkString(" ")
+    // the standing corpus was signed by the BATCH pipeline; only its
+    // signatures reach the stream (no text)
+    val store = graft.pipeline.Dedup.simhashSignatures(
+      Seq(1L -> base, 2L -> unrelated).toDF("doc_id", "text"))
+    val input = MemoryStream[StreamingDetect.Doc]
+    val out = StreamingDetect.nearDupStreamWithStore(input.toDS(), store)
+    val query = out.writeStream
+      .format("memory").queryName("neardup_boot_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamingDetect.Doc(10L, nearCopy), // vs store doc 1
+        StreamingDetect.Doc(11L, unrelated)) // exact copy of store doc 2
+      query.processAllAvailable()
+      input.addData(StreamingDetect.Doc(12L, nearCopy)) // vs store AND 10
+      query.processAllAvailable()
+      val got = spark.table("neardup_boot_out")
+        .select("docId", "dupOf").distinct().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(got.contains(10L -> 1L), s"store near-dup missed: $got")
+      assert(got.contains(11L -> 2L), s"store exact dup missed: $got")
+      assert(got.contains(12L -> 1L) && got.contains(12L -> 10L),
+        s"later arrival must match store and stream: $got")
+      assert(!got.exists(p => p._1 == 10L && p._2 == 2L),
+        s"unrelated store doc flagged: $got")
+    } finally query.stop()
+  }
+
   test("streaming sessionization closes sessions at the gap and sums values") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
