@@ -125,11 +125,17 @@ object MergeableTopK {
     val counts = df.where(col(column).isNotNull)
       .groupBy(col(column).cast(StringType).as("value"))
       .agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum("cnt").as("n"))
-    counts.crossJoin(broadcast(total))
+    val total = counts.agg(coalesce(sum("cnt"), lit(0L)).as("n"))
+    val cands = counts.crossJoin(broadcast(total))
       .where(col("cnt") * k > col("n"))
       .select(lit(sliceId).as("slice_id"), col("value"), col("cnt"),
         col("n"))
+    // sentinel row (NULL value) carrying n even when the slice has no
+    // candidates — without it an all-light slice would vanish from the
+    // merge and its ⌊n/k⌋ miss mass would silently drop out of `upper`
+    val sentinel = total.select(lit(sliceId).as("slice_id"),
+      lit(null).cast(StringType).as("value"), lit(0L).as("cnt"), col("n"))
+    cands.unionByName(sentinel)
   }
 
   /** Merge slice states → `(value, lower, upper, slices_present)`,
@@ -141,6 +147,7 @@ object MergeableTopK {
       .select(col("slice_id"), floor(col("n") / k).as("__miss"))
     val missTotal = perSlice.agg(sum("__miss").as("__miss_all"))
     states
+      .where(col("value").isNotNull) // drop the per-slice sentinels
       .groupBy("value")
       .agg(
         sum("cnt").as("lower"),

@@ -95,11 +95,16 @@ object LogSketch {
     val w = Window.partitionBy("column")
       .orderBy(col("lane").asc, pos.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // n via an unbounded window over the SAME frame, not a second
+    // aggregation of `merged` — one subtree, so an inline-built sketch
+    // isn't derived twice
+    val wAll = Window.partitionBy("column")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = merged.withColumn("__cum", sum("cnt").over(w))
-    val totals = merged.groupBy("column").agg(sum("cnt").as("n"))
+      .withColumn("n", sum("cnt").over(wAll))
     val qdf = qs.toDF("q")
     val mid = lit(2.0) * pow(lit(g), col("bucket")) / lit(g + 1)
-    cum.join(totals, "column")
+    cum
       .crossJoin(broadcast(qdf))
       .withColumn("__r",
         greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))

@@ -123,6 +123,26 @@ class MergeableTopKSpec extends AnyFunSuite {
     }
   }
 
+  test("a slice with NO candidates still contributes its miss mass") {
+    import spark.implicits._
+    val k = 5
+    // slice A: heavily skewed — "x" is a candidate (40*5 > 100)
+    val a = Seq.fill(40)("x") ++ (1 to 60).map(i => s"a$i")
+    // slice B: uniform over 50 values ⇒ no candidates at k=5, but "x"
+    // appears 2 times there — upper must still cover them via ⌊100/5⌋
+    val b = (1 to 49).map(i => s"b$i").flatMap(v => Seq(v, v)) ++ Seq("x", "x")
+    val states = MergeableTopK.sliceState(a.toDF("value"), "value", k, "a")
+      .unionByName(MergeableTopK.sliceState(b.toDF("value"), "value", k, "b"))
+    val m = MergeableTopK.merge(states, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.map(_._1).toSeq == Seq("x"))
+    val (_, lo, hi, present) = m.head
+    assert(present == 1L, "x is a candidate only in slice A")
+    assert(lo == 40L, "lower = slice-A exact count")
+    assert(hi == 40L + 100L / k, "upper must include slice B's miss mass")
+    assert(lo <= 42L && 42L <= hi, "true global count inside the bracket")
+  }
+
   test("single-slice state is the exact top candidates, zero-width bounds") {
     import spark.implicits._
     val data = Seq.fill(60)("a") ++ Seq.fill(25)("b") ++ Seq.fill(15)("c")
