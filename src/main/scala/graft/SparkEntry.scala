@@ -942,6 +942,44 @@ object SparkEntry {
         FROM m CROSS JOIN mt JOIN ex ON ex.value = m.value
         ORDER BY 2 DESC, 1""")),
 
+    Q("p39_state_store_profile",
+      // the mergeable families as a PERSISTED profiling service: three
+      // "daily" slices (l_orderkey % 3) are each profiled ONCE into the
+      // slice-state store (battery + quantile + top-K lanes, slice_id-
+      // partitioned parquet), then the merged profile of slices 1∪2 is
+      // answered purely from the persisted states — the excluded
+      // slice's files are partition-pruned, no data rescan. Oracle:
+      // exact mergeable fields recomputed from the equivalent row
+      // subset (p29's lane; the HLL/quantile/top-K lanes are pinned by
+      // StateStoreSpec since their states aren't SQL-portable).
+      (s, d) => {
+        import graft.profiler.SliceStateStore
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        val store = new SliceStateStore(s, freshState(s, "p39"))
+        (0 until 3).foreach(i => store.record(
+          li.filter(col("l_orderkey") % 3 === i), s"s$i",
+          quantileCols = Seq("l_quantity"),
+          topKCol = Some("l_linenumber"), k = 8))
+        store.profile(Seq("s1", "s2"))
+          .select(col("column"), col("cnt"), col("nulls"),
+            col("mn"), col("mx"), col("sm"))
+          .orderBy("column")
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_linenumber", "l_quantity")
+        cols.map(c =>
+          s"""SELECT '$c' AS "column",
+             CAST(COUNT($c) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS nulls,
+             CAST(MIN($c) AS DOUBLE) AS mn,
+             CAST(MAX($c) AS DOUBLE) AS mx,
+             CAST(SUM($c) AS DOUBLE) AS sm
+           FROM lineitem WHERE l_orderkey % 3 IN (1, 2)""")
+          .mkString(" UNION ALL ") + """ ORDER BY "column""""
+      }),
+
     Q("p31_ks_drift",
       // exact two-sample Kolmogorov–Smirnov D between odd- and even-order
       // lineitem prices; distributed prefix sums via range buckets (no

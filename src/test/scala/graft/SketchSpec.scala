@@ -154,6 +154,86 @@ class MergeableTopKSpec extends AnyFunSuite {
   }
 }
 
+class StateStoreSpec extends AnyFunSuite {
+  import SharedSpark._
+  import graft.profiler.{IncrementalProfile, LogSketch, MergeableTopK, SliceStateStore}
+
+  private def fixture = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    (1 to 900).map { i =>
+      (i.toLong, math.exp(rnd.nextDouble() * 6), s"v${rnd.nextInt(6)}")
+    }.toDF("id", "x", "cat")
+  }
+
+  test("store round-trip: every lane answers like the direct computation") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_state_store").toString
+    val store = new SliceStateStore(spark, dir)
+    val df = fixture
+    val slices = (0 until 3).map(i =>
+      i -> df.filter(col("id") % 3 === i)).toMap
+    slices.foreach { case (i, s) =>
+      store.record(s, s"d$i", quantileCols = Seq("x"),
+        topKCol = Some("cat"), k = 4)
+    }
+    // profile over a slice subset == direct incremental merge on it
+    val got = store.profile(Seq("d1", "d2"))
+      .select("column", "cnt", "nulls", "mn", "mx", "sm")
+      .orderBy("column").collect().map(_.toSeq)
+    val want = IncrementalProfile.merge(
+      IncrementalProfile.sliceState(slices(1), "d1")
+        .unionByName(IncrementalProfile.sliceState(slices(2), "d2")))
+      .select("column", "cnt", "nulls", "mn", "mx", "sm")
+      .orderBy("column").collect().map(_.toSeq)
+    assert(got.sameElements(want))
+    // quantiles from the store == direct sketch over the same subset
+    val qGot = store.quantiles("x", Seq(0.5, 0.9), slices = Seq("d0", "d1"))
+      .orderBy("q").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val qWant = LogSketch.quantiles(
+      LogSketch.merge(
+        LogSketch.sliceState(slices(0), "x", 0.01, "d0")
+          .unionByName(LogSketch.sliceState(slices(1), "x", 0.01, "d1"))),
+      0.01, Seq(0.5, 0.9))
+      .orderBy("q").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(qGot.sameElements(qWant))
+    // top-K brackets from the store == direct merge
+    val tGot = store.topK(k = 4).collect().map(_.toSeq)
+    val tWant = MergeableTopK.merge(
+      (0 until 3).map(i =>
+        MergeableTopK.sliceState(slices(i), "cat", 4, s"d$i"))
+        .reduce(_ unionByName _), 4).collect().map(_.toSeq)
+    assert(tGot.sameElements(tWant))
+  }
+
+  test("slice-subset reads prune at the partition level") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_state_store_prune").toString
+    val store = new SliceStateStore(spark, dir)
+    val df = fixture
+    (0 until 3).foreach(i =>
+      store.record(df.filter(col("id") % 3 === i), s"d$i"))
+    val scan = spark.read.parquet(s"$dir/profile")
+      .filter(col("slice_id").isin("d1", "d2"))
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("slice_id"),
+      s"expected slice_id partition pruning in:\n$scan")
+  }
+
+  test("re-recording a slice replaces only that partition") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_state_store_rerec").toString
+    val store = new SliceStateStore(spark, dir)
+    val df = fixture
+    store.record(df.filter(col("id") <= 300), "d0")
+    store.record(df.filter(col("id") > 300), "d1")
+    // d0 recorded again with different data must not disturb d1
+    store.record(df.filter(col("id") <= 150), "d0")
+    val merged = store.profile().filter(col("column") === "id").head()
+    assert(merged.getAs[Long]("cnt") == 150L + 600L)
+  }
+}
+
 class KmvSpec extends AnyFunSuite {
   import SharedSpark._
 
