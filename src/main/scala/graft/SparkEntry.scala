@@ -5392,5 +5392,59 @@ object SparkEntry {
           FROM sig n JOIN sig o
             ON n.doc_id >= (SELECT c FROM cut) AND o.doc_id < n.doc_id)
         SELECT doc_id, dup_of, CAST(h AS INT) AS hamming
-        FROM pairs WHERE h <= 3 ORDER BY doc_id, dup_of""")))
+        FROM pairs WHERE h <= 3 ORDER BY doc_id, dup_of""")),
+
+    Q("st09_stream_quantiles",
+      // continuous quantile profiling: per-day LogSketch states stream
+      // out of a watermarked window aggregation (the p37 sketch's
+      // streaming twin, sink shape = SliceStateStore's quantile lane),
+      // then per-day p50/p90 estimates come from the drained states
+      // alone. Verification is p37's rank-check lane per window: the
+      // batch fraction of that day's rows ≤ each streamed estimate
+      // must sit near q (oracle pins the verdicts TRUE plus exact
+      // per-day counts; windows under 100 rows are excluded — rank
+      // granularity 1/n would dominate the tolerance, not the sketch).
+      (s, d) => {
+        import graft.profiler.LogSketch
+        val alpha = 0.01
+        val states = runBoundedStream(s,
+          graft.streaming.StreamingDetect.streamingQuantiles(
+            eventsStream(s, d).select(col("ts"), col("value")),
+            "ts", "value", alpha,
+            windowLength = "1 day", watermark = "2 days"),
+          "st09_sink", "complete")
+        val ests = LogSketch.quantiles(
+          states.select(
+            to_date(col("slice_id")).cast("string").as("column"),
+            col("lane"), col("bucket"), col("cnt")),
+          alpha, Seq(0.5, 0.9))
+          .groupBy(col("column").as("day"))
+          .agg(
+            max(when(col("q") === 0.5, col("estimate"))).as("__e50"),
+            max(when(col("q") === 0.9, col("estimate"))).as("__e90"),
+            max(col("n")).as("n"))
+        val ev = eventsTable(s, d)
+          .select(date_add(col("ts").cast("date"), 1).cast("string")
+            .as("day"), col("value").cast("double").as("__v"))
+          .where(col("__v").isNotNull)
+        ev.join(broadcast(ests), "day")
+          .groupBy(col("day"), col("n"))
+          .agg(
+            (sum(when(col("__v") <= col("__e50"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("__f50"),
+            (sum(when(col("__v") <= col("__e90"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("__f90"))
+          .where(col("n") >= 100)
+          .select(col("day").cast("date").as("day"), col("n"),
+            (abs(col("__f50") - 0.5) <= 0.05).as("p50_ok"),
+            (abs(col("__f90") - 0.9) <= 0.05).as("p90_ok"))
+          .orderBy("day")
+      },
+      Some("""WITH d AS (
+          SELECT CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS DATE) AS day,
+            value
+          FROM events WHERE value IS NOT NULL)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+          TRUE AS p50_ok, TRUE AS p90_ok
+        FROM d GROUP BY day HAVING COUNT(*) >= 100 ORDER BY day""")))
 }

@@ -40,6 +40,22 @@ object LogSketch {
     (1 + alpha) / (1 - alpha)
   }
 
+  /** Sign lane of a value: 1 positive, −1 negative, 0 zero. */
+  def laneExpr(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(v > 0, 1).when(v < 0, -1).otherwise(0)
+
+  /** Log-bucket index ⌈log_γ |v|⌉ (0 for the zero lane). Branch values
+   *  only evaluate when their condition holds (CaseWhen short-circuits
+   *  in codegen), so log never sees a non-positive argument. */
+  def bucketExpr(
+      v: org.apache.spark.sql.Column,
+      alpha: Double): org.apache.spark.sql.Column = {
+    val lg = math.log(gamma(alpha))
+    when(v > 0, ceil(log(v) / lit(lg)).cast("long"))
+      .when(v < 0, ceil(log(-v) / lit(lg)).cast("long"))
+      .otherwise(lit(0L))
+  }
+
   /** One pass over a slice → its sketch state: one row per occupied
    *  (lane, bucket) cell, `(slice_id, column, lane, bucket, cnt)`.
    *  lane −1 holds negatives (bucketed on |x|), 0 holds zeros, 1 holds
@@ -52,14 +68,9 @@ object LogSketch {
       column: String,
       alpha: Double,
       sliceId: String): DataFrame = {
-    val lg = math.log(gamma(alpha))
     val v = col(column).cast("double")
-    val lane = when(v > 0, 1).when(v < 0, -1).otherwise(0)
-    val bucket = when(v > 0, ceil(log(v) / lit(lg)).cast("long"))
-      .when(v < 0, ceil(log(-v) / lit(lg)).cast("long"))
-      .otherwise(lit(0L))
     df.where(v.isNotNull)
-      .groupBy(lane.as("lane"), bucket.as("bucket"))
+      .groupBy(laneExpr(v).as("lane"), bucketExpr(v, alpha).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .select(lit(sliceId).as("slice_id"), lit(column).as("column"),
         col("lane"), col("bucket"), col("cnt"))

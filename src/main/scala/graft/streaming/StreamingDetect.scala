@@ -146,6 +146,36 @@ object StreamingDetect {
       .select(col("slice_id"), col("s.*"))
   }
 
+  /** Continuous quantile profiling — the [[streamingProfile]] twin for
+   *  the quantile lane: per watermarked window, one
+   *  [[graft.profiler.LogSketch]] state row per occupied (lane, bucket)
+   *  cell, in EXACTLY the shape `LogSketch.merge`/`quantiles` (and the
+   *  `SliceStateStore` quantiles lane) consume, with
+   *  slice_id = window end. So "p99 latency per hour" streams
+   *  continuously, and "p99 over any window range" is a metadata-only
+   *  merge of this stream's sink — never a rescan. State per window is
+   *  bounded by the bucket count (O(log range / α)), and closed
+   *  windows drop with the watermark. */
+  def streamingQuantiles(
+      events: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      alpha: Double = 0.01,
+      windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.profiler.LogSketch
+    val v = col(valueCol).cast("double")
+    graft.operators.TsNorm.normalizeTs(events, tsCol)
+      .withWatermark(tsCol, watermark)
+      .where(v.isNotNull)
+      .groupBy(window(col(tsCol), windowLength),
+        LogSketch.laneExpr(v).as("lane"),
+        LogSketch.bucketExpr(v, alpha).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.end").cast("string").as("slice_id"),
+        lit(valueCol).as("column"), col("lane"), col("bucket"), col("cnt"))
+  }
+
   /** Streaming gap-based sessionization — the stream-native counterpart
    *  of the batch `operators.Sessionize` rollup, built on Spark's
    *  session_window (dynamic-gap session state, merged incrementally as

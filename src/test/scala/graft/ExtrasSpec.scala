@@ -439,6 +439,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming quantile states equal the batch sketch per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h0 = Timestamp.valueOf("2026-01-01 00:30:00")
+    val h1 = Timestamp.valueOf("2026-01-01 01:30:00")
+    val w0 = Seq(1.0, 2.5, 2.5, 40.0, 0.0, -3.0)
+    val w1 = Seq(10.0, 10.0, 0.5)
+    val input = MemoryStream[(Timestamp, Double)]
+    val query = StreamingDetect.streamingQuantiles(
+      input.toDS().toDF("ts", "value"), "ts", "value", alpha = 0.01,
+      windowLength = "1 hour", watermark = "2 hours")
+      .writeStream.format("memory").queryName("stq_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(w0.map((h0, _)) ++ w1.map((h1, _)): _*)
+      query.processAllAvailable()
+      val got = spark.table("stq_out")
+        .select("slice_id", "lane", "bucket", "cnt")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val want = graft.profiler.LogSketch
+        .sliceState(w0.toDF("value"), "value", 0.01, "2026-01-01 01:00:00")
+        .unionByName(graft.profiler.LogSketch
+          .sliceState(w1.toDF("value"), "value", 0.01, "2026-01-01 02:00:00"))
+        .select("slice_id", "lane", "bucket", "cnt")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == want, s"stream states $got != batch states $want")
+    } finally query.stop()
+  }
+
   test("near-dup stream bootstrapped from a persisted batch store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
