@@ -2961,6 +2961,60 @@ object SparkEntry {
         FROM scored WHERE cos >= CAST(0.2 AS DOUBLE)
         ORDER BY id_a, id_b""")),
 
+    Q("e13_incremental_ivf",
+      // IVF index MAINTENANCE under daily ingest: the standing corpus's
+      // index is persisted (cell-partitioned assignment table); the new
+      // slice (last 10% of ids) is assigned to its nearest EXISTING
+      // centroids map-side and appended into the cell partitions — no
+      // re-clustering, old vectors never re-read. The probe then runs
+      // against the post-append index and must surface new-slice
+      // neighbors. Same candidate-replay oracle as e05: the probed-cell
+      // pair set is persisted, DuckDB re-scores exact cosine top-k.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val state = freshState(s, "e13")
+        val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+        val cut = 9L * (maxId + 1L) / 10L
+        Similarity.ivfSave(
+          Similarity.ivfBuild(
+            emb.filter(col("vec_id") < cut).select("vec_id", "embedding"),
+            k = 16),
+          state + "/index")
+        Similarity.ivfAppend(state + "/index",
+          emb.filter(col("vec_id") >= cut).select("vec_id", "embedding"))
+        val index = Similarity.ivfLoad(s, state + "/index")
+        val queries = emb.filter(col("vec_id") < 5)
+        val candPath = state + "/candidates"
+        Similarity.ivfCandidates(index, queries, nprobe = 4)
+          .write.mode("overwrite").parquet(candPath)
+        Similarity.rankCandidates(emb, queries, s.read.parquet(candPath),
+            k = 10)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH cand AS (SELECT query_id, neighbor_id
+          FROM read_parquet('/tmp/graft_qstate/e13/candidates/*.parquet')),
+        e AS (SELECT vec_id, embedding FROM embeddings),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+            list_sum(list_transform(range(1, len(qe.embedding) + 1),
+              i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE))) /
+            (SQRT(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(list_sum(list_transform(ne.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM cand
+          JOIN e qe ON qe.vec_id = cand.query_id
+          JOIN e ne ON ne.vec_id = cand.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+          CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     Q("e04_embedding_neardup",
       (s, d) => Similarity.nearDuplicateEmbeddings(
         t(s, d, "embeddings"), threshold = 0.99)

@@ -737,6 +737,36 @@ class IvfSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("__cell"),
       s"expected __cell partition pruning in:\n$scan")
   }
+
+  test("ivfAppend: appended index answers like a full build on the " +
+      "same centroids, and only slice rows are added") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val old = emb.filter(col("vec_id") < 400)
+    val slice = emb.filter(col("vec_id") >= 400)
+    val dir = Files.createTempDirectory("graft_ivf_append").toString
+    val oldIndex = Similarity.ivfBuild(old, k = 8)
+    Similarity.ivfSave(oldIndex, dir)
+    Similarity.ivfAppend(dir, slice)
+    val appended = Similarity.ivfLoad(spark, dir)
+    def res(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopK(ix, queries, k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // reference: assign the FULL corpus with the OLD centroids (what a
+    // rebuild-on-same-centroids would produce)
+    val fullOnOldCentroids = Similarity.IvfIndex(
+      emb.filter(col("embedding").isNotNull)
+        .withColumn("__cell",
+          Similarity.nearestCellUdf(oldIndex.centroids)(col("embedding"))),
+      oldIndex.centroids, oldIndex.idCol, oldIndex.embCol)
+    assert(res(appended) == res(fullOnOldCentroids),
+      "appended index must answer like a same-centroid full assignment")
+    assert(appended.assigned.count() ==
+      old.filter(col("embedding").isNotNull).count() +
+      slice.filter(col("embedding").isNotNull).count())
+  }
 }
 
 class GraftFunctionsSpec extends AnyFunSuite {
