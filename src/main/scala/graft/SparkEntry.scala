@@ -3256,6 +3256,61 @@ object SparkEntry {
           CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    Q("e14_incremental_pq",
+      // PQ index MAINTENANCE under daily ingest (e13's twin for the
+      // memory-bound path): codebooks train on the standing corpus
+      // only; the new slice (last 10% of ids) encodes with the
+      // PERSISTED codebooks in one map-side pass and its codes append
+      // — no re-training, old codes never recomputed. The ADC scan
+      // then scores old + appended codes alike. Same replay oracle as
+      // e09, over the POST-APPEND persisted codes.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val state = freshState(s, "e14")
+        val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+        val cut = 9L * (maxId + 1L) / 10L
+        Similarity.pqSave(
+          Similarity.pqBuild(emb.filter(col("vec_id") < cut),
+            m = 8, ks = 16),
+          state)
+        Similarity.pqAppend(state, emb.filter(col("vec_id") >= cut))
+        val index = Similarity.pqLoad(s, state)
+        Similarity.pqTopK(index, emb.filter(col("vec_id") < 5), k = 10,
+            rankOnRounded = Some(6))
+          .select(col("query_id"), col("neighbor_id"),
+            col("adc_dist"), col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH cb AS (SELECT sub, code, centroid
+          FROM read_parquet('/tmp/graft_qstate/e14/codebooks/*.parquet')),
+        codes AS (SELECT vec_id, code
+          FROM read_parquet('/tmp/graft_qstate/e14/codes/*.parquet')),
+        q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+          WHERE vec_id < 5),
+        dt AS (
+          SELECT q.query_id, cb.sub, cb.code,
+            list_sum(list_transform(range(1, 9),
+              i -> (CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.centroid[i])
+                 * (CAST(q.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.centroid[i])))
+              AS dist
+          FROM q CROSS JOIN cb),
+        exploded AS (
+          SELECT vec_id, CAST(t.i AS INT) - 1 AS sub, code[CAST(t.i AS INT)] AS cd
+          FROM codes, range(1, 9) t(i)),
+        scored AS (
+          SELECT dt.query_id, e.vec_id AS neighbor_id,
+            ROUND(SUM(dt.dist), 6) AS adc
+          FROM exploded e JOIN dt ON dt.sub = e.sub AND dt.code = e.cd
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbor_id, adc,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY adc, neighbor_id) AS rank
+          FROM scored WHERE neighbor_id != query_id)
+        SELECT query_id, neighbor_id, adc AS adc_dist,
+          CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     Q("e10_knn_ivfpq",
       // IVF-PQ composition, the big-corpus ANN path: coarse cells prune
       // the candidate set (e05's verified stage), ADC scores ONLY those

@@ -74,6 +74,33 @@ final class GraftEngine(
     p
   }
 
+  /** Incremental profiling through the persisted slice-state store —
+   *  the scale replacement for re-running [[profileTable]] over the
+   *  whole table each poll: record each arriving slice ONCE (battery +
+   *  optional quantile / top-K lanes), then answer any slice range
+   *  from the tiny persisted states. One store per table under
+   *  stateDir/slice_states/<table>. */
+  def sliceStates(table: String): graft.profiler.SliceStateStore =
+    new graft.profiler.SliceStateStore(spark,
+      s"$stateDir/slice_states/$table")
+
+  /** Profile one slice of a table (rows matching `predicate`) into the
+   *  table's slice-state store. */
+  def recordProfileSlice(
+      table: String,
+      sliceId: String,
+      predicate: org.apache.spark.sql.Column,
+      quantileCols: Seq[String] = Nil,
+      topKCol: Option[String] = None,
+      k: Int = 100): Unit =
+    sliceStates(table).record(catalog.table(table).filter(predicate),
+      sliceId, quantileCols = quantileCols, topKCol = topKCol, k = k)
+
+  /** Merged per-column profile over recorded slices (all if empty) —
+   *  metadata-only, no table rescan. */
+  def profileRange(table: String, slices: Seq[String] = Nil): DataFrame =
+    sliceStates(table).profile(slices)
+
   /** §3.2: generate (or accept) rules, run them in parallel, persist
    *  results + failure events; failures publish one
    *  `validation_failures_detected` event (events.py:196-242). */

@@ -16,6 +16,34 @@ class EngineSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("incremental profiling: record slices once, answer ranges from states") {
+    val state = Files.createTempDirectory("graft_engine_slices").toString
+    val engine = new GraftEngine(spark, sfDir, state)
+    // "daily" slices of lineitem by orderkey parity classes
+    (0 until 3).foreach(i => engine.recordProfileSlice(
+      "lineitem", s"d$i", col("l_orderkey") % 3 === i,
+      quantileCols = Seq("l_extendedprice"),
+      topKCol = Some("l_linenumber"), k = 8))
+    // range read over slices 0+2 ≡ direct aggregation over those rows
+    val got = engine.profileRange("lineitem", Seq("d0", "d2"))
+      .filter(col("column") === "l_quantity").head()
+    val want = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") % 3 =!= 1)
+      .agg(org.apache.spark.sql.functions.count(col("l_quantity")),
+        org.apache.spark.sql.functions.sum(col("l_quantity")).cast("double"))
+      .head()
+    assert(got.getAs[Long]("cnt") == want.getLong(0))
+    assert(math.abs(got.getAs[Double]("sm") - want.getDouble(1)) < 1e-6)
+    // quantile + top-K lanes answer from the same store
+    val q = engine.sliceStates("lineitem")
+      .quantiles("l_extendedprice", Seq(0.5), slices = Seq("d0", "d2"))
+      .head()
+    assert(q.getAs[Double]("estimate") > 0)
+    val hh = engine.sliceStates("lineitem").topK(k = 8).collect()
+    assert(hh.nonEmpty && hh.forall(r =>
+      r.getAs[Long]("lower") <= r.getAs[Long]("upper")))
+  }
+
   test("engine lifecycle: profile, validate, detect, trend, scan") {
     val state = Files.createTempDirectory("graft_engine").toString
     val engine = new GraftEngine(spark, sfDir, state)

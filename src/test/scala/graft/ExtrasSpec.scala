@@ -827,6 +827,36 @@ class PqSpec extends AnyFunSuite {
     assert(ca.values.forall(cs => cs.length == 8 && cs.forall(c => c >= 0 && c < 16)))
   }
 
+  test("pqAppend: slice codes equal a same-codebook encode; load round-trips") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val old = emb.filter(col("vec_id") < 400)
+    val slice = emb.filter(col("vec_id") >= 400)
+    val built = Similarity.pqBuild(old, m = 8, ks = 16)
+    val dir = Files.createTempDirectory("graft_pq_append").toString
+    Similarity.pqSave(built, dir)
+    Similarity.pqAppend(dir, slice)
+    val loaded = Similarity.pqLoad(spark, dir)
+    // codebooks round-trip bit-exact; append must not have touched them
+    assert(loaded.codebooks.flatMap(_.flatMap(_.toSeq)).toSeq ==
+      built.codebooks.flatMap(_.flatMap(_.toSeq)).toSeq)
+    assert((loaded.m, loaded.ks, loaded.subDim) ==
+      (built.m, built.ks, built.subDim))
+    def codeMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    val after = codeMap(loaded.codes)
+    // appended rows ≡ what a rebuild-with-these-codebooks would encode:
+    // a full-corpus pqBuild is NOT the comparison (its codebooks would
+    // retrain); encode the whole corpus via append into a fresh dir
+    val dir2 = Files.createTempDirectory("graft_pq_append2").toString
+    Similarity.pqSave(built.copy(codes = built.codes.limit(0)), dir2)
+    Similarity.pqAppend(dir2, emb)
+    assert(after == codeMap(Similarity.pqLoad(spark, dir2).codes))
+    assert(after.size ==
+      emb.filter(col("embedding").isNotNull).count().toInt)
+  }
+
   test("PQ search fails loudly on a non-long id column in the QUERIES frame") {
     import graft.pipeline.Similarity
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
