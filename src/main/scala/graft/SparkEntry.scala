@@ -2911,6 +2911,49 @@ object SparkEntry {
           CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    Q("x50_contrastive_mine",
+      // contrastive training-pair mining: per anchor, the most-similar
+      // SAME-label neighbor (positive) + the 5 most-similar DIFFERENT-
+      // label neighbors (hard negatives — the confusable examples that
+      // actually move a contrastive loss). e02's exact shape with a
+      // label lane, so the whole miner replays in SQL; strict label
+      // equality means NULL-labeled rows only ever serve as negatives
+      // in both engines.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.contrastiveMine(emb, emb.filter(col("vec_id") < 5),
+            kNeg = 5)
+          .select(col("query_id"), col("kind"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .orderBy("query_id", "kind", "rank")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+            label AS ql
+          FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce, label AS cl
+          FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.neighbor_id,
+            CASE WHEN c.cl = q.ql THEN 'positive'
+              ELSE 'hard_negative' END AS kind,
+            list_sum(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+            (SQRT(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM q, c WHERE q.query_id <> c.neighbor_id),
+        ranked AS (
+          SELECT query_id, kind, neighbor_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY query_id, kind
+              ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, kind, neighbor_id, ROUND(cos, 6) AS cosine,
+          CAST(rank AS INT) AS rank
+        FROM ranked
+        WHERE (kind = 'hard_negative' AND rank <= 5)
+           OR (kind = 'positive' AND rank = 1)
+        ORDER BY query_id, kind, rank""")),
+
     Q("e12_incremental_embedding_dedup",
       // the d10/m04 ingest shape for the cosine family: the standing
       // corpus's banded hyperplane signatures are PERSISTED; a new

