@@ -32,7 +32,13 @@ object Explain {
         // st01–st05 absent for the same reason: the streaming sink is
         // drained into a memory table, so the audited plan would be a
         // LocalTableScan; StreamingSpec pins their operator shapes
-        "e09_knn_pq", "s12_bloom_pruned_lookup", "a14_seasonal_zscore")
+        "e09_knn_pq", "s12_bloom_pruned_lookup", "a14_seasonal_zscore",
+        // round-10 sketch/maintenance family (st08/st09 absent: memory-
+        // sink drains, LocalTableScan plans; StreamingSpec pins them)
+        "p37_mergeable_quantiles", "p38_mergeable_topk",
+        "p39_state_store_profile", "x48_kmv_overlap",
+        "x50_contrastive_mine", "e13_incremental_ivf",
+        "e14_incremental_pq")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -240,5 +240,12 @@ class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(m.get.group(1).toInt == SparkEntry.queries.size,
       s"COVERAGE.md says ${m.get.group(1)} queries; registry has " +
         s"${SparkEntry.queries.size} — update the doc")
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val rm = """all (\d+) registered queries""".r.findFirstMatchIn(readme)
+    assert(rm.isDefined, "README.md lost its 'all N registered queries' line")
+    assert(rm.get.group(1).toInt == SparkEntry.queries.size,
+      s"README.md says ${rm.get.group(1)} queries; registry has " +
+        s"${SparkEntry.queries.size} — update the doc")
   }
 }
