@@ -980,6 +980,56 @@ object SparkEntry {
           .mkString(" UNION ALL ") + """ ORDER BY "column""""
       }),
 
+    Q("p40_state_drift",
+      // drift monitoring WITHOUT rescanning data — the op the slice-
+      // state store unlocks: PSI between the two half-months of
+      // events.value computed purely from their PERSISTED LogSketch
+      // states (fixed log-scale cells need no combined-range pass, so
+      // slices profiled on different days still compare cell-for-
+      // cell). Replay oracle: DuckDB reads the same persisted states
+      // and re-derives the smoothed nano-quantized PSI — merge and
+      // score arithmetic verified end-to-end (bucketing itself is
+      // pinned by p37/st09's rank checks and LogSketchSpec).
+      (s, d) => {
+        import graft.profiler.{Drift, LogSketch}
+        val ev = eventsTable(s, d)
+        val state = freshState(s, "p40")
+        LogSketch.sliceState(
+            ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+            "value", 0.01, "h1")
+          .write.mode("overwrite").parquet(state + "/h1")
+        LogSketch.sliceState(
+            ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+            "value", 0.01, "h2")
+          .write.mode("overwrite").parquet(state + "/h2")
+        Drift.driftFromStates(
+          s.read.parquet(state + "/h1"), s.read.parquet(state + "/h2"))
+      },
+      Some("""WITH b AS (SELECT lane, bucket, cnt
+          FROM read_parquet('/tmp/graft_qstate/p40/h1/*.parquet')),
+        a AS (SELECT lane, bucket, cnt
+          FROM read_parquet('/tmp/graft_qstate/p40/h2/*.parquet')),
+        bc AS (SELECT lane, bucket, SUM(cnt) AS n_before
+          FROM b GROUP BY 1, 2),
+        ac AS (SELECT lane, bucket, SUM(cnt) AS n_after
+          FROM a GROUP BY 1, 2),
+        j AS (SELECT
+            COALESCE(bc.lane, ac.lane) AS lane,
+            COALESCE(bc.bucket, ac.bucket) AS bucket,
+            COALESCE(n_before, 0) AS n_before,
+            COALESCE(n_after, 0) AS n_after
+          FROM bc FULL OUTER JOIN ac
+            ON bc.lane = ac.lane AND bc.bucket = ac.bucket),
+        t AS (SELECT SUM(n_before) AS tb, SUM(n_after) AS ta,
+          COUNT(*) AS k FROM j),
+        f AS (SELECT CAST(n_before + 1 AS DOUBLE) / (tb + k) AS p,
+            CAST(n_after + 1 AS DOUBLE) / (ta + k) AS q
+          FROM j CROSS JOIN t)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+          ROUND(CAST(SUM(CAST(ROUND((p - q) * ln(p / q) * 1e9, 0) AS BIGINT))
+            AS DOUBLE) / 1e9, 6) AS psi
+        FROM f""")),
+
     Q("p31_ks_drift",
       // exact two-sample Kolmogorov–Smirnov D between odd- and even-order
       // lineitem prices; distributed prefix sums via range buckets (no

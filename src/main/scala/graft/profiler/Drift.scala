@@ -212,6 +212,38 @@ object Drift {
           .cast("double") / 1e9, 6).as("psi"))
   }
 
+  /** PSI drift from persisted [[LogSketch]] quantile states — the
+   *  monitoring op the slice-state store unlocks: compare ANY two
+   *  recorded slices (yesterday vs today, last week vs this week)
+   *  WITHOUT rescanning a byte of data. The sketch's fixed log-scale
+   *  (lane, bucket) cells play the role of [[numericDrift]]'s
+   *  equal-width bins — and being data-independent they need no
+   *  combined-range pass, so two corpora profiled on different days by
+   *  different jobs still drift-compare cell-for-cell. Same add-one
+   *  smoothing over occupied cells and nano-quantized summation as the
+   *  other drift scores (order-independent, engine-portable). Inputs
+   *  may be merged or raw multi-slice state frames for ONE column. */
+  def driftFromStates(stBefore: DataFrame, stAfter: DataFrame): DataFrame = {
+    def cells(df: DataFrame, n: String) = df
+      .groupBy("lane", "bucket").agg(sum("cnt").as(n))
+    val joined = cells(stBefore, "n_before")
+      .join(cells(stAfter, "n_after"), Seq("lane", "bucket"), "full_outer")
+      .na.fill(0L, Seq("n_before", "n_after"))
+    val totals = joined.agg(
+      sum(col("n_before")).as("__tb"), sum(col("n_after")).as("__ta"),
+      count(lit(1)).as("__k"))
+    def nano(c: Column): Column = round(c * 1e9, 0).cast("long")
+    joined.crossJoin(broadcast(totals))
+      .withColumn("__p",
+        (col("n_before") + 1).cast("double") / (col("__tb") + col("__k")))
+      .withColumn("__q",
+        (col("n_after") + 1).cast("double") / (col("__ta") + col("__k")))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        round(sum(nano((col("__p") - col("__q")) * log(col("__p") / col("__q"))))
+          .cast("double") / 1e9, 6).as("psi"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between two slices of a
    *  numeric column: D = max over values v of |F_before(v) − F_after(v)|
    *  (exact, not binned — the classic distribution-shift test that, unlike

@@ -64,6 +64,28 @@ class LogSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("state-based PSI: zero for identical slices, positive under shift") {
+    import spark.implicits._
+    import graft.profiler.Drift
+    val base = sample(3000, seed = 21)
+    val shifted = base.map(_ * 3.5) // scale shift moves log buckets
+    val stA = LogSketch.sliceState(base.toDF("v"), "v", alpha, "a")
+    val stB = LogSketch.sliceState(base.toDF("v"), "v", alpha, "b")
+    val stC = LogSketch.sliceState(shifted.toDF("v"), "v", alpha, "c")
+    val same = Drift.driftFromStates(stA, stB).head()
+    assert(same.getAs[Double]("psi") == 0.0,
+      "identical distributions must score zero drift")
+    val moved = Drift.driftFromStates(stA, stC).head()
+    assert(moved.getAs[Double]("psi") > 0.1,
+      s"a 3.5x scale shift must register: ${moved.getAs[Double]("psi")}")
+    // multi-slice (unmerged) input aggregates before scoring
+    val split = Drift.driftFromStates(
+      stA.unionByName(LogSketch.sliceState(
+        Seq.empty[Double].toDF("v"), "v", alpha, "a2")),
+      stB).head()
+    assert(split.getAs[Double]("psi") == 0.0)
+  }
+
   test("negative-heavy and all-zero lanes order correctly") {
     import spark.implicits._
     val data = Seq(-100.0, -10.0, -1.0, 0.0, 0.0, 1.0, 10.0)
