@@ -62,7 +62,8 @@ object Soak {
     "p37_mergeable_quantiles", "p38_mergeable_topk", "x48_kmv_overlap",
     "st08_stream_neardup_bootstrap", "p39_state_store_profile",
     "st09_stream_quantiles", "e13_incremental_ivf",
-    "e14_incremental_pq", "x50_contrastive_mine", "p40_state_drift")
+    "e14_incremental_pq", "x50_contrastive_mine", "p40_state_drift",
+    "x51_training_shards")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -3004,6 +3004,33 @@ object SparkEntry {
            OR (kind = 'positive' AND rank = 1)
         ORDER BY query_id, kind, rank""")),
 
+    Q("x51_training_shards",
+      // reproducible epoch shuffle: every doc gets a (shard, pos)
+      // address from the seeded md5 order — same epoch ⇒ identical
+      // layout on every run and engine, next epoch reshuffles. Shard =
+      // first hex byte (instr-decoded, engine-portable) mod 8; pos
+      // ranks within the shard only, so no global sort exists at any
+      // scale. Full replay oracle.
+      (s, d) => graft.pipeline.Sampling.trainingShards(
+          t(s, d, "documents").select("doc_id"),
+          numShards = 8, epoch = "ep0")
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos"),
+      Some("""WITH k AS (
+          SELECT doc_id, md5('ep0:' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+        sh AS (
+          SELECT doc_id, h,
+            ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 8
+              AS shard
+          FROM k)
+        SELECT CAST(shard AS INT) AS shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h)
+            AS BIGINT) AS pos,
+          doc_id
+        FROM sh ORDER BY shard, pos""")),
+
     Q("e12_incremental_embedding_dedup",
       // the d10/m04 ingest shape for the cosine family: the standing
       // corpus's banded hyperplane signatures are PERSISTED; a new

@@ -41,6 +41,36 @@ object Sampling {
       when(b < trainEnd, "train").when(b < valEnd, "val").otherwise("test"))
   }
 
+  /** Deterministic epoch-shuffled training shards: every row gets a
+   *  (shard, pos) address for one training epoch — shard from the
+   *  first md5-hex byte of the seeded key, pos = rank under the md5
+   *  order WITHIN the shard. Same seed ⇒ identical shards on every
+   *  run/engine (md5 is the order, not a RNG); a new epoch string
+   *  reshuffles everything. The within-shard window partitions by
+   *  shard, so parallelism = numShards and no global sort ever runs —
+   *  writing the result partitioned by shard IS the shuffled epoch
+   *  layout a trainer streams. numShards that divides 256 gets exactly
+   *  uniform hash buckets (the hex byte is the bucket). */
+  def trainingShards(
+      df: DataFrame,
+      numShards: Int = 8,
+      epoch: String = "0",
+      idCol: String = "doc_id"): DataFrame = {
+    require(numShards > 0 && numShards <= 256,
+      "numShards must be in [1, 256] (sharded on the first hex byte)")
+    val h = md5(concat(lit(epoch), lit(":"),
+      col(idCol).cast("string")).cast("binary"))
+    val hex = "0123456789abcdef"
+    val byte0 = (instr(lit(hex), substring(col("__h"), 1, 1)) - 1) * 16 +
+      (instr(lit(hex), substring(col("__h"), 2, 1)) - 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("__h")
+    df.withColumn("__h", h)
+      .withColumn("shard", (byte0 % numShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Keep a deterministic `fraction` of rows: the SAME rows survive on
    *  every run (bucket < fraction·buckets). */
   def deterministicSample(

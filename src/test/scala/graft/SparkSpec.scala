@@ -1073,6 +1073,29 @@ class SamplingSpec extends AnyFunSuite {
 
   private lazy val ids = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
 
+  test("trainingShards: reproducible per epoch, reshuffled across epochs") {
+    def layout(epoch: String) = Sampling.trainingShards(
+        ids, numShards = 8, epoch = epoch)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toMap
+    val e0 = layout("e0")
+    assert(e0 == layout("e0"), "same epoch must reproduce exactly")
+    val e1 = layout("e1")
+    assert(e0 != e1, "a new epoch must reshuffle")
+    // every doc addressed exactly once; shards in range; positions are
+    // contiguous 1..|shard| within each shard
+    assert(e0.size == 2000)
+    assert(e0.values.forall { case (s, _) => s >= 0 && s < 8 })
+    e0.values.groupBy(_._1).foreach { case (_, members) =>
+      val ps = members.map(_._2).toSeq.sorted
+      assert(ps == (1L to ps.size))
+    }
+    // 256 % 8 == 0 ⇒ byte-uniform shards: no shard drifts far from n/8
+    val sizes = e0.values.groupBy(_._1).view.mapValues(_.size)
+    assert(sizes.values.forall(s => s > 150 && s < 350), sizes.toMap)
+  }
+
   test("mixturePlan: budget split by normalized weight, rate capped, " +
       "epochs signal upsampling, unweighted source rates 0") {
     val docs = Seq(
