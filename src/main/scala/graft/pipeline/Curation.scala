@@ -76,6 +76,74 @@ object Curation {
     Sampling.hashSplit(kept, idCol, config.trainFraction, config.valFraction)
   }
 
+  /** Per-stage accounting for one [[incrementalIngest]] turn. */
+  final case class IngestReport(
+      arrived: Long,
+      afterQuality: Long,
+      droppedExactWithin: Long,
+      droppedNearDup: Long,
+      kept: Long)
+
+  /** One daily-ingest turn against the PERSISTED stores — the
+   *  incremental twin of [[curateCorpus]], composing the verified
+   *  parts into the shape a 100 TB pipeline actually runs every day:
+   *
+   *   1. quality gate (map-only, same knobs as curateCorpus);
+   *   2. exact dedup WITHIN the slice (first id per content hash);
+   *   3. near-dup screen: the slice signs at O(slice) with the store's
+   *      own MinHash parameters and matches against the persisted
+   *      signatures PLUS earlier slice docs — a slice doc drops if it
+   *      matches the store or a smaller-id slice doc (cross-slice
+   *      exact copies land here too, at signature agreement 1.0);
+   *   4. survivors' signatures APPEND to the store (old text never
+   *      re-read, old signatures never recomputed);
+   *   5. optionally, the survivors record as a profile slice in a
+   *      [[graft.profiler.SliceStateStore]] — so profile/quantile/
+   *      top-K ranges cover the new day with no rescan.
+   *
+   *  Returns (kept docs, per-stage report). Caller contract follows
+   *  `minhashStoreAppend`: slice ids must be new to the store. Chain
+   *  convention within a slice is greedy min-id (A~B~C keeps A),
+   *  matching `dedupCorpus`'s canonical-min outcome. */
+  def incrementalIngest(
+      newDocs: DataFrame,
+      minhashStorePath: String,
+      stateStore: Option[(graft.profiler.SliceStateStore, String)] = None,
+      config: CurationConfig = CurationConfig(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, IngestReport) = {
+    val spark = newDocs.sparkSession
+    val arrived = newDocs.count()
+    val q = TextAnalysis.profileText(newDocs, textCol)
+      .filter(col("quality_score") >= config.minQualityScore)
+      .filter(col("n_tokens") >= config.minTokens)
+    val afterQuality = q.count()
+    val firsts = q
+      .groupBy(md5(col(textCol).cast("binary")).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val exactKept = q.join(firsts, Seq(idCol), "left_semi")
+    val afterExact = exactKept.count()
+    val store = Dedup.minhashStoreLoad(spark, minhashStorePath)
+    val matches = Dedup.incrementalNearDuplicates(store, exactKept,
+      textCol, config.jaccardThreshold)
+    // matches mix two pair shapes: (slice, store) — drop the slice
+    // side — and (slice, slice) with id_a < id_b — drop the later id.
+    // Distinguish by id_b's membership in the slice.
+    val sliceIds = exactKept.select(col(idCol).as("id_b"))
+    val drops = matches.join(sliceIds, Seq("id_b"), "left_semi")
+      .select(col("id_b").as(idCol))
+      .unionByName(matches.join(sliceIds, Seq("id_b"), "left_anti")
+        .select(col("id_a").as(idCol)))
+      .distinct()
+    val kept = exactKept.join(drops, Seq(idCol), "left_anti")
+    val keptN = kept.count()
+    Dedup.minhashStoreAppend(minhashStorePath, kept, textCol)
+    stateStore.foreach { case (st, sliceId) => st.record(kept, sliceId) }
+    (kept, IngestReport(arrived, afterQuality, afterQuality - afterExact,
+      afterExact - keptN, keptN))
+  }
+
   /** Corpus version diff — what changed between two snapshots of the
    *  same corpus: every doc is `added` (new only), `removed` (old
    *  only), `changed` (both, different content hash) or `unchanged`.

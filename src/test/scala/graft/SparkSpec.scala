@@ -1000,6 +1000,50 @@ class CurationSpec extends AnyFunSuite {
   import graft.pipeline.Curation
   import Curation.CurationConfig
 
+  test("incrementalIngest: quality gate, within-slice dedup, store screen, " +
+      "append, state recording, replay-drains-to-zero") {
+    import graft.pipeline.Dedup
+    import java.nio.file.Files
+    val storeDir = Files.createTempDirectory("graft_ingest_store").toString
+    val stateDir = Files.createTempDirectory("graft_ingest_state").toString
+    def longDoc(prefix: String) =
+      (1 to 60).map(i => s"$prefix$i").mkString(" ")
+    val standing = Seq(
+      (1L, longDoc("alpha")), (2L, longDoc("beta"))).toDF("doc_id", "text")
+    Dedup.minhashStoreSave(
+      Dedup.minhashStoreCreate(standing, numBands = 32), storeDir)
+    val nearOfStore = // one word swapped out of 60 → jaccard ≫ 0.9
+      ((1 to 59).map(i => s"alpha$i") :+ "changed").mkString(" ")
+    val freshA = longDoc("gamma")
+    val slice = Seq(
+      (10L, "too short"),          // quality gate
+      (11L, freshA), (12L, freshA), // exact pair within slice: keep 11
+      (13L, nearOfStore),           // near-dup of store doc 1
+      (14L, longDoc("delta")),      // fresh
+      // near-dup of 14 WITHIN the slice → greedy min-id keeps 14
+      (15L, ((1 to 59).map(i => s"delta$i") :+ "x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val st = new graft.profiler.SliceStateStore(spark, stateDir)
+    val (kept, rep) = Curation.incrementalIngest(
+      slice, storeDir, stateStore = Some((st, "day1")))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(11L, 14L))
+    assert(rep == Curation.IngestReport(
+      arrived = 6, afterQuality = 5, droppedExactWithin = 1,
+      droppedNearDup = 2, kept = 2))
+    // survivors' signatures landed in the store...
+    assert(Dedup.minhashStoreLoad(spark, storeDir).sigs.count() == 4)
+    // ...and the profile slice recorded
+    assert(st.profile(Seq("day1"))
+      .filter(col("column") === "doc_id").head().getAs[Long]("cnt") == 2L)
+    // replaying the SAME docs with fresh ids drains to zero: everything
+    // now matches the post-append store at agreement 1.0
+    val replay = Seq((21L, freshA), (24L, longDoc("delta")))
+      .toDF("doc_id", "text")
+    val (kept2, rep2) = Curation.incrementalIngest(replay, storeDir)
+    assert(kept2.isEmpty && rep2.kept == 0 && rep2.droppedNearDup == 2)
+  }
+
   test("curateCorpus: quality gate, decontamination, dedup, split") {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .orderBy("doc_id").limit(15)
