@@ -83,6 +83,32 @@ object Demo {
     val picked = Sampling.weightedSample(docs, "doc_id", "n_chars", 50)
     println(s"[demo] per-source cap kept ${capped.count()} docs; " +
       s"length-weighted sample picked ${picked.count()}")
+
+    // round-10 surface: the incremental layer — persisted stores take a
+    // daily slice end to end, then answer profile/drift from states
+    import graft.pipeline.{Curation, Dedup}
+    val half = docs.agg(max("doc_id")).head.getLong(0) / 2
+    val standing = docs.filter(col("doc_id") <= half)
+    Dedup.minhashStoreSave(Dedup.minhashStoreCreate(standing),
+      s"$stateDir/mh")
+    val pstore = engine.sliceStates("documents")
+    engine.recordProfileSlice("documents", "day0", col("doc_id") <= half,
+      quantileCols = Seq("n_chars"))
+    val (keptDocs, rep) = Curation.incrementalIngest(
+      docs.filter(col("doc_id") > half), s"$stateDir/mh",
+      stateStore = Some((pstore, "day1")))
+    println(s"[demo] daily ingest: ${rep.arrived} arrived, " +
+      s"${rep.kept} kept (${rep.droppedExactWithin} exact / " +
+      s"${rep.droppedNearDup} near dups dropped), store appended")
+    val ranged = pstore.profile(Seq("day0", "day1"))
+    println(s"[demo] two-day profile from persisted states only: " +
+      s"${ranged.count()} column rows, no rescan")
+    val drift = graft.profiler.Drift.driftFromStates(
+      spark.read.parquet(s"$stateDir/slice_states/documents/quantiles")
+        .filter(col("slice_id") === "day0"),
+      graft.profiler.LogSketch.sliceState(keptDocs, "n_chars", 0.01, "d1"))
+    println(s"[demo] day0-vs-ingested n_chars drift (PSI from states): " +
+      s"${drift.head.getAs[Double]("psi")}")
     spark.stop()
   }
 }
