@@ -63,7 +63,13 @@ object Soak {
     "st08_stream_neardup_bootstrap", "p39_state_store_profile",
     "st09_stream_quantiles", "e13_incremental_ivf",
     "e14_incremental_pq", "x50_contrastive_mine", "p40_state_drift",
-    "x51_training_shards")
+    "x51_training_shards",
+    // round-10 session-3 additions: NB classifier (token-keyed
+    // train + score joins — must stay ~linear in corpus tokens),
+    // its merged-slice-state twin, takedown propagation (cluster
+    // closure + broadcast list), and JSONL parse+flatten (map-only)
+    "x52_nb_classifier", "x53_nb_incremental", "d11_takedown",
+    "s14_json_flatten")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

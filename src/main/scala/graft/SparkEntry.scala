@@ -2258,6 +2258,88 @@ object SparkEntry {
   // D/E/X-series: LLM-data-pipeline operators
   // ------------------------------------------------------------------
 
+  /** Full-model replay for the NB classifier: counts, Laplace
+   *  smoothing, priors, unseen mass, integer micro-nat sums, argmax.
+   *  Shared by x52 (batch training) and x53 (merged slice states) —
+   *  the incremental path must reproduce the batch model exactly, so
+   *  one oracle gates both. */
+  private def nbOracle(testSelect: String, vocabCap: Option[Int]): String = {
+    // with a cap, the vocabulary is the top-N tokens by total count
+    // (ties -> token asc) and the model is finished over the REDUCED
+    // counts -- mirroring Classify.compactModel exactly
+    val countsCte = vocabCap match {
+      case None =>
+        """counts AS (
+          SELECT label, token, COUNT(*) AS cnt FROM ttok GROUP BY 1, 2),"""
+      case Some(n) =>
+        s"""counts_all AS (
+          SELECT label, token, COUNT(*) AS cnt FROM ttok GROUP BY 1, 2),
+        vrank AS (
+          SELECT token FROM (
+            SELECT token, SUM(cnt) AS t FROM counts_all GROUP BY token)
+          ORDER BY t DESC, token LIMIT $n),
+        counts AS (
+          SELECT c.label, c.token, c.cnt
+          FROM counts_all c JOIN vrank USING (token)),"""
+    }
+    s"""WITH train AS (
+          SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        test AS ($testSelect),
+        ttoks AS (
+          SELECT source AS label,
+            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+          FROM train),
+        ttok AS (SELECT label, token FROM ttoks WHERE len(token) > 0),
+        $countsCte
+        totals AS (SELECT label, SUM(cnt) AS tot FROM counts GROUP BY 1),
+        vocab AS (SELECT COUNT(DISTINCT token) AS v FROM counts),
+        dpl AS (
+          SELECT source AS label, COUNT(*) AS n_docs FROM train GROUP BY 1),
+        nd AS (SELECT COUNT(*) AS n FROM train),
+        tok_lp AS (
+          SELECT c.label, c.token,
+            CAST(ROUND(ln((c.cnt + 1.0) / (t.tot + v.v)) * 1e6, 0)
+              AS BIGINT) AS lp_micro
+          FROM counts c JOIN totals t USING (label) CROSS JOIN vocab v),
+        meta AS (
+          SELECT d.label,
+            CAST(ROUND(ln(CAST(d.n_docs AS DOUBLE) / nd.n) * 1e6, 0)
+              AS BIGINT) AS prior_micro,
+            CAST(ROUND(ln(1.0 / (t.tot + v.v)) * 1e6, 0)
+              AS BIGINT) AS unseen_micro
+          FROM dpl d JOIN totals t USING (label)
+          CROSS JOIN vocab v CROSS JOIN nd),
+        stoks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+          FROM test),
+        stok AS (SELECT doc_id, token FROM stoks WHERE len(token) > 0),
+        tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM stok GROUP BY 1, 2),
+        dlen AS (SELECT doc_id, SUM(tf) AS n_tok FROM tf GROUP BY 1),
+        hits AS (
+          SELECT tf.doc_id, l.label,
+            SUM(tf.tf * l.lp_micro) AS hit_sum, SUM(tf.tf) AS hit_tf
+          FROM tf JOIN tok_lp l USING (token) GROUP BY 1, 2),
+        scored AS (
+          SELECT dl.doc_id, m.label,
+            m.prior_micro + COALESCE(h.hit_sum, 0)
+              + (dl.n_tok - COALESCE(h.hit_tf, 0)) * m.unseen_micro
+              AS score_micro
+          FROM dlen dl CROSS JOIN meta m
+          LEFT JOIN hits h ON h.doc_id = dl.doc_id AND h.label = m.label),
+        ranked AS (
+          SELECT doc_id, label, score_micro,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score_micro DESC, label) AS rk
+          FROM scored)
+        SELECT doc_id, label AS predicted,
+          CAST(score_micro AS BIGINT) AS score_micro
+        FROM ranked WHERE rk = 1 ORDER BY doc_id"""
+  }
+
+  private val nbOracleSql: String =
+    nbOracle("SELECT * FROM documents WHERE doc_id % 5 = 0", None)
+
   private def pipelineQueries: Seq[Q] = Seq(
     Q("d01_exact_dup_count",
       (s, d) => {
@@ -3030,6 +3112,106 @@ object SparkEntry {
             AS BIGINT) AS pos,
           doc_id
         FROM sh ORDER BY shard, pos""")),
+
+    Q("x52_nb_classifier",
+      // trainable quality/domain classifier (the CCNet/fastText shape):
+      // Multinomial NB trained on the %5≠0 docs (label = source),
+      // scoring the held-out %5=0 docs. Training is ONE (label, token)
+      // groupBy; scoring is ONE token-keyed join — no iteration, no
+      // driver math. Integer micro-nat quantization before every sum
+      // makes the argmax engine-exact, so the oracle replays the whole
+      // model: counts, Laplace smoothing, priors, unseen mass, argmax.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = graft.pipeline.Classify.trainNaiveBayes(
+          docs.filter(col("doc_id") % 5 =!= 0), "text", "source")
+        graft.pipeline.Classify.scoreNaiveBayes(model,
+            docs.filter(col("doc_id") % 5 === 0))
+          .orderBy("doc_id")
+      },
+      Some(nbOracleSql)),
+
+    Q("x53_nb_incremental",
+      // the same model trained the way a 100 TB pipeline actually
+      // trains it: per-slice sufficient-statistic states (counts),
+      // PERSISTED, merged by exact re-aggregation, finished into a
+      // model without re-reading either slice's text. Counts add, so
+      // the merged model is bit-identical to batch training — the
+      // oracle is x52's full-corpus replay, which only passes if the
+      // incremental path loses nothing.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val train = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("text"), col("source"))
+        val state = freshState(s, "x53")
+        graft.pipeline.Classify.nbStateSave(
+          graft.pipeline.Classify.nbState(
+            train.filter(col("doc_id") % 2 === 0), "text", "source"),
+          state + "/day1")
+        graft.pipeline.Classify.nbStateSave(
+          graft.pipeline.Classify.nbState(
+            train.filter(col("doc_id") % 2 =!= 0), "text", "source"),
+          state + "/day2")
+        val merged = graft.pipeline.Classify.nbMerge(Seq(
+          graft.pipeline.Classify.nbStateLoad(s, state + "/day1", "source"),
+          graft.pipeline.Classify.nbStateLoad(s, state + "/day2", "source")))
+        graft.pipeline.Classify.scoreNaiveBayes(
+            graft.pipeline.Classify.modelFromState(merged),
+            docs.filter(col("doc_id") % 5 === 0))
+          .orderBy("doc_id")
+      },
+      Some(nbOracleSql)),
+
+
+    Q("d11_takedown",
+      // removal propagation (the copyright / right-to-be-forgotten op):
+      // takedown list = doc_id % 97 = 0; removing a listed doc must
+      // also remove every member of its duplicate cluster (d05's chain
+      // graph), while listed docs outside any cluster go alone. The
+      // oracle replays the transitive closure with a recursive CTE and
+      // re-derives the manifest — including the listed-vs-propagated
+      // reason tag — independently.
+      (s, d) => {
+        val ids = t(s, d, "documents").select(col("doc_id"))
+        val pairs = ids.filter(col("doc_id") % 10 < 4)
+          .join(ids.select(col("doc_id").as("next_id")),
+            col("doc_id") + 1 === col("next_id"))
+          .select(col("doc_id").as("id_a"), col("next_id").as("id_b"))
+        Dedup.takedownPropagate(pairs,
+            ids.filter(col("doc_id") % 97 === 0))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+        pairs AS (
+          SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+          WHERE doc_id % 10 < 4
+            AND (doc_id + 1) IN (SELECT doc_id FROM documents)),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        clust AS (
+          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+          FROM reach GROUP BY src),
+        listed AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+        flagged AS (
+          SELECT DISTINCT c.cluster_id
+          FROM clust c JOIN listed l ON c.doc_id = l.doc_id),
+        via AS (
+          SELECT c.doc_id, c.cluster_id
+          FROM clust c JOIN flagged f ON c.cluster_id = f.cluster_id),
+        singles AS (
+          SELECT l.doc_id, l.doc_id AS cluster_id FROM listed l
+          WHERE l.doc_id NOT IN (SELECT doc_id FROM clust)),
+        manifest AS (
+          SELECT * FROM via UNION ALL SELECT * FROM singles)
+        SELECT m.doc_id, CAST(m.cluster_id AS BIGINT) AS cluster_id,
+          CASE WHEN m.doc_id IN (SELECT doc_id FROM listed)
+            THEN 'listed' ELSE 'propagated' END AS reason
+        FROM manifest m ORDER BY m.doc_id""")),
 
     Q("e12_incremental_embedding_dedup",
       // the d10/m04 ingest shape for the cosine family: the standing
@@ -4521,7 +4703,36 @@ object SparkEntry {
           base + "/compacted", targetBytes = 512L * 1024 * 1024)
         s.read.parquet(base + "/compacted").orderBy("o_orderkey")
       },
-      Some("SELECT * FROM orders ORDER BY o_orderkey")))
+      Some("SELECT * FROM orders ORDER BY o_orderkey")),
+
+    Q("s14_json_flatten",
+      // semi-structured ingestion: a JSONL payload column (built
+      // deterministically from doc fields so both engines see the same
+      // objects) is schema-inferred, parsed with from_json, and its
+      // nested structs flattened to typed a_b columns — the
+      // raw-crawl-dump onboarding shape. Map-only: inference samples,
+      // parse + flatten are pure projections.
+      (s, d) => {
+        val js = t(s, d, "documents").select(col("doc_id"),
+          to_json(struct(col("doc_id").as("id"),
+            struct(col("lang"), col("source").as("src")).as("meta"),
+            struct(col("n_chars").as("chars")).as("stats"))).as("payload"))
+        graft.sources.JsonSource.parseJson(js, "payload")
+          .orderBy("doc_id")
+      },
+      Some("""WITH j AS (
+          SELECT doc_id,
+            '{"id":' || doc_id || ',"meta":{"lang":"' || lang
+              || '","src":"' || source || '"},"stats":{"chars":'
+              || n_chars || '}}' AS payload
+          FROM documents)
+        SELECT doc_id,
+          CAST(json_extract(payload, '$.id') AS BIGINT) AS id,
+          json_extract_string(payload, '$.meta.lang') AS meta_lang,
+          json_extract_string(payload, '$.meta.src') AS meta_src,
+          CAST(json_extract(payload, '$.stats.chars') AS BIGINT)
+            AS stats_chars
+        FROM j ORDER BY doc_id""")))
 
   // ------------------------------------------------------------------
   // J-series: custom operators beyond Spark's built-ins
@@ -5675,5 +5886,27 @@ object SparkEntry {
           FROM events WHERE value IS NOT NULL)
         SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
           TRUE AS p50_ok, TRUE AS p90_ok
-        FROM d GROUP BY day HAVING COUNT(*) >= 100 ORDER BY day""")))
+        FROM d GROUP BY day HAVING COUNT(*) >= 100 ORDER BY day""")),
+
+    Q("st10_stream_classify",
+      // model-at-ingest: the NB classifier in its SERVING form — vocab
+      // capped to the top-512 training tokens (compactModel), collected
+      // to a broadcast map, scoring a REAL document stream map-only (no
+      // shuffle, no state store). The oracle replays the capped-vocab
+      // model over the same full corpus, so both the cap semantics
+      // (recomputed V/totals/unseen) and the stream scoring arithmetic
+      // are pinned.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val model = graft.pipeline.Classify.compactModel(
+          graft.pipeline.Classify.nbState(
+            docs.filter(col("doc_id") % 5 =!= 0), "text", "source"),
+          maxVocab = 512)
+        val stream = streamOf(s, s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val scored = graft.pipeline.Classify.scoreBroadcast(model, stream)
+        runBoundedStream(s, scored, "st10_sink", "append")
+          .orderBy("doc_id")
+      },
+      Some(nbOracle("SELECT * FROM documents", Some(512)))))
 }

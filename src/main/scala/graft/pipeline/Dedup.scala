@@ -1121,4 +1121,55 @@ object Dedup {
       .withColumn("is_canonical", col("__rk") === 1)
       .drop("__rk")
   }
+
+  /** Takedown propagation — the copyright / right-to-be-forgotten
+   *  operator a corpus actually needs: removing a listed document is
+   *  not enough when its near-verbatim copies survive, so the removal
+   *  must follow the duplicate graph. Given the corpus's dup-pair
+   *  graph and a takedown id list, returns the full removal manifest:
+   *  every listed doc PLUS every doc sharing a duplicate cluster with
+   *  one, tagged with why it goes ("listed" vs "propagated") and the
+   *  cluster that carried the propagation (listed docs outside any
+   *  cluster are their own cluster).
+   *
+   *  Scale: clusters come from [[duplicateClusters]] (id-only pointer
+   *  jumping); the takedown list is broadcast twice (it is small by
+   *  nature — a legal notice, not a corpus); the flagged-cluster set
+   *  is a semi-join on cluster_id. The corpus text is never touched —
+   *  apply the manifest with [[applyTakedown]]'s left-anti join. */
+  def takedownPropagate(
+      pairs: DataFrame,
+      takedownIds: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val listed = broadcast(takedownIds.select(col(idCol)).distinct())
+    val clusters = duplicateClusters(pairs)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    val flagged = clusters
+      .join(listed, Seq(idCol), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val viaClusters = clusters
+      .join(broadcast(flagged), Seq("cluster_id"), "left_semi")
+    // listed docs in no cluster: their own (singleton) cluster. No
+    // cast: duplicateClusters labels integral ids as long and string
+    // ids in the caller's own space, and the union widens int→long —
+    // so this stays correct for BOTH id families
+    val singletons = listed
+      .join(clusters.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol), col(idCol).as("cluster_id"))
+    viaClusters.select(col(idCol), col("cluster_id"))
+      .unionByName(singletons)
+      .join(listed.withColumn("__listed", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"),
+        when(col("__listed"), lit("listed")).otherwise(lit("propagated"))
+          .as("reason"))
+  }
+
+  /** Apply a removal manifest: drop every manifest doc from the
+   *  corpus. Left-anti on the id column only — the corpus rows are
+   *  filtered in place, never reshaped or shuffled. */
+  def applyTakedown(
+      docs: DataFrame,
+      manifest: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(manifest.select(col(idCol)), Seq(idCol), "left_anti")
 }

@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Classify, Dedup}
+import graft.sources.JsonSource
+
+/** Round-10 session-3 additions: trainable NB classification, takedown
+  * propagation, JSONL ingestion. */
+class ClassifySpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  /** The model's own quantization: micro-nats, half away from zero —
+    * matches Spark's round() and DuckDB's ROUND so the spec pins the
+    * same arithmetic the oracle replays. */
+  private def micro(v: Double): Long =
+    BigDecimal(v * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("trainNaiveBayes + scoreNaiveBayes: hand-computed Laplace NB") {
+    val train = Seq(
+      ("spam", "buy buy pills"),
+      ("ham", "meeting notes notes")).toDF("label", "text")
+    val model = Classify.trainNaiveBayes(train)
+    // vocab = {buy, pills, meeting, notes} → V=4; each label tot=3
+    val scored = Classify.scoreNaiveBayes(model,
+      Seq((1L, "buy pills")).toDF("doc_id", "text")).collect()
+    assert(scored.length == 1)
+    assert(scored.head.getAs[String]("predicted") == "spam")
+    val want = micro(math.log(0.5)) + // prior 1 of 2 docs
+      micro(math.log(3.0 / 7)) + // buy: (2+1)/(3+4)
+      micro(math.log(2.0 / 7)) // pills: (1+1)/(3+4)
+    assert(scored.head.getAs[Long]("score_micro") == want)
+  }
+
+  test("scoreNaiveBayes: ties break to the lexicographically smallest " +
+      "label; OOV-only docs score prior + n·unseen") {
+    val train = Seq(("l1", "x"), ("l2", "x")).toDF("label", "text")
+    val model = Classify.trainNaiveBayes(train)
+    val out = Classify.scoreNaiveBayes(model,
+      Seq((1L, "x"), (2L, "zz zz")).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+    // doc 1: both labels identical by symmetry → l1 wins the tie
+    assert(out(0).getAs[String]("predicted") == "l1")
+    // doc 2: zz unseen everywhere → prior + 2·unseen, still l1 by tie
+    assert(out(1).getAs[String]("predicted") == "l1")
+    val want = micro(math.log(0.5)) + 2 * micro(math.log(1.0 / 2))
+    assert(out(1).getAs[Long]("score_micro") == want) // tot=1, V=1
+  }
+
+  test("nbState/nbMerge: model from merged slice states is IDENTICAL " +
+      "to batch training on the union (counts add exactly)") {
+    val a = Seq(("spam", "buy pills now"), ("ham", "weekly notes"))
+      .toDF("label", "text")
+    val b = Seq(("spam", "buy buy"), ("ham", "meeting notes notes"))
+      .toDF("label", "text")
+    val merged = Classify.modelFromState(
+      Classify.nbMerge(Seq(Classify.nbState(a), Classify.nbState(b))))
+    val batch = Classify.trainNaiveBayes(a.unionByName(b))
+    val probe = Seq((1L, "buy pills"), (2L, "weekly meeting notes"),
+      (3L, "zz unseen")).toDF("doc_id", "text")
+    val mRows = Classify.scoreNaiveBayes(merged, probe)
+      .orderBy("doc_id").collect().toSeq
+    val bRows = Classify.scoreNaiveBayes(batch, probe)
+      .orderBy("doc_id").collect().toSeq
+    assert(mRows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))) ==
+      bRows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))))
+  }
+
+  test("compactModel caps the vocabulary to top-N by total count and " +
+      "recomputes V/totals; scoreBroadcast ≡ scoreNaiveBayes on it") {
+    val train = Seq(
+      ("spam", "buy buy buy pills cheap"),
+      ("ham", "notes notes meeting agenda today")).toDF("label", "text")
+    val state = Classify.nbState(train)
+    // top-2 tokens by count: buy(3), notes(2) — everything else drops
+    val compact = Classify.compactModel(state, maxVocab = 2)
+    assert(compact.tokenScores.select("token").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("buy", "notes"))
+    val probe = Seq((1L, "buy pills"), (2L, "meeting notes"),
+      (3L, ""), (4L, "unseen words only")).toDF("doc_id", "text")
+    val viaJoin = Classify.scoreNaiveBayes(compact, probe)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val viaMap = Classify.scoreBroadcast(compact, probe)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // the join path drops token-less docs (nothing to aggregate); the
+    // map path scores them as bare priors — compare on the docs both
+    // paths emit, then pin the broadcast path's prior-only row
+    assert(viaMap.filter(t => t._1 != 3L) == viaJoin)
+    val bare = viaMap.find(_._1 == 3L).get
+    assert(bare._2 == "ham") // equal priors -> asc label tie-break
+  }
+
+  test("scoreBroadcast refuses an uncapped model past the row bound") {
+    val st = Classify.nbState(
+      Seq(("a", "x y z"), ("b", "p q r")).toDF("label", "text"))
+    val model = Classify.modelFromState(st)
+    intercept[IllegalArgumentException] {
+      Classify.scoreBroadcast(model,
+        Seq((1L, "x")).toDF("doc_id", "text"), maxBroadcastRows = 2L)
+    }
+  }
+
+  test("nbStateSave/nbStateLoad round-trips the sufficient statistics") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("nbstate").toString
+    val st = Classify.nbState(
+      Seq(("a", "x y"), ("b", "y z")).toDF("label", "text"))
+    Classify.nbStateSave(st, dir)
+    val back = Classify.nbStateLoad(spark, dir)
+    assert(back.tokenCounts.orderBy("label", "token").collect().toSeq ==
+      st.tokenCounts.orderBy("label", "token").collect().toSeq)
+    assert(back.docCounts.orderBy("label").collect().toSeq ==
+      st.docCounts.orderBy("label").collect().toSeq)
+  }
+
+  test("evaluate: confusion grid accounts for every labeled doc") {
+    val labeled = Seq(
+      (1L, "alpha", "aa aa bb"), (2L, "alpha", "aa cc"),
+      (3L, "beta", "dd dd"), (4L, "beta", "dd ee")).toDF(
+      "doc_id", "label", "text")
+    val model = Classify.trainNaiveBayes(labeled)
+    val grid = Classify.evaluate(model, labeled).collect()
+    assert(grid.map(_.getAs[Long]("n")).sum == 4L)
+    // a separable corpus self-classifies perfectly
+    assert(grid.forall(r =>
+      r.getAs[String]("truth") == r.getAs[String]("predicted")))
+  }
+}
+
+class TakedownSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private lazy val pairs = Seq(
+    (1L, 2L), (2L, 3L), // cluster {1,2,3}
+    (5L, 6L) // cluster {5,6}
+  ).toDF("id_a", "id_b")
+
+  test("takedownPropagate: listed docs pull their whole cluster; " +
+      "listed docs outside any cluster go alone; others survive") {
+    val listed = Seq(2L, 9L).toDF("doc_id")
+    val m = Dedup.takedownPropagate(pairs, listed)
+      .orderBy("doc_id").collect()
+    assert(m.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L, 9L))
+    assert(m.map(_.getAs[String]("reason")).toSeq ==
+      Seq("propagated", "listed", "propagated", "listed"))
+    // cluster ids: the {1,2,3} component labels as its min member; the
+    // out-of-graph listed doc is its own singleton cluster
+    assert(m.map(_.getAs[Long]("cluster_id")).toSeq ==
+      Seq(1L, 1L, 1L, 9L))
+  }
+
+  test("applyTakedown: left-anti removal of exactly the manifest") {
+    val corpus = (1L to 9L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val m = Dedup.takedownPropagate(pairs, Seq(2L, 9L).toDF("doc_id"))
+    val kept = Dedup.applyTakedown(corpus, m)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(4L, 5L, 6L, 7L, 8L))
+  }
+
+  test("takedownPropagate on string-keyed corpora: clusters label in " +
+      "the caller's id space, singletons keep their own id") {
+    val sp = Seq(("u1", "u2"), ("u2", "u3")).toDF("id_a", "id_b")
+    val m = Dedup.takedownPropagate(sp, Seq("u2", "u9").toDF("doc_id"))
+      .orderBy("doc_id").collect()
+    assert(m.map(_.getAs[String]("doc_id")).toSeq ==
+      Seq("u1", "u2", "u3", "u9"))
+    assert(m.map(_.getAs[String]("cluster_id")).toSeq ==
+      Seq("u1", "u1", "u1", "u9"))
+    assert(m.map(_.getAs[String]("reason")).toSeq ==
+      Seq("propagated", "listed", "propagated", "listed"))
+  }
+
+  test("takedownPropagate: empty takedown list removes nothing") {
+    val m = Dedup.takedownPropagate(pairs,
+      spark.emptyDataset[Long].toDF("doc_id"))
+    assert(m.count() == 0)
+  }
+}
+
+class JsonSourceSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private lazy val raw = Seq(
+    (1L, """{"id": 1, "meta": {"lang": "en", "tags": [1, 2]}, "n": 10}"""),
+    (2L, """{"id": 2, "meta": {"lang": "fr", "tags": []}, "n": 20}"""),
+    (3L, """not json at all""")).toDF("row_id", "payload")
+
+  test("parseJson: inferred schema, nested flattening, corrupt → NULLs") {
+    val out = JsonSource.parseJson(raw, "payload").orderBy("row_id")
+    assert(out.columns.toSeq == Seq("row_id", "id", "meta_lang",
+      "meta_tags", "n"))
+    val rows = out.collect()
+    assert(rows(0).getAs[Long]("id") == 1L)
+    assert(rows(0).getAs[String]("meta_lang") == "en")
+    assert(rows(0).getSeq[Long](rows(0).fieldIndex("meta_tags"))
+      .toList == List(1L, 2L))
+    assert(rows(1).getAs[String]("meta_lang") == "fr")
+    // corrupt row survives the scan with NULL payload columns
+    assert(rows(2).isNullAt(rows(2).fieldIndex("id")))
+    assert(rows(2).isNullAt(rows(2).fieldIndex("meta_lang")))
+  }
+
+  test("parseJson with a pinned schema skips inference and casts") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta", StructType(Seq(StructField("lang", StringType))))))
+    val out = JsonSource.parseJson(raw, "payload", Some(sch))
+    assert(out.columns.toSeq == Seq("row_id", "id", "meta_lang"))
+    assert(out.filter(col("meta_lang") === "en").count() == 1)
+  }
+
+  test("flatten: struct columns become parent_child; flat frames pass " +
+      "through untouched") {
+    val df = Seq((1L, ("a", 2L))).toDF("k", "v")
+    val flat = JsonSource.flatten(df)
+    assert(flat.columns.toSeq == Seq("k", "v__1", "v__2") ||
+      flat.columns.toSeq == Seq("k", "v_1", "v_2"))
+    val plain = Seq((1L, "x")).toDF("a", "b")
+    assert(JsonSource.flatten(plain).columns.toSeq == Seq("a", "b"))
+  }
+}
