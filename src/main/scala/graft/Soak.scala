@@ -69,7 +69,11 @@ object Soak {
     // its merged-slice-state twin, takedown propagation (cluster
     // closure + broadcast list), and JSONL parse+flatten (map-only)
     "x52_nb_classifier", "x53_nb_incremental", "d11_takedown",
-    "s14_json_flatten")
+    "s14_json_flatten",
+    // budget mixture (one source-keyed scan + metadata solve) and
+    // margin mining (broadcast brute-force arm — linear in the right
+    // corpus by construction)
+    "x54_budget_mixture", "e15_margin_mining")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

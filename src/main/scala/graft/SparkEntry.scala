@@ -3162,6 +3162,94 @@ object SparkEntry {
       },
       Some(nbOracleSql)),
 
+    Q("x54_budget_mixture",
+      // budget-constrained mixture with epoch caps: water-filling in
+      // closed form (sorted saturation points + exact integer window
+      // sums). Budget = 10% of corpus tokens, every source capped at
+      // 0.5 epochs (src3 overridden to 0.25), exactly-representable
+      // weights summing to 1 — high-weight sources saturate and the
+      // overflow cascades to the tail; unweighted sources pass through
+      // at 0. The oracle re-solves the whole thing with window
+      // functions and HUGEINT arithmetic.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val total = docs.filter(col("source").isNotNull)
+          .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+          .head().getLong(0)
+        Sampling.budgetMixture(docs,
+          weights = Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.125,
+            "src4" -> 0.0625, "src5" -> 0.03125, "src6" -> 0.015625,
+            "src7" -> 0.0078125, "src8" -> 0.0078125),
+          tokenBudget = math.floor(0.10 * total).toLong,
+          maxEpochs = 0.5,
+          epochCaps = Map("src3" -> 0.25))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (
+          SELECT source, CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+          FROM documents WHERE source IS NOT NULL),
+        agg AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n) AS BIGINT) AS tokens
+          FROM tok GROUP BY 1),
+        tot AS (SELECT CAST(FLOOR(0.10 * SUM(n)) AS BIGINT) AS b FROM tok),
+        w AS (SELECT * FROM (VALUES
+            ('src1', CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+            ('src2', CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+            ('src3', CAST(0.125 AS DOUBLE), CAST(0.25 AS DOUBLE)),
+            ('src4', CAST(0.0625 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+            ('src5', CAST(0.03125 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+            ('src6', CAST(0.015625 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+            ('src7', CAST(0.0078125 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+            ('src8', CAST(0.0078125 AS DOUBLE), CAST(0.5 AS DOUBLE)))
+          t(source, weight, ecap)),
+        stats AS (
+          SELECT agg.source, n_docs, tokens,
+            COALESCE(w.weight, 0) AS weight,
+            CAST(ROUND(COALESCE(w.weight, 0) * 1e9, 0) AS BIGINT) AS wn,
+            CAST(FLOOR(tokens * COALESCE(w.ecap, 0.5)) AS BIGINT)
+              AS cap_tokens
+          FROM agg LEFT JOIN w ON agg.source = w.source),
+        active AS (SELECT * FROM stats WHERE wn > 0 AND cap_tokens > 0),
+        ranked AS (
+          SELECT *,
+            ROW_NUMBER() OVER (ORDER BY CAST(cap_tokens AS DOUBLE)/wn,
+              source) AS rn,
+            COALESCE(SUM(cap_tokens) OVER (
+              ORDER BY CAST(cap_tokens AS DOUBLE)/wn, source
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS scap_prev,
+            SUM(wn) OVER (ORDER BY CAST(cap_tokens AS DOUBLE)/wn, source
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS wsuf
+          FROM active),
+        unsat AS (
+          SELECT MIN(rn) AS k, MIN_BY(scap_prev, rn) AS scap_k,
+            MIN_BY(wsuf, rn) AS wsuf_k
+          FROM ranked CROSS JOIN tot
+          WHERE CAST(cap_tokens AS HUGEINT) * wsuf >=
+            CAST(tot.b - scap_prev AS HUGEINT) * wn),
+        solved AS (
+          SELECT r.source, r.n_docs, r.tokens, r.weight, r.cap_tokens,
+            CASE WHEN u.k IS NULL OR r.rn < u.k THEN r.cap_tokens
+              ELSE GREATEST(CAST(0 AS BIGINT),
+                CAST((CAST(t.b - u.scap_k AS HUGEINT) * r.wn) // u.wsuf_k
+                  AS BIGINT)) END AS alloc_tokens
+          FROM ranked r CROSS JOIN unsat u CROSS JOIN tot t),
+        final AS (
+          SELECT source, n_docs, tokens, ROUND(weight, 6) AS weight,
+            cap_tokens, alloc_tokens,
+            alloc_tokens = cap_tokens AS saturated
+          FROM solved
+          UNION ALL
+          SELECT source, n_docs, tokens, ROUND(weight, 6) AS weight,
+            cap_tokens, CAST(0 AS BIGINT) AS alloc_tokens,
+            FALSE AS saturated
+          FROM stats WHERE NOT (wn > 0 AND cap_tokens > 0))
+        SELECT source, n_docs, tokens, weight, cap_tokens, alloc_tokens,
+          saturated,
+          ROUND(CAST(alloc_tokens AS DOUBLE) / tokens, 6) AS epochs
+        FROM final ORDER BY source""")),
 
     Q("d11_takedown",
       // removal propagation (the copyright / right-to-be-forgotten op):
@@ -3212,6 +3300,67 @@ object SparkEntry {
           CASE WHEN m.doc_id IN (SELECT doc_id FROM listed)
             THEN 'listed' ELSE 'propagated' END AS reason
         FROM manifest m ORDER BY m.doc_id""")),
+
+    Q("e15_margin_mining",
+      // margin-based pair mining (bitext/alignment shape): left side =
+      // vec_id < 50, right = the rest; a pair is mined only when its
+      // cosine clearly beats both sides' k-NN average (ratio margin,
+      // Artetxe & Schwenk) — integer micro-cosines and one floor
+      // division make the mined set engine-exact, and the oracle
+      // re-solves the whole pipeline: cosines, both top-k
+      // neighbourhood sums, margins, per-left argmax, threshold.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.marginMining(
+            emb.filter(col("vec_id") < 50),
+            emb.filter(col("vec_id") >= 50),
+            k = 4, minMarginPpm = 1200000L)
+          .orderBy("left_id")
+      },
+      Some("""WITH l AS (
+          SELECT vec_id AS left_id, embedding AS le
+          FROM embeddings WHERE vec_id < 50),
+        r AS (
+          SELECT vec_id AS right_id, embedding AS re
+          FROM embeddings WHERE vec_id >= 50),
+        scored AS (
+          SELECT left_id, right_id,
+            CAST(ROUND(
+              list_sum(list_transform(range(1, len(le) + 1),
+                i -> CAST(le[i] AS DOUBLE) * CAST(re[i] AS DOUBLE))) /
+              (SQRT(list_sum(list_transform(le,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+               SQRT(list_sum(list_transform(re,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+              * 1e6, 0) AS BIGINT) AS cm
+          FROM l CROSS JOIN r),
+        suml AS (
+          SELECT left_id, SUM(cm) AS sl FROM (
+            SELECT left_id, cm, ROW_NUMBER() OVER (PARTITION BY left_id
+              ORDER BY cm DESC, right_id) AS rn
+            FROM scored)
+          WHERE rn <= 4 GROUP BY left_id),
+        sumr AS (
+          SELECT right_id, SUM(cm) AS sr FROM (
+            SELECT right_id, cm, ROW_NUMBER() OVER (PARTITION BY right_id
+              ORDER BY cm DESC, left_id) AS rn
+            FROM scored)
+          WHERE rn <= 4 GROUP BY right_id),
+        m AS (
+          SELECT s.left_id, s.right_id, s.cm,
+            CAST((8 * CAST(s.cm AS HUGEINT) * 1000000) // (sl + sr)
+              AS BIGINT) AS margin_ppm
+          FROM scored s JOIN suml USING (left_id)
+          JOIN sumr USING (right_id)
+          WHERE sl + sr > 0),
+        best AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
+            ORDER BY margin_ppm DESC, right_id) AS rk
+          FROM m)
+        SELECT left_id, right_id,
+          ROUND(CAST(cm AS DOUBLE) / 1e6, 6) AS cosine, margin_ppm
+        FROM best WHERE rk = 1 AND margin_ppm >= 1200000
+        ORDER BY left_id""")),
 
     Q("e12_incremental_embedding_dedup",
       // the d10/m04 ingest shape for the cosine family: the standing

@@ -390,4 +390,102 @@ object Sampling {
           round(lit(tokenBudget.toDouble) * coalesce(col("weight"), lit(0.0)), 0)
             / col("tokens"), 6).as("epochs"))
   }
+
+  /** Budget-constrained mixture allocation with per-source epoch caps —
+   *  the "how many tokens of each source, given B total and at most E
+   *  epochs of any source" recipe question [[mixturePlan]] doesn't
+   *  answer (its proportional targets silently lose the overflow when
+   *  a small high-weight source saturates).
+   *
+   *  Water-filling in CLOSED FORM: sources sorted by saturation point
+   *  cap/w; the first index where cap_j·Wsuf_j ≥ (B − Scap_j)·w_j
+   *  splits saturated (alloc = cap) from unsaturated (alloc =
+   *  ⌊w_i·(B − Scap)/Wsuf⌋) — no iteration, one pass of window sums
+   *  over the per-source frame (metadata scale: |sources| rows).
+   *  Everything after the corpus aggregate is EXACT integer
+   *  arithmetic (nano-quantized weights, decimal products), so the
+   *  allocation is engine-reproducible to the token.
+   *
+   *  Scale: one groupBy(source) scan of the corpus; the solve itself
+   *  never touches data. Zero-weight sources pass through with
+   *  alloc 0. */
+  def budgetMixture(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      tokenBudget: Long,
+      maxEpochs: Double = 1.0,
+      epochCaps: Map[String, Double] = Map.empty,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      tokenCol: String = ""): DataFrame = {
+    require(weights.nonEmpty, "budgetMixture needs at least one weight")
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totalW = weights.values.sum
+    val wDf = weights.toSeq
+      .map { case (s, w) =>
+        (s, w / totalW, epochCaps.getOrElse(s, maxEpochs))
+      }
+      .toDF(sourceCol, "weight", "__ecap")
+    val tok =
+      if (tokenCol.nonEmpty) col(tokenCol).cast("long")
+      else TextAnalysis.tokenCount(col(textCol)).cast("long")
+    val stats = docs.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tok).as("tokens"))
+      .join(broadcast(wDf), Seq(sourceCol), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(0.0)))
+      // nano-quantized weight: suffix sums below must be exact and
+      // order-independent (same discipline as temperatureResample)
+      .withColumn("__wn", round(col("weight") * 1e9, 0).cast("long"))
+      .withColumn("cap_tokens",
+        floor(col("tokens") * coalesce(col("__ecap"), lit(maxEpochs)))
+          .cast("long"))
+    val active = stats.filter(col("__wn") > 0 && col("cap_tokens") > 0)
+    val rest = stats.filter(!(col("__wn") > 0 && col("cap_tokens") > 0))
+    // the solve runs on a |sources|-row frame: a constant partition key
+    // keeps the window off the global-window warning path
+    val w = Window.partitionBy(lit(1))
+      .orderBy(
+        (col("cap_tokens").cast("double") / col("__wn")).asc,
+        col(sourceCol).asc)
+    val dec = "decimal(38,0)"
+    val ranked = active
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__scap_prev",
+        coalesce(sum(col("cap_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__wsuf", sum(col("__wn")).over(
+        w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    // first index that stays unsaturated at its own candidate level:
+    // cap_j · Wsuf_j ≥ (B − Scap_prev_j) · w_j, all exact decimals
+    val unsat = ranked.filter(
+      col("cap_tokens").cast(dec) * col("__wsuf").cast(dec) >=
+        (lit(tokenBudget).cast(dec) - col("__scap_prev").cast(dec)) *
+          col("__wn").cast(dec))
+      .agg(min(col("__rn")).as("__k"),
+        min_by(col("__scap_prev"), col("__rn")).as("__scap_k"),
+        min_by(col("__wsuf"), col("__rn")).as("__wsuf_k"))
+    val solved = ranked.crossJoin(broadcast(unsat))
+      .withColumn("alloc_tokens",
+        when(col("__k").isNull || col("__rn") < col("__k"),
+          col("cap_tokens")) // saturated (or the whole budget exceeds Σcap)
+          .otherwise(greatest(lit(0L),
+            floor((lit(tokenBudget).cast(dec) - col("__scap_k").cast(dec))
+              * col("__wn").cast(dec) / col("__wsuf_k").cast(dec))
+              .cast("long"))))
+    solved
+      .select(col(sourceCol), col("n_docs"), col("tokens"),
+        round(col("weight"), 6).as("weight"), col("cap_tokens"),
+        col("alloc_tokens"),
+        (col("alloc_tokens") === col("cap_tokens")).as("saturated"))
+      .unionByName(rest.select(col(sourceCol), col("n_docs"),
+        col("tokens"), round(col("weight"), 6).as("weight"),
+        col("cap_tokens"), lit(0L).as("alloc_tokens"),
+        lit(false).as("saturated")))
+      .withColumn("epochs",
+        round(col("alloc_tokens").cast("double") / col("tokens"), 6))
+  }
 }

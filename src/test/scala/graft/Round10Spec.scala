@@ -131,6 +131,66 @@ class ClassifySpec extends AnyFunSuite {
   }
 }
 
+class BudgetMixtureSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.pipeline.Sampling
+
+  // exact token counts: a=100 (2×50), b=100, c=100 (4×25), d=10
+  private lazy val docs = (
+    Seq(("a", 50), ("a", 50), ("b", 100), ("c", 25), ("c", 25),
+      ("c", 25), ("c", 25), ("d", 10)))
+    .zipWithIndex
+    .map { case ((s, n), i) => (i.toLong, s, Seq.fill(n)("w").mkString(" ")) }
+    .toDF("doc_id", "source", "text")
+
+  private val w = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+
+  private def allocs(budget: Long, maxEpochs: Double = 0.5) =
+    Sampling.budgetMixture(docs, w, budget, maxEpochs)
+      .orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("alloc_tokens"),
+        r.getAs[Boolean]("saturated"))).toSeq
+
+  test("no source saturates: allocation is proportional to weight") {
+    assert(allocs(80) ==
+      Seq(("a", 40L, false), ("b", 20L, false), ("c", 20L, false),
+        ("d", 0L, false)))
+  }
+
+  test("high-weight source saturates; overflow cascades to the rest") {
+    // a wants 75 but caps at 50; the remaining 100 splits evenly over
+    // b and c (equal weights), landing exactly on their caps
+    assert(allocs(150) ==
+      Seq(("a", 50L, true), ("b", 50L, true), ("c", 50L, true),
+        ("d", 0L, false)))
+  }
+
+  test("budget above the total capacity: everything caps, rest is 0") {
+    assert(allocs(400) ==
+      Seq(("a", 50L, true), ("b", 50L, true), ("c", 50L, true),
+        ("d", 0L, false)))
+  }
+
+  test("per-source epoch-cap override shrinks just that source") {
+    val out = Sampling.budgetMixture(docs, w, tokenBudget = 150,
+      maxEpochs = 0.5, epochCaps = Map("a" -> 0.25))
+      .orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("cap_tokens"),
+        r.getAs[Long]("alloc_tokens"))).toSeq
+    // a caps at 25; remaining 125 splits over b and c but they cap at
+    // 50 each -> 125 exceeds their joint capacity, all saturate
+    assert(out == Seq(("a", 25L, 25L), ("b", 50L, 50L), ("c", 50L, 50L),
+      ("d", 5L, 0L)))
+  }
+
+  test("allocation never exceeds the budget and epochs honor the cap") {
+    val rows = Sampling.budgetMixture(docs, w, 120, 0.5).collect()
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= 120L)
+    assert(rows.forall(_.getAs[Double]("epochs") <= 0.5))
+  }
+}
+
 class TakedownSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
@@ -179,6 +239,39 @@ class TakedownSpec extends AnyFunSuite {
     val m = Dedup.takedownPropagate(pairs,
       spark.emptyDataset[Long].toDF("doc_id"))
     assert(m.count() == 0)
+  }
+}
+
+class MarginMiningSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.pipeline.Similarity
+
+  test("marginMining: hand-computed ratio margins; a clear match mines, " +
+      "a weaker best-match falls under the threshold") {
+    val left = Seq(
+      (0L, Array(1.0f, 0.0f)), // perfect match with y10
+      (1L, Array(0.0f, 1.0f))) // best match y12 but a weaker margin
+      .toDF("vec_id", "embedding")
+    val right = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(0.6f, 0.8f)),
+      (12L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // k=2 micro-cosines: x0→(1e6, 6e5, 0), x1→(0, 8e5, 1e6)
+    // sumL(x0)=1.6e6; sumR(y10)=1e6 → margin(x0,y10) =
+    //   4·1e6·1e6 / 2.6e6 = 1538461; margin(x1,y12) = 1428571
+    val out = Similarity.marginMining(left, right, k = 2,
+      minMarginPpm = 1500000L).orderBy("left_id").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("left_id") == 0L)
+    assert(out.head.getAs[Long]("right_id") == 10L)
+    assert(out.head.getAs[Long]("margin_ppm") == 1538461L)
+    assert(out.head.getAs[Double]("cosine") == 1.0)
+    // lower threshold: both lefts mine, each to its best margin match
+    val all = Similarity.marginMining(left, right, k = 2,
+      minMarginPpm = 1000000L).orderBy("left_id").collect()
+    assert(all.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 10L), (1L, 12L)))
   }
 }
 
