@@ -3362,6 +3362,48 @@ object SparkEntry {
         FROM best WHERE rk = 1 AND margin_ppm >= 1200000
         ORDER BY left_id""")),
 
+    Q("e16_embedding_drift",
+      // embedding-distribution drift between slices (retrain trigger):
+      // ref = first half of ids, cur = second half. Per-dim integer
+      // micro-sums (exact, order-independent) feed decimal dot/norm
+      // products, so the centroid cosine and mean-L2 shift are
+      // engine-exact; the oracle re-derives both from scratch with
+      // unnest-with-ordinality and HUGEINT arithmetic.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.embeddingDrift(
+          emb.filter(col("vec_id") < 250),
+          emb.filter(col("vec_id") >= 250))
+      },
+      Some("""WITH px AS (
+          SELECT CASE WHEN vec_id < 250 THEN 'ref' ELSE 'cur' END AS side,
+            i - 1 AS dim,
+            CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6, 0) AS BIGINT)
+              AS xm
+          FROM embeddings,
+            unnest(range(1, len(embedding) + 1)) AS t(i)),
+        sums AS (
+          SELECT dim,
+            SUM(xm) FILTER (side = 'ref') AS s_ref,
+            COUNT(*) FILTER (side = 'ref') AS n_ref,
+            SUM(xm) FILTER (side = 'cur') AS s_cur,
+            COUNT(*) FILTER (side = 'cur') AS n_cur
+          FROM px GROUP BY dim),
+        shifted AS (
+          SELECT *,
+            (CAST(s_ref AS DOUBLE) / n_ref
+              - CAST(s_cur AS DOUBLE) / n_cur) / 1e6 AS shift
+          FROM sums)
+        SELECT CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+          CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+          ROUND(CAST(SUM(CAST(s_ref AS HUGEINT) * s_cur) AS DOUBLE) /
+            (SQRT(CAST(SUM(CAST(s_ref AS HUGEINT) * s_ref) AS DOUBLE)) *
+             SQRT(CAST(SUM(CAST(s_cur AS HUGEINT) * s_cur) AS DOUBLE))), 6)
+            AS centroid_cosine,
+          ROUND(SQRT(CAST(SUM(CAST(ROUND(shift * shift * 1e12, 0)
+            AS BIGINT)) AS DOUBLE) / 1e12), 6) AS mean_l2_shift
+        FROM shifted""")),
+
     Q("e12_incremental_embedding_dedup",
       // the d10/m04 ingest shape for the cosine family: the standing
       // corpus's banded hyperplane signatures are PERSISTED; a new
@@ -5276,6 +5318,70 @@ object SparkEntry {
         FROM read_parquet('/tmp/graft_qstate/x46/counts/*.parquet')
         WHERE source IS NOT NULL
         GROUP BY source ORDER BY source""")),
+
+    Q("x55_bpe_train",
+      // BPE vocabulary TRAINING (x46 applies merges; this learns them):
+      // one distributed word-count pass, bounded driver dictionary,
+      // in-memory most-frequent-pair loop with asc-pair tie-break. The
+      // learned table and the per-doc counts under it are persisted;
+      // the oracle replays the per-source aggregation AND re-derives
+      // merge #1 independently (SQL argmax over the char-pair counts
+      // of the word dictionary) — the sentinel row only appears when
+      // the learned rank-0 merge equals that argmax, so broken
+      // learning fails the row-count compare. Deeper ranks are pinned
+      // by BpeTrainSpec's hand-worked Sennrich example.
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val state = freshState(s, "x55")
+        val merges = TextAnalysis.trainBpeMerges(docs, numMerges = 20)
+        merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+          .toDF("rank", "m_left", "m_right")
+          .coalesce(1).write.mode("overwrite").parquet(state + "/merges")
+        docs.select(col("doc_id"), col("source"),
+            TextAnalysis.bpeTokenCount(col("text"), merges)
+              .as("n_bpe_tokens"))
+          .write.mode("overwrite").parquet(state + "/counts")
+        s.read.parquet(state + "/counts")
+          .filter(col("source").isNotNull)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_bpe_tokens").as("total_bpe_tokens"),
+            (sum("n_bpe_tokens").cast("double") / count(lit(1)))
+              .as("avg_bpe_tokens"))
+          .unionByName(Seq(("__merge1_check", 1L, 1L, 1.0))
+            .toDF("source", "n_docs", "total_bpe_tokens",
+              "avg_bpe_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH agg AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+            CAST(SUM(n_bpe_tokens) AS DOUBLE) / COUNT(*)
+              AS avg_bpe_tokens
+          FROM read_parquet('/tmp/graft_qstate/x55/counts/*.parquet')
+          WHERE source IS NOT NULL GROUP BY source),
+        words AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents),
+        wf AS (
+          SELECT w, COUNT(*) AS f FROM words WHERE len(w) > 1 GROUP BY w),
+        pairs AS (
+          SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, f
+          FROM wf, unnest(range(1, len(w))) AS t(i)),
+        pc AS (SELECT a, b, SUM(f) AS c FROM pairs GROUP BY a, b),
+        top1 AS (SELECT a, b FROM pc ORDER BY c DESC, a, b LIMIT 1),
+        m0 AS (
+          SELECT m_left, m_right
+          FROM read_parquet('/tmp/graft_qstate/x55/merges/*.parquet')
+          WHERE rank = 0)
+        SELECT * FROM agg
+        UNION ALL
+        SELECT '__merge1_check', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+          CAST(1 AS DOUBLE)
+        WHERE EXISTS (SELECT 1 FROM top1 JOIN m0
+          ON top1.a = m0.m_left AND top1.b = m0.m_right)
+        ORDER BY source""")),
 
     Q("x45_hybrid_rrf",
       // hybrid retrieval: BM25 lexical arm (x36's scorer) + brute-force

@@ -312,6 +312,70 @@ object TextAnalysis {
     count(text)
   }
 
+  /** Learn a BPE merges table FROM the corpus (Sennrich et al. 2016) —
+   *  the training half of the pluggable-merges story ([[bpeTokenCount]]
+   *  applies what this learns). The classic formulation trains on the
+   *  word-frequency DICTIONARY, not raw text, which is exactly the
+   *  100 TB shape: ONE distributed token-keyed count is the only data
+   *  pass; the top-`vocabCap` words collect to the driver (bounded —
+   *  a dictionary, not a corpus) and merges learn in memory by
+   *  repeated most-frequent-adjacent-pair selection. Ties break to the
+   *  lexicographically smallest (left, right), so the learned table is
+   *  total and engine-reproducible; learning stops early when no pair
+   *  remains. Feed the result straight back into [[bpeTokenCount]] /
+   *  [[Sampling.mixturePlan]] token budgeting. */
+  def trainBpeMerges(
+      docs: DataFrame,
+      numMerges: Int,
+      vocabCap: Int = 100000,
+      textCol: String = "text"): Seq[(String, String)] = {
+    require(numMerges > 0, "numMerges must be positive")
+    val words = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(vocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var dict: Array[(Array[String], Long)] =
+      words.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      dict.foreach { case (ps, f) =>
+        var j = 0
+        while (j < ps.length - 1) {
+          val k = (ps(j), ps(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        dict = dict.map { case (ps, f) => (applyMerge(ps, best), f) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One left-to-right non-overlapping pass of a single merge rule —
+   *  the dictionary update between training iterations. */
+  private def applyMerge(
+      ps: Array[String], m: (String, String)): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var j = 0
+    while (j < ps.length) {
+      if (j < ps.length - 1 && ps(j) == m._1 && ps(j + 1) == m._2) {
+        out += ps(j) + ps(j + 1); j += 2
+      } else { out += ps(j); j += 1 }
+    }
+    out.toArray
+  }
+
   /** The pieces themselves (per-doc array) — spec/debug surface. */
   def bpeTokens(
       text: Column,

@@ -242,10 +242,67 @@ class TakedownSpec extends AnyFunSuite {
   }
 }
 
+class BpeTrainSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.pipeline.TextAnalysis
+
+  test("trainBpeMerges reproduces the hand-worked Sennrich example") {
+    // dictionary: low×5, lower×2, newest×6, widest×3.
+    // pair counts: (e,s)=9, (s,t)=9, (w,e)=8, (l,o)=7, (o,w)=7, … —
+    // ties break lexicographically, so the learned order is
+    // (e,s) → (es,t) → (l,o) → (lo,w)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, numMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"),
+      ("lo", "w")))
+    // applying what was learned segments as the example predicts
+    val pieces = docs.select(
+      TextAnalysis.bpeTokens(col("text"), merges).as("p"))
+      .head().getSeq[String](0)
+    assert(pieces.take(3) == Seq("low", "low", "low"))
+    assert(pieces.contains("est")) // newest → n e w est
+  }
+
+  test("trainBpeMerges stops early when no pair remains") {
+    val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    assert(TextAnalysis.trainBpeMerges(docs, numMerges = 10).isEmpty)
+  }
+
+  test("learned merges reduce the corpus piece count monotonically") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+    val learned = TextAnalysis.trainBpeMerges(docs, numMerges = 10)
+    def total(m: Seq[(String, String)]): Long = docs.select(
+      sum(TextAnalysis.bpeTokenCount(col("text"), m))).head().getLong(0)
+    val counts = (0 to 10).map(k => total(learned.take(k)))
+    assert(counts.sliding(2).forall(p => p(1) <= p(0)))
+    assert(counts.last < counts.head) // 10 merges actually compress
+  }
+}
+
 class MarginMiningSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
   import graft.pipeline.Similarity
+
+  test("embeddingDrift: identical slices → cosine 1, shift 0; a known " +
+      "mean displacement reports exactly") {
+    val ref = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val same = Similarity.embeddingDrift(ref, ref).head()
+    assert(same.getAs[Double]("centroid_cosine") == 1.0)
+    assert(same.getAs[Double]("mean_l2_shift") == 0.0)
+    // cur mean = (1.5, 0.5) vs ref mean (0.5, 0.5): L2 shift exactly 1;
+    // cos((1,1),(3,1)) = 4/(√2·√10) = 0.894427
+    val cur = Seq((2L, Array(3.0f, 0.0f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val d = Similarity.embeddingDrift(ref, cur).head()
+    assert(d.getAs[Long]("n_ref") == 2L && d.getAs[Long]("n_cur") == 2L)
+    assert(d.getAs[Double]("centroid_cosine") == 0.894427)
+    assert(d.getAs[Double]("mean_l2_shift") == 1.0)
+  }
 
   test("marginMining: hand-computed ratio margins; a clear match mines, " +
       "a weaker best-match falls under the threshold") {
