@@ -155,7 +155,15 @@ object Bench {
       fw.write(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"sf":"$sfDir"}""")
       fw.close()
     } catch { case _: Throwable => () }
-    println(line)
+    // The JSON line must be the LAST thing on the combined stream: the
+    // r10 artifact arrived parsed=null because the ContextCleaner's
+    // "locally checkpointed ... cannot be recomputed" WARN burst landed
+    // AFTER the println and pushed the line out of the driver's ~2000
+    // char tail capture. Drop to ERROR (shutdown noise is all
+    // WARN/INFO), stop Spark first, THEN print.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

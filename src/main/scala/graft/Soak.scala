@@ -73,7 +73,14 @@ object Soak {
     // budget mixture (one source-keyed scan + metadata solve) and
     // margin mining (broadcast brute-force arm — linear in the right
     // corpus by construction)
-    "x54_budget_mixture", "e15_margin_mining")
+    "x54_budget_mixture", "e15_margin_mining",
+    // round-11 doc-pin fixes: streaming NB serving (map-only score of
+    // every arrival against a broadcast capped model — must stay
+    // linear in arrivals), slice-vs-slice embedding drift (two scans,
+    // metadata output), and BPE training (one word-count shuffle +
+    // bounded driver loop — the count pass dominates and must scale
+    // like any token-keyed groupBy)
+    "st10_stream_classify", "e16_embedding_drift", "x55_bpe_train")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -4912,10 +4912,18 @@ object SparkEntry {
           .orderBy("doc_id")
       },
       Some("""WITH j AS (
+          -- per-field COALESCE mirrors Spark to_json's null-field
+          -- OMISSION: a NULL lang/source/n_chars drops just that key,
+          -- it does not null the whole payload
           SELECT doc_id,
-            '{"id":' || doc_id || ',"meta":{"lang":"' || lang
-              || '","src":"' || source || '"},"stats":{"chars":'
-              || n_chars || '}}' AS payload
+            '{"id":' || doc_id || ',"meta":{'
+              || COALESCE('"lang":"' || lang || '"', '')
+              || CASE WHEN lang IS NOT NULL AND source IS NOT NULL
+                   THEN ',' ELSE '' END
+              || COALESCE('"src":"' || source || '"', '')
+              || '},"stats":{'
+              || COALESCE('"chars":' || n_chars, '')
+              || '}}' AS payload
           FROM documents)
         SELECT doc_id,
           CAST(json_extract(payload, '$.id') AS BIGINT) AS id,

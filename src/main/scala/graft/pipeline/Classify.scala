@@ -113,6 +113,10 @@ object Classify {
    *  are the same code path. */
   def modelFromState(state: NBState): NBModel = {
     val labelCol = state.labelCol
+    // cache the sufficient statistics for the multiple passes below,
+    // then localCheckpoint the two (small) model frames so the cache
+    // can be RELEASED before returning — a plain cache() here leaked
+    // one pinned frame per train/merge/compact call (r10 advice)
     val counts = state.tokenCounts
     counts.cache()
     val vocab = counts.select("token").distinct().count()
@@ -132,7 +136,12 @@ object Classify {
         round(log(lit(1.0) / (col("tot") + lit(vocab)).cast("double")) * 1e6,
           0).cast("long"))
       .select(col(labelCol), col("prior_micro"), col("unseen_micro"))
-    NBModel(tokenScores, labelMeta, labelCol)
+    // eager localCheckpoint materializes both frames off the counts
+    // lineage (blocks are context-cleaned on GC, unlike a cache)
+    val model = NBModel(tokenScores.localCheckpoint(true),
+      labelMeta.localCheckpoint(true), labelCol)
+    counts.unpersist()
+    model
   }
 
   /** Train Multinomial NB with add-one (Laplace) smoothing over the
@@ -153,6 +162,9 @@ object Classify {
    *  score. Ties break to the lexicographically smallest label so the
    *  prediction is total. Returns (idCol, predicted, score_micro) —
    *  the score stays in integer micro-nats (exact, order-independent).
+   *  CONTRACT: every input doc gets exactly one row — a doc whose text
+   *  is null/empty/whitespace-only scores prior-only (n_tok = 0),
+   *  identical to [[scoreBroadcast]].
    */
   def scoreNaiveBayes(
       model: NBModel,
@@ -165,7 +177,14 @@ object Classify {
       .filter(length(col("token")) > 0)
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val docLen = tf.groupBy(col(idCol)).agg(sum("tf").as("n_tok"))
+    // left join from the doc frame so token-less docs (null/empty/
+    // whitespace text) keep a row and score prior-only — the same
+    // total contract as the broadcast scorer
+    val docLen = docs.select(col(idCol))
+      .join(tf.groupBy(col(idCol)).agg(sum("tf").as("__n")),
+        Seq(idCol), "left")
+      .withColumn("n_tok", coalesce(col("__n"), lit(0L)))
+      .select(col(idCol), col("n_tok"))
     // the one big shuffle: token-keyed join of doc tf against the model
     val hits = tf.join(model.tokenScores, "token")
       .groupBy(col(idCol), col(l))
@@ -214,7 +233,8 @@ object Classify {
    *  collect to a broadcast map and every doc scores in place — no
    *  shuffle, no aggregation, so this runs on a STREAMING frame (the
    *  model-at-ingest serving path) as well as batch. Same output and
-   *  the same integer arithmetic as [[scoreNaiveBayes]]; a UDF is used
+   *  the same integer arithmetic as [[scoreNaiveBayes]] — including a
+   *  prior-only row for token-less docs; a UDF is used
    *  deliberately — there is no built-in expression for scoring against
    *  a broadcast hash of (token → per-label weights). Fails loudly if
    *  the model was never capped (use [[compactModel]] first). */

@@ -86,10 +86,9 @@ class ClassifySpec extends AnyFunSuite {
     val viaMap = Classify.scoreBroadcast(compact, probe)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
-    // the join path drops token-less docs (nothing to aggregate); the
-    // map path scores them as bare priors — compare on the docs both
-    // paths emit, then pin the broadcast path's prior-only row
-    assert(viaMap.filter(t => t._1 != 3L) == viaJoin)
+    // both paths share one total contract: token-less docs score as
+    // bare priors (r10 advice closed the join path's silent drop)
+    assert(viaMap == viaJoin)
     val bare = viaMap.find(_._1 == 3L).get
     assert(bare._2 == "ham") // equal priors -> asc label tie-break
   }
