@@ -80,7 +80,14 @@ object Soak {
     // metadata output), and BPE training (one word-count shuffle +
     // bounded driver loop — the count pass dominates and must scale
     // like any token-keyed groupBy)
-    "st10_stream_classify", "e16_embedding_drift", "x55_bpe_train")
+    "st10_stream_classify", "e16_embedding_drift", "x55_bpe_train",
+    // round-11: DSIR selection is the one new op keyed on a table this
+    // corpus blow-up actually scales (documents) — token-keyed feature
+    // shuffle + broadcast model grid, must stay ~linear in corpus
+    // tokens. The other r11 ops key on events/customer/supplier, which
+    // buildCorpus mirrors verbatim, so soaking them would only measure
+    // a flat line.
+    "x56_dsir_selection")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -1600,6 +1600,60 @@ object SparkEntry {
             WHEN s_up >= s_dn THEN 'up' ELSE 'down' END AS direction
         FROM sc ORDER BY event_type, day""")),
 
+    Q("a16_holt_forecast",
+      // Holt's linear-trend smoothing per series (beyond-reference):
+      // the forecast that sets expected ranges for trending metrics.
+      // The coupled (level, trend) recurrence folds over the sorted
+      // series with the `aggregate` higher-order function — codegen'd,
+      // no UDF; series parallelize across the cluster, each fold is
+      // the inherently-sequential recurrence. The oracle replays it as
+      // a recursive CTE: identical IEEE double ops in identical order,
+      // so level/trend/forecasts agree to the bit before rounding.
+      (s, d) => graft.anomalies.Forecast.holtLinear(dailySeries(s, d),
+          Seq("event_type"), "day", "value")
+        .select(col("event_type"), col("n_points"),
+          round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("forecast_1"), 6).as("forecast_1"),
+          round(col("forecast_2"), 6).as("forecast_2"),
+          round(col("forecast_3"), 6).as("forecast_3"))
+        .orderBy("event_type"),
+      Some(s"""WITH RECURSIVE series AS ($duckDailySeries),
+        o AS (SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+          FROM series),
+        n AS (SELECT event_type, MAX(t) AS n FROM o GROUP BY 1
+          HAVING MAX(t) >= 2),
+        init AS (
+          SELECT o1.event_type, 2 AS t,
+            CAST(0.5 AS DOUBLE) * o2.value
+              + CAST(0.5 AS DOUBLE) * (o1.value + (o2.value - o1.value))
+              AS l,
+            CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * o2.value
+                + CAST(0.5 AS DOUBLE) * (o1.value + (o2.value - o1.value)))
+              - o1.value)
+              + CAST(0.7 AS DOUBLE) * (o2.value - o1.value) AS b
+          FROM o o1 JOIN o o2 ON o1.event_type = o2.event_type
+            AND o1.t = 1 AND o2.t = 2),
+        holt AS (
+          SELECT * FROM init
+          UNION ALL
+          SELECT h.event_type, h.t + 1,
+            CAST(0.5 AS DOUBLE) * o.value
+              + CAST(0.5 AS DOUBLE) * (h.l + h.b),
+            CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * o.value
+                + CAST(0.5 AS DOUBLE) * (h.l + h.b)) - h.l)
+              + CAST(0.7 AS DOUBLE) * h.b
+          FROM holt h JOIN o ON o.event_type = h.event_type
+            AND o.t = h.t + 1)
+        SELECT h.event_type, CAST(n.n AS INT) AS n_points,
+          ROUND(h.l, 6) AS level, ROUND(h.b, 6) AS trend,
+          ROUND(h.l + CAST(1 AS DOUBLE) * h.b, 6) AS forecast_1,
+          ROUND(h.l + CAST(2 AS DOUBLE) * h.b, 6) AS forecast_2,
+          ROUND(h.l + CAST(3 AS DOUBLE) * h.b, 6) AS forecast_3
+        FROM holt h JOIN n ON n.event_type = h.event_type AND h.t = n.n
+        ORDER BY h.event_type""")),
+
     Q("a02_zscore_rolling",
       (s, d) => Anomalies.zscore(dailySeries(s, d), Seq("event_type"), "day",
         "value", sensitivity = 1.0, window = Some(7))
@@ -1929,6 +1983,64 @@ object SparkEntry {
     // newest-first with the limit honored (supabase_manager.py:218-266).
     // row_count for region is 5 at every SF, so the pinned oracle holds
     // across the verify (sf0.01) and bench (sf0.1) dirs.
+    Q("t12_scd2_build",
+      // type-2 slowly-changing-dimension merge: bootstrap the dimension
+      // from customer, apply a DECLARED snapshot mutation (%7 balance
+      // change, %13 delete, %17 insert-clone at key+1e6), merge. ONE
+      // key-partitioned full-outer join between the open slice and the
+      // snapshot; closed history passes through untouched — the shape
+      // that keeps a 100 TB dimension incremental. The oracle re-states
+      // the same full-outer case analysis with IS DISTINCT FROM.
+      (s, d) => {
+        import graft.operators.Scd
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+        val dim = Scd.scd2Init(cust, "2025-01-01 00:00:00")
+        val snapshot = cust.filter(col("c_custkey") % 13 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.0)
+              .otherwise(col("c_acctbal")))
+          .unionByName(cust.filter(col("c_custkey") % 17 === 0)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              lit(0.0).as("c_acctbal"), lit("NEW").as("c_mktsegment")))
+        Scd.scd2Merge(dim, snapshot, Seq("c_custkey"),
+            Seq("c_acctbal", "c_mktsegment"), "2026-01-01 00:00:00")
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH dim AS (
+          SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        snap AS (
+          SELECT c_custkey,
+            CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+              ELSE c_acctbal END AS c_acctbal,
+            c_mktsegment
+          FROM customer WHERE c_custkey % 13 <> 0
+          UNION ALL
+          SELECT c_custkey + 1000000, CAST(0 AS DOUBLE), 'NEW'
+          FROM customer WHERE c_custkey % 17 = 0),
+        j AS (
+          SELECT d.c_custkey AS dk, d.c_acctbal AS da,
+            d.c_mktsegment AS dm, s.c_custkey AS sk,
+            s.c_acctbal AS sa, s.c_mktsegment AS sm
+          FROM dim d FULL OUTER JOIN snap s ON d.c_custkey = s.c_custkey),
+        merged AS (
+          SELECT dk AS c_custkey, da AS c_acctbal, dm AS c_mktsegment,
+            '2025-01-01 00:00:00' AS valid_from,
+            '2026-01-01 00:00:00' AS valid_to, FALSE AS is_current
+          FROM j WHERE dk IS NOT NULL AND (sk IS NULL
+            OR da IS DISTINCT FROM sa OR dm IS DISTINCT FROM sm)
+          UNION ALL
+          SELECT dk, da, dm, '2025-01-01 00:00:00',
+            '9999-12-31 00:00:00', TRUE
+          FROM j WHERE dk IS NOT NULL AND sk IS NOT NULL
+            AND da IS NOT DISTINCT FROM sa AND dm IS NOT DISTINCT FROM sm
+          UNION ALL
+          SELECT sk, sa, sm, '2026-01-01 00:00:00',
+            '9999-12-31 00:00:00', TRUE
+          FROM j WHERE sk IS NOT NULL AND (dk IS NULL
+            OR da IS DISTINCT FROM sa OR dm IS DISTINCT FROM sm))
+        SELECT * FROM merged ORDER BY c_custkey, valid_from""")),
+
     Q("t01_profile_history",
       (s, d) => {
         val store = new graft.history.ProfileStore(s,
@@ -2456,6 +2568,31 @@ object SparkEntry {
           FROM sig a JOIN sig b ON a.id < b.id)
         SELECT id_a, id_b, CAST(h AS INT) AS hamming
         FROM pairs WHERE h <= 3 ORDER BY id_a, id_b""")),
+
+    Q("m05_image_phash",
+      // DCT perceptual hash over the same decoded-pixel corpus — the
+      // global-spectrum second opinion next to m01's gradient dHash
+      // (pHash survives brightness ramps and small crops that flip
+      // dHash bits). Deterministic double DCT over integer pixel
+      // pools, so the hash is JVM-stable; same signature-replay oracle
+      // as m01 over the persisted (id, phash) frame.
+      (s, _) => {
+        val state = freshState(s, "m05")
+        val imgs = Multimodal.syntheticImageCorpus(s, groups = 60)
+        val sigs = Multimodal.pHashSignatures(imgs).cache()
+        sigs.write.mode("overwrite").parquet(state + "/signatures")
+        Dedup.hammingNearDuplicates(sigs,
+            "id", "phash", maxHamming = 4, maxBucketSize = Int.MaxValue)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sig AS (SELECT id, phash
+          FROM read_parquet('/tmp/graft_qstate/m05/signatures/*.parquet')),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+            bit_count(xor(a.phash, b.phash)) AS h
+          FROM sig a JOIN sig b ON a.id < b.id)
+        SELECT id_a, id_b, CAST(h AS INT) AS hamming
+        FROM pairs WHERE h <= 4 ORDER BY id_a, id_b""")),
 
     Q("m02_audio_features",
       // audio-quality aggregates over REAL WAV PCM decode of a
@@ -3607,6 +3744,65 @@ object SparkEntry {
         SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
           CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    Q("e17_ann_recall",
+      // ANN index-quality evaluation: recall@10 of the LSH (e03) and
+      // IVF (e05) candidate generators against brute-force ground
+      // truth — the measurement loop that tunes bands/nprobe BEFORE a
+      // 100 TB index build commits. The approx top-10 sets persist and
+      // the oracle re-derives exact ground truth from scratch (e02's
+      // cross-join shape), then recomputes every hit count and recall
+      // by SQL set intersection.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 25)
+        val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+        val approx = Similarity.lshTopK(emb, queries, k = 10)
+          .select(lit("lsh").as("method"), col("query_id"),
+            col("neighbor_id"))
+          .unionByName(
+            Similarity.ivfTopK(Similarity.ivfBuild(emb, k = 16), queries,
+              k = 10, nprobe = 4)
+              .select(lit("ivf").as("method"), col("query_id"),
+                col("neighbor_id")))
+        val state = freshState(s, "e17")
+        approx.write.mode("overwrite").parquet(state + "/approx")
+        Similarity.recallAtK(exact, s.read.parquet(state + "/approx"))
+          .orderBy("method", "query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 25),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+          FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.neighbor_id,
+            list_sum(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+            (SQRT(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM q, c WHERE q.query_id <> c.neighbor_id),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 10),
+        nex AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM exact GROUP BY 1),
+        ap AS (SELECT method, query_id, neighbor_id
+          FROM read_parquet('/tmp/graft_qstate/e17/approx/*.parquet')),
+        hits AS (SELECT method, query_id,
+            CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM ap JOIN exact USING (query_id, neighbor_id) GROUP BY 1, 2),
+        m AS (SELECT DISTINCT method FROM ap)
+        SELECT m.method, nex.query_id, nex.n_exact,
+          COALESCE(hits.n_hit, 0) AS n_hit,
+          ROUND(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / nex.n_exact, 6)
+            AS recall
+        FROM m CROSS JOIN nex LEFT JOIN hits
+          ON hits.method = m.method AND hits.query_id = nex.query_id
+        ORDER BY m.method, nex.query_id""")),
 
     Q("e07_semantic_dedup",
       // SemDeDup: coarse cells (8 fixed centroids = the first 8 vectors,
@@ -5391,6 +5587,153 @@ object SparkEntry {
           ON top1.a = m0.m_left AND top1.b = m0.m_right)
         ORDER BY source""")),
 
+    Q("x56_dsir_selection",
+      // DSIR data selection (Xie et al. 2023): pick the pool docs whose
+      // hashed-bigram profile looks most like the target slice
+      // (lang = 'en'). Two B-row smoothed feature models (one
+      // map-side-combined groupBy each), scoring = per-doc feature tf
+      // joined against the BROADCAST model grid, selection =
+      // TakeOrdered top-50 — one doc-keyed shuffle total. md5 feature
+      // hashing + micro-nat quantization before every sum make the
+      // weights and the cut engine-exact; the oracle rebuilds both
+      // models and every weight from scratch.
+      (s, d) => graft.pipeline.Selection.dsirSelect(
+          t(s, d, "documents"), col("lang") === "en", k = 50)
+        .orderBy(col("weight_micro").desc, col("doc_id")),
+      Some("""WITH toks AS (
+          SELECT doc_id, lang,
+            string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS g
+          FROM (SELECT doc_id, lang, unnest(range(1, len(w))) AS i, w
+                FROM toks WHERE len(w) >= 2)),
+        feat AS (
+          SELECT doc_id, lang,
+            CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 4096
+              AS bucket
+          FROM grams WHERE g <> ''),
+        tf AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM feat GROUP BY 1, 2),
+        tcnt AS (SELECT bucket, COUNT(*) AS c FROM feat
+          WHERE lang = 'en' GROUP BY 1),
+        rcnt AS (SELECT bucket, COUNT(*) AS c FROM feat GROUP BY 1),
+        tot AS (SELECT
+          (SELECT COALESCE(SUM(c), 0) FROM tcnt) AS tt,
+          (SELECT COALESCE(SUM(c), 0) FROM rcnt) AS rt),
+        sc AS (
+          SELECT r.bucket,
+            CAST(ROUND(LN((COALESCE(t.c, 0) + 1)
+              / CAST(tt + 4096 AS DOUBLE)) * 1e6, 0) AS BIGINT)
+            - CAST(ROUND(LN((r.c + 1)
+              / CAST(rt + 4096 AS DOUBLE)) * 1e6, 0) AS BIGINT) AS d
+          FROM rcnt r LEFT JOIN tcnt t USING (bucket), tot),
+        w AS (
+          SELECT doc_id, SUM(tf) AS n_feat, SUM(tf * d) AS wmic
+          FROM tf JOIN sc USING (bucket) GROUP BY 1)
+        SELECT d.doc_id, CAST(COALESCE(w.n_feat, 0) AS BIGINT) AS n_feat,
+          CAST(COALESCE(w.wmic, 0) AS BIGINT) AS weight_micro
+        FROM documents d LEFT JOIN w USING (doc_id)
+        ORDER BY weight_micro DESC, doc_id LIMIT 50""")),
+
+    Q("x57_delivery_gaps",
+      // feed-completeness SLA scan: which hours never arrived, per
+      // series. The observed-hour frame is calendar-bounded (series ×
+      // span hours), the expected spine explodes from one per-series
+      // (min, max) row, holes fall out of a left-anti join, runs
+      // collapse with the hour-minus-rank trick — nothing here scales
+      // with raw event volume beyond the first distinct.
+      (s, d) => graft.operators.Completeness.deliveryGaps(
+          eventsTable(s, d))
+        .orderBy("series", "gap_start"),
+      Some("""WITH obs AS (
+          SELECT DISTINCT event_type AS series,
+            date_trunc('hour', ts) AS hour
+          FROM events),
+        span AS (SELECT series, MIN(hour) AS lo, MAX(hour) AS hi
+          FROM obs GROUP BY 1),
+        spine AS (
+          SELECT series,
+            unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM span),
+        miss AS (
+          SELECT s.series, s.hour FROM spine s
+          LEFT JOIN obs o ON o.series = s.series AND o.hour = s.hour
+          WHERE o.series IS NULL),
+        runs AS (
+          SELECT series, hour,
+            CAST(epoch(hour) AS BIGINT) // 3600
+              - ROW_NUMBER() OVER (PARTITION BY series ORDER BY hour)
+              AS grp
+          FROM miss)
+        SELECT series,
+          strftime(MIN(hour), '%Y-%m-%d %H:%M:%S') AS gap_start,
+          strftime(MAX(hour), '%Y-%m-%d %H:%M:%S') AS gap_end,
+          CAST(COUNT(*) AS BIGINT) AS n_missing_hours
+        FROM runs GROUP BY series, grp
+        ORDER BY series, gap_start""")),
+
+    Q("x58_entity_resolution",
+      // blocking-based entity resolution: records derived from supplier
+      // (variant B appends ' inc' to an md5-salted name, so true pairs
+      // sit at edit distance 3 while cross-records are md5-far), block
+      // on the first 4 name chars, match at levenshtein ≤ 4, close
+      // transitively. Pair generation is an EQUI-join on the block key
+      // (Σ block² work, never corpus²); the closure reuses the dedup
+      // label propagation. Oracle: same pairs via DuckDB's levenshtein
+      // + the d11 recursive-CTE closure.
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+        val base = sup.select(col("s_suppkey"),
+          concat(substring(md5(col("s_suppkey").cast("string")), 1, 12),
+            lit(" "), col("s_name")).as("name"))
+        val recs = base.select((col("s_suppkey") * 2).as("record_id"),
+            col("name"))
+          .unionByName(base.select(
+            (col("s_suppkey") * 2 + 1).as("record_id"),
+            concat(col("name"), lit(" inc")).as("name")))
+        graft.pipeline.EntityResolution.resolve(recs,
+            "record_id", "name", blockChars = 4, maxDistance = 4)
+          .orderBy("record_id")
+      },
+      Some("""WITH RECURSIVE recs AS (
+          SELECT s_suppkey * 2 AS record_id,
+            substring(md5(CAST(s_suppkey AS VARCHAR)), 1, 12)
+              || ' ' || s_name AS name
+          FROM supplier
+          UNION ALL
+          SELECT s_suppkey * 2 + 1,
+            substring(md5(CAST(s_suppkey AS VARCHAR)), 1, 12)
+              || ' ' || s_name || ' inc'
+          FROM supplier),
+        blocked AS (SELECT record_id, name,
+            lower(substring(name, 1, 4)) AS blk
+          FROM recs),
+        pairs AS (
+          SELECT a.record_id AS id_a, b.record_id AS id_b
+          FROM blocked a JOIN blocked b
+            ON a.blk = b.blk AND a.record_id < b.record_id
+          WHERE levenshtein(a.name, b.name) <= 4),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        clust AS (
+          SELECT src AS record_id, LEAST(src, MIN(dst)) AS cluster_id
+          FROM reach GROUP BY src),
+        assigned AS (
+          SELECT r.record_id,
+            COALESCE(c.cluster_id, r.record_id) AS cluster_id
+          FROM recs r LEFT JOIN clust c ON c.record_id = r.record_id),
+        sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM assigned GROUP BY 1)
+        SELECT a.record_id, a.cluster_id, s.n_members
+        FROM assigned a JOIN sizes s ON s.cluster_id = a.cluster_id
+        ORDER BY a.record_id""")),
+
     Q("x45_hybrid_rrf",
       // hybrid retrieval: BM25 lexical arm (x36's scorer) + brute-force
       // cosine ANN arm (e02's scorer) fused with reciprocal-rank fusion.
@@ -6171,5 +6514,61 @@ object SparkEntry {
         runBoundedStream(s, scored, "st10_sink", "append")
           .orderBy("doc_id")
       },
-      Some(nbOracle("SELECT * FROM documents", Some(512)))))
+      Some(nbOracle("SELECT * FROM documents", Some(512)))),
+
+    Q("st11_stream_topk",
+      // continuous heavy hitters: per-day (window, value) count states
+      // out of a watermarked window aggregation (the st09 pattern on
+      // the top-K lane), drained, pruned to the MergeableTopK candidate
+      // shape (k·cnt > n — integer cut) and merged — so "top values
+      // over any window range" is metadata-only over the stream's
+      // sink. The oracle replays the per-day counts, the candidate cut
+      // and the bracket arithmetic in SQL.
+      (s, d) => {
+        import graft.profiler.MergeableTopK
+        val k = 8
+        val states = graft.streaming.StreamingDetect.streamingTopKStates(
+          eventsStream(s, d).select(col("ts"), col("event_type")),
+          "ts", "event_type")
+        // parquet round-trip: the memory-sink view resolves to the SAME
+        // attribute ids on both sides of the totals self-join (analyzer
+        // "conflicting references"); persisting the per-window states is
+        // also the operator's real contract (the store any-range merges
+        // read)
+        val statePath = freshState(s, "st11") + "/states"
+        runBoundedStream(s, states, "st11_sink", "complete")
+          .write.mode("overwrite").parquet(statePath)
+        val sink = s.read.parquet(statePath)
+        val totals = sink.groupBy("slice_id").agg(sum("cnt").as("n"))
+        val mg = sink.join(totals, "slice_id")
+          .where(col("cnt") * k > col("n"))
+          .select("slice_id", "value", "cnt", "n")
+          .unionByName(totals.select(col("slice_id"),
+            lit(null).cast("string").as("value"), lit(0L).as("cnt"),
+            col("n")))
+        MergeableTopK.merge(mg, k)
+          .orderBy(col("lower").desc, col("value"))
+      },
+      Some("""WITH states AS (
+          SELECT CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS VARCHAR)
+            AS slice_id, event_type AS value,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT slice_id, SUM(cnt) AS n FROM states GROUP BY 1),
+        cand AS (
+          SELECT s.slice_id, s.value, s.cnt, t.n
+          FROM states s JOIN tot t USING (slice_id)
+          WHERE s.cnt * 8 > t.n),
+        miss AS (SELECT slice_id, n // 8 AS m FROM tot),
+        missall AS (SELECT CAST(SUM(m) AS BIGINT) AS m_all FROM miss),
+        agg AS (
+          SELECT c.value, CAST(SUM(c.cnt) AS BIGINT) AS lower,
+            CAST(SUM(c.n // 8) AS BIGINT) AS miss_present,
+            CAST(COUNT(*) AS BIGINT) AS slices_present
+          FROM cand c GROUP BY 1)
+        SELECT a.value, a.lower,
+          a.lower + missall.m_all - a.miss_present AS upper,
+          a.slices_present
+        FROM agg a, missall
+        ORDER BY a.lower DESC, a.value""")))
 }

@@ -1,0 +1,69 @@
+package graft.anomalies
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Holt's linear-trend exponential smoothing per series — the forecast
+ * companion to the detection battery in [[Anomalies]] (the reference's
+ * anomaly configs carry expected-range semantics; a level+trend
+ * forecast is how those ranges get set for trending metrics).
+ *
+ *   l_t = α·y_t + (1−α)·(l_{t−1} + b_{t−1})
+ *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+ * initialized l_1 = y_1, b_1 = y_2 − y_1, updates from t = 2; the
+ * h-step forecast is l_n + h·b_n (Hyndman & Athanasopoulos, fpp ch. 8).
+ *
+ * Scale shape: a series is one GROUP (metric × key), collected to an
+ * ordered array and folded with the `aggregate` higher-order
+ * function — codegen'd, no UDF, no driver participation; thousands of
+ * independent series parallelize across the cluster while each fold is
+ * sequential by nature (the recurrence is inherently ordered). A
+ * series must fit one task — true by construction for daily/hourly
+ * ops metrics (365 points/year), the same bounded-state argument as
+ * the reference's ≤1000-point detection input.
+ */
+object Forecast {
+
+  /** Per-series Holt state + h-step-ahead forecasts (h = 1..horizon).
+   *  Series shorter than 2 points are dropped (no trend to estimate).
+   *  Output: keyCols, n_points, level, trend, forecast_1..h. */
+  def holtLinear(
+      series: DataFrame,
+      keyCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      alpha: Double = 0.5,
+      beta: Double = 0.3,
+      horizon: Int = 3): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "alpha/beta must be in (0, 1)")
+    require(horizon >= 1, "horizon must be >= 1")
+    val packed = series
+      .groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("y")))).as("__arr"))
+      .filter(size(col("__arr")) >= 2)
+    // l_t is needed in both recurrence lines; the fold recomputes the
+    // identical expression (IEEE ops are deterministic, so both copies
+    // and any replaying engine agree bit-for-bit)
+    val lNew = s"(${alpha}D * x.y + ${1 - alpha}D * (acc.l + acc.b))"
+    val holt = expr(
+      s"""aggregate(
+         |  slice(__arr, 2, size(__arr) - 1),
+         |  named_struct(
+         |    'l', element_at(__arr, 1).y,
+         |    'b', element_at(__arr, 2).y - element_at(__arr, 1).y),
+         |  (acc, x) -> named_struct(
+         |    'l', $lNew,
+         |    'b', ${beta}D * ($lNew - acc.l) + ${1 - beta}D * acc.b))
+         |""".stripMargin)
+    val base = packed.withColumn("__h", holt)
+      .select((keyCols.map(col) :+ size(col("__arr")).as("n_points") :+
+        col("__h.l").as("level") :+ col("__h.b").as("trend")): _*)
+    (1 to horizon).foldLeft(base) { (df, h) =>
+      df.withColumn(s"forecast_$h",
+        col("level") + lit(h.toDouble) * col("trend"))
+    }
+  }
+}

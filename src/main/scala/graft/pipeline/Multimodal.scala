@@ -581,6 +581,101 @@ object Multimodal {
     udf((b: Array[Byte]) =>
       if (b == null) None else dHashBytes(b)).apply(bin)
 
+  /** DCT perceptual hash (pHash): mean-pool the decoded image to a
+   *  32×32 gray grid (integer sums — no resampling filter to diverge
+   *  across platforms), 2-D DCT-II, take the 8×8 low-frequency block,
+   *  set bit i when coefficient i exceeds the mean of the 63 non-DC
+   *  block coefficients. dHash keys on local gradients and misses
+   *  global-structure edits (crops, brightness ramps); pHash keys on
+   *  the coarse spectrum, the standard second opinion an image-dedup
+   *  pipeline runs. Pure deterministic double math over pixel ints —
+   *  the same hash on every JVM. */
+  private[graft] def pHashBytes(b: Array[Byte]): Option[Long] =
+    decodeImageBytes(b).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val N = 32
+      val g = Array.ofDim[Double](N, N)
+      var gy = 0
+      while (gy < N) {
+        val y0 = gy * h / N
+        val y1 = math.max((gy + 1) * h / N, y0 + 1)
+        var gx = 0
+        while (gx < N) {
+          val x0 = gx * w / N
+          val x1 = math.max((gx + 1) * w / N, x0 + 1)
+          var sum = 0L; var n = 0
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val p = px(y * w + x)
+              sum += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          g(gy)(gx) = if (n == 0) 0.0 else sum.toDouble / n
+          gx += 1
+        }
+        gy += 1
+      }
+      // separable DCT-II (rows then columns); naive O(N^3) is fine at
+      // N = 32 and keeps the arithmetic order fixed
+      val cosTab = Array.tabulate(N, N)((k, x) =>
+        math.cos((2 * x + 1) * k * math.Pi / (2.0 * N)))
+      val rows = Array.ofDim[Double](N, N)
+      var y = 0
+      while (y < N) {
+        var k = 0
+        while (k < N) {
+          var s = 0.0; var x = 0
+          while (x < N) { s += g(y)(x) * cosTab(k)(x); x += 1 }
+          rows(y)(k) = s
+          k += 1
+        }
+        y += 1
+      }
+      val coef = Array.ofDim[Double](8, 8)
+      var ky = 0
+      while (ky < 8) {
+        var kx = 0
+        while (kx < 8) {
+          var s = 0.0; var yy = 0
+          while (yy < N) { s += rows(yy)(kx) * cosTab(ky)(yy); yy += 1 }
+          coef(ky)(kx) = s
+          kx += 1
+        }
+        ky += 1
+      }
+      var mean = 0.0
+      var i = 1
+      while (i < 64) { mean += coef(i / 8)(i % 8); i += 1 }
+      mean /= 63.0
+      var hash = 0L
+      i = 0
+      while (i < 64) {
+        if (coef(i / 8)(i % 8) > mean) hash |= (1L << i)
+        i += 1
+      }
+      hash
+    }
+
+  /** Nullable `bigint` pHash column from a binary image column. */
+  def imagePHash(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((b: Array[Byte]) =>
+      if (b == null) None else pHashBytes(b)).apply(bin)
+
+  /** (id, phash) signature frame — [[imageSignatures]]' DCT twin,
+   *  persisted by m05 so the oracle can replay the hamming stage. */
+  def pHashSignatures(
+      df: DataFrame,
+      idCol: String = "id",
+      binCol: String = "bytes"): DataFrame =
+    df.select(col(idCol), imagePHash(col(binCol)).as("phash"))
+      .filter(col("phash").isNotNull)
+
   /** (id, dhash) signature frame — the image analog of
    *  [[graft.pipeline.Dedup.simhashSignatures]]; rows whose bytes don't
    *  decode are dropped (they can't be perceptually compared). Public so

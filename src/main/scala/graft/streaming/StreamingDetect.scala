@@ -176,6 +176,32 @@ object StreamingDetect {
         lit(valueCol).as("column"), col("lane"), col("bucket"), col("cnt"))
   }
 
+  /** Continuous heavy-hitter profiling: per-window value counts out of
+   *  a watermarked window aggregation, shaped like
+   *  [[graft.profiler.MergeableTopK]]'s slice states with slice_id =
+   *  window end — so "top users over any window range" is a
+   *  metadata-only candidate-prune + merge over this stream's sink,
+   *  never a rescan (the [[streamingQuantiles]] pattern applied to the
+   *  top-K lane). State per open window is the window's distinct-value
+   *  count; closed windows drop with the watermark. The k·cnt > n
+   *  candidate cut happens at merge time (the sink is the full
+   *  per-window count state, which the MergeableTopK math prunes
+   *  exactly as a batch slice). */
+  def streamingTopKStates(
+      events: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowLength: String = "1 day",
+      watermark: String = "2 days"): DataFrame =
+    graft.operators.TsNorm.normalizeTs(events, tsCol)
+      .withWatermark(tsCol, watermark)
+      .where(col(valueCol).isNotNull)
+      .groupBy(window(col(tsCol), windowLength),
+        col(valueCol).cast("string").as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.end").cast("string").as("slice_id"),
+        col("value"), col("cnt"))
+
   /** Streaming gap-based sessionization — the stream-native counterpart
    *  of the batch `operators.Sessionize` rollup, built on Spark's
    *  session_window (dynamic-gap session state, merged incrementally as
