@@ -87,7 +87,11 @@ object Soak {
     // tokens. The other r11 ops key on events/customer/supplier, which
     // buildCorpus mirrors verbatim, so soaking them would only measure
     // a flat line.
-    "x56_dsir_selection")
+    "x56_dsir_selection",
+    // batch 2 documents-keyed additions: dedup eval (shingle inverted
+    // index + LSH over the doubled eval corpus — the heaviest dedup
+    // shape) and the CSV write+read round-trip (scan-bound both ways)
+    "d12_dedup_eval", "s15_csv_roundtrip")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

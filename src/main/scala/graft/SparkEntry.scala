@@ -1654,6 +1654,55 @@ object SparkEntry {
         FROM holt h JOIN n ON n.event_type = h.event_type AND h.t = n.n
         ORDER BY h.event_type""")),
 
+    Q("a17_changepoint",
+      // changepoint localization (binary segmentation, one level):
+      // a15's CUSUM says "something drifted", this says WHERE the level
+      // broke — the split minimizing two-segment SSE. Pure ordered
+      // prefix-sum windows (SSE(a..b) = Σy² − (Σy)²/len), so the whole
+      // derivation replays as SQL window functions over identical
+      // doubles; ties break to the earliest split.
+      (s, d) => graft.anomalies.Changepoint.binarySegmentation(
+          dailySeries(s, d), Seq("event_type"), "day", "value")
+        .select(col("event_type"), col("n_points"),
+          col("change_at").cast("string").as("change_day"),
+          round(col("mean_before"), 6).as("mean_before"),
+          round(col("mean_after"), 6).as("mean_after"),
+          round(col("sse_reduction"), 6).as("sse_reduction"))
+        .orderBy("event_type"),
+      Some(s"""WITH series AS ($duckDailySeries),
+        base AS (SELECT event_type, day, value,
+          ROW_NUMBER() OVER w AS r,
+          SUM(value) OVER w AS s1,
+          SUM(value * value) OVER w AS s2,
+          COUNT(*) OVER p AS n,
+          SUM(value) OVER p AS t1,
+          SUM(value * value) OVER p AS t2
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          p AS (PARTITION BY event_type)),
+        scored AS (
+          SELECT event_type, day, n,
+            (s1 - value) AS ls1, (s2 - value * value) AS ls2,
+            (t1 - (s1 - value)) AS rs1, (t2 - (s2 - value * value)) AS rs2,
+            CAST(r - 1 AS DOUBLE) AS ln, CAST(n - r + 1 AS DOUBLE) AS rn,
+            t1, t2
+          FROM base WHERE n >= 2 AND r >= 2),
+        cost AS (
+          SELECT event_type, day, n, ls1, rs1, ln, rn, t1, t2,
+            (ls2 - ls1 * ls1 / ln) + (rs2 - rs1 * rs1 / rn) AS c
+          FROM scored),
+        best AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY c ASC, day ASC) AS rk
+          FROM cost)
+        SELECT event_type, CAST(n AS BIGINT) AS n_points,
+          CAST(day AS VARCHAR) AS change_day,
+          ROUND(ls1 / ln, 6) AS mean_before,
+          ROUND(rs1 / rn, 6) AS mean_after,
+          ROUND((t2 - t1 * t1 / n) - c, 6) AS sse_reduction
+        FROM best WHERE rk = 1 ORDER BY event_type""")),
+
     Q("a02_zscore_rolling",
       (s, d) => Anomalies.zscore(dailySeries(s, d), Seq("event_type"), "day",
         "value", sensitivity = 1.0, window = Some(7))
@@ -3438,6 +3487,81 @@ object SparkEntry {
             THEN 'listed' ELSE 'propagated' END AS reason
         FROM manifest m ORDER BY m.doc_id""")),
 
+    Q("d12_dedup_eval",
+      // dedup-pipeline quality measurement: precision/recall/F1 of the
+      // raw LSH candidate set (128 hashes × 32 bands of 4 rows, the
+      // d03 config) against exact
+      // Jaccard ≥ 0.5 ground truth. The fixture corpus is bimodal
+      // (≥ 0.9 or < 0.2), where every config saturates at 1.0, so the
+      // eval corpus adds a 60%-prefix variant of every doc (id + 1e5)
+      // whose Jaccard to its source straddles the threshold — the
+      // metrics then show the real S-curve trade-off. Candidates
+      // persist; the oracle rebuilds the derived corpus and the
+      // ground truth from scratch (d06's SQL shape) and recomputes
+      // every metric over the persisted predictions — the dedup twin
+      // of e17's ANN recall.
+      (s, d) => {
+        val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+        val derived = base
+          .withColumn("__ts",
+            filter(split(lower(trim(col("text"))), "\\s+"),
+              t => t =!= ""))
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            array_join(expr(
+              "slice(__ts, 1, (3 * size(__ts) + 4) div 5)"), " ")
+              .as("text"))
+        val corpus = base.unionByName(derived)
+        val state = freshState(s, "d12")
+        Dedup.lshCandidatePairs(
+            Dedup.minhashSignatures(corpus, numHashes = 128, numBands = 32))
+          .write.mode("overwrite").parquet(state + "/predicted")
+        val truth = Dedup.jaccardSimilarPairs(corpus,
+          threshold = 0.5, maxShingleDocFreq = Int.MaxValue)
+        Dedup.nearDupEval(truth, s.read.parquet(state + "/predicted"))
+      },
+      Some("""WITH toks0 AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS ts
+          FROM documents),
+        toks AS (
+          SELECT doc_id, ts FROM toks0
+          UNION ALL
+          SELECT doc_id + 100000, ts[1:(3 * len(ts) + 4) // 5]
+          FROM toks0),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+          FROM toks WHERE len(ts) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+            AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT id_a, id_b FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5),
+        pred AS (SELECT id_a, id_b FROM
+          read_parquet('/tmp/graft_qstate/d12/predicted/*.parquet')),
+        hit AS (SELECT * FROM pred JOIN truth USING (id_a, id_b)),
+        c AS (SELECT
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_pred,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit)
+        SELECT n_truth, n_pred, n_hit,
+          CASE WHEN n_pred = 0 THEN NULL
+            ELSE ROUND(CAST(n_hit AS DOUBLE) / n_pred, 6) END AS precision,
+          CASE WHEN n_truth = 0 THEN NULL
+            ELSE ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) END AS recall,
+          CASE WHEN n_pred + n_truth = 0 THEN NULL
+            ELSE ROUND(CAST(2 AS DOUBLE) * n_hit / (n_pred + n_truth), 6)
+            END AS f1
+        FROM c""")),
+
     Q("e15_margin_mining",
       // margin-based pair mining (bitext/alignment shape): left side =
       // vec_id < 50, right = the rest; a pair is mined only when its
@@ -5127,7 +5251,43 @@ object SparkEntry {
           json_extract_string(payload, '$.meta.src') AS meta_src,
           CAST(json_extract(payload, '$.stats.chars') AS BIGINT)
             AS stats_chars
-        FROM j ORDER BY doc_id""")))
+        FROM j ORDER BY doc_id""")),
+
+    Q("s15_csv_roundtrip",
+      // delimited-text ingestion, the fourth source leg (parquet/JSONL/
+      // JDBC/CSV): documents — with injected separators and quotes in
+      // the text — write as RFC-4180 CSV (doubled-quote escaping, NOT
+      // Spark's backslash default) and read back through the pinned-
+      // schema splittable scan. The oracle reads THE SAME files with
+      // DuckDB's independent CSV parser and must see identical rows —
+      // quoting bugs on either side break the per-source aggregates.
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val state = freshState(s, "s15")
+        val docs = t(s, d, "documents")
+          .withColumn("text",
+            concat(lit("a,\"b\" c,, "), col("text")))
+        graft.sources.CsvSource.write(docs, state + "/csv")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("source", StringType),
+          StructField("n_chars", LongType)))
+        graft.sources.CsvSource.read(s, state + "/csv", schema)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(length(col("text"))).as("sum_text_len"),
+            countDistinct("lang").as("n_langs"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+          CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM read_csv('/tmp/graft_qstate/s15/csv/*.csv', header = true,
+          columns = {'doc_id': 'BIGINT', 'text': 'VARCHAR',
+            'lang': 'VARCHAR', 'source': 'VARCHAR', 'n_chars': 'BIGINT'})
+        GROUP BY source ORDER BY source""")))
 
   // ------------------------------------------------------------------
   // J-series: custom operators beyond Spark's built-ins
@@ -5733,6 +5893,67 @@ object SparkEntry {
         SELECT a.record_id, a.cluster_id, s.n_members
         FROM assigned a JOIN sizes s ON s.cluster_id = a.cluster_id
         ORDER BY a.record_id""")),
+
+    Q("x59_langid_eval",
+      // classifier evaluation closing the eval family (e17 ANN recall,
+      // d12 dedup P/R): per-class precision/recall/F1 of the x44
+      // language-ID predictions against the corpus's lang labels.
+      // Three label-keyed aggregations, label-count rows out. The
+      // per-(doc, candidate) scores persist and the oracle re-derives
+      // the PREDICTIONS (x44's argmax SQL) and every metric itself.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val state = freshState(s, "x59")
+        TextAnalysis.languageScores(docs).write.mode("overwrite")
+          .parquet(state + "/scores")
+        val preds = TextAnalysis.languagePicks(
+            s.read.parquet(state + "/scores"), docs)
+          .withColumnRenamed("lang", "predicted")
+        val scored = docs.select(col("doc_id"), col("lang").as("truth"))
+          .join(preds, "doc_id")
+        graft.pipeline.Classify.classificationReport(scored)
+          .orderBy("class")
+      },
+      Some("""WITH sc AS (SELECT * FROM
+          read_parquet('/tmp/graft_qstate/x59/scores/*.parquet')),
+        t1 AS (SELECT doc_id, arg_min(lang, prio) AS lang
+          FROM sc WHERE tier = 1 AND score > 0 GROUP BY doc_id),
+        t2 AS (SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, prio ASC) AS rn
+            FROM sc WHERE tier = 2 AND score > 0) WHERE rn = 1),
+        scored AS (
+          SELECT d.lang AS truth,
+            COALESCE(t1.lang, t2.lang, 'und') AS predicted
+          FROM documents d
+          LEFT JOIN t1 ON d.doc_id = t1.doc_id
+          LEFT JOIN t2 ON d.doc_id = t2.doc_id),
+        t AS (SELECT truth AS class, CAST(COUNT(*) AS BIGINT) AS n_truth
+          FROM scored GROUP BY 1),
+        p AS (SELECT predicted AS class,
+            CAST(COUNT(*) AS BIGINT) AS n_pred
+          FROM scored GROUP BY 1),
+        c AS (SELECT truth AS class,
+            CAST(COUNT(*) AS BIGINT) AS n_correct
+          FROM scored WHERE truth = predicted GROUP BY 1),
+        g AS (
+          SELECT COALESCE(t.class, p.class) AS class,
+            COALESCE(n_truth, 0) AS n_truth,
+            COALESCE(n_pred, 0) AS n_pred
+          FROM t FULL OUTER JOIN p ON t.class = p.class)
+        SELECT g.class, g.n_truth, g.n_pred,
+          COALESCE(c.n_correct, 0) AS n_correct,
+          CASE WHEN g.n_pred = 0 THEN NULL
+            ELSE ROUND(CAST(COALESCE(c.n_correct, 0) AS DOUBLE)
+              / g.n_pred, 6) END AS precision,
+          CASE WHEN g.n_truth = 0 THEN NULL
+            ELSE ROUND(CAST(COALESCE(c.n_correct, 0) AS DOUBLE)
+              / g.n_truth, 6) END AS recall,
+          CASE WHEN g.n_pred + g.n_truth = 0 THEN NULL
+            ELSE ROUND(CAST(2 AS DOUBLE) * COALESCE(c.n_correct, 0)
+              / (g.n_pred + g.n_truth), 6) END AS f1
+        FROM g LEFT JOIN c ON c.class = g.class
+        ORDER BY g.class""")),
 
     Q("x45_hybrid_rrf",
       // hybrid retrieval: BM25 lexical arm (x36's scorer) + brute-force
@@ -6570,5 +6791,48 @@ object SparkEntry {
           a.lower + missall.m_all - a.miss_present AS upper,
           a.slices_present
         FROM agg a, missall
-        ORDER BY a.lower DESC, a.value""")))
+        ORDER BY a.lower DESC, a.value""")),
+
+    Q("st12_stream_cdc_history",
+      // CDC change feed → SCD2 history, streaming: each event SETS the
+      // key's current value; a change CLOSES the previous version and
+      // emits it (append-honest — open versions live in O(keys) state).
+      // Fed the events feed as (user_id, ts, event_type) changes; the
+      // oracle derives the same closed intervals with run-collapse +
+      // lead windows. The batch twin is t12's snapshot-grain merge;
+      // this is the event-grain form that touches each change once.
+      (s, d) => {
+        import s.implicits._
+        val changes = eventsStream(s, d)
+          .select(col("user_id").as("key"), col("event_id").as("seq"),
+            col("ts"), col("event_type").as("value"))
+          .as[graft.streaming.StreamingDetect.CdcEvent]
+        val hist = graft.streaming.StreamingDetect
+          .cdcHistoryStream(changes).toDF()
+        runBoundedStream(s, hist, "st12_sink", "append")
+          .select(col("key").as("user_id"), col("value"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+              .as("valid_from"),
+            date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss")
+              .as("valid_to"))
+          .orderBy("user_id", "valid_from", "value")
+      },
+      Some("""WITH o AS (
+          SELECT user_id, event_id, event_type AS value, ts,
+            LAG(event_type) OVER w AS prev
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        runs AS (
+          SELECT user_id, event_id, value, ts FROM o
+          WHERE prev IS NULL OR prev <> value),
+        closed AS (
+          SELECT user_id, value, ts AS vf,
+            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS vt
+          FROM runs)
+        SELECT user_id, value,
+          strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+          strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
+        FROM closed WHERE vt IS NOT NULL
+        ORDER BY user_id, valid_from, value""")))
 }

@@ -300,6 +300,44 @@ object Classify {
         col("__p._2").as("score_micro"))
   }
 
+  /** Per-class precision / recall / F1 from a frame carrying truth and
+   *  predicted label columns — the classifier-agnostic report that
+   *  closes the eval family (e17 ANN recall, d12 dedup P/R). Three
+   *  label-keyed aggregations over the scored frame, label-count rows
+   *  out: metadata scale at any corpus size. Classes appearing only in
+   *  truth or only in predictions still get their row (their missing
+   *  side counts 0); F1 is the closed Dice form 2·correct/(pred+truth),
+   *  no intermediate rounding. */
+  def classificationReport(
+      scored: DataFrame,
+      truthCol: String = "truth",
+      predCol: String = "predicted"): DataFrame = {
+    val t = scored.groupBy(col(truthCol).as("class"))
+      .agg(count(lit(1)).as("n_truth"))
+    val p = scored.groupBy(col(predCol).as("class"))
+      .agg(count(lit(1)).as("n_pred"))
+    val c = scored.filter(col(truthCol) === col(predCol))
+      .groupBy(col(truthCol).as("class"))
+      .agg(count(lit(1)).as("n_correct"))
+    t.join(p, Seq("class"), "full_outer")
+      .join(c, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .select(col("class"), col("n_truth"), col("n_pred"),
+        col("n_correct"),
+        when(col("n_pred") === 0, lit(null))
+          .otherwise(round(col("n_correct").cast("double") /
+            col("n_pred"), 6)).as("precision"),
+        when(col("n_truth") === 0, lit(null))
+          .otherwise(round(col("n_correct").cast("double") /
+            col("n_truth"), 6)).as("recall"),
+        when(col("n_pred") + col("n_truth") === 0, lit(null))
+          .otherwise(round(lit(2.0) * col("n_correct") /
+            (col("n_pred") + col("n_truth")), 6)).as("f1"))
+  }
+
   /** Held-out evaluation: confusion counts + accuracy of the model on
    *  a labeled frame. One groupBy over (truth, predicted) — the grid
    *  is label² rows, metadata scale. */

@@ -1122,6 +1122,35 @@ object Dedup {
       .drop("__rk")
   }
 
+  /** Dedup-pipeline quality evaluation: precision / recall / F1 of a
+   *  candidate pair set against exact ground truth — the measurement
+   *  loop that tunes bands/rows (the LSH S-curve) before a 100 TB
+   *  dedup run commits, the text twin of
+   *  [[Similarity.recallAtK]]. Both inputs are (id_a, id_b) pair
+   *  frames with id_a < id_b; output is ONE row of counts +
+   *  rounded metrics (F1 in its closed Dice form 2·hit/(pred+truth),
+   *  no intermediate rounding). Joins are pair-keyed — work scales
+   *  with the pair sets, never the corpus. */
+  def nearDupEval(truth: DataFrame, predicted: DataFrame): DataFrame = {
+    val tp = truth.select("id_a", "id_b")
+    val pp = predicted.select("id_a", "id_b")
+    val hit = pp.join(tp, Seq("id_a", "id_b"))
+    tp.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(pp.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_pred"), col("n_hit"),
+        when(col("n_pred") === 0, lit(null))
+          .otherwise(round(col("n_hit").cast("double") / col("n_pred"), 6))
+          .as("precision"),
+        when(col("n_truth") === 0, lit(null))
+          .otherwise(round(col("n_hit").cast("double") / col("n_truth"), 6))
+          .as("recall"),
+        when(col("n_pred") + col("n_truth") === 0, lit(null))
+          .otherwise(round(lit(2.0) * col("n_hit") /
+            (col("n_pred") + col("n_truth")), 6))
+          .as("f1"))
+  }
+
   /** Takedown propagation — the copyright / right-to-be-forgotten
    *  operator a corpus actually needs: removing a listed document is
    *  not enough when its near-verbatim copies survive, so the removal

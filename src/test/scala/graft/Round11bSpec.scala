@@ -1,0 +1,212 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.anomalies.Changepoint
+import graft.pipeline.Dedup
+import graft.sources.CsvSource
+import graft.streaming.StreamingDetect
+
+class CsvSourceSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("csvsrc").toString
+
+  test("round-trips separators, quotes, and unicode losslessly") {
+    val rows = Seq(
+      (1L, "plain text"),
+      (2L, "comma, inside"),
+      (3L, "a \"quoted\" word"),
+      (4L, "mixed, \"both\", of them"),
+      (5L, "unicode 你好 héllo"))
+    val dir = tmp()
+    CsvSource.write(rows.toDF("id", "text"), dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val back = CsvSource.read(spark, dir, schema)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == rows)
+  }
+
+  test("pinned schema: malformed numeric rows become NULLs, not failures") {
+    val dir = tmp()
+    Seq(("1", "ok"), ("not_a_number", "bad"), ("3", "ok2"))
+      .toDF("id", "text").write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val back = CsvSource.read(spark, dir, schema)
+    assert(back.count() == 3)
+    assert(back.filter(col("id").isNull).count() == 1)
+  }
+
+  test("inferSchema finds the numeric column") {
+    val dir = tmp()
+    CsvSource.write(Seq((1L, "a"), (2L, "b")).toDF("id", "text"), dir)
+    val inferred = CsvSource.inferSchema(spark, dir)
+    assert(inferred.fieldNames.toSeq == Seq("id", "text"))
+    assert(inferred("id").dataType ==
+      org.apache.spark.sql.types.IntegerType ||
+      inferred("id").dataType == org.apache.spark.sql.types.LongType)
+  }
+}
+
+class DedupEvalSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("nearDupEval counts hits and derives P/R/F1") {
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val pred = Seq((1L, 2L), (3L, 4L), (9L, 10L))
+      .toDF("id_a", "id_b")
+    val r = Dedup.nearDupEval(truth, pred).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 3L, 2L)))
+    assert(r.getDouble(3) == 0.666667) // precision 2/3
+    assert(r.getDouble(4) == 0.5)      // recall 2/4
+    assert(r.getDouble(5) == 0.571429) // dice 4/7
+  }
+
+  test("nearDupEval: empty prediction set yields NULL precision") {
+    val truth = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val pred = truth.filter(lit(false))
+    val r = Dedup.nearDupEval(truth, pred).collect()(0)
+    assert(r.getLong(1) == 0L && r.isNullAt(3))
+    assert(r.getDouble(4) == 0.0)
+  }
+}
+
+class ClassificationReportSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("per-class counts and metrics; one-sided classes keep rows") {
+    // truth:    a a a b b c
+    // predicted:a a b b c d   (c never predicted right; d never true)
+    val scored = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "c"), ("c", "d")).toDF("truth", "predicted")
+    val r = graft.pipeline.Classify.classificationReport(scored)
+      .orderBy("class").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSeq
+    assert(r == Seq(
+      ("a", 3L, 2L, 2L), ("b", 2L, 2L, 1L),
+      ("c", 1L, 1L, 0L), ("d", 0L, 1L, 0L)))
+    val m = graft.pipeline.Classify.classificationReport(scored)
+      .filter(col("class") === "a").collect()(0)
+    assert(m.getDouble(4) == 1.0)      // precision 2/2
+    assert(m.getDouble(5) == 0.666667) // recall 2/3
+    assert(m.getDouble(6) == 0.8)      // dice 4/5
+    val d = graft.pipeline.Classify.classificationReport(scored)
+      .filter(col("class") === "d").collect()(0)
+    assert(d.isNullAt(5))              // never true -> recall NULL
+  }
+}
+
+class ChangepointSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("binarySegmentation finds a clean level shift") {
+    // 5 points at 10, then 5 at 20: split at t=6, means 10/20,
+    // base SSE = 250 (two groups of 5, each 5*25 from the mean 15),
+    // two-segment SSE = 0 -> reduction 250
+    val s = ((1 to 5).map(t => ("a", t, 10.0)) ++
+      (6 to 10).map(t => ("a", t, 20.0))).toDF("key", "t", "y")
+    val r = Changepoint.binarySegmentation(s, Seq("key"), "t", "y")
+      .collect()(0)
+    assert(r.getLong(1) == 10L)
+    assert(r.getInt(2) == 6)
+    assert(r.getDouble(3) == 10.0 && r.getDouble(4) == 20.0)
+    assert(math.abs(r.getDouble(5) - 250.0) < 1e-9)
+  }
+
+  test("binarySegmentation: constant series, tie breaks earliest") {
+    val s = (1 to 6).map(t => ("c", t, 7.0)).toDF("key", "t", "y")
+    val r = Changepoint.binarySegmentation(s, Seq("key"), "t", "y")
+      .collect()(0)
+    assert(r.getInt(2) == 2) // every split costs 0 -> earliest wins
+    assert(math.abs(r.getDouble(5)) < 1e-9)
+  }
+
+  test("binarySegmentation drops 1-point series") {
+    val s = Seq(("a", 1, 5.0)).toDF("key", "t", "y")
+    assert(Changepoint.binarySegmentation(s, Seq("key"), "t", "y")
+      .count() == 0)
+  }
+}
+
+class CdcHistorySpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("cdcHistoryStream closes versions across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[StreamingDetect.CdcEvent]
+    val hist = StreamingDetect.cdcHistoryStream(ms.toDS())
+    val q = hist.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("cdc_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    // batch 1: key 1 goes A -> B (A closes); key 2 stays open on X;
+    // same-value repeat (B again) must NOT create a version
+    ms.addData(
+      StreamingDetect.CdcEvent(1L, 1L, ts("2024-01-01 00:00:00"), "A"),
+      StreamingDetect.CdcEvent(1L, 2L, ts("2024-01-01 01:00:00"), "B"),
+      StreamingDetect.CdcEvent(1L, 3L, ts("2024-01-01 02:00:00"), "B"),
+      StreamingDetect.CdcEvent(2L, 4L, ts("2024-01-01 00:30:00"), "X"))
+    q.processAllAvailable()
+    val afterB1 = spark.table("cdc_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(afterB1 == Seq((1L, "A")))
+    // batch 2: key 2's X closes — the open version survived batch 1
+    // in state; key 1's B closes too
+    ms.addData(
+      StreamingDetect.CdcEvent(2L, 5L, ts("2024-01-02 00:00:00"), "Y"),
+      StreamingDetect.CdcEvent(1L, 6L, ts("2024-01-02 00:00:00"), "C"))
+    q.processAllAvailable()
+    val all = spark.table("cdc_sink").orderBy("key", "valid_from")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), r.getTimestamp(3))).toSeq
+    q.stop()
+    assert(all == Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00")),
+      (1L, "B", ts("2024-01-01 01:00:00"), ts("2024-01-02 00:00:00")),
+      (2L, "X", ts("2024-01-01 00:30:00"), ts("2024-01-02 00:00:00"))))
+  }
+
+  test("cdcHistoryStream orders same-batch events by (ts, seq)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val ms = MemoryStream[StreamingDetect.CdcEvent]
+    val hist = StreamingDetect.cdcHistoryStream(ms.toDS())
+    val q = hist.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("cdc_sink2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // delivered out of order; ts order is C(00) -> A(01) -> B(02)
+    ms.addData(
+      StreamingDetect.CdcEvent(9L, 2L, ts("2024-01-01 01:00:00"), "A"),
+      StreamingDetect.CdcEvent(9L, 1L, ts("2024-01-01 00:00:00"), "C"),
+      StreamingDetect.CdcEvent(9L, 3L, ts("2024-01-01 02:00:00"), "B"))
+    q.awaitTermination()
+    val rows = spark.table("cdc_sink2").orderBy("valid_from").collect()
+      .map(_.getString(1)).toSeq
+    assert(rows == Seq("C", "A"))
+  }
+}
