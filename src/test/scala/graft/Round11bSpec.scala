@@ -147,6 +147,48 @@ class ChangepointSpec extends AnyFunSuite {
   }
 }
 
+class Round11PlanSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("dsirWeights scoring join broadcasts the model grid") {
+    val docs = Seq((1L, "a b c", true), (2L, "b c d", false))
+      .toDF("doc_id", "text", "t")
+    val plan = graft.pipeline.Selection
+      .dsirWeights(docs, col("t"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model-grid join must broadcast, got:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("entity-resolution pair generation is an equi-join, never a cross") {
+    val recs = Seq((1L, "abcd x"), (2L, "abcd y")).toDF("record_id", "name")
+    val plan = graft.pipeline.EntityResolution
+      .candidatePairs(recs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"blocking must produce an equi-join, got:\n$plan")
+  }
+
+  test("scd2Merge joins on the key, no cartesian") {
+    // Catalyst pushes each union branch's inDim/inSnap filter into the
+    // full-outer join and SPECIALIZES it (left-outer / inner /
+    // right-outer per branch) — assert the joins stay key-equi
+    // (hashed), whatever outer-ness each branch resolves to
+    val dim = graft.operators.Scd.scd2Init(
+      Seq((1L, 1.0)).toDF("k", "v"), "2025-01-01 00:00:00")
+    val plan = graft.operators.Scd.scd2Merge(dim,
+        Seq((1L, 2.0)).toDF("k", "v"), Seq("k"), Seq("v"),
+        "2026-01-01 00:00:00")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected key-equi joins:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
+
 class CdcHistorySpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
