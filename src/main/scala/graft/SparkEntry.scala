@@ -2618,6 +2618,49 @@ object SparkEntry {
         SELECT id_a, id_b, CAST(h AS INT) AS hamming
         FROM pairs WHERE h <= 3 ORDER BY id_a, id_b""")),
 
+    Q("m06_asset_manifest",
+      // unified multimodal catalog: one mixed blob table (PNG images,
+      // WAV clips, MJPEG/AVI videos, plus junk bytes) through ONE
+      // map-only manifest pass — format sniff + the type-appropriate
+      // byte-parsed metadata + decodable flag. The per-asset manifest
+      // persists (byte parsers aren't SQL) and the oracle replays the
+      // per-format rollup over it, so the aggregation and the NULL
+      // lanes (an image has no sample_rate) are both pinned.
+      (s, _) => {
+        val state = freshState(s, "m06")
+        import s.implicits._
+        val imgs = Multimodal.syntheticImageCorpus(s, groups = 20)
+        val auds = Multimodal.syntheticAudioCorpus(s, n = 40)
+          .select((col("id") + 1000L).as("id"), col("bytes"))
+        val vids = Multimodal.syntheticVideoCorpus(s, n = 20)
+          .select((col("id") + 2000L).as("id"), col("bytes"))
+        val junk = Seq((3000L, "not media at all".getBytes("UTF-8")))
+          .toDF("id", "bytes")
+        val blobs = imgs.unionByName(auds).unionByName(vids)
+          .unionByName(junk)
+        Multimodal.assetManifest(blobs).write.mode("overwrite")
+          .parquet(state + "/manifest")
+        s.read.parquet(state + "/manifest")
+          .groupBy("format")
+          .agg(count(lit(1)).as("n_assets"),
+            sum(when(col("decodable"), 1L).otherwise(0L))
+              .as("n_decodable"),
+            sum("n_bytes").as("total_bytes"),
+            max("width").as("max_width"),
+            max("duration_ms").as("max_duration_ms"),
+            countDistinct("sample_rate").as("n_sample_rates"))
+          .orderBy("format")
+      },
+      Some("""SELECT format, CAST(COUNT(*) AS BIGINT) AS n_assets,
+          CAST(SUM(CASE WHEN decodable THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_decodable,
+          CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+          MAX(width) AS max_width,
+          MAX(duration_ms) AS max_duration_ms,
+          CAST(COUNT(DISTINCT sample_rate) AS BIGINT) AS n_sample_rates
+        FROM read_parquet('/tmp/graft_qstate/m06/manifest/*.parquet')
+        GROUP BY format ORDER BY format""")),
+
     Q("m05_image_phash",
       // DCT perceptual hash over the same decoded-pixel corpus — the
       // global-spectrum second opinion next to m01's gradient dHash
@@ -5252,6 +5295,36 @@ object SparkEntry {
           CAST(json_extract(payload, '$.stats.chars') AS BIGINT)
             AS stats_chars
         FROM j ORDER BY doc_id""")),
+
+    Q("s16_store_retention",
+      // retention sweep (the VACUUM / expire-snapshots analog for the
+      // date-partitioned history stores): partitions strictly older
+      // than the cutoff are DIRECTORY deletes — metadata-only,
+      // O(expired partitions), no read or rewrite of survivors. The
+      // pre-sweep rows persist separately, so the oracle independently
+      // states what must survive; a sweep that deletes too much or too
+      // little breaks the per-date aggregates.
+      (s, d) => {
+        val state = freshState(s, "s16")
+        val rows = dailySeries(s, d).withColumn("date", col("day"))
+        rows.write.mode("overwrite").parquet(state + "/input")
+        rows.write.mode("overwrite").partitionBy("date")
+          .parquet(state + "/store")
+        val report = graft.history.Retention.expirePartitions(
+          s, state + "/store", java.time.LocalDate.parse("2024-01-15"))
+        require(report.dropped.nonEmpty, "retention dropped nothing")
+        s.read.parquet(state + "/store")
+          .groupBy(col("date").cast("string").as("date"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("value").cast("long").as("sum_value"))
+          .orderBy("date")
+      },
+      Some("""SELECT CAST(day AS VARCHAR) AS date,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(value) AS BIGINT) AS sum_value
+        FROM read_parquet('/tmp/graft_qstate/s16/input/*.parquet')
+        WHERE day >= DATE '2024-01-15'
+        GROUP BY day ORDER BY date""")),
 
     Q("s15_csv_roundtrip",
       // delimited-text ingestion, the fourth source leg (parquet/JSONL/

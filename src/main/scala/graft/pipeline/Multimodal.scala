@@ -987,6 +987,34 @@ object Multimodal {
     }.toDF("id", "bytes")
   }
 
+  /** Unified asset manifest over a mixed blob table — the catalog row a
+   *  multimodal corpus keeps per asset: container format (magic bytes),
+   *  size, the type-appropriate metadata (image dims / WAV audio params
+   *  / MP4+AVI duration+dims) and a decodable flag. One map-only pass:
+   *  every extractor is a per-row byte parse, no codec, no shuffle —
+   *  cataloging 100 TB of blobs is scan-bound. Columns not applicable
+   *  to a format stay NULL (an image has no sample_rate). */
+  def assetManifest(
+      df: DataFrame,
+      idCol: String = "id",
+      binCol: String = "bytes"): DataFrame = {
+    val b = col(binCol)
+    df.select(col(idCol),
+        sniffFormat(b).as("format"),
+        length(b).cast("long").as("n_bytes"),
+        imageDimensions(b).as("__img"),
+        audioMetadata(b).as("__aud"),
+        videoMetadata(b).as("__vid"))
+      .select(col(idCol), col("format"), col("n_bytes"),
+        coalesce(col("__img._1"), col("__vid._2")).as("width"),
+        coalesce(col("__img._2"), col("__vid._3")).as("height"),
+        coalesce(col("__vid._1"), col("__aud._4")).as("duration_ms"),
+        col("__aud._1").as("channels"),
+        col("__aud._2").as("sample_rate"),
+        (col("__img").isNotNull || col("__aud").isNotNull ||
+          col("__vid").isNotNull).as("decodable"))
+  }
+
   /** Deterministic synthetic media table for tests/benches (the container
    *  has no real media files): bytes are seeded per id. */
   def syntheticMedia(spark: SparkSession, n: Int, bytesPerRow: Int = 256): Dataset[MediaRow] = {

@@ -147,6 +147,67 @@ class ChangepointSpec extends AnyFunSuite {
   }
 }
 
+class AssetManifestSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.pipeline.Multimodal
+
+  test("assetManifest: per-type metadata lanes + junk stays undecodable") {
+    val blobs = Multimodal.syntheticImageCorpus(spark, groups = 1)
+      .limit(1)
+      .unionByName(Multimodal.syntheticAudioCorpus(spark, n = 1)
+        .select((col("id") + 10L).as("id"), col("bytes")))
+      .unionByName(Multimodal.syntheticVideoCorpus(spark, n = 1)
+        .select((col("id") + 20L).as("id"), col("bytes")))
+      .unionByName(Seq((30L, "junk".getBytes("UTF-8"))).toDF("id", "bytes"))
+    val m = Multimodal.assetManifest(blobs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val img = m(0L)
+    assert(img.getString(1) == "png" && img.getInt(3) == 32 &&
+      img.getInt(4) == 32 && img.isNullAt(7) && img.getBoolean(8))
+    val aud = m(10L)
+    assert(aud.getString(1) == "wav" && aud.isNullAt(3) &&
+      aud.getInt(6) >= 1 && aud.getInt(7) > 0 && aud.getBoolean(8))
+    val vid = m(20L)
+    assert(vid.getInt(3) == 32 && vid.getLong(5) > 0 && vid.getBoolean(8))
+    val junk = m(30L)
+    assert(junk.getString(1) == "unknown" && !junk.getBoolean(8) &&
+      junk.isNullAt(3) && junk.isNullAt(5))
+  }
+}
+
+class RetentionSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.history.Retention
+
+  test("expirePartitions drops strictly-older dirs, keeps cutoff and junk") {
+    val dir = java.nio.file.Files.createTempDirectory("ret").toString
+    Seq(("2024-01-01", 1), ("2024-01-14", 2), ("2024-01-15", 3),
+      ("2024-02-01", 4)).toDF("date", "v")
+      .write.mode("overwrite").partitionBy("date").parquet(dir)
+    // a non-date partition dir must survive untouched
+    val junk = new java.io.File(dir, "date=not-a-date")
+    junk.mkdirs()
+    val r = Retention.expirePartitions(spark, dir,
+      java.time.LocalDate.parse("2024-01-15"))
+    assert(r.dropped == Seq("date=2024-01-01", "date=2024-01-14"))
+    assert(r.kept.contains("date=2024-01-15") &&
+      r.kept.contains("date=2024-02-01") &&
+      r.kept.contains("date=not-a-date"))
+    assert(junk.exists())
+    val back = spark.read.parquet(dir).select("v")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(back == Seq(3, 4))
+  }
+
+  test("expirePartitions on a missing path is a no-op") {
+    val r = Retention.expirePartitions(spark, "/tmp/ret_does_not_exist",
+      java.time.LocalDate.parse("2024-01-01"))
+    assert(r.dropped.isEmpty && r.kept.isEmpty)
+  }
+}
+
 class Round11PlanSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
