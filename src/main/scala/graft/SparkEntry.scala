@@ -1703,6 +1703,56 @@ object SparkEntry {
           ROUND((t2 - t1 * t1 / n) - c, 6) AS sse_reduction
         FROM best WHERE rk = 1 ORDER BY event_type""")),
 
+    Q("a18_anomaly_contributors",
+      // root-cause attribution: for each ≥2σ daily-volume day, the
+      // top-3 users whose share of that day deviates most from their
+      // share of every other day. The σ test is the z-score rewritten
+      // as an INTEGER cross-multiplied comparison (no float at the
+      // decision boundary) and the share delta quantizes to ppm from
+      // exact counts — the whole derivation replays in SQL.
+      (s, d) => graft.anomalies.Attribution.anomalyContributors(
+          eventsTable(s, d))
+        .orderBy("series", "day", "rank"),
+      Some("""WITH d AS (
+          SELECT event_type AS series, CAST(ts AS DATE) AS day,
+            CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        st AS (SELECT series, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sm,
+            CAST(SUM(x * x) AS BIGINT) AS s2
+          FROM d GROUP BY 1),
+        fl AS (
+          SELECT d.series, d.day, d.x AS day_total, st.sm AS all_total
+          FROM d JOIN st USING (series)
+          WHERE st.n >= 2 AND (n * x - sm) * (n * x - sm)
+            >= 4 * (n * s2 - sm * sm)),
+        co AS (
+          SELECT event_type AS series, CAST(ts AS DATE) AS day,
+            user_id AS contributor, CAST(COUNT(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2, 3),
+        ca AS (SELECT series, contributor,
+            CAST(SUM(c) AS BIGINT) AS c_all
+          FROM co GROUP BY 1, 2),
+        sc AS (
+          SELECT co.series, co.day, co.contributor, co.c,
+            fl.day_total,
+            CAST(ROUND(1e6 * CAST(co.c * (fl.all_total - fl.day_total)
+                - (ca.c_all - co.c) * fl.day_total AS DOUBLE)
+              / CAST(fl.day_total * (fl.all_total - fl.day_total)
+                AS DOUBLE), 0) AS BIGINT) AS delta_ppm
+          FROM co
+          JOIN fl ON fl.series = co.series AND fl.day = co.day
+          JOIN ca ON ca.series = co.series
+            AND ca.contributor = co.contributor
+          WHERE fl.all_total - fl.day_total > 0),
+        rk AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY series, day
+            ORDER BY delta_ppm DESC, contributor ASC) AS r
+          FROM sc)
+        SELECT series, day, contributor, c AS day_count, day_total,
+          delta_ppm, CAST(r AS INT) AS rank
+        FROM rk WHERE r <= 3 ORDER BY series, day, rank""")),
+
     Q("a02_zscore_rolling",
       (s, d) => Anomalies.zscore(dailySeries(s, d), Seq("event_type"), "day",
         "value", sensitivity = 1.0, window = Some(7))
@@ -3530,6 +3580,47 @@ object SparkEntry {
             THEN 'listed' ELSE 'propagated' END AS reason
         FROM manifest m ORDER BY m.doc_id""")),
 
+    Q("d13_incremental_clusters",
+      // incremental cluster maintenance: day 1 clusters the chain-graph
+      // pairs among doc_id < 250 and PERSISTS the assignments; day 2
+      // folds in the remaining pairs — including the boundary edges
+      // that BRIDGE day-1 clusters into day-2 ones — via the star-edge
+      // graph (|clustered| + |new pairs| edges, never the full pair
+      // history). The oracle closes over the FULL union pair set with
+      // the d11 recursive CTE, so the incremental labels must equal a
+      // from-scratch re-cluster.
+      (s, d) => {
+        val ids = t(s, d, "documents").select(col("doc_id"))
+        val pairs = ids.filter(col("doc_id") % 10 < 4)
+          .join(ids.select(col("doc_id").as("next_id")),
+            col("doc_id") + 1 === col("next_id"))
+          .select(col("doc_id").as("id_a"), col("next_id").as("id_b"))
+        val state = freshState(s, "d13")
+        Dedup.duplicateClusters(pairs.filter(col("id_a") < 250))
+          .write.mode("overwrite").parquet(state + "/day1")
+        Dedup.incrementalClusters(
+            s.read.parquet(state + "/day1"),
+            pairs.filter(col("id_a") >= 250))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+        pairs AS (
+          SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+          WHERE doc_id % 10 < 4
+            AND (doc_id + 1) IN (SELECT doc_id FROM documents)),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        clust AS (
+          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+          FROM reach GROUP BY src)
+        SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id
+        FROM clust ORDER BY doc_id""")),
+
     Q("d12_dedup_eval",
       // dedup-pipeline quality measurement: precision/recall/F1 of the
       // raw LSH candidate set (128 hashes × 32 bands of 4 rows, the
@@ -3558,8 +3649,11 @@ object SparkEntry {
         Dedup.lshCandidatePairs(
             Dedup.minhashSignatures(corpus, numHashes = 128, numBands = 32))
           .write.mode("overwrite").parquet(state + "/predicted")
-        val truth = Dedup.jaccardSimilarPairs(corpus,
-          threshold = 0.5, maxShingleDocFreq = Int.MaxValue)
+        // the PRODUCTION posting-list cap (df ≤ 1000): identical to
+        // uncapped at gate scale (no shingle is that common in 1000
+        // docs), and the reason the truth side stays near-linear at a
+        // replicated-soak 10× corpus where stop-shingle lists explode
+        val truth = Dedup.jaccardSimilarPairs(corpus, threshold = 0.5)
         Dedup.nearDupEval(truth, s.read.parquet(state + "/predicted"))
       },
       Some("""WITH toks0 AS (
@@ -3578,10 +3672,15 @@ object SparkEntry {
             i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
           FROM toks WHERE len(ts) >= 3),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        -- mirror the production posting-list cap: shingles with
+        -- 2..1000 docs feed the intersection; sizes stay UNCAPPED
+        live AS (SELECT shingle FROM sh GROUP BY shingle
+          HAVING COUNT(*) BETWEEN 2 AND 1000),
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
           FROM sh a JOIN sh b ON a.shingle = b.shingle
             AND a.doc_id < b.doc_id
+          WHERE a.shingle IN (SELECT shingle FROM live)
           GROUP BY 1, 2),
         truth AS (
           SELECT id_a, id_b FROM inter

@@ -1122,6 +1122,36 @@ object Dedup {
       .drop("__rk")
   }
 
+  /** Incremental cluster maintenance: fold a NEW day's duplicate pairs
+   *  into an existing (doc_id, cluster_id) assignment table without
+   *  re-clustering history. The stored assignments collapse each old
+   *  cluster to a star (member → min-id hub), so the incremental graph
+   *  is |clustered docs| + |new pairs| edges — label propagation runs
+   *  over THAT, not over every pair ever seen, which is what keeps
+   *  daily dedup viable when the corpus is 100 TB and a day's delta is
+   *  1%. New edges that bridge two old clusters merge them (both hubs
+   *  join one component); the output labels equal a full re-cluster of
+   *  the union pair set (cluster_id = min member id), proven by the
+   *  d13 oracle's full-closure replay. Every doc present in
+   *  `assignments` or touched by `newPairs` gets a row; untouched
+   *  singletons keep themselves. */
+  def incrementalClusters(
+      assignments: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val starEdges = assignments
+      .select(col("doc_id").as("id_a"), col("cluster_id").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val edges = starEdges.unionByName(newPairs.select("id_a", "id_b"))
+    val clustered = duplicateClusters(edges)
+    val nodes = assignments.select("doc_id")
+      .unionByName(newPairs.select(col("id_a").as("doc_id")))
+      .unionByName(newPairs.select(col("id_b").as("doc_id")))
+      .distinct()
+    nodes.join(clustered, Seq("doc_id"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("cluster_id"), col("doc_id")))
+  }
+
   /** Dedup-pipeline quality evaluation: precision / recall / F1 of a
    *  candidate pair set against exact ground truth — the measurement
    *  loop that tunes bands/rows (the LSH S-curve) before a 100 TB

@@ -87,6 +87,83 @@ class DedupEvalSpec extends AnyFunSuite {
   }
 }
 
+class AttributionSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("anomalyContributors flags the spike day, ranks the mover") {
+    // series "e": 4 quiet days of 10 events + one 50-event spike day;
+    // user 7 contributes 30 of the spike's 50 but only 4 of the other
+    // 40 — the clear mover. user 1 is steady background.
+    def day(d: Int, user: Long, n: Int) = (1 to n).map(_ =>
+      ("e", Timestamp.valueOf(f"2024-02-0$d%d 10:00:00"), user))
+    val rows =
+      (1 to 4).flatMap(d => day(d, 1L, 9) ++ day(d, 7L, 1)) ++
+        day(5, 1L, 20) ++ day(5, 7L, 30)
+    val ev = rows.toDF("event_type", "ts", "user_id")
+    val out = graft.anomalies.Attribution
+      .anomalyContributors(ev, k = 2)
+      .orderBy("day", "rank").collect()
+    assert(out.map(_.getDate(1).toString).distinct.toSeq ==
+      Seq("2024-02-05"))
+    val top = out(0)
+    assert(top.getLong(2) == 7L)          // contributor
+    assert(top.getLong(3) == 30L)         // day_count
+    assert(top.getLong(4) == 50L)         // day_total
+    // share delta: 30/50 − 4/40 = 0.5 → 500000 ppm
+    assert(top.getLong(5) == 500000L)
+    assert(out(1).getLong(2) == 1L && out(1).getLong(5) < 0L)
+  }
+
+  test("anomalyContributors: constant series flags every day (σ = 0) " +
+      "and a 1-day series flags nothing") {
+    val flat = (1 to 3).map(d =>
+      ("f", Timestamp.valueOf(f"2024-02-0$d%d 10:00:00"), 1L))
+      .toDF("event_type", "ts", "user_id")
+    // σ=0 ⇒ every day is "≥ 2σ" under the integer test (0 ≥ 0): the
+    // degenerate-but-consistent contract, and deltas are all 0
+    val out = graft.anomalies.Attribution.anomalyContributors(flat)
+    assert(out.count() == 3 &&
+      out.filter(col("delta_ppm") =!= 0L).count() == 0)
+    val single = Seq(("g", Timestamp.valueOf("2024-02-01 10:00:00"), 1L))
+      .toDF("event_type", "ts", "user_id")
+    assert(graft.anomalies.Attribution.anomalyContributors(single)
+      .count() == 0)
+  }
+}
+
+class IncrementalClustersSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.pipeline.Dedup
+
+  test("new edges bridge old clusters; untouched singletons survive") {
+    // day 1: clusters {1,2} and {4,5}; 9 alone (self-assignment)
+    val assignments = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L),
+      (9L, 9L)).toDF("doc_id", "cluster_id")
+    // day 2: 2-4 bridges the two clusters; 7-8 is brand new
+    val newPairs = Seq((2L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Dedup.incrementalClusters(assignments, newPairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (4L, 1L), (5L, 1L),
+      (7L, 7L), (8L, 7L), (9L, 9L)))
+  }
+
+  test("incremental result equals a from-scratch re-cluster") {
+    val all = (1L to 40L).flatMap(i =>
+      if (i % 3 != 0) Seq((i, i + 1)) else Nil).toDF("id_a", "id_b")
+    val day1 = all.filter(col("id_a") < 20)
+    val day2 = all.filter(col("id_a") >= 20)
+    val inc = Dedup.incrementalClusters(
+        Dedup.duplicateClusters(day1), day2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val full = Dedup.duplicateClusters(all)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(inc.toSeq == full.toSeq)
+  }
+}
+
 class ClassificationReportSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
