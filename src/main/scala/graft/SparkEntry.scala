@@ -6066,6 +6066,26 @@ object SparkEntry {
         FROM assigned a JOIN sizes s ON s.cluster_id = a.cluster_id
         ORDER BY a.record_id""")),
 
+    Q("x60_k_anonymity",
+      // re-identification audit (Sweeney's k-anonymity) before a
+      // customer-derived table feeds a corpus: equivalence classes on
+      // the (nation, segment) quasi-identifiers below the k = 10
+      // floor, each row carrying the table's k level. One hash
+      // aggregate over the quasi columns; the class frame is
+      // metadata-sized next to the table.
+      (s, d) => graft.pipeline.Privacy.kAnonymityViolations(
+          t(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .withColumn("c_nationkey", col("c_nationkey").cast("int")),
+      Some("""WITH classes AS (
+          SELECT c_nationkey, c_mktsegment,
+            CAST(COUNT(*) AS BIGINT) AS class_size
+          FROM customer GROUP BY 1, 2),
+        tk AS (SELECT MIN(class_size) AS table_k FROM classes)
+        SELECT CAST(c_nationkey AS INT) AS c_nationkey, c_mktsegment,
+          class_size, tk.table_k
+        FROM classes, tk WHERE class_size < 10
+        ORDER BY class_size, c_nationkey, c_mktsegment""")),
+
     Q("x59_langid_eval",
       // classifier evaluation closing the eval family (e17 ANN recall,
       // d12 dedup P/R): per-class precision/recall/F1 of the x44

@@ -87,6 +87,43 @@ class DedupEvalSpec extends AnyFunSuite {
   }
 }
 
+class PrivacySpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.pipeline.Privacy
+
+  private val tbl = Seq(
+    ("US", "A"), ("US", "A"), ("US", "A"),  // class of 3
+    ("US", "B"),                            // class of 1 (the k floor)
+    ("DE", "A"), ("DE", "A")                // class of 2
+  ).toDF("country", "segment")
+
+  test("kAnonymityViolations lists sub-k classes with the table k") {
+    val v = Privacy.kAnonymityViolations(tbl, Seq("country", "segment"),
+        k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(v == Seq(("US", "B", 1L, 1L), ("DE", "A", 2L, 1L)))
+    assert(Privacy.kAnonymityViolations(tbl, Seq("country"), k = 2)
+      .count() == 0) // country alone is 2-anonymous
+  }
+
+  test("kAnonymitySummary counts classes and exposed rows") {
+    val s = Privacy.kAnonymitySummary(tbl, Seq("country", "segment"),
+      k = 3).collect()(0)
+    assert((s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)) ==
+      ((3L, 1L, 2L, 3L)))
+  }
+
+  test("NULL quasi values form their own class") {
+    val withNull = tbl.unionByName(
+      Seq((null.asInstanceOf[String], "A")).toDF("country", "segment"))
+    val v = Privacy.kAnonymityViolations(withNull,
+      Seq("country", "segment"), k = 2)
+    assert(v.filter(col("country").isNull).count() == 1)
+  }
+}
+
 class AttributionSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
