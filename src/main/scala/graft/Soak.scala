@@ -91,7 +91,14 @@ object Soak {
     // batch 2 documents-keyed additions: dedup eval (shingle inverted
     // index + LSH over the doubled eval corpus — the heaviest dedup
     // shape) and the CSV write+read round-trip (scan-bound both ways)
-    "d12_dedup_eval", "s15_csv_roundtrip")
+    "d12_dedup_eval", "s15_csv_roundtrip",
+    // batch 5 documents/embeddings-keyed additions: dedup-aware
+    // sampling weights (one cluster-keyed agg + join — must stay
+    // ~linear in docs) and truncated-dimension ANN recall (broadcast
+    // brute-force arms — linear in candidates at fixed query count).
+    // a19_slo_burn_rate keys on events, which buildCorpus mirrors
+    // verbatim, so soaking it would measure a flat line.
+    "x61_dedup_weights", "e18_truncated_ann")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -1753,6 +1753,43 @@ object SparkEntry {
           delta_ppm, CAST(r AS INT) AS rank
         FROM rk WHERE r <= 3 ORDER BY series, day, rank""")),
 
+    Q("a19_slo_burn_rate",
+      // SLO error-budget burn with multiwindow alerting (the SRE
+      // workbook pattern): hourly error ratio over the 1 h and
+      // trailing-6 h windows, each over the 25% budget (SLO 75%); a
+      // page fires only when BOTH windows burn ≥ 1.2×. Burn rates
+      // quantize to ppm from integer counts and the page decision is
+      // an integer cross-multiplication — no float at the boundary.
+      // One hourly rollup is the only data-bound stage; the trailing
+      // window runs over the calendar-bounded hourly series.
+      (s, d) => graft.anomalies.Slo.burnRate(eventsTable(s, d))
+        .orderBy("hour"),
+      Some("""WITH h AS (
+          SELECT date_trunc('hour', ts) AS hour,
+            CAST(COUNT(*) AS BIGINT) AS total_1h,
+            CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+              AS err_1h
+          FROM events GROUP BY 1),
+        w AS (
+          SELECT hour, err_1h, total_1h,
+            CAST(SUM(err_1h) OVER tw AS BIGINT) AS err_l,
+            CAST(SUM(total_1h) OVER tw AS BIGINT) AS total_l
+          FROM h
+          WINDOW tw AS (ORDER BY hour RANGE BETWEEN
+            INTERVAL 5 HOURS PRECEDING AND CURRENT ROW))
+        SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+          err_1h, total_1h,
+          CAST(ROUND(1e12 * CAST(err_1h AS DOUBLE)
+            / CAST(total_1h * 250000 AS DOUBLE), 0) AS BIGINT)
+            AS burn_short_ppm,
+          CAST(ROUND(1e12 * CAST(err_l AS DOUBLE)
+            / CAST(total_l * 250000 AS DOUBLE), 0) AS BIGINT)
+            AS burn_long_ppm,
+          (err_1h * 1000000000000 >= total_1h * 300000000000
+            AND err_l * 1000000000000 >= total_l * 300000000000)
+            AS page
+        FROM w ORDER BY hour""")),
+
     Q("a02_zscore_rolling",
       (s, d) => Anomalies.zscore(dailySeries(s, d), Seq("event_type"), "day",
         "value", sensitivity = 1.0, window = Some(7))
@@ -4070,6 +4107,64 @@ object SparkEntry {
           ON hits.method = m.method AND hits.query_id = nex.query_id
         ORDER BY m.method, nex.query_id""")),
 
+    Q("e18_truncated_ann",
+      // dimension-budget recall (the Matryoshka/MRL question): how much
+      // recall@10 survives searching on only the first 16 / 32 of 64
+      // dims? Pure composition — truncated brute-force arms against
+      // full-dim ground truth through the e17 recall evaluator; the
+      // truncated top-10 sets persist and the oracle re-derives the
+      // full-dim truth and every recall itself.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 25)
+        def trunc(df: DataFrame, n: Int) =
+          df.withColumn("embedding", slice(col("embedding"), 1, n))
+        val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+        val approx = Seq(16, 32).map { n =>
+          Similarity.bruteForceTopK(trunc(emb, n), trunc(queries, n),
+              k = 10)
+            .select(lit(s"dim$n").as("method"), col("query_id"),
+              col("neighbor_id"))
+        }.reduce(_ unionByName _)
+        val state = freshState(s, "e18")
+        approx.write.mode("overwrite").parquet(state + "/approx")
+        Similarity.recallAtK(exact, s.read.parquet(state + "/approx"))
+          .orderBy("method", "query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 25),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+          FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.neighbor_id,
+            list_sum(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+            (SQRT(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM q, c WHERE q.query_id <> c.neighbor_id),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 10),
+        nex AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM exact GROUP BY 1),
+        ap AS (SELECT method, query_id, neighbor_id
+          FROM read_parquet('/tmp/graft_qstate/e18/approx/*.parquet')),
+        hits AS (SELECT method, query_id,
+            CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM ap JOIN exact USING (query_id, neighbor_id) GROUP BY 1, 2),
+        m AS (SELECT DISTINCT method FROM ap)
+        SELECT m.method, nex.query_id, nex.n_exact,
+          COALESCE(hits.n_hit, 0) AS n_hit,
+          ROUND(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / nex.n_exact, 6)
+            AS recall
+        FROM m CROSS JOIN nex LEFT JOIN hits
+          ON hits.method = m.method AND hits.query_id = nex.query_id
+        ORDER BY m.method, nex.query_id""")),
+
     Q("e07_semantic_dedup",
       // SemDeDup: coarse cells (8 fixed centroids = the first 8 vectors,
       // normalized — deterministic, so DuckDB replays the exact
@@ -6065,6 +6160,34 @@ object SparkEntry {
         SELECT a.record_id, a.cluster_id, s.n_members
         FROM assigned a JOIN sizes s ON s.cluster_id = a.cluster_id
         ORDER BY a.record_id""")),
+
+    Q("x61_dedup_weights",
+      // dedup-aware sampling weights (down-weight duplicates instead of
+      // dropping them): exact-dup clusters by content hash, member
+      // weight s^(−α) at α = 1 and α = 0.5, ppm-quantized. One
+      // cluster-keyed aggregation + one join — the text never moves.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val assignments = docs
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("__h"))
+          .withColumn("cluster_id",
+            min("doc_id").over(org.apache.spark.sql.expressions.Window
+              .partitionBy("__h")))
+          .select("doc_id", "cluster_id")
+        graft.pipeline.Sampling.dedupWeights(docs, assignments)
+          .orderBy("doc_id")
+      },
+      Some("""WITH cl AS (
+          SELECT doc_id,
+            MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+          FROM documents),
+        sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM cl GROUP BY 1)
+        SELECT doc_id, cluster_id, sz AS cluster_size,
+          CAST(ROUND(1e6 / sz, 0) AS BIGINT) AS weight_ppm,
+          CAST(ROUND(1e6 / SQRT(CAST(sz AS DOUBLE)), 0) AS BIGINT)
+            AS weight_sqrt_ppm
+        FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""")),
 
     Q("x60_k_anonymity",
       // re-identification audit (Sweeney's k-anonymity) before a

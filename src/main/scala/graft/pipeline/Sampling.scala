@@ -71,6 +71,37 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Dedup-aware sampling weights: instead of DROPPING duplicates, a
+   *  training sampler can DOWN-WEIGHT them — each member of a
+   *  duplicate cluster of size s weighs s^(−α), so a cluster
+   *  contributes s^(1−α) total (α = 1 → every cluster counts once,
+   *  exact-dedup-equivalent; α = 0.5 → partial dedup, the middle
+   *  ground corpus ablations actually sweep). `assignments` is a
+   *  (idCol, clusterCol) frame (e.g. [[Dedup.duplicateClusters]]
+   *  output); docs it omits are singletons with weight 1. Weights
+   *  quantize to ppm. One cluster-keyed aggregation + one join —
+   *  nothing touches text. */
+  def dedupWeights(
+      docs: DataFrame,
+      assignments: DataFrame,
+      idCol: String = "doc_id",
+      clusterCol: String = "cluster_id"): DataFrame = {
+    val assigned = docs.select(col(idCol))
+      .join(assignments.select(col(idCol), col(clusterCol)),
+        Seq(idCol), "left")
+      .withColumn(clusterCol, coalesce(col(clusterCol), col(idCol)))
+    val sizes = assigned.groupBy(clusterCol)
+      .agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, clusterCol)
+      .withColumn("weight_ppm",
+        round(lit(1e6) / col("cluster_size"), 0).cast("long"))
+      .withColumn("weight_sqrt_ppm",
+        round(lit(1e6) / sqrt(col("cluster_size").cast("double")), 0)
+          .cast("long"))
+      .select(col(idCol), col(clusterCol), col("cluster_size"),
+        col("weight_ppm"), col("weight_sqrt_ppm"))
+  }
+
   /** Keep a deterministic `fraction` of rows: the SAME rows survive on
    *  every run (bucket < fraction·buckets). */
   def deterministicSample(

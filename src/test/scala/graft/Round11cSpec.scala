@@ -1,0 +1,129 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.anomalies.Slo
+import graft.pipeline.{Sampling, Similarity}
+
+class SloSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private def ev(hour: Int, errs: Int, oks: Int) = {
+    val base = Timestamp.valueOf(f"2024-01-01 $hour%02d:15:00")
+    Seq.fill(errs)((base, "error")) ++ Seq.fill(oks)((base, "view"))
+  }
+
+  test("pages only when BOTH the short and long windows burn hot") {
+    // SLO 75% → budget 25%. alert 1.2× → err ratio ≥ 0.30.
+    // hour 0-5: cold (0/10 errors). hour 6: one hot hour (5/10 = 50%)
+    // but the 6 h trailing window is 5/70 ≈ 7% → NO page.
+    // hours 7-11 stay hot → by hour 11 the long window is hot too.
+    val rows = (0 to 5).flatMap(h => ev(h, 0, 10)) ++
+      (6 to 11).flatMap(h => ev(h, 5, 5))
+    val out = Slo.burnRate(rows.toDF("ts", "event_type"),
+        sloPpm = 750000L, alertPpm = 1200000L, longWindowHours = 6)
+      .orderBy("hour").collect()
+    assert(out.length == 12)
+    val page = out.map(r => r.getAs[Boolean]("page"))
+    assert(!page(6), "one hot hour must not page (long window cold)")
+    assert(page(11), "sustained burn must page")
+    // hour 6 short-window burn: 0.5/0.25 = 2× = 2,000,000 ppm
+    assert(out(6).getAs[Long]("burn_short_ppm") == 2000000L)
+    // cold hours burn 0
+    assert(out(0).getAs[Long]("burn_short_ppm") == 0L)
+    assert(!page(0))
+  }
+
+  test("alert decision is integer-exact at the threshold boundary") {
+    // budget 25%, alert 1.2× → threshold ratio exactly 0.30.
+    // 3 errors / 10 total = exactly AT the boundary → ≥ fires.
+    val rows = ev(0, 3, 7)
+    val out = Slo.burnRate(rows.toDF("ts", "event_type"),
+        sloPpm = 750000L, alertPpm = 1200000L, longWindowHours = 6)
+      .collect()
+    assert(out.head.getAs[Boolean]("page"),
+      "err/total == threshold·budget must page (≥, integer-exact)")
+  }
+
+  test("rejects a degenerate SLO") {
+    intercept[IllegalArgumentException] {
+      Slo.burnRate(ev(0, 1, 1).toDF("ts", "event_type"), sloPpm = 0L)
+    }
+  }
+}
+
+class DedupWeightsSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("cluster members weigh 1/s; unassigned docs are singletons") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // {1,2,3} one cluster; {4} assigned alone; 5 absent from assignments
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val out = Sampling.dedupWeights(docs, asg).orderBy("doc_id").collect()
+    assert(out.length == 5, "weights frame must be total over docs")
+    val bySize = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size")).toMap
+    assert(bySize(1L) == 3 && bySize(2L) == 3 && bySize(3L) == 3)
+    assert(bySize(4L) == 1 && bySize(5L) == 1)
+    val w = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_ppm")).toMap
+    assert(w(1L) == 333333L && w(4L) == 1000000L && w(5L) == 1000000L)
+    // sqrt arm: 1e6/sqrt(3) = 577350
+    val ws = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_sqrt_ppm")).toMap
+    assert(ws(1L) == 577350L && ws(5L) == 1000000L)
+  }
+
+  test("alpha=1 weights sum to the cluster count (exact-dedup mass)") {
+    val docs = (1L to 12L).toDF("doc_id")
+    val asg = (1L to 12L).map(i => (i, i % 4)).toDF("doc_id", "cluster_id")
+    val total = Sampling.dedupWeights(docs, asg)
+      .agg(sum("weight_ppm")).head.getLong(0)
+    // 4 clusters of 3 → 3·333333 each → 999999 per cluster
+    assert(total == 4L * 999999L)
+  }
+}
+
+class TruncatedAnnSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("full-dimension arm reproduces ground truth exactly (recall 1)") {
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        math.sin(i * 31 + j * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+    val same = exact.select(lit("full").as("method"),
+      col("query_id"), col("neighbor_id"))
+    val rec = Similarity.recallAtK(exact, same).collect()
+    assert(rec.length == 3)
+    assert(rec.forall(_.getAs[Double]("recall") == 1.0))
+  }
+
+  test("truncated arm degrades but stays within [0,1]") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        math.cos(i * 13 + j * 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    def trunc(df: org.apache.spark.sql.DataFrame, n: Int) =
+      df.withColumn("embedding", slice(col("embedding"), 1, n))
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+    val approx = Similarity.bruteForceTopK(trunc(vecs, 2),
+        trunc(queries, 2), k = 5)
+      .select(lit("dim2").as("method"), col("query_id"),
+        col("neighbor_id"))
+    val rec = Similarity.recallAtK(exact, approx).collect()
+    assert(rec.length == 4)
+    assert(rec.forall { r =>
+      val x = r.getAs[Double]("recall"); x >= 0.0 && x <= 1.0 })
+  }
+}
