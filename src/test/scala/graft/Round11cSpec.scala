@@ -108,6 +108,20 @@ class TruncatedAnnSpec extends AnyFunSuite {
     assert(rec.forall(_.getAs[Double]("recall") == 1.0))
   }
 
+  test("broadcast/collect arms fail loudly past maxQueries") {
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Array.tabulate(4)(j => (i + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(vecs, vecs, k = 3, maxQueries = 5L)
+    }
+    assert(e.getMessage.contains("maxQueries"))
+    // at the cap: fine
+    assert(Similarity.bruteForceTopK(vecs,
+      vecs.filter(col("vec_id") < 5), k = 3, maxQueries = 5L)
+      .count() > 0)
+  }
+
   test("truncated arm degrades but stays within [0,1]") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(j =>
