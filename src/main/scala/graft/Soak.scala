@@ -98,7 +98,11 @@ object Soak {
     // brute-force arms — linear in candidates at fixed query count).
     // a19_slo_burn_rate keys on events, which buildCorpus mirrors
     // verbatim, so soaking it would measure a flat line.
-    "x61_dedup_weights", "e18_truncated_ann")
+    "x61_dedup_weights", "e18_truncated_ann",
+    // the scheduled three-slice ingest cascade (documents-keyed): each
+    // per-slice turn is O(slice) against the banded store — the whole
+    // cascade must scale like three d10 ingests, not like a rescan
+    "b02_scheduled_ingest")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -2108,7 +2108,170 @@ object SparkEntry {
               AS VARCHAR),
             CAST(NULL AS VARCHAR))
         ) AS v(id, op, ok, rows, head, error)
-        ORDER BY id""")))
+        ORDER BY id""")),
+
+    Q("b02_scheduled_ingest",
+      // the daily corpus-ingest turn as a PERSISTED scheduled job
+      // (reference automation loop, simplified_scheduler.py:65-131, at
+      // LLM-pipeline scale): a base corpus (first 70% of ids) seeds a
+      // MinHash store; dated landing slices (10% each) arrive; the
+      // driver "was down" while days 1 and 2 landed — the first daily
+      // tick catches BOTH up (pending = landed − processed-ledger),
+      // the second tick processes day 3, and a third tick with nothing
+      // landed is a ledger no-op. Per slice: quality gate → exact
+      // dedup within the slice → near-dup screen vs the store
+      // (32 bands: the d10 pigeonhole makes banded = all-pairs at
+      // threshold 0.9) → signature append → ledger row → event
+      // publish. The oracle replays the whole three-turn cascade from
+      // the persisted base/slice signatures — including which TICK
+      // processed each slice (the catch-up proof is in processed_at).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val state = freshState(s, "b02")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val c0 = 7L * (maxId + 1L) / 10L
+        val c1 = 8L * (maxId + 1L) / 10L
+        val c2 = 9L * (maxId + 1L) / 10L
+        Dedup.minhashStoreSave(
+          Dedup.minhashStoreCreate(docs.filter(col("doc_id") < c0),
+            numBands = 32),
+          state + "/store")
+        // replay sidecar: every landing doc's signature under the
+        // store's parameters (the d04/e03 persisted-hash-family
+        // pattern) — the oracle needs DROPPED docs' signatures too,
+        // which the store by definition never keeps
+        Dedup.minhashSignatures(docs.filter(col("doc_id") >= c0),
+            numBands = 32)
+          .write.mode("overwrite").parquet(state + "/allsigs")
+        def land(lo: Long, hi: Long, day: String): Unit =
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .write.mode("overwrite").parquet(state + s"/landing/$day")
+        land(c0, c1, "2024-01-01")
+        land(c1, c2, "2024-01-02")
+        val engine = new graft.api.GraftEngine(s, d, state + "/engine")
+        val jobs = new graft.scheduler.JobStore(s, state + "/jobs")
+        jobs.save(graft.scheduler.Scheduler.Job("daily_ingest",
+            "ingest_automation",
+            graft.scheduler.Scheduler.Daily(java.time.LocalTime.of(2, 0))),
+          java.time.Instant.parse("2024-01-01T00:00:00Z"))
+        val cfg = graft.scheduler.IngestScheduler.IngestConfig(
+          state + "/landing", state + "/store", state + "/ledger",
+          curation = Curation.CurationConfig(jaccardThreshold = 0.9))
+        val auto = new graft.scheduler.Automation(engine, Nil,
+          jobStore = Some(jobs), ingest = Some(cfg))
+        try {
+          auto.tick(java.time.Instant.parse("2024-01-02T03:00:00Z"))
+          auto.drain()
+          land(c2, maxId + 1L, "2024-01-03") // lands after the 1st tick
+          auto.tick(java.time.Instant.parse("2024-01-03T03:00:00Z"))
+          auto.drain()
+          auto.tick(java.time.Instant.parse("2024-01-04T03:00:00Z"))
+          auto.drain() // due again, nothing pending: must be a no-op
+        } finally auto.shutdown()
+        new graft.scheduler.IngestScheduler.IngestLedger(
+            s, state + "/ledger")
+          .frame
+          .select(col("slice_id"),
+            date_format(col("processed_at"), "yyyy-MM-dd HH:mm:ss")
+              .as("processed_at"),
+            col("arrived"), col("after_quality"),
+            col("dropped_exact_within"), col("dropped_near_dup"),
+            col("kept"))
+          .orderBy("slice_id")
+      },
+      Some(s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        cuts AS (SELECT 7 * (m + 1) // 10 AS c0, 8 * (m + 1) // 10 AS c1,
+          9 * (m + 1) // 10 AS c2 FROM mx),
+        prof AS (SELECT doc_id, n_tokens, quality_score
+          FROM ($duckTextProfileSql)),
+        land AS (
+          SELECT d.doc_id, d.text,
+            CASE WHEN d.doc_id < (SELECT c1 FROM cuts) THEN '2024-01-01'
+                 WHEN d.doc_id < (SELECT c2 FROM cuts) THEN '2024-01-02'
+                 ELSE '2024-01-03' END AS slice_id
+          FROM documents d WHERE d.doc_id >= (SELECT c0 FROM cuts)),
+        q AS (SELECT l.slice_id, l.doc_id, l.text FROM land l
+          JOIN prof p ON p.doc_id = l.doc_id
+          WHERE p.quality_score >= CAST(0.5 AS DOUBLE)
+            AND p.n_tokens >= 10),
+        ex AS (SELECT q.slice_id, q.doc_id FROM q
+          JOIN (SELECT slice_id, md5(text) AS h, MIN(doc_id) AS keep_id
+                FROM q GROUP BY 1, 2) k ON q.doc_id = k.keep_id),
+        basesig AS (SELECT doc_id, signature FROM read_parquet(
+            '/tmp/graft_qstate/b02/store/signatures/*.parquet')
+          WHERE doc_id < (SELECT c0 FROM cuts)),
+        lsig AS (SELECT doc_id, signature FROM read_parquet(
+            '/tmp/graft_qstate/b02/allsigs/*.parquet')),
+        ex1 AS (SELECT doc_id FROM ex WHERE slice_id = '2024-01-01'),
+        ex2 AS (SELECT doc_id FROM ex WHERE slice_id = '2024-01-02'),
+        ex3 AS (SELECT doc_id FROM ex WHERE slice_id = '2024-01-03'),
+        drop1 AS (SELECT DISTINCT ds.doc_id FROM ex1 e
+          JOIN lsig ds ON ds.doc_id = e.doc_id
+          JOIN (SELECT * FROM basesig UNION ALL
+                SELECT s.doc_id, s.signature FROM lsig s
+                JOIN ex1 x ON x.doc_id = s.doc_id) o
+            ON o.doc_id < ds.doc_id
+          WHERE CAST(len(list_filter(range(1, 129),
+              i -> ds.signature[i] = o.signature[i])) AS DOUBLE) / 128.0
+            >= CAST(0.9 AS DOUBLE)),
+        kept1 AS (SELECT doc_id FROM ex1
+          WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+        drop2 AS (SELECT DISTINCT ds.doc_id FROM ex2 e
+          JOIN lsig ds ON ds.doc_id = e.doc_id
+          JOIN (SELECT * FROM basesig
+                UNION ALL SELECT s.doc_id, s.signature FROM lsig s
+                  JOIN kept1 x ON x.doc_id = s.doc_id
+                UNION ALL SELECT s.doc_id, s.signature FROM lsig s
+                  JOIN ex2 x ON x.doc_id = s.doc_id) o
+            ON o.doc_id < ds.doc_id
+          WHERE CAST(len(list_filter(range(1, 129),
+              i -> ds.signature[i] = o.signature[i])) AS DOUBLE) / 128.0
+            >= CAST(0.9 AS DOUBLE)),
+        kept2 AS (SELECT doc_id FROM ex2
+          WHERE doc_id NOT IN (SELECT doc_id FROM drop2)),
+        drop3 AS (SELECT DISTINCT ds.doc_id FROM ex3 e
+          JOIN lsig ds ON ds.doc_id = e.doc_id
+          JOIN (SELECT * FROM basesig
+                UNION ALL SELECT s.doc_id, s.signature FROM lsig s
+                  JOIN kept1 x ON x.doc_id = s.doc_id
+                UNION ALL SELECT s.doc_id, s.signature FROM lsig s
+                  JOIN kept2 x ON x.doc_id = s.doc_id
+                UNION ALL SELECT s.doc_id, s.signature FROM lsig s
+                  JOIN ex3 x ON x.doc_id = s.doc_id) o
+            ON o.doc_id < ds.doc_id
+          WHERE CAST(len(list_filter(range(1, 129),
+              i -> ds.signature[i] = o.signature[i])) AS DOUBLE) / 128.0
+            >= CAST(0.9 AS DOUBLE)),
+        kept3 AS (SELECT doc_id FROM ex3
+          WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+        counts AS (SELECT slice_id, CAST(COUNT(*) AS BIGINT) AS arrived
+          FROM land GROUP BY 1),
+        qc AS (SELECT slice_id, CAST(COUNT(*) AS BIGINT) AS after_quality
+          FROM q GROUP BY 1),
+        exc AS (SELECT slice_id, CAST(COUNT(*) AS BIGINT) AS n_ex
+          FROM ex GROUP BY 1),
+        keptc AS (
+          SELECT '2024-01-01' AS slice_id,
+            CAST(COUNT(*) AS BIGINT) AS kept FROM kept1
+          UNION ALL SELECT '2024-01-02',
+            CAST(COUNT(*) AS BIGINT) FROM kept2
+          UNION ALL SELECT '2024-01-03',
+            CAST(COUNT(*) AS BIGINT) FROM kept3)
+        SELECT c.slice_id,
+          CASE WHEN c.slice_id = '2024-01-03' THEN '2024-01-03 03:00:00'
+               ELSE '2024-01-02 03:00:00' END AS processed_at,
+          c.arrived,
+          COALESCE(qc.after_quality, 0) AS after_quality,
+          COALESCE(qc.after_quality, 0) - COALESCE(exc.n_ex, 0)
+            AS dropped_exact_within,
+          COALESCE(exc.n_ex, 0) - COALESCE(keptc.kept, 0)
+            AS dropped_near_dup,
+          COALESCE(keptc.kept, 0) AS kept
+        FROM counts c
+        LEFT JOIN qc USING (slice_id)
+        LEFT JOIN exc USING (slice_id)
+        LEFT JOIN keptc USING (slice_id)
+        ORDER BY c.slice_id""")))
 
   // ------------------------------------------------------------------
   // T-series: trends / history analytics

@@ -36,7 +36,11 @@ final class Automation(
     // lastRun survives a driver restart and a run missed while down
     // fires exactly once on the next tick (isDue computes next-fire from
     // the persisted lastRun)
-    jobStore: Option[JobStore] = None) {
+    jobStore: Option[JobStore] = None,
+    // daily corpus-ingest turn (job type "ingest_automation"): the
+    // landed−processed-ledger diff makes missed-run catch-up structural
+    // — see [[IngestScheduler]]
+    ingest: Option[IngestScheduler.IngestConfig] = None) {
 
   private val queue = new PriorityTaskQueue
   @volatile private var jobs: Seq[Job] =
@@ -64,6 +68,11 @@ final class Automation(
         // (scheduler.py:211-341): every stored active config, one job,
         // results persisted + severity-gated notification
         engine.runAnomalyScanAll(now, persist = true)
+      case "ingest_automation" =>
+        val cfg = ingest.getOrElse(sys.error(
+          "ingest_automation job scheduled but Automation has no IngestConfig"))
+        IngestScheduler.runOnce(engine.spark, cfg,
+          Instant.parse(task.params("now")), Some(engine.notifier))
       case other => sys.error(s"unknown job type: $other")
     }
   }

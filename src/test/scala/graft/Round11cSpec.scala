@@ -90,6 +90,99 @@ class DedupWeightsSpec extends AnyFunSuite {
   }
 }
 
+class ScheduledIngestSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import java.time.{Instant, LocalTime}
+
+  import graft.pipeline.{Curation, Dedup}
+  import graft.scheduler.{Automation, IngestScheduler, JobStore, Scheduler}
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("ingestsched").toString
+
+  private def doc(id: Long, words: String) = (id, words)
+
+  test("daily job: catch-up, restart-persisted lastRun, ledger idempotence") {
+    val root = tmp()
+    val base = Seq(
+      doc(1L, "alpha bravo charlie delta echo foxtrot golf"),
+      doc(2L, "hotel india juliet kilo lima mike november"),
+      doc(3L, "oscar papa quebec romeo sierra tango uniform"))
+      .toDF("doc_id", "text")
+    Dedup.minhashStoreSave(Dedup.minhashStoreCreate(base, numBands = 32),
+      s"$root/store")
+    // day1: 10 = exact copy of base doc 1 (near-dup drop vs store),
+    // 11 new, 12 = exact copy of 11 (exact-within drop)
+    Seq(doc(10L, "alpha bravo charlie delta echo foxtrot golf"),
+        doc(11L, "victor whiskey xray yankee zulu one two"),
+        doc(12L, "victor whiskey xray yankee zulu one two"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$root/landing/2024-01-01")
+    val cfg = IngestScheduler.IngestConfig(
+      s"$root/landing", s"$root/store", s"$root/ledger",
+      curation = Curation.CurationConfig(
+        minQualityScore = 0.0, minTokens = 1, jaccardThreshold = 0.9))
+    val engine = new graft.api.GraftEngine(spark, root, s"$root/engine")
+    val jobs = new JobStore(spark, s"$root/jobs")
+    jobs.save(Scheduler.Job("daily_ingest", "ingest_automation",
+      Scheduler.Daily(LocalTime.of(2, 0))),
+      Instant.parse("2024-01-01T00:00:00Z"))
+
+    val auto1 = new Automation(engine, Nil, jobStore = Some(jobs),
+      ingest = Some(cfg))
+    auto1.tick(Instant.parse("2024-01-02T03:00:00Z"))
+    auto1.drain()
+    auto1.shutdown() // the "crash": a fresh Automation must resume
+
+    val ledger = new IngestScheduler.IngestLedger(spark, s"$root/ledger")
+    val day1 = ledger.frame.filter($"slice_id" === "2024-01-01").head()
+    assert(day1.getAs[Long]("arrived") == 3)
+    assert(day1.getAs[Long]("dropped_exact_within") == 1)
+    assert(day1.getAs[Long]("dropped_near_dup") == 1)
+    assert(day1.getAs[Long]("kept") == 1)
+
+    // day2 lands while "down": 20 = copy of kept doc 11 (near-dup vs
+    // the APPENDED store), 21 new
+    Seq(doc(20L, "victor whiskey xray yankee zulu one two"),
+        doc(21L, "three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$root/landing/2024-01-02")
+
+    val auto2 = new Automation(engine, Nil, jobStore = Some(jobs),
+      ingest = Some(cfg))
+    try {
+      // same day, job already ran at 03:00 — persisted lastRun must
+      // suppress a re-fire even in a fresh process
+      auto2.tick(Instant.parse("2024-01-02T04:00:00Z"))
+      auto2.drain()
+      assert(ledger.frame.count() == 1, "re-fire before next due must no-op")
+
+      auto2.tick(Instant.parse("2024-01-03T03:00:00Z"))
+      auto2.drain()
+      val day2 = ledger.frame.filter($"slice_id" === "2024-01-02").head()
+      assert(day2.getAs[Long]("arrived") == 2)
+      assert(day2.getAs[Long]("dropped_near_dup") == 1)
+      assert(day2.getAs[Long]("kept") == 1)
+
+      // due again with nothing landed: ledger unchanged
+      auto2.tick(Instant.parse("2024-01-04T03:00:00Z"))
+      auto2.drain()
+      assert(ledger.frame.count() == 2)
+    } finally auto2.shutdown()
+
+    // store holds base + the two survivors only
+    val sigIds = spark.read.parquet(s"$root/store/signatures")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L, 2L, 3L, 11L, 21L))
+    // each processed slice published a durable automation event
+    val events = engine.events.feed()
+    assert(events.filter($"subtype" === "ingest_slice_processed")
+      .count() == 2)
+  }
+}
+
 class TruncatedAnnSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
