@@ -7195,21 +7195,33 @@ object SparkEntry {
 
     Q("st10_stream_classify",
       // model-at-ingest: the NB classifier in its SERVING form — vocab
-      // capped to the top-512 training tokens (compactModel), collected
-      // to a broadcast map, scoring a REAL document stream map-only (no
-      // shuffle, no state store). The oracle replays the capped-vocab
-      // model over the same full corpus, so both the cap semantics
-      // (recomputed V/totals/unseen) and the stream scoring arithmetic
-      // are pinned.
+      // capped to the top-512 training tokens (compactModel), published
+      // to the versioned ModelStore BY NAME, hot-reloaded (an older
+      // stale version sits underneath — latest-version-wins must
+      // resolve past it), collected to a broadcast map, scoring a REAL
+      // document stream map-only (no shuffle, no state store). The
+      // oracle replays the capped-vocab model over the same full
+      // corpus, so the cap semantics, the store's version resolution
+      // AND the stream scoring arithmetic are all pinned — a load
+      // resolving the stale v1 would hash-mismatch every score.
       (s, d) => {
         val docs = t(s, d, "documents")
-        val model = graft.pipeline.Classify.compactModel(
-          graft.pipeline.Classify.nbState(
-            docs.filter(col("doc_id") % 5 =!= 0), "text", "source"),
-          maxVocab = 512)
+        def modelOf(train: DataFrame, vocab: Int) =
+          graft.pipeline.Classify.compactModel(
+            graft.pipeline.Classify.nbState(train, "text", "source"),
+            maxVocab = vocab)
+        val store = new graft.pipeline.ModelStore(
+          s, freshState(s, "st10m"))
+        store.save("stream_gate",
+          modelOf(docs.filter(col("doc_id") % 7 === 0), 64),
+          java.time.Instant.parse("2024-01-01T00:00:00Z"))
+        store.save("stream_gate",
+          modelOf(docs.filter(col("doc_id") % 5 =!= 0), 512),
+          java.time.Instant.parse("2024-01-02T00:00:00Z"))
         val stream = streamOf(s, s"$d/documents.parquet")
           .select(col("doc_id"), col("text"))
-        val scored = graft.pipeline.Classify.scoreBroadcast(model, stream)
+        val scored = graft.pipeline.Classify.scoreBroadcast(
+          store.load("stream_gate"), stream)
         runBoundedStream(s, scored, "st10_sink", "append")
           .orderBy("doc_id")
       },

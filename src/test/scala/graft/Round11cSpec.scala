@@ -183,6 +183,68 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class ModelStoreSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import java.time.Instant
+
+  import graft.pipeline.{Classify, ModelStore}
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("modelstore").toString
+
+  private def train(rows: (String, String)*) =
+    Classify.compactModel(
+      Classify.nbState(rows.toSeq.toDF("label", "text"), "text", "label"),
+      maxVocab = 100)
+
+  test("round-trip: a loaded model scores identically to the saved one") {
+    val store = new ModelStore(spark, tmp())
+    val m = train(("spam", "buy cheap pills now"),
+      ("ham", "meeting notes attached here"))
+    assert(store.save("gate", m, Instant.parse("2024-01-01T00:00:00Z")) == 1L)
+    val docs = Seq((1L, "buy pills"), (2L, "meeting here"))
+      .toDF("doc_id", "text")
+    val a = Classify.scoreBroadcast(m, docs).orderBy("doc_id").collect()
+    val b = Classify.scoreBroadcast(store.load("gate"), docs)
+      .orderBy("doc_id").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("latest-version-wins; pinned loadVersion still reads the old one") {
+    val store = new ModelStore(spark, tmp())
+    val v1 = train(("a", "one two three"), ("b", "four five six"))
+    val v2 = train(("a", "seven eight nine"), ("b", "ten eleven twelve"))
+    assert(store.save("m", v1, Instant.parse("2024-01-01T00:00:00Z")) == 1L)
+    assert(store.save("m", v2, Instant.parse("2024-01-02T00:00:00Z")) == 2L)
+    val cur = store.load("m")
+    val curToks = cur.tokenScores.select("token")
+      .collect().map(_.getString(0)).toSet
+    assert(curToks.contains("seven") && !curToks.contains("one"))
+    val old = store.loadVersion("m", 1L)
+    val oldToks = old.tokenScores.select("token")
+      .collect().map(_.getString(0)).toSet
+    assert(oldToks.contains("one") && !oldToks.contains("seven"))
+  }
+
+  test("tombstone hides the name; history stays; unknown names fail loudly") {
+    val store = new ModelStore(spark, tmp())
+    store.save("dead", train(("x", "alpha beta")),
+      Instant.parse("2024-01-01T00:00:00Z"))
+    store.save("alive", train(("y", "gamma delta")),
+      Instant.parse("2024-01-01T00:00:00Z"))
+    store.delete("dead", Instant.parse("2024-01-02T00:00:00Z"))
+    assert(store.list().select("model_name")
+      .collect().map(_.getString(0)).toSeq == Seq("alive"))
+    val e = intercept[IllegalArgumentException](store.load("dead"))
+    assert(e.getMessage.contains("tombstoned"))
+    intercept[RuntimeException](store.load("never_saved"))
+    // audit lane: the tombstoned model's last live version still loads
+    assert(store.loadVersion("dead", 1L).tokenScores.count() > 0)
+  }
+}
+
 class TruncatedAnnSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
