@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Curation, Pii, Sampling, TextAnalysis}
+import graft.sources.JsonSource
+
+/**
+ * The whole curation story, end to end, on the shipped fixtures — a
+ * raw JSONL crawl dump becoming sharded training data:
+ *
+ *   1. crawl dump     — the documents fixture serialized to JSONL (the
+ *                       shape raw crawls actually arrive in)
+ *   2. onboard        — JsonSource: schema inference + typed parse,
+ *                       corrupt rows → NULLs
+ *   3. PII redact     — map-only scrub BEFORE anything else persists
+ *   4. curate         — Curation.curateCorpus: quality gate →
+ *                       benchmark decontamination → exact+near dedup →
+ *                       leak-safe deterministic split (one call)
+ *   5. mixture        — budget-constrained source mixture (water-fill)
+ *                       over the surviving train split
+ *   6. shards         — deterministic epoch-shuffled training shards
+ *
+ * Every stage is the SAME operator the oracle suite verifies; this
+ * main only composes them and prints the per-stage funnel. The whole
+ * run is deterministic — md5 splits, seeded hashes, no RNG.
+ *
+ * Usage: runMain graft.Curate [sfDir] [outDir]
+ */
+object Curate {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_curate").toString)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import spark.implicits._
+
+    // 1. the "crawl": fixture docs as JSONL lines, one corrupt row
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val crawl = docs
+      .select(to_json(struct(col("doc_id"), col("text"), col("source"),
+        col("lang"))).as("line"))
+      .unionByName(Seq("{not json at all").toDF("line"))
+    crawl.write.mode("overwrite").text(s"$outDir/crawl_jsonl")
+    val raw = spark.read.text(s"$outDir/crawl_jsonl")
+      .withColumnRenamed("value", "line")
+    println(s"[curate] crawl dump: ${raw.count()} JSONL lines " +
+      "(1 corrupt by construction)")
+
+    // 2. onboard: infer + typed parse; corrupt lines become all-NULL
+    val typed = JsonSource.parseJson(raw, "line")
+      .filter(col("doc_id").isNotNull)
+    println(s"[curate] onboarded ${typed.count()} typed docs " +
+      s"(schema: ${typed.columns.mkString(", ")})")
+
+    // 3. PII scrub before anything persists downstream
+    val scrubbed = typed.withColumn("text", Pii.redact(col("text")))
+
+    // 4. one-call curation: quality → decontaminate → dedup → split.
+    //    Benchmark = the first 5 docs' bigrams (playing the eval set)
+    val bench = TextAnalysis.wordNgrams(
+      docs.filter(col("doc_id") < 5)).select("ngram")
+    val curated = Curation.curateCorpus(scrubbed, Some(bench),
+      Curation.CurationConfig(minQualityScore = 0.3, minTokens = 10,
+        maxContamination = Some(0.5), jaccardThreshold = 0.9))
+      .cache()
+    val funnel = curated.groupBy("split").count()
+      .orderBy("split").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"[curate] curated survivors by split: $funnel " +
+      s"(from ${scrubbed.count()} scrubbed docs)")
+
+    // 5. budget mixture over the train split: equal-weight sources,
+    //    20k-token budget, ≤1 epoch per source (water-fill overflow)
+    val train = curated.filter(col("split") === "train")
+    val sources = train.select("source").distinct()
+      .collect().map(_.getString(0))
+    val mix = Sampling.budgetMixture(train,
+      sources.map(_ -> 1.0).toMap, tokenBudget = 20000L)
+    mix.show(sources.length, false)
+
+    // 6. deterministic epoch shards, ready to write partitioned
+    val shards = Sampling.trainingShards(train, numShards = 4,
+      epoch = "0")
+    shards.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/shards/epoch0")
+    val perShard = spark.read.parquet(s"$outDir/shards/epoch0")
+      .groupBy("shard").count().orderBy("shard").collect()
+      .map(r => r.get(0).toString + ":" + r.getLong(1)).mkString(" ")
+    println(s"[curate] epoch-0 shards written to $outDir/shards: " +
+      perShard)
+    println(s"[curate] done — artifacts under $outDir")
+    spark.stop()
+  }
+}

@@ -2113,8 +2113,9 @@ object SparkEntry {
     Q("b02_scheduled_ingest",
       // the daily corpus-ingest turn as a PERSISTED scheduled job
       // (reference automation loop, simplified_scheduler.py:65-131, at
-      // LLM-pipeline scale): a base corpus (first 70% of ids) seeds a
-      // MinHash store; dated landing slices (10% each) arrive; the
+      // LLM-pipeline scale): a standing corpus (the [60%, 70%) id
+      // band) seeds a MinHash store; dated landing slices (10% each)
+      // arrive; the
       // driver "was down" while days 1 and 2 landed — the first daily
       // tick catches BOTH up (pending = landed − processed-ledger),
       // the second tick processes day 3, and a third tick with nothing
@@ -2129,11 +2130,16 @@ object SparkEntry {
         val docs = t(s, d, "documents")
         val state = freshState(s, "b02")
         val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        // standing corpus = the [60%, 70%) id band — slice-sized, so
+        // the fixture cost is O(slices), not O(corpus); the docs below
+        // it simply never entered this store's world
+        val cb = 6L * (maxId + 1L) / 10L
         val c0 = 7L * (maxId + 1L) / 10L
         val c1 = 8L * (maxId + 1L) / 10L
         val c2 = 9L * (maxId + 1L) / 10L
         Dedup.minhashStoreSave(
-          Dedup.minhashStoreCreate(docs.filter(col("doc_id") < c0),
+          Dedup.minhashStoreCreate(
+            docs.filter(col("doc_id") >= cb && col("doc_id") < c0),
             numBands = 32),
           state + "/store")
         // replay sidecar: every landing doc's signature under the
@@ -2142,9 +2148,10 @@ object SparkEntry {
         // which the store by definition never keeps
         Dedup.minhashSignatures(docs.filter(col("doc_id") >= c0),
             numBands = 32)
-          .write.mode("overwrite").parquet(state + "/allsigs")
+          .coalesce(4).write.mode("overwrite").parquet(state + "/allsigs")
         def land(lo: Long, hi: Long, day: String): Unit =
           docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .coalesce(4)
             .write.mode("overwrite").parquet(state + s"/landing/$day")
         land(c0, c1, "2024-01-01")
         land(c1, c2, "2024-01-02")
@@ -2180,7 +2187,8 @@ object SparkEntry {
           .orderBy("slice_id")
       },
       Some(s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
-        cuts AS (SELECT 7 * (m + 1) // 10 AS c0, 8 * (m + 1) // 10 AS c1,
+        cuts AS (SELECT 6 * (m + 1) // 10 AS cb,
+          7 * (m + 1) // 10 AS c0, 8 * (m + 1) // 10 AS c1,
           9 * (m + 1) // 10 AS c2 FROM mx),
         prof AS (SELECT doc_id, n_tokens, quality_score
           FROM ($duckTextProfileSql)),
@@ -2199,7 +2207,8 @@ object SparkEntry {
                 FROM q GROUP BY 1, 2) k ON q.doc_id = k.keep_id),
         basesig AS (SELECT doc_id, signature FROM read_parquet(
             '/tmp/graft_qstate/b02/store/signatures/*.parquet')
-          WHERE doc_id < (SELECT c0 FROM cuts)),
+          WHERE doc_id >= (SELECT cb FROM cuts)
+            AND doc_id < (SELECT c0 FROM cuts)),
         lsig AS (SELECT doc_id, signature FROM read_parquet(
             '/tmp/graft_qstate/b02/allsigs/*.parquet')),
         ex1 AS (SELECT doc_id FROM ex WHERE slice_id = '2024-01-01'),

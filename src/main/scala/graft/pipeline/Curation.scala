@@ -114,34 +114,44 @@ object Curation {
       textCol: String = "text"): (DataFrame, IngestReport) = {
     val spark = newDocs.sparkSession
     val arrived = newDocs.count()
+    // the quality-gated slice feeds every later stage (exact dedup,
+    // slice signing, the near-dup match, the store append, the state
+    // record) — without a cache each of those actions re-runs the
+    // whole profileText scan. The cache is slice-sized (O(day), never
+    // O(corpus)) and released before return: the returned frame is
+    // detached from the turn's caches, so a caller that keeps using
+    // it should persist it itself.
     val q = TextAnalysis.profileText(newDocs, textCol)
       .filter(col("quality_score") >= config.minQualityScore)
       .filter(col("n_tokens") >= config.minTokens)
-    val afterQuality = q.count()
-    val firsts = q
-      .groupBy(md5(col(textCol).cast("binary")).as("__h"))
-      .agg(min(col(idCol)).as(idCol))
-      .select(idCol)
-    val exactKept = q.join(firsts, Seq(idCol), "left_semi")
-    val afterExact = exactKept.count()
-    val store = Dedup.minhashStoreLoad(spark, minhashStorePath)
-    val matches = Dedup.incrementalNearDuplicates(store, exactKept,
-      textCol, config.jaccardThreshold)
-    // matches mix two pair shapes: (slice, store) — drop the slice
-    // side — and (slice, slice) with id_a < id_b — drop the later id.
-    // Distinguish by id_b's membership in the slice.
-    val sliceIds = exactKept.select(col(idCol).as("id_b"))
-    val drops = matches.join(sliceIds, Seq("id_b"), "left_semi")
-      .select(col("id_b").as(idCol))
-      .unionByName(matches.join(sliceIds, Seq("id_b"), "left_anti")
-        .select(col("id_a").as(idCol)))
-      .distinct()
-    val kept = exactKept.join(drops, Seq(idCol), "left_anti")
-    val keptN = kept.count()
-    Dedup.minhashStoreAppend(minhashStorePath, kept, textCol)
-    stateStore.foreach { case (st, sliceId) => st.record(kept, sliceId) }
-    (kept, IngestReport(arrived, afterQuality, afterQuality - afterExact,
-      afterExact - keptN, keptN))
+      .cache()
+    try {
+      val afterQuality = q.count()
+      val firsts = q
+        .groupBy(md5(col(textCol).cast("binary")).as("__h"))
+        .agg(min(col(idCol)).as(idCol))
+        .select(idCol)
+      val exactKept = q.join(firsts, Seq(idCol), "left_semi")
+      val afterExact = exactKept.count()
+      val store = Dedup.minhashStoreLoad(spark, minhashStorePath)
+      val matches = Dedup.incrementalNearDuplicates(store, exactKept,
+        textCol, config.jaccardThreshold)
+      // matches mix two pair shapes: (slice, store) — drop the slice
+      // side — and (slice, slice) with id_a < id_b — drop the later id.
+      // Distinguish by id_b's membership in the slice.
+      val sliceIds = exactKept.select(col(idCol).as("id_b"))
+      val drops = matches.join(sliceIds, Seq("id_b"), "left_semi")
+        .select(col("id_b").as(idCol))
+        .unionByName(matches.join(sliceIds, Seq("id_b"), "left_anti")
+          .select(col("id_a").as(idCol)))
+        .distinct()
+      val kept = exactKept.join(drops, Seq(idCol), "left_anti")
+      val keptN = kept.count()
+      Dedup.minhashStoreAppend(minhashStorePath, kept, textCol)
+      stateStore.foreach { case (st, sliceId) => st.record(kept, sliceId) }
+      (kept, IngestReport(arrived, afterQuality,
+        afterQuality - afterExact, afterExact - keptN, keptN))
+    } finally q.unpersist()
   }
 
   /** Corpus version diff — what changed between two snapshots of the

@@ -75,6 +75,12 @@ object Dedup {
    *  signature values for mixed-case corpora — persisted signature
    *  stores built before the unification must be recomputed. */
   private[graft] def shingleHashes(text: String, k: Int): Array[Long] = {
+    // null-tolerant: callers filter nulls out, but Spark's predicate
+    // collapse + common-subexpression elimination can evaluate a UDF
+    // built on this BEFORE the isNotNull guard in the same Filter —
+    // an NPE here would kill the stage on a row the plan was about to
+    // drop anyway
+    if (text == null) return Array.empty
     val words = text.toLowerCase(java.util.Locale.ROOT)
       .trim.split("\\s+").filter(_.nonEmpty)
     if (words.length < k) {

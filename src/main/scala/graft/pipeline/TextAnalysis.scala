@@ -396,6 +396,10 @@ object TextAnalysis {
    *  DuckDB replay the SQL-expressible selection (window minima + xor
    *  fold) over it. */
   private[graft] def krHashes(text: String, gram: Int): Array[Long] = {
+    // null-tolerant for the same reason as Dedup.shingleHashes: a UDF
+    // in a collapsed Filter can be CSE-evaluated before its isNotNull
+    // guard
+    if (text == null) return Array.empty
     val t = text.toLowerCase.replaceAll("\\s+", " ")
     if (t.length < gram) Array(Dedup.fnv64(t))
     else {
@@ -434,7 +438,8 @@ object TextAnalysis {
   private[graft] def winnowedMins(
       text: String, gram: Int, window: Int): Array[Long] = {
     val hashes = krHashes(text, gram)
-    if (hashes.length < window) Array(hashes.min)
+    if (hashes.isEmpty) Array.empty
+    else if (hashes.length < window) Array(hashes.min)
     else {
       val mins = Array.newBuilder[Long]
       var w0 = 0
