@@ -102,7 +102,12 @@ object Soak {
     // the scheduled three-slice ingest cascade (documents-keyed): each
     // per-slice turn is O(slice) against the banded store — the whole
     // cascade must scale like three d10 ingests, not like a rescan
-    "b02_scheduled_ingest")
+    "b02_scheduled_ingest",
+    // batch 6: IVF balance audit (embeddings-keyed cell aggregate),
+    // curriculum phases (one percentile aggregate + map-only assign)
+    // and the dataset card (source-keyed rollup) — all must ride
+    // their single corpus scan
+    "e19_ivf_balance", "x62_curriculum", "x63_dataset_card")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -4337,6 +4337,39 @@ object SparkEntry {
           ON hits.method = m.method AND hits.query_id = nex.query_id
         ORDER BY m.method, nex.query_id""")),
 
+    Q("e19_ivf_balance",
+      // IVF index health check (the balance audit BEFORE a 100 TB
+      // build commits to a centroid set): per-cell populations with
+      // broadcast global lanes — share, max/mean imbalance, empty-cell
+      // count. Empty cells emit n=0 explicitly (a literal all-cells
+      // frame), because paid-for-but-unused capacity is exactly what
+      // the audit exists to surface. The assignment persists and the
+      // oracle recomputes every count and ppm lane from it.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val index = Similarity.ivfBuild(emb, k = 16)
+        val path = freshState(s, "e19") + "/assign"
+        index.assigned.select(col("vec_id"), col("__cell").as("cell"))
+          .coalesce(4).write.mode("overwrite").parquet(path)
+        Similarity.ivfBalance(index).orderBy("cell")
+      },
+      Some("""WITH a AS (SELECT cell FROM read_parquet(
+            '/tmp/graft_qstate/e19/assign/*.parquet')),
+        counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+          FROM a GROUP BY 1),
+        cells AS (SELECT CAST(range AS INT) AS cell FROM range(0, 16)),
+        pc AS (SELECT cells.cell, COALESCE(counts.n, 0) AS n
+          FROM cells LEFT JOIN counts USING (cell)),
+        st AS (SELECT SUM(n) AS total, MAX(n) AS max_n,
+          CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS empty_cells FROM pc)
+        SELECT pc.cell, pc.n,
+          CAST(ROUND(1e6 * pc.n / st.total, 0) AS BIGINT) AS share_ppm,
+          CAST(ROUND(1e6 * st.max_n * 16 / st.total, 0) AS BIGINT)
+            AS max_over_mean_ppm,
+          st.empty_cells
+        FROM pc, st ORDER BY pc.cell""")),
+
     Q("e07_semantic_dedup",
       // SemDeDup: coarse cells (8 fixed centroids = the first 8 vectors,
       // normalized — deterministic, so DuckDB replays the exact
@@ -6360,6 +6393,72 @@ object SparkEntry {
           CAST(ROUND(1e6 / SQRT(CAST(sz AS DOUBLE)), 0) AS BIGINT)
             AS weight_sqrt_ppm
         FROM cl JOIN sz USING (cluster_id) ORDER BY doc_id""")),
+
+    Q("x62_curriculum",
+      // curriculum ordering (easy→hard): quality-score quartile bands
+      // at EXACT percentile cutoffs (quantized to 6 decimals so the
+      // boundary comparison is engine-exact), phase assignment is
+      // map-only — no global sort — and the within-phase order key is
+      // a deterministic md5 over (phase, id). The oracle re-derives
+      // the scores, the cutoffs, every phase and every order key.
+      (s, d) => {
+        val prof = TextAnalysis.profileText(t(s, d, "documents"))
+          .select(col("doc_id"), col("quality_score"))
+        Sampling.curriculumPhases(prof, "quality_score", phases = 4)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH prof AS (SELECT doc_id, quality_score
+          FROM ($duckTextProfileSql)),
+        cuts AS (SELECT
+          ROUND(quantile_cont(quality_score, 0.25), 6) AS q1,
+          ROUND(quantile_cont(quality_score, 0.50), 6) AS q2,
+          ROUND(quantile_cont(quality_score, 0.75), 6) AS q3
+          FROM prof)
+        SELECT p.doc_id, p.quality_score,
+          1 + CASE WHEN p.quality_score > c.q1 THEN 1 ELSE 0 END
+            + CASE WHEN p.quality_score > c.q2 THEN 1 ELSE 0 END
+            + CASE WHEN p.quality_score > c.q3 THEN 1 ELSE 0 END
+            AS phase,
+          md5(CAST(1 + CASE WHEN p.quality_score > c.q1 THEN 1 ELSE 0 END
+            + CASE WHEN p.quality_score > c.q2 THEN 1 ELSE 0 END
+            + CASE WHEN p.quality_score > c.q3 THEN 1 ELSE 0 END
+            AS VARCHAR) || ':' || CAST(p.doc_id AS VARCHAR))
+            AS order_key
+        FROM prof p, cuts c ORDER BY p.doc_id""")),
+
+    Q("x63_dataset_card",
+      // the per-source datasheet a corpus release ships with
+      // (mechanically-attestable lanes of "Datasheets for Datasets"):
+      // docs, token volume, exact-integer mean quality (Σ score·1e6 is
+      // order-independent), within-source exact-dup rate, and the
+      // dominant language with a deterministic count-then-name argmax.
+      // One source-keyed aggregation + one source×lang rollup.
+      (s, d) => Curation.datasetCard(t(s, d, "documents"))
+        .orderBy("source"),
+      Some(s"""WITH prof AS (SELECT doc_id, n_tokens, quality_score
+          FROM ($duckTextProfileSql)),
+        dd AS (SELECT doc_id, source, lang, text FROM documents),
+        ps AS (SELECT dd.source,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+            CAST(SUM(CAST(ROUND(p.quality_score * 1e6, 0) AS BIGINT))
+              AS BIGINT) AS q_micro,
+            CAST(COUNT(DISTINCT md5(dd.text)) AS BIGINT) AS dt
+          FROM dd JOIN prof p USING (doc_id) GROUP BY 1),
+        lt AS (SELECT source, lang AS top_lang, c AS top_lang_docs
+          FROM (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c,
+              ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY COUNT(*) DESC, lang) AS rn
+            FROM dd GROUP BY source, lang) WHERE rn = 1)
+        SELECT ps.source, ps.n_docs, ps.total_tokens,
+          CAST(ROUND(CAST(ps.q_micro AS DOUBLE) / ps.n_docs, 0)
+            AS BIGINT) AS mean_quality_ppm,
+          CAST(ROUND(1e6 * (ps.n_docs - ps.dt) / ps.n_docs, 0)
+            AS BIGINT) AS exact_dup_ppm,
+          lt.top_lang, lt.top_lang_docs,
+          CAST(ROUND(1e6 * lt.top_lang_docs / ps.n_docs, 0) AS BIGINT)
+            AS top_lang_ppm
+        FROM ps JOIN lt USING (source) ORDER BY ps.source""")),
 
     Q("x60_k_anonymity",
       // re-identification audit (Sweeney's k-anonymity) before a

@@ -154,6 +154,60 @@ object Curation {
     } finally q.unpersist()
   }
 
+  /** Dataset card — the per-source datasheet a corpus release ships
+   *  with (Gebru et al.'s "Datasheets for Datasets", reduced to the
+   *  lanes this engine can attest mechanically): docs, token volume,
+   *  mean quality, the dominant language with its share, and the
+   *  exact-duplicate rate INSIDE the source. ONE source-keyed
+   *  aggregation pass (plus a source×lang count for the dominant-lang
+   *  argmax — max_by with a lexicographic tiebreak so the pick is
+   *  deterministic on count ties); output is sources-sized. Ratios
+   *  quantize to ppm from exact integer counts; mean quality to ppm
+   *  from the 6-decimal scores. */
+  def datasetCard(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      langCol: String = "lang",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val base = TextAnalysis.profileText(docs, textCol)
+    val perSource = base.groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        // exact-integer mean: scores are 6-decimal, so Σ(score·1e6) is
+        // an integer sum (order-independent, engine-exact) and the
+        // mean is ONE double division at the end
+        sum(round(col("quality_score") * 1e6, 0).cast("long"))
+          .as("__q_micro"),
+        countDistinct(md5(col(textCol).cast("binary")))
+          .as("__distinct_texts"))
+      .withColumn("mean_quality_ppm",
+        round(col("__q_micro").cast("double") / col("n_docs"), 0)
+          .cast("long"))
+      .withColumn("exact_dup_ppm",
+        round(lit(1e6) * (col("n_docs") - col("__distinct_texts"))
+          / col("n_docs"), 0).cast("long"))
+    val langTop = docs.groupBy(col(sourceCol).as("source"),
+        col(langCol).as("lang"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy("source")
+      // deterministic argmax: highest count, then LOWEST lang string —
+      // max_by on (count, reversed-lang) would need a string inverse,
+      // so order the struct by (count desc, lang asc) via min_by on
+      // (-count, lang)
+      .agg(min_by(struct(col("lang"), col("__c")),
+        struct((-col("__c")).as("nc"), col("lang"))).as("__t"))
+      .select(col("source"), col("__t.lang").as("top_lang"),
+        col("__t.__c").as("top_lang_docs"))
+    perSource.join(langTop, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("mean_quality_ppm"), col("exact_dup_ppm"),
+        col("top_lang"), col("top_lang_docs"),
+        round(lit(1e6) * col("top_lang_docs") / col("n_docs"), 0)
+          .cast("long").as("top_lang_ppm"))
+  }
+
   /** Corpus version diff — what changed between two snapshots of the
    *  same corpus: every doc is `added` (new only), `removed` (old
    *  only), `changed` (both, different content hash) or `unchanged`.

@@ -102,6 +102,43 @@ object Sampling {
         col("weight_ppm"), col("weight_sqrt_ppm"))
   }
 
+  /** Curriculum phase assignment (easy→hard training order): docs bin
+   *  into `phases` score bands at the EXACT score percentiles (the p08
+   *  interpolation both engines share), lowest band = phase 1. The
+   *  cutoffs are one exact-percentile aggregate (a k-element array on
+   *  the driver → broadcast literal comparisons); the assignment is
+   *  map-only — NO global sort, which is what a naive NTILE-over-
+   *  everything costs. Ties at a cutoff land in the lower phase on
+   *  every engine. `order_key` is a deterministic md5 over
+   *  (phase, id), so the within-phase read order is shuffled but
+   *  reproducible — sort by (phase, order_key) to stream the
+   *  curriculum. */
+  def curriculumPhases(
+      df: DataFrame,
+      scoreCol: String,
+      phases: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    require(phases >= 2 && phases <= 100, "phases must be in [2, 100]")
+    val fracs = (1 until phases)
+      .map(i => i.toDouble / phases).mkString(", ")
+    // cutoffs quantize to 6 decimals so the phase boundaries are
+    // engine-exact: two engines' percentile interpolations can differ
+    // in the last ulp, which would flip the phase of a doc whose score
+    // sits exactly on a cutoff
+    val cuts = df.selectExpr(
+      s"transform(percentile(`$scoreCol`, array($fracs)), " +
+        "c -> round(c, 6)) as c")
+      .head().getSeq[Double](0)
+    val phaseCol = cuts.zipWithIndex.foldLeft(lit(1)) {
+      case (acc, (c, _)) =>
+        acc + when(col(scoreCol) > c, 1).otherwise(0)
+    }
+    df.withColumn("phase", phaseCol)
+      .withColumn("order_key",
+        md5(concat(col("phase").cast("string"), lit(":"),
+          col(idCol).cast("string"))))
+  }
+
   /** Keep a deterministic `fraction` of rows: the SAME rows survive on
    *  every run (bucket < fraction·buckets). */
   def deterministicSample(

@@ -183,6 +183,96 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class IvfBalanceSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("per-cell counts, empty cells surfaced, ppm lanes exact") {
+    // 2 well-separated clusters + 1 stray centroid seed: with k=3 from
+    // hash-ordered ids, cells form deterministically; we assert the
+    // INVARIANTS (totality, empties counted, ppm arithmetic), not a
+    // particular layout
+    val vecs = (0 until 24).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(4)(j =>
+        base * (1.0f + 0.001f * (i + j))))
+    }.toDF("vec_id", "embedding")
+    val idx = graft.pipeline.Similarity.ivfBuild(vecs, k = 4)
+    val out = graft.pipeline.Similarity.ivfBalance(idx)
+      .orderBy("cell").collect()
+    assert(out.length == 4, "one row per cell, empties included")
+    assert(out.map(_.getAs[Long]("n")).sum == 24, "assignment is total")
+    val empties = out.head.getAs[Long]("empty_cells")
+    assert(out.count(_.getAs[Long]("n") == 0L) == empties)
+    val maxN = out.map(_.getAs[Long]("n")).max
+    assert(out.head.getAs[Long]("max_over_mean_ppm") ==
+      math.round(1e6 * maxN * 4 / 24.0))
+    assert(out.map(_.getAs[Long]("share_ppm")).sum > 990000L)
+  }
+}
+
+class CurriculumSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("quartile phases: monotone in score, ties at a cutoff go lower") {
+    // scores 1..8 → cutoffs at 2.75 / 4.5 / 6.25
+    val df = (1 to 8).map(i => (i.toLong, i.toDouble))
+      .toDF("doc_id", "score")
+    val out = graft.pipeline.Sampling
+      .curriculumPhases(df, "score", phases = 4)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Int]("phase")).toSeq ==
+      Seq(1, 1, 2, 2, 3, 3, 4, 4))
+    // phase is monotone in score
+    val byScore = out.sortBy(_.getAs[Double]("score"))
+      .map(_.getAs[Int]("phase"))
+    assert(byScore.zip(byScore.tail).forall { case (a, b) => a <= b })
+    // order_key deterministic: same input → same keys
+    val again = graft.pipeline.Sampling
+      .curriculumPhases(df, "score", phases = 4)
+      .orderBy("doc_id").collect().map(_.getAs[String]("order_key"))
+    assert(out.map(_.getAs[String]("order_key")).toSeq == again.toSeq)
+  }
+
+  test("constant scores collapse to one phase") {
+    val df = (1 to 6).map(i => (i.toLong, 0.5)).toDF("doc_id", "score")
+    val out = graft.pipeline.Sampling
+      .curriculumPhases(df, "score", phases = 4).collect()
+    assert(out.forall(_.getAs[Int]("phase") == 1),
+      "ties at every cutoff land in the lowest phase")
+  }
+}
+
+class DatasetCardSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("per-source lanes: counts, dup rate, deterministic lang argmax") {
+    val docs = Seq(
+      (1L, "srcA", "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "srcA", "en", "the quick brown fox jumps over the lazy dog"),
+      (3L, "srcA", "de", "der schnelle braune fuchs springt gern darüber"),
+      (4L, "srcB", "fr", "le renard brun rapide saute par dessus tout"),
+      (5L, "srcB", "en", "completely different text with its own words"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = graft.pipeline.Curation.datasetCard(docs)
+      .orderBy("source").collect()
+    assert(out.length == 2)
+    val a = out(0)
+    assert(a.getAs[String]("source") == "srcA")
+    assert(a.getAs[Long]("n_docs") == 3)
+    // docs 1+2 are exact dups → 1 of 3 redundant
+    assert(a.getAs[Long]("exact_dup_ppm") == 333333L)
+    assert(a.getAs[String]("top_lang") == "en")
+    assert(a.getAs[Long]("top_lang_docs") == 2)
+    val b = out(1)
+    assert(b.getAs[Long]("exact_dup_ppm") == 0L)
+    // count tie (fr=1, en=1) → lexicographically first lang wins
+    assert(b.getAs[String]("top_lang") == "en")
+  }
+}
+
 class ModelStoreSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
