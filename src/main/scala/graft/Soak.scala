@@ -107,7 +107,11 @@ object Soak {
     // curriculum phases (one percentile aggregate + map-only assign)
     // and the dataset card (source-keyed rollup) — all must ride
     // their single corpus scan
-    "e19_ivf_balance", "x62_curriculum", "x63_dataset_card")
+    "e19_ivf_balance", "x62_curriculum", "x63_dataset_card",
+    // batch 7: the mergeable sampler (documents-keyed TakeOrdered —
+    // must stay flat). x65/c09 key on customer, which buildCorpus
+    // mirrors verbatim, so soaking them would measure a flat line.
+    "x64_mergeable_sample")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

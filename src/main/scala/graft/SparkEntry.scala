@@ -6460,6 +6460,52 @@ object SparkEntry {
             AS top_lang_ppm
         FROM ps JOIN lt USING (source) ORDER BY ps.source""")),
 
+    Q("x64_mergeable_sample",
+      // mergeable deterministic uniform sample (bottom-k by md5(id) —
+      // the KMV order-statistic idea keeping the ROWS): two slices
+      // each persist a k-row sample state; merging the states equals
+      // sampling the union directly, which is exactly what the oracle
+      // computes — so the closure property itself is what's pinned.
+      // Slice sampling is TakeOrdered (per-partition top-k, no global
+      // sort); states are k rows regardless of slice size.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val half = docs.agg(max(col("doc_id"))).head().getLong(0) / 2L
+        val state = freshState(s, "x64") + "/states"
+        Sampling.bottomKSample(docs.filter(col("doc_id") <= half), 50)
+          .select("doc_id", "rank_key")
+          .coalesce(1).write.mode("append").parquet(state)
+        Sampling.bottomKSample(docs.filter(col("doc_id") > half), 50)
+          .select("doc_id", "rank_key")
+          .coalesce(1).write.mode("append").parquet(state)
+        Sampling.mergeBottomK(s.read.parquet(state), 50)
+          .orderBy("rank_key")
+      },
+      Some("""SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank_key
+        FROM documents ORDER BY rank_key LIMIT 50""")),
+
+    Q("x65_l_diversity",
+      // l-diversity audit (Machanavajjhala et al.) — the k-anonymity
+      // companion x60 needs: a (nation, segment) class can be large
+      // yet leak if every member shares the sensitive value (account
+      // balance sign here). Classes with < 2 distinct sensitive
+      // values, with size and distinct-l; one hash aggregate.
+      (s, d) => graft.pipeline.Privacy.lDiversityViolations(
+          t(s, d, "customer").withColumn("bal_sign",
+            when(col("c_acctbal") < 0, "neg").otherwise("nonneg")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_sign", l = 2)
+        .withColumn("c_nationkey", col("c_nationkey").cast("int")),
+      Some("""WITH classes AS (
+          SELECT c_nationkey, c_mktsegment,
+            CAST(COUNT(*) AS BIGINT) AS class_size,
+            CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+              ELSE 'nonneg' END) AS BIGINT) AS l_distinct
+          FROM customer GROUP BY 1, 2)
+        SELECT CAST(c_nationkey AS INT) AS c_nationkey, c_mktsegment,
+          class_size, l_distinct
+        FROM classes WHERE l_distinct < 2
+        ORDER BY l_distinct, class_size, c_nationkey, c_mktsegment""")),
+
     Q("x60_k_anonymity",
       // re-identification audit (Sweeney's k-anonymity) before a
       // customer-derived table feeds a corpus: equivalence classes on
@@ -6790,6 +6836,86 @@ object SparkEntry {
     // C8: changes-store listing + acknowledge end-to-end (app.py:
     // 3857-4058): two appended batches, one acknowledged type — the
     // crash-safe store rewrite must flip exactly the matching rows.
+    Q("c09_reconcile",
+      // column-level table reconciliation (the migration-validation
+      // classic): old = customer, new = a DECLARED snapshot mutation
+      // (every 13th key deleted, every 7th balance +100, every 17th
+      // segment rewritten). One key-keyed full-outer join + ONE
+      // aggregate stacking every column's equal/diff counters;
+      // null-safe equality. The schema diff says "the column
+      // changed"; this says how many VALUES changed.
+      (s, d) => {
+        val cust = t(s, d, "customer")
+        val mutated = cust.filter(col("c_custkey") % 13 =!= 0)
+          .withColumn("c_acctbal",
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100)
+              .otherwise(col("c_acctbal")))
+          .withColumn("c_mktsegment",
+            when(col("c_custkey") % 17 === 0, lit("UPDATED"))
+              .otherwise(col("c_mktsegment")))
+        graft.schemadiff.Reconcile.tableReconcile(cust, mutated,
+            Seq("c_custkey"),
+            Seq("c_acctbal", "c_mktsegment", "c_name", "c_nationkey"))
+          .orderBy("column")
+      },
+      Some("""WITH o AS (SELECT c_custkey, c_name, c_acctbal,
+            c_mktsegment, c_nationkey FROM customer),
+        n AS (SELECT c_custkey, c_name,
+            CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100
+              ELSE c_acctbal END AS c_acctbal,
+            CASE WHEN c_custkey % 17 = 0 THEN 'UPDATED'
+              ELSE c_mktsegment END AS c_mktsegment,
+            c_nationkey
+          FROM customer WHERE c_custkey % 13 <> 0),
+        j AS (SELECT o.c_custkey AS ko, n.c_custkey AS kn,
+            o.c_acctbal AS oa, n.c_acctbal AS na,
+            o.c_nationkey AS oc, n.c_nationkey AS nc,
+            o.c_mktsegment AS om, n.c_mktsegment AS nm,
+            o.c_name AS onm, n.c_name AS nnm
+          FROM o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey),
+        t AS (SELECT
+          CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+            THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+          CAST(SUM(CASE WHEN kn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS only_old,
+          CAST(SUM(CASE WHEN ko IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS only_new,
+          CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+            AND oa IS NOT DISTINCT FROM na THEN 1 ELSE 0 END)
+            AS BIGINT) AS eq_a,
+          CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+            AND NOT (oa IS NOT DISTINCT FROM na) THEN 1 ELSE 0 END)
+            AS BIGINT) AS df_a,
+          CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+            AND oc IS NOT DISTINCT FROM nc THEN 1 ELSE 0 END)
+            AS BIGINT) AS eq_c,
+          CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+            AND NOT (oc IS NOT DISTINCT FROM nc) THEN 1 ELSE 0 END)
+            AS BIGINT) AS df_c,
+          CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+            AND om IS NOT DISTINCT FROM nm THEN 1 ELSE 0 END)
+            AS BIGINT) AS eq_m,
+          CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+            AND NOT (om IS NOT DISTINCT FROM nm) THEN 1 ELSE 0 END)
+            AS BIGINT) AS df_m,
+          CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+            AND onm IS NOT DISTINCT FROM nnm THEN 1 ELSE 0 END)
+            AS BIGINT) AS eq_n,
+          CAST(SUM(CASE WHEN ko IS NOT NULL AND kn IS NOT NULL
+            AND NOT (onm IS NOT DISTINCT FROM nnm) THEN 1 ELSE 0 END)
+            AS BIGINT) AS df_n
+          FROM j)
+        SELECT 'c_acctbal' AS "column", matched AS n_matched,
+          eq_a AS n_equal, df_a AS n_diff,
+          only_old AS n_only_old, only_new AS n_only_new FROM t
+        UNION ALL SELECT 'c_mktsegment', matched, eq_m, df_m,
+          only_old, only_new FROM t
+        UNION ALL SELECT 'c_name', matched, eq_n, df_n,
+          only_old, only_new FROM t
+        UNION ALL SELECT 'c_nationkey', matched, eq_c, df_c,
+          only_old, only_new FROM t
+        ORDER BY "column"""")),
+
     Q("c08_changes_listing",
       (s, d) => {
         import graft.types.SchemaChange

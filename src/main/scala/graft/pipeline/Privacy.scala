@@ -54,4 +54,45 @@ object Privacy {
         sum(when(col("class_size") < k, col("class_size"))
           .otherwise(0L)).as("n_rows_below_k"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al.) — k-anonymity's
+   *  companion: a class can be large (k-anonymous) yet still leak if
+   *  every member shares the same SENSITIVE value, so each
+   *  quasi-identifier class also needs ≥ l DISTINCT sensitive values.
+   *  Classes below the floor, with their size and distinct-l. One
+   *  hash aggregate (count + count-distinct per class) — the class
+   *  frame is equivalence-classes-sized, never row-sized. */
+  def lDiversityViolations(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 2, "l must be >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .filter(col("l_distinct") < l)
+      .orderBy((col("l_distinct").asc +: col("class_size").asc +:
+        quasiCols.map(col(_).asc)): _*)
+  }
+
+  /** One-row l-diversity summary: class count, the table's l level
+   *  (min distinct sensitive over classes), and the below-floor mass. */
+  def lDiversitySummary(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .agg(count(lit(1)).as("n_classes"),
+        min("l_distinct").as("table_l"),
+        sum(when(col("l_distinct") < l, 1L).otherwise(0L))
+          .as("n_classes_below_l"),
+        sum(when(col("l_distinct") < l, col("class_size"))
+          .otherwise(0L)).as("n_rows_below_l"))
+  }
 }

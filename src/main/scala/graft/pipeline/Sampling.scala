@@ -139,6 +139,33 @@ object Sampling {
           col(idCol).cast("string"))))
   }
 
+  /** Mergeable deterministic uniform sample: the k rows with the
+   *  SMALLEST md5(id) — an order statistic, so bottom-k(A ∪ B) =
+   *  bottom-k(bottom-k(A) ∪ bottom-k(B)). That closure is the whole
+   *  point: profile each daily slice once into a k-row sample state,
+   *  and the uniform sample of ANY slice union merges from states
+   *  without rescanning (the KMV idea, keeping the rows). Hash-order
+   *  selection is uniform over ids and reproducible everywhere md5
+   *  is. orderBy+limit = TakeOrdered: each partition keeps k rows,
+   *  no global sort materializes. */
+  def bottomKSample(
+      df: DataFrame,
+      k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("rank_key", md5(col(idCol).cast("string")))
+      .orderBy("rank_key")
+      .limit(k)
+  }
+
+  /** Merge sample states (the union of per-slice [[bottomKSample]]
+   *  outputs) back to one k-row sample — identical to sampling the
+   *  union directly. */
+  def mergeBottomK(states: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    states.orderBy("rank_key").limit(k)
+  }
+
   /** Keep a deterministic `fraction` of rows: the SAME rows survive on
    *  every run (bucket < fraction·buckets). */
   def deterministicSample(

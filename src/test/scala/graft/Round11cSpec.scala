@@ -183,6 +183,97 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class BottomKSampleSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("merge of slice states equals sampling the union directly") {
+    val ids = (1L to 200L).toDF("doc_id")
+    val a = ids.filter($"doc_id" <= 100)
+    val b = ids.filter($"doc_id" > 100)
+    val direct = graft.pipeline.Sampling.bottomKSample(ids, 20)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val merged = graft.pipeline.Sampling.mergeBottomK(
+      graft.pipeline.Sampling.bottomKSample(a, 20)
+        .unionByName(graft.pipeline.Sampling.bottomKSample(b, 20)), 20)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(merged == direct)
+    assert(direct.size == 20)
+  }
+
+  test("sample is deterministic and k-bounded on a small frame") {
+    val ids = (1L to 5L).toDF("doc_id")
+    val s1 = graft.pipeline.Sampling.bottomKSample(ids, 10).count()
+    assert(s1 == 5, "k larger than the frame keeps every row")
+  }
+}
+
+class LDiversitySpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("homogeneous classes flagged; diverse classes pass; summary mass") {
+    val rows = Seq(
+      // class (US, A): 3 rows, all "x" → l = 1, violates l = 2
+      ("US", "A", "x"), ("US", "A", "x"), ("US", "A", "x"),
+      // class (US, B): 2 rows, x and y → l = 2, passes
+      ("US", "B", "x"), ("US", "B", "y"),
+      // class (DE, A): 1 row → l = 1, violates
+      ("DE", "A", "z"))
+      .toDF("country", "group", "diag")
+    val v = graft.pipeline.Privacy.lDiversityViolations(
+      rows, Seq("country", "group"), "diag", l = 2).collect()
+    assert(v.length == 2)
+    assert(v.forall(_.getAs[Long]("l_distinct") == 1L))
+    val s = graft.pipeline.Privacy.lDiversitySummary(
+      rows, Seq("country", "group"), "diag", l = 2).head()
+    assert(s.getAs[Long]("n_classes") == 3)
+    assert(s.getAs[Long]("table_l") == 1)
+    assert(s.getAs[Long]("n_classes_below_l") == 2)
+    assert(s.getAs[Long]("n_rows_below_l") == 4)
+  }
+}
+
+class ReconcileSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("per-column equal/diff counters; one-sided keys; null-safe cells") {
+    val oldDf = Seq(
+      (1L, Option("a"), Option(10)),
+      (2L, Option("b"), None),
+      (3L, Option("c"), Option(30)),
+      (4L, Option("d"), Option(40)))
+      .toDF("id", "s", "v")
+    val newDf = Seq(
+      (1L, Option("a"), Option(10)), // identical
+      (2L, Option("B"), None), // s differs, v NULL==NULL equal
+      (3L, None, Option(30)), // s value→NULL diff
+      (5L, Option("e"), Option(50))) // new-only key
+      .toDF("id", "s", "v")
+    val out = graft.schemadiff.Reconcile
+      .tableReconcile(oldDf, newDf, Seq("id"))
+      .orderBy("column").collect()
+    assert(out.length == 2)
+    val s = out(0)
+    assert(s.getAs[String]("column") == "s")
+    assert(s.getAs[Long]("n_matched") == 3)
+    assert(s.getAs[Long]("n_equal") == 1 && s.getAs[Long]("n_diff") == 2)
+    assert(s.getAs[Long]("n_only_old") == 1)
+    assert(s.getAs[Long]("n_only_new") == 1)
+    val v = out(1)
+    assert(v.getAs[Long]("n_equal") == 3, "NULL<=>NULL counts as equal")
+    assert(v.getAs[Long]("n_diff") == 0)
+  }
+
+  test("explicit compare list restricts the audit") {
+    val a = Seq((1L, "x", "y")).toDF("id", "p", "q")
+    val out = graft.schemadiff.Reconcile
+      .tableReconcile(a, a, Seq("id"), Seq("p")).collect()
+    assert(out.map(_.getAs[String]("column")).toSeq == Seq("p"))
+  }
+}
+
 class IvfBalanceSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
