@@ -111,7 +111,11 @@ object Soak {
     // batch 7: the mergeable sampler (documents-keyed TakeOrdered —
     // must stay flat). x65/c09 key on customer, which buildCorpus
     // mirrors verbatim, so soaking them would measure a flat line.
-    "x64_mergeable_sample")
+    "x64_mergeable_sample",
+    // batch 8: join-cardinality audit (events-keyed count join),
+    // pack-efficiency rollup (documents-keyed) and the mergeable HLL
+    // states (lineitem-keyed sketch aggregate) — all single-scan
+    "x66_join_blowup", "x67_pack_efficiency", "p41_mergeable_hll")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -5491,6 +5491,46 @@ object SparkEntry {
   // ------------------------------------------------------------------
 
   private def sourceQueries: Seq[Q] = Seq(
+    Q("p41_mergeable_hll",
+      // the HLL leg of the mergeable slice-state family (p37 quantile
+      // sketches, p38 heavy hitters, x48 KMV, x64 samples): three
+      // disjoint lineitem slices each persist ONE DataSketches HLL
+      // sketch per column; the any-range distinct answer is a
+      // lossless sketch union over states — no rescan. Emitted: the
+      // EXACT distinct twin (which the oracle recomputes) and a
+      // tolerance verdict the oracle pins TRUE — a broken sketch or a
+      // lossy merge hash-mismatches. 3σ at lgK=12 ≈ 5%.
+      (s, d) => {
+        import graft.profiler.HllStates
+        val li = t(s, d, "lineitem")
+        val state = freshState(s, "p41") + "/states"
+        (0 to 2).foreach { i =>
+          HllStates.sliceState(li.filter(col("l_orderkey") % 3 === i),
+              Seq("l_orderkey", "l_partkey"), s"slice$i")
+            .coalesce(1).write.mode("append").parquet(state)
+        }
+        val merged = HllStates.mergedDistinct(s.read.parquet(state))
+        val exact = broadcast(li.agg(
+          countDistinct(col("l_orderkey")).as("__e_ok"),
+          countDistinct(col("l_partkey")).as("__e_pk")))
+        merged.crossJoin(exact)
+          .withColumn("exact_distinct",
+            when(col("column") === "l_orderkey", col("__e_ok"))
+              .otherwise(col("__e_pk")))
+          .select(col("column"), col("exact_distinct"),
+            (abs(col("approx_distinct").cast("double") -
+              col("exact_distinct").cast("double")) <=
+              greatest(col("exact_distinct").cast("double") * 0.05,
+                lit(10.0))).as("merged_within_tol"))
+          .orderBy("column")
+      },
+      Some("""SELECT 'l_orderkey' AS "column",
+          CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+          TRUE AS merged_within_tol FROM lineitem
+        UNION ALL SELECT 'l_partkey',
+          CAST(COUNT(DISTINCT l_partkey) AS BIGINT), TRUE FROM lineitem
+        ORDER BY "column"""")),
+
     Q("s04_table_list",
       (s, d) => {
         import s.implicits._
@@ -6459,6 +6499,75 @@ object SparkEntry {
           CAST(ROUND(1e6 * lt.top_lang_docs / ps.n_docs, 0) AS BIGINT)
             AS top_lang_ppm
         FROM ps JOIN lt USING (source) ORDER BY ps.source""")),
+
+    Q("x66_join_blowup",
+      // pre-join cardinality audit (the number that decides broadcast
+      // vs shuffle vs salt BEFORE a 100 TB join runs): per-key counts
+      // both sides of an events self-join, exact per-key output
+      // contribution n_left·n_right, top-10 blowup keys with the
+      // one-row totals broadcast onto each. Two partial-aggregated
+      // key counts + one key-frame join — never the join itself.
+      (s, d) => {
+        val ev = eventsTable(s, d)
+        graft.pipeline.Skew.joinCardinality(ev, ev, "user_id", topK = 10)
+          .orderBy(col("est_rows").desc, col("user_id"))
+      },
+      Some("""WITH c AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1),
+        per AS (SELECT user_id, n AS n_left, n AS n_right,
+            n * n AS est_rows FROM c),
+        tot AS (SELECT CAST(SUM(est_rows) AS BIGINT) AS total_est_rows,
+            CAST(COUNT(*) AS BIGINT) AS n_join_keys FROM per)
+        SELECT per.user_id, per.n_left, per.n_right, per.est_rows,
+          tot.total_est_rows, tot.n_join_keys,
+          CAST(ROUND(1e6 * per.est_rows / tot.total_est_rows, 0)
+            AS BIGINT) AS share_ppm
+        FROM per, tot
+        ORDER BY per.est_rows DESC, per.user_id LIMIT 10""")),
+
+    Q("x67_pack_efficiency",
+      // packing-efficiency audit over the x11 first-fit pack: one
+      // global utilization row — sequences, docs, fill vs capacity in
+      // ppm, overflow sequences (a boundary-crossing doc stays in the
+      // sequence where it started, pushing it past budget — the lane
+      // makes that cost visible). The oracle replays the ENTIRE pack
+      // (x11's cumulative-sum SQL) and the rollup.
+      (s, d) => Sampling.packEfficiency(
+        Sampling.packSequences(t(s, d, "documents"),
+          idCol = "doc_id", sizeCol = "n_chars", budget = 4000L,
+          numBuckets = 8),
+        "n_chars", 4000L),
+      Some("""WITH b AS (
+          SELECT doc_id, n_chars,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS pack_bucket
+          FROM documents),
+        c AS (
+          SELECT pack_bucket, n_chars,
+            SUM(n_chars) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM b),
+        seqs AS (
+          SELECT pack_bucket,
+            CAST(FLOOR(CAST(cum - n_chars AS DOUBLE) / 4000) AS BIGINT)
+              AS seq_id,
+            CAST(COUNT(*) AS BIGINT) AS docs,
+            CAST(SUM(n_chars) AS BIGINT) AS fill
+          FROM c GROUP BY 1, 2),
+        roll AS (SELECT
+          CAST(COUNT(*) AS BIGINT) AS n_seqs,
+          CAST(SUM(docs) AS BIGINT) AS n_docs,
+          CAST(SUM(fill) AS BIGINT) AS total_units,
+          CAST(SUM(CASE WHEN fill > 4000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_overflow_seqs,
+          CAST(MAX(fill) AS BIGINT) AS max_fill
+          FROM seqs)
+        SELECT n_seqs, n_docs, total_units, n_overflow_seqs, max_fill,
+          n_seqs * 4000 AS capacity,
+          CAST(ROUND(1e6 * total_units / (n_seqs * 4000), 0) AS BIGINT)
+            AS utilization_ppm
+        FROM roll""")),
 
     Q("x64_mergeable_sample",
       // mergeable deterministic uniform sample (bottom-k by md5(id) —

@@ -435,6 +435,34 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Packing-efficiency audit over a [[packSequences]] output — the
+   *  training-batch utilization number: sequences formed, fill vs
+   *  budget·seqs in ppm, and how many sequences OVERFLOW the budget
+   *  (the cumulative first-fit pack keeps a document in the sequence
+   *  where it started, so a boundary-crossing doc pushes its sequence
+   *  past budget — callers either truncate or budget for it; this
+   *  lane makes the choice visible). One (bucket, seq) aggregate then
+   *  one global rollup; exact integer arithmetic throughout. */
+  def packEfficiency(
+      packed: DataFrame,
+      sizeCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    packed.groupBy("pack_bucket", "seq_id")
+      .agg(count(lit(1)).as("__docs"),
+        sum(col(sizeCol).cast("long")).as("__fill"))
+      .agg(count(lit(1)).as("n_seqs"),
+        sum("__docs").as("n_docs"),
+        sum("__fill").as("total_units"),
+        sum(when(col("__fill") > budget, 1L).otherwise(0L))
+          .as("n_overflow_seqs"),
+        max("__fill").as("max_fill"))
+      .withColumn("capacity", col("n_seqs") * budget)
+      .withColumn("utilization_ppm",
+        round(lit(1e6) * col("total_units") / col("capacity"), 0)
+          .cast("long"))
+  }
+
   /** Token-budgeted mixture plan — the data-mixing step of assembling a
    *  training run: given target mixture `weights` (source → relative
    *  weight, e.g. web 0.6 / code 0.25 / books 0.15) and a total

@@ -68,6 +68,37 @@ object Skew {
       .agg(count(lit(1)).as("key_count"))
       .filter(col("key_count") >= minCount)
 
+  /** Pre-join cardinality estimate — the audit run BEFORE a 100 TB
+   *  join commits to a plan: per-key row counts on both sides, the
+   *  EXACT output size a key contributes (n_left·n_right), the top
+   *  blowup keys, and the total. This is the number that decides
+   *  broadcast vs shuffle vs salt ([[adaptiveSaltedJoin]]) — and it
+   *  costs two partial-aggregated key counts + one key-frame join,
+   *  never the join itself. Top-k by contribution is TakeOrdered;
+   *  the one-row totals broadcast onto every emitted row. */
+  def joinCardinality(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      topK: Int = 10): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val ca = left.groupBy(col(key))
+      .agg(count(lit(1)).as("n_left"))
+    val cb = right.groupBy(col(key))
+      .agg(count(lit(1)).as("n_right"))
+    val per = ca.join(cb, Seq(key))
+      .withColumn("est_rows", col("n_left") * col("n_right"))
+    val totals = broadcast(per.agg(
+      sum("est_rows").as("total_est_rows"),
+      count(lit(1)).as("n_join_keys")))
+    per.orderBy(col("est_rows").desc, col(key).asc)
+      .limit(topK)
+      .crossJoin(totals)
+      .withColumn("share_ppm",
+        round(lit(1e6) * col("est_rows") / col("total_est_rows"), 0)
+          .cast("long"))
+  }
+
   /** Differential salted join: salt ONLY the hot keys. [[saltedJoin]]
    *  replicates the whole small side `saltFactor` times — fine when it
    *  is tiny, a `saltFactor`× shuffle tax when it isn't. Here the

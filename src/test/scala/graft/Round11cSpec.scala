@@ -183,6 +183,77 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class JoinCardinalitySpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("per-key products, totals, and top-k selection") {
+    val left = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val right = Seq(1L, 1L, 2L, 4L).toDF("k")
+    val out = graft.pipeline.Skew.joinCardinality(left, right, "k",
+      topK = 10).orderBy($"est_rows".desc).collect()
+    // keys in both: 1 (3×2=6), 2 (1×1=1); 3 and 4 one-sided
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("k") == 1L)
+    assert(out(0).getAs[Long]("est_rows") == 6L)
+    assert(out(0).getAs[Long]("total_est_rows") == 7L)
+    assert(out(0).getAs[Long]("n_join_keys") == 2L)
+    assert(out(0).getAs[Long]("share_ppm") == 857143L)
+    // topK bounds the emitted rows
+    val top1 = graft.pipeline.Skew.joinCardinality(left, right, "k",
+      topK = 1).collect()
+    assert(top1.length == 1 && top1.head.getAs[Long]("k") == 1L)
+  }
+}
+
+class PackEfficiencySpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("utilization and overflow lanes from a hand-packed frame") {
+    // two sequences in one bucket: fills 90 and 120 vs budget 100
+    val packed = Seq(
+      (0, 0L, 90L), (0, 1L, 70L), (0, 1L, 50L))
+      .toDF("pack_bucket", "seq_id", "sz")
+    val out = graft.pipeline.Sampling
+      .packEfficiency(packed, "sz", budget = 100L).head()
+    assert(out.getAs[Long]("n_seqs") == 2)
+    assert(out.getAs[Long]("n_docs") == 3)
+    assert(out.getAs[Long]("total_units") == 210)
+    assert(out.getAs[Long]("n_overflow_seqs") == 1)
+    assert(out.getAs[Long]("max_fill") == 120)
+    assert(out.getAs[Long]("capacity") == 200)
+    assert(out.getAs[Long]("utilization_ppm") == 1050000L)
+  }
+}
+
+class HllStatesSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.profiler.HllStates
+
+  test("merged slice states estimate the union's distinct count") {
+    val a = (1L to 500L).toDF("v")
+    val b = (301L to 900L).toDF("v") // overlap 301-500
+    val states = HllStates.sliceState(a, Seq("v"), "s1")
+      .unionByName(HllStates.sliceState(b, Seq("v"), "s2"))
+    val est = HllStates.mergedDistinct(states)
+      .head().getAs[Long]("approx_distinct").toDouble
+    // exact = 900; 3σ at lgK=12 ≈ 5%
+    assert(math.abs(est - 900.0) <= 45.0,
+      s"estimate $est too far from 900")
+  }
+
+  test("states are one row per (slice, column)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val st = HllStates.sliceState(df, Seq("id", "s"), "day1")
+    assert(st.count() == 2)
+    assert(st.select("column").collect().map(_.getString(0)).toSet ==
+      Set("id", "s"))
+  }
+}
+
 class BottomKSampleSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
