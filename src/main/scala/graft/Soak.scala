@@ -115,7 +115,12 @@ object Soak {
     // batch 8: join-cardinality audit (events-keyed count join),
     // pack-efficiency rollup (documents-keyed) and the mergeable HLL
     // states (lineitem-keyed sketch aggregate) — all single-scan
-    "x66_join_blowup", "x67_pack_efficiency", "p41_mergeable_hll")
+    "x66_join_blowup", "x67_pack_efficiency", "p41_mergeable_hll",
+    // batch 9: the mergeable dataset card (documents-keyed state
+    // build + merge — must ride one scan). m07 runs on a synthetic
+    // in-memory audio corpus the blow-up doesn't scale, so soaking it
+    // would measure a flat line.
+    "x68_mergeable_card")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -2877,6 +2877,37 @@ object SparkEntry {
         SELECT id_a, id_b, CAST(h AS INT) AS hamming
         FROM pairs WHERE h <= 3 ORDER BY id_a, id_b""")),
 
+    Q("m07_audio_neardup",
+      // audio near-dup via the 64-bit energy+pitch fingerprint over
+      // REAL WAV PCM decode (the audio lane's m01): a melody corpus
+      // (segments varying freq/amp per id — a constant tone
+      // fingerprints degenerately) plus 20 "re-encoded" copies at
+      // gain 1.05, whose median-relative bits must still match.
+      // Signature-replay oracle: fingerprints persist, DuckDB replays
+      // all-pairs hamming ≤ 3.
+      (s, _) => {
+        val state = freshState(s, "m07")
+        val base = Multimodal.syntheticMelodyCorpus(s, 150)
+        val copies = Multimodal.syntheticMelodyCorpus(s, 20, gain = 1.05)
+          .select((col("id") + 1000L).as("id"), col("bytes"))
+        val fps = base.unionByName(copies)
+          .select(col("id"),
+            Multimodal.audioFingerprint(col("bytes")).as("afp"))
+          .filter(col("afp").isNotNull).cache()
+        fps.write.mode("overwrite").parquet(state + "/signatures")
+        Dedup.hammingNearDuplicates(fps,
+            "id", "afp", maxHamming = 3, maxBucketSize = Int.MaxValue)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sig AS (SELECT id, afp
+          FROM read_parquet('/tmp/graft_qstate/m07/signatures/*.parquet')),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b,
+            bit_count(xor(a.afp, b.afp)) AS h
+          FROM sig a JOIN sig b ON a.id < b.id)
+        SELECT id_a, id_b, CAST(h AS INT) AS hamming
+        FROM pairs WHERE h <= 3 ORDER BY id_a, id_b""")),
+
     Q("m06_asset_manifest",
       // unified multimodal catalog: one mixed blob table (PNG images,
       // WAV clips, MJPEG/AVI videos, plus junk bytes) through ONE
@@ -6568,6 +6599,57 @@ object SparkEntry {
           CAST(ROUND(1e6 * total_units / (n_seqs * 4000), 0) AS BIGINT)
             AS utilization_ppm
         FROM roll""")),
+
+    Q("x68_mergeable_card",
+      // the dataset card as MERGEABLE slice states (x63's daily-ingest
+      // twin, composing the whole mergeable family into the release
+      // deliverable): three doc_id-sliced states each carry per-source
+      // exact sums + one HLL sketch of content hashes; the card over
+      // the union merges from states — no text re-read. Exact lanes
+      // (docs/tokens/mean quality) the oracle replays; the distinct-
+      // texts estimate vs the exact twin is a tolerance verdict pinned
+      // TRUE (sparse-mode HLL is exact at these cardinalities, the
+      // p41 pattern).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val third = (maxId + 1L) / 3L
+        val state = freshState(s, "x68") + "/states"
+        (0 to 2).foreach { i =>
+          val lo = i * third
+          val hi = if (i == 2) maxId + 1L else (i + 1) * third
+          Curation.cardSliceState(
+              docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+              s"slice$i")
+            .coalesce(1).write.mode("append").parquet(state)
+        }
+        val card = Curation.cardFromStates(s.read.parquet(state))
+        val exact = docs.groupBy(col("source"))
+          .agg(countDistinct(md5(col("text"))).as("__exact_distinct"))
+        card.join(exact, Seq("source"))
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            col("mean_quality_ppm"),
+            col("__exact_distinct").as("exact_distinct_texts"),
+            (abs(col("approx_distinct_texts").cast("double") -
+              col("__exact_distinct").cast("double")) <=
+              greatest(col("__exact_distinct").cast("double") * 0.05,
+                lit(5.0))).as("distinct_within_tol"))
+          .orderBy("source")
+      },
+      Some(s"""WITH prof AS (SELECT doc_id, n_tokens, quality_score
+          FROM ($duckTextProfileSql)),
+        dd AS (SELECT doc_id, source, text FROM documents)
+        SELECT dd.source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(p.n_tokens) AS BIGINT) AS total_tokens,
+          CAST(ROUND(CAST(SUM(CAST(ROUND(p.quality_score * 1e6, 0)
+            AS BIGINT)) AS DOUBLE) / COUNT(*), 0) AS BIGINT)
+            AS mean_quality_ppm,
+          CAST(COUNT(DISTINCT md5(dd.text)) AS BIGINT)
+            AS exact_distinct_texts,
+          TRUE AS distinct_within_tol
+        FROM dd JOIN prof p USING (doc_id)
+        GROUP BY dd.source ORDER BY dd.source""")),
 
     Q("x64_mergeable_sample",
       // mergeable deterministic uniform sample (bottom-k by md5(id) —

@@ -208,6 +208,43 @@ object Curation {
           .cast("long").as("top_lang_ppm"))
   }
 
+  /** One slice's [[datasetCard]] sufficient statistics — the mergeable
+   *  twin: per source, exact integer sums (docs, tokens, Σ quality
+   *  micro) plus ONE DataSketches HLL sketch of the content hashes.
+   *  Sums add and sketches union losslessly, so the card over ANY
+   *  slice range merges from states without re-reading text — the
+   *  daily-ingest shape for the release datasheet. */
+  def cardSliceState(
+      docs: DataFrame,
+      sliceId: String,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis.profileText(docs, textCol)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(round(col("quality_score") * 1e6, 0).cast("long"))
+          .as("q_micro"),
+        expr(s"hll_sketch_agg(md5(`$textCol`), 12)").as("text_sketch"))
+      .withColumn("slice_id", lit(sliceId))
+
+  /** Merge [[cardSliceState]] rows over any slice union back to card
+   *  lanes: exact sums, one double division for the mean, and the
+   *  distinct-content estimate from the lossless sketch union (exact
+   *  while a source's cardinality stays in the sketch's sparse mode,
+   *  ≈2.5% at 3σ beyond it). */
+  def cardFromStates(states: DataFrame): DataFrame =
+    states.groupBy("source")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens"),
+        sum("q_micro").as("__q"),
+        expr("hll_sketch_estimate(hll_union_agg(text_sketch))")
+          .as("approx_distinct_texts"))
+      .withColumn("mean_quality_ppm",
+        round(col("__q").cast("double") / col("n_docs"), 0).cast("long"))
+      .select("source", "n_docs", "total_tokens", "mean_quality_ppm",
+        "approx_distinct_texts")
+
   /** Corpus version diff — what changed between two snapshots of the
    *  same corpus: every doc is `added` (new only), `removed` (old
    *  only), `changed` (both, different content hash) or `unchanged`.

@@ -468,6 +468,101 @@ object Multimodal {
     udf((b: Array[Byte]) =>
       if (b == null) None else audioSamplesBytes(b)).apply(bin)
 
+  /** 64-bit audio fingerprint from real PCM decode — the audio lane's
+   *  dHash: the clip splits into 32 equal windows and each window
+   *  contributes two bits, (window RMS > clip-median RMS) and (window
+   *  zero-crossing count > clip-median ZC). Energy bits are
+   *  level-invariant (median-relative, so a re-encode at a different
+   *  gain matches) and ZC bits carry pitch, so two clips that happen
+   *  to share an energy envelope still separate. Pure byte-walker
+   *  kernel (no SQL equivalent exists for WAV PCM), null/undecodable
+   *  → null. */
+  private[graft] def audioFingerprintBytes(b: Array[Byte]): Option[Long] =
+    (if (b == null) None else audioSamplesBytes(b)).flatMap { s =>
+      val w = 32
+      if (s.length < w) None
+      else {
+        val rms = new Array[Double](w)
+        val zc = new Array[Double](w)
+        val len = s.length / w
+        var i = 0
+        while (i < w) {
+          var sq = 0.0; var z = 0; var j = i * len
+          val end = j + len
+          var prev = s(j)
+          while (j < end) {
+            val v = s(j); sq += v.toDouble * v
+            if ((v > 0 && prev <= 0) || (v < 0 && prev >= 0)) z += 1
+            prev = v; j += 1
+          }
+          rms(i) = math.sqrt(sq / len); zc(i) = z.toDouble; i += 1
+        }
+        def median(a: Array[Double]): Double = {
+          val srt = a.sorted
+          (srt(w / 2 - 1) + srt(w / 2)) / 2.0
+        }
+        val mr = median(rms); val mz = median(zc)
+        var fp = 0L
+        i = 0
+        while (i < w) {
+          if (rms(i) > mr) fp |= 1L << i
+          if (zc(i) > mz) fp |= 1L << (i + 32)
+          i += 1
+        }
+        Some(fp)
+      }
+    }
+
+  def audioFingerprint(
+      bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((b: Array[Byte]) =>
+      if (b == null) None else audioFingerprintBytes(b)).apply(bin)
+
+  /** Deterministic synthetic MELODY corpus for the fingerprint lane:
+   *  each clip is 32 segments whose frequency and amplitude follow a
+   *  per-id integer pattern, so window energy/pitch vary WITHIN a clip
+   *  (a constant tone fingerprints degenerately — every window equals
+   *  the median). `gain` scales the whole clip (a "re-encode at a
+   *  different level"), which [[audioFingerprint]]'s median-relative
+   *  bits must shrug off. Same WAV container as
+   *  [[syntheticAudioCorpus]]. */
+  def syntheticMelodyCorpus(
+      spark: SparkSession,
+      n: Int,
+      gain: Double = 1.0,
+      segments: Int = 32,
+      samplesPerSegment: Int = 32): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val total = segments * samplesPerSegment
+      val pcm = new Array[Short](total)
+      var j = 0
+      while (j < segments) {
+        val freq = 300.0 + ((id * 31 + j * 7) % 13) * 250.0
+        val amp = (0.15 + ((id * 17 + j * 5) % 9) * 0.09) * gain
+        var i = 0
+        while (i < samplesPerSegment) {
+          val v = amp * math.sin(2 * math.Pi * freq * i / 8000.0)
+          pcm(j * samplesPerSegment + i) =
+            math.max(-32768.0, math.min(32767.0, v * 32767.0)).toShort
+          i += 1
+        }
+        j += 1
+      }
+      val dataLen = pcm.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16)
+        .putShort(1).putShort(1)
+        .putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes).putInt(dataLen)
+      pcm.foreach(bb.putShort)
+      (id, bb.array())
+    }.toDF("id", "bytes")
+  }
+
   /** Deterministic synthetic WAV corpus for tests/benches (no media
    *  files ship in the container): mono 8000 Hz s16 PCM clips, each a
    *  silence prefix + a sine tone whose amplitude/frequency vary by id;

@@ -183,6 +183,62 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class AudioFingerprintSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.Multimodal
+
+  test("gain re-encode matches; different melodies separate; junk null") {
+    val base = Multimodal.syntheticMelodyCorpus(spark, 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val loud = Multimodal.syntheticMelodyCorpus(spark, 3, gain = 1.05)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    def fp(b: Array[Byte]) = Multimodal.audioFingerprintBytes(b).get
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0L to 2L).foreach { id =>
+      assert(ham(fp(base(id)), fp(loud(id))) <= 3,
+        s"gain-only re-encode of clip $id must fingerprint-match")
+    }
+    assert(ham(fp(base(0L)), fp(base(1L))) > 10,
+      "different melodies must separate")
+    assert(Multimodal.audioFingerprintBytes("junk".getBytes).isEmpty)
+    assert(Multimodal.audioFingerprintBytes(null).isEmpty)
+  }
+}
+
+class MergeableCardSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.Curation
+
+  test("states merged over slices reproduce the direct card's exact lanes") {
+    val docs = Seq(
+      (1L, "s1", "en", "the quick brown fox jumps over the lazy dog today"),
+      (2L, "s1", "en", "the quick brown fox jumps over the lazy dog today"),
+      (3L, "s1", "en", "an entirely different document with other words here"),
+      (4L, "s2", "en", "short words make a tiny document for source two here"))
+      .toDF("doc_id", "source", "lang", "text")
+    val states = Curation.cardSliceState(docs.filter($"doc_id" <= 2), "a")
+      .unionByName(Curation.cardSliceState(docs.filter($"doc_id" > 2), "b"))
+    val merged = Curation.cardFromStates(states)
+      .orderBy("source").collect()
+    val direct = Curation.datasetCard(docs).orderBy("source").collect()
+    assert(merged.length == 2)
+    merged.zip(direct).foreach { case (m, dr) =>
+      assert(m.getAs[String]("source") == dr.getAs[String]("source"))
+      assert(m.getAs[Long]("n_docs") == dr.getAs[Long]("n_docs"))
+      assert(m.getAs[Long]("total_tokens") == dr.getAs[Long]("total_tokens"))
+      assert(m.getAs[Long]("mean_quality_ppm") ==
+        dr.getAs[Long]("mean_quality_ppm"))
+    }
+    // sparse-mode HLL is exact at these cardinalities
+    val s1 = merged.find(_.getAs[String]("source") == "s1").get
+    assert(s1.getAs[Long]("approx_distinct_texts") == 2L)
+  }
+}
+
 class JoinCardinalitySpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
