@@ -120,7 +120,11 @@ object Soak {
     // build + merge — must ride one scan). m07 runs on a synthetic
     // in-memory audio corpus the blow-up doesn't scale, so soaking it
     // would measure a flat line.
-    "x68_mergeable_card")
+    "x68_mergeable_card",
+    // batch 10: HTML extraction (documents-keyed map-only regex
+    // chain) and the streaming SLO (events-keyed watermarked rollup —
+    // state is hours-sized, so 10× events must ride the scan)
+    "x69_html_extract", "st13_stream_slo")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -1764,31 +1764,7 @@ object SparkEntry {
       // window runs over the calendar-bounded hourly series.
       (s, d) => graft.anomalies.Slo.burnRate(eventsTable(s, d))
         .orderBy("hour"),
-      Some("""WITH h AS (
-          SELECT date_trunc('hour', ts) AS hour,
-            CAST(COUNT(*) AS BIGINT) AS total_1h,
-            CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
-              AS err_1h
-          FROM events GROUP BY 1),
-        w AS (
-          SELECT hour, err_1h, total_1h,
-            CAST(SUM(err_1h) OVER tw AS BIGINT) AS err_l,
-            CAST(SUM(total_1h) OVER tw AS BIGINT) AS total_l
-          FROM h
-          WINDOW tw AS (ORDER BY hour RANGE BETWEEN
-            INTERVAL 5 HOURS PRECEDING AND CURRENT ROW))
-        SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
-          err_1h, total_1h,
-          CAST(ROUND(1e12 * CAST(err_1h AS DOUBLE)
-            / CAST(total_1h * 250000 AS DOUBLE), 0) AS BIGINT)
-            AS burn_short_ppm,
-          CAST(ROUND(1e12 * CAST(err_l AS DOUBLE)
-            / CAST(total_l * 250000 AS DOUBLE), 0) AS BIGINT)
-            AS burn_long_ppm,
-          (err_1h * 1000000000000 >= total_1h * 300000000000
-            AND err_l * 1000000000000 >= total_l * 300000000000)
-            AS page
-        FROM w ORDER BY hour""")),
+      Some(sloOracleSql)),
 
     Q("a02_zscore_rolling",
       (s, d) => Anomalies.zscore(dailySeries(s, d), Seq("event_type"), "day",
@@ -5460,6 +5436,34 @@ object SparkEntry {
 
   /** DuckDB mirror of TextAnalysis.profileText — same regexes, same
    *  arithmetic, same rounding. */
+  /** Shared by a19 (batch burn rate) and st13 (streaming hourly rollup
+   *  + the same burnFromHourly stage) — identical math, one oracle. */
+  private val sloOracleSql: String = """WITH h AS (
+          SELECT date_trunc('hour', ts) AS hour,
+            CAST(COUNT(*) AS BIGINT) AS total_1h,
+            CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+              AS err_1h
+          FROM events GROUP BY 1),
+        w AS (
+          SELECT hour, err_1h, total_1h,
+            CAST(SUM(err_1h) OVER tw AS BIGINT) AS err_l,
+            CAST(SUM(total_1h) OVER tw AS BIGINT) AS total_l
+          FROM h
+          WINDOW tw AS (ORDER BY hour RANGE BETWEEN
+            INTERVAL 5 HOURS PRECEDING AND CURRENT ROW))
+        SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+          err_1h, total_1h,
+          CAST(ROUND(1e12 * CAST(err_1h AS DOUBLE)
+            / CAST(total_1h * 250000 AS DOUBLE), 0) AS BIGINT)
+            AS burn_short_ppm,
+          CAST(ROUND(1e12 * CAST(err_l AS DOUBLE)
+            / CAST(total_l * 250000 AS DOUBLE), 0) AS BIGINT)
+            AS burn_long_ppm,
+          (err_1h * 1000000000000 >= total_1h * 300000000000
+            AND err_l * 1000000000000 >= total_l * 300000000000)
+            AS page
+        FROM w ORDER BY hour"""
+
   private lazy val duckTextProfileSql: String = {
     val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",
       "it", "that", "for", "on", "with", "as", "was", "at", "by", "be")
@@ -6816,6 +6820,57 @@ object SparkEntry {
           ROUND(CAST(nano AS DOUBLE) / 1e9, 6) AS rrf_score, n_arms
         FROM ranked WHERE rank <= 10 ORDER BY rank""")),
 
+    Q("x69_html_extract",
+      // HTML → text extraction (raw-crawl onboarding): every document
+      // wraps into a deterministic page — title, style block, a
+      // script whose STRING contains a closing tag, a comment, entity
+      // escapes — and the fixed regexp_replace chain strips it back
+      // out (script/style WITH content, comments, tags, entity
+      // decode with &amp; last, whitespace collapse). Codegen'd
+      // column expressions, no UDF; the oracle rebuilds the same
+      // pages and replays every step in RE2.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val page = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p { color: #333; }</style>" +
+            "<script>var t = \"</b>\"; if (1 < 2) { go(); }</script>" +
+            "</head><body><h1>Doc "), col("doc_id").cast("string"),
+          lit("</h1><!-- crawler note --><p>"), col("text"),
+          lit("</p><div class=\"footer\">&amp;copy; Example " +
+            "&lt;inc&gt;</div></body></html>"))
+        docs.select(col("doc_id"),
+            TextAnalysis.extractHtmlText(page).as("clean"))
+          .withColumn("n_chars_clean", length(col("clean")))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</title><style>p { color: #333; }</style>' ||
+          '<script>var t = "</b>"; if (1 < 2) { go(); }</script>' ||
+          '</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</h1><!-- crawler note --><p>' || text ||
+          '</p><div class="footer">&amp;copy; Example ' ||
+          '&lt;inc&gt;</div></body></html>' AS html
+          FROM documents),
+        c1 AS (SELECT doc_id, regexp_replace(html,
+          '(?i)<script[^>]*>[\s\S]*?</script>', ' ', 'g') AS x FROM h),
+        c2 AS (SELECT doc_id, regexp_replace(x,
+          '(?i)<style[^>]*>[\s\S]*?</style>', ' ', 'g') AS x FROM c1),
+        c3 AS (SELECT doc_id, regexp_replace(x,
+          '<!--[\s\S]*?-->', ' ', 'g') AS x FROM c2),
+        c4 AS (SELECT doc_id, regexp_replace(x,
+          '<[^>]*>', ' ', 'g') AS x FROM c3),
+        c5 AS (SELECT doc_id,
+          replace(replace(replace(replace(replace(x,
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', ''''), '&amp;', '&') AS x FROM c4)
+        SELECT doc_id,
+          trim(regexp_replace(x, '\s+', ' ', 'g')) AS clean,
+          CAST(LENGTH(trim(regexp_replace(x, '\s+', ' ', 'g')))
+            AS INT) AS n_chars_clean
+        FROM c5 ORDER BY doc_id""")),
+
     Q("x47_url_domains",
       // URL extraction → host → registered domain → per-domain mix
       // stats (the domain-cap prerequisite). The synthetic corpus holds
@@ -7707,6 +7762,23 @@ object SparkEntry {
           a.slices_present
         FROM agg a, missall
         ORDER BY a.lower DESC, a.value""")),
+
+    Q("st13_stream_slo",
+      // the SLO burn-rate monitor in its CONTINUOUS form (what the
+      // SRE pattern actually runs as): the stream pays for the one
+      // data-bound stage — a watermarked hourly error/total rollup,
+      // map-side combined into windowed state — and the trailing-
+      // window/alert math (Slo.burnFromHourly, the SAME code as a19)
+      // runs over the drained hours-sized sink. One oracle serves
+      // both forms: stream and batch must agree to the hash.
+      (s, d) => {
+        val hourly = graft.streaming.StreamingDetect
+          .streamingHourlyErrors(eventsStream(s, d))
+        graft.anomalies.Slo.burnFromHourly(
+            runBoundedStream(s, hourly, "st13_sink", "complete"))
+          .orderBy("hour")
+      },
+      Some(sloOracleSql)),
 
     Q("st12_stream_cdc_history",
       // CDC change feed → SCD2 history, streaming: each event SETS the

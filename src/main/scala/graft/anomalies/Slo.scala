@@ -36,13 +36,25 @@ object Slo {
       isError: Column = col("event_type") === "error",
       sloPpm: Long = 750000L,
       alertPpm: Long = 1200000L,
+      longWindowHours: Int = 6): DataFrame =
+    burnFromHourly(
+      events.groupBy(date_trunc("hour", col(tsCol)).as("hour"))
+        .agg(count(lit(1)).as("total_1h"),
+          sum(when(isError, 1L).otherwise(0L)).as("err_1h")),
+      sloPpm, alertPpm, longWindowHours)
+
+  /** The trailing-window/alert stage alone, over an ALREADY-rolled-up
+   *  hourly frame (hour, err_1h, total_1h) — shared by the batch form
+   *  above and the streaming form (where the hourly rollup is a
+   *  watermarked windowed aggregation and THIS stage runs over the
+   *  drained, hours-sized sink). */
+  def burnFromHourly(
+      hourly: DataFrame,
+      sloPpm: Long = 750000L,
+      alertPpm: Long = 1200000L,
       longWindowHours: Int = 6): DataFrame = {
     require(sloPpm > 0 && sloPpm < 1000000L, "sloPpm must be in (0, 1e6)")
     val budgetPpm = 1000000L - sloPpm
-    val hourly = events
-      .groupBy(date_trunc("hour", col(tsCol)).as("hour"))
-      .agg(count(lit(1)).as("total_1h"),
-        sum(when(isError, 1L).otherwise(0L)).as("err_1h"))
     val w = Window.orderBy(col("hour").cast("long"))
       .rangeBetween(-(longWindowHours - 1) * 3600L, 0)
     val windowed = hourly

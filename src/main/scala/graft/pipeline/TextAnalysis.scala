@@ -748,6 +748,31 @@ object TextAnalysis {
     docs.withColumn("fingerprint_windows", fpUdf(col(textCol)))
   }
 
+  /** HTML → text extraction (raw-crawl onboarding, the trafilatura-
+   *  lite step): script/style blocks drop WITH their content,
+   *  comments drop, remaining tags drop, the five standard entities
+   *  decode (`&amp;` LAST, so `&amp;lt;` correctly yields the literal
+   *  `&lt;`), whitespace collapses. A fixed regexp_replace/replace
+   *  chain — codegen'd column expressions, no UDF, and every step has
+   *  an exact DuckDB mirror so the whole extractor oracle-replays.
+   *  This is deliberately a lexical extractor, not a DOM parser:
+   *  malformed HTML degrades to extra whitespace, never to a
+   *  failure. */
+  def extractHtmlText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?i)<script[^>]*>[\\s\\S]*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?i)<style[^>]*>[\\s\\S]*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "<!--[\\s\\S]*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+      }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** One-pass text profile of a corpus: per-document metrics as columns.
    *  Select + filter downstream compose into the same scan.
    *

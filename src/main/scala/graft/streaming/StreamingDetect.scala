@@ -55,6 +55,26 @@ object StreamingDetect {
       .select(col(seriesCol).as("series"),
         col("window.end").as("ts"), col("value"))
 
+  /** Watermarked hourly error/total rollup — the streaming half of the
+   *  SLO burn-rate monitor ([[graft.anomalies.Slo]]): the stream pays
+   *  for the ONE data-bound stage (per-hour counts, map-side combined
+   *  into windowed state), and the trailing-window/alert math runs
+   *  over the drained, hours-sized sink via `Slo.burnFromHourly` —
+   *  the st11 split (stream builds states, metadata-sized batch stage
+   *  finishes). */
+  def streamingHourlyErrors(
+      events: DataFrame,
+      tsCol: String = "ts",
+      isError: org.apache.spark.sql.Column = col("event_type") === "error",
+      watermark: String = "2 hours"): DataFrame =
+    graft.operators.TsNorm.normalizeTs(events, tsCol)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"))
+      .agg(count(lit(1)).as("total_1h"),
+        sum(when(isError, 1L).otherwise(0L)).as("err_1h"))
+      .select(col("window.start").as("hour"),
+        col("err_1h"), col("total_1h"))
+
   /** Rolling z-score over a stream of metric points. Call on a streaming
    *  Dataset[MetricEvent] grouped by series; emits one Detection per
    *  arriving point once the trailing window is full. */

@@ -183,6 +183,69 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class HtmlExtractSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.TextAnalysis
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h")
+      .select(TextAnalysis.extractHtmlText($"h").as("t"))
+      .head().getString(0)
+
+  test("scripts/styles drop with content; tags drop; entities decode") {
+    val html = """<html><head><style>p{x:1}</style>
+      <script>var a = "</b> not text"; if (1 < 2) go();</script></head>
+      <body><h1>Title</h1><p>Hello &amp; welcome to &lt;graft&gt;.</p>
+      <!-- note --><div>bye</div></body></html>"""
+    assert(extract(html) ==
+      "Title Hello & welcome to <graft>. bye")
+  }
+
+  test("&amp;lt; decodes to the literal entity, not a bracket") {
+    assert(extract("<p>&amp;lt;</p>") == "&lt;")
+  }
+
+  test("malformed html degrades to whitespace, never fails") {
+    assert(extract("no tags at all") == "no tags at all")
+    assert(extract("<unclosed <p>mixed</p>") == "mixed")
+  }
+}
+
+class StreamingSloSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("streaming hourly rollup matches the batch rollup shape") {
+    import java.sql.Timestamp
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "error"),
+      (Timestamp.valueOf("2024-01-01 10:10:00"), "view"),
+      (Timestamp.valueOf("2024-01-01 11:30:00"), "view"))
+      .toDF("ts", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("stslo").toString
+    rows.write.parquet(s"$dir/in")
+    val stream = spark.readStream
+      .schema(rows.schema).parquet(s"$dir/in")
+    val hourly = graft.streaming.StreamingDetect
+      .streamingHourlyErrors(stream)
+    val q = hourly.writeStream.format("memory")
+      .queryName("stslo_sink").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    q.awaitTermination(120000)
+    val out = graft.anomalies.Slo.burnFromHourly(
+        spark.table("stslo_sink"))
+      .orderBy("hour").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("hour") == "2024-01-01 10:00:00")
+    assert(out(0).getAs[Long]("err_1h") == 1)
+    assert(out(0).getAs[Long]("total_1h") == 2)
+    assert(out(1).getAs[Long]("err_1h") == 0)
+  }
+}
+
 class AudioFingerprintSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
