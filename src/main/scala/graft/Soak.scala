@@ -124,7 +124,11 @@ object Soak {
     // batch 10: HTML extraction (documents-keyed map-only regex
     // chain) and the streaming SLO (events-keyed watermarked rollup —
     // state is hours-sized, so 10× events must ride the scan)
-    "x69_html_extract", "st13_stream_slo")
+    "x69_html_extract", "st13_stream_slo",
+    // batch 11: URL canonicalization (documents-keyed derive+normalize
+    // chain) and the star-join rollup (lineitem-keyed fact shuffle
+    // with broadcast dims — the join AQE must keep flat)
+    "x70_url_canonicalize", "x71_star_join")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

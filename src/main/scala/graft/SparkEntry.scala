@@ -6871,6 +6871,105 @@ object SparkEntry {
             AS INT) AS n_chars_clean
         FROM c5 ORDER BY doc_id""")),
 
+    Q("x70_url_canonicalize",
+      // URL canonicalization (the crawl-frontier/dedup normalizer):
+      // the synthetic corpus holds no URLs (the x47 situation), so
+      // each doc derives three deterministic raw variants — uppercase
+      // host + default port + trailing slash, a tracking-param +
+      // fragment twin, and a reordered-query API URL. Canonical form
+      // lowercases scheme/host, strips the scheme's default port and
+      // trailing slash, drops fragments and utm_*/fbclid/gclid
+      // params, SORTS the survivors — the first two variants must
+      // collapse to ONE canonical. Shared-regex column expressions
+      // (no parse_url: it has no SQL mirror).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val urls = docs.select(explode(array(
+          concat(lit("https://WWW."), col("source"),
+            lit(".Example.co.uk:443/p/"), col("doc_id").cast("string"),
+            lit("/")),
+          concat(lit("https://www."), col("source"),
+            lit(".example.co.uk/p/"), col("doc_id").cast("string"),
+            lit("?utm_source=feed#frag")),
+          concat(lit("http://api."), col("source"),
+            lit(".example.com:80/v1?z=9&a=1")))).as("url"))
+        urls
+          .withColumn("canonical_url",
+            TextAnalysis.canonicalizeUrl(col("url")))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_urls"),
+            countDistinct(col("url")).as("n_variants"))
+          .orderBy("canonical_url")
+      },
+      Some("""WITH vars AS (
+          SELECT 'https://WWW.' || source || '.Example.co.uk:443/p/' ||
+            CAST(doc_id AS VARCHAR) || '/' AS url FROM documents
+          UNION ALL
+          SELECT 'https://www.' || source || '.example.co.uk/p/' ||
+            CAST(doc_id AS VARCHAR) || '?utm_source=feed#frag'
+          FROM documents
+          UNION ALL
+          SELECT 'http://api.' || source || '.example.com:80/v1?z=9&a=1'
+          FROM documents),
+        parts AS (SELECT url,
+            lower(regexp_extract(url, '^(https?)://', 1)) AS scheme,
+            lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS hp,
+            regexp_replace(regexp_extract(url,
+              '^https?://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+            regexp_extract(url, '\?([^#]*)', 1) AS q
+          FROM vars),
+        norm AS (SELECT url, scheme,
+            CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+                 WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+                 ELSE hp END AS host,
+            path,
+            array_to_string(list_sort(list_filter(string_split(q, '&'),
+              p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=')
+                AND p <> '')), '&') AS kept
+          FROM parts),
+        canon AS (SELECT url,
+            scheme || '://' || host || path ||
+            CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+              AS canonical_url
+          FROM norm)
+        SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+          CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants
+        FROM canon GROUP BY 1 ORDER BY 1""")),
+
+    Q("x71_star_join",
+      // the classic star-schema rollup (revenue by region/nation) —
+      // the join-planning showcase: lineitem⋈orders⋈customer shuffle
+      // on their keys, nation/region BROADCAST (25/5 rows — a shuffle
+      // here would be a plan bug), money through DECIMAL(28,6).
+      // At 100 TB this is the shape AQE + broadcast thresholds must
+      // get right; the plan-shape spec asserts the broadcast side.
+      (s, d) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(28,6)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+            AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+          CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     Q("x47_url_domains",
       // URL extraction → host → registered domain → per-domain mix
       // stats (the domain-cap prerequisite). The synthetic corpus holds

@@ -1175,6 +1175,29 @@ object TextAnalysis {
       .withColumn("host", urlHost(col("url")))
       .withColumn("registered_domain", registeredDomain(col("host")))
 
+  /** Canonical form of a URL — the crawl-dedup normalization run
+   *  before URL-level dedup/frontier logic: scheme and host
+   *  lowercase, default port stripped (scheme-appropriate), fragment
+   *  dropped, tracking params (utm_*, fbclid, gclid) dropped,
+   *  surviving query params SORTED, a bare "/" path normalized away.
+   *  Pure column expressions over shared regexes (no parse_url — it
+   *  has no SQL mirror), so the whole normalizer oracle-replays. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^(https?)://", 1))
+    val hostPort = lower(regexp_extract(url, "^https?://([^/?#]+)", 1))
+    val host = when(scheme === "http",
+        regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val rawPath = regexp_extract(url, "^https?://[^/?#]+([^?#]*)", 1)
+    val path = regexp_replace(rawPath, "/+$", "")
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_join(array_sort(filter(split(query, "&"),
+      p => !p.rlike("^(utm_[^=]*|fbclid|gclid)=") && p =!= "")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
   /** Per-registered-domain source-mix stats (URL count, distinct docs)
    *  — the before/after picture for a domain-cap pass. */
   def domainMix(

@@ -183,6 +183,55 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class CanonicalizeUrlSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.TextAnalysis
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl($"u").as("c"))
+      .head().getString(0)
+
+  test("case, default ports, fragments, tracking params, param order") {
+    assert(canon("https://WWW.Example.com:443/a/") ==
+      "https://www.example.com/a")
+    assert(canon("http://host.example.com:80/x") ==
+      "http://host.example.com/x")
+    // non-default port survives
+    assert(canon("http://host.example.com:8080/x") ==
+      "http://host.example.com:8080/x")
+    assert(canon("https://e.com/p?utm_source=a&z=2&a=1#frag") ==
+      "https://e.com/p?a=1&z=2")
+    assert(canon("https://e.com/p?utm_campaign=x&fbclid=y&gclid=z") ==
+      "https://e.com/p")
+    // bare root path normalizes away
+    assert(canon("https://e.com/") == "https://e.com")
+  }
+
+  test("variants of the same resource collapse to one canonical") {
+    val urls = Seq(
+      "https://WWW.E.com:443/p/1/",
+      "https://www.e.com/p/1?utm_source=feed#x",
+      "https://www.e.com/p/1")
+    assert(urls.map(canon).distinct.size == 1)
+  }
+}
+
+class StarJoinPlanSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("x71: dims broadcast, no nested-loop joins, facts hash-join") {
+    val plan = SparkEntry.queries("x71_star_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "nation/region must broadcast")
+  }
+}
+
 class HtmlExtractSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
