@@ -128,7 +128,11 @@ object Soak {
     // batch 11: URL canonicalization (documents-keyed derive+normalize
     // chain) and the star-join rollup (lineitem-keyed fact shuffle
     // with broadcast dims — the join AQE must keep flat)
-    "x70_url_canonicalize", "x71_star_join")
+    "x70_url_canonicalize", "x71_star_join",
+    // batch 12: the CMS slice states (lineitem-keyed hash groupBys)
+    // and the bloom-reduced join (lineitem scan + driver bloom build
+    // — the pre-filter must keep the whole thing scan-bound)
+    "p42_mergeable_cms", "j05_bloom_join")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

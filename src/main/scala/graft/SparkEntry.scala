@@ -5566,6 +5566,65 @@ object SparkEntry {
           CAST(COUNT(DISTINCT l_partkey) AS BIGINT), TRUE FROM lineitem
         ORDER BY "column"""")),
 
+    Q("p42_mergeable_cms",
+      // the count-min leg of the mergeable slice-state family: three
+      // disjoint lineitem slices each persist a sparse (row, cell,
+      // cnt) grid of EXACT cell counts; states merge by cell-wise
+      // ADDITION and a point frequency is the min over the value's d
+      // cells. xxhash64 has no SQL mirror, so the state and the probe
+      // positions persist and the oracle replays everything
+      // downstream of the hash: the merge, every min-estimate, the
+      // exact twin, and the CMS bound (exact ≤ est ≤ exact + ⌈e·N/w⌉)
+      // pinned TRUE.
+      (s, d) => {
+        import graft.profiler.CountMin
+        val li = t(s, d, "lineitem")
+        val state = freshState(s, "p42")
+        (0 to 2).foreach { i =>
+          CountMin.sliceState(li.filter(col("l_orderkey") % 3 === i),
+              "l_partkey", s"slice$i")
+            .coalesce(1).write.mode("append")
+            .parquet(state + "/states")
+        }
+        val merged = CountMin.merge(s.read.parquet(state + "/states"))
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(state + "/merged")
+        val queries = li.select(col("l_partkey").as("value"))
+          .filter(col("value") <= 20).distinct()
+        CountMin.probePositions(queries).coalesce(1)
+          .write.mode("overwrite").parquet(state + "/probes")
+        val est = CountMin.estimate(
+          s.read.parquet(state + "/merged"), queries)
+        val exact = li.filter(col("l_partkey") <= 20)
+          .groupBy(col("l_partkey").as("value"))
+          .agg(count(lit(1)).as("exact_count"))
+        val n = li.count()
+        val bound = math.ceil(math.E * n / 256.0).toLong
+        est.join(exact, Seq("value"))
+          .select(col("value"), col("est_count"), col("exact_count"),
+            (col("est_count") >= col("exact_count") &&
+              col("est_count") <= col("exact_count") + bound)
+              .as("within_bound"))
+          .orderBy("value")
+      },
+      Some("""WITH st AS (SELECT row, cell, cnt FROM read_parquet(
+            '/tmp/graft_qstate/p42/merged/*.parquet')),
+        probes AS (SELECT value, row, cell FROM read_parquet(
+            '/tmp/graft_qstate/p42/probes/*.parquet')),
+        est AS (SELECT p.value,
+            CAST(MIN(COALESCE(st.cnt, 0)) AS BIGINT) AS est_count
+          FROM probes p LEFT JOIN st USING (row, cell) GROUP BY 1),
+        ex AS (SELECT l_partkey AS value,
+            CAST(COUNT(*) AS BIGINT) AS exact_count
+          FROM lineitem WHERE l_partkey <= 20 GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM lineitem)
+        SELECT e.value, est.est_count, e.exact_count,
+          (est.est_count >= e.exact_count AND
+           est.est_count <= e.exact_count +
+             CAST(CEIL(2.718281828459045 * n.n / 256.0) AS BIGINT))
+            AS within_bound
+        FROM ex e JOIN est USING (value), n ORDER BY e.value""")),
+
     Q("s04_table_list",
       (s, d) => {
         import s.implicits._
@@ -5935,6 +5994,37 @@ object SparkEntry {
           AND epoch_us(c.ts) >= epoch_us(e.ts) - 86400000000
           AND epoch_us(c.ts) < epoch_us(e.ts)
         GROUP BY 1, 2 ORDER BY event_id""")),
+
+    Q("j05_bloom_join",
+      // bloom-reduced join (the runtime row-level filter made
+      // explicit): urgent orders are ~20% of keys, so a driver-built
+      // Bloom filter over their keys pre-filters lineitem BEFORE its
+      // shuffle — false positives only admit extra candidates into
+      // the exact hash join, so the result must equal the plain join
+      // (the s11/s12 pruned≡plain pattern, applied to shuffles
+      // instead of scans).
+      (s, d) => {
+        val urgent = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderpriority"))
+        graft.pipeline.Skew.bloomReducedJoin(
+            t(s, d, "lineitem"), urgent, "l_orderkey",
+            expectedItems = 100000L)
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity").cast("decimal(28,6)"))
+            .cast("double").as("qty_sum"),
+            count(lit(1)).as("n_items"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+            AS qty_sum,
+          CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1 ORDER BY 1""")),
 
     Q("j04_salted_join",
       // salted equi-join for the skew AQE can't fix (hot key inside a

@@ -68,6 +68,37 @@ object Skew {
       .agg(count(lit(1)).as("key_count"))
       .filter(col("key_count") >= minCount)
 
+  /** Bloom-reduced join — the row-level runtime-filter pattern made
+   *  explicit: build a Bloom filter over the SMALL side's join keys
+   *  (driver-side, `expectedItems`/`fpp` sized) and pre-filter the BIG
+   *  side BEFORE its shuffle. False positives only admit extra
+   *  candidate rows into the (exact) hash join, so the result is
+   *  IDENTICAL to the plain join while the shuffled volume drops
+   *  toward the semi-join size — the win at 100 TB when the small
+   *  side is selective (a date-filtered dimension, a sampled key
+   *  set). Long keys only, stated loudly (the filter's insert and
+   *  probe types must agree). */
+  def bloomReducedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01,
+      joinType: String = "inner"): DataFrame = {
+    require(big.schema(key).dataType ==
+        org.apache.spark.sql.types.LongType &&
+      small.schema(key).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"bloomReducedJoin requires LongType join keys; '$key' is " +
+        s"${big.schema(key).dataType.simpleString} / " +
+        small.schema(key).dataType.simpleString)
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    val bcast = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bcast.value.mightContainLong(k.longValue()))
+    big.filter(mightContain(col(key))).join(small, Seq(key), joinType)
+  }
+
   /** Pre-join cardinality estimate — the audit run BEFORE a 100 TB
    *  join commits to a plan: per-key row counts on both sides, the
    *  EXACT output size a key contributes (n_left·n_right), the top

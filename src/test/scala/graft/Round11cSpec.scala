@@ -183,6 +183,68 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class CountMinSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.profiler.CountMin
+
+  test("merged slice states estimate within the CMS bound; never under") {
+    val a = (1 to 300).map(i => (i % 10).toLong).toDF("v")
+    val b = (1 to 200).map(i => (i % 5).toLong).toDF("v")
+    val states = CountMin.sliceState(a, "v", "s1")
+      .unionByName(CountMin.sliceState(b, "v", "s2"))
+    val merged = CountMin.merge(states)
+    val queries = (0L to 9L).toDF("value")
+    val est = CountMin.estimate(merged, queries)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("est_count")).toMap
+    // exact: values 0-4 appear 30+40=70, values 5-9 appear 30
+    (0L to 4L).foreach(v => assert(est(v) >= 70L))
+    (5L to 9L).foreach(v => assert(est(v) >= 30L))
+    val n = 500.0
+    val bound = math.ceil(math.E * n / 256.0).toLong
+    (0L to 4L).foreach(v => assert(est(v) <= 70L + bound))
+    (5L to 9L).foreach(v => assert(est(v) <= 30L + bound))
+  }
+
+  test("merge of states equals the state of the union") {
+    val a = (1 to 50).map(i => (i % 7).toLong).toDF("v")
+    val b = (1 to 30).map(i => (i % 3).toLong).toDF("v")
+    val m1 = CountMin.merge(CountMin.sliceState(a, "v", "s1")
+      .unionByName(CountMin.sliceState(b, "v", "s2")))
+      .orderBy("row", "cell").collect().map(_.toString).toSeq
+    val m2 = CountMin.merge(
+      CountMin.sliceState(a.unionByName(b), "v", "all"))
+      .orderBy("row", "cell").collect().map(_.toString).toSeq
+    assert(m1 == m2)
+  }
+}
+
+class BloomJoinSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("bloom-reduced join equals the plain join exactly") {
+    val big = (1L to 1000L).map(i => (i % 100, i)).toDF("k", "payload")
+    val small = Seq((3L, "a"), (7L, "b"), (99L, "c")).toDF("k", "tag")
+    val reduced = graft.pipeline.Skew
+      .bloomReducedJoin(big, small, "k", expectedItems = 100L)
+      .orderBy("k", "payload").collect().map(_.toString).toSeq
+    val plain = big.join(small, Seq("k"))
+      .orderBy("k", "payload").collect().map(_.toString).toSeq
+    assert(reduced == plain)
+    assert(reduced.size == 30)
+  }
+
+  test("non-long keys are rejected loudly") {
+    val a = Seq(("x", 1)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.Skew.bloomReducedJoin(a, a, "k")
+    }
+    assert(e.getMessage.contains("LongType"))
+  }
+}
+
 class CanonicalizeUrlSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
