@@ -132,7 +132,11 @@ object Soak {
     // batch 12: the CMS slice states (lineitem-keyed hash groupBys)
     // and the bloom-reduced join (lineitem scan + driver bloom build
     // — the pre-filter must keep the whole thing scan-bound)
-    "p42_mergeable_cms", "j05_bloom_join")
+    "p42_mergeable_cms", "j05_bloom_join",
+    // batch 13: KN scoring (token-keyed count joins), the evolution
+    // reader (two scans + map-only casts), and leading-edge alerts
+    // (events-keyed series window)
+    "x72_kneser_ney", "s17_schema_merge", "a20_leading_edge_alerts")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

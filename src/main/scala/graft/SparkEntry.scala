@@ -1766,6 +1766,50 @@ object SparkEntry {
         .orderBy("hour"),
       Some(sloOracleSql)),
 
+    Q("a20_leading_edge_alerts",
+      // alert-fatigue control over detector output: page on the
+      // LEADING EDGE of an anomaly run (previous point clean) and
+      // re-page every 3rd point while the run persists — a detector
+      // that pages every anomalous day of a week-long incident trains
+      // people to ignore it, one that pages once lets it go silent.
+      // Low threshold (sensitivity 2 → 1.5σ) so the fixture has real
+      // runs. One per-series ordered window over the a01 detector.
+      (s, d) => Anomalies.leadingEdgeAlerts(
+          Anomalies.zscore(dailySeries(s, d), Seq("event_type"), "day",
+            "value", sensitivity = 2.0),
+          Seq("event_type"), "day", reAlertEvery = 3)
+        .select(col("event_type"), col("day"), col("is_anomaly"),
+          col("run_length"), col("alert"))
+        .orderBy("event_type", "day"),
+      Some(s"""WITH series AS ($duckDailySeries),
+        st AS (SELECT event_type, day, value,
+          AVG(value) OVER (PARTITION BY event_type) AS m,
+          STDDEV_POP(value) OVER (PARTITION BY event_type) AS sd,
+          COUNT(value) OVER (PARTITION BY event_type) AS n
+          FROM series),
+        scored AS (SELECT event_type, day,
+          (CASE WHEN sd = 0 THEN 0.0 ELSE ABS((value - m) / sd) END)
+            > 1.5 AS is_anomaly
+          FROM st WHERE n >= 2),
+        starts AS (SELECT event_type, day, is_anomaly,
+          CASE WHEN is_anomaly AND NOT COALESCE(
+              LAG(is_anomaly) OVER (PARTITION BY event_type
+                ORDER BY day), FALSE)
+            THEN 1 ELSE 0 END AS is_start
+          FROM scored),
+        runs AS (SELECT event_type, day, is_anomaly,
+          SUM(is_start) OVER (PARTITION BY event_type
+            ORDER BY day ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM starts),
+        pos AS (SELECT event_type, day, is_anomaly,
+          CASE WHEN is_anomaly THEN CAST(ROW_NUMBER() OVER (
+              PARTITION BY event_type, run_id ORDER BY day) AS BIGINT)
+            ELSE 0 END AS run_length
+          FROM runs)
+        SELECT event_type, day, is_anomaly, run_length,
+          (is_anomaly AND (run_length - 1) % 3 = 0) AS alert
+        FROM pos ORDER BY event_type, day""")),
+
     Q("a02_zscore_rolling",
       (s, d) => Anomalies.zscore(dailySeries(s, d), Seq("event_type"), "day",
         "value", sensitivity = 1.0, window = Some(7))
@@ -5146,6 +5190,56 @@ object SparkEntry {
         FROM j WHERE doc_id < 200
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    Q("x72_kneser_ney",
+      // interpolated Kneser–Ney bigram scoring (the smoothing real
+      // n-gram LMs use): absolute discount off every observed bigram,
+      // freed mass re-spent on CONTINUATION unigrams — separates
+      // word salad built from frequent words (x31's ML estimate
+      // scores those well) from fluent text. Integer counts, one
+      // identically-parenthesized double formula, micro-nat
+      // quantization before the per-doc integer sums.
+      (s, d) => TextAnalysis.kneserNeyLogProb(t(s, d, "documents"))
+        .filter(col("doc_id") < 200)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS w
+          FROM documents),
+        occ AS (
+          SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+          FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+                FROM toks WHERE len(w) >= 2)),
+        tf AS (SELECT doc_id, bigram, COUNT(*) AS tf
+               FROM occ GROUP BY 1, 2),
+        bm AS (SELECT bigram, COUNT(*) AS big_cnt FROM occ GROUP BY 1),
+        sm AS (SELECT string_split(bigram, ' ')[1] AS w1,
+            CAST(SUM(big_cnt) AS BIGINT) AS start_cnt
+          FROM bm GROUP BY 1),
+        types AS (SELECT bigram,
+            string_split(bigram, ' ')[1] AS w1,
+            string_split(bigram, ' ')[2] AS w2
+          FROM bm),
+        n1p AS (SELECT w1, COUNT(*) AS n1plus FROM types GROUP BY 1),
+        cont AS (SELECT w2, COUNT(*) AS cont_cnt FROM types GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM types),
+        j AS (SELECT tf.doc_id, tf.tf,
+            CAST(ROUND(-ln(
+              (GREATEST(CAST(bm.big_cnt AS DOUBLE) - 0.75, 0.0)
+                / sm.start_cnt) +
+              ((0.75 * n1p.n1plus) / sm.start_cnt) *
+                (CAST(cont.cont_cnt AS DOUBLE) / tot.t)
+            ) * 1e6, 0) AS BIGINT) AS nlp
+          FROM tf JOIN bm USING (bigram)
+          JOIN sm ON sm.w1 = string_split(tf.bigram, ' ')[1]
+          JOIN n1p ON n1p.w1 = string_split(tf.bigram, ' ')[1]
+          JOIN cont ON cont.w2 = string_split(tf.bigram, ' ')[2], tot)
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+          ROUND(CAST(SUM(tf * nlp) AS DOUBLE) / SUM(tf) / 1e6, 6)
+            AS avg_kn_neg_logprob
+        FROM j WHERE doc_id < 200
+        GROUP BY doc_id ORDER BY doc_id""")),
+
     Q("x12_tfidf_keywords",
       // TF-IDF keyword extraction: top-3 terms per doc, idf over the FULL
       // corpus (token-keyed partial aggs, vocab-sized join), output
@@ -5624,6 +5718,50 @@ object SparkEntry {
              CAST(CEIL(2.718281828459045 * n.n / 256.0) AS BIGINT))
             AS within_bound
         FROM ex e JOIN est USING (value), n ORDER BY e.value""")),
+
+    Q("s17_schema_merge",
+      // schema-evolution reader: two snapshots of the same table that
+      // drifted — v1 has INT keys, FLOAT prices and no priority
+      // column; v2 the widened types plus the new column. Spark's own
+      // mergeSchema REFUSES int-vs-long; readEvolved widens at READ
+      // (byte<short<int<long, int×float→double) and null-fills, so
+      // history needn't rewrite. The oracle re-reads BOTH persisted
+      // snapshots with the same casts and must see identical
+      // aggregates — v1's rows land in the NULL priority group.
+      (s, d) => {
+        val state = freshState(s, "s17")
+        val o = t(s, d, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").cast("int").as("o_orderkey"),
+            col("o_custkey"),
+            col("o_totalprice").cast("float").as("o_totalprice"))
+          .coalesce(2).write.mode("overwrite").parquet(state + "/v1")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("double").as("o_totalprice"),
+            col("o_orderpriority"))
+          .coalesce(2).write.mode("overwrite").parquet(state + "/v2")
+        graft.sources.Evolution.readEvolved(
+            s, Seq(state + "/v1", state + "/v2"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            round(min(col("o_totalprice")), 2).as("price_min"),
+            round(max(col("o_totalprice")), 2).as("price_max"))
+          .orderBy(col("o_orderpriority").asc_nulls_first)
+      },
+      Some("""WITH v1 AS (SELECT CAST(o_orderkey AS BIGINT)
+            AS o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+            CAST(NULL AS VARCHAR) AS o_orderpriority
+          FROM read_parquet('/tmp/graft_qstate/s17/v1/*.parquet')),
+        v2 AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+          FROM read_parquet('/tmp/graft_qstate/s17/v2/*.parquet')),
+        u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+          ROUND(MIN(o_totalprice), 2) AS price_min,
+          ROUND(MAX(o_totalprice), 2) AS price_max
+        FROM u GROUP BY 1 ORDER BY o_orderpriority NULLS FIRST""")),
 
     Q("s04_table_list",
       (s, d) => {

@@ -466,6 +466,44 @@ object Anomalies {
     }
     anomaliesOnly(detected)
   }
+
+  /** Alert-fatigue control over any detector output: page on the
+   *  LEADING EDGE of an anomaly run (the previous point in the series
+   *  was not anomalous), and RE-page every `reAlertEvery` points while
+   *  the run persists (a silent week-long incident is the other
+   *  failure mode). Adds `run_length` (position within the current
+   *  anomalous run, 0 outside) and `alert`. One per-series ordered
+   *  window over detector output — metadata-sized next to the scan
+   *  that produced it. */
+  def leadingEdgeAlerts(
+      detections: DataFrame,
+      seriesCols: Seq[String],
+      tsCol: String,
+      reAlertEvery: Int = 7): DataFrame = {
+    require(reAlertEvery > 0, "reAlertEvery must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col(tsCol))
+    // run id = count of run STARTS so far; position = row number within
+    // the run's frame
+    val starts = col("is_anomaly") &&
+      !coalesce(lag(col("is_anomaly"), 1).over(w), lit(false))
+    val withRun = detections
+      .withColumn("__start", when(starts, 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__start")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wr = Window.partitionBy(
+        (seriesCols.map(col) :+ col("__run")): _*)
+      .orderBy(col(tsCol))
+    withRun
+      .withColumn("run_length",
+        when(col("is_anomaly"), row_number().over(wr).cast("long"))
+          .otherwise(0L))
+      .withColumn("alert",
+        col("is_anomaly") &&
+          pmod(col("run_length") - 1, lit(reAlertEvery.toLong)) === 0L)
+      .drop("__start", "__run")
+  }
 }
 
 private[anomalies] object Profiles {

@@ -904,6 +904,65 @@ object TextAnalysis {
           / sum(col("tf")) / 1e6, 6).as("avg_neg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+   *  smoothing every serious n-gram LM uses): absolute discount D off
+   *  every observed bigram, the freed mass re-spent on the CONTINUATION
+   *  unigram (how many distinct contexts a word follows — "francisco"
+   *  is frequent but only ever follows "san", so its continuation
+   *  probability is tiny where its raw unigram count lies).
+   *
+   *    P(w2|w1) = max(c12−D,0)/c1 + (D·N1+(w1,·)/c1) · (N1+(·,w2)/T)
+   *
+   *  with T = distinct bigram types. Next to [[bigramLogProb]]'s ML
+   *  estimate this separates word salad with frequent-word bigrams
+   *  from fluent text. Exactness discipline: all counts integer,
+   *  −ln P quantizes to micro-nats per bigram TYPE before the
+   *  integer per-doc sums (the x31 pattern), and the one double
+   *  formula is parenthesized identically in the oracle. */
+  def kneserNeyLogProb(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      discount: Double = 0.75): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val grams = expr(
+      """filter(transform(sequence(0, size(__toks) - 2),
+        |  i -> array_join(slice(__toks, i + 1, 2), ' ')),
+        |  g -> g != '')""".stripMargin)
+    val occ = docs
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(grams).as("bigram"))
+    val tf = occ.groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("tf"))
+    val bm = occ.groupBy(col("bigram")).agg(count(lit(1)).as("big_cnt"))
+    val sm = occ
+      .select(substring_index(col("bigram"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("start_cnt"))
+    val types = bm
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val n1p = types.groupBy("w1").agg(count(lit(1)).as("n1plus"))
+    val cont = types.groupBy("w2").agg(count(lit(1)).as("cont_cnt"))
+    val totalTypes = types.count().toDouble
+    val p = (greatest(col("big_cnt").cast("double") - discount, lit(0.0))
+        / col("start_cnt")) +
+      ((lit(discount) * col("n1plus")) / col("start_cnt")) *
+        (col("cont_cnt").cast("double") / lit(totalTypes))
+    tf
+      .join(bm, "bigram")
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(sm, "w1")
+      .join(n1p, "w1")
+      .join(cont, "w2")
+      .withColumn("__nlp_micro", round(-log(p) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("tf") * col("__nlp_micro")).cast("double")
+          / sum(col("tf")) / 1e6, 6).as("avg_kn_neg_logprob"))
+  }
+
   /** Gopher-style quality-filter verdicts: the explicit per-rule
    *  keep/drop battery (Rae et al. 2021 §A1.1 shape — token-count
    *  bounds, mean-token-length bounds, minimum stopword evidence,

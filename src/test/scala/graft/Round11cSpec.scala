@@ -183,6 +183,114 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class KneserNeySpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("hand-computed KN probabilities on a tiny corpus") {
+    // corpus bigrams: "a b" x2, "b a" x1, "a c" x1  (docs: "a b a c", "a b")
+    // types: {a b, b a, a c}; T=3
+    // start counts: a→3 (a b,a b,a c), b→1
+    // n1plus: a→2 (b,c), b→1 (a)
+    // cont: b→1 (after a), a→1 (after b), c→1 (after a)
+    val docs = Seq((1L, "a b a c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.kneserNeyLogProb(docs)
+      .orderBy("doc_id").collect()
+    // P(b|a) = (2-.75)/3 + (.75*2/3)*(1/3) = 0.41667+0.16667 = 0.58333
+    // P(a|b) = (1-.75)/1 + (.75*1/1)*(1/3) = 0.25+0.25 = 0.5
+    // P(c|a) = (1-.75)/3 + (.75*2/3)*(1/3) = 0.08333+0.16667 = 0.25
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_bigrams") == 3)
+    val pba = (2.0 - 0.75) / 3 + (0.75 * 2) / 3 * (1.0 / 3)
+    val pab = (1.0 - 0.75) / 1 + (0.75 * 1) / 1 * (1.0 / 3)
+    val pca = (1.0 - 0.75) / 3 + (0.75 * 2) / 3 * (1.0 / 3)
+    def micro(p: Double) = math.rint(-math.log(p) * 1e6)
+    val expect1 = BigDecimal((micro(pba) + micro(pab) + micro(pca))
+      / 3 / 1e6).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(d1.getAs[Double]("avg_kn_neg_logprob") - expect1)
+      < 2e-6)
+    // doc 2 = one bigram "a b"
+    assert(out(1).getAs[Long]("n_bigrams") == 1)
+    assert(math.abs(out(1).getAs[Double]("avg_kn_neg_logprob") -
+      BigDecimal(micro(pba) / 1e6).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6)
+  }
+}
+
+class EvolutionSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.sources.Evolution
+  import org.apache.spark.sql.types._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("evo").toString
+
+  test("widens int->long, float+long->double, null-fills added columns") {
+    val dir = tmp()
+    Seq((1, 1.5f)).toDF("k", "v")
+      .write.parquet(s"$dir/v1")
+    Seq((2L, 9L, "x")).toDF("k", "v", "extra")
+      .write.parquet(s"$dir/v2")
+    val out = Evolution.readEvolved(spark, Seq(s"$dir/v1", s"$dir/v2"))
+    assert(out.schema("k").dataType == LongType)
+    assert(out.schema("v").dataType == DoubleType)
+    assert(out.schema("extra").dataType == StringType)
+    val rows = out.orderBy("k").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("v") == 1.5)
+    assert(rows(0).getAs[String]("extra") == null)
+    assert(rows(1).getAs[String]("extra") == "x")
+  }
+
+  test("incompatible drift fails loudly with both types named") {
+    val dir = tmp()
+    Seq((1, "s")).toDF("k", "v").write.parquet(s"$dir/a")
+    Seq((2, 3.0)).toDF("k", "v").write.parquet(s"$dir/b")
+    val e = intercept[RuntimeException] {
+      Evolution.readEvolved(spark, Seq(s"$dir/a", s"$dir/b"))
+    }
+    assert(e.getMessage.contains("'v'") &&
+      e.getMessage.contains("string") && e.getMessage.contains("double"))
+  }
+
+  test("decimal precision/scale widen to cover both") {
+    val s = Evolution.widenedSchema(Seq(
+      StructType(Seq(StructField("d", DecimalType(10, 2)))),
+      StructType(Seq(StructField("d", DecimalType(12, 4))))))
+    assert(s("d").dataType == DecimalType(12, 4))
+    val s2 = Evolution.widenedSchema(Seq(
+      StructType(Seq(StructField("d", DecimalType(18, 0)))),
+      StructType(Seq(StructField("d", DecimalType(10, 6))))))
+    assert(s2("d").dataType == DecimalType(24, 6))
+  }
+}
+
+class LeadingEdgeSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("pages on run starts, re-pages every N, suppresses in between") {
+    // one series, 10 days: anomalies on days 2-8 (one 7-day run), day 10
+    val det = (1 to 10).map(d =>
+      ("s", f"2024-01-$d%02d", (d >= 2 && d <= 8) || d == 10))
+      .toDF("series", "day", "is_anomaly")
+    val out = graft.anomalies.Anomalies.leadingEdgeAlerts(
+        det, Seq("series"), "day", reAlertEvery = 3)
+      .orderBy("day").collect()
+    val alerts = out.filter(_.getAs[Boolean]("alert"))
+      .map(_.getAs[String]("day")).toSeq
+    // run 1 starts day 2; re-alerts at positions 1,4,7 → days 2,5,8;
+    // run 2 starts day 10
+    assert(alerts == Seq("2024-01-02", "2024-01-05", "2024-01-08",
+      "2024-01-10"))
+    val runLens = out.map(_.getAs[Long]("run_length")).toSeq
+    assert(runLens == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 0L, 1L))
+  }
+}
+
 class CountMinSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
