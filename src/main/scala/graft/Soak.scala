@@ -136,7 +136,10 @@ object Soak {
     // batch 13: KN scoring (token-keyed count joins), the evolution
     // reader (two scans + map-only casts), and leading-edge alerts
     // (events-keyed series window)
-    "x72_kneser_ney", "s17_schema_merge", "a20_leading_edge_alerts")
+    "x72_kneser_ney", "s17_schema_merge", "a20_leading_edge_alerts",
+    // batch 14: the threshold curve (the d03 LSH+verify shape + a
+    // 5-row sweep) and row quarantine (orders-keyed map-only pass)
+    "d14_threshold_curve", "v06_row_quarantine")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -1378,6 +1378,61 @@ object SparkEntry {
     // two surviving rules' predicates over region — latest-version-wins
     // is observable because the updated threshold (1000, passing) must
     // shadow the original (3, failing).
+    Q("v06_row_quarantine",
+      // the ACTION side of validation: a snapshot with DECLARED
+      // row-level defects (every 13th price negated, every 17th
+      // priority nulled) splits into clean rows and quarantined rows
+      // carrying WHICH rules failed — route-and-review instead of
+      // fail-the-batch. One map-only annotate pass + one stacked
+      // summary aggregate; NULL predicate results count as
+      // violations (an unevaluable rule must not wave a row through),
+      // which the nulled-priority lane exercises directly.
+      (s, d) => {
+        import graft.validations.Quarantine
+        val dirty = t(s, d, "orders")
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 13 === 0, -col("o_totalprice"))
+              .otherwise(col("o_totalprice")))
+          .withColumn("o_orderpriority",
+            when(col("o_orderkey") % 17 === 0,
+              lit(null).cast("string"))
+              .otherwise(col("o_orderpriority")))
+        Quarantine.summary(dirty, Seq(
+          Quarantine.RowRule("price_non_negative",
+            col("o_totalprice") >= 0),
+          Quarantine.RowRule("priority_known",
+            col("o_orderpriority").rlike("^[1-5]-")),
+          Quarantine.RowRule("key_positive", col("o_orderkey") > 0)))
+          .orderBy("rule")
+      },
+      Some("""WITH dirty AS (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 13 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice,
+            CASE WHEN o_orderkey % 17 = 0 THEN NULL
+              ELSE o_orderpriority END AS o_orderpriority
+          FROM orders),
+        flags AS (SELECT
+            CASE WHEN COALESCE(o_totalprice >= 0, FALSE)
+              THEN 0 ELSE 1 END AS v_price,
+            CASE WHEN COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'),
+              FALSE) THEN 0 ELSE 1 END AS v_prio,
+            CASE WHEN COALESCE(o_orderkey > 0, FALSE)
+              THEN 0 ELSE 1 END AS v_key
+          FROM dirty)
+        SELECT rule, n_rows FROM (
+          SELECT 'price_non_negative' AS rule,
+            CAST(SUM(v_price) AS BIGINT) AS n_rows FROM flags
+          UNION ALL SELECT 'priority_known',
+            CAST(SUM(v_prio) AS BIGINT) FROM flags
+          UNION ALL SELECT 'key_positive',
+            CAST(SUM(v_key) AS BIGINT) FROM flags
+          UNION ALL SELECT '_rows_clean',
+            CAST(SUM(CASE WHEN v_price + v_prio + v_key = 0
+              THEN 1 ELSE 0 END) AS BIGINT) FROM flags
+          UNION ALL SELECT '_rows_total',
+            CAST(COUNT(*) AS BIGINT) FROM flags)
+        ORDER BY rule""")),
+
     Q("v05_stored_rules",
       (s, d) => {
         Catalog(s, d).registerAll()
@@ -3374,6 +3429,63 @@ object SparkEntry {
         SELECT id_a, id_b, ROUND(est, 6) AS est_jaccard
         FROM pairs WHERE est >= CAST(0.9 AS DOUBLE)
         ORDER BY id_a, id_b""")),
+
+    Q("d14_threshold_curve",
+      // dedup-threshold sensitivity curve (the tuning sweep run BEFORE
+      // committing a 100 TB corpus to one threshold): exact n-gram
+      // Jaccard over the LSH candidate set, rolled up per threshold —
+      // pairs surviving and docs that would drop under the min-id
+      // canonical at each cut. One scoring pass; the sweep is a
+      // 5-row broadcast cross join, not 5 rescans. Candidates persist
+      // (the d03 replay shape) and the oracle re-derives every exact
+      // jaccard and the whole curve.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val state = freshState(s, "d14")
+        val sigs = Dedup.minhashSignatures(docs,
+          numHashes = 128, numBands = 32)
+        Dedup.lshCandidatePairs(sigs)
+          .coalesce(2).write.mode("overwrite")
+          .parquet(state + "/candidates")
+        val scored = Dedup.ngramJaccard(docs,
+            s.read.parquet(state + "/candidates"))
+          .filter(col("jaccard") >= 0.5)
+        val ths = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+        import s.implicits._
+        scored.crossJoin(broadcast(ths.toDF("threshold")))
+          .filter(col("jaccard") >= col("threshold"))
+          .groupBy("threshold")
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("id_b")).as("n_docs_dropped"))
+          .orderBy("threshold")
+      },
+      Some("""WITH cand AS (SELECT id_a, id_b FROM read_parquet(
+            '/tmp/graft_qstate/d14/candidates/*.parquet')),
+        words AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+            AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM words WHERE len(w) >= 3),
+        j AS (
+          SELECT c.id_a, c.id_b,
+            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              AS jaccard
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b),
+        ths AS (SELECT CAST(t AS DOUBLE) AS threshold
+          FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) v(t))
+        SELECT ths.threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(COUNT(DISTINCT j.id_b) AS BIGINT) AS n_docs_dropped
+        FROM j CROSS JOIN ths
+        WHERE j.jaccard >= CAST(0.5 AS DOUBLE)
+          AND j.jaccard >= ths.threshold
+        GROUP BY 1 ORDER BY 1""")),
 
     Q("d06_ngram_jaccard",
       // exact word-3-gram Jaccard over the whole corpus via the inverted

@@ -183,6 +183,58 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class QuarantineSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.validations.Quarantine
+  import graft.validations.Quarantine.RowRule
+  import org.apache.spark.sql.functions.col
+
+  private val rules = Seq(
+    RowRule("v_pos", col("v") >= 0),
+    RowRule("s_present", col("s").isNotNull))
+
+  test("annotate names every failed rule; NULL predicates violate") {
+    val df = Seq((1, Option("a")), (-2, Option("b")),
+      (-3, Option.empty[String]), (4, Option.empty[String]))
+      .toDF("v", "s")
+    val a = Quarantine.annotate(df, rules).orderBy("v").collect()
+    def viol(r: org.apache.spark.sql.Row) =
+      r.getAs[scala.collection.Seq[String]]("violations").toSeq
+    assert(viol(a(0)) == Seq("v_pos", "s_present")) // v=-3
+    assert(viol(a(1)) == Seq("v_pos")) // v=-2
+    assert(viol(a(2)).isEmpty) // v=1
+    assert(viol(a(3)) == Seq("s_present")) // v=4, s null
+  }
+
+  test("split routes rows; summary lanes add up") {
+    val df = Seq((1, Option("a")), (-2, Option("b")),
+      (3, Option.empty[String])).toDF("v", "s")
+    val (clean, bad) = Quarantine.split(df, rules)
+    assert(clean.count() == 1 && bad.count() == 2)
+    assert(clean.columns.toSeq == Seq("v", "s"))
+    val sm = Quarantine.summary(df, rules)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sm("v_pos") == 1 && sm("s_present") == 1)
+    assert(sm("_rows_clean") == 1 && sm("_rows_total") == 3)
+  }
+}
+
+class ThresholdCurveSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("curve is monotone non-increasing in the threshold") {
+    val out = SparkEntry.queries("d14_threshold_curve")(spark, sfDir)
+      .collect()
+    val pairs = out.map(_.getAs[Long]("n_pairs")).toSeq
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b })
+    val docs = out.map(_.getAs[Long]("n_docs_dropped")).toSeq
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b })
+  }
+}
+
 class KneserNeySpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
