@@ -139,7 +139,11 @@ object Soak {
     "x72_kneser_ney", "s17_schema_merge", "a20_leading_edge_alerts",
     // batch 14: the threshold curve (the d03 LSH+verify shape + a
     // 5-row sweep) and row quarantine (orders-keyed map-only pass)
-    "d14_threshold_curve", "v06_row_quarantine")
+    "d14_threshold_curve", "v06_row_quarantine",
+    // batch 15: JL projection recall (embeddings-keyed broadcast
+    // brute-force arms). m08 runs on a synthetic in-memory video
+    // corpus the blow-up doesn't scale.
+    "e20_random_projection")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

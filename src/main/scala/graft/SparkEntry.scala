@@ -2983,6 +2983,56 @@ object SparkEntry {
         SELECT id_a, id_b, CAST(h AS INT) AS hamming
         FROM pairs WHERE h <= 3 ORDER BY id_a, id_b""")),
 
+    Q("m08_scene_cuts",
+      // scene-cut detection over REAL MJPEG-in-AVI decode: each clip
+      // pans gradually (+2 gray/frame) with ONE declared hard cut
+      // (+100 at frame 4 + id%3); the detector flags frames whose
+      // mean-intensity delta from the previous frame exceeds 0.1 —
+      // exactly one cut per clip by construction. The decoded frame
+      // grain persists (the m03 replay pattern) and the oracle
+      // re-derives every delta, flag, and the per-clip rollup.
+      (s, _) => {
+        val vids = Multimodal.syntheticSceneCorpus(s, 100)
+        val media = {
+          import s.implicits._
+          vids.as[(Long, Array[Byte])].map { case (id, bytes) =>
+            Multimodal.MediaRow(id, bytes,
+              Multimodal.MediaMeta("video", "avi", 32, 32, 0L))
+          }
+        }
+        val feats = Multimodal.frameFeatures(
+          Multimodal.sampleFrames(media, intervalMs = 250L))
+          .select(col("id"), col("frame_idx"),
+            round(col("mean_intensity"), 6).as("mi"))
+        feats.coalesce(2).write.mode("overwrite")
+          .parquet(freshState(s, "m08") + "/frames")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("frame_idx")
+        val cuts = feats
+          .withColumn("delta",
+            round(abs(col("mi") - lag(col("mi"), 1).over(w)), 6))
+          .withColumn("is_cut",
+            coalesce(col("delta") > 0.1, lit(false)))
+        cuts.groupBy("id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+            min(when(col("is_cut"), col("frame_idx"))).as("first_cut"))
+          .orderBy("id")
+      },
+      Some("""WITH f AS (SELECT id, frame_idx, mi FROM read_parquet(
+            '/tmp/graft_qstate/m08/frames/*.parquet')),
+        d AS (SELECT id, frame_idx,
+            ROUND(ABS(mi - LAG(mi) OVER (PARTITION BY id
+              ORDER BY frame_idx)), 6) AS delta
+          FROM f),
+        c AS (SELECT id, frame_idx,
+            COALESCE(delta > 0.1, FALSE) AS is_cut FROM d)
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+          CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cuts,
+          MIN(CASE WHEN is_cut THEN frame_idx END) AS first_cut
+        FROM c GROUP BY id ORDER BY id""")),
+
     Q("m06_asset_manifest",
       // unified multimodal catalog: one mixed blob table (PNG images,
       // WAV clips, MJPEG/AVI videos, plus junk bytes) through ONE
@@ -4532,6 +4582,66 @@ object SparkEntry {
             AS max_over_mean_ppm,
           st.empty_cells
         FROM pc, st ORDER BY pc.cell""")),
+
+    Q("e20_random_projection",
+      // Johnson–Lindenstrauss recall: project 64 → 16 dims through a
+      // SEEDED Gaussian matrix and measure recall@10 against full-dim
+      // ground truth — the e18 question for projection instead of
+      // truncation (a trained-rotation-free MRL baseline). The
+      // projected top-10 sets persist and the oracle re-derives the
+      // full-dim truth and every recall (the projection itself is
+      // spec-pinned: deterministic seed, norm scale).
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 25)
+        val pEmb = Similarity.randomProjection(emb, 64, 16, seed = 7L)
+        val pQ = Similarity.randomProjection(queries, 64, 16, seed = 7L)
+        val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+        val approx = Similarity.bruteForceTopK(pEmb, pQ, k = 10)
+          .select(lit("jl16").as("method"), col("query_id"),
+            col("neighbor_id"))
+        val state = freshState(s, "e20")
+        approx.coalesce(1).write.mode("overwrite")
+          .parquet(state + "/approx")
+        Similarity.recallAtK(exact, s.read.parquet(state + "/approx"))
+          .orderBy("method", "query_id")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 25),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+          FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.neighbor_id,
+            list_sum(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+            (SQRT(list_sum(list_transform(qe,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(list_sum(list_transform(ce,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM q, c WHERE q.query_id <> c.neighbor_id),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 10),
+        nex AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM exact GROUP BY 1),
+        ap AS (SELECT method, query_id, neighbor_id
+          FROM read_parquet('/tmp/graft_qstate/e20/approx/*.parquet')),
+        hits AS (SELECT method, query_id,
+            CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM ap JOIN exact USING (query_id, neighbor_id)
+          GROUP BY 1, 2),
+        m AS (SELECT DISTINCT method FROM ap)
+        SELECT m.method, nex.query_id, nex.n_exact,
+          COALESCE(hits.n_hit, 0) AS n_hit,
+          ROUND(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / nex.n_exact, 6)
+            AS recall
+        FROM m CROSS JOIN nex LEFT JOIN hits
+          ON hits.method = m.method AND hits.query_id = nex.query_id
+        ORDER BY m.method, nex.query_id""")),
 
     Q("e07_semantic_dedup",
       // SemDeDup: coarse cells (8 fixed centroids = the first 8 vectors,

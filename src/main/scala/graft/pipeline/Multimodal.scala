@@ -1082,6 +1082,37 @@ object Multimodal {
     }.toDF("id", "bytes")
   }
 
+  /** Deterministic SCENE corpus for cut detection: each clip's frames
+   *  drift gradually (+2 gray per frame — camera pan) except at ONE
+   *  declared cut point (4 + id%3) where the level jumps by 100 — the
+   *  shape a histogram-delta detector must flag exactly once per
+   *  clip. Same MJPEG-in-AVI container as [[syntheticVideoCorpus]]. */
+  def syntheticSceneCorpus(
+      spark: SparkSession,
+      n: Int,
+      framesPerVideo: Int = 12,
+      side: Int = 32,
+      fps: Int = 4): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val cutAt = (4 + id % 3).toInt
+      val frames = (0 until framesPerVideo).map { f =>
+        val gray = math.min(247,
+          (id * 7 % 60 + 20 + f * 2 + (if (f >= cutAt) 100 else 0))).toInt
+        val img = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = img.createGraphics()
+        g2.setColor(new java.awt.Color(gray, gray, gray))
+        g2.fillRect(0, 0, side, side)
+        g2.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpeg", baos)
+        baos.toByteArray
+      }
+      (id, buildAviMjpeg(frames, side, side, fps))
+    }.toDF("id", "bytes")
+  }
+
   /** Unified asset manifest over a mixed blob table — the catalog row a
    *  multimodal corpus keeps per asset: container format (magic bytes),
    *  size, the type-appropriate metadata (image dims / WAV audio params

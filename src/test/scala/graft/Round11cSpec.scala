@@ -183,6 +183,61 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class RandomProjectionSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.Similarity
+
+  test("same seed projects identically; different seed differs; null null") {
+    val vecs = (0 until 10).map(i =>
+      (i.toLong, Array.tabulate(8)(j => (i * 3 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    def proj(seed: Long) = Similarity
+      .randomProjection(vecs, 8, 4, seed)
+      .orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+    val a = proj(7L); val b = proj(7L); val c = proj(8L)
+    assert(a.toSeq == b.toSeq, "seeded projection must be deterministic")
+    assert(a.toSeq != c.toSeq, "different seeds must differ")
+    assert(a.forall(_.length == 4))
+    val withNull = Seq((1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.randomProjection(withNull, 8, 4)
+      .head().isNullAt(1))
+  }
+}
+
+class SceneCutSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.Multimodal
+
+  test("the declared cut frame is the only intensity jump per clip") {
+    val vids = Multimodal.syntheticSceneCorpus(spark, 6)
+    val media = vids.as[(Long, Array[Byte])].map { case (id, bytes) =>
+      Multimodal.MediaRow(id, bytes,
+        Multimodal.MediaMeta("video", "avi", 32, 32, 0L))
+    }
+    val feats = Multimodal.frameFeatures(
+      Multimodal.sampleFrames(media, intervalMs = 250L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("frame_idx")
+    import org.apache.spark.sql.functions._
+    val cuts = feats
+      .withColumn("delta",
+        abs(col("mean_intensity") - lag(col("mean_intensity"), 1).over(w)))
+      .filter(col("delta") > 0.1)
+      .select("id", "frame_idx").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(cuts.length == 6, "exactly one cut per clip")
+    cuts.foreach { case (id, f) =>
+      assert(f == (4 + id % 3).toInt, s"clip $id cut at wrong frame $f")
+    }
+  }
+}
+
 class QuarantineSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
