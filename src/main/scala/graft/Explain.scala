@@ -38,7 +38,21 @@ object Explain {
         "p37_mergeable_quantiles", "p38_mergeable_topk",
         "p39_state_store_profile", "x48_kmv_overlap",
         "x50_contrastive_mine", "e13_incremental_ivf",
-        "e14_incremental_pq")
+        "e14_incremental_pq",
+        // round-11 session-2 additions (b02/m07/m08 absent: scheduler
+        // orchestration and synthetic-media corpora — their audited
+        // stages are the operators above; st13's sink is a memory
+        // drain). The BNLJ hits in d14/p41/x66 are the sanctioned
+        // 5-row/1-row broadcast stats arms.
+        "a19_slo_burn_rate", "a20_leading_edge_alerts",
+        "x61_dedup_weights", "e18_truncated_ann", "e19_ivf_balance",
+        "e20_random_projection", "x62_curriculum", "x63_dataset_card",
+        "x64_mergeable_sample", "x65_l_diversity", "c09_reconcile",
+        "x66_join_blowup", "x67_pack_efficiency", "p41_mergeable_hll",
+        "p42_mergeable_cms", "x68_mergeable_card", "x69_html_extract",
+        "x70_url_canonicalize", "x71_star_join", "j05_bloom_join",
+        "x72_kneser_ney", "s17_schema_merge", "d14_threshold_curve",
+        "v06_row_quarantine")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
