@@ -143,7 +143,10 @@ object Soak {
     // batch 15: JL projection recall (embeddings-keyed broadcast
     // brute-force arms). m08 runs on a synthetic in-memory video
     // corpus the blow-up doesn't scale.
-    "e20_random_projection")
+    "e20_random_projection",
+    // batch 16: the vocab-growth curve (token-keyed shuffles) and
+    // streaming quarantine (map-only rules on arrivals)
+    "x73_vocab_growth", "st14_stream_quarantine")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -5462,6 +5462,49 @@ object SparkEntry {
         FROM j WHERE doc_id < 200
         GROUP BY doc_id ORDER BY doc_id""")),
 
+    Q("x73_vocab_growth",
+      // vocabulary-growth curve over three ordered slices (Heaps'-law
+      // empirics, the tokenizer-staleness signal): per slice — token
+      // occurrences, distinct types, types FIRST seen there, and the
+      // occurrence mass the new types carry. One (slice, token)
+      // aggregation + a token-keyed min-slice join.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val third = (maxId + 1L) / 3L
+        TextAnalysis.vocabGrowth(
+            docs.withColumn("slice_id",
+              concat(lit("s"),
+                least(col("doc_id") / third, lit(2L)).cast("long")
+                  .cast("string"))),
+            "slice_id")
+          .orderBy("slice_id")
+      },
+      Some("""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        d AS (SELECT 's' || CAST(LEAST(doc_id // ((m + 1) // 3), 2)
+            AS VARCHAR) AS slice_id, text
+          FROM documents, mx),
+        tok AS (SELECT slice_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0)) AS token
+          FROM d),
+        ps AS (SELECT slice_id, token, CAST(COUNT(*) AS BIGINT) AS occ
+          FROM tok GROUP BY 1, 2),
+        f AS (SELECT token, MIN(slice_id) AS first_slice
+          FROM ps GROUP BY 1)
+        SELECT ps.slice_id,
+          CAST(SUM(ps.occ) AS BIGINT) AS n_occurrences,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(CASE WHEN f.first_slice = ps.slice_id
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_new_types,
+          CAST(SUM(CASE WHEN f.first_slice = ps.slice_id
+            THEN ps.occ ELSE 0 END) AS BIGINT) AS new_occ,
+          CAST(ROUND(1e6 * SUM(CASE WHEN f.first_slice = ps.slice_id
+            THEN ps.occ ELSE 0 END) / SUM(ps.occ), 0) AS BIGINT)
+            AS new_occ_ppm
+        FROM ps JOIN f USING (token)
+        GROUP BY ps.slice_id ORDER BY ps.slice_id""")),
+
     Q("x12_tfidf_keywords",
       // TF-IDF keyword extraction: top-3 terms per doc, idf over the FULL
       // corpus (token-keyed partial aggs, vocab-sized join), output
@@ -8328,6 +8371,58 @@ object SparkEntry {
           .orderBy("hour")
       },
       Some(sloOracleSql)),
+
+    Q("st14_stream_quarantine",
+      // row quarantine at INGEST time: Quarantine.annotate is map-only,
+      // so the SAME rules run unchanged on a document stream (v06's
+      // batch pass, as arrivals). Defects injected deterministically
+      // (every 13th text emptied, every 17th lang nulled); the drained
+      // annotated sink rolls up per rule and the oracle replays the
+      // whole thing — batch and stream must agree to the hash.
+      (s, d) => {
+        import graft.validations.Quarantine
+        val stream = streamOf(s, s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"))
+          .withColumn("text",
+            when(col("doc_id") % 13 === 0, lit("")).otherwise(col("text")))
+          .withColumn("lang",
+            when(col("doc_id") % 17 === 0, lit(null).cast("string"))
+              .otherwise(col("lang")))
+        val rules = Seq(
+          Quarantine.RowRule("text_nonempty", length(col("text")) > 0),
+          Quarantine.RowRule("lang_present", col("lang").isNotNull))
+        val annotated = Quarantine.annotate(stream, rules)
+        val sink = runBoundedStream(s, annotated, "st14_sink", "append")
+        sink.select(explode(col("violations")).as("rule"))
+          .groupBy("rule").agg(count(lit(1)).as("n_rows"))
+          .unionByName(sink.agg(
+            lit("_rows_clean").as("rule"),
+            sum(when(!col("quarantined"), 1L).otherwise(0L))
+              .as("n_rows")))
+          .unionByName(sink.agg(lit("_rows_total").as("rule"),
+            count(lit(1)).as("n_rows")))
+          .orderBy("rule")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CASE WHEN doc_id % 13 = 0 THEN '' ELSE text END AS text,
+            CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS lang
+          FROM documents),
+        flags AS (SELECT
+            CASE WHEN COALESCE(LENGTH(text) > 0, FALSE)
+              THEN 0 ELSE 1 END AS v_text,
+            CASE WHEN lang IS NOT NULL THEN 0 ELSE 1 END AS v_lang
+          FROM d)
+        SELECT rule, n_rows FROM (
+          SELECT 'text_nonempty' AS rule,
+            CAST(SUM(v_text) AS BIGINT) AS n_rows FROM flags
+          UNION ALL SELECT 'lang_present',
+            CAST(SUM(v_lang) AS BIGINT) FROM flags
+          UNION ALL SELECT '_rows_clean',
+            CAST(SUM(CASE WHEN v_text + v_lang = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) FROM flags
+          UNION ALL SELECT '_rows_total',
+            CAST(COUNT(*) AS BIGINT) FROM flags)
+        ORDER BY rule""")),
 
     Q("st12_stream_cdc_history",
       // CDC change feed → SCD2 history, streaming: each event SETS the

@@ -1234,6 +1234,40 @@ object TextAnalysis {
       .withColumn("host", urlHost(col("url")))
       .withColumn("registered_domain", registeredDomain(col("host")))
 
+  /** Vocabulary-growth curve over ordered corpus slices (Heaps'-law
+   *  empirics — the tokenizer-retraining signal): per slice, token
+   *  occurrences, distinct types, types FIRST seen in that slice, and
+   *  the occurrence mass those new types carry (ppm). A rising
+   *  new-type mass on a daily feed means the tokenizer/vocab trained
+   *  on the standing corpus is going stale. One (slice, token)
+   *  aggregation + one token-keyed min-slice join — token-keyed
+   *  shuffles, never all-pairs; `sliceCol` must sort in arrival order
+   *  (dated slice ids do). */
+  def vocabGrowth(
+      docs: DataFrame,
+      sliceCol: String,
+      textCol: String = "text"): DataFrame = {
+    val tok = docs
+      .select(col(sliceCol).as("slice_id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val perSlice = tok.groupBy("slice_id", "token")
+      .agg(count(lit(1)).as("occ"))
+    val first = perSlice.groupBy("token")
+      .agg(min("slice_id").as("first_slice"))
+    perSlice.join(first, "token")
+      .groupBy("slice_id")
+      .agg(sum("occ").as("n_occurrences"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("first_slice") === col("slice_id"), 1L)
+          .otherwise(0L)).as("n_new_types"),
+        sum(when(col("first_slice") === col("slice_id"), col("occ"))
+          .otherwise(0L)).as("new_occ"))
+      .withColumn("new_occ_ppm",
+        round(lit(1e6) * col("new_occ") / col("n_occurrences"), 0)
+          .cast("long"))
+  }
+
   /** Canonical form of a URL — the crawl-dedup normalization run
    *  before URL-level dedup/frontier logic: scheme and host
    *  lowercase, default port stripped (scheme-appropriate), fragment

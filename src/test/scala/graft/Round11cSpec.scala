@@ -183,6 +183,27 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class VocabGrowthSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("new types attribute to their first slice; mass adds up") {
+    val docs = Seq(
+      ("s0", "a b a"), // s0: tokens a,b — all new
+      ("s1", "a b c c"), // s1: c new (2 occ of 4)
+      ("s2", "a c")) // s2: nothing new
+      .toDF("slice_id", "text")
+    val out = graft.pipeline.TextAnalysis
+      .vocabGrowth(docs, "slice_id").orderBy("slice_id").collect()
+    assert(out.map(_.getAs[Long]("n_new_types")).toSeq == Seq(2L, 1L, 0L))
+    assert(out.map(_.getAs[Long]("new_occ")).toSeq == Seq(3L, 2L, 0L))
+    assert(out.map(_.getAs[Long]("n_occurrences")).toSeq ==
+      Seq(3L, 4L, 2L))
+    assert(out(1).getAs[Long]("new_occ_ppm") == 500000L)
+    assert(out(2).getAs[Long]("new_occ_ppm") == 0L)
+  }
+}
+
 class RandomProjectionSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
