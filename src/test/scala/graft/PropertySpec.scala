@@ -157,4 +157,82 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("bottomKSample: merge of arbitrary slice partitions equals the " +
+      "union's direct sample, for any k") {
+    for (seed <- 1L to 5L) {
+      val ids = sample(genIds, seed)
+      if (ids.size >= 4) {
+        val k = (ids.size / 2).max(1)
+        val df = ids.toDF("doc_id")
+        val cut = ids(ids.size / 3)
+        val direct = Sampling.bottomKSample(df, k)
+          .collect().map(_.getLong(0)).toSet
+        val merged = Sampling.mergeBottomK(
+            Sampling.bottomKSample(df.filter($"doc_id" <= cut), k)
+              .unionByName(
+                Sampling.bottomKSample(df.filter($"doc_id" > cut), k)), k)
+          .collect().map(_.getLong(0)).toSet
+        assert(merged == direct, s"seed=$seed k=$k: merge ≠ direct")
+      }
+    }
+  }
+
+  test("CountMin: estimates never under-count, for arbitrary corpora") {
+    import graft.profiler.CountMin
+    for (seed <- 1L to 3L) {
+      val vals = sample(Gen.listOfN(120, Gen.chooseNum(0L, 15L)), seed)
+      val df = vals.toDF("v")
+      val exact = vals.groupBy(identity).map { case (v, xs) =>
+        v -> xs.size.toLong }
+      val merged = CountMin.merge(CountMin.sliceState(df, "v", "s"))
+      val est = CountMin.estimate(merged, vals.distinct.toDF("value"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("est_count"))
+        .toMap
+      exact.foreach { case (v, c) =>
+        assert(est(v) >= c, s"seed=$seed: CMS under-counted $v")
+      }
+    }
+  }
+
+  test("canonicalizeUrl is idempotent on its own output") {
+    import graft.pipeline.TextAnalysis
+    val genUrl: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "https")
+      host <- Gen.oneOf("E.com", "www.Example.co.uk", "api.x.org")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/a/b", "/a/b/")
+      q <- Gen.oneOf("", "?z=1&a=2", "?utm_source=x&b=1", "?utm_campaign=y")
+      frag <- Gen.oneOf("", "#top")
+    } yield s"$scheme://$host$port$path$q$frag"
+    for (seed <- 1L to 5L) {
+      val urls = sample(Gen.listOfN(12, genUrl), seed)
+      val once = urls.toDF("u")
+        .select(TextAnalysis.canonicalizeUrl($"u").as("c"))
+        .collect().map(_.getString(0)).toSeq
+      val twice = once.toDF("u")
+        .select(TextAnalysis.canonicalizeUrl($"u").as("c"))
+        .collect().map(_.getString(0)).toSeq
+      assert(twice == once, s"seed=$seed: canonicalize not idempotent")
+    }
+  }
+
+  test("Evolution.widenedSchema is order-insensitive and idempotent") {
+    import graft.sources.Evolution
+    import org.apache.spark.sql.types._
+    val types = Seq(IntegerType, LongType, FloatType, DoubleType,
+      ShortType)
+    for (seed <- 1L to 5L) {
+      val picks = sample(Gen.listOfN(4, Gen.oneOf(types)), seed)
+      val schemas = picks.map(t =>
+        StructType(Seq(StructField("c", t))))
+      val fwd = Evolution.widenedSchema(schemas)("c").dataType
+      val rev = Evolution.widenedSchema(schemas.reverse)("c").dataType
+      assert(fwd == rev, s"seed=$seed: widening depends on order")
+      val again = Evolution.widenedSchema(
+        Seq(StructType(Seq(StructField("c", fwd))))
+          ++ schemas)("c").dataType
+      assert(again == fwd, s"seed=$seed: widening not idempotent")
+    }
+  }
 }
