@@ -146,7 +146,11 @@ object Soak {
     "e20_random_projection",
     // batch 16: the vocab-growth curve (token-keyed shuffles) and
     // streaming quarantine (map-only rules on arrivals)
-    "x73_vocab_growth", "st14_stream_quarantine")
+    "x73_vocab_growth", "st14_stream_quarantine",
+    // batch 17: the forecast backtest (events-keyed series folds) and
+    // the partition-pruned write+read (events-keyed — the pruned scan
+    // must stay 7-directories-bound as the log grows)
+    "a21_forecast_backtest", "s18_partition_pruning")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

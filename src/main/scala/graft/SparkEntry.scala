@@ -1709,6 +1709,77 @@ object SparkEntry {
         FROM holt h JOIN n ON n.event_type = h.event_type AND h.t = n.n
         ORDER BY h.event_type""")),
 
+    Q("a21_forecast_backtest",
+      // forecast backtest (the go-live gate for a16's expected
+      // ranges): fit Holt on days before Jan 24, score the 7-day
+      // held-out tail k-steps-ahead, and compare MAE against the
+      // naive last-value baseline — a forecaster that can't beat
+      // persistence shouldn't set alert ranges. Micro-unit error
+      // quantization before integer per-series sums makes the verdict
+      // engine-exact; the oracle replays the Holt recursion (a16's
+      // recursive CTE) over the truncated series plus the whole
+      // backtest arithmetic.
+      (s, d) => graft.anomalies.Forecast.holtBacktest(
+          dailySeries(s, d), Seq("event_type"), "day", "value",
+          cutoff = lit(java.sql.Date.valueOf("2024-01-24")))
+        .orderBy("event_type"),
+      Some(s"""WITH RECURSIVE allseries AS ($duckDailySeries),
+        series AS (SELECT * FROM allseries
+          WHERE day < DATE '2024-01-24'),
+        o AS (SELECT event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+          FROM series),
+        n AS (SELECT event_type, MAX(t) AS n FROM o GROUP BY 1
+          HAVING MAX(t) >= 2),
+        init AS (
+          SELECT o1.event_type, 2 AS t,
+            CAST(0.5 AS DOUBLE) * o2.value
+              + CAST(0.5 AS DOUBLE) * (o1.value + (o2.value - o1.value))
+              AS l,
+            CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * o2.value
+                + CAST(0.5 AS DOUBLE) * (o1.value + (o2.value - o1.value)))
+              - o1.value)
+              + CAST(0.7 AS DOUBLE) * (o2.value - o1.value) AS b
+          FROM o o1 JOIN o o2 ON o1.event_type = o2.event_type
+            AND o1.t = 1 AND o2.t = 2),
+        holt AS (
+          SELECT * FROM init
+          UNION ALL
+          SELECT h.event_type, h.t + 1,
+            CAST(0.5 AS DOUBLE) * o.value
+              + CAST(0.5 AS DOUBLE) * (h.l + h.b),
+            CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * o.value
+                + CAST(0.5 AS DOUBLE) * (h.l + h.b)) - h.l)
+              + CAST(0.7 AS DOUBLE) * h.b
+          FROM holt h JOIN o ON o.event_type = h.event_type
+            AND o.t = h.t + 1),
+        fit AS (SELECT h.event_type, h.l AS level, h.b AS trend
+          FROM holt h JOIN n ON n.event_type = h.event_type
+            AND h.t = n.n),
+        lastfit AS (SELECT event_type, MAX(day) AS last_day
+          FROM series GROUP BY 1),
+        naive AS (SELECT s.event_type, s.value AS nv
+          FROM series s JOIN lastfit lf
+            ON s.event_type = lf.event_type AND s.day = lf.last_day),
+        hold AS (SELECT * FROM allseries
+          WHERE day >= DATE '2024-01-24'),
+        j AS (SELECT h.event_type,
+            CAST(ROUND(ABS(h.value - (f.level +
+              CAST(date_diff('day', lf.last_day, h.day) AS DOUBLE)
+                * f.trend)) * 1e6, 0) AS BIGINT) AS eh,
+            CAST(ROUND(ABS(h.value - nv.nv) * 1e6, 0) AS BIGINT) AS en
+          FROM hold h
+          JOIN fit f ON f.event_type = h.event_type
+          JOIN lastfit lf ON lf.event_type = h.event_type
+          JOIN naive nv ON nv.event_type = h.event_type)
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_holdout,
+          ROUND(CAST(SUM(eh) AS DOUBLE) / COUNT(*) / 1e6, 6)
+            AS mae_holt,
+          ROUND(CAST(SUM(en) AS DOUBLE) / COUNT(*) / 1e6, 6)
+            AS mae_naive,
+          SUM(eh) < SUM(en) AS holt_beats_naive
+        FROM j GROUP BY event_type ORDER BY event_type""")),
+
     Q("a17_changepoint",
       // changepoint localization (binary segmentation, one level):
       // a15's CUSUM says "something drifted", this says WHERE the level
@@ -5983,6 +6054,37 @@ object SparkEntry {
              CAST(CEIL(2.718281828459045 * n.n / 256.0) AS BIGINT))
             AS within_bound
         FROM ex e JOIN est USING (value), n ORDER BY e.value""")),
+
+    Q("s18_partition_pruning",
+      // Hive-style partition pruning (the third scan-skipping leg
+      // beside zone maps s11 and bloom filters s12): events written
+      // partitioned BY DAY, a 7-day window read back — the planner
+      // must open only 7 of 30 directories (PartitionPruningSpec
+      // asserts PartitionFilters in the scan), and the pruned result
+      // must equal the plain filter over the unpartitioned table,
+      // which is exactly what the oracle computes.
+      (s, d) => {
+        val state = freshState(s, "s18p")
+        eventsTable(s, d)
+          .withColumn("day", to_date(col("ts")))
+          .select("day", "event_type", "user_id")
+          .write.partitionBy("day").mode("overwrite")
+          .parquet(state + "/by_day")
+        s.read.parquet(state + "/by_day")
+          .filter(col("day") >= lit("2024-01-11") &&
+            col("day") <= lit("2024-01-17"))
+          .groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("day", "event_type")
+      },
+      Some("""SELECT CAST(ts AS DATE) AS day, event_type,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-11'
+          AND DATE '2024-01-17'
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     Q("s17_schema_merge",
       // schema-evolution reader: two snapshots of the same table that

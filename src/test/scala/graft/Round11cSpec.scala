@@ -183,6 +183,56 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class HoltBacktestSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("perfect-trend series: Holt beats naive; flat series: at worst ties") {
+    import java.sql.Date
+    def day(d: Int) = Date.valueOf(f"2024-01-$d%02d")
+    // linear series 10,20,...: Holt extrapolates exactly, naive lags
+    val lin = (1 to 14).map(d => ("lin", day(d), d * 10.0))
+    // flat series: both predict perfectly
+    val flat = (1 to 14).map(d => ("flat", day(d), 5.0))
+    val out = graft.anomalies.Forecast.holtBacktest(
+        (lin ++ flat).toDF("series", "day", "value"),
+        Seq("series"), "day", "value",
+        cutoff = org.apache.spark.sql.functions.lit(day(11)))
+      .orderBy("series").collect()
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    assert(byName("lin").getAs[Boolean]("holt_beats_naive"))
+    assert(byName("lin").getAs[Double]("mae_holt") < 1.0)
+    assert(byName("lin").getAs[Double]("mae_naive") > 10.0)
+    assert(byName("flat").getAs[Double]("mae_holt") == 0.0)
+    assert(byName("flat").getAs[Double]("mae_naive") == 0.0)
+    assert(out.forall(_.getAs[Long]("n_holdout") == 4))
+  }
+}
+
+class PartitionPruningSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  import org.apache.spark.sql.functions._
+
+  test("day filter reaches the scan as a PartitionFilter") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("partprune").toString
+    SparkEntry.eventsTable(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .select("day", "event_type")
+      .write.partitionBy("day").parquet(s"$dir/by_day")
+    val pruned = spark.read.parquet(s"$dir/by_day")
+      .filter(col("day") === lit("2024-01-05"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"),
+      plan.take(1500))
+    // and the pruned read equals the plain filter
+    val full = SparkEntry.eventsTable(spark, sfDir)
+      .filter(to_date(col("ts")) === lit("2024-01-05")).count()
+    assert(pruned.count() == full)
+  }
+}
+
 class VocabGrowthSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
