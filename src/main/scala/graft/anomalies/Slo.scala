@@ -65,8 +65,13 @@ object Slo {
         (total * budgetPpm).cast("double"), 0).cast("long")
     // integer alert test: err/total ≥ (alertPpm/1e6)·(budgetPpm/1e6)
     //   ⇔ err · 1e12 ≥ total · alertPpm · budgetPpm
+    // — through DECIMAL, because the Long form overflows once
+    // total · alertPpm · budgetPpm passes 2^63 (≈31M events/hour at
+    // these defaults — reachable for a busy service); decimal keeps
+    // the comparison exact-integer at any volume
     def hot(err: Column, total: Column): Column =
-      err * lit(1000000000000L) >= total * lit(alertPpm * budgetPpm)
+      err.cast("decimal(38,0)") * lit(1000000000000L) >=
+        total.cast("decimal(38,0)") * lit(alertPpm * budgetPpm)
     windowed.select(
       date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
       col("err_1h"), col("total_1h"),

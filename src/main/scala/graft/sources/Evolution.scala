@@ -37,7 +37,14 @@ object Evolution {
         val scale = math.max(x.scale, y.scale)
         val intDigits = math.max(x.precision - x.scale,
           y.precision - y.scale)
-        DecimalType(math.min(38, intDigits + scale), scale)
+        // covering both sides can exceed Decimal's 38-digit ceiling
+        // (e.g. (38,0) ∪ (10,6) needs 44); clamping silently would
+        // truncate integer digits — data corruption, so refuse
+        if (intDigits + scale > 38)
+          sys.error(s"column '$name' cannot widen losslessly: " +
+            s"${x.simpleString} ∪ ${y.simpleString} needs " +
+            s"decimal(${intDigits + scale}, $scale) > decimal(38)")
+        DecimalType(intDigits + scale, scale)
       case (x, y) if numericRank.contains(x) && numericRank.contains(y) =>
         // int-family × float-family mixes land on double: a long does
         // not fit a float, and a float's fraction does not fit a long

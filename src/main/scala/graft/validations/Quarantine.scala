@@ -24,6 +24,9 @@ object Quarantine {
    *  VIOLATIONS — an unevaluable rule must not wave a row through. */
   def annotate(df: DataFrame, rules: Seq[RowRule]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "rule names must be distinct — duplicates would collide in the " +
+        "violations array and the summary's stacked aggregate")
     val marks = rules.map(r =>
       when(coalesce(r.valid, lit(false)), lit(null).cast("string"))
         .otherwise(lit(r.name)))

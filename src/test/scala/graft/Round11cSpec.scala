@@ -49,6 +49,20 @@ class SloSpec extends AnyFunSuite {
       "err/total == threshold·budget must page (≥, integer-exact)")
   }
 
+  test("alert decision survives 100M-event hours (the Long form overflows)") {
+    import java.sql.Timestamp
+    // 1e8 events/hour: total · alertPpm · budgetPpm ≈ 3e19 > 2^63
+    val hourly = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 40000000L, 100000000L),
+      (Timestamp.valueOf("2024-01-01 01:00:00"), 1000000L, 100000000L))
+      .toDF("hour", "err_1h", "total_1h")
+    val out = Slo.burnFromHourly(hourly, sloPpm = 750000L,
+        alertPpm = 1200000L, longWindowHours = 6)
+      .orderBy("hour").collect()
+    assert(out(0).getAs[Boolean]("page"), "40% errors at 1e8/h must page")
+    assert(!out(1).getAs[Boolean]("page"))
+  }
+
   test("rejects a degenerate SLO") {
     intercept[IllegalArgumentException] {
       Slo.burnRate(ev(0, 1, 1).toDF("ts", "event_type"), sloPpm = 0L)
