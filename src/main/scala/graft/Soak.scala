@@ -150,7 +150,10 @@ object Soak {
     // batch 17: the forecast backtest (events-keyed series folds) and
     // the partition-pruned write+read (events-keyed — the pruned scan
     // must stay 7-directories-bound as the log grows)
-    "a21_forecast_backtest", "s18_partition_pruning")
+    "a21_forecast_backtest", "s18_partition_pruning",
+    // batch 18: incremental vocab ingest (token-keyed anti-join — the
+    // O(slice) contract must hold as the corpus grows)
+    "x74_incremental_vocab")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

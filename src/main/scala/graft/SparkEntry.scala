@@ -5576,6 +5576,54 @@ object SparkEntry {
         FROM ps JOIN f USING (token)
         GROUP BY ps.slice_id ORDER BY ps.slice_id""")),
 
+    Q("x74_incremental_vocab",
+      // x73's daily-ingest twin: the standing corpus (first third of
+      // ids) signs ONCE into a persisted distinct-token store; each
+      // later slice measures its new-type mass with one token-keyed
+      // anti-join at O(slice) and appends only its new tokens — old
+      // text never re-read, the store grows with the VOCABULARY.
+      // Growth lanes must equal the from-scratch x73 math, which is
+      // exactly what the oracle computes over the full corpus.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val third = (maxId + 1L) / 3L
+        val store = freshState(s, "x74") + "/vocab"
+        TextAnalysis.vocabStoreCreate(
+          docs.filter(col("doc_id") < third), store)
+        val r1 = TextAnalysis.vocabStoreIngest(store,
+          docs.filter(col("doc_id") >= third &&
+            col("doc_id") < 2 * third), "s1")
+        val r2 = TextAnalysis.vocabStoreIngest(store,
+          docs.filter(col("doc_id") >= 2 * third), "s2")
+        r1.unionByName(r2).orderBy("slice_id")
+      },
+      Some("""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        d AS (SELECT 's' || CAST(LEAST(doc_id // ((m + 1) // 3), 2)
+            AS VARCHAR) AS slice_id, text
+          FROM documents, mx),
+        tok AS (SELECT slice_id, unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0)) AS token
+          FROM d),
+        ps AS (SELECT slice_id, token, CAST(COUNT(*) AS BIGINT) AS occ
+          FROM tok GROUP BY 1, 2),
+        f AS (SELECT token, MIN(slice_id) AS first_slice
+          FROM ps GROUP BY 1)
+        SELECT ps.slice_id,
+          CAST(SUM(ps.occ) AS BIGINT) AS n_occurrences,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(CASE WHEN f.first_slice = ps.slice_id
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_new_types,
+          CAST(SUM(CASE WHEN f.first_slice = ps.slice_id
+            THEN ps.occ ELSE 0 END) AS BIGINT) AS new_occ,
+          CAST(ROUND(1e6 * SUM(CASE WHEN f.first_slice = ps.slice_id
+            THEN ps.occ ELSE 0 END) / SUM(ps.occ), 0) AS BIGINT)
+            AS new_occ_ppm
+        FROM ps JOIN f USING (token)
+        WHERE ps.slice_id IN ('s1', 's2')
+        GROUP BY ps.slice_id ORDER BY ps.slice_id""")),
+
     Q("x12_tfidf_keywords",
       // TF-IDF keyword extraction: top-3 terms per doc, idf over the FULL
       // corpus (token-keyed partial aggs, vocab-sized join), output

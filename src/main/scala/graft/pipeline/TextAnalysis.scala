@@ -1268,6 +1268,67 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** Persisted vocabulary store — [[vocabGrowth]]'s incremental twin
+   *  (the minhash-store shape for tokens): the standing corpus signs
+   *  ONCE into a distinct-token table; each daily slice then measures
+   *  its new-type mass against the store with one token-keyed
+   *  anti-join and appends only its new tokens — old text is never
+   *  re-read, and the store grows with the VOCABULARY (Heaps-sublinear),
+   *  not the corpus. */
+  def vocabStoreCreate(
+      docs: DataFrame,
+      path: String,
+      textCol: String = "text"): Unit =
+    docs.select(explode(split(lower(trim(col(textCol))), "\\s+"))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** One slice's growth report against (and into) the store: the
+   *  x73 lanes — occurrences, types, new types, new-type occurrence
+   *  mass — computed at O(slice), then the new tokens APPEND. Caller
+   *  contract mirrors `minhashStoreAppend`: ingest each slice once. */
+  def vocabStoreIngest(
+      path: String,
+      newDocs: DataFrame,
+      sliceId: String,
+      textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val perTok = newDocs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+"))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("occ"))
+      .cache()
+    try {
+      val store = spark.read.parquet(path)
+      val fresh = perTok.join(store, Seq("token"), "left_anti").cache()
+      try {
+        // the report COLLECTS before the append mutates the store: a
+        // lazily-returned frame would re-run the anti-join against the
+        // grown directory and report zero new types (and the append
+        // must not re-scan the directory it is writing into, so the
+        // cache materializes first)
+        val totals = perTok.agg(
+          coalesce(sum("occ"), lit(0L)).as("n_occurrences"),
+          count(lit(1)).as("n_types")).head()
+        val news = fresh.agg(
+          count(lit(1)).as("n_new_types"),
+          coalesce(sum("occ"), lit(0L)).as("new_occ")).head()
+        fresh.select("token").write.mode("append").parquet(path)
+        val nOcc = totals.getAs[Long]("n_occurrences")
+        val newOcc = news.getAs[Long]("new_occ")
+        Seq((sliceId, nOcc, totals.getAs[Long]("n_types"),
+          news.getAs[Long]("n_new_types"), newOcc,
+          if (nOcc == 0) 0L else math.round(1e6 * newOcc / nOcc.toDouble)))
+          .toDF("slice_id", "n_occurrences", "n_types", "n_new_types",
+            "new_occ", "new_occ_ppm")
+      } finally fresh.unpersist()
+    } finally perTok.unpersist()
+  }
+
   /** Canonical form of a URL — the crawl-dedup normalization run
    *  before URL-level dedup/frontier logic: scheme and host
    *  lowercase, default port stripped (scheme-appropriate), fragment

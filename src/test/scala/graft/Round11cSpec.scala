@@ -251,6 +251,27 @@ class VocabGrowthSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
 
+  test("incremental store ingest equals the from-scratch growth lanes") {
+    val store = java.nio.file.Files
+      .createTempDirectory("vocabstore").toString + "/v"
+    val s0 = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val s1 = Seq((2L, "a b c c")).toDF("doc_id", "text")
+    val s2 = Seq((3L, "a c")).toDF("doc_id", "text")
+    graft.pipeline.TextAnalysis.vocabStoreCreate(s0, store)
+    val r1 = graft.pipeline.TextAnalysis
+      .vocabStoreIngest(store, s1, "s1").head()
+    assert(r1.getAs[Long]("n_occurrences") == 4)
+    assert(r1.getAs[Long]("n_new_types") == 1) // c
+    assert(r1.getAs[Long]("new_occ") == 2)
+    assert(r1.getAs[Long]("new_occ_ppm") == 500000L)
+    val r2 = graft.pipeline.TextAnalysis
+      .vocabStoreIngest(store, s2, "s2").head()
+    assert(r2.getAs[Long]("n_new_types") == 0,
+      "c entered the store in s1 — s2 must see nothing new")
+    // store now holds exactly the union vocabulary
+    assert(spark.read.parquet(store).distinct().count() == 3)
+  }
+
   test("new types attribute to their first slice; mass adds up") {
     val docs = Seq(
       ("s0", "a b a"), // s0: tokens a,b — all new
