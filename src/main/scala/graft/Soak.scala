@@ -153,7 +153,10 @@ object Soak {
     "a21_forecast_backtest", "s18_partition_pruning",
     // batch 18: incremental vocab ingest (token-keyed anti-join — the
     // O(slice) contract must hold as the corpus grows)
-    "x74_incremental_vocab")
+    "x74_incremental_vocab",
+    // batch 19: the Zipf fit (one token-count shuffle + a 100-row
+    // fit) and the PQ distortion audit (embeddings-keyed code join)
+    "x75_zipf_fit", "e21_pq_distortion")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -4714,6 +4714,63 @@ object SparkEntry {
           ON hits.method = m.method AND hits.query_id = nex.query_id
         ORDER BY m.method, nex.query_id""")),
 
+    Q("e21_pq_distortion",
+      // PQ reconstruction-distortion audit — the third index-quality
+      // lane beside e17's recall and e19's balance: per subquantizer,
+      // the mean squared distance between each vector's sub-segment
+      // and its assigned centroid (what ADC error is MADE of; a hot
+      // subquantizer tells you where to spend more codebook bits).
+      // Computed FROM the persisted codes+codebooks with higher-order
+      // functions — the identical arithmetic the oracle replays over
+      // the same parquet. Per-vector distortions quantize to micro
+      // before the per-sub integer sums.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val state = freshState(s, "e21")
+        Similarity.pqSave(Similarity.pqBuild(emb, m = 8, ks = 16), state)
+        val cb = s.read.parquet(state + "/codebooks")
+          .select(col("sub").as("cb_sub"), col("code").as("cb_code"),
+            col("centroid"))
+        val assigned = s.read.parquet(state + "/codes")
+          .select(col("vec_id"),
+            posexplode(col("code")).as(Seq("sub", "cd")))
+          .join(emb, "vec_id")
+          .join(cb, col("sub") === col("cb_sub") &&
+            col("cd") === col("cb_code"))
+        val dist = expr(
+          """aggregate(zip_with(
+            |  slice(embedding, sub * 8 + 1, 8), centroid,
+            |  (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+            |  0D, (acc, x) -> acc + x)""".stripMargin)
+        assigned
+          .withColumn("__d_micro", round(dist * 1e6, 0).cast("long"))
+          .groupBy(col("sub"))
+          .agg(count(lit(1)).as("n_vectors"),
+            round(sum("__d_micro").cast("double") / count(lit(1)) / 1e6, 6)
+              .as("mse"))
+          .orderBy("sub")
+      },
+      Some("""WITH cb AS (SELECT sub, code, centroid
+          FROM read_parquet('/tmp/graft_qstate/e21/codebooks/*.parquet')),
+        codes AS (SELECT vec_id, code
+          FROM read_parquet('/tmp/graft_qstate/e21/codes/*.parquet')),
+        ex AS (SELECT vec_id, CAST(t.i AS INT) - 1 AS sub,
+            code[CAST(t.i AS INT)] AS cd
+          FROM codes, range(1, 9) t(i)),
+        j AS (SELECT ex.vec_id, ex.sub,
+            CAST(ROUND(list_sum(list_transform(range(1, 9),
+              i -> (CAST(e.embedding[ex.sub * 8 + i] AS DOUBLE)
+                      - cb.centroid[i])
+                 * (CAST(e.embedding[ex.sub * 8 + i] AS DOUBLE)
+                      - cb.centroid[i]))) * 1e6, 0) AS BIGINT)
+              AS d_micro
+          FROM ex
+          JOIN embeddings e ON e.vec_id = ex.vec_id
+          JOIN cb ON cb.sub = ex.sub AND cb.code = ex.cd)
+        SELECT sub, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+          ROUND(CAST(SUM(d_micro) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mse
+        FROM j GROUP BY sub ORDER BY sub""")),
+
     Q("e07_semantic_dedup",
       // SemDeDup: coarse cells (8 fixed centroids = the first 8 vectors,
       // normalized — deterministic, so DuckDB replays the exact
@@ -5575,6 +5632,44 @@ object SparkEntry {
             AS new_occ_ppm
         FROM ps JOIN f USING (token)
         GROUP BY ps.slice_id ORDER BY ps.slice_id""")),
+
+    Q("x75_zipf_fit",
+      // Zipf power-law fit (the one-number corpus fingerprint:
+      // natural text sits near slope −1; templated corpora drift
+      // shallow, truncation artifacts steep): least-squares of
+      // ln(freq) on ln(rank) over the top-100 tokens. The count pass
+      // is the only corpus-bound stage; ln values quantize to micro
+      // units before the integer moment sums, so both engines derive
+      // slope and intercept from identical integers.
+      (s, d) => TextAnalysis.zipfFit(t(s, d, "documents"), top = 100),
+      Some("""WITH tok AS (
+          SELECT unnest(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0)) AS token
+          FROM documents),
+        freqs AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1
+          ORDER BY cnt DESC, token LIMIT 100),
+        pts AS (SELECT
+            CAST(ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC,
+              token) AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+            CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1e6, 0) AS BIGINT)
+              AS y
+          FROM freqs),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+            CAST(SUM(x * y) AS BIGINT) AS sxy,
+            CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM pts)
+        SELECT n AS n_points,
+          ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+            AS zipf_slope,
+          ROUND((sy - ((CAST(n AS DOUBLE) * sxy
+              - CAST(sx AS DOUBLE) * sy)
+            / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+              * sx) / n / 1e6, 6) AS ln_intercept
+        FROM mm""")),
 
     Q("x74_incremental_vocab",
       // x73's daily-ingest twin: the standing corpus (first third of

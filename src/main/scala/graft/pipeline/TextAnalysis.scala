@@ -1268,6 +1268,57 @@ object TextAnalysis {
           .cast("long"))
   }
 
+  /** Zipf power-law fit over the token frequency distribution: the
+   *  least-squares slope of ln(freq) against ln(rank) over the top
+   *  `top` tokens — natural corpora sit near −1; a corpus of
+   *  templated/synthetic text drifts shallow, truncation/dedup
+   *  artifacts drift steep, so the exponent is a one-number corpus
+   *  fingerprint. Exactness: the token count pass is corpus-bound;
+   *  the fit runs over `top` rows with ln values QUANTIZED to
+   *  micro-units before the integer moment sums (Σx, Σy, Σxy, Σx²),
+   *  so both engines derive slope/intercept from identical integers
+   *  and one closing double division. */
+  def zipfFit(
+      docs: DataFrame,
+      top: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    require(top >= 3, "need at least 3 rank points")
+    val freqs = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+"))
+        .as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(top)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token").asc)
+    val pts = freqs
+      .withColumn("rank", row_number().over(w)) // ≤ `top` rows: tiny
+      .withColumn("x", round(log(col("rank").cast("double")) * 1e6, 0)
+        .cast("long"))
+      .withColumn("y", round(log(col("cnt").cast("double")) * 1e6, 0)
+        .cast("long"))
+    val m = pts.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx")).head()
+    val n = m.getAs[Long]("n")
+    val (sx, sy, sxy, sxx) = (m.getAs[Long]("sx"), m.getAs[Long]("sy"),
+      m.getAs[Long]("sxy"), m.getAs[Long]("sxx"))
+    val slope = (n.toDouble * sxy - sx.toDouble * sy) /
+      (n.toDouble * sxx - sx.toDouble * sx)
+    val intercept = (sy - slope * sx) / n / 1e6
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((n,
+      BigDecimal(slope).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(intercept).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_points", "zipf_slope", "ln_intercept")
+  }
+
   /** Persisted vocabulary store — [[vocabGrowth]]'s incremental twin
    *  (the minhash-store shape for tokens): the standing corpus signs
    *  ONCE into a distinct-token table; each daily slice then measures

@@ -197,6 +197,59 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class ZipfFitSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("a 1/rank corpus fits slope ≈ −1; a uniform corpus fits ≈ 0") {
+    // token w_r appears ⌈1000/r⌉ times, r = 1..20
+    val zipfText = (1 to 20)
+      .flatMap(r => Seq.fill(math.ceil(1000.0 / r).toInt)(s"w$r"))
+      .mkString(" ")
+    val z = graft.pipeline.TextAnalysis.zipfFit(
+      Seq((1L, zipfText)).toDF("doc_id", "text"), top = 20).head()
+    assert(math.abs(z.getAs[Double]("zipf_slope") + 1.0) < 0.02,
+      s"zipfian corpus slope ${z.getAs[Double]("zipf_slope")}")
+    val uniText = (1 to 20).flatMap(r => Seq.fill(50)(s"u$r"))
+      .mkString(" ")
+    val u = graft.pipeline.TextAnalysis.zipfFit(
+      Seq((1L, uniText)).toDF("doc_id", "text"), top = 20).head()
+    assert(math.abs(u.getAs[Double]("zipf_slope")) < 0.01,
+      s"uniform corpus slope ${u.getAs[Double]("zipf_slope")}")
+  }
+}
+
+class PqDistortionSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.Similarity
+
+  test("ks >= corpus size drives reconstruction distortion to zero") {
+    // 16 vectors, ks=16 → every vector becomes its own centroid
+    val vecs = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(16)(j => (i * 16 + j).toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    val pq = Similarity.pqBuild(vecs, m = 2, ks = 16, lloydIters = 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("pqdist").toString
+    Similarity.pqSave(pq, dir)
+    val cb = spark.read.parquet(s"$dir/codebooks")
+      .select(col("sub").as("cb_sub"), col("code").as("cb_code"),
+        col("centroid"))
+    val dist = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id"), posexplode(col("code")).as(Seq("sub", "cd")))
+      .join(vecs, "vec_id")
+      .join(cb, col("sub") === col("cb_sub") && col("cd") === col("cb_code"))
+      .withColumn("d", expr(
+        """aggregate(zip_with(slice(embedding, sub * 8 + 1, 8), centroid,
+          |(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),
+          |0D, (acc, x) -> acc + x)""".stripMargin))
+      .agg(max("d")).head().getDouble(0)
+    assert(dist < 1e-9, s"max distortion $dist should be ~0 at ks=n")
+  }
+}
+
 class HoltBacktestSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
