@@ -3207,6 +3207,52 @@ object SparkEntry {
         FROM read_parquet('/tmp/graft_qstate/m02/samples/*.parquet')
         GROUP BY id ORDER BY id""")),
 
+    Q("m09_silence_trim",
+      // audio silence trimming (the speech-corpus preprocessing step:
+      // leading/trailing silence is storage and compute paid for
+      // nothing): over REAL WAV PCM decode, find each clip's first
+      // and last sample above the 1e-3 amplitude gate and report the
+      // trim points + retained fraction. The synthetic corpus's
+      // id%5-length silence prefixes are exactly what the trimmer
+      // must find. Sample grain persists (the m02 replay pattern) and
+      // the oracle re-derives every trim point in SQL.
+      (s, _) => {
+        val clips = Multimodal.syntheticAudioCorpus(s, 200)
+        val samples = clips.select(col("id"),
+          posexplode(Multimodal.audioSamples(col("bytes"))))
+          .select(col("id"), col("pos").as("idx"),
+            col("col").cast("double").as("v"))
+        samples.write.mode("overwrite")
+          .parquet(freshState(s, "m09") + "/samples")
+        samples.groupBy("id").agg(
+            count(lit(1)).as("n_samples"),
+            min(when(abs(col("v")) > 0.001, col("idx")))
+              .as("first_voiced"),
+            max(when(abs(col("v")) > 0.001, col("idx")))
+              .as("last_voiced"))
+          .withColumn("retained_ppm",
+            when(col("first_voiced").isNull, 0L)
+              .otherwise(round(lit(1e6) *
+                (col("last_voiced") - col("first_voiced") + 1) /
+                col("n_samples"), 0).cast("long")))
+          .orderBy("id")
+      },
+      Some("""SELECT id, COUNT(*) AS n_samples,
+          MIN(CASE WHEN abs(v) > CAST(0.001 AS DOUBLE) THEN idx END)
+            AS first_voiced,
+          MAX(CASE WHEN abs(v) > CAST(0.001 AS DOUBLE) THEN idx END)
+            AS last_voiced,
+          CASE WHEN MIN(CASE WHEN abs(v) > CAST(0.001 AS DOUBLE)
+              THEN idx END) IS NULL THEN 0
+            ELSE CAST(ROUND(1e6 *
+              (MAX(CASE WHEN abs(v) > CAST(0.001 AS DOUBLE)
+                THEN idx END)
+               - MIN(CASE WHEN abs(v) > CAST(0.001 AS DOUBLE)
+                THEN idx END) + 1)
+              / COUNT(*), 0) AS BIGINT) END AS retained_ppm
+        FROM read_parquet('/tmp/graft_qstate/m09/samples/*.parquet')
+        GROUP BY id ORDER BY id""")),
+
     Q("m03_video_frames",
       // video-frame aggregates over REAL MJPEG-in-AVI decode of a
       // deterministic synthetic corpus: the AVI container walk yields

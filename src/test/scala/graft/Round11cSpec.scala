@@ -731,6 +731,33 @@ class StreamingSloSpec extends AnyFunSuite {
   }
 }
 
+class SilenceTrimSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.Multimodal
+
+  test("the id%5 silence prefixes are found exactly") {
+    val clips = Multimodal.syntheticAudioCorpus(spark, 10,
+      samplesPerClip = 400)
+    val trims = clips.select(col("id"),
+        posexplode(Multimodal.audioSamples(col("bytes")))
+          .as(Seq("idx", "v")))
+      .groupBy("id")
+      .agg(min(when(abs(col("v")) > 0.001, col("idx")))
+        .as("first_voiced"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("first_voiced"))
+      .toMap
+    (0L to 9L).foreach { id =>
+      // the tone's own first sample is sin(0) = 0, so the first sample
+      // past the gate is one AFTER the silence prefix ends
+      val expected = ((id % 5) * 400 / 10).toInt + 1
+      assert(trims(id) == expected,
+        s"clip $id: first voiced ${trims(id)} != silence end $expected")
+    }
+  }
+}
+
 class AudioFingerprintSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
