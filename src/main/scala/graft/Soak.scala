@@ -156,7 +156,11 @@ object Soak {
     "x74_incremental_vocab",
     // batch 19: the Zipf fit (one token-count shuffle + a 100-row
     // fit) and the PQ distortion audit (embeddings-keyed code join)
-    "x75_zipf_fit", "e21_pq_distortion")
+    "x75_zipf_fit", "e21_pq_distortion",
+    // batch 20/21: the KMV overlap matrix (one shingle pass + O(N·k)
+    // sketch-row pair work — must never touch text quadratically).
+    // m09 runs on a synthetic in-memory audio corpus.
+    "x76_overlap_matrix")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -5717,6 +5717,53 @@ object SparkEntry {
               * sx) / n / 1e6, 6) AS ln_intercept
         FROM mm""")),
 
+    Q("x76_overlap_matrix",
+      // the full pairwise source-overlap matrix (the release audit
+      // "which sources duplicate each other") from per-source KMV
+      // sketches: one shingle pass builds all N sketches, every pair
+      // estimates from the bottom-k of its sketch union — O(N·k)
+      // sketch rows, never N² corpus passes. md5-deterministic, so
+      // the oracle replays every estimate exactly (x48's contract,
+      // matrix-wide). Pairs with zero sampled intersection are
+      // dropped to keep the pinned result meaningful.
+      (s, d) => Dedup.kmvOverlapMatrix(t(s, d, "documents"), k = 256)
+        .filter(col("sample_inter") > 0)
+        .orderBy("src_a", "src_b"),
+      Some("""WITH toks AS (
+          SELECT source AS src, string_split_regex(lower(trim(text)),
+            '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT src, md5(s) AS h FROM (
+            SELECT src, unnest(list_distinct(list_transform(
+              range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+            FROM toks WHERE len(w) >= 3)),
+        sk AS (SELECT src, h FROM (
+            SELECT src, h, ROW_NUMBER() OVER (PARTITION BY src
+              ORDER BY h) AS r FROM sh) WHERE r <= 256),
+        srcs AS (SELECT DISTINCT src FROM sk),
+        pairs AS (SELECT a.src AS src_a, b.src AS src_b
+          FROM srcs a, srcs b WHERE a.src < b.src),
+        u AS (
+          SELECT p.src_a, p.src_b, s.h,
+            MAX(CASE WHEN s.src = p.src_a THEN 1 ELSE 0 END) AS ia,
+            MAX(CASE WHEN s.src = p.src_b THEN 1 ELSE 0 END) AS ib
+          FROM pairs p JOIN sk s
+            ON s.src = p.src_a OR s.src = p.src_b
+          GROUP BY 1, 2, 3),
+        ranked AS (SELECT src_a, src_b, ia, ib,
+            ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h)
+              AS r
+          FROM u)
+        SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS sample_k,
+          CAST(SUM(ia * ib) AS BIGINT) AS sample_inter,
+          ROUND(CAST(SUM(ia * ib) AS DOUBLE) / COUNT(*), 6)
+            AS jaccard_est
+        FROM ranked WHERE r <= 256
+        GROUP BY 1, 2 HAVING SUM(ia * ib) > 0
+        ORDER BY 1, 2""")),
+
     Q("x74_incremental_vocab",
       // x73's daily-ingest twin: the standing corpus (first third of
       // ids) signs ONCE into a persisted distinct-token store; each

@@ -708,6 +708,59 @@ object Dedup {
    *  ≈ sqrt(J(1−J)/k). When the union holds ≤ k distinct shingles the
    *  sample IS the population and the estimates are exact. Everything
    *  is broadcast k-row frames — no data motion. */
+  /** The FULL pairwise overlap matrix across every value of
+   *  `sourceCol` from per-source KMV sketches — the release-audit
+   *  view ("which sources duplicate each other") at O(N·k) sketch
+   *  rows instead of O(N²) corpus passes. One shingle pass builds all
+   *  N sketches (per-source rank windows over ≤k rows each); every
+   *  unordered source pair then estimates Jaccard from the bottom-k
+   *  of its sketch UNION (KMV's closure property), via two equi-joins
+   *  of a broadcast pair list — no data re-read, no quadratic term
+   *  touches text. Estimates are md5-deterministic, so a second
+   *  engine replays them exactly (the x48 contract, matrix-wide). */
+  def kmvOverlapMatrix(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      k: Int = 256): DataFrame = {
+    require(k > 0, "k must be positive")
+    val sh = shingleUdf(shingleK)
+    val perSource = docs
+      .select(col(sourceCol).as("src"), explode(sh(col(textCol)))
+        .as("shingle"))
+      .select(col("src"), md5(col("shingle").cast("binary")).as("h"))
+      .distinct()
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("h")
+    val sketches = perSource
+      .withColumn("__r", row_number().over(wSrc))
+      .filter(col("__r") <= k).drop("__r")
+    val srcs = sketches.select(col("src")).distinct()
+    val pairs = broadcast(srcs.select(col("src").as("src_a"))
+      .crossJoin(srcs.select(col("src").as("src_b")))
+      .filter(col("src_a") < col("src_b")))
+    val fromA = pairs.join(sketches, col("src") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(1).as("ia"), lit(0).as("ib"))
+    val fromB = pairs.join(sketches, col("src") === col("src_b"))
+      .select(col("src_a"), col("src_b"), col("h"),
+        lit(0).as("ia"), lit(1).as("ib"))
+    val union = fromA.unionByName(fromB)
+      .groupBy("src_a", "src_b", "h")
+      .agg(max("ia").as("ia"), max("ib").as("ib"))
+    val wPair = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_a", "src_b").orderBy("h")
+    union
+      .withColumn("__r", row_number().over(wPair))
+      .filter(col("__r") <= k)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("sample_k"),
+        sum(col("ia") * col("ib")).cast("long").as("sample_inter"))
+      .withColumn("jaccard_est",
+        round(col("sample_inter").cast("double") / col("sample_k"), 6))
+  }
+
   def kmvOverlap(skA: DataFrame, skB: DataFrame, k: Int): DataFrame = {
     val inS = kmvMerge(Seq(skA, skB), k)
       .join(broadcast(skA.select(col("h"), lit(1).as("__a"))), Seq("h"), "left")

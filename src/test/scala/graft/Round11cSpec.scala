@@ -197,6 +197,46 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class OverlapMatrixSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("identical sources estimate 1; disjoint estimate 0; totality") {
+    def words(seed: Int) = (0 until 40)
+      .map(i => s"tok${seed}_$i").mkString(" ")
+    val docs = Seq(
+      ("a", words(1)), ("b", words(1)), // identical shingle sets
+      ("c", words(2))) // disjoint from both
+      .toDF("source", "text")
+    val m = graft.pipeline.Dedup.kmvOverlapMatrix(docs, k = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("jaccard_est")).toMap
+    assert(m.size == 3, "all unordered pairs present")
+    assert(m(("a", "b")) == 1.0)
+    assert(m(("a", "c")) == 0.0)
+    assert(m(("b", "c")) == 0.0)
+  }
+
+  test("matrix pair estimate matches the pairwise kmvOverlap result") {
+    val docs = Seq(
+      ("x", "one two three four five six seven eight nine ten"),
+      ("y", "one two three four five sixx sevenn eightt ninee tenn"))
+      .toDF("source", "text")
+    val matrix = graft.pipeline.Dedup.kmvOverlapMatrix(docs, k = 64)
+      .head()
+    val pair = graft.pipeline.Dedup.kmvOverlap(
+      graft.pipeline.Dedup.kmvShingleSketch(
+        docs.filter($"source" === "x"), k = 64),
+      graft.pipeline.Dedup.kmvShingleSketch(
+        docs.filter($"source" === "y"), k = 64), 64).head()
+    assert(matrix.getAs[Long]("sample_inter") ==
+      pair.getAs[Long]("sample_inter"))
+    assert(matrix.getAs[Double]("jaccard_est") ==
+      pair.getAs[Double]("jaccard_est"))
+  }
+}
+
 class ZipfFitSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
