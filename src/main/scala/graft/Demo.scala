@@ -109,6 +109,59 @@ object Demo {
       graft.profiler.LogSketch.sliceState(keptDocs, "n_chars", 0.01, "d1"))
     println(s"[demo] day0-vs-ingested n_chars drift (PSI from states): " +
       s"${drift.head.getAs[Double]("psi")}")
+
+    // round-11 surface: the ingest turn as a PERSISTED scheduled job
+    // (landing zone → catch-up → ledger → event), the versioned model
+    // registry, the mergeable dataset card, and the SLO monitor
+    import graft.scheduler.{Automation, IngestScheduler, JobStore, Scheduler}
+    val mid = docs.agg(max("doc_id")).head.getLong(0) * 3 / 4
+    docs.filter(col("doc_id") > half && col("doc_id") <= mid)
+      .write.mode("overwrite").parquet(s"$stateDir/landing/2026-01-01")
+    docs.filter(col("doc_id") > mid)
+      .write.mode("overwrite").parquet(s"$stateDir/landing/2026-01-02")
+    Dedup.minhashStoreSave(Dedup.minhashStoreCreate(standing),
+      s"$stateDir/mh2")
+    val jobs = new JobStore(spark, s"$stateDir/jobs")
+    jobs.save(Scheduler.Job("daily_ingest", "ingest_automation",
+        Scheduler.Daily(java.time.LocalTime.of(2, 0))),
+      java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    val auto = new Automation(engine, Nil, jobStore = Some(jobs),
+      ingest = Some(IngestScheduler.IngestConfig(s"$stateDir/landing",
+        s"$stateDir/mh2", s"$stateDir/ledger")))
+    try {
+      // both slices landed "while down": one tick catches up both
+      auto.tick(java.time.Instant.parse("2026-01-02T03:00:00Z"))
+      auto.drain()
+    } finally auto.shutdown()
+    val ledger = new IngestScheduler.IngestLedger(spark,
+      s"$stateDir/ledger")
+    println("[demo] scheduled ingest ledger (one tick caught up both " +
+      "slices):")
+    ledger.frame.orderBy("slice_id").show(5, false)
+
+    import graft.pipeline.{Classify, Curation, ModelStore}
+    val store = new ModelStore(spark, s"$stateDir/models")
+    store.save("gate", Classify.compactModel(
+      Classify.nbState(docs.limit(50), "text", "source"), 64))
+    val v2 = store.save("gate", Classify.compactModel(
+      Classify.nbState(docs, "text", "source"), 256))
+    println(s"[demo] model registry: 'gate' hot-reloads at v$v2; " +
+      s"scored ${Classify.scoreBroadcast(store.load("gate"),
+        docs.limit(20)).count()} docs through the stored model")
+
+    val card = Curation.cardFromStates(
+      Curation.cardSliceState(standing, "day0").unionByName(
+        Curation.cardSliceState(docs.filter(col("doc_id") > half),
+          "day1")))
+    println(s"[demo] mergeable dataset card covers " +
+      s"${card.count()} sources from 2 slice states (no text re-read)")
+
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val pages = graft.anomalies.Slo.burnRate(ev)
+      .filter(col("page")).count()
+    println(s"[demo] SLO burn-rate monitor: $pages paged hours " +
+      "(short AND long windows hot)")
     spark.stop()
   }
 }
