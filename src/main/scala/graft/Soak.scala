@@ -160,7 +160,10 @@ object Soak {
     // batch 20/21: the KMV overlap matrix (one shingle pass + O(N·k)
     // sketch-row pair work — must never touch text quadratically).
     // m09 runs on a synthetic in-memory audio corpus.
-    "x76_overlap_matrix")
+    "x76_overlap_matrix",
+    // batch 22: the estimator calibration (the d03 LSH+verify shape
+    // plus a decile rollup — pair-count-bound like d14)
+    "x77_sketch_calibration")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

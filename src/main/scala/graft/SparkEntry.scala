@@ -3597,6 +3597,91 @@ object SparkEntry {
         FROM pairs WHERE est >= CAST(0.9 AS DOUBLE)
         ORDER BY id_a, id_b""")),
 
+    Q("x77_sketch_calibration",
+      // MinHash-estimator calibration (d12 measures the candidate
+      // set's P/R; this measures the ESTIMATOR itself): over the LSH
+      // candidate pairs, signature-agreement estimates vs exact
+      // n-gram Jaccard, rolled up as mean absolute error per exact-
+      // Jaccard decile — the curve that tells you whether 128 hashes
+      // are enough BEFORE a 100 TB signing run commits to them.
+      // Signatures + candidates persist; the oracle re-derives every
+      // estimate, every exact value, and the rollup. Errors quantize
+      // to micro before the per-bucket integer sums.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val state = freshState(s, "x77")
+        val sigs = Dedup.minhashSignatures(docs,
+          numHashes = 128, numBands = 32)
+        sigs.select("doc_id", "signature")
+          .coalesce(2).write.mode("overwrite")
+          .parquet(state + "/signatures")
+        Dedup.lshCandidatePairs(sigs)
+          .coalesce(2).write.mode("overwrite")
+          .parquet(state + "/candidates")
+        val cands = s.read.parquet(state + "/candidates")
+        val sg = s.read.parquet(state + "/signatures")
+        val est = cands
+          .join(sg.select(col("doc_id").as("id_a"),
+            col("signature").as("__sa")), "id_a")
+          .join(sg.select(col("doc_id").as("id_b"),
+            col("signature").as("__sb")), "id_b")
+          .withColumn("est", round(expr(
+            """size(filter(sequence(0, 127),
+              |i -> element_at(__sa, i + 1) = element_at(__sb, i + 1)))
+              |""".stripMargin).cast("double") / 128.0, 6))
+          .select("id_a", "id_b", "est")
+        val exact = Dedup.ngramJaccard(docs, cands)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("exact"))
+        est.join(exact, Seq("id_a", "id_b"))
+          .withColumn("bucket",
+            least(floor(col("exact") * 10).cast("int"), lit(9)))
+          .withColumn("__ae",
+            round(abs(col("est") - col("exact")) * 1e6, 0).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum("__ae").cast("double") / count(lit(1)) / 1e6, 6)
+              .as("mae"))
+          .orderBy("bucket")
+      },
+      Some("""WITH sig AS (SELECT doc_id, signature FROM read_parquet(
+            '/tmp/graft_qstate/x77/signatures/*.parquet')),
+        cand AS (SELECT id_a, id_b FROM read_parquet(
+            '/tmp/graft_qstate/x77/candidates/*.parquet')),
+        est AS (
+          SELECT c.id_a, c.id_b,
+            ROUND(CAST(len(list_filter(range(1, 129),
+              i -> a.signature[i] = b.signature[i])) AS DOUBLE)
+              / 128.0, 6) AS est
+          FROM cand c
+          JOIN sig a ON a.doc_id = c.id_a
+          JOIN sig b ON b.doc_id = c.id_b),
+        words AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+')
+            AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM words WHERE len(w) >= 3),
+        ex AS (
+          SELECT c.id_a, c.id_b,
+            ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+              AS exact
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b),
+        j AS (
+          SELECT LEAST(CAST(FLOOR(ex.exact * 10) AS INT), 9) AS bucket,
+            CAST(ROUND(ABS(est.est - ex.exact) * 1e6, 0) AS BIGINT)
+              AS ae
+          FROM est JOIN ex USING (id_a, id_b))
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          ROUND(CAST(SUM(ae) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mae
+        FROM j GROUP BY bucket ORDER BY bucket""")),
+
     Q("d14_threshold_curve",
       // dedup-threshold sensitivity curve (the tuning sweep run BEFORE
       // committing a 100 TB corpus to one threshold): exact n-gram

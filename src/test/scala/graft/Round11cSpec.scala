@@ -197,6 +197,28 @@ class ScheduledIngestSpec extends AnyFunSuite {
   }
 }
 
+class SketchCalibrationSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  import graft.pipeline.Dedup
+
+  test("identical docs: estimator and exact both 1.0, zero error") {
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs,
+      numHashes = 128, numBands = 32)
+    val cands = Dedup.lshCandidatePairs(sigs)
+    assert(cands.count() == 1)
+    val exact = Dedup.ngramJaccard(docs, cands).head()
+    assert(exact.getAs[Double]("jaccard") == 1.0)
+    // full signature agreement on identical shingle sets
+    val pair = sigs.collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("signature").toSeq)
+    assert(pair(0) == pair(1), "identical docs must sign identically")
+  }
+}
+
 class OverlapMatrixSpec extends AnyFunSuite {
   import SharedSpark._
   import spark.implicits._
