@@ -3682,6 +3682,35 @@ object SparkEntry {
           ROUND(CAST(SUM(ae) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mae
         FROM j GROUP BY bucket ORDER BY bucket""")),
 
+    Q("x79_canary_scan",
+      // contamination-canary scan: literal canary strings (raw
+      // 40-char spans lifted from every 29th doc — spanning token
+      // boundaries and punctuation, which the n-gram contamination
+      // path x08 cannot see) searched as RAW substrings over the
+      // whole corpus through ONE Aho–Corasick pass per document —
+      // O(chars) regardless of canary count, where the naive
+      // contains() plan is a BNLJ whose cost multiplies by the canary
+      // list. The oracle recomputes the same needle set and replays
+      // the scan with DuckDB's contains join.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val canaries = docs.filter(col("doc_id") % 29 === 0 &&
+            length(col("text")) >= 60)
+          .select(substring(col("text"), 10, 40).as("c"))
+          .distinct().orderBy("c")
+          .collect().map(_.getString(0)).toSeq
+        TextAnalysis.canaryScan(docs, canaries).orderBy("canary")
+      },
+      Some("""WITH needles AS (
+          SELECT DISTINCT substring(text, 10, 40) AS canary
+          FROM documents WHERE doc_id % 29 = 0 AND length(text) >= 60),
+        hits AS (
+          SELECT n.canary, d.doc_id
+          FROM needles n JOIN documents d ON contains(d.text, n.canary))
+        SELECT canary, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          MIN(doc_id) AS first_doc
+        FROM hits GROUP BY 1 ORDER BY canary""")),
+
     Q("d14_threshold_curve",
       // dedup-threshold sensitivity curve (the tuning sweep run BEFORE
       // committing a 100 TB corpus to one threshold): exact n-gram
@@ -6375,6 +6404,72 @@ object SparkEntry {
              CAST(CEIL(2.718281828459045 * n.n / 256.0) AS BIGINT))
             AS within_bound
         FROM ex e JOIN est USING (value), n ORDER BY e.value""")),
+
+    Q("p43_benford",
+      // Benford first-significant-digit audit (fabricated-data /
+      // broken-generator detector for multi-magnitude numerics): one
+      // map-only first-digit projection + a 9-row-per-column groupBy,
+      // scan-bound at any scale. Digits come from the DECIMAL → string
+      // rendering (never float log10, which flaps at power-of-ten
+      // boundaries); expected masses are the PINNED published 6-dp
+      // table; chi-square parts self-multiply (libm pow need not be
+      // bit-identical across engines).
+      (s, d) => graft.profiler.Benford.digitProfile(
+          t(s, d, "lineitem"), Seq("l_extendedprice", "l_quantity"))
+        .select(col("column").as("column_name"), col("digit"), col("n"),
+          col("obs_freq"), col("exp_freq"), col("chi2_part"))
+        .orderBy("column_name", "digit"),
+      Some("""WITH vals AS (
+          SELECT 'l_extendedprice' AS column_name,
+            regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]') AS fd
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity',
+            regexp_extract(CAST(l_quantity AS VARCHAR), '[1-9]')
+          FROM lineitem),
+        counts AS (SELECT column_name, CAST(fd AS INT) AS digit,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM vals WHERE fd <> '' GROUP BY 1, 2),
+        tot AS (SELECT column_name, SUM(n) AS total FROM counts GROUP BY 1),
+        expt AS (SELECT * FROM (VALUES (1, 0.301030), (2, 0.176091),
+          (3, 0.124939), (4, 0.096910), (5, 0.079181), (6, 0.066947),
+          (7, 0.057992), (8, 0.051153), (9, 0.045757)) AS t(digit, ef))
+        SELECT c.column_name, c.digit, c.n,
+          ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS obs_freq,
+          ROUND(e.ef, 6) AS exp_freq,
+          ROUND((CAST(c.n AS DOUBLE) - e.ef * t.total) *
+                (CAST(c.n AS DOUBLE) - e.ef * t.total) /
+                (e.ef * t.total), 6) AS chi2_part
+        FROM counts c JOIN tot t USING (column_name)
+        JOIN expt e USING (digit)
+        ORDER BY column_name, digit""")),
+
+    Q("s19_orc_roundtrip",
+      // ORC — the fifth source leg (parquet/JSONL/JDBC/CSV/ORC), for
+      // Hive/Trino-era lakes: documents writes as lang-partitioned
+      // zstd ORC and reads back through Spark's native vectorized ORC
+      // scan with a partition filter + pushed predicate
+      // (OrcSourceSpec asserts both in the plan). DuckDB has no ORC
+      // reader, so the oracle recomputes from the parquet SOURCE —
+      // any type/NULL/partition-value corruption in the roundtrip
+      // breaks the per-(lang, source) aggregates.
+      (s, d) => {
+        val state = freshState(s, "s19")
+        graft.sources.OrcSource.writePartitioned(
+          t(s, d, "documents"), state + "/orc", Seq("lang"))
+        graft.sources.OrcSource.read(s, state + "/orc")
+          .filter(col("lang").isin("en", "zh") && col("n_chars") > 100)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum(length(col("text"))).as("sum_text_len"))
+          .orderBy("lang", "source")
+      },
+      Some("""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+        FROM documents WHERE lang IN ('en', 'zh') AND n_chars > 100
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     Q("s18_partition_pruning",
       // Hive-style partition pruning (the third scan-skipping leg

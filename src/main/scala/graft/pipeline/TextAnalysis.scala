@@ -1543,4 +1543,111 @@ object TextAnalysis {
       .groupBy(col("norm_md5"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
       .filter(col("n_docs") >= 2)
+
+  // ------------------------------------------------------------------
+  // canary scan (multi-pattern literal substring search)
+  // ------------------------------------------------------------------
+
+  /** Aho–Corasick automaton over a fixed literal pattern set. Goto
+   *  edges in per-node hash maps, BFS-built failure links, output sets
+   *  merged through the failure chain at build time — so the scan is a
+   *  single pass over the text with O(1) amortized work per character,
+   *  INDEPENDENT of the pattern count. Returns the distinct pattern
+   *  indexes that occur as substrings. */
+  private[graft] final class AhoCorasick(patterns: Seq[String])
+      extends Serializable {
+    require(patterns.forall(p => p != null && p.nonEmpty),
+      "canary patterns must be non-empty")
+    private val goto_ =
+      scala.collection.mutable.ArrayBuffer(
+        new java.util.HashMap[Char, Int]())
+    private val out = scala.collection.mutable.ArrayBuffer(
+      Set.empty[Int])
+    private val fail = scala.collection.mutable.ArrayBuffer(0)
+
+    patterns.zipWithIndex.foreach { case (p, idx) =>
+      var node = 0
+      p.foreach { ch =>
+        val next = goto_(node).get(ch)
+        node = if (goto_(node).containsKey(ch)) next else {
+          goto_ += new java.util.HashMap[Char, Int]()
+          out += Set.empty[Int]
+          fail += 0
+          goto_(node).put(ch, goto_.size - 1)
+          goto_.size - 1
+        }
+      }
+      out(node) = out(node) + idx
+    }
+    locally { // BFS failure links; merge output sets down the chain
+      val queue = scala.collection.mutable.Queue[Int]()
+      goto_(0).values().forEach(v => queue += v)
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        goto_(u).forEach { (ch, v) =>
+          queue += v
+          var f = fail(u)
+          while (f != 0 && !goto_(f).containsKey(ch)) f = fail(f)
+          fail(v) = if (goto_(f).containsKey(ch) && goto_(f).get(ch) != v)
+            goto_(f).get(ch) else 0
+          out(v) = out(v) ++ out(fail(v))
+        }
+      }
+    }
+    /** Distinct pattern indexes occurring in `text`, ascending. */
+    def matches(text: String): Array[Int] = {
+      if (text == null) return Array.empty
+      val hits = scala.collection.mutable.SortedSet[Int]()
+      var node = 0
+      var i = 0
+      while (i < text.length) {
+        val ch = text.charAt(i)
+        while (node != 0 && !goto_(node).containsKey(ch)) node = fail(node)
+        if (goto_(node).containsKey(ch)) node = goto_(node).get(ch)
+        if (out(node).nonEmpty) hits ++= out(node)
+        i += 1
+      }
+      hits.toArray
+    }
+  }
+
+  /** Contamination-canary scan: which of a fixed set of literal canary
+   *  strings (BIG-bench-style canary GUIDs, eval answer keys, license
+   *  sentinels) occur as RAW substrings anywhere in the corpus — no
+   *  tokenization, no normalization, so a canary spanning punctuation
+   *  or token boundaries still hits (the n-gram [[contamination]] path
+   *  cannot see those).
+   *
+   *  Scale shape: the automaton is built once on the driver from the
+   *  bounded canary list (`maxCanaries` guard — the structure
+   *  broadcasts inside the UDF closure) and every document makes ONE
+   *  pass, O(chars), regardless of how many canaries are loaded — the
+   *  naive contains() plan is a broadcast nested loop whose cost
+   *  multiplies by the canary count; this one's does not. Output is
+   *  one row per canary: hit count + first hit, O(canaries). */
+  def canaryScan(
+      docs: DataFrame,
+      canaries: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxCanaries: Int = 100000): DataFrame = {
+    require(canaries.nonEmpty, "canaryScan: empty canary list")
+    require(canaries.size <= maxCanaries,
+      s"canaryScan: ${canaries.size} canaries exceed maxCanaries=" +
+        s"$maxCanaries — the automaton must stay driver/broadcast-sized")
+    val distinctCanaries = canaries.distinct.toIndexedSeq
+    val ac = new AhoCorasick(distinctCanaries)
+    val hitUdf = udf { text: String => ac.matches(text) }
+    val hits = docs
+      .select(col(idCol).as("__id"),
+        explode(hitUdf(col(textCol))).as("__c"))
+    val labels = distinctCanaries.zipWithIndex
+      .map { case (c, i) => (i, c) }
+    val labelDf = broadcast(
+      docs.sparkSession.createDataFrame(labels).toDF("__c", "canary"))
+    hits.groupBy("__c")
+      .agg(count(lit(1)).as("n_docs"), min(col("__id")).as("first_doc"))
+      .join(labelDf, "__c")
+      .select(col("canary"), col("n_docs"), col("first_doc"))
+  }
 }
