@@ -2829,7 +2829,16 @@ object SparkEntry {
    *  Shared by x52 (batch training) and x53 (merged slice states) —
    *  the incremental path must reproduce the batch model exactly, so
    *  one oracle gates both. */
-  private def nbOracle(testSelect: String, vocabCap: Option[Int]): String = {
+  private def nbOracle(testSelect: String, vocabCap: Option[Int]): String =
+    nbOracleCtes(testSelect, vocabCap) + """
+        SELECT doc_id, label AS predicted,
+          CAST(score_micro AS BIGINT) AS score_micro
+        FROM ranked WHERE rk = 1 ORDER BY doc_id"""
+
+  /** The shared NB-replay CTE chain (train → model → score → ranked);
+   *  callers append their own final SELECT over `ranked`/`test`. */
+  private def nbOracleCtes(
+      testSelect: String, vocabCap: Option[Int]): String = {
     // with a cap, the vocabulary is the top-N tokens by total count
     // (ties -> token asc) and the model is finished over the REDUCED
     // counts -- mirroring Classify.compactModel exactly
@@ -2897,10 +2906,7 @@ object SparkEntry {
           SELECT doc_id, label, score_micro,
             ROW_NUMBER() OVER (PARTITION BY doc_id
               ORDER BY score_micro DESC, label) AS rk
-          FROM scored)
-        SELECT doc_id, label AS predicted,
-          CAST(score_micro AS BIGINT) AS score_micro
-        FROM ranked WHERE rk = 1 ORDER BY doc_id"""
+          FROM scored)"""
   }
 
   private val nbOracleSql: String =

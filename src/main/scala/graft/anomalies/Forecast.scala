@@ -109,4 +109,52 @@ object Forecast {
           .as("mae_naive"),
         (sum("__eh") < sum("__en")).as("holt_beats_naive"))
   }
+
+  /** Theil–Sen robust trend per series: slope = MEDIAN of all pairwise
+   *  slopes, intercept = median of (y − slope·x) — up to ~29% outlier
+   *  contamination cannot move it, where OLS (and Holt's level) chase
+   *  every spike. The robust "is this metric actually drifting"
+   *  answer for ops series full of incident days.
+   *
+   *  Scale shape: the pair join is per-series O(n²) in POINTS PER
+   *  SERIES — bounded by the trend window (365 daily points → 66k
+   *  pairs), while the series COUNT is what grows at 100 TB and
+   *  parallelizes freely; `maxPoints` makes the quadratic bound a
+   *  loud contract instead of a silent blowup. x is integer days
+   *  since epoch and medians interpolate identically across engines,
+   *  so the fit oracle-replays exactly. */
+  def theilSen(
+      series: DataFrame,
+      keyCols: Seq[String],
+      dateCol: String,
+      valueCol: String,
+      maxPoints: Int = 1000): DataFrame = {
+    val keys = keyCols.map(col)
+    val pts = series.select(
+      keys :+ datediff(col(dateCol), lit("1970-01-01")).as("__x") :+
+        col(valueCol).cast("double").as("__y"): _*)
+    val counts = pts.groupBy(keys: _*).agg(count(lit(1)).as("n_points"))
+    val over = counts.filter(col("n_points") > maxPoints).limit(1)
+      .collect()
+    require(over.isEmpty,
+      s"theilSen: a series exceeds maxPoints=$maxPoints points — " +
+        "window the input (the pair stage is quadratic per series)")
+    val a = pts.select(
+      keys :+ col("__x").as("__xa") :+ col("__y").as("__ya"): _*)
+    val b = pts.select(
+      keys :+ col("__x").as("__xb") :+ col("__y").as("__yb"): _*)
+    val slopes = a.join(b, keyCols).filter(col("__xa") < col("__xb"))
+      .select(keys :+ ((col("__yb") - col("__ya")) /
+        (col("__xb") - col("__xa")).cast("double")).as("__s"): _*)
+      .groupBy(keys: _*)
+      .agg(median(col("__s")).as("slope"), count(lit(1)).as("n_pairs"))
+    val intercepts = pts.join(slopes, keyCols)
+      .groupBy(keys: _*)
+      .agg(median(col("__y") - col("slope") * col("__x"))
+        .as("intercept"))
+    counts.join(slopes, keyCols).join(intercepts, keyCols)
+      .select(keys ++ Seq(col("n_points"), col("n_pairs"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept")): _*)
+  }
 }

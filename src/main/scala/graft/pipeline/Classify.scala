@@ -172,6 +172,21 @@ object Classify {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val l = model.labelCol
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col(l).asc)
+    scoredGrid(model, docs, idCol, textCol)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col(l).as("predicted"), col("score_micro"))
+  }
+
+  /** The full (doc × label) score grid both pickers rank over. */
+  private def scoredGrid(
+      model: NBModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val l = model.labelCol
     val toks = docs
       .select(col(idCol), explode(tokens(textCol)).as("token"))
       .filter(length(col("token")) > 0)
@@ -193,17 +208,63 @@ object Classify {
     // (doc × label) grid from a broadcast of the tiny per-label frame;
     // unseen mass is closed-form so out-of-vocab tokens never join
     val grid = docLen.crossJoin(broadcast(model.labelMeta))
-    val scored = grid.join(hits, Seq(idCol, l), "left")
+    grid.join(hits, Seq(idCol, l), "left")
       .withColumn("score_micro",
         col("prior_micro") + coalesce(col("hit_sum"), lit(0L)) +
           (col("n_tok") - coalesce(col("hit_tf"), lit(0L))) *
           col("unseen_micro"))
+  }
+
+  /** [[scoreNaiveBayes]] plus the top-1-vs-top-2 score margin — the
+   *  model's own confidence signal, in the same exact integer
+   *  micro-nats as the scores (a softmax would be float-fragile and
+   *  adds nothing: the margin IS the log of the top-two odds ratio).
+   *  Same plan as the plain scorer — one extra lead() in the existing
+   *  per-doc window, no new shuffle. `margin_micro` is NULL for a
+   *  single-label model (there is no second-best to measure against).
+   */
+  def scoreWithMargin(
+      model: NBModel,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val l = model.labelCol
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_micro").desc, col(l).asc)
-    scored.withColumn("__rk", row_number().over(w))
+    scoredGrid(model, docs, idCol, textCol)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__next", lead(col("score_micro"), 1).over(w))
       .filter(col("__rk") === 1)
-      .select(col(idCol), col(l).as("predicted"), col("score_micro"))
+      .select(col(idCol), col(l).as("predicted"), col("score_micro"),
+        (col("score_micro") - col("__next")).as("margin_micro"))
   }
+
+  /** Margin-reliability curve: does a bigger scoring margin actually
+   *  mean a more reliable prediction? Buckets are the BIT LENGTH of
+   *  (margin + 1) — log2-spaced bins computed with integer bit
+   *  arithmetic (`length(bin(x))`), never float log2, whose libm
+   *  rounding could flip a power-of-two boundary between engines.
+   *  Output is O(bits): per bucket, doc count, hit count, accuracy —
+   *  the curve that calibrates "how big a margin do I need before
+   *  auto-accepting this label at 100 TB" from a held-out slice.
+   *  Scale shape: one join on the doc id + a ≤64-row groupBy. */
+  def reliabilityByMargin(
+      scored: DataFrame,
+      actual: DataFrame,
+      idCol: String = "doc_id",
+      labelCol: String = "label"): DataFrame =
+    scored.join(actual.select(col(idCol), col(labelCol).as("__actual")),
+        Seq(idCol))
+      .withColumn("margin_bucket",
+        length(bin(col("margin_micro") + 1)))
+      .groupBy("margin_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("predicted") === col("__actual"), 1L)
+          .otherwise(0L)).as("n_correct"),
+        min("margin_micro").as("min_margin"),
+        max("margin_micro").as("max_margin"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_docs"), 6))
 
   /** Serving form of the model: the training vocabulary capped to the
    *  `maxVocab` highest-total-count tokens (ties → token asc), then the
