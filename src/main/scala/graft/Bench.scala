@@ -13,6 +13,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // run-scoped replay state: a bench must never overwrite the state
+    // dir a concurrent/pending Verify artifact's oracle will read
+    SparkEntry.stateRoot =
+      s"/tmp/graft_qstate_b${ProcessHandle.current().pid()}_" +
+        s"${System.currentTimeMillis()}"
 
     // throwaway warmup: absorb JVM/codegen/parquet-footer startup cost so
     // the first measured query isn't billed ~10 s of one-time work
@@ -162,6 +167,12 @@ object Bench {
     // char tail capture. Drop to ERROR (shutdown noise is all
     // WARN/INFO), stop Spark first, THEN print.
     spark.sparkContext.setLogLevel("ERROR")
+    // bench state is never oracle-read — reclaim it
+    try {
+      val root = new org.apache.hadoop.fs.Path(SparkEntry.stateRoot)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+    } catch { case _: Throwable => () }
     spark.stop()
     println(line)
     System.out.flush()

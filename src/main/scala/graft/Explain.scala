@@ -62,6 +62,11 @@ object Explain {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // query bodies run their state writes eagerly — isolate them from
+    // any pending Verify artifact's replay state
+    SparkEntry.stateRoot =
+      s"/tmp/graft_qstate_e${ProcessHandle.current().pid()}_" +
+        s"${System.currentTimeMillis()}"
     val qs = SparkEntry.queries
     names.foreach { n =>
       println(s"\n===================== $n =====================")

@@ -170,9 +170,9 @@ object Soak {
    *  query can run against the soak dir. */
   def buildCorpus(spark: SparkSession, src: String, out: String,
       mult: Int): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val outP = new org.apache.hadoop.fs.Path(out)
+    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outP, true)
 
     val reps = spark.range(mult).toDF("__rep")
 
@@ -266,6 +266,10 @@ object Soak {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // run-scoped replay state (same isolation as Bench)
+    SparkEntry.stateRoot =
+      s"/tmp/graft_qstate_s${ProcessHandle.current().pid()}_" +
+        s"${System.currentTimeMillis()}"
 
     System.err.println(s"[soak] building ${mult}x corpus at $out from $src")
     val tb0 = System.nanoTime()
@@ -312,6 +316,11 @@ object Soak {
       fw.write(line); fw.close()
     } catch { case _: Throwable => () }
     println(line)
+    try {
+      val root = new org.apache.hadoop.fs.Path(SparkEntry.stateRoot)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

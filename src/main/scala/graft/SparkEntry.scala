@@ -52,12 +52,24 @@ object SparkEntry {
     case x => x.toString.toDouble
   }
 
+  /** Literal path token authored inside every persisted-replay oracle
+   *  SQL string. NEVER read directly by DuckDB: [[oracleSqlResolved]]
+   *  substitutes the run-scoped [[stateRoot]] at dump time. */
+  private[graft] val StateToken = "/tmp/graft_qstate"
+
+  /** Root for persisted-replay query state. Defaults to the legacy
+   *  shared dir (specs/dev); [[Verify]]/[[Bench]]/[[Soak]] override it
+   *  with a run-scoped dir so a concurrent bench/soak/spec run can
+   *  never swap state under a Verify artifact awaiting its DuckDB
+   *  oracle read (the round-11 phantom-FAIL gotcha). */
+  @volatile private[graft] var stateRoot: String = StateToken
+
   /** Scratch state dir for queries exercising the persistence layer
    *  (stores/engine). Wiped at every call so the query is idempotent —
    *  verify and bench can run it any number of times. */
   private def freshState(s: SparkSession, name: String): String = {
-    val path = s"/tmp/graft_qstate/$name"
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val path = s"$stateRoot/$name"
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     path
@@ -96,6 +108,12 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** [[oracleSql]] with the authored [[StateToken]] path rewritten to
+   *  the live [[stateRoot]] — what Verify dumps, so the DuckDB oracle
+   *  always reads the exact state THIS run wrote. */
+  def oracleSqlResolved: Map[String, String] =
+    oracleSql.map { case (k, v) => k -> v.replace(StateToken, stateRoot) }
 
   lazy val registry: Seq[Q] =
     profilerQueries ++ validationQueries ++ anomalyQueries ++
@@ -3110,6 +3128,57 @@ object SparkEntry {
           MIN(CASE WHEN is_cut THEN frame_idx END) AS first_cut
         FROM c GROUP BY id ORDER BY id""")),
 
+    Q("m10_gif_scene_cuts",
+      // scene-cut detection over REAL animated-GIF decode — the second
+      // genuinely-decodable video container beside MJPEG (stock
+      // ImageIO, no codec): frames compose per the GIF89a model
+      // (descriptor offsets + disposal) and carry REAL per-frame
+      // delays, so the tick sampler walks the cumulative timeline.
+      // Same declared-cut fixture shape as m08 (+2 gray pan, +100 at
+      // frame 4 + id%3); the decoded frame grain persists and the
+      // oracle re-derives every delta, flag, and per-clip rollup.
+      (s, _) => {
+        val vids = Multimodal.syntheticGifSceneCorpus(s, 100)
+        val media = {
+          import s.implicits._
+          vids.as[(Long, Array[Byte])].map { case (id, bytes) =>
+            Multimodal.MediaRow(id, bytes,
+              Multimodal.MediaMeta("video", "gif", 32, 32, 0L))
+          }
+        }
+        val feats = Multimodal.frameFeatures(
+          Multimodal.sampleFrames(media, intervalMs = 250L))
+          .select(col("id"), col("frame_idx"),
+            round(col("mean_intensity"), 6).as("mi"))
+        feats.coalesce(2).write.mode("overwrite")
+          .parquet(freshState(s, "m10") + "/frames")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("frame_idx")
+        val cuts = feats
+          .withColumn("delta",
+            round(abs(col("mi") - lag(col("mi"), 1).over(w)), 6))
+          .withColumn("is_cut",
+            coalesce(col("delta") > 0.1, lit(false)))
+        cuts.groupBy("id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+            min(when(col("is_cut"), col("frame_idx"))).as("first_cut"))
+          .orderBy("id")
+      },
+      Some("""WITH f AS (SELECT id, frame_idx, mi FROM read_parquet(
+            '/tmp/graft_qstate/m10/frames/*.parquet')),
+        d AS (SELECT id, frame_idx,
+            ROUND(ABS(mi - LAG(mi) OVER (PARTITION BY id
+              ORDER BY frame_idx)), 6) AS delta
+          FROM f),
+        c AS (SELECT id, frame_idx,
+            COALESCE(delta > 0.1, FALSE) AS is_cut FROM d)
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+          CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cuts,
+          MIN(CASE WHEN is_cut THEN frame_idx END) AS first_cut
+        FROM c GROUP BY id ORDER BY id""")),
+
     Q("m06_asset_manifest",
       // unified multimodal catalog: one mixed blob table (PNG images,
       // WAV clips, MJPEG/AVI videos, plus junk bytes) through ONE
@@ -3712,10 +3781,13 @@ object SparkEntry {
           FROM documents WHERE doc_id % 29 = 0 AND length(text) >= 60),
         hits AS (
           SELECT n.canary, d.doc_id
-          FROM needles n JOIN documents d ON contains(d.text, n.canary))
-        SELECT canary, CAST(COUNT(*) AS BIGINT) AS n_docs,
-          MIN(doc_id) AS first_doc
-        FROM hits GROUP BY 1 ORDER BY canary""")),
+          FROM needles n JOIN documents d ON contains(d.text, n.canary)),
+        agg AS (SELECT canary, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            MIN(doc_id) AS first_doc
+          FROM hits GROUP BY 1)
+        SELECT n.canary, COALESCE(a.n_docs, 0) AS n_docs, a.first_doc
+        FROM needles n LEFT JOIN agg a USING (canary)
+        ORDER BY n.canary""")),
 
     Q("d14_threshold_curve",
       // dedup-threshold sensitivity curve (the tuning sweep run BEFORE
@@ -4346,7 +4418,7 @@ object SparkEntry {
           JOIN sizes sa ON sa.doc_id = id_a
           JOIN sizes sb ON sb.doc_id = id_b
           WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5),
-        pred AS (SELECT id_a, id_b FROM
+        pred AS (SELECT DISTINCT id_a, id_b FROM
           read_parquet('/tmp/graft_qstate/d12/predicted/*.parquet')),
         hit AS (SELECT * FROM pred JOIN truth USING (id_a, id_b)),
         c AS (SELECT
@@ -4715,7 +4787,7 @@ object SparkEntry {
             FROM scored) WHERE rank <= 10),
         nex AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
           FROM exact GROUP BY 1),
-        ap AS (SELECT method, query_id, neighbor_id
+        ap AS (SELECT DISTINCT method, query_id, neighbor_id
           FROM read_parquet('/tmp/graft_qstate/e17/approx/*.parquet')),
         hits AS (SELECT method, query_id,
             CAST(COUNT(*) AS BIGINT) AS n_hit
@@ -4773,7 +4845,7 @@ object SparkEntry {
             FROM scored) WHERE rank <= 10),
         nex AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
           FROM exact GROUP BY 1),
-        ap AS (SELECT method, query_id, neighbor_id
+        ap AS (SELECT DISTINCT method, query_id, neighbor_id
           FROM read_parquet('/tmp/graft_qstate/e18/approx/*.parquet')),
         hits AS (SELECT method, query_id,
             CAST(COUNT(*) AS BIGINT) AS n_hit
@@ -4865,7 +4937,7 @@ object SparkEntry {
             FROM scored) WHERE rank <= 10),
         nex AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
           FROM exact GROUP BY 1),
-        ap AS (SELECT method, query_id, neighbor_id
+        ap AS (SELECT DISTINCT method, query_id, neighbor_id
           FROM read_parquet('/tmp/graft_qstate/e20/approx/*.parquet')),
         hits AS (SELECT method, query_id,
             CAST(COUNT(*) AS BIGINT) AS n_hit
@@ -8792,27 +8864,23 @@ object SparkEntry {
     Q("st10_stream_classify",
       // model-at-ingest: the NB classifier in its SERVING form — vocab
       // capped to the top-512 training tokens (compactModel), published
-      // to the versioned ModelStore BY NAME, hot-reloaded (an older
-      // stale version sits underneath — latest-version-wins must
-      // resolve past it), collected to a broadcast map, scoring a REAL
-      // document stream map-only (no shuffle, no state store). The
-      // oracle replays the capped-vocab model over the same full
-      // corpus, so the cap semantics, the store's version resolution
-      // AND the stream scoring arithmetic are all pinned — a load
-      // resolving the stale v1 would hash-mismatch every score.
+      // to the versioned ModelStore BY NAME, loaded back, collected to
+      // a broadcast map, scoring a REAL document stream map-only (no
+      // shuffle, no state store). The oracle replays the capped-vocab
+      // model over the same full corpus, so the cap semantics, the
+      // store round-trip AND the stream scoring arithmetic are all
+      // pinned. (Stale-version resolution — an older version underneath
+      // must lose to the latest — is ModelStoreSpec's
+      // "latest-version-wins" test; the bench query trains ONE model.)
       (s, d) => {
         val docs = t(s, d, "documents")
-        def modelOf(train: DataFrame, vocab: Int) =
-          graft.pipeline.Classify.compactModel(
-            graft.pipeline.Classify.nbState(train, "text", "source"),
-            maxVocab = vocab)
         val store = new graft.pipeline.ModelStore(
           s, freshState(s, "st10m"))
         store.save("stream_gate",
-          modelOf(docs.filter(col("doc_id") % 7 === 0), 64),
-          java.time.Instant.parse("2024-01-01T00:00:00Z"))
-        store.save("stream_gate",
-          modelOf(docs.filter(col("doc_id") % 5 =!= 0), 512),
+          graft.pipeline.Classify.compactModel(
+            graft.pipeline.Classify.nbState(
+              docs.filter(col("doc_id") % 5 =!= 0), "text", "source"),
+            maxVocab = 512),
           java.time.Instant.parse("2024-01-02T00:00:00Z"))
         val stream = streamOf(s, s"$d/documents.parquet")
           .select(col("doc_id"), col("text"))

@@ -22,6 +22,12 @@ object Verify {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // run-scoped replay-state dir: the dumped oracle SQL points at
+    // exactly the state THIS run wrote, so a concurrent bench/soak/
+    // spec can never clobber it before the DuckDB read (r11 gotcha)
+    SparkEntry.stateRoot = sys.env.getOrElse("GRAFT_STATE_DIR",
+      s"/tmp/graft_qstate_v${ProcessHandle.current().pid()}_" +
+        s"${System.currentTimeMillis()}")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -44,7 +50,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSqlResolved
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // full query manifest so a failed no-oracle query can't vanish

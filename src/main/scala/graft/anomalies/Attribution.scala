@@ -44,13 +44,18 @@ object Attribution {
     val stats = days.groupBy("series")
       .agg(count(lit(1)).as("n"), sum("x").as("s"),
         sum(col("x") * col("x")).as("s2"))
-    // (n·x − S)² ≥ z²·(n·Σx² − S²)  ⇔  |x − mean| ≥ z·σ_pop, exactly
+    // (n·x − S)² ≥ z²·(n·Σx² − S²)  ⇔  |x − mean| ≥ z·σ_pop, exactly.
+    // decimal(38,0), not Long: (n·x)² overflows 2^63 at ~365 days ×
+    // tens of millions of events/day — same discipline as Slo.burn
+    val dec = "decimal(38,0)"
+    val devN = col("n").cast(dec) * col("x").cast(dec) -
+      col("s").cast(dec)
     val flagged = days.join(broadcast(stats), "series")
       .filter(col("n") >= 2 &&
-        (col("n") * col("x") - col("s")) *
-          (col("n") * col("x") - col("s")) >=
-          lit(zInt.toLong * zInt) *
-            (col("n") * col("s2") - col("s") * col("s")))
+        devN * devN >=
+          lit(zInt.toLong * zInt).cast(dec) *
+            (col("n").cast(dec) * col("s2").cast(dec) -
+              col("s").cast(dec) * col("s").cast(dec)))
       .select(col("series"), col("day"), col("x").as("day_total"),
         col("s").as("all_total"))
     val contrib = events

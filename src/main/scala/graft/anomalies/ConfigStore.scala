@@ -49,7 +49,7 @@ final class AnomalyConfigStore(spark: SparkSession, path: String) {
     appendVersion(c, active = false, deleted = true, now)
 
   private def exists: Boolean =
-    org.apache.hadoop.fs.FileSystem.get(
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))
 

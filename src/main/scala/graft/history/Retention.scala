@@ -33,9 +33,10 @@ object Retention {
       storePath: String,
       cutoff: LocalDate,
       dateCol: String = "date"): RetentionReport = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem FROM the store path (not defaultFS) so a
+    // store on s3a://gs:// works when defaultFS is hdfs:///file://
     val root = new Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return RetentionReport(Nil, Nil)
     val prefix = s"$dateCol="
     val parts = fs.listStatus(root).toSeq

@@ -7,10 +7,10 @@ import org.apache.spark.sql.SparkSession
  *  empty-but-schema-correct fresh-install read, and the per-path
  *  append lock every store write must take. */
 object StoreIO {
-  def exists(spark: SparkSession, path: String): Boolean =
-    org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(path))
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   // One monitor per store path (JVM-wide). Hadoop's FileOutputCommitter
   // stages every in-flight attempt under a single <path>/_temporary and
@@ -46,9 +46,8 @@ object StoreIO {
       val tmp = path + "__tmp"
       updated.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
       val live = new org.apache.hadoop.fs.Path(path)
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val backup = new org.apache.hadoop.fs.Path(path + "__bak")
       fs.delete(backup, true) // clear any leftover from a prior crash
       if (!fs.rename(live, backup))

@@ -59,17 +59,95 @@ object Notifications {
     }
   }
 
-  /** Webhook channel STUB: this container is zero-egress, so the HTTP
-   *  POST (publisher.py `_send_webhook_notification`: POST payload JSON
-   *  to `settings.webhook_url`) is a declared boundary. The sink keeps
-   *  the exact payloads it would post, so tests pin the contract. */
-  final class WebhookSink(val url: String = "http://localhost/webhook")
+  /** The webhook channel's HTTP boundary — INJECTABLE, so the sink's
+   *  routing/payload logic is testable without egress and a deployment
+   *  plugs in the real client. */
+  trait WebhookTransport extends Serializable {
+    /** POST JSON `body` to `url` with `headers`; returns the HTTP
+     *  status code (throw on connection failure — the publisher's
+     *  per-sink catch downgrades it to a logged false). */
+    def post(url: String, body: String, headers: Map[String, String]): Int
+  }
+
+  /** Zero-egress default (the sandbox stance): accept and discard.
+   *  The sink still records every payload for contract tests. */
+  object NoopWebhookTransport extends WebhookTransport {
+    def post(url: String, body: String,
+        headers: Map[String, String]): Int = 200
+  }
+
+  /** REAL transport: JDK HttpClient POST of the payload JSON — the
+   *  reference's webhook delivery (publisher.py:24-49
+   *  `_send_webhook_notification`, requests.post(url, json=payload)).
+   *  Bounded timeouts on connect and request; never retries (the
+   *  publisher's contract is one attempt per event per channel). */
+  final class JdkWebhookTransport(timeoutMillis: Long = 5000L)
+      extends WebhookTransport {
+    @transient private lazy val client = java.net.http.HttpClient
+      .newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMillis))
+      .build()
+    def post(url: String, body: String,
+        headers: Map[String, String]): Int = {
+      val b = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofMillis(timeoutMillis))
+        .POST(java.net.http.HttpRequest.BodyPublishers
+          .ofString(body, java.nio.charset.StandardCharsets.UTF_8))
+      headers.foreach { case (k, v) => b.header(k, v) }
+      client.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
+    }
+  }
+
+  /** Webhook channel: POSTs each selected event's payload JSON to
+   *  `url` through the injected transport. Default transport is the
+   *  zero-egress recorder (this container cannot reach the network);
+   *  wire [[JdkWebhookTransport]] for real delivery. `posted` keeps
+   *  the exact payloads for contract tests either way. */
+  final class WebhookSink(
+      val url: String = "http://localhost/webhook",
+      transport: WebhookTransport = NoopWebhookTransport)
       extends EventSink {
     val name = "webhook"
     private val buf = scala.collection.mutable.ArrayBuffer.empty[(String, GraftEvent)]
     def posted: Seq[(String, GraftEvent)] = buf.toSeq
+
+    private def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+    /** Deterministic payload JSON (publisher.py's payload shape,
+     *  flattened): data keys sorted so the bytes are reproducible. */
+    private[graft] def payloadJson(
+        subject: String, message: String, e: GraftEvent): String = {
+      val data = e.data.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }
+        .mkString("{", ", ", "}")
+      Seq(
+        s"${jstr("subject")}: ${jstr(subject)}",
+        s"${jstr("message")}: ${jstr(message)}",
+        s"${jstr("event_type")}: ${jstr(e.eventType)}",
+        s"${jstr("subtype")}: ${jstr(e.subtype)}",
+        s"${jstr("connection_id")}: ${jstr(e.connectionId)}",
+        s"${jstr("table_name")}: " +
+          e.tableName.map(jstr).getOrElse("null"),
+        s"${jstr("data")}: $data",
+        s"${jstr("ts")}: ${jstr(e.ts.toInstant.toString)}")
+        .mkString("{", ", ", "}")
+    }
+
     def send(subject: String, message: String, event: GraftEvent): Boolean = {
-      buf += ((subject, event)); true
+      buf += ((subject, event))
+      val code = transport.post(url, payloadJson(subject, message, event),
+        Map("Content-Type" -> "application/json"))
+      code >= 200 && code < 300
     }
   }
 
@@ -105,22 +183,33 @@ object Notifications {
       case _ => false
     }
 
+    /** Batch publish: ONE store write for the whole batch, then the
+     *  same per-event notification fan-out as [[publish]]. Returns
+     *  whether every notified event's channels all accepted. */
+    def publishAll(events: Seq[GraftEvent]): Boolean = {
+      if (events.isEmpty) return true
+      store.appendAll(events)
+      events.forall(e => !shouldNotify(e) || fanOut(e))
+    }
+
     /** Publish: persist, then fan out if notification-worthy. Returns
      *  whether every selected channel accepted (reference semantics:
      *  a filtered-out event is still a successful publish). */
     def publish(event: GraftEvent): Boolean = {
       store.append(event)
       if (!shouldNotify(event)) true
-      else {
-        val subject = subjectFor(event)
-        val message = messageFor(event)
-        sinks.forall { s =>
-          try s.send(subject, message, event)
-          catch {
-            case e: Exception =>
-              System.err.println(s"[notify] ${s.name} failed: ${e.getMessage}")
-              false
-          }
+      else fanOut(event)
+    }
+
+    private def fanOut(event: GraftEvent): Boolean = {
+      val subject = subjectFor(event)
+      val message = messageFor(event)
+      sinks.forall { s =>
+        try s.send(subject, message, event)
+        catch {
+          case e: Exception =>
+            System.err.println(s"[notify] ${s.name} failed: ${e.getMessage}")
+            false
         }
       }
     }
@@ -152,12 +241,21 @@ object Notifications {
 final class EventStore(spark: SparkSession, path: String) {
   import graft.notifications.Notifications.GraftEvent
 
-  def append(e: GraftEvent): Unit = {
+  def append(e: GraftEvent): Unit = appendAll(Seq(e))
+
+  /** Batch append: N events land in ONE parquet write (one committer
+   *  round-trip instead of N) — the per-tick shape for producers like
+   *  the ingest scheduler that emit an event per processed slice. */
+  def appendAll(events: Seq[GraftEvent]): Unit = {
+    if (events.isEmpty) return
     import spark.implicits._
-    val dataStr = e.data.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k=$v" }.mkString(";")
-    val row = Seq((e.eventType, e.subtype, e.connectionId, e.tableName.orNull,
-      dataStr, e.ts))
+    val rows = events.map { e =>
+      val dataStr = e.data.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString(";")
+      (e.eventType, e.subtype, e.connectionId, e.tableName.orNull,
+        dataStr, e.ts)
+    }
+    val row = rows
       .toDF("event_type", "subtype", "connection_id", "table_name",
         "data", "ts")
       .withColumn("date", to_date(col("ts")))
@@ -171,7 +269,7 @@ final class EventStore(spark: SparkSession, path: String) {
   def feed(
       eventType: Option[String] = None,
       tableName: Option[String] = None): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val base =
       if (fs.exists(new org.apache.hadoop.fs.Path(path)))

@@ -113,45 +113,81 @@ object Curation {
       idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, IngestReport) = {
     val spark = newDocs.sparkSession
-    val arrived = newDocs.count()
-    // the quality-gated slice feeds every later stage (exact dedup,
-    // slice signing, the near-dup match, the store append, the state
-    // record) — without a cache each of those actions re-runs the
-    // whole profileText scan. The cache is slice-sized (O(day), never
-    // O(corpus)) and released before return: the returned frame is
-    // detached from the turn's caches, so a caller that keeps using
-    // it should persist it itself.
-    val q = TextAnalysis.profileText(newDocs, textCol)
-      .filter(col("quality_score") >= config.minQualityScore)
-      .filter(col("n_tokens") >= config.minTokens)
-      .cache()
+    // the quality-scored slice feeds every later stage (gate counts,
+    // exact dedup, slice signing, the near-dup match, the store
+    // append, the state record) — without a cache each of those
+    // actions re-runs the scan. The cache is slice-sized (O(day),
+    // never O(corpus)) and released before return: the returned frame
+    // is detached from the turn's caches, so a caller that keeps
+    // using it should persist it itself. qualityGate, not profileText:
+    // the gate reads only n_tokens + quality_score (identical
+    // arithmetic) and skips the language-marker / subword lanes.
+    val prof = TextAnalysis.qualityGate(newDocs, textCol).cache()
+    val pass = col("quality_score") >= config.minQualityScore &&
+      col("n_tokens") >= config.minTokens
+    var sliceSigs: DataFrame = null
+    var drops: DataFrame = null
     try {
-      val afterQuality = q.count()
-      val firsts = q
-        .groupBy(md5(col(textCol).cast("binary")).as("__h"))
-        .agg(min(col(idCol)).as(idCol))
-        .select(idCol)
-      val exactKept = q.join(firsts, Seq(idCol), "left_semi")
-      val afterExact = exactKept.count()
+      // ONE aggregation gives all three gate counts: exact-dedup keeps
+      // the first id per content hash, so its survivors = the gated
+      // slice's distinct hashes
+      val gateRow = prof.agg(count(lit(1)).as("arrived"),
+        count(when(pass, lit(1))).as("n"),
+        countDistinct(when(pass, md5(col(textCol).cast("binary"))))
+          .as("nh")).head()
+      val arrived = gateRow.getLong(0)
+      val afterQuality = gateRow.getLong(1)
+      val afterExact = gateRow.getLong(2)
+      val q = prof.filter(pass)
+      // exact dedup in ONE exchange: first id per content hash via a
+      // hash-partitioned row_number (the groupBy-min + semi-join form
+      // costs two)
+      val exactKept = q
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(md5(col(textCol).cast("binary")))
+            .orderBy(col(idCol))))
+        .filter(col("__rn") === 1).drop("__rn")
       val store = Dedup.minhashStoreLoad(spark, minhashStorePath)
-      val matches = Dedup.incrementalNearDuplicates(store, exactKept,
-        textCol, config.jaccardThreshold)
-      // matches mix two pair shapes: (slice, store) — drop the slice
-      // side — and (slice, slice) with id_a < id_b — drop the later id.
-      // Distinguish by id_b's membership in the slice.
-      val sliceIds = exactKept.select(col(idCol).as("id_b"))
-      val drops = matches.join(sliceIds, Seq("id_b"), "left_semi")
-        .select(col("id_b").as(idCol))
-        .unionByName(matches.join(sliceIds, Seq("id_b"), "left_anti")
-          .select(col("id_a").as(idCol)))
+      // sign ONCE with the store's parameters and reuse the cached
+      // signatures for BOTH the near-dup match and the store append —
+      // the per-doc shingle+128-hash kernel is the slice's dominant
+      // compute and the old flow (incrementalNearDuplicates, then
+      // minhashStoreAppend) ran it twice
+      sliceSigs = Dedup.minhashSignatures(exactKept, store.idCol,
+        textCol, store.shingleK, store.numHashes, store.numBands,
+        store.seed).cache()
+      val matches = Dedup.incrementalNearDuplicatesFromSignatures(
+        store, sliceSigs, config.jaccardThreshold)
+      // matches mix two pair shapes — (slice, store): drop the slice
+      // side id_a; (slice, slice) with id_a < id_b: drop the later
+      // id_b — distinguished by the within_slice flag the band match
+      // already carries (no membership join).
+      // cached: drops feeds the count AND the kept anti-join — without
+      // it the whole band-match DAG re-executes for the store append
+      drops = matches
+        .select(when(col("within_slice"), col("id_b"))
+          .otherwise(col("id_a")).as(idCol))
         .distinct()
+        .cache()
       val kept = exactKept.join(drops, Seq(idCol), "left_anti")
-      val keptN = kept.count()
-      Dedup.minhashStoreAppend(minhashStorePath, kept, textCol)
+      // drops ⊆ exactKept ids and distinct, so kept = afterExact − drops
+      // — one small count instead of re-counting the joined frame
+      val keptN = afterExact - drops.count()
+      // append the ALREADY-computed signatures of the survivors (same
+      // deterministic UDF ⇒ bit-identical to re-signing kept); anti-join
+      // on the tiny cached drops, not a semi-join through kept's DAG
+      sliceSigs.join(drops, Seq(idCol), "left_anti")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$minhashStorePath/signatures")
       stateStore.foreach { case (st, sliceId) => st.record(kept, sliceId) }
       (kept, IngestReport(arrived, afterQuality,
         afterQuality - afterExact, afterExact - keptN, keptN))
-    } finally q.unpersist()
+    } finally {
+      prof.unpersist()
+      if (sliceSigs != null) sliceSigs.unpersist()
+      if (drops != null) drops.unpersist()
+    }
   }
 
   /** Dataset card — the per-source datasheet a corpus release ships

@@ -378,12 +378,26 @@ object Dedup {
   }
 
   /** Load a [[minhashStoreSave]]d store. The signature frame stays a
-   *  lazy scan — nothing is collected. */
+   *  lazy scan — nothing is collected — but the FILE LIST pins at load
+   *  time (snapshot isolation): a concurrent or same-turn append to
+   *  `path`/signatures must not leak into an already-loaded store.
+   *  Without this, Spark's refresh-by-path after an append re-lists the
+   *  directory under any cached plan that references it — and an ingest
+   *  turn's own appended survivors would then self-match at agreement
+   *  1.0 on any recompute. */
   def minhashStoreLoad(
       spark: org.apache.spark.sql.SparkSession,
       path: String): MinhashStore = {
     val m = spark.read.parquet(s"$path/meta").head()
-    MinhashStore(spark.read.parquet(s"$path/signatures"),
+    val sigDir = new org.apache.hadoop.fs.Path(s"$path/signatures")
+    val fs = sigDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(sigDir).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath.toString)
+    MinhashStore(spark.read.parquet(files: _*),
       m.getString(0), m.getInt(1), m.getInt(2), m.getInt(3), m.getLong(4))
   }
 
@@ -443,19 +457,36 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucketSize: Int = 1000): DataFrame = {
     val idCol = store.idCol
+    // ONE band join covers both pair shapes — (slice, store) and
+    // (slice, slice) with a < b — by joining the slice's bands against
+    // store ∪ slice bands with a membership flag. The cap guard filters
+    // each side's degenerate buckets with a WINDOW count over the same
+    // (band_idx, band_key) keys the join hashes on, so the planner
+    // reuses one exchange per side (the agg+semi-join form, and the
+    // separate within-slice collect_list pass it replaced, cost ~2x
+    // the exchanges for the same candidate set). Cap boundary note:
+    // the right-side cap applies to the UNION bucket (store + slice
+    // occupants together), which is the stricter — and more honest —
+    // reading of "skip degenerate buckets".
     def bandsOf(df: DataFrame, as: String) = df.select(col(idCol).as(as),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    def capped(e: DataFrame) = {
-      val counts = e.groupBy("band_idx", "band_key")
-        .agg(count(lit(1)).as("__c"))
-        .filter(col("__c") <= maxBucketSize).drop("__c")
-      e.join(counts, Seq("band_idx", "band_key"), "left_semi")
-    }
-    val cross = capped(bandsOf(newSigs, "id_a"))
-      .join(capped(bandsOf(store.sigs, "id_b")), Seq("band_idx", "band_key"))
-      .select(col("id_a"), col("id_b"))
-    val within = lshCandidatePairs(newSigs, idCol, maxBucketSize)
-    val cands = cross.unionByName(within).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_key")
+    def capped(e: DataFrame) = e
+      .withColumn("__c", count(lit(1)).over(w))
+      .filter(col("__c") <= maxBucketSize).drop("__c")
+    val left = capped(bandsOf(newSigs, "id_a"))
+    val right = capped(
+      bandsOf(store.sigs, "id_b").withColumn("within_slice", lit(false))
+        .unionByName(bandsOf(newSigs, "id_b")
+          .withColumn("within_slice", lit(true))))
+    // within_slice is functionally dependent on id_b (slice ids are new
+    // to the store by contract), so carrying it through distinct() is
+    // free — and [[Curation.incrementalIngest]] derives its drop side
+    // from the flag with NO membership join
+    val cands = left.join(right, Seq("band_idx", "band_key"))
+      .filter(!col("within_slice") || col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("within_slice")).distinct()
     val sigA = newSigs
       .select(col(idCol).as("id_a"), col("signature").as("sig_a"))
     val sigB = store.sigs.select(col(idCol), col("signature"))
@@ -467,7 +498,7 @@ object Dedup {
                 |0, (acc, v) -> acc + v)""".stripMargin).cast("double")
           / size(col("sig_a")))
       .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
+      .select("id_a", "id_b", "est_jaccard", "within_slice")
   }
 
   /** Exact n-gram Jaccard for a set of candidate pairs (verification
@@ -1221,8 +1252,10 @@ object Dedup {
    *  no intermediate rounding). Joins are pair-keyed — work scales
    *  with the pair sets, never the corpus. */
   def nearDupEval(truth: DataFrame, predicted: DataFrame): DataFrame = {
-    val tp = truth.select("id_a", "id_b")
-    val pp = predicted.select("id_a", "id_b")
+    // dedupe both pair sets: a duplicated predicted pair must count
+    // once in n_pred AND n_hit or precision/recall skew past 1.0
+    val tp = truth.select("id_a", "id_b").distinct()
+    val pp = predicted.select("id_a", "id_b").distinct()
     val hit = pp.join(tp, Seq("id_a", "id_b"))
     tp.agg(count(lit(1)).as("n_truth"))
       .crossJoin(pp.agg(count(lit(1)).as("n_pred")))

@@ -379,6 +379,169 @@ object Multimodal {
     out.toArray
   }
 
+  // ---- animated GIF frames (REAL, stock ImageIO — no codec) ----------
+
+  /** REAL per-frame payloads from an ANIMATED GIF: the second video
+   *  container with genuine JDK-decodable pixels beside MJPEG-in-AVI.
+   *  ImageIO's GIF reader yields raw (possibly partial) frames; this
+   *  composes them per the GIF89a model — draw each frame at its
+   *  descriptor offset over the running canvas, honoring the
+   *  restore-to-background disposal — and re-encodes each COMPOSED
+   *  frame as lossless PNG so downstream per-frame work
+   *  ([[frameFeatures]], scene cuts, dHash) decodes them like any
+   *  other image payload. Returns (pngBytes, delayMs) per frame —
+   *  delays from each frame's GraphicControlExtension (GIF stores
+   *  centiseconds; 0 → 100 ms, the de-facto player default). Empty for
+   *  non-GIF bytes or single-frame (static) GIFs. `maxFrames` bounds
+   *  the per-row explosion the same way audio decode bounds samples. */
+  private[graft] def gifAnimFrames(
+      b: Array[Byte], maxFrames: Int = 4096): Array[(Array[Byte], Long)] = {
+    if (b == null || sniffFormatBytes(b) != "gif") return Array.empty
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return Array.empty
+    val reader = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try {
+      reader.setInput(iis, false)
+      val n = math.min(reader.getNumImages(true), maxFrames)
+      if (n < 2) return Array.empty
+      // logical screen from the stream metadata; frame-0 dims fallback
+      val (sw, sh) = {
+        val smd = reader.getStreamMetadata
+        val root = smd.getAsTree("javax_imageio_gif_stream_1.0")
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        var w = 0; var h = 0
+        val kids = root.getChildNodes
+        for (i <- 0 until kids.getLength) {
+          val k = kids.item(i)
+          if (k.getNodeName == "LogicalScreenDescriptor") {
+            val a = k.getAttributes
+            w = a.getNamedItem("logicalScreenWidth").getNodeValue.toInt
+            h = a.getNamedItem("logicalScreenHeight").getNodeValue.toInt
+          }
+        }
+        if (w > 0 && h > 0) (w, h)
+        else { val f0 = reader.read(0); (f0.getWidth, f0.getHeight) }
+      }
+      val canvas = new java.awt.image.BufferedImage(
+        sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = canvas.createGraphics()
+      val out = Array.newBuilder[(Array[Byte], Long)]
+      for (i <- 0 until n) {
+        val frame = reader.read(i)
+        val imd = reader.getImageMetadata(i)
+        val root = imd.getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        var x = 0; var y = 0
+        var delayCs = 0; var disposal = "none"
+        val kids = root.getChildNodes
+        for (j <- 0 until kids.getLength) {
+          val k = kids.item(j)
+          k.getNodeName match {
+            case "ImageDescriptor" =>
+              val a = k.getAttributes
+              x = a.getNamedItem("imageLeftPosition").getNodeValue.toInt
+              y = a.getNamedItem("imageTopPosition").getNodeValue.toInt
+            case "GraphicControlExtension" =>
+              val a = k.getAttributes
+              delayCs = a.getNamedItem("delayTime").getNodeValue.toInt
+              disposal = a.getNamedItem("disposalMethod").getNodeValue
+            case _ => ()
+          }
+        }
+        g.drawImage(frame, x, y, null)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(canvas, "png", baos)
+        out += ((baos.toByteArray,
+          if (delayCs <= 0) 100L else delayCs * 10L))
+        if (disposal == "restoreToBackgroundColor") {
+          g.setColor(java.awt.Color.BLACK)
+          g.fillRect(x, y, frame.getWidth, frame.getHeight)
+        }
+      }
+      g.dispose()
+      out.result()
+    } catch { case _: Exception => Array.empty }
+    finally { reader.dispose(); iis.close() }
+  }
+
+  /** Minimal animated-GIF writer over stock ImageIO (synthetic fixtures
+   *  only): one write sequence, each frame carrying a
+   *  GraphicControlExtension with the given delay. The READ path under
+   *  test ([[gifAnimFrames]]) is the one arbitrary animated GIFs take. */
+  private[graft] def encodeAnimatedGif(
+      frames: Seq[java.awt.image.BufferedImage],
+      delayMs: Long): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { img =>
+      val ty = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+      val md = writer.getDefaultImageMetadata(ty, writer.getDefaultWriteParam)
+      val fmt = md.getNativeMetadataFormatName
+      val root = md.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val gce = {
+        val kids = root.getChildNodes
+        (0 until kids.getLength)
+          .map(kids.item).find(_.getNodeName == "GraphicControlExtension")
+          .map(_.asInstanceOf[javax.imageio.metadata.IIOMetadataNode])
+          .getOrElse {
+            val node = new javax.imageio.metadata.IIOMetadataNode(
+              "GraphicControlExtension")
+            root.appendChild(node)
+            node
+          }
+      }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("transparentColorIndex", "0")
+      gce.setAttribute("delayTime", (delayMs / 10L).toString)
+      md.setFromTree(fmt, root)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, md),
+        writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  /** Deterministic synthetic animated-GIF scene corpus — the GIF twin
+   *  of [[syntheticSceneCorpus]]: each clip pans gradually (+2
+   *  gray/frame) with ONE hard cut (+100 at frame 4 + id%3). Uniform
+   *  gray frames survive GIF's palette quantization losslessly, so the
+   *  decoded mean intensities are exact. */
+  def syntheticGifSceneCorpus(
+      spark: SparkSession,
+      n: Int,
+      framesPerVideo: Int = 12,
+      side: Int = 32,
+      delayMs: Long = 250L): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val cutAt = (4 + id % 3).toInt
+      val frames = (0 until framesPerVideo).map { f =>
+        val gray = math.min(247,
+          (id * 7 % 60 + 20 + f * 2 + (if (f >= cutAt) 100 else 0))).toInt
+        val img = new java.awt.image.BufferedImage(
+          side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = img.createGraphics()
+        g2.setColor(new java.awt.Color(gray, gray, gray))
+        g2.fillRect(0, 0, side, side)
+        g2.dispose()
+        img
+      }
+      (id, encodeAnimatedGif(frames, delayMs))
+    }.toDF("id", "bytes")
+  }
+
   /** `struct(duration_ms, width, height)` column parsed from MP4 box
    *  or AVI `avih` headers (null for non-video bytes; duration_ms = -1
    *  when dims parsed but the duration header didn't). */
@@ -938,20 +1101,21 @@ object Multimodal {
       }
     }
 
-  /** REAL frame-sample for AVI bytes: container-parse the `##db`/`##dc`
-   *  payloads ([[aviFrameBytes]]), then emit the frame nearest each
-   *  `intervalMs` tick — payloads are the codec's actual frame bytes
-   *  (JPEGs for MJPEG, so [[decodeImageBytes]] decodes them with no
-   *  codec library). Rows whose bytes aren't a parseable AVI fall back
-   *  to [[sampleFramesStub]] so mixed/corrupt corpora degrade per-row. */
+  /** REAL frame-sample for AVI and animated-GIF bytes: container-parse
+   *  the per-frame payloads ([[aviFrameBytes]] `##db`/`##dc` chunks —
+   *  JPEGs for MJPEG; [[gifAnimFrames]] composed PNG frames), then emit
+   *  the frame nearest each `intervalMs` tick. GIF frames carry their
+   *  OWN per-frame delays, so the tick lookup walks the cumulative
+   *  timeline instead of assuming a constant rate. Rows whose bytes are
+   *  neither fall back to [[sampleFramesStub]] so mixed/corrupt corpora
+   *  degrade per-row. */
   def sampleFramesReal(
       batch: Iterator[MediaRow],
       intervalMs: Long,
       frameBytes: Int = 64): Iterator[FrameRow] =
     batch.flatMap { r =>
       val frames = aviFrameBytes(r.bytes)
-      if (frames.isEmpty) sampleFramesStub(Iterator.single(r), intervalMs, frameBytes)
-      else {
+      if (frames.nonEmpty) {
         val dur = aviMetaBytes(r.bytes).map(_._1).filter(_ > 0)
           .getOrElse(math.max(r.meta.durationMs, frames.length.toLong))
         val n = math.max(1L, (dur + intervalMs - 1) / intervalMs).toInt
@@ -959,6 +1123,24 @@ object Multimodal {
           val t = idx * intervalMs
           val fi = math.min(t * frames.length / dur, frames.length - 1L).toInt
           FrameRow(r.id, idx, t, frames(fi))
+        }
+      } else {
+        val gif = gifAnimFrames(r.bytes)
+        if (gif.isEmpty)
+          sampleFramesStub(Iterator.single(r), intervalMs, frameBytes)
+        else {
+          // cumulative frame start times from the per-frame delays
+          val starts = gif.scanLeft(0L)(_ + _._2)
+          val dur = math.max(1L, starts.last)
+          val n = math.max(1L, (dur + intervalMs - 1) / intervalMs).toInt
+          (0 until n).iterator.map { idx =>
+            val t = idx * intervalMs
+            // last frame whose start ≤ t (starts is ascending)
+            var fi = java.util.Arrays.binarySearch(starts, t)
+            if (fi < 0) fi = -fi - 2
+            fi = math.min(math.max(fi, 0), gif.length - 1)
+            FrameRow(r.id, idx, t, gif(fi)._1)
+          }
         }
       }
     }

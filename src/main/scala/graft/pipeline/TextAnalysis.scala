@@ -1018,21 +1018,12 @@ object TextAnalysis {
         col("stop_ok"), col("alpha_ok"), col("keep"))
   }
 
-  def profileText(
-      docs: DataFrame,
-      textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+  /** The 4 staged quality inputs (__toks/__alpha/__punct/__stop) —
+   *  shared by [[profileText]] and [[qualityGate]] so the score
+   *  arithmetic has ONE source of truth. */
+  private def qualityStaged(docs: DataFrame, t: Column): DataFrame = {
     val nToks = size(col("__toks"))
-    val lenScore = when(length(t) < 20, 0.0)
-      .when(length(t) > 20000, 0.25)
-      .otherwise(1.0)
-    val langCols = langMarkers.map { case (l, _) => col(s"__lang_$l") }
-    val best = langCols.reduce(greatest(_, _))
-    val pick = langMarkers.map(_._1).zip(langCols)
-      .foldRight(lit("und"): Column) { case ((l, s), acc) =>
-        when(s === best && best > 0, l).otherwise(acc)
-      }
-    val staged = docs
+    docs
       .withColumn("__toks", tokenArr(t))
       .withColumn("__alpha", alphaRatio(t))
       .withColumn("__punct", punctRatio(t))
@@ -1040,7 +1031,50 @@ object TextAnalysis {
         when(nToks === 0, 0.0)
           .otherwise(size(filter(col("__toks"),
             x => x.isInCollection(stopwords))).cast("double") / nToks))
-    langMarkers.foldLeft(staged) { case (df, (l, ws)) =>
+  }
+
+  /** quality_score over the staged columns: length/alpha/punct/stopword
+   *  blend, rounded to 6 dp (the engine-exact form the oracles replay). */
+  private def qualityScoreCol(t: Column): Column = {
+    val lenScore = when(length(t) < 20, 0.0)
+      .when(length(t) > 20000, 0.25)
+      .otherwise(1.0)
+    round(
+      lenScore * 0.4
+        + least(col("__alpha") * 1.25, lit(1.0)) * 0.3
+        + (lit(1.0) - least(col("__punct") * 4.0, lit(1.0))) * 0.2
+        + least(col("__stop") * 5.0, lit(1.0)) * 0.1,
+      6)
+  }
+
+  /** JUST the ingest-gate lanes — n_tokens + quality_score with
+   *  arithmetic identical to [[profileText]] (both build on
+   *  [[qualityStaged]]/[[qualityScoreCol]]) — skipping the
+   *  language-marker array scans and subword regex a quality gate
+   *  never reads; those lanes dominate profileText's per-row cost,
+   *  which matters when the gate runs on every daily slice. */
+  def qualityGate(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    qualityStaged(docs, t)
+      .withColumn("n_tokens", size(col("__toks")))
+      .withColumn("quality_score", qualityScoreCol(t))
+      .drop("__toks", "__alpha", "__punct", "__stop")
+  }
+
+  def profileText(
+      docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nToks = size(col("__toks"))
+    val langCols = langMarkers.map { case (l, _) => col(s"__lang_$l") }
+    val best = langCols.reduce(greatest(_, _))
+    val pick = langMarkers.map(_._1).zip(langCols)
+      .foldRight(lit("und"): Column) { case ((l, s), acc) =>
+        when(s === best && best > 0, l).otherwise(acc)
+      }
+    langMarkers.foldLeft(qualityStaged(docs, t)) { case (df, (l, ws)) =>
         df.withColumn(s"__lang_$l",
           size(filter(col("__toks"), x => x.isInCollection(ws))))
       }
@@ -1050,12 +1084,7 @@ object TextAnalysis {
       .withColumn("alpha_ratio", round(col("__alpha"), 6))
       .withColumn("punct_ratio", round(col("__punct"), 6))
       .withColumn("stopword_ratio", round(col("__stop"), 6))
-      .withColumn("quality_score", round(
-        lenScore * 0.4
-          + least(col("__alpha") * 1.25, lit(1.0)) * 0.3
-          + (lit(1.0) - least(col("__punct") * 4.0, lit(1.0))) * 0.2
-          + least(col("__stop") * 5.0, lit(1.0)) * 0.1,
-        6))
+      .withColumn("quality_score", qualityScoreCol(t))
       .withColumn("lang_detected",
         when(length(regexp_replace(t, "[^\\u4e00-\\u9fff]", "")) > 0, "zh")
           .otherwise(pick))
@@ -1643,11 +1672,15 @@ object TextAnalysis {
         explode(hitUdf(col(textCol))).as("__c"))
     val labels = distinctCanaries.zipWithIndex
       .map { case (c, i) => (i, c) }
-    val labelDf = broadcast(
-      docs.sparkSession.createDataFrame(labels).toDF("__c", "canary"))
-    hits.groupBy("__c")
+    val labelDf =
+      docs.sparkSession.createDataFrame(labels).toDF("__c", "canary")
+    val counts = hits.groupBy("__c")
       .agg(count(lit(1)).as("n_docs"), min(col("__id")).as("first_doc"))
-      .join(labelDf, "__c")
-      .select(col("canary"), col("n_docs"), col("first_doc"))
+    // LEFT outer from the label frame: a canary with ZERO hits still
+    // gets its row (n_docs=0, first_doc null) — "scanned and clean"
+    // must be distinguishable from "not scanned"
+    labelDf.join(broadcast(counts), Seq("__c"), "left")
+      .select(col("canary"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"), col("first_doc"))
   }
 }

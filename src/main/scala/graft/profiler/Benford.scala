@@ -67,15 +67,22 @@ object Benford {
           (col("exp_freq") * col("total")), 6).as("chi2_part"))
   }
 
-  /** One verdict row per column: chi-square statistic over the 9 digit
+  /** One verdict row per column: chi-square statistic over ALL 9 digit
    *  cells (df = 8) against a fixed critical value. 20.09 is the
    *  upper 99th percentile of chi-square(8) — a public constant, so
-   *  both engines pin the same threshold. */
+   *  both engines pin the same threshold.
+   *
+   *  Digits that never occur still owe their cell: for an absent digit
+   *  the contribution (0 − e·total)²/(e·total) reduces to e·total, so
+   *  the missing mass is (1 − Σ e over PRESENT digits)·total — without
+   *  it a column whose tail digits never appear under-reports chi2 and
+   *  can false-negative the fabricated-data audit. */
   def audit(df: DataFrame, cols: Seq[String],
       critical: Double = 20.09): DataFrame =
     digitProfile(df, cols)
       .groupBy("column")
       .agg(sum("n").as("n_values"),
-        round(sum("chi2_part"), 4).as("chi2"))
+        round(sum("chi2_part") +
+          (lit(1.0) - sum("exp_freq")) * sum("n"), 4).as("chi2"))
       .withColumn("benford_ok", col("chi2") <= critical)
 }

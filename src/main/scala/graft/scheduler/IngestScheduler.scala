@@ -60,13 +60,20 @@ object IngestScheduler {
 
     def exists: Boolean = graft.history.StoreIO.exists(spark, path)
 
-    def record(sliceId: String, r: IngestReport, now: Instant): Unit = {
-      val row = Seq((sliceId, Timestamp.from(now), r.arrived,
-        r.afterQuality, r.droppedExactWithin, r.droppedNearDup, r.kept))
-        .toDF("slice_id", "processed_at", "arrived", "after_quality",
-          "dropped_exact_within", "dropped_near_dup", "kept")
+    def record(sliceId: String, r: IngestReport, now: Instant): Unit =
+      recordAll(Seq(sliceId -> r), now)
+
+    /** Batch form: one tick's completed slices land in ONE parquet
+     *  append (one committer round-trip instead of per-slice). */
+    def recordAll(rows: Seq[(String, IngestReport)], now: Instant): Unit = {
+      if (rows.isEmpty) return
+      val df = rows.map { case (sliceId, r) =>
+        (sliceId, Timestamp.from(now), r.arrived,
+          r.afterQuality, r.droppedExactWithin, r.droppedNearDup, r.kept)
+      }.toDF("slice_id", "processed_at", "arrived", "after_quality",
+        "dropped_exact_within", "dropped_near_dup", "kept")
       graft.history.StoreIO.appendLocked(path) {
-        row.write.mode(SaveMode.Append).parquet(path)
+        df.write.mode(SaveMode.Append).parquet(path)
       }
     }
 
@@ -108,16 +115,16 @@ object IngestScheduler {
     val pending = landedSlices(spark, cfg.landingDir).filterNot(done)
     val stateStore = cfg.stateStorePath
       .map(p => new SliceStateStore(spark, p))
+    val events = Seq.newBuilder[GraftEvent]
+    val reports = Seq.newBuilder[(String, IngestReport)]
     pending.foreach { sliceId =>
       val docs = spark.read.parquet(s"${cfg.landingDir}/$sliceId")
       val (_, report) = Curation.incrementalIngest(
         docs, cfg.storePath,
         stateStore.map(st => (st, sliceId)),
         cfg.curation, cfg.idCol, cfg.textCol)
-      // ledger row lands only after the store append completed — a
-      // crash before this line re-runs the slice next fire
-      ledger.record(sliceId, report, now)
-      publisher.foreach(_.publish(GraftEvent(
+      reports += sliceId -> report
+      events += GraftEvent(
         eventType = "automation",
         subtype = "ingest_slice_processed",
         connectionId = "default",
@@ -126,8 +133,17 @@ object IngestScheduler {
           "arrived" -> report.arrived.toString,
           "kept" -> report.kept.toString,
           "dropped_near_dup" -> report.droppedNearDup.toString),
-        ts = Timestamp.from(now))))
+        ts = Timestamp.from(now))
     }
+    // the tick's ledger rows land in ONE append, AFTER every slice's
+    // store append completed. Crash mid-tick: the un-ledgered slices
+    // (possibly including ones whose store append finished) re-run next
+    // fire — re-running an appended slice is CONVERGENT, because its
+    // docs now match their own stored signatures at agreement 1.0 and
+    // drop, so nothing appends twice (at-least-once, never skip).
+    ledger.recordAll(reports.result(), now)
+    // events are an advisory feed, not the replay ledger — one write
+    publisher.foreach(_.publishAll(events.result()))
     pending
   }
 }

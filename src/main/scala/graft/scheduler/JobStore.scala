@@ -54,7 +54,7 @@ final class JobStore(spark: SparkSession, path: String) {
     jobs.foreach(save(_, now))
 
   private def exists: Boolean =
-    org.apache.hadoop.fs.FileSystem.get(
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))
 

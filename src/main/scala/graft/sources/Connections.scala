@@ -80,10 +80,11 @@ object Connections {
   /** S9: table storage metrics from the files backing a parquet table. */
   def tableStorage(spark: SparkSession, dir: String, table: String): (Long, Long) = {
     val files = spark.read.parquet(s"$dir/$table.parquet").inputFiles
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val bytes = files.map(f =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val bytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).getLen
+    }.sum
     (files.length.toLong, bytes)
   }
 }

@@ -86,7 +86,7 @@ final class QueryLogStore(spark: SparkSession, path: String) {
   /** The log as a DataFrame; an empty (schema-correct) frame before the
    *  first append, so usage queries work on a fresh install. */
   def log: DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(path)))
       spark.read.parquet(path)

@@ -135,7 +135,7 @@ final class RuleStore(spark: SparkSession, path: String) {
       appendVersion(tableName, r, active = false, deleted = true, now))
 
   private def exists: Boolean =
-    org.apache.hadoop.fs.FileSystem.get(
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
       .exists(new org.apache.hadoop.fs.Path(path))
 
