@@ -278,11 +278,26 @@ object Soak {
 
     // same measurement contract as Bench: noop sink (materializes every
     // column), per-query persistent-RDD sweep, cache clear
-    val unknown = names.filterNot(SparkEntry.queries.contains)
+    // soak-only arms: the CAPPED public-default forms of the exact
+    // pair operators (the registry pins the UNCAPPED oracle forms in
+    // d06/x25; BASELINE.md needs the df-capped production path's
+    // 10x ratio on the record too)
+    val extraArms: Map[String, (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame] = Map(
+      "d06_capped" -> ((s, d) =>
+        graft.pipeline.Dedup.jaccardSimilarPairs(
+          s.read.parquet(d + "/documents.parquet"))
+          .orderBy("id_a", "id_b")),
+      "x25_capped" -> ((s, d) =>
+        graft.pipeline.Dedup.containmentPairs(
+          s.read.parquet(d + "/documents.parquet"), threshold = 0.2)
+          .orderBy("id_a", "id_b")))
+    val unknown = names.filterNot(n =>
+      SparkEntry.queries.contains(n) || extraArms.contains(n))
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
 
     def runOne(name: String, dir: String): Double = {
-      val fn = SparkEntry.queries(name)
+      val fn = SparkEntry.queries.getOrElse(name, extraArms(name))
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }

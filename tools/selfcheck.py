@@ -54,9 +54,11 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    import time
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             spark_df = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
@@ -93,7 +95,8 @@ def main():
                 print(f"   row={b[0]} col={b[1]} spark={b[2]!r} duck={b[3]!r} delta={b[4]}")
             failures += 1
         else:
-            print(f"OK   {name} ({len(sd)} rows x {len(s_cols)} cols)")
+            print(f"OK   {name} ({len(sd)} rows x {len(s_cols)} cols)"
+                  f" [{time.time() - t0:.1f}s]")
     # queries without oracle: must exist and be readable
     import os
     have_oracle = set(oracle)
