@@ -2976,20 +2976,36 @@ object SparkEntry {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")
       },
-      Some("""WITH words AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+      // oracle NOTE: exact all-pairs jaccard >= 0.9 expressed through
+      // the d06 inverted-index shape (posting-list equi-join), NOT a
+      // literal all-pairs nested loop — any pair at j >= 0.9 shares a
+      // shingle, so the result set is identical and the oracle cost
+      // drops from O(n^2) list intersections (tens of minutes at
+      // sf0.1) to O(postings^2 per shingle) (seconds)
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'),
+            t -> len(t) > 0) AS ts
           FROM documents),
         sh AS (
-          SELECT doc_id, list_distinct(list_transform(
-            range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-          FROM words WHERE len(w) >= 3),
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+          FROM toks WHERE len(ts) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
         pairs AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT id_a, id_b,
+            CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS j
+          FROM pairs
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b)
         SELECT id_a, id_b, ROUND(j, 6) AS jaccard
-        FROM pairs WHERE j >= 0.9 ORDER BY id_a, id_b""")),
+        FROM j WHERE j >= CAST(0.9 AS DOUBLE)
+        ORDER BY id_a, id_b""")),
 
     Q("d04_simhash_neardup",
       // signature-replay oracle: the 64-bit simhash family is not
@@ -3655,21 +3671,32 @@ object SparkEntry {
             round(col("est_jaccard"), 6).as("est_jaccard"))
           .orderBy("id_a", "id_b")
       },
+      // oracle NOTE: agreement counted through a (position, value)
+      // equi-join — a pair's agreeing positions surface as join hits —
+      // instead of the literal slice×corpus nested loop with a
+      // 128-element list_filter per pair (32 s at sf0.1 → 0.2 s,
+      // verified identical output). Pairs at est ≥ 0.9 always agree
+      // somewhere, so the grouped join sees every qualifying pair.
       Some("""WITH sig AS (
           SELECT doc_id, signature
           FROM read_parquet('/tmp/graft_qstate/d10/signatures/*.parquet')),
         cut AS (
           SELECT 9 * (MAX(doc_id) + 1) // 10 AS c FROM sig),
-        pairs AS (
-          SELECT n.doc_id AS id_a, o.doc_id AS id_b,
-            CAST(len(list_filter(range(1, 129),
-              i -> n.signature[i] = o.signature[i])) AS DOUBLE)
-              / 128.0 AS est
-          FROM sig n JOIN sig o
-            ON n.doc_id >= (SELECT c FROM cut)
-           AND (o.doc_id < (SELECT c FROM cut) OR o.doc_id > n.doc_id))
+        p AS (
+          SELECT doc_id, s['i'] AS i, s['v'] AS v FROM (
+            SELECT doc_id, unnest(list_transform(
+              range(1, len(signature) + 1),
+              i -> struct_pack(i := i, v := signature[i]))) AS s
+            FROM sig)),
+        m AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            CAST(COUNT(*) AS DOUBLE) / 128.0 AS est
+          FROM p a JOIN p b ON a.i = b.i AND a.v = b.v
+          WHERE a.doc_id >= (SELECT c FROM cut)
+            AND (b.doc_id < (SELECT c FROM cut) OR b.doc_id > a.doc_id)
+          GROUP BY 1, 2)
         SELECT id_a, id_b, ROUND(est, 6) AS est_jaccard
-        FROM pairs WHERE est >= CAST(0.9 AS DOUBLE)
+        FROM m WHERE est >= CAST(0.9 AS DOUBLE)
         ORDER BY id_a, id_b""")),
 
     Q("x77_sketch_calibration",

@@ -81,14 +81,30 @@ def main():
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
             failures += 1
             continue
-        sd = spark_df[s_cols]
-        dd = duck_df[d_cols]
+        sd = spark_df[s_cols].reset_index(drop=True)
+        dd = duck_df[d_cols].reset_index(drop=True)
+        # vectorized compare per column (the per-cell iloc loop was
+        # 200+ s on 600k-row outputs); fall back to cmp_cell only on
+        # the rows a column flags, to report exact diffs
+        import numpy as np
         bad = []
-        for i in range(len(sd)):
-            for c in s_cols:
-                ok, delta = cmp_cell(sd.iloc[i][c], dd.iloc[i][c])
+        for c in s_cols:
+            a, b = sd[c], dd[c]
+            try:
+                if a.dtype.kind == "f" and b.dtype.kind == "f":
+                    av, bv = a.values, b.values
+                    okv = (av == bv) | (np.isnan(av) & np.isnan(bv))
+                else:
+                    an, bn = a.map(norm), b.map(norm)
+                    okv = ((an == bn) | (an.isna() & bn.isna())).values
+                idxs = np.nonzero(~okv)[0]
+            except Exception:
+                idxs = range(len(sd))  # dtype surprise → per-cell path
+            for i in idxs:
+                ok, delta = cmp_cell(a.iloc[int(i)], b.iloc[int(i)])
                 if not ok:
-                    bad.append((i, c, sd.iloc[i][c], dd.iloc[i][c], delta))
+                    bad.append((int(i), c, a.iloc[int(i)], b.iloc[int(i)],
+                                delta))
         if bad:
             print(f"FAIL {name}: {len(bad)} cell diffs; first 5:")
             for b in bad[:5]:
