@@ -2301,18 +2301,19 @@ object SparkEntry {
         val c0 = 7L * (maxId + 1L) / 10L
         val c1 = 8L * (maxId + 1L) / 10L
         val c2 = 9L * (maxId + 1L) / 10L
+        // ONE signing pass covers the standing corpus AND the replay
+        // sidecar (the oracle needs DROPPED landing docs' signatures
+        // too, which the store by definition never keeps): sign
+        // [cb, ∞) once, split the cached frame at the store boundary
+        val fixtureSigs = Dedup.minhashSignatures(
+          docs.filter(col("doc_id") >= cb), numBands = 32).cache()
         Dedup.minhashStoreSave(
-          Dedup.minhashStoreCreate(
-            docs.filter(col("doc_id") >= cb && col("doc_id") < c0),
-            numBands = 32),
+          Dedup.MinhashStore(fixtureSigs.filter(col("doc_id") < c0),
+            "doc_id", 3, 128, 32, 42L),
           state + "/store")
-        // replay sidecar: every landing doc's signature under the
-        // store's parameters (the d04/e03 persisted-hash-family
-        // pattern) — the oracle needs DROPPED docs' signatures too,
-        // which the store by definition never keeps
-        Dedup.minhashSignatures(docs.filter(col("doc_id") >= c0),
-            numBands = 32)
+        fixtureSigs.filter(col("doc_id") >= c0)
           .coalesce(4).write.mode("overwrite").parquet(state + "/allsigs")
+        fixtureSigs.unpersist()
         def land(lo: Long, hi: Long, day: String): Unit =
           docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
             .coalesce(4)
@@ -4402,7 +4403,11 @@ object SparkEntry {
             array_join(expr(
               "slice(__ts, 1, (3 * size(__ts) + 4) div 5)"), " ")
               .as("text"))
-        val corpus = base.unionByName(derived)
+        // cached: the corpus feeds TWO full shingle passes (signing
+        // and the exact-truth side) and the truth pair frame feeds two
+        // actions inside the eval (its count and the hit join) — each
+        // would otherwise re-run the whole posting-list pipeline
+        val corpus = base.unionByName(derived).cache()
         val state = freshState(s, "d12")
         Dedup.lshCandidatePairs(
             Dedup.minhashSignatures(corpus, numHashes = 128, numBands = 32))
@@ -4412,6 +4417,7 @@ object SparkEntry {
         // docs), and the reason the truth side stays near-linear at a
         // replicated-soak 10× corpus where stop-shingle lists explode
         val truth = Dedup.jaccardSimilarPairs(corpus, threshold = 0.5)
+          .cache()
         Dedup.nearDupEval(truth, s.read.parquet(state + "/predicted"))
       },
       Some("""WITH toks0 AS (
