@@ -4775,6 +4775,68 @@ object SparkEntry {
           CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    Q("e22_semantic_decontamination",
+      // SEMANTIC decontamination — the paraphrase-robust complement to
+      // the n-gram legs (x08/d07/x79): benchmark items are tail-
+      // redacted derivatives of every 83rd corpus vector (8 of 64 dims
+      // zeroed — the embedding analog of a reworded eval question: no
+      // shared-n-gram signal, high cosine), and the detector must
+      // surface exactly the corpus items still within 0.9 cosine of
+      // one. Candidates come from the cross-corpus banded hyperplane
+      // join only (never corpus×corpus); both sides' band signatures
+      // persist and the oracle replays the capped band collision, the
+      // exact cosine and the threshold from them.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val bench = emb.filter(col("vec_id") % 83 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            concat(slice(col("embedding"), 1, 56),
+              array_repeat(lit(0.0f), 8)).as("embedding"))
+        val state = freshState(s, "e22")
+        Similarity.embeddingBandSignatures(emb)
+          .coalesce(2).write.mode("overwrite").parquet(state + "/csig")
+        Similarity.embeddingBandSignatures(bench)
+          .coalesce(1).write.mode("overwrite").parquet(state + "/bsig")
+        Similarity.semanticDecontaminate(emb, bench, threshold = 0.9)
+          .select(col("corpus_id"), col("bench_id"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("corpus_id", "bench_id")
+      },
+      Some("""WITH cs AS (SELECT vec_id AS id_a, band_idx, sig
+          FROM read_parquet('/tmp/graft_qstate/e22/csig/*.parquet')),
+        bs AS (SELECT vec_id AS id_b, band_idx, sig
+          FROM read_parquet('/tmp/graft_qstate/e22/bsig/*.parquet')),
+        cc AS (SELECT band_idx, sig FROM cs
+          GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+        bc AS (SELECT band_idx, sig FROM bs
+          GROUP BY 1, 2 HAVING COUNT(*) <= 1000),
+        cands AS (
+          SELECT DISTINCT a.id_a, b.id_b
+          FROM cs a
+          JOIN cc ON a.band_idx = cc.band_idx AND a.sig = cc.sig
+          JOIN bs b ON a.band_idx = b.band_idx AND a.sig = b.sig
+          JOIN bc ON b.band_idx = bc.band_idx AND b.sig = bc.sig),
+        bench AS (
+          SELECT vec_id + 1000000 AS id_b,
+            list_concat(embedding[1:56],
+              [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]) AS be
+          FROM embeddings WHERE vec_id % 83 = 0),
+        scored AS (
+          SELECT c.id_a AS corpus_id, c.id_b AS bench_id,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(b.be[i] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(list_sum(list_transform(b.be,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM cands c
+          JOIN embeddings e ON e.vec_id = c.id_a
+          JOIN bench b ON b.id_b = c.id_b)
+        SELECT corpus_id, bench_id, ROUND(cos, 6) AS cosine
+        FROM scored WHERE cos >= CAST(0.9 AS DOUBLE)
+        ORDER BY corpus_id, bench_id""")),
+
     Q("e17_ann_recall",
       // ANN index-quality evaluation: recall@10 of the LSH (e03) and
       // IVF (e05) candidate generators against brute-force ground
