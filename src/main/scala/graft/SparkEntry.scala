@@ -9059,6 +9059,62 @@ object SparkEntry {
       },
       Some(sloOracleSql)),
 
+    Q("st15_stream_decontam",
+      // decontamination AT INGEST: the e22 semantic gate in its
+      // streaming form — the benchmark's banded signature index +
+      // vectors ride one UDF closure (eval-set-sized by contract) and
+      // every arriving embedding scores MAP-ONLY: no shuffle, no state
+      // store, append mode. Same seeded hyperplane family as the batch
+      // operator, so the oracle replays the band collision, exact
+      // cosine and threshold from the SAME persisted signature frames
+      // (uncapped: the per-row gate has no bucket to cap).
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val bench = emb.filter(col("vec_id") % 83 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            concat(slice(col("embedding"), 1, 56),
+              array_repeat(lit(0.0f), 8)).as("embedding"))
+        val state = freshState(s, "st15")
+        Similarity.embeddingBandSignatures(emb)
+          .coalesce(2).write.mode("overwrite").parquet(state + "/csig")
+        Similarity.embeddingBandSignatures(bench)
+          .coalesce(1).write.mode("overwrite").parquet(state + "/bsig")
+        val stream = streamOf(s, s"$d/embeddings.parquet")
+        val gated = Similarity.semanticGate(stream, bench, threshold = 0.9)
+        runBoundedStream(s, gated, "st15_sink", "append")
+          .select(col("vec_id").as("corpus_id"), col("bench_id"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("corpus_id", "bench_id")
+      },
+      Some("""WITH cs AS (SELECT vec_id AS id_a, band_idx, sig
+          FROM read_parquet('/tmp/graft_qstate/st15/csig/*.parquet')),
+        bs AS (SELECT vec_id AS id_b, band_idx, sig
+          FROM read_parquet('/tmp/graft_qstate/st15/bsig/*.parquet')),
+        cands AS (
+          SELECT DISTINCT a.id_a, b.id_b
+          FROM cs a JOIN bs b
+            ON a.band_idx = b.band_idx AND a.sig = b.sig),
+        bench AS (
+          SELECT vec_id + 1000000 AS id_b,
+            list_concat(embedding[1:56],
+              [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]) AS be
+          FROM embeddings WHERE vec_id % 83 = 0),
+        scored AS (
+          SELECT c.id_a AS corpus_id, c.id_b AS bench_id,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(b.be[i] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(list_sum(list_transform(b.be,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM cands c
+          JOIN embeddings e ON e.vec_id = c.id_a
+          JOIN bench b ON b.id_b = c.id_b)
+        SELECT corpus_id, bench_id, ROUND(cos, 6) AS cosine
+        FROM scored WHERE cos >= CAST(0.9 AS DOUBLE)
+        ORDER BY corpus_id, bench_id""")),
+
     Q("st14_stream_quarantine",
       // row quarantine at INGEST time: Quarantine.annotate is map-only,
       // so the SAME rules run unchanged on a document stream (v06's

@@ -56,3 +56,40 @@ class SemanticDecontamSpec extends AnyFunSuite {
     assert(hits.length == 1 && hits.head.getLong(0) == 1L)
   }
 }
+
+/** The streaming gate must be the JOIN form's exact twin. */
+class SemanticGateSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.pipeline.Similarity
+
+  private def vec(seed: Int): Array[Float] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(64)(rnd.nextGaussian().toFloat)
+  }
+
+  test("semanticGate == semanticDecontaminate on the same inputs") {
+    val corpus = (0 until 60).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((1000011L, vec(11)), (1000042L, vec(42)),
+      (1999999L, vec(777777))).toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col(df.columns.head), col("bench_id"),
+        round(col("cosine"), 6))
+      .collect().map(_.toString).toSeq.sorted
+    val joinForm = Similarity.semanticDecontaminate(corpus, bench, 0.9)
+    val gateForm = Similarity.semanticGate(corpus, bench, 0.9)
+    assert(rows(joinForm) == rows(gateForm))
+    assert(joinForm.count() == 2) // exactly the two planted leaks
+  }
+
+  test("semanticGate refuses an unbounded benchmark") {
+    val corpus = Seq((1L, vec(1))).toDF("vec_id", "embedding")
+    val bench = (0 until 5).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.semanticGate(corpus, bench, maxBench = 3)
+    }
+  }
+}
