@@ -48,6 +48,12 @@ object Bench {
       wimg.write.format("noop").mode("overwrite").save()
       val wdir = java.nio.file.Files.createTempDirectory("benchwarm")
       wimg.write.mode("overwrite").parquet(s"$wdir/sig")
+      // GIF writer/reader plugin init (m10's container): one 2-frame
+      // encode + composed decode, driver-side — same principle
+      graft.pipeline.Multimodal.gifAnimFrames(
+        graft.pipeline.Multimodal.encodeAnimatedGif(
+          Seq.fill(2)(new java.awt.image.BufferedImage(4, 4,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)), 100L))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
