@@ -595,7 +595,10 @@ object Multimodal {
     }
     val pcm = fmtCode == 1 && Set(8, 16, 24, 32)(bits)
     val f32 = fmtCode == 3 && bits == 32
-    if (channels <= 0 || dataOff < 0 || !(pcm || f32)) return None
+    // G.711 companded telephony formats (8-bit): 6 = A-law, 7 = μ-law —
+    // pure published formulas, no codec library
+    val g711 = (fmtCode == 6 || fmtCode == 7) && bits == 8
+    if (channels <= 0 || dataOff < 0 || !(pcm || f32 || g711)) return None
     val bytesPerSample = bits / 8
     val frameBytes = bytesPerSample * channels
     val frames = math.min(dataLen / frameBytes, maxSamples.toLong).toInt
@@ -606,7 +609,21 @@ object Multimodal {
       var c = 0
       while (c < channels) {
         val o = dataOff + f * frameBytes + c * bytesPerSample
-        acc += (bits match {
+        acc += (if (g711 && fmtCode == 7) { // μ-law (ITU-T G.711)
+          val u = ~b(o) & 0xff
+          val mag = ((((u & 0x0f) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+          (if ((u & 0x80) != 0) -mag else mag) / 32768.0f
+        } else if (g711) { // A-law (ITU-T G.711)
+          val a = (b(o) ^ 0x55) & 0xff
+          val exp = (a >> 4) & 0x07
+          val mant = a & 0x0f
+          val mag =
+            if (exp == 0) (mant << 4) + 8
+            else ((mant << 4) + 0x108) << (exp - 1)
+          // NB: after the 0x55 toggle the SET sign bit means POSITIVE
+          // (opposite of μ-law's post-complement convention)
+          (if ((a & 0x80) != 0) mag else -mag) / 32768.0f
+        } else bits match {
           case 8 => ((b(o) & 0xff) - 128) / 128.0f // u8 is offset-binary
           case 16 => le16(o).toShort / 32768.0f
           case 24 =>

@@ -116,3 +116,61 @@ class Round12FixSpec extends AnyFunSuite {
     assert(rep.kept == Seq("date=2024-03-01"))
   }
 }
+
+/** G.711 companded WAV decode (telephony corpora): μ-law and A-law are
+ *  pure published formulas — anchor values from the ITU-T tables. */
+class G711Spec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.pipeline.Multimodal
+
+  private def wav(fmtCode: Int, samples: Array[Byte]): Array[Byte] = {
+    val n = samples.length
+    val data = new Array[Byte](44 + n)
+    def put(i: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(data, i)
+    def le32(i: Int, v: Int): Unit = {
+      data(i) = (v & 0xff).toByte; data(i + 1) = ((v >> 8) & 0xff).toByte
+      data(i + 2) = ((v >> 16) & 0xff).toByte
+      data(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(i: Int, v: Int): Unit = {
+      data(i) = (v & 0xff).toByte; data(i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    put(0, "RIFF"); le32(4, 36 + n); put(8, "WAVE")
+    put(12, "fmt "); le32(16, 16); le16(20, fmtCode); le16(22, 1)
+    le32(24, 8000); le32(28, 8000); le16(32, 1); le16(34, 8)
+    put(36, "data"); le32(40, n)
+    samples.copyToArray(data, 44)
+    data
+  }
+
+  test("mu-law anchors: full-scale negative, zero, full-scale positive") {
+    val out = Multimodal.audioSamplesBytes(
+      wav(7, Array(0x00, 0xff, 0x80).map(_.toByte))).get
+    assert(out(0) == -32124 / 32768.0f) // ulaw2linear(0x00) = -32124
+    assert(out(1) == 0.0f)              // ulaw2linear(0xFF) = 0
+    assert(out(2) == 32124 / 32768.0f)  // ulaw2linear(0x80) = +32124
+  }
+
+  test("A-law anchors: min magnitudes and full scale") {
+    val out = Multimodal.audioSamplesBytes(
+      wav(6, Array(0x55, 0xd5, 0x2a, 0xaa).map(_.toByte))).get
+    assert(out(0) == -8 / 32768.0f)      // alaw2linear(0x55) = -8
+    assert(out(1) == 8 / 32768.0f)       // alaw2linear(0xD5) = +8
+    assert(out(2) == -32256 / 32768.0f)  // alaw2linear(0x2A) = -32256
+    assert(out(3) == 32256 / 32768.0f)   // alaw2linear(0xAA) = +32256
+  }
+
+  test("companding round-trip: s16 -> mu-law byte -> decode within segment error") {
+    // encode via the standard ulaw2linear inverse search over all 256
+    // codes (tiny): every decoded value must be the closest code
+    val codes = (0 until 256).map { c =>
+      Multimodal.audioSamplesBytes(wav(7, Array(c.toByte))).get.head
+    }
+    for (x <- Seq(-0.9f, -0.25f, -0.01f, 0.0f, 0.02f, 0.3f, 0.97f)) {
+      val best = codes.minBy(v => math.abs(v - x))
+      // mu-law segment error <= ~1/64 of full scale at the top segment
+      assert(math.abs(best - x) <= 1.0f / 64,
+        s"x=$x best=$best")
+    }
+  }
+}
