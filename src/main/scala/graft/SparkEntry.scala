@@ -6279,7 +6279,161 @@ object SparkEntry {
           WHERE n.len < 16 OR (pos // 16) * 16 <= n.len - 16
           GROUP BY 1, 2)
         SELECT doc_id, CAST(bit_xor(m) AS BIGINT) AS fingerprint
-        FROM mins GROUP BY doc_id ORDER BY doc_id""")))
+        FROM mins GROUP BY doc_id ORDER BY doc_id""")),
+
+    Q("x80_substring_spans",
+      // exact substring-SPAN dedup (span-grain, not doc-grain): the
+      // character ranges of each doc that occur verbatim in >=1 OTHER
+      // doc, as the union of shared 40-char rolling-hash windows —
+      // whole-doc dedup misses a unique article embedding a copied
+      // paragraph; this reports the paragraph. Karp–Rabin gram stream
+      // persists (the x04 replay shape) and DuckDB replays the
+      // 2..maxDf df cap, the interval union window chain and the
+      // min-span cut.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextAnalysis.fingerprintHashes(
+            docs.filter(length(regexp_replace(lower(col("text")),
+              "\\s+", " ")) >= 40),
+            gram = 40)
+          .write.mode("overwrite")
+          .parquet(freshState(s, "x80") + "/grams")
+        Dedup.substringSpans(docs)
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH g AS (SELECT doc_id, pos, hash
+          FROM read_parquet('/tmp/graft_qstate/x80/grams/*.parquet')),
+        dfok AS (SELECT hash FROM (
+            SELECT hash, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+          WHERE df BETWEEN 2 AND 1000),
+        sh AS (SELECT g.doc_id, g.pos FROM g JOIN dfok USING (hash)),
+        fl AS (SELECT doc_id, pos,
+            MAX(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS cummax
+          FROM sh),
+        isl AS (SELECT doc_id, pos,
+            SUM(CASE WHEN cummax IS NULL OR pos > cummax
+              THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+          FROM fl),
+        sp AS (SELECT doc_id,
+            CAST(MIN(pos) AS BIGINT) AS span_start,
+            CAST(MAX(pos) + 40 AS BIGINT) AS span_end,
+            CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM isl GROUP BY doc_id, span_id)
+        SELECT doc_id, span_start, span_end,
+          span_end - span_start AS span_len, n_grams
+        FROM sp WHERE span_end - span_start >= 60
+        ORDER BY doc_id, span_start""")),
+
+    Q("x81_duplicated_mass",
+      // per-source duplicated-text mass (the curation dashboard
+      // number "which of my sources is mostly copies"): covered
+      // chars = sum of x80's disjoint spans, over the source's total
+      // normalized chars, ppm-quantized. Same persisted gram stream,
+      // whole rollup replayed.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        TextAnalysis.fingerprintHashes(
+            docs.filter(length(regexp_replace(lower(col("text")),
+              "\\s+", " ")) >= 40),
+            gram = 40)
+          .write.mode("overwrite")
+          .parquet(freshState(s, "x81") + "/grams")
+        Dedup.duplicatedMass(docs).orderBy("source")
+      },
+      Some("""WITH g AS (SELECT doc_id, pos, hash
+          FROM read_parquet('/tmp/graft_qstate/x81/grams/*.parquet')),
+        dfok AS (SELECT hash FROM (
+            SELECT hash, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+          WHERE df BETWEEN 2 AND 1000),
+        sh AS (SELECT g.doc_id, g.pos FROM g JOIN dfok USING (hash)),
+        fl AS (SELECT doc_id, pos,
+            MAX(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS cummax
+          FROM sh),
+        isl AS (SELECT doc_id, pos,
+            SUM(CASE WHEN cummax IS NULL OR pos > cummax
+              THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+          FROM fl),
+        sp AS (SELECT doc_id,
+            CAST(MAX(pos) + 40 - MIN(pos) AS BIGINT) AS span_len
+          FROM isl GROUP BY doc_id, span_id),
+        perdoc AS (SELECT doc_id,
+            CAST(SUM(span_len) AS BIGINT) AS covered
+          FROM sp WHERE span_len >= 60 GROUP BY doc_id),
+        base AS (SELECT d.doc_id, d.source,
+            CAST(length(regexp_replace(lower(d.text), '\s+', ' ', 'g'))
+              AS BIGINT) AS n_norm,
+            p.covered
+          FROM documents d LEFT JOIN perdoc p USING (doc_id))
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(covered) AS BIGINT) AS n_docs_with_spans,
+          CAST(COALESCE(SUM(covered), 0) AS BIGINT) AS covered_chars,
+          CAST(SUM(n_norm) AS BIGINT) AS total_chars,
+          CAST(ROUND(1e6 * COALESCE(SUM(covered), 0) / SUM(n_norm), 0)
+            AS BIGINT) AS dup_mass_ppm
+        FROM base GROUP BY source ORDER BY source""")),
+
+    Q("e23_embedding_outliers",
+      // embedding-space outlier pruning: nearest-of-8-fixed-centroids
+      // cells (the e07 deterministic assignment DuckDB replays
+      // exactly) + bottom-10%-of-cell flag by ppm-quantized
+      // cosine-to-centroid — the cheap map-side gate that runs BEFORE
+      // SemDeDup's within-cell quadratic pass.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val cents = emb.filter(col("vec_id") < 8).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+          .map { v =>
+            val n = math.sqrt(v.map(x => x * x).sum)
+            if (n == 0) v else v.map(_ / n)
+          }
+        Similarity.embeddingOutliers(emb, cents)
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        c AS (
+          SELECT vec_id AS cid,
+            list_transform(embedding, x -> CAST(x AS DOUBLE) /
+              SQRT(list_sum(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS cv
+          FROM e WHERE vec_id < 8),
+        dots AS (
+          SELECT e.vec_id, c.cid,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i])) AS dt
+          FROM e CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, cid AS cell, dt FROM (
+            SELECT vec_id, cid, dt,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY dt DESC, cid) AS rk
+            FROM dots) WHERE rk = 1),
+        normed AS (
+          SELECT a.vec_id, a.cell,
+            CASE WHEN n.nrm = 0 THEN 0.0 ELSE a.dt / n.nrm END AS cosv
+          FROM assign a JOIN (
+            SELECT vec_id, SQRT(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM e) n USING (vec_id)),
+        wr AS (
+          SELECT vec_id, cell, cosv,
+            ROW_NUMBER() OVER (PARTITION BY cell
+              ORDER BY CAST(ROUND(cosv * 1e6, 0) AS BIGINT), vec_id)
+              AS cell_rank,
+            COUNT(*) OVER (PARTITION BY cell) AS n
+          FROM normed)
+        SELECT vec_id, CAST(cell AS INT) AS cell,
+          ROUND(cosv, 6) AS cos_centroid,
+          CAST(cell_rank AS INT) AS cell_rank,
+          cell_rank <= CAST(FLOOR(n * 100000 / 1000000.0) AS BIGINT)
+            AS is_outlier
+        FROM wr ORDER BY vec_id""")))
 
   /** DuckDB mirror of Catalog.keyIntegrity — every check rebuilt in SQL
    *  from the SAME declared sidecar keys, so the constants can't drift

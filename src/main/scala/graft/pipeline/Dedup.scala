@@ -1323,4 +1323,98 @@ object Dedup {
       manifest: DataFrame,
       idCol: String = "doc_id"): DataFrame =
     docs.join(manifest.select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** Exact substring-SPAN detection — the span-grain exact dedup of
+   *  training-data curation: find the character ranges of each
+   *  document that also occur verbatim in at least one OTHER
+   *  document, so removal can cut the copied span instead of the
+   *  whole document (whole-doc dedup misses a unique article that
+   *  embeds a wire-service paragraph; this doesn't). A Karp–Rabin
+   *  rolling hash over the lowercased whitespace-collapsed text
+   *  ([[TextAnalysis.krHashes]] — the x04 fingerprint family) marks
+   *  every `gram`-char window whose hash occurs in 2..maxDf distinct
+   *  docs; the union of their [pos, pos+gram) intervals — ONE
+   *  running-max window chain per doc — is the covered span set.
+   *  Spans shorter than `minSpan` (common phrasing, not copying)
+   *  drop. Positions index the NORMALIZED text.
+   *
+   *  Scale: the only shuffles carry (hash, doc_id, pos) triples —
+   *  never text; `maxDf` caps each posting list exactly like the
+   *  MinHash band guard (a window occurring in half the corpus is
+   *  boilerplate whose positions would explode the join, and
+   *  boilerplate has its own operator); the interval union is one
+   *  window per doc ordered by pos. Docs whose normalized text is
+   *  shorter than `gram` carry no full window and are skipped. */
+  def substringSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gram: Int = 40,
+      minSpan: Int = 60,
+      maxDf: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val grams = TextAnalysis.fingerprintHashes(
+      docs.filter(length(
+        regexp_replace(lower(col(textCol)), "\\s+", " ")) >= gram),
+      idCol, textCol, gram)
+    // df = distinct docs per window hash; 2..maxDf = shared, sane
+    val dfOk = grams.select(col(idCol), col("hash")).distinct()
+      .groupBy("hash").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("hash")
+    val shared = grams.join(dfOk, Seq("hash"))
+    // interval union: a position starts a new span iff it clears the
+    // running max end of everything before it
+    val prev = w.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(w.unboundedPreceding, -1)
+    val run = w.partitionBy(idCol).orderBy("pos")
+    val spans = shared
+      .withColumn("cummax", max(col("pos") + lit(gram)).over(prev))
+      .withColumn("span_id",
+        sum(when(col("cummax").isNull || col("pos") > col("cummax"), 1)
+          .otherwise(0)).over(run))
+      .groupBy(col(idCol), col("span_id"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + lit(gram)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("span_len", col("span_end") - col("span_start"))
+    spans.filter(col("span_len") >= minSpan)
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_len"), col("n_grams"))
+  }
+
+  /** Per-source duplicated-text mass: what fraction of each source's
+   *  normalized characters sit inside a cross-document shared span
+   *  ([[substringSpans]]) — the curation dashboard number answering
+   *  "which of my sources is mostly copies" before any mixture
+   *  weight is chosen. Spans are disjoint per doc by construction
+   *  (interval union), so covered mass is a plain sum; the ratio
+   *  quantizes to ppm from integer character counts so it is
+   *  engine-portable. One extra source-keyed aggregation on top of
+   *  the span pass — the text column never moves. */
+  def duplicatedMass(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source",
+      gram: Int = 40,
+      minSpan: Int = 60,
+      maxDf: Int = 1000): DataFrame = {
+    val perDoc = substringSpans(docs, idCol, textCol, gram, minSpan,
+        maxDf)
+      .groupBy(idCol)
+      .agg(sum("span_len").as("covered"), count(lit(1)).as("n_spans"))
+    docs.select(col(idCol), col(sourceCol),
+        length(regexp_replace(lower(col(textCol)), "\\s+", " "))
+          .cast("long").as("n_norm"))
+      .join(perDoc, Seq(idCol), "left")
+      .groupBy(sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("covered")).as("n_docs_with_spans"),
+        sum(coalesce(col("covered"), lit(0L))).as("covered_chars"),
+        sum("n_norm").as("total_chars"))
+      .withColumn("dup_mass_ppm",
+        round(lit(1e6) * col("covered_chars") / col("total_chars"), 0)
+          .cast("long"))
+  }
 }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Similarity}
+
+/** Round-12 session-2 operators: exact substring-span dedup, the
+ *  per-source duplicated-mass rollup, and embedding outlier pruning. */
+class Round12bSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  // 120 normalized chars of shared prose (no double spaces — positions
+  // must survive krHashes' whitespace collapse untouched)
+  private val shared =
+    "the quick brown fox jumps over the lazy dog while the cat " +
+      "watches from the warm windowsill and the rain keeps falling down"
+  private def pad(n: Int, seed: Char): String =
+    Array.fill(n)(seed).mkString
+
+  test("substringSpans finds the copied span, not the whole doc") {
+    val docs = Seq(
+      (1L, pad(50, 'a') + " " + shared + " " + pad(50, 'b')),
+      (2L, pad(50, 'c') + " " + shared + " " + pad(50, 'd')),
+      (3L, pad(200, 'e'))).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs)
+      .orderBy("doc_id", "span_start").collect()
+    // docs 1 and 2 share exactly `shared` (+ the single space on each
+    // side joins differing pads, so boundary windows differ)
+    assert(spans.length == 2, spans.mkString("; "))
+    assert(spans.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    spans.foreach { r =>
+      val len = r.getAs[Long]("span_len")
+      // the span covers the shared text; windows touching at most the
+      // flanking spaces can widen it by <= 2 chars total
+      assert(len >= shared.length && len <= shared.length + 2,
+        s"span_len=$len expected ~${shared.length}")
+      assert(r.getAs[Long]("span_end") -
+        r.getAs[Long]("span_start") == len)
+    }
+  }
+
+  test("substringSpans drops shared runs shorter than minSpan") {
+    val short = shared.take(50) // >= gram(40) but < minSpan(60)
+    val docs = Seq(
+      (1L, pad(80, 'a') + " " + short + " " + pad(80, 'b')),
+      (2L, pad(80, 'c') + " " + short + " " + pad(80, 'd')))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringSpans(docs).count() == 0)
+    // same corpus, minSpan lowered to the run length → both docs report
+    assert(Dedup.substringSpans(docs, minSpan = 40).count() == 2)
+  }
+
+  test("substringSpans: distinct copied regions stay separate spans") {
+    val s2 = "pack my box with five dozen liquor jugs and then take the " +
+      "empty crate back to the cellar before anyone even notices it"
+    val docs = Seq(
+      (1L, shared + " " + pad(100, 'x') + " " + s2),
+      (2L, s2 + " " + pad(100, 'y') + " " + shared))
+      .toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs).collect()
+    assert(spans.length == 4, spans.mkString("; "))
+    assert(spans.groupBy(_.getLong(0)).forall(_._2.length == 2))
+  }
+
+  test("substringSpans maxDf cap drops boilerplate windows") {
+    val docs = (1L to 6L).map(i => (i, shared + " " + pad(60, ('a' + i.toInt).toChar)))
+      .toDF("doc_id", "text")
+    // df of the shared windows is 6 > maxDf=5 → boilerplate, no spans
+    assert(Dedup.substringSpans(docs, maxDf = 5).count() == 0)
+    assert(Dedup.substringSpans(docs, maxDf = 6).count() == 6)
+  }
+
+  test("duplicatedMass: per-source ppm of covered characters") {
+    val docs = Seq(
+      (1L, pad(50, 'a') + " " + shared + " " + pad(50, 'b'), "web"),
+      (2L, pad(50, 'c') + " " + shared + " " + pad(50, 'd'), "web"),
+      (3L, pad(200, 'e'), "books"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.duplicatedMass(docs).orderBy("source").collect()
+    assert(m.length == 2)
+    val books = m(0); val web = m(1)
+    assert(books.getAs[String]("source") == "books")
+    assert(books.getAs[Long]("n_docs_with_spans") == 0L)
+    assert(books.getAs[Long]("covered_chars") == 0L)
+    assert(books.getAs[Long]("dup_mass_ppm") == 0L)
+    assert(web.getAs[Long]("n_docs") == 2L)
+    assert(web.getAs[Long]("n_docs_with_spans") == 2L)
+    val covered = web.getAs[Long]("covered_chars")
+    val total = web.getAs[Long]("total_chars")
+    assert(covered >= 2L * shared.length &&
+      covered <= 2L * (shared.length + 2))
+    assert(web.getAs[Long]("dup_mass_ppm") ==
+      math.round(1e6 * covered / total.toDouble))
+  }
+
+  test("embeddingOutliers flags the bottom tail per cell, not globally") {
+    // two orthogonal unit centroids; cell 0 gets 10 members with
+    // descending alignment, cell 1 gets 5 tight members
+    val c0 = Array(1.0, 0.0); val c1 = Array(0.0, 1.0)
+    val rows =
+      (0 until 10).map { i =>
+        val theta = 0.05 * i // increasing angle off c0, all < pi/4
+        (i.toLong, Seq(math.cos(theta).toFloat, math.sin(theta).toFloat))
+      } ++ (10 until 15).map { i =>
+        (i.toLong, Seq(0.01f * (i - 10), 1.0f))
+      }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.embeddingOutliers(df, Array(c0, c1))
+      .orderBy("vec_id").collect()
+    assert(out.length == 15)
+    val byCell = out.groupBy(_.getAs[Int]("cell"))
+    assert(byCell(0).length == 10 && byCell(1).length == 5)
+    // cell 0: exactly floor(10*0.1)=1 outlier — the farthest (vec 9)
+    val flagged0 = byCell(0).filter(_.getAs[Boolean]("is_outlier"))
+    assert(flagged0.map(_.getLong(0)).toSeq == Seq(9L))
+    // cell 1: floor(5*0.1)=0 — a global cutoff would have flagged here
+    assert(!byCell(1).exists(_.getAs[Boolean]("is_outlier")))
+    // rank 1 = least aligned member of the cell
+    assert(byCell(0).minBy(_.getAs[Int]("cell_rank")).getLong(0) == 9L)
+  }
+
+  test("embeddingOutliers: zero vector scores cosine 0 and ranks first") {
+    val c0 = Array(1.0, 0.0)
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingOutliers(df, Array(c0))
+      .orderBy("vec_id").collect()
+    val zero = out.find(_.getLong(0) == 1L).get
+    assert(zero.getAs[Double]("cos_centroid") == 0.0)
+    assert(zero.getAs[Int]("cell_rank") == 1)
+  }
+}
