@@ -6292,13 +6292,15 @@ object SparkEntry {
       // min-span cut.
       (s, d) => {
         val docs = t(s, d, "documents")
+        val gramsPath = freshState(s, "x80") + "/grams"
         TextAnalysis.fingerprintHashes(
             docs.filter(length(regexp_replace(lower(col("text")),
               "\\s+", " ")) >= 40),
             gram = 40)
-          .write.mode("overwrite")
-          .parquet(freshState(s, "x80") + "/grams")
-        Dedup.substringSpans(docs)
+          .coalesce(8).write.mode("overwrite").parquet(gramsPath)
+        // span pass reads the stream it just signed — the hashing UDF
+        // runs once, and this IS the persisted-signature scale shape
+        Dedup.substringSpansFromGrams(s.read.parquet(gramsPath))
           .orderBy("doc_id", "span_start")
       },
       Some("""WITH g AS (SELECT doc_id, pos, hash
@@ -6335,13 +6337,15 @@ object SparkEntry {
       // whole rollup replayed.
       (s, d) => {
         val docs = t(s, d, "documents")
+        val gramsPath = freshState(s, "x81") + "/grams"
         TextAnalysis.fingerprintHashes(
             docs.filter(length(regexp_replace(lower(col("text")),
               "\\s+", " ")) >= 40),
             gram = 40)
-          .write.mode("overwrite")
-          .parquet(freshState(s, "x81") + "/grams")
-        Dedup.duplicatedMass(docs).orderBy("source")
+          .coalesce(8).write.mode("overwrite").parquet(gramsPath)
+        Dedup.duplicatedMassFromSpans(docs,
+            Dedup.substringSpansFromGrams(s.read.parquet(gramsPath)))
+          .orderBy("source")
       },
       Some("""WITH g AS (SELECT doc_id, pos, hash
           FROM read_parquet('/tmp/graft_qstate/x81/grams/*.parquet')),

@@ -1351,18 +1351,40 @@ object Dedup {
       textCol: String = "text",
       gram: Int = 40,
       minSpan: Int = 60,
+      maxDf: Int = 1000): DataFrame =
+    substringSpansFromGrams(
+      TextAnalysis.fingerprintHashes(
+        docs.filter(length(
+          regexp_replace(lower(col(textCol)), "\\s+", " ")) >= gram),
+        idCol, textCol, gram),
+      idCol, gram, minSpan, maxDf)
+
+  /** [[substringSpans]] over a precomputed (idCol, pos, hash) gram
+   *  stream — the incremental entry point: a standing corpus signs
+   *  ONCE into a persisted stream, a new slice appends its own grams
+   *  at O(slice), and the span pass re-runs over signatures without
+   *  ever touching text again. Exactly two exchanges: the df count is
+   *  a window over the hash partition (first-occurrence flags summed
+   *  — no groupBy + join-back), then the interval union windows over
+   *  the doc partition. */
+  def substringSpansFromGrams(
+      grams: DataFrame,
+      idCol: String = "doc_id",
+      gram: Int = 40,
+      minSpan: Int = 60,
       maxDf: Int = 1000): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val grams = TextAnalysis.fingerprintHashes(
-      docs.filter(length(
-        regexp_replace(lower(col(textCol)), "\\s+", " ")) >= gram),
-      idCol, textCol, gram)
-    // df = distinct docs per window hash; 2..maxDf = shared, sane
-    val dfOk = grams.select(col(idCol), col("hash")).distinct()
-      .groupBy("hash").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select("hash")
-    val shared = grams.join(dfOk, Seq("hash"))
+    // df = distinct docs per window hash; 2..maxDf = shared, sane.
+    // Both windows hash-partition on `hash` alone (the (hash, doc)
+    // clustering is satisfied by it), so this is ONE exchange.
+    val wHD = w.partitionBy(col("hash"), col(idCol)).orderBy("pos")
+    val wH = w.partitionBy("hash")
+    val shared = grams
+      .withColumn("__first",
+        when(row_number().over(wHD) === 1, 1).otherwise(0))
+      .withColumn("__df", sum(col("__first")).over(wH))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col(idCol), col("pos"))
     // interval union: a position starts a new span iff it clears the
     // running max end of everything before it
     val prev = w.partitionBy(idCol).orderBy("pos")
@@ -1399,9 +1421,20 @@ object Dedup {
       sourceCol: String = "source",
       gram: Int = 40,
       minSpan: Int = 60,
-      maxDf: Int = 1000): DataFrame = {
-    val perDoc = substringSpans(docs, idCol, textCol, gram, minSpan,
-        maxDf)
+      maxDf: Int = 1000): DataFrame =
+    duplicatedMassFromSpans(docs,
+      substringSpans(docs, idCol, textCol, gram, minSpan, maxDf),
+      idCol, textCol, sourceCol)
+
+  /** [[duplicatedMass]] from an already-computed span set (e.g. the
+   *  persisted-gram incremental path) — the rollup alone. */
+  def duplicatedMassFromSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source"): DataFrame = {
+    val perDoc = spans
       .groupBy(idCol)
       .agg(sum("span_len").as("covered"), count(lit(1)).as("n_spans"))
     docs.select(col(idCol), col(sourceCol),
