@@ -6382,6 +6382,78 @@ object SparkEntry {
             AS BIGINT) AS dup_mass_ppm
         FROM base GROUP BY source ORDER BY source""")),
 
+    Q("x82_span_removal",
+      // the APPLY step of exact substring dedup: cut x80's shared
+      // spans out of the normalized text and emit the surgery
+      // manifest for EVERY doc (span-free docs pass through, zero
+      // counts) — cleaned md5/length pin the reassembly char-exact.
+      // Same persisted gram stream; DuckDB replays spans AND the
+      // string surgery.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val gramsPath = freshState(s, "x82") + "/grams"
+        TextAnalysis.fingerprintHashes(
+            docs.filter(length(regexp_replace(lower(col("text")),
+              "\\s+", " ")) >= 40),
+            gram = 40)
+          .coalesce(8).write.mode("overwrite").parquet(gramsPath)
+        Dedup.removeSpans(docs,
+            Dedup.substringSpansFromGrams(s.read.parquet(gramsPath)))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, pos, hash
+          FROM read_parquet('/tmp/graft_qstate/x82/grams/*.parquet')),
+        dfok AS (SELECT hash FROM (
+            SELECT hash, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+          WHERE df BETWEEN 2 AND 1000),
+        sh AS (SELECT g.doc_id, g.pos FROM g JOIN dfok USING (hash)),
+        fl AS (SELECT doc_id, pos,
+            MAX(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS cummax
+          FROM sh),
+        isl AS (SELECT doc_id, pos,
+            SUM(CASE WHEN cummax IS NULL OR pos > cummax
+              THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+          FROM fl),
+        sp AS (SELECT doc_id,
+            CAST(MIN(pos) AS BIGINT) AS span_start,
+            CAST(MAX(pos) + 40 AS BIGINT) AS span_end
+          FROM isl GROUP BY doc_id, span_id),
+        spf AS (SELECT * FROM sp WHERE span_end - span_start >= 60),
+        nrm AS (SELECT doc_id,
+            regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+          FROM documents),
+        pre AS (SELECT doc_id,
+            COALESCE(LAG(span_end) OVER (PARTITION BY doc_id
+              ORDER BY span_start), 0) AS seg_start,
+            span_start AS seg_end
+          FROM spf),
+        pd AS (SELECT doc_id, MAX(span_end) AS tail_start,
+            CAST(SUM(span_end - span_start) AS BIGINT)
+              AS removed_chars,
+            CAST(COUNT(*) AS BIGINT) AS n_spans
+          FROM spf GROUP BY doc_id),
+        tl AS (SELECT p.doc_id, p.tail_start AS seg_start,
+            CAST(length(n.t) AS BIGINT) AS seg_end
+          FROM pd p JOIN nrm n USING (doc_id)),
+        segs AS (SELECT * FROM pre UNION ALL SELECT * FROM tl),
+        reb AS (SELECT s.doc_id,
+            string_agg(substring(n.t, CAST(s.seg_start + 1 AS INT),
+              CAST(s.seg_end - s.seg_start AS INT)), ''
+              ORDER BY s.seg_start) AS cleaned
+          FROM segs s JOIN nrm n USING (doc_id) GROUP BY s.doc_id)
+        SELECT n.doc_id,
+          COALESCE(pd.n_spans, 0) AS n_spans_removed,
+          COALESCE(pd.removed_chars, 0) AS removed_chars,
+          CAST(length(COALESCE(reb.cleaned, n.t)) AS BIGINT)
+            AS cleaned_len,
+          md5(COALESCE(reb.cleaned, n.t)) AS cleaned_md5
+        FROM nrm n LEFT JOIN reb USING (doc_id)
+          LEFT JOIN pd USING (doc_id)
+        ORDER BY n.doc_id""")),
+
     Q("e23_embedding_outliers",
       // embedding-space outlier pruning: nearest-of-8-fixed-centroids
       // cells (the e07 deterministic assignment DuckDB replays

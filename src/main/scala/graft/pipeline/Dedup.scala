@@ -1426,6 +1426,68 @@ object Dedup {
       substringSpans(docs, idCol, textCol, gram, minSpan, maxDf),
       idCol, textCol, sourceCol)
 
+  /** Span REMOVAL — the apply step of exact substring dedup: cut the
+   *  shared character ranges ([[substringSpans]]) out of each doc's
+   *  normalized text and return the surgery manifest (cleaned text +
+   *  its length/md5, spans removed, chars removed) for EVERY corpus
+   *  doc — span-free docs pass through with zero counts, so the
+   *  output is the full cleaned corpus, not just the touched rows.
+   *  Spans are disjoint and sorted per doc by construction, so the
+   *  keep-set is the complement segments: one before each span (lag
+   *  of the previous span end) plus the tail after the last.
+   *
+   *  Scale: this is the one operator in the family that MUST move
+   *  text (it rewrites documents); segments cut map-side after one
+   *  doc-keyed join, and the reassembly groups ~doc-sized segment
+   *  text per doc — a single doc-keyed exchange of the corpus, the
+   *  same cost as any rewrite-the-corpus materialization. */
+  def removeSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val norm = docs.select(col(idCol),
+      regexp_replace(lower(col(textCol)), "\\s+", " ").as("__t"))
+    val byStart = w.partitionBy(idCol).orderBy("span_start")
+    // segment before each span: [prev span end (or 0), span start)
+    val pre = spans
+      .withColumn("seg_start",
+        coalesce(lag(col("span_end"), 1).over(byStart), lit(0L)))
+      .select(col(idCol), col("seg_start"),
+        col("span_start").as("seg_end"))
+    val perDoc = spans.groupBy(idCol)
+      .agg(max("span_end").as("__tail_start"),
+        sum("span_len").as("removed_chars"),
+        count(lit(1)).as("n_spans_removed"))
+    // tail segment after the last span: [max span end, len)
+    val tail = perDoc.join(norm, Seq(idCol))
+      .select(col(idCol), col("__tail_start").as("seg_start"),
+        length(col("__t")).cast("long").as("seg_end"))
+    val segs = pre.unionByName(tail)
+      .join(norm, Seq(idCol))
+      .select(col(idCol), col("seg_start"),
+        col("__t").substr((col("seg_start") + 1).cast("int"),
+          (col("seg_end") - col("seg_start")).cast("int"))
+          .as("seg_text"))
+    val rebuilt = segs.groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("seg_start"),
+          col("seg_text")))),
+        x => x.getField("seg_text")), "").as("__cleaned"))
+    norm.join(rebuilt, Seq(idCol), "left")
+      .join(perDoc.select(col(idCol), col("removed_chars"),
+        col("n_spans_removed")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans_removed"), lit(0L))
+          .as("n_spans_removed"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        length(coalesce(col("__cleaned"), col("__t"))).cast("long")
+          .as("cleaned_len"),
+        md5(coalesce(col("__cleaned"), col("__t")).cast("binary"))
+          .as("cleaned_md5"))
+  }
+
   /** [[duplicatedMass]] from an already-computed span set (e.g. the
    *  persisted-gram incremental path) — the rollup alone. */
   def duplicatedMassFromSpans(

@@ -95,6 +95,54 @@ class Round12bSpec extends AnyFunSuite {
       math.round(1e6 * covered / total.toDouble))
   }
 
+  test("removeSpans performs char-exact surgery and passes clean docs through") {
+    val d1 = pad(50, 'a') + " " + shared + " " + pad(50, 'b')
+    val d2 = pad(50, 'c') + " " + shared + " " + pad(50, 'd')
+    val d3 = pad(200, 'e')
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs)
+    val out = Dedup.removeSpans(docs, spans).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // doc 3: untouched — md5 of its normalized text, zero counts
+    assert(byId(3L).getAs[Long]("n_spans_removed") == 0L)
+    assert(byId(3L).getAs[Long]("removed_chars") == 0L)
+    assert(byId(3L).getAs[Long]("cleaned_len") == d3.length.toLong)
+    val md5d3 = java.security.MessageDigest.getInstance("MD5")
+      .digest(d3.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byId(3L).getAs[String]("cleaned_md5") == md5d3)
+    // docs 1/2: the span (shared + both flanking spaces) is cut; the
+    // cleaned text is exactly the two pads glued together
+    Seq(1L -> ("a", "b"), 2L -> ("c", "d")).foreach { case (id, (l, r)) =>
+      val row = byId(id)
+      assert(row.getAs[Long]("n_spans_removed") == 1L)
+      val expectCleaned = pad(50, l.head) + pad(50, r.head)
+      assert(row.getAs[Long]("removed_chars") ==
+        (shared.length + 2).toLong)
+      assert(row.getAs[Long]("cleaned_len") == expectCleaned.length)
+      val md5c = java.security.MessageDigest.getInstance("MD5")
+        .digest(expectCleaned.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(row.getAs[String]("cleaned_md5") == md5c,
+        s"doc $id cleaned text mismatch")
+    }
+  }
+
+  test("removeSpans: a fully-covered doc cleans to the empty string") {
+    // two identical docs — every window shared, the span is the doc
+    val txt = shared + " " + shared // 241 chars, > gram
+    val docs = Seq((1L, txt), (2L, txt)).toDF("doc_id", "text")
+    val out = Dedup.removeSpans(docs, Dedup.substringSpans(docs))
+      .orderBy("doc_id").collect()
+    val md5empty = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    out.foreach { r =>
+      assert(r.getAs[Long]("cleaned_len") == 0L)
+      assert(r.getAs[Long]("removed_chars") == txt.length.toLong)
+      assert(r.getAs[String]("cleaned_md5") == md5empty)
+    }
+  }
+
   test("embeddingOutliers flags the bottom tail per cell, not globally") {
     // two orthogonal unit centroids; cell 0 gets 10 members with
     // descending alignment, cell 1 gets 5 tight members
