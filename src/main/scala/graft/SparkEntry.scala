@@ -6454,6 +6454,60 @@ object SparkEntry {
           LEFT JOIN pd USING (doc_id)
         ORDER BY n.doc_id""")),
 
+    Q("x83_contamination_spans",
+      // span-grain eval decontamination: every 50th doc plays the
+      // benchmark (their duplicate-family twins stay in the corpus,
+      // so leaked spans EXIST at every SF — the doc<10 fixture went
+      // empty at sf0.1), and every corpus doc reports the exact
+      // character ranges it shares verbatim with the bench —
+      // presence in the bench hash set qualifies (minDf=1), corpus
+      // df > 1000 is boilerplate and drops. One dumped gram stream;
+      // DuckDB replays the split, the broadcast-shaped hash match,
+      // and the interval union.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val gramsPath = freshState(s, "x83") + "/grams"
+        TextAnalysis.fingerprintHashes(
+            docs.filter(length(regexp_replace(lower(col("text")),
+              "\\s+", " ")) >= 40),
+            gram = 40)
+          .coalesce(8).write.mode("overwrite").parquet(gramsPath)
+        val g = s.read.parquet(gramsPath)
+        Dedup.contaminationSpansFromGrams(
+            g.filter(col("doc_id") % 50 =!= 0),
+            g.filter(col("doc_id") % 50 === 0))
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH g AS (SELECT doc_id, pos, hash
+          FROM read_parquet('/tmp/graft_qstate/x83/grams/*.parquet')),
+        bh AS (SELECT DISTINCT hash FROM g WHERE doc_id % 50 = 0),
+        hits AS (SELECT g.doc_id, g.pos, g.hash
+          FROM g JOIN bh USING (hash) WHERE g.doc_id % 50 <> 0),
+        dfok AS (SELECT hash FROM (
+            SELECT hash, COUNT(DISTINCT doc_id) AS df
+            FROM hits GROUP BY 1)
+          WHERE df <= 1000),
+        sh AS (SELECT h.doc_id, h.pos FROM hits h JOIN dfok USING (hash)),
+        fl AS (SELECT doc_id, pos,
+            MAX(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS cummax
+          FROM sh),
+        isl AS (SELECT doc_id, pos,
+            SUM(CASE WHEN cummax IS NULL OR pos > cummax
+              THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+          FROM fl),
+        sp AS (SELECT doc_id,
+            CAST(MIN(pos) AS BIGINT) AS span_start,
+            CAST(MAX(pos) + 40 AS BIGINT) AS span_end,
+            CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM isl GROUP BY doc_id, span_id)
+        SELECT doc_id, span_start, span_end,
+          span_end - span_start AS span_len, n_grams
+        FROM sp WHERE span_end - span_start >= 60
+        ORDER BY doc_id, span_start""")),
+
     Q("e23_embedding_outliers",
       // embedding-space outlier pruning: nearest-of-8-fixed-centroids
       // cells (the e07 deterministic assignment DuckDB replays

@@ -1372,18 +1372,21 @@ object Dedup {
       idCol: String = "doc_id",
       gram: Int = 40,
       minSpan: Int = 60,
-      maxDf: Int = 1000): DataFrame = {
+      maxDf: Int = 1000,
+      minDf: Int = 2): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    // df = distinct docs per window hash; 2..maxDf = shared, sane.
-    // Both windows hash-partition on `hash` alone (the (hash, doc)
-    // clustering is satisfied by it), so this is ONE exchange.
+    // df = distinct docs per window hash; minDf..maxDf = shared, sane
+    // (minDf=1 is the cross-corpus mode: the gram stream was already
+    // restricted to windows matching the OTHER corpus, so presence
+    // alone qualifies). Both windows hash-partition on `hash` alone
+    // (the (hash, doc) clustering is satisfied by it) — ONE exchange.
     val wHD = w.partitionBy(col("hash"), col(idCol)).orderBy("pos")
     val wH = w.partitionBy("hash")
     val shared = grams
       .withColumn("__first",
         when(row_number().over(wHD) === 1, 1).otherwise(0))
       .withColumn("__df", sum(col("__first")).over(wH))
-      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .filter(col("__df") >= minDf && col("__df") <= maxDf)
       .select(col(idCol), col("pos"))
     // interval union: a position starts a new span iff it clears the
     // running max end of everything before it
@@ -1425,6 +1428,51 @@ object Dedup {
     duplicatedMassFromSpans(docs,
       substringSpans(docs, idCol, textCol, gram, minSpan, maxDf),
       idCol, textCol, sourceCol)
+
+  /** Span-grain EVAL decontamination: the character ranges of corpus
+   *  docs that appear verbatim in a benchmark/eval set — the
+   *  substring twin of the n-gram-overlap (x08) and semantic (e22)
+   *  decontamination lanes, and the precise input [[removeSpans]]
+   *  needs to cut leaked eval text without dropping whole documents.
+   *  A corpus window qualifies by PRESENCE in the bench hash set
+   *  (minDf=1), not by corpus-internal df; the maxDf cap still
+   *  guards the one failure mode (a boilerplate window that also
+   *  sits in the bench would explode the match).
+   *
+   *  Scale: benchmark sets are small and curated — their distinct
+   *  window hashes BROADCAST; the corpus gram stream never shuffles
+   *  until the matched (usually tiny) hit set reaches the span
+   *  windows. */
+  def contaminationSpans(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gram: Int = 40,
+      minSpan: Int = 60,
+      maxDf: Int = 1000): DataFrame = {
+    def grams(df: DataFrame) = TextAnalysis.fingerprintHashes(
+      df.filter(length(
+        regexp_replace(lower(col(textCol)), "\\s+", " ")) >= gram),
+      idCol, textCol, gram)
+    contaminationSpansFromGrams(grams(corpus), grams(bench),
+      idCol, gram, minSpan, maxDf)
+  }
+
+  /** [[contaminationSpans]] over precomputed gram streams — the
+   *  incremental entry point (a standing benchmark registry signs
+   *  once; each corpus slice's grams check at O(slice)). */
+  def contaminationSpansFromGrams(
+      corpusGrams: DataFrame,
+      benchGrams: DataFrame,
+      idCol: String = "doc_id",
+      gram: Int = 40,
+      minSpan: Int = 60,
+      maxDf: Int = 1000): DataFrame =
+    substringSpansFromGrams(
+      corpusGrams.join(
+        broadcast(benchGrams.select("hash").distinct()), Seq("hash")),
+      idCol, gram, minSpan, maxDf, minDf = 1)
 
   /** Span REMOVAL — the apply step of exact substring dedup: cut the
    *  shared character ranges ([[substringSpans]]) out of each doc's

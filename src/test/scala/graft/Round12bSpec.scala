@@ -143,6 +143,26 @@ class Round12bSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminationSpans reports only corpus text shared WITH the bench") {
+    val s2 = "pack my box with five dozen liquor jugs and then take the " +
+      "empty crate back to the cellar before anyone even notices it"
+    val bench = Seq((100L, pad(30, 'q') + " " + shared))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // embeds the bench text → span
+      (1L, pad(50, 'a') + " " + shared + " " + pad(50, 'b')),
+      // shares s2 with doc 3 but NOT with the bench → no span
+      (2L, pad(50, 'c') + " " + s2),
+      (3L, pad(50, 'd') + " " + s2),
+      (4L, pad(200, 'e')))
+      .toDF("doc_id", "text")
+    val spans = Dedup.contaminationSpans(corpus, bench).collect()
+    assert(spans.length == 1, spans.mkString("; "))
+    assert(spans.head.getLong(0) == 1L)
+    val len = spans.head.getAs[Long]("span_len")
+    assert(len >= shared.length && len <= shared.length + 2)
+  }
+
   test("embeddingOutliers flags the bottom tail per cell, not globally") {
     // two orthogonal unit centroids; cell 0 gets 10 members with
     // descending alignment, cell 1 gets 5 tight members
