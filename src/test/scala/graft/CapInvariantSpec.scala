@@ -52,6 +52,20 @@ class CapInvariantSpec extends AnyFunSuite {
       "a shingle in 9 docs exceeds df cap 5 and feeds no pairs")
   }
 
+  test("substringSpans caps window-hash posting lists (df cap)") {
+    // one 120-char block shared by 7 docs: df 7 > cap 5 → boilerplate
+    val block = ("w" * 119) + "q"
+    val docs = (1L to 7L).map(i => (i, block + " tail" + i))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringSpans(docs, maxDf = 5).count() == 0,
+      "a window in 7 docs exceeds df cap 5 and feeds no spans")
+    assert(Dedup.substringSpans(docs, maxDf = 7).count() == 7)
+    // the cross-corpus mode keeps the same cap on the corpus side
+    assert(Dedup.contaminationSpans(
+      docs, Seq((100L, block)).toDF("doc_id", "text"),
+      maxDf = 5).count() == 0)
+  }
+
   test("canaryScan refuses unbounded canary lists") {
     val docs = Seq((1L, "x")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
