@@ -9399,6 +9399,59 @@ object SparkEntry {
         FROM scored WHERE cos >= CAST(0.9 AS DOUBLE)
         ORDER BY corpus_id, bench_id""")),
 
+    Q("st16_stream_substring_gate",
+      // the x83 span gate at INGEST: the benchmark's distinct window
+      // hashes ride the UDF closure (eval-registry-sized, the st15
+      // contract) and every arriving doc derives its shared spans
+      // MAP-ONLY — no shuffle, no state store, append mode. Same
+      // every-50th-doc fixture as x83; the oracle is x83's replay
+      // minus the corpus-df cap a per-row gate cannot see (each
+      // arrival is judged alone).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val gramsPath = freshState(s, "st16") + "/grams"
+        TextAnalysis.fingerprintHashes(
+            docs.filter(length(regexp_replace(lower(col("text")),
+              "\\s+", " ")) >= 40),
+            gram = 40)
+          .coalesce(8).write.mode("overwrite").parquet(gramsPath)
+        val benchHashes = s.read.parquet(gramsPath)
+          .filter(col("doc_id") % 50 === 0)
+          .select("hash").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val stream = streamOf(s, s"$d/documents.parquet")
+          .filter(col("doc_id") % 50 =!= 0 &&
+            length(regexp_replace(lower(col("text")),
+              "\\s+", " ")) >= 40)
+        val gated = Dedup.substringGate(stream, benchHashes)
+        runBoundedStream(s, gated, "st16_sink", "append")
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH g AS (SELECT doc_id, pos, hash
+          FROM read_parquet('/tmp/graft_qstate/st16/grams/*.parquet')),
+        bh AS (SELECT DISTINCT hash FROM g WHERE doc_id % 50 = 0),
+        sh AS (SELECT g.doc_id, g.pos
+          FROM g JOIN bh USING (hash) WHERE g.doc_id % 50 <> 0),
+        fl AS (SELECT doc_id, pos,
+            MAX(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS cummax
+          FROM sh),
+        isl AS (SELECT doc_id, pos,
+            SUM(CASE WHEN cummax IS NULL OR pos > cummax
+              THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+          FROM fl),
+        sp AS (SELECT doc_id,
+            CAST(MIN(pos) AS BIGINT) AS span_start,
+            CAST(MAX(pos) + 40 AS BIGINT) AS span_end,
+            CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM isl GROUP BY doc_id, span_id)
+        SELECT doc_id, span_start, span_end,
+          span_end - span_start AS span_len, n_grams
+        FROM sp WHERE span_end - span_start >= 60
+        ORDER BY doc_id, span_start""")),
+
     Q("st14_stream_quarantine",
       // row quarantine at INGEST time: Quarantine.annotate is map-only,
       // so the SAME rules run unchanged on a document stream (v06's

@@ -1474,6 +1474,58 @@ object Dedup {
         broadcast(benchGrams.select("hash").distinct()), Seq("hash")),
       idCol, gram, minSpan, maxDf, minDf = 1)
 
+  /** [[contaminationSpans]] as a MAP-ONLY per-row gate — the form that
+   *  runs unchanged on a document stream at ingest: the benchmark's
+   *  distinct window hashes ride the closure (eval-registry-sized by
+   *  contract, the st15 pattern) and every arriving doc derives its
+   *  own shared spans in one pass over its Karp–Rabin stream — no
+   *  shuffle, no state store, append mode. Same interval-union
+   *  semantics as the batch window chain (one row per span, same
+   *  columns); the corpus-df boilerplate cap does not apply — a
+   *  per-row gate has no corpus-wide df to cap, each arrival is
+   *  judged alone. Docs shorter than `gram` carry no full window and
+   *  must be filtered by the caller (their degenerate whole-text
+   *  hash is not a gram). */
+  def substringGate(
+      docs: DataFrame,
+      benchHashes: scala.collection.Set[Long],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      gram: Int = 40,
+      minSpan: Int = 60): DataFrame = {
+    val gateUdf = udf { text: String =>
+      val hs = TextAnalysis.krHashes(text, gram)
+      val spans = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)]
+      var curStart = -1L; var curEnd = -1L; var curN = 0L
+      var i = 0
+      while (i < hs.length) {
+        if (benchHashes.contains(hs(i))) {
+          val s0 = i.toLong; val e0 = i.toLong + gram
+          if (curStart < 0) { curStart = s0; curEnd = e0; curN = 1 }
+          else if (s0 <= curEnd) {
+            if (e0 > curEnd) curEnd = e0
+            curN += 1
+          } else {
+            spans += ((curStart, curEnd, curN))
+            curStart = s0; curEnd = e0; curN = 1
+          }
+        }
+        i += 1
+      }
+      if (curStart >= 0) spans += ((curStart, curEnd, curN))
+      spans.filter(p => p._2 - p._1 >= minSpan).toSeq
+    }
+    docs
+      .withColumn("__spans", gateUdf(col(textCol)))
+      .select(col(idCol), explode(col("__spans")).as("__s"))
+      .select(col(idCol),
+        col("__s._1").as("span_start"),
+        col("__s._2").as("span_end"),
+        (col("__s._2") - col("__s._1")).as("span_len"),
+        col("__s._3").as("n_grams"))
+  }
+
   /** Span REMOVAL — the apply step of exact substring dedup: cut the
    *  shared character ranges ([[substringSpans]]) out of each doc's
    *  normalized text and return the surgery manifest (cleaned text +

@@ -163,6 +163,27 @@ class Round12bSpec extends AnyFunSuite {
     assert(len >= shared.length && len <= shared.length + 2)
   }
 
+  test("substringGate (per-row kernel) ≡ contaminationSpans (window chain)") {
+    val s2 = "pack my box with five dozen liquor jugs and then take the " +
+      "empty crate back to the cellar before anyone even notices it"
+    val bench = Seq(
+      (100L, pad(30, 'q') + " " + shared),
+      (101L, s2)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, pad(50, 'a') + " " + shared + " " + pad(50, 'b')),
+      (2L, shared + " " + pad(30, 'c') + " " + s2),
+      (3L, pad(200, 'e'))).toDF("doc_id", "text")
+    val benchHashes = graft.pipeline.TextAnalysis
+      .fingerprintHashes(bench, gram = 40)
+      .select("hash").distinct().collect().map(_.getLong(0)).toSet
+    val viaGate = Dedup.substringGate(corpus, benchHashes)
+      .orderBy("doc_id", "span_start").collect().map(_.toSeq)
+    val viaBatch = Dedup.contaminationSpans(corpus, bench)
+      .orderBy("doc_id", "span_start").collect().map(_.toSeq)
+    assert(viaGate.nonEmpty && viaGate.toSeq == viaBatch.toSeq,
+      s"gate=${viaGate.mkString(";")} batch=${viaBatch.mkString(";")}")
+  }
+
   test("embeddingOutliers flags the bottom tail per cell, not globally") {
     // two orthogonal unit centroids; cell 0 gets 10 members with
     // descending alignment, cell 1 gets 5 tight members
