@@ -2304,22 +2304,31 @@ object SparkEntry {
         // ONE signing pass covers the standing corpus AND the replay
         // sidecar (the oracle needs DROPPED landing docs' signatures
         // too, which the store by definition never keeps): sign
-        // [cb, ∞) once, split the cached frame at the store boundary
+        // [cb, ∞) once, split the cached frame at the store boundary.
+        // The four fixture writes are independent of each other, so
+        // they run as CONCURRENT actions (Spark schedules them in one
+        // pool) — the fixture costs one wall-clock write, not four.
         val fixtureSigs = Dedup.minhashSignatures(
           docs.filter(col("doc_id") >= cb), numBands = 32).cache()
-        Dedup.minhashStoreSave(
-          Dedup.MinhashStore(fixtureSigs.filter(col("doc_id") < c0),
-            "doc_id", 3, 128, 32, 42L),
-          state + "/store")
-        fixtureSigs.filter(col("doc_id") >= c0)
-          .coalesce(4).write.mode("overwrite").parquet(state + "/allsigs")
-        fixtureSigs.unpersist()
         def land(lo: Long, hi: Long, day: String): Unit =
           docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
             .coalesce(4)
             .write.mode("overwrite").parquet(state + s"/landing/$day")
-        land(c0, c1, "2024-01-01")
-        land(c1, c2, "2024-01-02")
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        Await.result(Future.sequence(Seq(
+          Future(Dedup.minhashStoreSave(
+            Dedup.MinhashStore(
+              fixtureSigs.filter(col("doc_id") < c0).coalesce(4),
+              "doc_id", 3, 128, 32, 42L),
+            state + "/store")),
+          Future(fixtureSigs.filter(col("doc_id") >= c0)
+            .coalesce(4).write.mode("overwrite")
+            .parquet(state + "/allsigs")),
+          Future(land(c0, c1, "2024-01-01")),
+          Future(land(c1, c2, "2024-01-02")))), Duration.Inf)
+        fixtureSigs.unpersist()
         val engine = new graft.api.GraftEngine(s, d, state + "/engine")
         val jobs = new graft.scheduler.JobStore(s, state + "/jobs")
         jobs.save(graft.scheduler.Scheduler.Job("daily_ingest",

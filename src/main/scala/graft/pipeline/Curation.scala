@@ -113,81 +113,111 @@ object Curation {
       idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, IngestReport) = {
     val spark = newDocs.sparkSession
-    // the quality-scored slice feeds every later stage (gate counts,
-    // exact dedup, slice signing, the near-dup match, the store
-    // append, the state record) — without a cache each of those
-    // actions re-runs the scan. The cache is slice-sized (O(day),
-    // never O(corpus)) and released before return: the returned frame
-    // is detached from the turn's caches, so a caller that keeps
-    // using it should persist it itself. qualityGate, not profileText:
-    // the gate reads only n_tokens + quality_score (identical
-    // arithmetic) and skips the language-marker / subword lanes.
-    val prof = TextAnalysis.qualityGate(newDocs, textCol).cache()
-    val pass = col("quality_score") >= config.minQualityScore &&
-      col("n_tokens") >= config.minTokens
-    var sliceSigs: DataFrame = null
-    var drops: DataFrame = null
+    val store = Dedup.minhashStoreLoad(spark, minhashStorePath)
+    val turn = ingestSliceCore(newDocs, store, config, idCol, textCol)
     try {
-      // ONE aggregation gives all three gate counts: exact-dedup keeps
-      // the first id per content hash, so its survivors = the gated
-      // slice's distinct hashes
-      val gateRow = prof.agg(count(lit(1)).as("arrived"),
-        count(when(pass, lit(1))).as("n"),
-        countDistinct(when(pass, md5(col(textCol).cast("binary"))))
-          .as("nh")).head()
-      val arrived = gateRow.getLong(0)
-      val afterQuality = gateRow.getLong(1)
-      val afterExact = gateRow.getLong(2)
-      val q = prof.filter(pass)
-      // exact dedup in ONE exchange: first id per content hash via a
-      // hash-partitioned row_number (the groupBy-min + semi-join form
-      // costs two)
-      val exactKept = q
-        .withColumn("__rn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(md5(col(textCol).cast("binary")))
-            .orderBy(col(idCol))))
-        .filter(col("__rn") === 1).drop("__rn")
-      val store = Dedup.minhashStoreLoad(spark, minhashStorePath)
-      // sign ONCE with the store's parameters and reuse the cached
-      // signatures for BOTH the near-dup match and the store append —
-      // the per-doc shingle+128-hash kernel is the slice's dominant
-      // compute and the old flow (incrementalNearDuplicates, then
-      // minhashStoreAppend) ran it twice
-      sliceSigs = Dedup.minhashSignatures(exactKept, store.idCol,
-        textCol, store.shingleK, store.numHashes, store.numBands,
-        store.seed).cache()
-      val matches = Dedup.incrementalNearDuplicatesFromSignatures(
-        store, sliceSigs, config.jaccardThreshold)
-      // matches mix two pair shapes — (slice, store): drop the slice
-      // side id_a; (slice, slice) with id_a < id_b: drop the later
-      // id_b — distinguished by the within_slice flag the band match
-      // already carries (no membership join).
-      // cached: drops feeds the count AND the kept anti-join — without
-      // it the whole band-match DAG re-executes for the store append
-      drops = matches
-        .select(when(col("within_slice"), col("id_b"))
-          .otherwise(col("id_a")).as(idCol))
-        .distinct()
-        .cache()
-      val kept = exactKept.join(drops, Seq(idCol), "left_anti")
-      // drops ⊆ exactKept ids and distinct, so kept = afterExact − drops
-      // — one small count instead of re-counting the joined frame
-      val keptN = afterExact - drops.count()
-      // append the ALREADY-computed signatures of the survivors (same
-      // deterministic UDF ⇒ bit-identical to re-signing kept); anti-join
-      // on the tiny cached drops, not a semi-join through kept's DAG
-      sliceSigs.join(drops, Seq(idCol), "left_anti")
+      turn.keptSigs
         .write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(s"$minhashStorePath/signatures")
-      stateStore.foreach { case (st, sliceId) => st.record(kept, sliceId) }
-      (kept, IngestReport(arrived, afterQuality,
-        afterQuality - afterExact, afterExact - keptN, keptN))
-    } finally {
-      prof.unpersist()
-      if (sliceSigs != null) sliceSigs.unpersist()
-      if (drops != null) drops.unpersist()
-    }
+      stateStore.foreach { case (st, sliceId) =>
+        st.record(turn.kept, sliceId) }
+      (turn.kept, turn.finishReport())
+    } finally turn.release()
+  }
+
+  /** One slice turn's outputs: `kept` docs, their already-computed
+   *  `keptSigs` signatures (backed by the turn's caches until
+   *  [[release]] — append them BEFORE releasing), the report thunk
+   *  (call AFTER an action has executed the turn's frames — it reads
+   *  the observed metrics), and the cache releaser. */
+  private[graft] final case class SliceTurn(
+      kept: DataFrame,
+      keptSigs: DataFrame,
+      finishReport: () => IngestReport,
+      release: () => Unit)
+
+  /** The slice turn WITHOUT store IO and WITHOUT its own action —
+   *  shared by [[incrementalIngest]] (load store, turn, append) and
+   *  [[graft.scheduler.IngestScheduler]]'s multi-slice tick (load
+   *  ONCE, carry signatures in memory across the tick's slices, ONE
+   *  append). EVERY count — the quality gate, the exact-dedup
+   *  survivor count, the near-dup drop count — rides the returned
+   *  frames as `observe` metrics, so the whole turn materializes in
+   *  whatever single action the caller runs (normally the signature
+   *  append: it pulls the cached drops through the anti-join, which
+   *  pulls the cached signatures, which pulls the gated scan — one
+   *  pass fires every metric). */
+  private[graft] def ingestSliceCore(
+      newDocs: DataFrame,
+      store: Dedup.MinhashStore,
+      config: CurationConfig = CurationConfig(),
+      idCol: String = "doc_id",
+      textCol: String = "text"): SliceTurn = {
+    import org.apache.spark.sql.Observation
+    val pass = col("quality_score") >= config.minQualityScore &&
+      col("n_tokens") >= config.minTokens
+    val gateObs = Observation()
+    val exactObs = Observation()
+    // qualityGate, not profileText: the gate reads only n_tokens +
+    // quality_score (identical arithmetic) and skips the
+    // language-marker / subword lanes. No cache here — the scan is
+    // consumed once, by exactKept's window.
+    val prof = TextAnalysis.qualityGate(newDocs, textCol)
+      .observe(gateObs, count(lit(1)).as("arrived"),
+        count(when(pass, lit(1))).as("after_quality"))
+    // exact dedup in ONE exchange: first id per content hash via a
+    // hash-partitioned row_number (the groupBy-min + semi-join form
+    // costs two). Cached: the sign kernel, the caller's kept uses,
+    // and any state record all read this frame.
+    val exactKept = prof.filter(pass)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col(textCol).cast("binary")))
+          .orderBy(col(idCol))))
+      .filter(col("__rn") === 1).drop("__rn")
+      .observe(exactObs, count(lit(1)).as("after_exact"))
+      .cache()
+    // sign ONCE with the store's parameters and reuse the cached
+    // signatures for BOTH the near-dup match and the store append —
+    // the per-doc shingle+128-hash kernel is the slice's dominant
+    // compute and the old flow (incrementalNearDuplicates, then
+    // minhashStoreAppend) ran it twice
+    val sliceSigs = Dedup.minhashSignatures(exactKept, store.idCol,
+      textCol, store.shingleK, store.numHashes, store.numBands,
+      store.seed).cache()
+    val matches = Dedup.incrementalNearDuplicatesFromSignatures(
+      store, sliceSigs, config.jaccardThreshold)
+    // matches mix two pair shapes — (slice, store): drop the slice
+    // side id_a; (slice, slice) with id_a < id_b: drop the later
+    // id_b — distinguished by the within_slice flag the band match
+    // already carries (no membership join).
+    // cached: drops feeds the count AND the kept anti-join — without
+    // it the whole band-match DAG re-executes for the store append
+    val dropsObs = Observation()
+    val drops = matches
+      .select(when(col("within_slice"), col("id_b"))
+        .otherwise(col("id_a")).as(idCol))
+      .distinct()
+      .observe(dropsObs, count(lit(1)).as("dropped"))
+      .cache()
+    val kept = exactKept.join(drops, Seq(idCol), "left_anti")
+    // the survivors' ALREADY-computed signatures (same deterministic
+    // UDF ⇒ bit-identical to re-signing kept); anti-join on the tiny
+    // cached drops, not a semi-join through kept's DAG
+    val keptSigs = sliceSigs.join(drops, Seq(idCol), "left_anti")
+    SliceTurn(kept, keptSigs,
+      () => {
+        val arrived = gateObs.get("arrived").asInstanceOf[Long]
+        val afterQuality =
+          gateObs.get("after_quality").asInstanceOf[Long]
+        val afterExact = exactObs.get("after_exact").asInstanceOf[Long]
+        val dropped = dropsObs.get("dropped").asInstanceOf[Long]
+        // drops ⊆ exactKept ids and distinct: kept = afterExact − drops
+        IngestReport(arrived, afterQuality,
+          afterQuality - afterExact, dropped, afterExact - dropped)
+      },
+      () => { exactKept.unpersist(); sliceSigs.unpersist()
+        drops.unpersist() })
   }
 
   /** Dataset card — the per-source datasheet a corpus release ships

@@ -117,12 +117,41 @@ object IngestScheduler {
       .map(p => new SliceStateStore(spark, p))
     val events = Seq.newBuilder[GraftEvent]
     val reports = Seq.newBuilder[(String, IngestReport)]
+    // the store loads ONCE for the tick; each slice's kept signatures
+    // carry forward IN MEMORY (cached by the turn), so slice k+1
+    // matches against base ∪ kept(1..k) without re-reading parquet,
+    // and the tick lands ONE signature append instead of one per
+    // slice. Crash windows are unchanged (at-least-once: the append
+    // still strictly precedes the ledger rows, and re-running an
+    // appended slice is convergent — its docs match their own stored
+    // signatures at agreement 1.0 and drop).
+    var store: graft.pipeline.Dedup.MinhashStore = null
+    val releases = Seq.newBuilder[() => Unit]
+    val keptSigsAll = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    val finishers =
+      Seq.newBuilder[(String, () => Curation.IngestReport)]
     pending.foreach { sliceId =>
+      if (store == null)
+        store = graft.pipeline.Dedup.minhashStoreLoad(spark, cfg.storePath)
       val docs = spark.read.parquet(s"${cfg.landingDir}/$sliceId")
-      val (_, report) = Curation.incrementalIngest(
-        docs, cfg.storePath,
-        stateStore.map(st => (st, sliceId)),
-        cfg.curation, cfg.idCol, cfg.textCol)
+      val turn = Curation.ingestSliceCore(
+        docs, store, cfg.curation, cfg.idCol, cfg.textCol)
+      releases += turn.release
+      keptSigsAll += turn.keptSigs
+      store = store.copy(sigs = store.sigs.unionByName(turn.keptSigs))
+      stateStore.foreach(st => st.record(turn.kept, sliceId))
+      finishers += (sliceId -> turn.finishReport)
+    }
+    // the tick's kept signatures land in ONE append — the single
+    // action that materializes EVERY slice's pipeline (each turn's
+    // counts ride it as observed metrics, read back just below)
+    val sigFrames = keptSigsAll.result()
+    if (sigFrames.nonEmpty)
+      sigFrames.reduce(_ unionByName _)
+        .write.mode(SaveMode.Append)
+        .parquet(s"${cfg.storePath}/signatures")
+    finishers.result().foreach { case (sliceId, finish) =>
+      val report = finish()
       reports += sliceId -> report
       events += GraftEvent(
         eventType = "automation",
@@ -135,15 +164,23 @@ object IngestScheduler {
           "dropped_near_dup" -> report.droppedNearDup.toString),
         ts = Timestamp.from(now))
     }
-    // the tick's ledger rows land in ONE append, AFTER every slice's
-    // store append completed. Crash mid-tick: the un-ledgered slices
-    // (possibly including ones whose store append finished) re-run next
-    // fire — re-running an appended slice is CONVERGENT, because its
-    // docs now match their own stored signatures at agreement 1.0 and
-    // drop, so nothing appends twice (at-least-once, never skip).
+    // The ledger rows land in ONE append strictly AFTER the signature
+    // append. Crash mid-tick: the un-ledgered slices (possibly
+    // including ones whose signatures landed) re-run next fire —
+    // re-running an appended slice is CONVERGENT, because its docs
+    // match their own stored signatures at agreement 1.0 and drop, so
+    // nothing appends twice (at-least-once, never skip).
+    // events are an advisory feed, not the replay ledger — they carry
+    // no crash-safety ordering, so their append OVERLAPS the ledger's
+    // (two independent 1-row writes; the ledger still lands strictly
+    // after every signature append above)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val eventsF = Future(publisher.foreach(_.publishAll(events.result())))
     ledger.recordAll(reports.result(), now)
-    // events are an advisory feed, not the replay ledger — one write
-    publisher.foreach(_.publishAll(events.result()))
+    Await.result(eventsF, Duration.Inf)
+    releases.result().foreach(_.apply())
     pending
   }
 }
