@@ -6517,6 +6517,47 @@ object SparkEntry {
         FROM sp WHERE span_end - span_start >= 60
         ORDER BY doc_id, span_start""")),
 
+    Q("x84_contamination_attribution",
+      // the leak-investigation report: WHICH benchmark doc leaked
+      // into which corpus doc — (corpus, bench) pairs by shared
+      // verbatim windows, both sides df-capped, bench side broadcast.
+      // Same every-50th-doc fixture and gram dump as x83.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val gramsPath = freshState(s, "x84") + "/grams"
+        TextAnalysis.fingerprintHashes(
+            docs.filter(length(regexp_replace(lower(col("text")),
+              "\\s+", " ")) >= 40),
+            gram = 40)
+          .coalesce(8).write.mode("overwrite").parquet(gramsPath)
+        val g = s.read.parquet(gramsPath)
+        Dedup.contaminationAttribution(
+            g.filter(col("doc_id") % 50 =!= 0),
+            g.filter(col("doc_id") % 50 === 0))
+          .orderBy("doc_id", "bench_id")
+      },
+      Some("""WITH g AS (SELECT doc_id, pos, hash
+          FROM read_parquet('/tmp/graft_qstate/x84/grams/*.parquet')),
+        c AS (SELECT doc_id, pos, hash FROM g WHERE doc_id % 50 <> 0),
+        b0 AS (SELECT DISTINCT doc_id AS bench_id, hash
+          FROM g WHERE doc_id % 50 = 0),
+        cdf AS (SELECT hash FROM (
+            SELECT hash, COUNT(DISTINCT doc_id) AS df
+            FROM c GROUP BY 1) WHERE df <= 1000),
+        bdf AS (SELECT hash FROM (
+            SELECT hash, COUNT(DISTINCT bench_id) AS df
+            FROM b0 GROUP BY 1) WHERE df <= 1000),
+        hits AS (SELECT c.doc_id, c.pos, b0.bench_id
+          FROM c JOIN cdf USING (hash) JOIN bdf USING (hash)
+          JOIN b0 USING (hash))
+        SELECT doc_id, bench_id,
+          CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(MIN(pos) AS BIGINT) AS first_pos,
+          CAST(MAX(pos) + 40 AS BIGINT) AS last_end
+        FROM hits GROUP BY doc_id, bench_id
+        HAVING COUNT(*) >= 3
+        ORDER BY doc_id, bench_id""")),
+
     Q("e23_embedding_outliers",
       // embedding-space outlier pruning: nearest-of-8-fixed-centroids
       // cells (the e07 deterministic assignment DuckDB replays

@@ -1474,6 +1474,47 @@ object Dedup {
         broadcast(benchGrams.select("hash").distinct()), Seq("hash")),
       idCol, gram, minSpan, maxDf, minDf = 1)
 
+  /** Decontamination ATTRIBUTION — the report a leak investigation
+   *  actually reads: for every (corpus doc, benchmark doc) pair
+   *  sharing verbatim `gram`-char windows, how many windows and the
+   *  covered extent on the corpus side. [[contaminationSpans]] says
+   *  "this range leaked from somewhere in the eval set"; this names
+   *  the eval doc, so the owning benchmark can be quarantined or the
+   *  split rebuilt. Pairs with fewer than `minGrams` shared windows
+   *  are single-window noise and drop.
+   *
+   *  Scale: BOTH sides are df-capped before the hash join (a window
+   *  in >maxDf corpus docs — or >maxDf bench docs — is boilerplate
+   *  whose pair product would explode); the bench side reduces to
+   *  distinct (hash, bench doc) and broadcasts (benchmark registries
+   *  are small by contract); the output aggregation keys on the pair. */
+  def contaminationAttribution(
+      corpusGrams: DataFrame,
+      benchGrams: DataFrame,
+      idCol: String = "doc_id",
+      gram: Int = 40,
+      minGrams: Int = 3,
+      maxDf: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    def dfCapped(g: DataFrame): DataFrame = {
+      val wHD = w.partitionBy(col("hash"), col(idCol)).orderBy("pos")
+      val wH = w.partitionBy("hash")
+      g.withColumn("__first",
+          when(row_number().over(wHD) === 1, 1).otherwise(0))
+        .withColumn("__df", sum(col("__first")).over(wH))
+        .filter(col("__df") <= maxDf)
+        .drop("__first", "__df")
+    }
+    val b = dfCapped(benchGrams)
+      .select(col(idCol).as("bench_id"), col("hash")).distinct()
+    dfCapped(corpusGrams).join(broadcast(b), Seq("hash"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        min("pos").cast("long").as("first_pos"),
+        (max("pos") + lit(gram)).cast("long").as("last_end"))
+      .filter(col("n_grams") >= minGrams)
+  }
+
   /** [[contaminationSpans]] as a MAP-ONLY per-row gate — the form that
    *  runs unchanged on a document stream at ingest: the benchmark's
    *  distinct window hashes ride the closure (eval-registry-sized by

@@ -184,6 +184,31 @@ class Round12bSpec extends AnyFunSuite {
       s"gate=${viaGate.mkString(";")} batch=${viaBatch.mkString(";")}")
   }
 
+  test("contaminationAttribution names the leaking bench doc, drops noise") {
+    val s2 = "pack my box with five dozen liquor jugs and then take the " +
+      "empty crate back to the cellar before anyone even notices it"
+    val bench = Seq(
+      (100L, pad(30, 'q') + " " + shared),
+      (101L, pad(30, 'r') + " " + s2)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, pad(50, 'a') + " " + shared + " " + pad(50, 'b')),
+      // shares s2 AND shared → two attribution rows
+      (2L, s2 + " " + pad(30, 'c') + " " + shared),
+      // exactly ONE 40-char window shared with bench 100 → noise, cut
+      (3L, pad(60, 'd') + " " + shared.take(40) + " " + pad(60, 'e')),
+      (4L, pad(200, 'f'))).toDF("doc_id", "text")
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.TextAnalysis.fingerprintHashes(df, gram = 40)
+    val rows = Dedup.contaminationAttribution(grams(corpus), grams(bench))
+      .orderBy("doc_id", "bench_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 100L), (2L, 100L), (2L, 101L)), rows.mkString("; "))
+    // doc 3's single window IS found at minGrams=1
+    val loose = Dedup.contaminationAttribution(grams(corpus),
+      grams(bench), minGrams = 1)
+    assert(loose.filter(col("doc_id") === 3L).count() == 1)
+  }
+
   test("embeddingOutliers flags the bottom tail per cell, not globally") {
     // two orthogonal unit centroids; cell 0 gets 10 members with
     // descending alignment, cell 1 gets 5 tight members
