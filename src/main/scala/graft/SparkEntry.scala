@@ -6558,6 +6558,52 @@ object SparkEntry {
         HAVING COUNT(*) >= 3
         ORDER BY doc_id, bench_id""")),
 
+    Q("x85_sampled_spans",
+      // the span family's 100 TB knob: content-defined 1/8 sampling
+      // of the SAME gram stream (hash ≡ 0 mod 8 — position-free, so
+      // sampled windows align across docs), union gap 4·8 bridges
+      // sampling gaps inside one region. The oracle replays the
+      // sampling arithmetic, the widened union and the real-extent
+      // span bounds.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val gramsPath = freshState(s, "x85") + "/grams"
+        TextAnalysis.fingerprintHashes(
+            docs.filter(length(regexp_replace(lower(col("text")),
+              "\\s+", " ")) >= 40),
+            gram = 40)
+          .coalesce(8).write.mode("overwrite").parquet(gramsPath)
+        Dedup.substringSpansSampled(s.read.parquet(gramsPath),
+            sampleMod = 8)
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH g AS (SELECT doc_id, pos, hash
+          FROM read_parquet('/tmp/graft_qstate/x85/grams/*.parquet')
+          WHERE ((hash % 8) + 8) % 8 = 0),
+        dfok AS (SELECT hash FROM (
+            SELECT hash, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+          WHERE df BETWEEN 2 AND 1000),
+        sh AS (SELECT g.doc_id, g.pos FROM g JOIN dfok USING (hash)),
+        fl AS (SELECT doc_id, pos,
+            MAX(pos + 72) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS cummax
+          FROM sh),
+        isl AS (SELECT doc_id, pos,
+            SUM(CASE WHEN cummax IS NULL OR pos > cummax
+              THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+          FROM fl),
+        sp AS (SELECT doc_id,
+            CAST(MIN(pos) AS BIGINT) AS span_start,
+            CAST(MAX(pos) + 40 AS BIGINT) AS span_end,
+            CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM isl GROUP BY doc_id, span_id)
+        SELECT doc_id, span_start, span_end,
+          span_end - span_start AS span_len, n_grams
+        FROM sp WHERE span_end - span_start >= 60
+        ORDER BY doc_id, span_start""")),
+
     Q("e23_embedding_outliers",
       // embedding-space outlier pruning: nearest-of-8-fixed-centroids
       // cells (the e07 deterministic assignment DuckDB replays

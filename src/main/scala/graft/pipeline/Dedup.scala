@@ -1373,7 +1373,8 @@ object Dedup {
       gram: Int = 40,
       minSpan: Int = 60,
       maxDf: Int = 1000,
-      minDf: Int = 2): DataFrame = {
+      minDf: Int = 2,
+      unionGap: Int = 0): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     // df = distinct docs per window hash; minDf..maxDf = shared, sane
     // (minDf=1 is the cross-corpus mode: the gram stream was already
@@ -1389,12 +1390,15 @@ object Dedup {
       .filter(col("__df") >= minDf && col("__df") <= maxDf)
       .select(col(idCol), col("pos"))
     // interval union: a position starts a new span iff it clears the
-    // running max end of everything before it
+    // running max end of everything before it. `unionGap` widens the
+    // merge reach (sampled streams bridge expected sampling gaps);
+    // reported span bounds stay the REAL covered extent.
     val prev = w.partitionBy(idCol).orderBy("pos")
       .rowsBetween(w.unboundedPreceding, -1)
     val run = w.partitionBy(idCol).orderBy("pos")
     val spans = shared
-      .withColumn("cummax", max(col("pos") + lit(gram)).over(prev))
+      .withColumn("cummax",
+        max(col("pos") + lit(gram + unionGap)).over(prev))
       .withColumn("span_id",
         sum(when(col("cummax").isNull || col("pos") > col("cummax"), 1)
           .otherwise(0)).over(run))
@@ -1473,6 +1477,32 @@ object Dedup {
       corpusGrams.join(
         broadcast(benchGrams.select("hash").distinct()), Seq("hash")),
       idCol, gram, minSpan, maxDf, minDf = 1)
+
+  /** The 100 TB scale path of [[substringSpans]]: content-defined
+   *  1/`sampleMod` sampling of the gram stream (keep a window iff its
+   *  hash ≡ 0 mod `sampleMod` — position-independent, so the SAME
+   *  windows are kept in every document that contains them, exactly
+   *  what offset-based winnowing blocks cannot guarantee across
+   *  docs). The shuffle carries 1/sampleMod of the positions; span
+   *  boundaries resolve to ±O(sampleMod) gram starts and
+   *  `unionGap = 4·sampleMod` bridges expected sampling gaps inside
+   *  one shared region (a gap that long occurs with probability
+   *  (1−1/m)^(gram+4m) ≈ 10⁻³ per junction at m=16). n_grams counts
+   *  SAMPLED windows. Exact [[substringSpans]] stays the default;
+   *  this is the knob to reach corpus sizes where every-position
+   *  signing cannot shuffle. */
+  def substringSpansSampled(
+      grams: DataFrame,
+      idCol: String = "doc_id",
+      gram: Int = 40,
+      minSpan: Int = 60,
+      maxDf: Int = 1000,
+      minDf: Int = 2,
+      sampleMod: Int = 16): DataFrame =
+    substringSpansFromGrams(
+      grams.filter(pmod(col("hash"), lit(sampleMod.toLong)) === 0L),
+      idCol, gram, minSpan, maxDf, minDf,
+      unionGap = 4 * sampleMod)
 
   /** Decontamination ATTRIBUTION — the report a leak investigation
    *  actually reads: for every (corpus doc, benchmark doc) pair

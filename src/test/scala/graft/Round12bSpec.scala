@@ -209,6 +209,40 @@ class Round12bSpec extends AnyFunSuite {
     assert(loose.filter(col("doc_id") === 3L).count() == 1)
   }
 
+  test("substringSpansSampled: content-defined samples find the copied span") {
+    // a LONG shared block so the 1/4-sampled stream still lands
+    // several windows inside it
+    val long = (shared + " ") * 4 // ~480 normalized chars (trailing space)
+    val docs = Seq(
+      (1L, pad(50, 'a') + " " + long + pad(50, 'b')),
+      (2L, pad(50, 'c') + " " + long + pad(50, 'd')))
+      .toDF("doc_id", "text")
+    val grams = graft.pipeline.TextAnalysis
+      .fingerprintHashes(docs, gram = 40)
+    val exactRows = Dedup.substringSpansFromGrams(grams)
+      .orderBy("doc_id").collect()
+    val sampled = Dedup.substringSpansSampled(grams, sampleMod = 4)
+      .orderBy("doc_id").collect()
+    assert(sampled.nonEmpty, "sampled stream must still find the copy")
+    // every sampled span sits INSIDE its doc's exact span (samples are
+    // a subset of the shared windows, so coverage can only shrink)
+    sampled.foreach { srow =>
+      val e = exactRows.find(_.getLong(0) == srow.getLong(0)).get
+      assert(srow.getAs[Long]("span_start") >=
+        e.getAs[Long]("span_start"))
+      assert(srow.getAs[Long]("span_end") <= e.getAs[Long]("span_end"))
+      // and covers most of it (the block is long; sampling loses only
+      // the edges)
+      assert(srow.getAs[Long]("span_len") >=
+        e.getAs[Long]("span_len") / 2)
+    }
+    // the sampled stream really is ~1/4 of the positions
+    val total = grams.count()
+    val kept = grams.filter(pmod(col("hash"), lit(4L)) === 0L).count()
+    assert(kept < total / 2 && kept > total / 8,
+      s"sampling rate off: $kept of $total")
+  }
+
   test("embeddingOutliers flags the bottom tail per cell, not globally") {
     // two orthogonal unit centroids; cell 0 gets 10 members with
     // descending alignment, cell 1 gets 5 tight members
