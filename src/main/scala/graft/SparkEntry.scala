@@ -3826,6 +3826,45 @@ object SparkEntry {
         FROM needles n LEFT JOIN agg a USING (canary)
         ORDER BY n.canary""")),
 
+    Q("x86_canary_inject",
+      // the WRITE side of the canary lane (secret-sharer membership
+      // probe): plant a deterministic md5-derived marker in every
+      // 37th doc, then prove the loop closes — the Aho–Corasick scan
+      // over the injected corpus finds every planted canary. The
+      // manifest is DERIVED (id+salt), so the oracle replays
+      // injection, scan and rollup with no persisted state at all.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val injected = TextAnalysis.injectCanaries(docs)
+        val manifest = TextAnalysis.canaryManifest(docs)
+        val canaries = manifest.select("canary").orderBy("canary")
+          .collect().map(_.getString(0)).toSeq
+        TextAnalysis.canaryScan(injected, canaries)
+          .join(broadcast(manifest), Seq("canary"))
+          .select(col("canary"), col("injected_doc"), col("n_docs"),
+            col("first_doc"))
+          .orderBy("canary")
+      },
+      Some("""WITH man AS (SELECT doc_id AS injected_doc,
+            'canary:' || md5(CAST(doc_id AS VARCHAR) || ':graft')
+              AS canary
+          FROM documents WHERE doc_id % 37 = 0),
+        inj AS (SELECT d.doc_id,
+            CASE WHEN d.doc_id % 37 = 0
+              THEN d.text || ' canary:' ||
+                md5(CAST(d.doc_id AS VARCHAR) || ':graft')
+              ELSE d.text END AS text
+          FROM documents d),
+        hits AS (SELECT m.canary, i.doc_id
+          FROM man m JOIN inj i ON contains(i.text, m.canary)),
+        agg AS (SELECT canary, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            MIN(doc_id) AS first_doc
+          FROM hits GROUP BY 1)
+        SELECT m.canary, m.injected_doc,
+          COALESCE(a.n_docs, 0) AS n_docs, a.first_doc
+        FROM man m LEFT JOIN agg a USING (canary)
+        ORDER BY m.canary""")),
+
     Q("d14_threshold_curve",
       // dedup-threshold sensitivity curve (the tuning sweep run BEFORE
       // committing a 100 TB corpus to one threshold): exact n-gram

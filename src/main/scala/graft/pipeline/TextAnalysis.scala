@@ -1654,6 +1654,41 @@ object TextAnalysis {
    *  naive contains() plan is a broadcast nested loop whose cost
    *  multiplies by the canary count; this one's does not. Output is
    *  one row per canary: hit count + first hit, O(canaries). */
+  /** Canary INJECTION — the write side of [[canaryScan]] (the
+   *  secret-sharer membership probe): plant a unique, deterministic
+   *  marker string in every `everyK`-th document so a later scan of a
+   *  trained model's corpus (or a vendor's alleged copy) can prove
+   *  membership. The canary derives from (id, salt) via md5, so the
+   *  manifest is reproducible from the salt alone — no stored
+   *  randomness — and injection is MAP-ONLY (a literal concat).
+   *  Returns the corpus with markers planted; the manifest is
+   *  [[canaryManifest]] over the same (docs, everyK, salt). */
+  def injectCanaries(
+      docs: DataFrame,
+      everyK: Int = 37,
+      salt: String = "graft",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.withColumn(textCol,
+      when(col(idCol) % everyK === 0,
+        concat(col(textCol), lit(" canary:"),
+          md5(concat(col(idCol).cast("string"), lit(":" + salt))
+            .cast("binary"))))
+        .otherwise(col(textCol)))
+
+  /** The (doc, canary) manifest [[injectCanaries]] plants — derived,
+   *  not stored: same (everyK, salt) ⇒ same markers, any engine. */
+  def canaryManifest(
+      docs: DataFrame,
+      everyK: Int = 37,
+      salt: String = "graft",
+      idCol: String = "doc_id"): DataFrame =
+    docs.filter(col(idCol) % everyK === 0)
+      .select(col(idCol).as("injected_doc"),
+        concat(lit("canary:"),
+          md5(concat(col(idCol).cast("string"), lit(":" + salt))
+            .cast("binary"))).as("canary"))
+
   def canaryScan(
       docs: DataFrame,
       canaries: Seq[String],

@@ -243,6 +243,32 @@ class Round12bSpec extends AnyFunSuite {
       s"sampling rate off: $kept of $total")
   }
 
+  test("canary inject → scan loop closes; manifest is derived, not stored") {
+    import graft.pipeline.TextAnalysis
+    val docs = (1L to 20L).map(i => (i, s"plain text of document $i"))
+      .toDF("doc_id", "text")
+    val injected = TextAnalysis.injectCanaries(docs, everyK = 5)
+    val manifest = TextAnalysis.canaryManifest(docs, everyK = 5)
+    val canaries = manifest.select("canary").collect().map(_.getString(0))
+    assert(canaries.length == 4 && canaries.distinct.length == 4)
+    val scan = TextAnalysis.canaryScan(injected, canaries.toSeq)
+      .collect()
+    scan.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 1L, r.toString)
+    }
+    // found exactly in its own doc
+    val joined = TextAnalysis.canaryScan(injected, canaries.toSeq)
+      .join(manifest, Seq("canary"))
+      .filter(col("first_doc") === col("injected_doc"))
+    assert(joined.count() == 4)
+    // same (everyK, salt) ⇒ identical manifest on a fresh call
+    assert(TextAnalysis.canaryManifest(docs, everyK = 5)
+      .collect().toSet == manifest.collect().toSet)
+    // uninjected corpus: every canary reports clean (0 hits, null doc)
+    val clean = TextAnalysis.canaryScan(docs, canaries.toSeq).collect()
+    assert(clean.forall(_.getAs[Long]("n_docs") == 0L))
+  }
+
   test("embeddingOutliers flags the bottom tail per cell, not globally") {
     // two orthogonal unit centroids; cell 0 gets 10 members with
     // descending alignment, cell 1 gets 5 tight members
