@@ -3205,6 +3205,58 @@ object SparkEntry {
           MIN(CASE WHEN is_cut THEN frame_idx END) AS first_cut
         FROM c GROUP BY id ORDER BY id""")),
 
+    Q("m11_y4m_scene_cuts",
+      // scene-cut detection over Y4M (YUV4MPEG2) — the THIRD genuinely
+      // decodable video container and the only one needing NO codec at
+      // all: a plain-text stream header + raw planar frames, the format
+      // ffmpeg emits for uncompressed video. The luma plane IS the
+      // intensity signal (r=g=b=Y, no colorspace transform), so decoded
+      // means are exact, not JPEG-approximate. Same declared-cut
+      // fixture shape as m08/m10 (+2 luma pan, +100 at frame 4 + id%3);
+      // the decoded frame grain persists and the oracle re-derives
+      // every delta, flag, and per-clip rollup.
+      (s, _) => {
+        val vids = Multimodal.syntheticY4mSceneCorpus(s, 100)
+        val media = {
+          import s.implicits._
+          vids.as[(Long, Array[Byte])].map { case (id, bytes) =>
+            Multimodal.MediaRow(id, bytes,
+              Multimodal.MediaMeta("video", "y4m", 32, 32, 0L))
+          }
+        }
+        val feats = Multimodal.frameFeatures(
+          Multimodal.sampleFrames(media, intervalMs = 250L))
+          .select(col("id"), col("frame_idx"),
+            round(col("mean_intensity"), 6).as("mi"))
+        feats.coalesce(2).write.mode("overwrite")
+          .parquet(freshState(s, "m11") + "/frames")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("frame_idx")
+        val cuts = feats
+          .withColumn("delta",
+            round(abs(col("mi") - lag(col("mi"), 1).over(w)), 6))
+          .withColumn("is_cut",
+            coalesce(col("delta") > 0.1, lit(false)))
+        cuts.groupBy("id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"),
+            min(when(col("is_cut"), col("frame_idx"))).as("first_cut"))
+          .orderBy("id")
+      },
+      Some("""WITH f AS (SELECT id, frame_idx, mi FROM read_parquet(
+            '/tmp/graft_qstate/m11/frames/*.parquet')),
+        d AS (SELECT id, frame_idx,
+            ROUND(ABS(mi - LAG(mi) OVER (PARTITION BY id
+              ORDER BY frame_idx)), 6) AS delta
+          FROM f),
+        c AS (SELECT id, frame_idx,
+            COALESCE(delta > 0.1, FALSE) AS is_cut FROM d)
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+          CAST(SUM(CASE WHEN is_cut THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cuts,
+          MIN(CASE WHEN is_cut THEN frame_idx END) AS first_cut
+        FROM c GROUP BY id ORDER BY id""")),
+
     Q("m06_asset_manifest",
       // unified multimodal catalog: one mixed blob table (PNG images,
       // WAV clips, MJPEG/AVI videos, plus junk bytes) through ONE
@@ -3921,6 +3973,96 @@ object SparkEntry {
         WHERE j.jaccard >= CAST(0.5 AS DOUBLE)
           AND j.jaccard >= ths.threshold
         GROUP BY 1 ORDER BY 1""")),
+
+    Q("d15_line_dedup",
+      // line-grain exact dedup (the C4/RefinedWeb recipe: discard any
+      // line occurring in ≥2 docs corpus-wide, keeping its globally
+      // first occurrence) — the line-boundary complement of d08's
+      // token spans. The corpus has no natural multi-line docs, so the
+      // fixture composes them deterministically FROM the documents
+      // table: m = 3n/10 docs of 5 lines each, line j of doc c being
+      // base text (c*7 + j*13) mod n — ~half the base texts land in
+      // ≥2 slots, so real cross-doc duplicate lines exist and the
+      // oracle recomposes the identical corpus in pure SQL. Manifest
+      // covers EVERY composed doc (zero counts where untouched).
+      (s, d) => {
+        // any newline inside a base text would shift line indices vs
+        // the oracle's j-grain recomposition — flatten defensively
+        val base = t(s, d, "documents")
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id").cast("long").as("bid"),
+            regexp_replace(col("text"), "\n", " ").as("text"))
+        val n = base.count() // fixture modulus: metadata-sized action
+        val m = math.max(n * 3 / 10, 10L)
+        val grid = s.range(m).select(col("id").as("cid"))
+          .select(col("cid"),
+            explode(sequence(lit(0), lit(4))).as("j"))
+          .withColumn("bid", (col("cid") * 7 + col("j") * 13) % n)
+        val composed = grid.join(base, Seq("bid"))
+          .groupBy("cid")
+          .agg(array_join(transform(array_sort(collect_list(
+            struct(col("j"), col("text")))),
+            x => x.getField("text")), "\n").as("text"))
+        Dedup.lineDedup(composed, "cid", "text").orderBy("cid")
+      },
+      Some("""WITH base AS (
+          SELECT doc_id AS bid, replace(text, chr(10), ' ') AS text
+          FROM documents WHERE doc_id < 500),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+        mm AS (SELECT GREATEST((n*3)//10, 10) AS m FROM nn),
+        grid AS (
+          SELECT g.cid, j.j, (g.cid*7 + j.j*13) % nn.n AS bid
+          FROM (SELECT unnest(range((SELECT m FROM mm))) AS cid) g,
+               (SELECT unnest(range(5)) AS j) j, nn),
+        lines AS (
+          -- rank j within cid so a hypothetically-missing bid can
+          -- never desync indices from the engine's split renumbering
+          SELECT grid.cid,
+            ROW_NUMBER() OVER (PARTITION BY grid.cid ORDER BY grid.j)
+              - 1 AS line_idx,
+            base.text AS line
+          FROM grid JOIN base ON grid.bid = base.bid),
+        keyed AS (
+          SELECT cid, line_idx, line,
+            CASE WHEN length(trim(line)) >= 15
+              THEN md5(trim(line)) END AS k
+          FROM lines),
+        perdoc AS (
+          SELECT k, cid, MIN(cid*1000000 + line_idx) AS docmin
+          FROM keyed WHERE k IS NOT NULL GROUP BY k, cid),
+        dict AS (
+          SELECT k, MIN(docmin) AS canon
+          FROM perdoc GROUP BY k HAVING COUNT(*) >= 2),
+        dropped AS (
+          SELECT keyed.cid, keyed.line_idx, length(keyed.line) AS lc
+          FROM keyed JOIN dict ON keyed.k = dict.k
+          WHERE keyed.cid*1000000 + keyed.line_idx <> dict.canon),
+        kept AS (
+          SELECT l.cid, l.line_idx, l.line FROM keyed l
+          ANTI JOIN dropped d
+            ON l.cid = d.cid AND l.line_idx = d.line_idx),
+        reb AS (
+          SELECT cid,
+            COALESCE(string_agg(line, chr(10) ORDER BY line_idx), '')
+              AS cleaned
+          FROM kept GROUP BY cid),
+        rem AS (
+          SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_removed,
+            CAST(SUM(lc) AS BIGINT) AS removed_chars
+          FROM dropped GROUP BY cid),
+        docs AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_lines
+          FROM lines GROUP BY cid)
+        SELECT docs.cid, docs.n_lines,
+          CAST(COALESCE(rem.n_removed, 0) AS BIGINT) AS n_lines_removed,
+          CAST(COALESCE(rem.removed_chars, 0) AS BIGINT)
+            AS removed_chars,
+          CAST(length(COALESCE(reb.cleaned, '')) AS BIGINT)
+            AS cleaned_len,
+          md5(COALESCE(reb.cleaned, '')) AS cleaned_md5
+        FROM docs
+        LEFT JOIN rem ON docs.cid = rem.cid
+        LEFT JOIN reb ON docs.cid = reb.cid
+        ORDER BY docs.cid""")),
 
     Q("d06_ngram_jaccard",
       // exact word-3-gram Jaccard over the whole corpus via the inverted

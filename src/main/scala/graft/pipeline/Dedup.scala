@@ -1659,6 +1659,125 @@ object Dedup {
           .as("cleaned_md5"))
   }
 
+  // ---- Line-grain exact dedup (the C4 / RefinedWeb recipe) -----------
+
+  /** Exploded (id, line_idx, line, __key, __enc) line stream: lines are
+   *  the RAW newline-split segments (a line-grain operator must respect
+   *  the author's line boundaries — the span family's whitespace
+   *  normalization would destroy them); `__key` is md5 of the TRIMMED
+   *  line, null for lines shorter than `minLineChars` (navigation
+   *  stubs, blank lines — too short to be meaningful duplication);
+   *  `__enc` is the order key doc*1e6+idx that makes "globally first
+   *  occurrence" one integer MIN (documented bound: < 1e6 lines/doc). */
+  private def lineKeyed(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineChars: Int): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("line_idx", "line")))
+      .withColumn("__key",
+        when(length(trim(col("line"))) >= minLineChars,
+          md5(trim(col("line")).cast("binary"))))
+      .withColumn("__enc",
+        col(idCol).cast("long") * lit(1000000L) + col("line_idx"))
+
+  /** Line-grain duplicate dictionary — the diagnostic face of the C4 /
+   *  RefinedWeb line-dedup recipe ("discard any line appearing more
+   *  than once in the corpus"): every trimmed line of ≥ `minLineChars`
+   *  occurring in ≥ `minDf` DISTINCT docs, with its doc frequency,
+   *  total occurrences, char length, and the canonical (first by
+   *  (doc, line_idx)) occurrence every other copy will defer to.
+   *
+   *  Scale: the (key, doc) pre-aggregation spreads a hot boilerplate
+   *  line ("all rights reserved") across its doc values BEFORE the
+   *  per-key rollup, so no single reducer sees a posting list — the
+   *  two-phase hot-key GROUP BY pattern; shuffles carry (hash, doc,
+   *  enc) triples, never line text. */
+  def duplicateLines(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minLineChars: Int = 15,
+      minDf: Int = 2): DataFrame = {
+    val keyed = lineKeyed(docs, idCol, textCol, minLineChars)
+    keyed.filter(col("__key").isNotNull)
+      .groupBy(col("__key"), col(idCol))
+      .agg(count(lit(1)).as("__occ"),
+        min(col("__enc")).as("__docmin"),
+        min(length(trim(col("line")))).as("__chars"))
+      .groupBy(col("__key"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("__occ")).as("n_occurrences"),
+        min(col("__chars")).cast("long").as("line_chars"),
+        min(col("__docmin")).as("__canon"))
+      .filter(col("df") >= minDf)
+      .select(col("__key").as("line_md5"), col("df"),
+        col("n_occurrences"),
+        col("line_chars"),
+        (col("__canon") / 1000000L).cast("long").as("canon_doc"),
+        (col("__canon") % 1000000L).cast("long").as("canon_line_idx"))
+  }
+
+  /** Line-grain exact dedup, applied — C4/RefinedWeb's corpus-wide
+   *  duplicate-line removal: every line whose trimmed form occurs in
+   *  ≥ `minDf` distinct docs is cut EXCEPT its globally-first
+   *  occurrence (min (doc, line_idx)); short lines always survive.
+   *  Returns the full cleaned-corpus manifest (every doc, zero counts
+   *  for untouched ones): n_lines, n_lines_removed, removed_chars
+   *  (raw line chars, separators excluded), cleaned_len, cleaned_md5 —
+   *  the [[removeSpans]] manifest shape at line grain. The two
+   *  operators are complements: spans catch verbatim ranges that cross
+   *  line boundaries, this respects the boundaries (a repeated nav
+   *  header is ONE line duplicated, not a 40-char window).
+   *
+   *  Scale: dedup decisions ride (hash, doc, idx) triples through the
+   *  same two-phase hot-key GROUP BY as [[duplicateLines]]; the only
+   *  join that sees text is the final doc-keyed attach of each doc's
+   *  (small) dropped-index list, after which the surgery is map-side
+   *  array filtering — text shuffles at most once, and the drop-list
+   *  side is output-manifest-sized. A boilerplate line in half the
+   *  corpus makes that attach join skewed on the probe side — AQE
+   *  skew-join splits it (build rows are one list per doc). */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minLineChars: Int = 15,
+      minDf: Int = 2): DataFrame = {
+    val keyed = lineKeyed(docs, idCol, textCol, minLineChars)
+    val perDoc = keyed.filter(col("__key").isNotNull)
+      .groupBy(col("__key"), col(idCol))
+      .agg(min(col("__enc")).as("__docmin"))
+    val dict = perDoc.groupBy(col("__key"))
+      .agg(count(lit(1)).as("__df"), min(col("__docmin")).as("__canon"))
+      .filter(col("__df") >= minDf)
+      .select(col("__key"), col("__canon"))
+    // skinny decision stream: every occurrence except the canonical
+    val dropped = keyed.filter(col("__key").isNotNull)
+      .select(col(idCol), col("line_idx"), col("__key"), col("__enc"))
+      .join(dict, Seq("__key"))
+      .filter(col("__enc") =!= col("__canon"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("line_idx"))).as("__dl"))
+    val cleaned = array_join(
+      filter(col("__lines"),
+        (_: Column, i: Column) => not(array_contains(col("__dl"), i))),
+      "\n")
+    docs.withColumn("__lines", split(col(textCol), "\n", -1))
+      .join(dropped, Seq(idCol), "left")
+      .withColumn("__dl", coalesce(col("__dl"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__dl")).cast("long").as("n_lines_removed"),
+        aggregate(transform(col("__dl"),
+            i => length(element_at(col("__lines"), i + 1)).cast("long")),
+          lit(0L), (a, x) => a + x).as("removed_chars"),
+        length(cleaned).cast("long").as("cleaned_len"),
+        md5(cleaned.cast("binary")).as("cleaned_md5"))
+  }
+
   /** [[duplicatedMass]] from an already-computed span set (e.g. the
    *  persisted-gram incremental path) — the rollup alone. */
   def duplicatedMassFromSpans(

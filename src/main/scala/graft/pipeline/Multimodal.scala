@@ -153,6 +153,9 @@ object Multimodal {
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ') "avi"
     else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
+    else if (at(0) == 'Y' && at(1) == 'U' && at(2) == 'V' && at(3) == '4' &&
+      at(4) == 'M' && at(5) == 'P' && at(6) == 'E' && at(7) == 'G' &&
+      at(8) == '2') "y4m"
     else "unknown"
   }
 
@@ -542,13 +545,175 @@ object Multimodal {
     }.toDF("id", "bytes")
   }
 
-  /** `struct(duration_ms, width, height)` column parsed from MP4 box
-   *  or AVI `avih` headers (null for non-video bytes; duration_ms = -1
-   *  when dims parsed but the duration header didn't). */
+  // ---- Y4M (YUV4MPEG2): raw uncompressed video, fully decodable ------
+
+  /** Parsed Y4M stream header: (width, height, fpsNum, fpsDen,
+   *  bytesPerFrame, firstFrameOffset). YUV4MPEG2 is the one video
+   *  container whose PIXELS need no codec at all — a plain-text header
+   *  (`YUV4MPEG2 W.. H.. F<num>:<den> .. C<colourspace>\n`) followed by
+   *  raw planar frames (`FRAME\n` + Y then Cb/Cr planes) — so it joins
+   *  MJPEG-AVI and animated GIF as the third genuinely-decodable
+   *  container. C420-family/C422/C444/Cmono plane sizes per the
+   *  published mjpegtools layout; None for non-Y4M / malformed
+   *  headers. */
+  private[graft] def y4mHeaderBytes(
+      b: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
+    if (b == null || sniffFormatBytes(b) != "y4m") return None
+    var end = 9
+    while (end < b.length && b(end) != 0x0a) end += 1
+    if (end >= b.length) return None
+    val params = new String(b, 9, end - 9,
+      java.nio.charset.StandardCharsets.US_ASCII).trim.split("\\s+")
+    var w = -1; var h = -1; var fn = -1; var fd = -1; var cs = "420jpeg"
+    try {
+      var i = 0
+      while (i < params.length) {
+        val p = params(i)
+        if (p.nonEmpty) p.charAt(0) match {
+          case 'W' => w = p.substring(1).toInt
+          case 'H' => h = p.substring(1).toInt
+          case 'F' =>
+            val r = p.substring(1).split(':')
+            if (r.length == 2) { fn = r(0).toInt; fd = r(1).toInt }
+          case 'C' => cs = p.substring(1)
+          case _   => () // I (interlacing), A (aspect), X (comment)
+        }
+        i += 1
+      }
+    } catch { case _: NumberFormatException => return None }
+    if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+    val chromaBytes =
+      if (cs.startsWith("420")) 2 * ((w / 2) * (h / 2))
+      else if (cs.startsWith("422")) 2 * ((w / 2) * h)
+      else if (cs.startsWith("444")) 2 * (w * h)
+      else if (cs.startsWith("mono")) 0
+      else return None
+    Some((w, h, fn, fd, w * h + chromaBytes, end + 1))
+  }
+
+  /** Y4M video metadata (durationMs, width, height) — the [[videoMetaBytes]]
+   *  tuple shape: frame count from a frame-marker walk (each frame is
+   *  `FRAME[ params]\n` + a header-fixed byte count), duration from the
+   *  header's exact F<num>:<den> rate. */
+  private[graft] def y4mMetaBytes(b: Array[Byte]): Option[(Long, Int, Int)] =
+    y4mHeaderBytes(b).map { case (w, h, fn, fd, frameBytes, off) =>
+      var i = off; var n = 0L
+      var ok = true
+      while (ok && i + 5 <= b.length) {
+        ok = b(i) == 'F' && b(i + 1) == 'R' && b(i + 2) == 'A' &&
+          b(i + 3) == 'M' && b(i + 4) == 'E'
+        if (ok) {
+          i += 5
+          while (i < b.length && b(i) != 0x0a) i += 1 // frame params
+          i += 1
+          if (i + frameBytes <= b.length) { n += 1; i += frameBytes }
+          else ok = false
+        }
+      }
+      (n * 1000L * fd / fn, w, h)
+    }
+
+  /** Y4M frames as PNG-encoded grayscale images (the luma plane is the
+   *  intensity signal scene analysis needs; chroma planes are skipped
+   *  over, not decoded). Pixels land in TYPE_INT_RGB with r=g=b=Y so no
+   *  gray→sRGB colorspace transform ever touches the values — the
+   *  decoded mean intensity is exactly meanY/255. Returns empty for
+   *  non-Y4M bytes; `maxFrames` bounds the per-row explosion. */
+  private[graft] def y4mPngFrames(
+      b: Array[Byte], maxFrames: Int = 4096): Array[Array[Byte]] =
+    y4mHeaderBytes(b) match {
+      case None => Array.empty
+      case Some((w, h, _, _, frameBytes, off)) =>
+        val out = Array.newBuilder[Array[Byte]]
+        var i = off; var n = 0
+        var ok = true
+        while (ok && n < maxFrames && i + 5 <= b.length) {
+          ok = b(i) == 'F' && b(i + 1) == 'R' && b(i + 2) == 'A' &&
+            b(i + 3) == 'M' && b(i + 4) == 'E'
+          if (ok) {
+            i += 5
+            while (i < b.length && b(i) != 0x0a) i += 1
+            i += 1
+            if (i + frameBytes <= b.length) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var p = 0
+              while (p < w * h) {
+                val y = b(i + p) & 0xff
+                img.setRGB(p % w, p / w, (y << 16) | (y << 8) | y)
+                p += 1
+              }
+              val baos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", baos)
+              out += baos.toByteArray
+              n += 1
+              i += frameBytes
+            } else ok = false
+          }
+        }
+        out.result()
+    }
+
+  /** Minimal Y4M writer (synthetic fixtures only): C420jpeg planes with
+   *  neutral chroma (Cb=Cr=128 — gray), one luma plane per frame. The
+   *  READ path under test ([[y4mPngFrames]]/[[y4mMetaBytes]]) is the one
+   *  arbitrary Y4M (e.g. ffmpeg-emitted) streams take. */
+  private[graft] def buildY4m(
+      lumaFrames: Seq[Array[Byte]],
+      width: Int,
+      height: Int,
+      fpsNum: Int,
+      fpsDen: Int = 1): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    baos.write(
+      s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 C420jpeg\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val chroma = new Array[Byte]((width / 2) * (height / 2))
+    java.util.Arrays.fill(chroma, 128.toByte)
+    lumaFrames.foreach { y =>
+      require(y.length == width * height, "luma plane size mismatch")
+      baos.write("FRAME\n".getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII))
+      baos.write(y)
+      baos.write(chroma) // Cb
+      baos.write(chroma) // Cr
+    }
+    baos.toByteArray
+  }
+
+  /** Deterministic synthetic Y4M scene corpus — the raw-video twin of
+   *  [[syntheticSceneCorpus]]: each clip pans gradually (+2 luma/frame)
+   *  with ONE hard cut (+100 at frame 4 + id%3). Y4M is lossless, so
+   *  the decoded mean intensities are exact. */
+  def syntheticY4mSceneCorpus(
+      spark: SparkSession,
+      n: Int,
+      framesPerVideo: Int = 12,
+      side: Int = 32,
+      fps: Int = 4): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val cutAt = (4 + id % 3).toInt
+      val frames = (0 until framesPerVideo).map { f =>
+        val gray = math.min(247,
+          (id * 7 % 60 + 20 + f * 2 + (if (f >= cutAt) 100 else 0))).toInt
+        val y = new Array[Byte](side * side)
+        java.util.Arrays.fill(y, gray.toByte)
+        y
+      }
+      (id, buildY4m(frames, side, side, fps))
+    }.toDF("id", "bytes")
+  }
+
+  /** `struct(duration_ms, width, height)` column parsed from MP4 box,
+   *  AVI `avih`, or Y4M stream headers (null for non-video bytes;
+   *  duration_ms = -1 when dims parsed but the duration header
+   *  didn't). */
   def videoMetadata(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     udf((b: Array[Byte]) =>
       if (b == null) None
-      else videoMetaBytes(b).orElse(aviMetaBytes(b))).apply(bin)
+      else videoMetaBytes(b).orElse(aviMetaBytes(b))
+        .orElse(y4mMetaBytes(b))).apply(bin)
 
   /** `format` column from a binary column's magic bytes. */
   def sniffFormat(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -1118,22 +1283,25 @@ object Multimodal {
       }
     }
 
-  /** REAL frame-sample for AVI and animated-GIF bytes: container-parse
-   *  the per-frame payloads ([[aviFrameBytes]] `##db`/`##dc` chunks —
-   *  JPEGs for MJPEG; [[gifAnimFrames]] composed PNG frames), then emit
-   *  the frame nearest each `intervalMs` tick. GIF frames carry their
-   *  OWN per-frame delays, so the tick lookup walks the cumulative
-   *  timeline instead of assuming a constant rate. Rows whose bytes are
-   *  neither fall back to [[sampleFramesStub]] so mixed/corrupt corpora
-   *  degrade per-row. */
+  /** REAL frame-sample for AVI, animated-GIF, and Y4M bytes:
+   *  container-parse the per-frame payloads ([[aviFrameBytes]]
+   *  `##db`/`##dc` chunks — JPEGs for MJPEG; [[gifAnimFrames]] composed
+   *  PNG frames; [[y4mPngFrames]] raw-luma PNG frames), then emit the
+   *  frame nearest each `intervalMs` tick. GIF frames carry their OWN
+   *  per-frame delays, so that tick lookup walks the cumulative
+   *  timeline instead of assuming a constant rate; AVI and Y4M are
+   *  constant-rate with a header-derived duration. Rows whose bytes
+   *  are none of the three fall back to [[sampleFramesStub]] so
+   *  mixed/corrupt corpora degrade per-row. */
   def sampleFramesReal(
       batch: Iterator[MediaRow],
       intervalMs: Long,
       frameBytes: Int = 64): Iterator[FrameRow] =
     batch.flatMap { r =>
-      val frames = aviFrameBytes(r.bytes)
-      if (frames.nonEmpty) {
-        val dur = aviMetaBytes(r.bytes).map(_._1).filter(_ > 0)
+      def constantRate(
+          frames: Array[Array[Byte]],
+          headerDur: Option[Long]): Iterator[FrameRow] = {
+        val dur = headerDur.filter(_ > 0)
           .getOrElse(math.max(r.meta.durationMs, frames.length.toLong))
         val n = math.max(1L, (dur + intervalMs - 1) / intervalMs).toInt
         (0 until n).iterator.map { idx =>
@@ -1141,7 +1309,15 @@ object Multimodal {
           val fi = math.min(t * frames.length / dur, frames.length - 1L).toInt
           FrameRow(r.id, idx, t, frames(fi))
         }
-      } else {
+      }
+      val frames = aviFrameBytes(r.bytes)
+      if (frames.nonEmpty)
+        constantRate(frames, aviMetaBytes(r.bytes).map(_._1))
+      else {
+        val y4m = y4mPngFrames(r.bytes)
+        if (y4m.nonEmpty)
+          constantRate(y4m, y4mMetaBytes(r.bytes).map(_._1))
+        else {
         val gif = gifAnimFrames(r.bytes)
         if (gif.isEmpty)
           sampleFramesStub(Iterator.single(r), intervalMs, frameBytes)
@@ -1159,13 +1335,15 @@ object Multimodal {
             FrameRow(r.id, idx, t, gif(fi)._1)
           }
         }
+        }
       }
     }
 
   /** Frame sampling over a video Dataset — a partition-local flatMap, so
    *  the explosion never shuffles the source bytes; downstream per-frame
-   *  work inherits the partitioning. AVI rows yield REAL codec payloads;
-   *  other containers (MP4 — no JDK codec) take the stub path. */
+   *  work inherits the partitioning. AVI, animated-GIF, and Y4M rows
+   *  yield REAL pixel payloads; other containers (MP4 — no JDK codec)
+   *  take the stub path. */
   def sampleFrames(
       media: Dataset[MediaRow],
       intervalMs: Long = 1000L,
