@@ -9729,6 +9729,65 @@ object SparkEntry {
         FROM sp WHERE span_end - span_start >= 60
         ORDER BY doc_id, span_start""")),
 
+    Q("st17_stream_line_gate",
+      // d15's line dedup at INGEST: the standing corpus's duplicate-
+      // line dictionary (d15's composed fixture through duplicateLines)
+      // persists dictionary-sized and rides the UDF closure (the
+      // st15/st16 contract); each arriving doc cuts its known-
+      // boilerplate lines MAP-ONLY — no shuffle, no state store,
+      // append mode. Arrivals are the raw documents (newline-flattened
+      // like the fixture), so a doc whose text occupies >=2 slots of
+      // the standing corpus gates to empty. The oracle replays the
+      // persisted dictionary against the same arrivals.
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id").cast("long").as("bid"),
+            regexp_replace(col("text"), "\n", " ").as("text"))
+        val n = base.count()
+        val m = math.max(n * 3 / 10, 10L)
+        val grid = s.range(m).select(col("id").as("cid"))
+          .select(col("cid"),
+            explode(sequence(lit(0), lit(4))).as("j"))
+          .withColumn("bid", (col("cid") * 7 + col("j") * 13) % n)
+        val composed = grid.join(base, Seq("bid"))
+          .groupBy("cid")
+          .agg(array_join(transform(array_sort(collect_list(
+            struct(col("j"), col("text")))),
+            x => x.getField("text")), "\n").as("text"))
+        val dictPath = freshState(s, "st17") + "/dict"
+        Dedup.duplicateLines(composed, "cid", "text")
+          .coalesce(1).write.mode("overwrite").parquet(dictPath)
+        val keys = s.read.parquet(dictPath).select("line_md5")
+          .collect().map(_.getString(0)).toSet
+        val stream = streamOf(s, s"$d/documents.parquet")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "\n", " ").as("text"))
+        val gated = Dedup.lineGate(stream, keys)
+        runBoundedStream(s, gated, "st17_sink", "append")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dict AS (SELECT line_md5 FROM read_parquet(
+            '/tmp/graft_qstate/st17/dict/*.parquet')),
+        arrivals AS (
+          SELECT doc_id, replace(text, chr(10), ' ') AS text
+          FROM documents),
+        j AS (
+          SELECT doc_id, text,
+            (length(trim(text)) >= 15 AND md5(trim(text)) IN
+              (SELECT line_md5 FROM dict)) AS dropped
+          FROM arrivals)
+        SELECT doc_id,
+          CAST(1 AS BIGINT) AS n_lines,
+          CAST(CASE WHEN dropped THEN 1 ELSE 0 END AS BIGINT)
+            AS n_lines_removed,
+          CAST(CASE WHEN dropped THEN length(text) ELSE 0 END AS BIGINT)
+            AS removed_chars,
+          CAST(length(CASE WHEN dropped THEN '' ELSE text END)
+            AS BIGINT) AS cleaned_len,
+          md5(CASE WHEN dropped THEN '' ELSE text END) AS cleaned_md5
+        FROM j ORDER BY doc_id""")),
+
     Q("st14_stream_quarantine",
       // row quarantine at INGEST time: Quarantine.annotate is map-only,
       // so the SAME rules run unchanged on a document stream (v06's

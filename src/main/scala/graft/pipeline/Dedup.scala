@@ -1778,6 +1778,52 @@ object Dedup {
         md5(cleaned.cast("binary")).as("cleaned_md5"))
   }
 
+  /** Line-grain gate at INGEST — the streaming twin of [[lineDedup]]:
+   *  a standing corpus's duplicate-line dictionary ([[duplicateLines]]
+   *  keys — dictionary-sized, so it rides the UDF closure like the
+   *  substring/semantic gates) cuts known boilerplate lines from each
+   *  arriving doc MAP-ONLY: no shuffle, no state store, append-mode
+   *  safe. Returns the [[lineDedup]] manifest shape per arrival. The
+   *  difference from the batch pass is inherent to per-row gating:
+   *  arrivals are judged against the DICTIONARY only (no canonical
+   *  keep — the standing corpus already holds the canonical copy),
+   *  and new duplicates among arrivals themselves wait for the next
+   *  batch fold. */
+  def lineGate(
+      docs: DataFrame,
+      dupLineMd5: scala.collection.Set[String],
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minLineChars: Int = 15): DataFrame = {
+    val gateUdf = udf { text: String =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def hex(s: String): String = {
+        md.reset()
+        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val sb = new StringBuilder(32)
+        var i = 0
+        while (i < d.length) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
+        sb.toString
+      }
+      val lines = text.split("\n", -1)
+      var nRem = 0L; var remChars = 0L
+      val kept = lines.filter { l =>
+        val t = l.trim
+        val dup = t.length >= minLineChars && dupLineMd5.contains(hex(t))
+        if (dup) { nRem += 1; remChars += l.length }
+        !dup
+      }
+      (lines.length.toLong, nRem, remChars, kept.mkString("\n"))
+    }
+    docs.withColumn("__g", gateUdf(col(textCol)))
+      .select(col(idCol),
+        col("__g._1").as("n_lines"),
+        col("__g._2").as("n_lines_removed"),
+        col("__g._3").as("removed_chars"),
+        length(col("__g._4")).cast("long").as("cleaned_len"),
+        md5(col("__g._4").cast("binary")).as("cleaned_md5"))
+  }
+
   /** [[duplicatedMass]] from an already-computed span set (e.g. the
    *  persisted-gram incremental path) — the rollup alone. */
   def duplicatedMassFromSpans(

@@ -81,6 +81,31 @@ class LineDedupSpec extends AnyFunSuite {
     assert(hi == 2L, "hi drops once + doc 2 boilerplate = 2 removals")
   }
 
+  test("lineGate: dictionary cuts arrivals map-only, manifest exact") {
+    val keys = Dedup.duplicateLines(docs).collect()
+      .map(_.getAs[String]("line_md5")).toSet
+    assert(keys.size == 1)
+    val arrivals = Seq(
+      (100L, s"fresh opening line of text\n$dupLine"), // one cut
+      (101L, s"   $dupLine   "),                       // all cut (trim key)
+      (102L, "hi\nnothing duplicated here at all")     // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineGate(arrivals, keys).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_lines_removed") == 1L)
+    assert(out(0).getAs[Long]("removed_chars") == dupLine.length.toLong)
+    assert(out(0).getAs[String]("cleaned_md5") ==
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex("fresh opening line of text"))
+    assert(out(1).getAs[Long]("n_lines") == 1L)
+    assert(out(1).getAs[Long]("n_lines_removed") == 1L)
+    assert(out(1).getAs[Long]("removed_chars") == dupLine.length.toLong + 6L)
+    assert(out(1).getAs[Long]("cleaned_len") == 0L)
+    assert(out(2).getAs[Long]("n_lines_removed") == 0L)
+    assert(out(2).getAs[String]("cleaned_md5") ==
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex("hi\nnothing duplicated here at all"))
+  }
+
   test("all-lines-removed doc degrades to empty cleaned text") {
     val d2 = Seq(
       (10L, "the only line present here"),
