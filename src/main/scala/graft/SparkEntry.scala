@@ -3917,6 +3917,50 @@ object SparkEntry {
         FROM man m LEFT JOIN agg a USING (canary)
         ORDER BY m.canary""")),
 
+    Q("x87_compression_quality",
+      // Deflate compression ratio as a whole-document repetitiveness
+      // gate (template spam and degenerate generations compress far
+      // below natural prose; Deflate's 32 KB window sees document-
+      // scale structure the n-gram repetition signal can't). Map-only,
+      // one Deflater per partition. Byte-level codecs aren't SQL, so
+      // the per-doc frame persists (the multimodal replay pattern) and
+      // the oracle re-derives the per-source rollup: mean/min/max
+      // ratio from integer ppm counts, the sub-15% template-suspect
+      // count, and the corpus byte totals.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val state = freshState(s, "x87")
+        TextAnalysis.compressionRatio(docs)
+          .join(docs.select(col("doc_id").cast("long").as("doc_id"),
+            col("source")), Seq("doc_id"))
+          .coalesce(2).write.mode("overwrite")
+          .parquet(state + "/ratios")
+        val r = s.read.parquet(state + "/ratios")
+        r.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            floor(sum("ratio_ppm") / count(lit(1))).cast("long")
+              .as("mean_ratio_ppm"),
+            min("ratio_ppm").as("min_ratio_ppm"),
+            max("ratio_ppm").as("max_ratio_ppm"),
+            sum(when(col("ratio_ppm") < 150000L, 1L).otherwise(0L))
+              .as("n_template_suspect"),
+            sum("n_bytes").as("total_bytes"),
+            sum("n_compressed").as("total_compressed"))
+          .orderBy("source")
+      },
+      Some("""WITH r AS (SELECT source, ratio_ppm, n_bytes, n_compressed
+          FROM read_parquet('/tmp/graft_qstate/x87/ratios/*.parquet'))
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(FLOOR(CAST(SUM(ratio_ppm) AS DOUBLE) / COUNT(*))
+            AS BIGINT) AS mean_ratio_ppm,
+          MIN(ratio_ppm) AS min_ratio_ppm,
+          MAX(ratio_ppm) AS max_ratio_ppm,
+          CAST(SUM(CASE WHEN ratio_ppm < 150000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_template_suspect,
+          CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+          CAST(SUM(n_compressed) AS BIGINT) AS total_compressed
+        FROM r GROUP BY source ORDER BY source""")),
+
     Q("d14_threshold_curve",
       // dedup-threshold sensitivity curve (the tuning sweep run BEFORE
       // committing a 100 TB corpus to one threshold): exact n-gram

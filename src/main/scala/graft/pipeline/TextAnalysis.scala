@@ -1718,4 +1718,45 @@ object TextAnalysis {
       .select(col("canary"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"), col("first_doc"))
   }
+
+  /** Deflate compression ratio per doc — the cheap whole-document
+   *  repetitiveness signal big corpus pipelines gate on (template
+   *  spam and degenerate generations compress far below natural
+   *  prose; already-compressed/binary junk barely compresses at all).
+   *  Complements [[repetitionRatio]]: n-gram repetition sees local
+   *  loops, Deflate's 32 KB window sees document-scale structure.
+   *  ratio_ppm = compressed/raw bytes in ppm from integer counts.
+   *  Map-only (one Deflater per partition, reset per row — allocation-
+   *  free across a partition); byte-level codecs aren't SQL, so
+   *  consumers persist the per-doc frame and replay rollups (the
+   *  multimodal pattern). */
+  def compressionRatio(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      level: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lvl = level
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(lvl)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset()
+          defl.setInput(raw)
+          defl.finish()
+          var comp = 0L
+          while (!defl.finished()) comp += defl.deflate(buf)
+          val ratio =
+            if (raw.length == 0) 0L else comp * 1000000L / raw.length
+          (id, raw.length.toLong, comp, ratio)
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_compressed", "ratio_ppm")
+  }
 }
