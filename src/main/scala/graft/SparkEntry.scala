@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.anomalies.Anomalies
 import graft.history.Trends
-import graft.pipeline.{Curation, Dedup, Multimodal, Pii, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, LinkGraph, Multimodal, Pii, Sampling, Similarity, TextAnalysis}
 import graft.profiler.{IncrementalProfile, Profiler}
 import graft.sources.Catalog
 import graft.types.ValidationRule
@@ -3960,6 +3960,69 @@ object SparkEntry {
           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
           CAST(SUM(n_compressed) AS BIGINT) AS total_compressed
         FROM r GROUP BY source ORDER BY source""")),
+
+    Q("x88_pagerank",
+      // PageRank over a link graph — the crawl-frontier/seed-quality
+      // prior a web-scale pipeline ranks pages with BEFORE deciding
+      // what to fetch or up-weight. One iteration = one src-keyed
+      // equi-join + one dst-keyed aggregation; rank state is
+      // nodes-sized, never edges-sized; 3 unrolled iterations keep the
+      // computation a static DAG. Integer-nanos ranks with floor
+      // division at every step make all 3 iterations engine-exact —
+      // the oracle unrolls the identical integer recurrence in SQL.
+      // The corpus ships no link column, so edges derive
+      // deterministically from doc ids (three affine rules mod n —
+      // ids are 0..n-1 contiguous, every node has out-edges).
+      (s, d) => {
+        val ids = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"))
+        val nDocs = ids.count()
+        val edges = ids
+          .select(col("doc_id").as("src"),
+            explode(array(
+              (col("doc_id") * 2 + 1) % nDocs,
+              (col("doc_id") * 3 + 7) % nDocs,
+              (col("doc_id") * 7 + 13) % nDocs)).as("dst"))
+        LinkGraph.pageRank(edges, iterations = 3)
+          .orderBy("node")
+      },
+      Some("""WITH nn AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        e0 AS (
+          SELECT doc_id AS src, (doc_id*2 + 1) % nn.n AS dst
+            FROM documents, nn
+          UNION
+          SELECT doc_id, (doc_id*3 + 7) % nn.n FROM documents, nn
+          UNION
+          SELECT doc_id, (doc_id*7 + 13) % nn.n FROM documents, nn),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM e0 GROUP BY src),
+        r0 AS (SELECT doc_id AS node,
+            (SELECT 1000000000 // n FROM nn) AS rank
+          FROM documents),
+        i1 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+          FROM e0 e JOIN r0 r ON e.src = r.node
+          JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        r1 AS (SELECT r0.node,
+            (SELECT 150000000 // n FROM nn)
+              + (85 * COALESCE(i1.inflow, 0)) // 100 AS rank
+          FROM r0 LEFT JOIN i1 ON r0.node = i1.node),
+        i2 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+          FROM e0 e JOIN r1 r ON e.src = r.node
+          JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        r2 AS (SELECT r1.node,
+            (SELECT 150000000 // n FROM nn)
+              + (85 * COALESCE(i2.inflow, 0)) // 100 AS rank
+          FROM r1 LEFT JOIN i2 ON r1.node = i2.node),
+        i3 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+          FROM e0 e JOIN r2 r ON e.src = r.node
+          JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        r3 AS (SELECT r2.node,
+            (SELECT 150000000 // n FROM nn)
+              + (85 * COALESCE(i3.inflow, 0)) // 100 AS rank
+          FROM r2 LEFT JOIN i3 ON r2.node = i3.node)
+        SELECT node, CAST(rank AS BIGINT) AS rank_nanos
+        FROM r3 ORDER BY node""")),
 
     Q("d14_threshold_curve",
       // dedup-threshold sensitivity curve (the tuning sweep run BEFORE

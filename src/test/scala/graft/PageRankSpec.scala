@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.LinkGraph
+
+/** PageRank in integer nanos: exact vs a brute-force reference of the
+ *  same recurrence, structural sanity (cycle symmetry, hub dominance),
+ *  and dedup/self-loop handling. */
+class PageRankSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  /** The identical integer recurrence, driver-side. */
+  private def reference(
+      edges: Seq[(Long, Long)], iterations: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = 150000000L / n
+    var r = nodes.map(_ -> 1000000000L / n).toMap
+    (1 to iterations).foreach { _ =>
+      val inflow = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = nodes.map(v => v -> (base + 85L * inflow.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("matches the integer reference exactly on an asymmetric graph") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L),
+      (3L, 0L), (1L, 1L)) // includes a self-loop
+    val got = LinkGraph.pageRank(edges.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == reference(edges, 3))
+    // the node everyone links to outranks the one nobody links to
+    assert(got(2L) > got(3L))
+  }
+
+  test("cycle symmetry: equal ranks; duplicates don't double-count") {
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (0L, 1L)) // duplicate edge must collapse
+    val got = LinkGraph.pageRank(cyc.toDF("src", "dst"), iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet.size == 1, s"cycle ranks equal: $got")
+    // conservation: total rank stays <= 1e9 (floor losses only)
+    assert(got.values.sum <= 1000000000L)
+    assert(got.values.forall(_ > 0L))
+  }
+}
