@@ -4024,6 +4024,78 @@ object SparkEntry {
         SELECT node, CAST(rank AS BIGINT) AS rank_nanos
         FROM r3 ORDER BY node""")),
 
+    Q("x89_personalized_pagerank",
+      // seed-set expansion — the graph-side "find more like my
+      // trusted sources" curation move: teleport mass returns ONLY to
+      // the seed set, so rank concentrates in the seeds' link
+      // neighborhood instead of spreading globally (the prior for
+      // up-weighting pages near known-good domains). Same x88 link
+      // graph and integer-nanos recurrence; seeds are every 101st doc
+      // (curated-list-sized, broadcast). The oracle unrolls the
+      // identical seeded recurrence.
+      (s, d) => {
+        val ids = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"))
+        val nDocs = ids.count()
+        val seeds = ids.filter(col("doc_id") % 101 === 0)
+          .collect().map(_.getLong(0)).toSeq
+        val edges = ids
+          .select(col("doc_id").as("src"),
+            explode(array(
+              (col("doc_id") * 2 + 1) % nDocs,
+              (col("doc_id") * 3 + 7) % nDocs,
+              (col("doc_id") * 7 + 13) % nDocs)).as("dst"))
+        LinkGraph.personalizedPageRank(edges, seeds, iterations = 3)
+          .orderBy("node")
+      },
+      Some("""WITH nn AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        seeds AS (SELECT doc_id AS node FROM documents
+          WHERE doc_id % 101 = 0),
+        ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM seeds),
+        e0 AS (
+          SELECT doc_id AS src, (doc_id*2 + 1) % nn.n AS dst
+            FROM documents, nn
+          UNION
+          SELECT doc_id, (doc_id*3 + 7) % nn.n FROM documents, nn
+          UNION
+          SELECT doc_id, (doc_id*7 + 13) % nn.n FROM documents, nn),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM e0 GROUP BY src),
+        r0 AS (SELECT d.doc_id AS node,
+            CASE WHEN s.node IS NOT NULL
+              THEN (SELECT 1000000000 // s FROM ns) ELSE 0 END AS rank
+          FROM documents d LEFT JOIN seeds s ON d.doc_id = s.node),
+        i1 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+          FROM e0 e JOIN r0 r ON e.src = r.node
+          JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        r1 AS (SELECT r0.node,
+            CASE WHEN s.node IS NOT NULL
+              THEN (SELECT 150000000 // s FROM ns) ELSE 0 END
+              + (85 * COALESCE(i1.inflow, 0)) // 100 AS rank
+          FROM r0 LEFT JOIN seeds s ON r0.node = s.node
+          LEFT JOIN i1 ON r0.node = i1.node),
+        i2 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+          FROM e0 e JOIN r1 r ON e.src = r.node
+          JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        r2 AS (SELECT r1.node,
+            CASE WHEN s.node IS NOT NULL
+              THEN (SELECT 150000000 // s FROM ns) ELSE 0 END
+              + (85 * COALESCE(i2.inflow, 0)) // 100 AS rank
+          FROM r1 LEFT JOIN seeds s ON r1.node = s.node
+          LEFT JOIN i2 ON r1.node = i2.node),
+        i3 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+          FROM e0 e JOIN r2 r ON e.src = r.node
+          JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        r3 AS (SELECT r2.node,
+            CASE WHEN s.node IS NOT NULL
+              THEN (SELECT 150000000 // s FROM ns) ELSE 0 END
+              + (85 * COALESCE(i3.inflow, 0)) // 100 AS rank
+          FROM r2 LEFT JOIN seeds s ON r2.node = s.node
+          LEFT JOIN i3 ON r2.node = i3.node)
+        SELECT node, CAST(rank AS BIGINT) AS rank_nanos
+        FROM r3 ORDER BY node""")),
+
     Q("d14_threshold_curve",
       // dedup-threshold sensitivity curve (the tuning sweep run BEFORE
       // committing a 100 TB corpus to one threshold): exact n-gram

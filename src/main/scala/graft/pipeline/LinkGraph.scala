@@ -65,4 +65,52 @@ object LinkGraph {
     }
     ranks.select(col("node"), col("rank").as("rank_nanos"))
   }
+
+  /** Personalized PageRank — seed-set expansion, the graph-side
+   *  "find more like my trusted sources" curation move: teleport mass
+   *  returns ONLY to the seed set (split equally among seeds), so rank
+   *  concentrates in the seeds' link neighborhood instead of spreading
+   *  globally — the prior for up-weighting pages near known-good
+   *  domains. Same integer-nanos floor-division recurrence, same
+   *  per-iteration join+aggregate shape as [[pageRank]]; initial mass
+   *  sits entirely on the seeds. `seeds` is curated-list-sized and
+   *  broadcasts. */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      iterations: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs >= 1 seed")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val seedDf = broadcast(
+      seeds.distinct.toDF("node")
+        .withColumn("seed_share", lit(1000000000L / seeds.distinct.size)))
+    val teleport = lit(150000000L / seeds.distinct.size)
+    var ranks = nodes.join(seedDf, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("seed_share"), lit(0L)).as("rank"))
+    (1 to iterations).foreach { _ =>
+      val inflow = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank div deg").as("share"))
+        .groupBy("node")
+        .agg(sum("share").as("inflow"))
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .join(seedDf.select(col("node"), lit(true).as("__is_seed")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__is_seed"), teleport).otherwise(lit(0L)) +
+            expr("(85 * coalesce(inflow, 0)) div 100")).as("rank"))
+    }
+    ranks.select(col("node"), col("rank").as("rank_nanos"))
+  }
 }

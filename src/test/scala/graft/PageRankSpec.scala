@@ -38,6 +38,31 @@ class PageRankSpec extends AnyFunSuite {
     assert(got(2L) > got(3L))
   }
 
+  test("personalized: mass concentrates near the seed, zero teleport elsewhere") {
+    // chain 0 -> 1 -> 2 -> 3 -> 0 plus a shortcut 0 -> 2
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+    val ppr = LinkGraph.personalizedPageRank(
+      edges.toDF("src", "dst"), seeds = Seq(0L), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the seed keeps its teleport floor and holds the most mass
+    assert(ppr(0L) >= 150000000L)
+    assert(ppr(0L) == ppr.values.max,
+      s"the seed dominates a seed-teleport walk: $ppr")
+    // driver-side reference of the same seeded recurrence
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(v => v -> (if (v == 0L) 1000000000L else 0L)).toMap
+    (1 to 3).foreach { _ =>
+      val inflow = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = nodes.map(v => v ->
+        ((if (v == 0L) 150000000L else 0L) +
+          85L * inflow.getOrElse(v, 0L) / 100L)).toMap
+    }
+    assert(ppr == r)
+  }
+
   test("cycle symmetry: equal ranks; duplicates don't double-count") {
     val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L),
       (0L, 1L)) // duplicate edge must collapse
