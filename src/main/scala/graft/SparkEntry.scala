@@ -8154,6 +8154,53 @@ object SparkEntry {
         WHERE source IS NOT NULL
         GROUP BY source ORDER BY source""")),
 
+    Q("x90_tokenizer_fertility",
+      // tokenizer fertility per language (BPE pieces per whitespace
+      // word) — the multilingual-parity audit run BEFORE a tokenizer
+      // is frozen: a vocabulary trained on one language over-segments
+      // the others, inflating their token budgets and effective cost
+      // per document. Reuses x46's pluggable-merges counter; the
+      // per-doc BPE counts persist (tokenizer isn't SQL) while the
+      // WORD counts are recomputed independently by the oracle from
+      // the raw text, so a broken word counter fails the compare
+      // rather than hiding in the fixture. ppm from exact integer
+      // sums.
+      (s, d) => {
+        val state = freshState(s, "x90")
+        val docs = t(s, d, "documents")
+        docs.select(col("doc_id"), col("lang"),
+            TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+          .write.mode("overwrite").parquet(state + "/counts")
+        val words = docs.select(col("doc_id"),
+          size(filter(split(trim(col("text")), "\\s+"),
+            w => length(w) > 0)).cast("long").as("n_words"))
+        s.read.parquet(state + "/counts")
+          .join(words, Seq("doc_id"))
+          .filter(col("lang").isNotNull && col("n_words") > 0)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_bpe_tokens").as("total_tokens"),
+            sum("n_words").as("total_words"),
+            floor(lit(1000000.0) * sum("n_bpe_tokens") / sum("n_words"))
+              .cast("long").as("fertility_ppm"))
+          .orderBy("lang")
+      },
+      Some("""WITH w AS (SELECT doc_id,
+            CAST(len(list_filter(
+              string_split_regex(trim(text), '\s+'),
+              t -> len(t) > 0)) AS BIGINT) AS n_words
+          FROM documents),
+        c AS (SELECT doc_id, lang, n_bpe_tokens FROM read_parquet(
+          '/tmp/graft_qstate/x90/counts/*.parquet'))
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_tokens,
+          CAST(SUM(n_words) AS BIGINT) AS total_words,
+          CAST(FLOOR(1000000.0 * SUM(n_bpe_tokens) / SUM(n_words))
+            AS BIGINT) AS fertility_ppm
+        FROM c JOIN w USING (doc_id)
+        WHERE lang IS NOT NULL AND n_words > 0
+        GROUP BY lang ORDER BY lang""")),
+
     Q("x55_bpe_train",
       // BPE vocabulary TRAINING (x46 applies merges; this learns them):
       // one distributed word-count pass, bounded driver dictionary,
