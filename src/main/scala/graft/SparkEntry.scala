@@ -8201,6 +8201,121 @@ object SparkEntry {
         WHERE lang IS NOT NULL AND n_words > 0
         GROUP BY lang ORDER BY lang""")),
 
+    Q("x92_readability",
+      // Flesch reading-ease per source — the classic readability
+      // prior quality classifiers lean on (very low = legalese/
+      // boilerplate, implausibly high = word salad). The standard
+      // surface approximation: words = whitespace tokens, sentences =
+      // [.!?]+ runs (min 1), syllables = vowel-group runs (min 1) —
+      // every count a regexp over the raw text, so the WHOLE signal
+      // is SQL-expressible and the oracle recomputes it from scratch
+      // (no persisted state). Scores quantize to milli via floor over
+      // identical double expressions from exact integer counts.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val base = docs
+          .filter(col("text").isNotNull && col("source").isNotNull)
+          .select(col("source"),
+            size(filter(split(trim(col("text")), "\\s+"),
+              w => length(w) > 0)).cast("long").as("w"),
+            greatest(size(regexp_extract_all(col("text"),
+              lit("[.!?]+"), lit(0))), lit(1)).cast("long").as("sents"),
+            greatest(size(regexp_extract_all(lower(col("text")),
+              lit("[aeiouy]+"), lit(0))), lit(1)).cast("long").as("y"))
+          .filter(col("w") > 0)
+          .withColumn("flesch_milli",
+            floor(lit(1000.0) * (lit(206.835)
+              - lit(1.015) * col("w") / col("sents")
+              - lit(84.6) * col("y") / col("w"))).cast("long"))
+        base.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            floor(avg("flesch_milli")).cast("long")
+              .as("mean_flesch_milli"),
+            min("flesch_milli").as("min_flesch_milli"),
+            max("flesch_milli").as("max_flesch_milli"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (
+          SELECT source,
+            CAST(len(list_filter(
+              string_split_regex(trim(text), '\s+'),
+              t -> len(t) > 0)) AS BIGINT) AS w,
+            CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS sents,
+            CAST(GREATEST(
+              len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+              AS BIGINT) AS y
+          FROM documents
+          WHERE text IS NOT NULL AND source IS NOT NULL),
+        scored AS (
+          SELECT source,
+            CAST(FLOOR(CAST(1000.0 AS DOUBLE) * (
+              CAST(206.835 AS DOUBLE)
+              - CAST(1.015 AS DOUBLE) * w / sents
+              - CAST(84.6 AS DOUBLE) * y / w)) AS BIGINT)
+              AS flesch_milli
+          FROM base WHERE w > 0)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(FLOOR(AVG(flesch_milli)) AS BIGINT)
+            AS mean_flesch_milli,
+          MIN(flesch_milli) AS min_flesch_milli,
+          MAX(flesch_milli) AS max_flesch_milli
+        FROM scored GROUP BY source ORDER BY source""")),
+
+    Q("x91_triangle_count",
+      // per-node triangles + local clustering coefficient — the
+      // graph-motif signal for link-spam/community structure (organic
+      // neighborhoods close triangles; link farms are near-bipartite,
+      // cc ~ 0 at high degree). Standard oriented-join algorithm:
+      // every edge low->high, each triangle found exactly once via
+      // the middle-vertex join, work bounded by forward degrees —
+      // never degree squared. Same derived affine link graph as x88;
+      // exact integers end-to-end, so the oracle replays the joins
+      // and the ppm arithmetic cell-for-cell.
+      (s, d) => {
+        val ids = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"))
+        val nDocs = ids.count()
+        val edges = ids
+          .select(col("doc_id").as("src"),
+            explode(array(
+              (col("doc_id") * 2 + 1) % nDocs,
+              (col("doc_id") * 3 + 7) % nDocs,
+              (col("doc_id") * 7 + 13) % nDocs)).as("dst"))
+        LinkGraph.triangleCounts(edges).orderBy("node")
+      },
+      Some("""WITH nn AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        raw AS (
+          SELECT doc_id AS src, (doc_id*2 + 1) % nn.n AS dst
+            FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id*3 + 7) % nn.n FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id*7 + 13) % nn.n FROM documents, nn),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b
+          FROM raw WHERE src <> dst),
+        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+          FROM (SELECT a AS node FROM und
+                UNION ALL SELECT b FROM und)
+          GROUP BY node),
+        tri AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+          FROM und e1
+          JOIN und e2 ON e1.b = e2.a
+          JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+          FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+          GROUP BY node)
+        SELECT d.node, d.degree,
+          CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+          CAST(CASE WHEN d.degree >= 2
+            THEN (2 * COALESCE(p.n_triangles, 0) * 1000000)
+              // (d.degree * (d.degree - 1))
+            ELSE 0 END AS BIGINT) AS cc_ppm
+        FROM deg d LEFT JOIN pern p ON d.node = p.node
+        ORDER BY d.node""")),
+
     Q("x55_bpe_train",
       // BPE vocabulary TRAINING (x46 applies merges; this learns them):
       // one distributed word-count pass, bounded driver dictionary,

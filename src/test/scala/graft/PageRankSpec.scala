@@ -63,6 +63,27 @@ class PageRankSpec extends AnyFunSuite {
     assert(ppr == r)
   }
 
+  test("triangles: K4 counts, direction/duplicates collapse, cc exact") {
+    // K4 has 4 triangles, 3 per node, cc = 1; edges given with mixed
+    // direction and a duplicate + self-loop that must collapse
+    val k4 = Seq((0L, 1L), (1L, 0L), (0L, 2L), (0L, 3L), (2L, 1L),
+      (1L, 3L), (2L, 3L), (3L, 3L))
+    val got = LinkGraph.triangleCounts(k4.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.length == 4)
+    got.foreach { case (_, deg, tri, cc) =>
+      assert(deg == 3L); assert(tri == 3L); assert(cc == 1000000L)
+    }
+    // a star closes no triangles: cc 0 everywhere, hub degree 3
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val s2 = LinkGraph.triangleCounts(star.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(s2(0L) == ((3L, 0L, 0L)))
+    assert(s2(1L) == ((1L, 0L, 0L)))
+  }
+
   test("cycle symmetry: equal ranks; duplicates don't double-count") {
     val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L),
       (0L, 1L)) // duplicate edge must collapse
