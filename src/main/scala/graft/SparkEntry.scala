@@ -10129,6 +10129,53 @@ object SparkEntry {
           md5(CASE WHEN dropped THEN '' ELSE text END) AS cleaned_md5
         FROM j ORDER BY doc_id""")),
 
+    Q("st18_stream_asset_manifest",
+      // m06's multimodal catalog at INGEST: assetManifest is a single
+      // map-only select (magic-byte sniff + byte-parsed metadata UDFs),
+      // so the SAME code runs unchanged on a blob stream — no shuffle,
+      // no state store, append mode. The mixed fixture (PNG/WAV/
+      // MJPEG-AVI/Y4M/junk) persists once; the BATCH manifest over it
+      // persists as the oracle's input, and the drained stream sink's
+      // per-format rollup must hash-equal the batch rollup — stream
+      // and batch share one answer.
+      (s, _) => {
+        val state = freshState(s, "st18")
+        import s.implicits._
+        val imgs = Multimodal.syntheticImageCorpus(s, groups = 20)
+        val auds = Multimodal.syntheticAudioCorpus(s, n = 40)
+          .select((col("id") + 1000L).as("id"), col("bytes"))
+        val vids = Multimodal.syntheticVideoCorpus(s, n = 20)
+          .select((col("id") + 2000L).as("id"), col("bytes"))
+        val y4ms = Multimodal.syntheticY4mSceneCorpus(s, n = 10)
+          .select((col("id") + 4000L).as("id"), col("bytes"))
+        val junk = Seq((3000L, "not media at all".getBytes("UTF-8")))
+          .toDF("id", "bytes")
+        val blobs = imgs.unionByName(auds).unionByName(vids)
+          .unionByName(y4ms).unionByName(junk)
+        blobs.write.mode("overwrite").parquet(state + "/blobs")
+        Multimodal.assetManifest(s.read.parquet(state + "/blobs"))
+          .write.mode("overwrite").parquet(state + "/manifest")
+        val sink = runBoundedStream(s,
+          Multimodal.assetManifest(streamOf(s, state + "/blobs")),
+          "st18_sink", "append")
+        sink.groupBy("format")
+          .agg(count(lit(1)).as("n_assets"),
+            sum(when(col("decodable"), 1L).otherwise(0L))
+              .as("n_decodable"),
+            sum("n_bytes").as("total_bytes"),
+            max("width").as("max_width"),
+            max("duration_ms").as("max_duration_ms"))
+          .orderBy("format")
+      },
+      Some("""SELECT format, CAST(COUNT(*) AS BIGINT) AS n_assets,
+          CAST(SUM(CASE WHEN decodable THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_decodable,
+          CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+          MAX(width) AS max_width,
+          MAX(duration_ms) AS max_duration_ms
+        FROM read_parquet('/tmp/graft_qstate/st18/manifest/*.parquet')
+        GROUP BY format ORDER BY format""")),
+
     Q("st14_stream_quarantine",
       // row quarantine at INGEST time: Quarantine.annotate is map-only,
       // so the SAME rules run unchanged on a document stream (v06's
