@@ -8262,6 +8262,66 @@ object SparkEntry {
           MAX(flesch_milli) AS max_flesch_milli
         FROM scored GROUP BY source ORDER BY source""")),
 
+    Q("x93_hits",
+      // HITS hubs & authorities — the DIRECTED complement of x88's
+      // PageRank (Kleinberg's mutual recursion): authorities are
+      // pointed at by good hubs, hubs point at good authorities. For
+      // curation the lanes separate content pages (authority) from
+      // index/directory pages (hub) — different keep policies. Scores
+      // in exact integer micro units, each half-step one edge join +
+      // aggregate + a broadcast 1-row max-normalize, so the oracle
+      // unrolls the identical recurrence (2 iterations).
+      (s, d) => {
+        val ids = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"))
+        val nDocs = ids.count()
+        val edges = ids
+          .select(col("doc_id").as("src"),
+            explode(array(
+              (col("doc_id") * 2 + 1) % nDocs,
+              (col("doc_id") * 3 + 7) % nDocs,
+              (col("doc_id") * 7 + 13) % nDocs)).as("dst"))
+        LinkGraph.hits(edges, iterations = 2).orderBy("node")
+      },
+      Some("""WITH nn AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        raw AS (
+          SELECT doc_id AS src, (doc_id*2 + 1) % nn.n AS dst
+            FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id*3 + 7) % nn.n FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id*7 + 13) % nn.n FROM documents, nn),
+        e0 AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        nodes AS (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+        a1r AS (SELECT dst AS node,
+            SUM(CAST(1000000 AS BIGINT)) AS v FROM e0 GROUP BY dst),
+        a1 AS (SELECT n.node, COALESCE(a1r.v, 0) * 1000000
+              // GREATEST((SELECT MAX(v) FROM a1r), 1) AS v
+          FROM nodes n LEFT JOIN a1r ON n.node = a1r.node),
+        h1r AS (SELECT e0.src AS node, SUM(a1.v) AS v
+          FROM e0 JOIN a1 ON e0.dst = a1.node GROUP BY e0.src),
+        h1 AS (SELECT n.node, COALESCE(h1r.v, 0) * 1000000
+              // GREATEST((SELECT MAX(v) FROM h1r), 1) AS v
+          FROM nodes n LEFT JOIN h1r ON n.node = h1r.node),
+        a2r AS (SELECT e0.dst AS node, SUM(h1.v) AS v
+          FROM e0 JOIN h1 ON e0.src = h1.node GROUP BY e0.dst),
+        a2 AS (SELECT n.node, COALESCE(a2r.v, 0) * 1000000
+              // GREATEST((SELECT MAX(v) FROM a2r), 1) AS v
+          FROM nodes n LEFT JOIN a2r ON n.node = a2r.node),
+        h2r AS (SELECT e0.src AS node, SUM(a2.v) AS v
+          FROM e0 JOIN a2 ON e0.dst = a2.node GROUP BY e0.src),
+        h2 AS (SELECT n.node, COALESCE(h2r.v, 0) * 1000000
+              // GREATEST((SELECT MAX(v) FROM h2r), 1) AS v
+          FROM nodes n LEFT JOIN h2r ON n.node = h2r.node)
+        SELECT n.node, CAST(h2.v AS BIGINT) AS hub_micro,
+          CAST(a2.v AS BIGINT) AS auth_micro
+        FROM nodes n
+        JOIN h2 ON n.node = h2.node
+        JOIN a2 ON n.node = a2.node
+        ORDER BY n.node""")),
+
     Q("x91_triangle_count",
       // per-node triangles + local clustering coefficient — the
       // graph-motif signal for link-spam/community structure (organic

@@ -114,6 +114,59 @@ object LinkGraph {
     ranks.select(col("node"), col("rank").as("rank_nanos"))
   }
 
+  /** HITS hubs & authorities — the DIRECTED complement of PageRank:
+   *  an authority is pointed at by good hubs, a hub points at good
+   *  authorities (Kleinberg's mutual recursion). For corpus curation
+   *  the two lanes separate content pages (high authority) from
+   *  index/directory pages (high hub) — different keep policies.
+   *
+   *  Integer form: scores live in MICRO units; each half-step is one
+   *  edge join + aggregate, then a max-normalize (score·1e6 //
+   *  max) against the 1-row max frame — broadcast, the P15 pattern —
+   *  so every value stays an exact integer and any engine replays the
+   *  recurrence. Self-loops are dropped (a page endorsing itself is
+   *  not a signal); duplicate edges collapse. */
+  def hits(
+      edges: DataFrame,
+      iterations: Int = 2,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    def normalize(scores: DataFrame, c: String): DataFrame = {
+      val mx = scores.agg(max(col(c)).as("__mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"($c * 1000000) div greatest(__mx, 1)").as(c))
+    }
+    var hubs = nodes.withColumn("hub", lit(1000000L))
+    var auth = nodes.withColumn("auth", lit(0L))
+    (1 to iterations).foreach { _ =>
+      auth = normalize(
+        nodes.join(
+          e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum("hub").as("auth")),
+          Seq("node"), "left")
+          .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth")),
+        "auth")
+      hubs = normalize(
+        nodes.join(
+          e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+            .groupBy(col("src").as("node"))
+            .agg(sum("auth").as("hub")),
+          Seq("node"), "left")
+          .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub")),
+        "hub")
+    }
+    nodes.join(hubs, Seq("node")).join(auth, Seq("node"))
+      .select(col("node"), col("hub").as("hub_micro"),
+        col("auth").as("auth_micro"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over the
    *  UNDIRECTED simple graph (self-loops dropped, direction and
    *  duplicates collapsed) — the graph-motif signal for link-spam and

@@ -63,6 +63,27 @@ class PageRankSpec extends AnyFunSuite {
     assert(ppr == r)
   }
 
+  test("HITS: the pointed-at node tops authority, the pointer tops hub") {
+    // 1,2,3 all point at 0; 0 points at 4. 0 is the authority;
+    // 1,2,3 are (equal) top hubs after the mutual recursion.
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 4L))
+    val got = LinkGraph.hits(edges.toDF("src", "dst"), iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(0L)._2 == 1000000L, "node 0 is the max authority")
+    assert(got(1L)._1 == 1000000L && got(2L)._1 == 1000000L &&
+      got(3L)._1 == 1000000L, "its pointers are the max hubs")
+    assert(got(1L)._2 == 0L, "nothing points at node 1")
+    // hand-check node 0's hub lane: it points only at 4, whose
+    // authority stays below the shared-endorsement node 0's
+    assert(got(0L)._1 < 1000000L && got(0L)._1 > 0L)
+    // self-loops are dropped: a self-endorsing isolate scores zero
+    val self = Seq((9L, 9L), (1L, 2L))
+    val s2 = LinkGraph.hits(self.toDF("src", "dst"), iterations = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!s2.contains(9L), "self-loop-only node leaves the graph")
+  }
+
   test("triangles: K4 counts, direction/duplicates collapse, cc exact") {
     // K4 has 4 triangles, 3 per node, cc = 1; edges given with mixed
     // direction and a duplicate + self-loop that must collapse
