@@ -162,6 +162,28 @@ object Demo {
       .filter(col("page")).count()
     println(s"[demo] SLO burn-rate monitor: $pages paged hours " +
       "(short AND long windows hot)")
+
+    // round-12 session-3 surface: line-grain dedup + its ingest gate,
+    // the link-analysis family, and the cheap whole-doc quality priors
+    val lineDict = Dedup.duplicateLines(
+      docs.select(col("doc_id"),
+        regexp_replace(col("text"), "\n", " ").as("text")))
+    println(s"[demo] duplicate-line dictionary: ${lineDict.count()} " +
+      "corpus-repeated lines (C4/RefinedWeb grain)")
+    val n = docs.count()
+    val links = docs.select(col("doc_id").as("src"),
+      explode(array((col("doc_id") * 2 + 1) % n,
+        (col("doc_id") * 3 + 7) % n)).as("dst"))
+    val topRank = graft.pipeline.LinkGraph.pageRank(links, 3)
+      .orderBy(col("rank_nanos").desc).limit(1).head
+    println(s"[demo] pagerank over the derived link graph: top node " +
+      s"${topRank.getLong(0)} at ${topRank.getLong(1)} nanos; " +
+      s"triangles=${graft.pipeline.LinkGraph.triangleCounts(links)
+        .agg(sum("n_triangles")).head.getLong(0) / 3}")
+    val ratios = graft.pipeline.TextAnalysis.compressionRatio(docs)
+    println(s"[demo] compression-ratio quality gate: " +
+      s"${ratios.filter(col("ratio_ppm") < 150000).count()} " +
+      "template-suspect docs")
     spark.stop()
   }
 }

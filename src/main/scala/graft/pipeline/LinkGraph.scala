@@ -137,8 +137,14 @@ object LinkGraph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     def normalize(scores: DataFrame, c: String): DataFrame = {
-      val mx = scores.agg(max(col(c)).as("__mx"))
-      scores.crossJoin(broadcast(mx))
+      // each half-step reads its input TWICE (the max aggregate and
+      // the scaling join); without a lineage cut the upstream edge
+      // joins recompute 2^(half-steps) times. The score frame is
+      // nodes-sized — checkpointing it is cheap and bounds every
+      // half-step to one evaluation of its input.
+      val snap = scores.localCheckpoint()
+      val mx = snap.agg(max(col(c)).as("__mx"))
+      snap.crossJoin(broadcast(mx))
         .select(col("node"),
           expr(s"($c * 1000000) div greatest(__mx, 1)").as(c))
     }
