@@ -10236,6 +10236,48 @@ object SparkEntry {
         FROM read_parquet('/tmp/graft_qstate/st18/manifest/*.parquet')
         GROUP BY format ORDER BY format""")),
 
+    Q("st19_stream_compression_gate",
+      // x87's repetitiveness gate at INGEST: compressionRatio is a
+      // partition-local mapPartitions (one Deflater per partition), so
+      // the SAME code runs unchanged on a document stream — no
+      // shuffle, no state store, append mode. The BATCH per-doc frame
+      // over the same corpus persists as the oracle's input, and the
+      // drained stream sink's verdict rollup must hash-equal the batch
+      // rollup — stream and batch share one answer, per ratio bucket.
+      (s, d) => {
+        val state = freshState(s, "st19")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        TextAnalysis.compressionRatio(docs)
+          .write.mode("overwrite").parquet(state + "/ratios")
+        val stream = TextAnalysis.compressionRatio(
+          streamOf(s, s"$d/documents.parquet")
+            .select(col("doc_id"), col("text")))
+        val sink = runBoundedStream(s, stream, "st19_sink", "append")
+        sink
+          .withColumn("bucket",
+            when(col("ratio_ppm") < 150000L, "template_suspect")
+              .when(col("ratio_ppm") < 500000L, "normal")
+              .otherwise("incompressible"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_bytes").as("total_bytes"),
+            min("ratio_ppm").as("min_ratio_ppm"),
+            max("ratio_ppm").as("max_ratio_ppm"))
+          .orderBy("bucket")
+      },
+      Some("""WITH r AS (SELECT * FROM read_parquet(
+            '/tmp/graft_qstate/st19/ratios/*.parquet')),
+        b AS (SELECT *,
+            CASE WHEN ratio_ppm < 150000 THEN 'template_suspect'
+                 WHEN ratio_ppm < 500000 THEN 'normal'
+                 ELSE 'incompressible' END AS bucket
+          FROM r)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+          MIN(ratio_ppm) AS min_ratio_ppm,
+          MAX(ratio_ppm) AS max_ratio_ppm
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
     Q("st14_stream_quarantine",
       // row quarantine at INGEST time: Quarantine.annotate is map-only,
       // so the SAME rules run unchanged on a document stream (v06's
