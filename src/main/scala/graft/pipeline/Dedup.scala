@@ -1668,7 +1668,10 @@ object Dedup {
    *  line, null for lines shorter than `minLineChars` (navigation
    *  stubs, blank lines — too short to be meaningful duplication);
    *  `__enc` is the order key doc*1e6+idx that makes "globally first
-   *  occurrence" one integer MIN (documented bound: < 1e6 lines/doc). */
+   *  occurrence" one integer MIN. The encoding's bound (doc ids ≥ 0,
+   *  < 1e6 lines/doc) is ENFORCED with a raise_error branch — a doc
+   *  outside it would silently corrupt canonical-occurrence selection,
+   *  so it must fail the task instead. */
   private def lineKeyed(
       docs: DataFrame,
       idCol: String,
@@ -1681,7 +1684,14 @@ object Dedup {
         when(length(trim(col("line"))) >= minLineChars,
           md5(trim(col("line")).cast("binary"))))
       .withColumn("__enc",
-        col(idCol).cast("long") * lit(1000000L) + col("line_idx"))
+        when(col("line_idx") < lit(1000000) &&
+            col(idCol).cast("long") >= lit(0L),
+          col(idCol).cast("long") * lit(1000000L) + col("line_idx"))
+          .otherwise(raise_error(concat(
+            lit("lineKeyed: order-key bound violated "),
+            lit("(need doc_id >= 0 and < 1e6 lines/doc): doc="),
+            col(idCol).cast("string"),
+            lit(" line_idx="), col("line_idx").cast("string")))))
 
   /** Line-grain duplicate dictionary — the diagnostic face of the C4 /
    *  RefinedWeb line-dedup recipe ("discard any line appearing more
@@ -1716,7 +1726,9 @@ object Dedup {
       .select(col("__key").as("line_md5"), col("df"),
         col("n_occurrences"),
         col("line_chars"),
-        (col("__canon") / 1000000L).cast("long").as("canon_doc"),
+        // integer div, not `/` (double division loses exactness for
+        // doc ids above ~2^53/1e6)
+        expr("__canon div 1000000").as("canon_doc"),
         (col("__canon") % 1000000L).cast("long").as("canon_line_idx"))
   }
 
@@ -1795,7 +1807,11 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       minLineChars: Int = 15): DataFrame = {
-    val gateUdf = udf { text: String =>
+    val gateUdf = udf { raw: String =>
+      // null text is reachable on degenerate rows (the batch twin's
+      // split(null) stays null → doc untouched); treat as empty: one
+      // empty line, nothing removed.
+      val text = if (raw == null) "" else raw
       val md = java.security.MessageDigest.getInstance("MD5")
       def hex(s: String): String = {
         md.reset()
@@ -1805,10 +1821,20 @@ object Dedup {
         while (i < d.length) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
         sb.toString
       }
+      // trim SPACES only — Spark/DuckDB `trim` strips U+0020, while
+      // Java String.trim strips every char <= U+0020 (tabs, CR); the
+      // dictionary keys were built with SQL trim, so the gate's key
+      // derivation must match or tab/CR-padded duplicates slip through.
+      def trimSpaces(s: String): String = {
+        var b = 0; var e = s.length
+        while (b < e && s.charAt(b) == ' ') b += 1
+        while (e > b && s.charAt(e - 1) == ' ') e -= 1
+        if (b == 0 && e == s.length) s else s.substring(b, e)
+      }
       val lines = text.split("\n", -1)
       var nRem = 0L; var remChars = 0L
       val kept = lines.filter { l =>
-        val t = l.trim
+        val t = trimSpaces(l)
         val dup = t.length >= minLineChars && dupLineMd5.contains(hex(t))
         if (dup) { nRem += 1; remChars += l.length }
         !dup

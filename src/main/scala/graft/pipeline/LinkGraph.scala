@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
  * edges-sized. Iterations are a fixed unrolled count — rank deltas
  * converge geometrically (damping 0.85), and a fixed-depth plan keeps
  * the whole computation a static DAG (no driver-side convergence
- * loop, no checkpoint juggling for the bench path; production would
- * localCheckpoint every ~5 rounds exactly like Dedup's label
- * propagation).
+ * loop). Long runs don't build long plans: the iteration loops cut
+ * lineage with a nodes-sized localCheckpoint every `checkpointEvery`
+ * rounds (the same shape as HITS's per-half-step cut and Dedup's
+ * label propagation), so `iterations = 30` costs 30 joins, not a
+ * 30-join-deep recompute cascade.
  *
  * Exactness: ranks live in integer NANOS with floor division at every
  * step (share = rank // out_degree, damped = 85*inflow // 100, base =
@@ -30,16 +32,26 @@ object LinkGraph {
 
   /** PageRank in integer nanos. `edges` must be distinct (src, dst)
    *  pairs; nodes = distinct src ∪ dst (isolated docs that never link
-   *  and are never linked don't participate). Every src has out-edges
-   *  by construction of the edge list; dst-only nodes (no out-edges)
-   *  leak their mass — the standard simplification when ranking a
-   *  curated slice rather than the full web. Returns (node,
-   *  rank_nanos) with rank_nanos summing to ≲ 1e9 (floor losses). */
+   *  and are never linked don't participate).
+   *
+   *  Dangling nodes (dst-only, no out-edges): by default their mass
+   *  leaks — the curated-slice simplification, fine when dangling
+   *  pages are rare. On a full crawl graph (~30% dangling) that
+   *  visibly shrinks total mass per iteration, so
+   *  `redistributeDangling = true` adds the standard correction: each
+   *  iteration sums the dangling nodes' rank (a 1-row aggregate,
+   *  broadcast — the P15 pattern) and shares it equally across all
+   *  nodes inside the damped term, keeping Σ rank_nanos ≈ 1e9 minus
+   *  floor losses. Default false preserves the published x88 oracle
+   *  recurrence. Returns (node, rank_nanos). */
   def pageRank(
       edges: DataFrame,
       iterations: Int = 3,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst",
+      redistributeDangling: Boolean = false,
+      checkpointEvery: Int = 5): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
     val nodes = e.select(col("src").as("node"))
@@ -47,10 +59,12 @@ object LinkGraph {
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // n is the rank vector's length — metadata-sized driver value
     val n = nodes.count()
+    require(n > 0, "pageRank: edge set yields no nodes " +
+      "(empty or null-only src/dst)")
     val r0 = lit(1000000000L / n)
     val base = lit(150000000L / n)
     var ranks = nodes.withColumn("rank", r0)
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val inflow = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
@@ -58,10 +72,32 @@ object LinkGraph {
           expr("rank div deg").as("share"))
         .groupBy("node")
         .agg(sum("share").as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (base + expr("(85 * coalesce(inflow, 0)) div 100"))
-            .as("rank"))
+      val next =
+        if (redistributeDangling) {
+          // dangling mass = rank held by nodes with no out-edges;
+          // 1-row frame, broadcast into the update like P15's stats
+          val dangling = ranks
+            .join(deg.withColumnRenamed("src", "node"),
+              Seq("node"), "left_anti")
+            .agg(coalesce(sum("rank"), lit(0L)).as("__dm"))
+          nodes.join(inflow, Seq("node"), "left")
+            .crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (base + expr(
+                s"(85 * (coalesce(inflow, 0) + __dm div $n)) div 100"))
+                .as("rank"))
+        } else {
+          nodes.join(inflow, Seq("node"), "left")
+            .select(col("node"),
+              (base + expr("(85 * coalesce(inflow, 0)) div 100"))
+                .as("rank"))
+        }
+      // nodes-sized lineage cut every few rounds: without it the
+      // rank frame's plan deepens by one join per iteration and any
+      // re-evaluation (the dangling aggregate reads `ranks` too)
+      // recomputes the whole cascade.
+      ranks = if (i % checkpointEvery == 0 && i < iterations)
+        next.localCheckpoint() else next
     }
     ranks.select(col("node"), col("rank").as("rank_nanos"))
   }
@@ -80,8 +116,10 @@ object LinkGraph {
       seeds: Seq[Long],
       iterations: Int = 3,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst",
+      checkpointEvery: Int = 5): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs >= 1 seed")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -96,7 +134,7 @@ object LinkGraph {
     var ranks = nodes.join(seedDf, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("seed_share"), lit(0L)).as("rank"))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val inflow = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
@@ -104,12 +142,14 @@ object LinkGraph {
           expr("rank div deg").as("share"))
         .groupBy("node")
         .agg(sum("share").as("inflow"))
-      ranks = nodes.join(inflow, Seq("node"), "left")
+      val next = nodes.join(inflow, Seq("node"), "left")
         .join(seedDf.select(col("node"), lit(true).as("__is_seed")),
           Seq("node"), "left")
         .select(col("node"),
           (when(col("__is_seed"), teleport).otherwise(lit(0L)) +
             expr("(85 * coalesce(inflow, 0)) div 100")).as("rank"))
+      ranks = if (i % checkpointEvery == 0 && i < iterations)
+        next.localCheckpoint() else next
     }
     ranks.select(col("node"), col("rank").as("rank_nanos"))
   }

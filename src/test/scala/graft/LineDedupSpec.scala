@@ -106,6 +106,49 @@ class LineDedupSpec extends AnyFunSuite {
         .md5Hex("hi\nnothing duplicated here at all"))
   }
 
+  test("lineGate: SQL-trim key parity (tabs/CR survive) and null text") {
+    val keys = Dedup.duplicateLines(docs).collect()
+      .map(_.getAs[String]("line_md5")).toSet
+    val arrivals = Seq(
+      // tab-padded: SQL trim strips ONLY spaces, so the batch side
+      // would key this line WITH the tab — not the dictionary key.
+      // A Java .trim gate would wrongly strip it and cut the line.
+      (200L, s"\t$dupLine"),
+      (201L, s"$dupLine\r"),          // CR-padded: same story
+      (202L, s" \t$dupLine"),         // space+tab: spaces strip, tab stays
+      (203L, s"  $dupLine  "),        // spaces only: still cut
+      (204L, null.asInstanceOf[String]) // degenerate row: no NPE
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineGate(arrivals, keys).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_lines_removed") == 0L,
+      "tab-padded line keys differently under SQL trim — must survive")
+    assert(out(1).getAs[Long]("n_lines_removed") == 0L,
+      "CR-padded line keys differently under SQL trim — must survive")
+    assert(out(2).getAs[Long]("n_lines_removed") == 0L)
+    assert(out(3).getAs[Long]("n_lines_removed") == 1L,
+      "space-padded duplicate still cut")
+    // null text: 1 empty line, nothing removed, empty cleaned hash
+    assert(out(4).getAs[Long]("n_lines") == 1L)
+    assert(out(4).getAs[Long]("n_lines_removed") == 0L)
+    assert(out(4).getAs[Long]("cleaned_len") == 0L)
+    assert(out(4).getAs[String]("cleaned_md5") ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(""))
+  }
+
+  test("order-key encoding bound is enforced, not assumed") {
+    // a negative doc id would silently corrupt canonical-occurrence
+    // selection under doc*1e6+idx — the encoder must fail the task
+    val bad = Seq(
+      (-1L, "a long enough duplicated line here"),
+      (7L, "a long enough duplicated line here")).toDF("doc_id", "text")
+    val ex = intercept[Exception] { Dedup.duplicateLines(bad).collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("order-key bound violated")),
+      s"expected the raise_error bound message, got: ${messages(ex)}")
+  }
+
   test("all-lines-removed doc degrades to empty cleaned text") {
     val d2 = Seq(
       (10L, "the only line present here"),

@@ -105,6 +105,74 @@ class PageRankSpec extends AnyFunSuite {
     assert(s2(1L) == ((1L, 0L, 0L)))
   }
 
+  /** The redistribution recurrence, driver-side: dangling mass shared
+   *  equally inside the damped term. */
+  private def referenceDangling(
+      edges: Seq[(Long, Long)], iterations: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = 150000000L / n
+    var r = nodes.map(_ -> 1000000000L / n).toMap
+    (1 to iterations).foreach { _ =>
+      val inflow = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      val dm = nodes.filterNot(deg.contains).map(r).sum
+      r = nodes.map(v => v ->
+        (base + 85L * (inflow.getOrElse(v, 0L) + dm / n) / 100L)).toMap
+    }
+    r
+  }
+
+  test("dangling-mass redistribution conserves total rank") {
+    // node 2 is dangling (no out-edges): by default its mass leaks
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 0L), (1L, 0L))
+    val df = edges.toDF("src", "dst")
+    val leaky = LinkGraph.pageRank(df, iterations = 5)
+      .collect().map(_.getLong(1)).sum
+    val kept = LinkGraph.pageRank(df, iterations = 5,
+      redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == referenceDangling(edges, 5),
+      "redistribution recurrence matches the driver-side reference")
+    assert(kept.values.sum > leaky,
+      s"redistribution holds more mass (${kept.values.sum} vs $leaky)")
+    assert(kept.values.sum >= 990000000L,
+      s"total stays ~1e9 minus floor losses: ${kept.values.sum}")
+    assert(leaky < 900000000L,
+      s"the leaky default visibly shrinks on a dangling-heavy graph: $leaky")
+  }
+
+  test("deep iteration counts stay exact with bounded plan depth") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L),
+      (3L, 0L))
+    val df = edges.toDF("src", "dst")
+    val deep = LinkGraph.pageRank(df, iterations = 12)
+    assert(deep.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      reference(edges, 12), "lineage cuts don't change the recurrence")
+    // with cuts at rounds 5 and 10, the final plan holds only the
+    // tail ~2 iterations above a LogicalRDD leaf — not 12 joins deep
+    val lines = deep.queryExecution.optimizedPlan.treeString.linesIterator.size
+    val unchecked = LinkGraph.pageRank(df, iterations = 12,
+      checkpointEvery = 100).queryExecution.optimizedPlan
+      .treeString.linesIterator.size
+    assert(lines < unchecked / 2,
+      s"checkpointed plan ($lines lines) far shallower than unchecked ($unchecked)")
+    // personalized walk: same cut, same exactness at depth
+    val ppr10 = LinkGraph.personalizedPageRank(df, Seq(0L), iterations = 10)
+    assert(ppr10.agg(org.apache.spark.sql.functions.sum("rank_nanos"))
+      .head().getLong(0) > 0L)
+  }
+
+  test("empty edge set fails fast instead of dividing by zero") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      LinkGraph.pageRank(empty)
+    }
+    assert(ex.getMessage.contains("no nodes"))
+  }
+
   test("cycle symmetry: equal ranks; duplicates don't double-count") {
     val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L),
       (0L, 1L)) // duplicate edge must collapse
