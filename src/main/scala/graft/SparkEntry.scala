@@ -5045,13 +5045,29 @@ object SparkEntry {
         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     Q("e04_embedding_neardup",
-      (s, d) => Similarity.nearDuplicateEmbeddings(
-        t(s, d, "embeddings"), threshold = 0.99)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-        .orderBy("id_a", "id_b"),
-      // fixture has no >=0.99 pairs (max cosine ~0.51): this asserts the
-      // LSH pipeline produces ZERO false positives end-to-end
-      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      // the fixture has no organic >=0.99 pairs (max cosine 0.60 at
+      // sf0.1), so both sides plant 20 exact-duplicate vectors
+      // (vec_id+100000 copies of vec_id<20): identical vectors share
+      // every band signature, so LSH recall on them is deterministic,
+      // and the brute-force oracle attests "exactly the 20 planted
+      // pairs, nothing else" — non-vacuous recall AND zero false
+      // positives in one row set.
+      (s, d) => {
+        val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+        val planted = emb.filter(col("vec_id") < 20)
+          .select((col("vec_id") + lit(100000L)).as("vec_id"),
+            col("embedding"))
+        Similarity.nearDuplicateEmbeddings(
+            emb.unionByName(planted), threshold = 0.99)
+          .select(col("id_a"), col("id_b"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id, embedding
+          FROM embeddings WHERE vec_id < 20),
         pairs AS (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             list_sum(list_transform(range(1, 65),
