@@ -1070,19 +1070,28 @@ object Dedup {
         s"duplicateClusters needs integral or string ids; " +
           s"'$idA'/'$idB' are ${idTypes.map(_.simpleString).mkString("/")}" +
           " — cast other id types to string (or encode to long) first")
-      val ids = pairs.select(col(idA).as("id"))
-        .unionByName(pairs.select(col(idB).as("id")))
+      // the pair frame is usually the END of an expensive pipeline
+      // (minhash → LSH → exact-Jaccard verify); it feeds the
+      // dictionary build AND the dense encode, so cache it for the
+      // branch — without this it is recomputed once per consumer
+      val p = pairs.cache()
+      val ids = p.select(col(idA).as("id"))
+        .unionByName(p.select(col(idB).as("id")))
       // eager checkpoint: the dictionary is re-joined on both pair
       // sides and again at decode — recomputing the rank window each
       // time would triple the encode cost and deepen the loop's lineage
       val dict = denseIdDictionary(ids, "id").localCheckpoint(true)
-      val densePairs = pairs
+      val densePairs = p
         .join(dict.select(col("id").as(idA), col("dense_id").as("__da")),
           Seq(idA))
         .join(dict.select(col("id").as(idB), col("dense_id").as("__db")),
           Seq(idB))
         .select(col("__da").as("id_a"), col("__db").as("id_b"))
+      // the recursion checkpoints every surviving frame (its edge
+      // cache materializes from the cached pairs; its labels are
+      // localCheckpoints), so the cached pairs can release here
       val dense = duplicateClusters(densePairs, "id_a", "id_b", maxRounds)
+      p.unpersist(false)
       val decoded = dense.join(
         dict.select(col("dense_id").as("doc_id"), col("id").as("__orig")),
         Seq("doc_id"))
