@@ -142,6 +142,45 @@ object Bench {
     // fall back to full names on (unexpected) prefix collision
     val useShort = results.map(r => shortId(r._1)).distinct.size == results.size
     def key(name: String): String = if (useShort) shortId(name) else name
+    // Per-query regression gate vs the previous round's committed
+    // clean-final artifact: a query > 1.4x its prior clean time AND
+    // > 0.5 s absolute drift is flagged in the artifact, so drift like
+    // the r12 d09 case (3.26 -> 5.05 s on a pinned fixture) surfaces
+    // in the JSON line instead of needing a hand diff. The absolute
+    // floor keeps sub-second queries' scheduler jitter out of the
+    // list. Baseline resolution: $GRAFT_BENCH_BASELINE if set, else
+    // the highest-numbered BENCH_CLEAN_r<N>_FINAL.json in the cwd;
+    // no baseline -> empty list, never an error.
+    val regressed: Seq[String] = try {
+      val baselinePath = sys.env.get("GRAFT_BENCH_BASELINE").orElse {
+        val rx = "BENCH_CLEAN_r(\\d+)_FINAL\\.json".r
+        Option(new java.io.File(".").listFiles()).toSeq.flatten
+          .flatMap(f => f.getName match {
+            case rx(n) => Some((n.toInt, f.getPath))
+            case _     => None
+          })
+          .sortBy(-_._1).headOption.map(_._2)
+      }
+      baselinePath match {
+        case None => Seq.empty
+        case Some(p) =>
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)), "UTF-8")
+          val qrx = """"([a-z]+\d+[a-z0-9_]*)":(\d+(?:\.\d+)?)""".r
+          val prior = qrx.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          results.flatMap { case (name, v) =>
+            if (v < 0) None
+            else prior.get(name).orElse(prior.get(shortId(name))) match {
+              case Some(pv) if pv > 0 && v > 1.4 * pv && v - pv > 0.5 =>
+                Some(name)
+              case _ => None
+            }
+          }
+      }
+    } catch { case _: Throwable => Seq.empty }
+    val regressedJson =
+      regressed.map("\"" + key(_) + "\"").mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.result().distinct
@@ -151,19 +190,19 @@ object Bench {
     val retriedJson = retried.result().map("\"" + key(_) + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    var line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"sf":"$sfTag"}"""
+    var line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"regressed":$regressedJson,"sf":"$sfTag"}"""
     if (line.length > 1900) {
       // last-resort guard: keep only the slowest queries so the line fits
       val slowest = results.sortBy(-_._2).take(40)
         .map { case (k, v) => "\"" + key(k) + "\":" + f2(v) }
         .mkString("{", ",", "}")
-      line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$slowest,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"sf":"$sfTag"}"""
+      line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$slowest,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"regressed":$regressedJson,"sf":"$sfTag"}"""
     }
     // full-fidelity sidecar for local analysis / BASELINE.md bookkeeping
     try {
       val full = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
       val fw = new java.io.FileWriter("BENCH_LOCAL.json")
-      fw.write(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"sf":"$sfDir"}""")
+      fw.write(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"regressed":$regressedJson,"sf":"$sfDir"}""")
       fw.close()
     } catch { case _: Throwable => () }
     // The JSON line must be the LAST thing on the combined stream: the
