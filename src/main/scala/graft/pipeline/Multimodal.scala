@@ -1283,6 +1283,19 @@ object Multimodal {
       }
     }
 
+  /** Pluggable frame-extraction codec — the seam an H.264/H.265-capable
+   *  plug-in (JavaCV / ffmpeg bindings) drops into without touching any
+   *  Spark-side plumbing: batching, schema, tick sampling and the
+   *  partition-local shape are all codec-independent. `decode` returns
+   *  Some((per-frame image payloads, durationMs)) when this codec
+   *  handles the bytes, None to decline (the next codec, then the
+   *  built-ins, then the stub get their turn). Implementations must be
+   *  serializable (they ride the task closure) and self-sniff their
+   *  container from the bytes. */
+  trait FrameCodec extends Serializable {
+    def decode(bytes: Array[Byte]): Option[(Array[Array[Byte]], Long)]
+  }
+
   /** REAL frame-sample for AVI, animated-GIF, and Y4M bytes:
    *  container-parse the per-frame payloads ([[aviFrameBytes]]
    *  `##db`/`##dc` chunks — JPEGs for MJPEG; [[gifAnimFrames]] composed
@@ -1290,13 +1303,15 @@ object Multimodal {
    *  frame nearest each `intervalMs` tick. GIF frames carry their OWN
    *  per-frame delays, so that tick lookup walks the cumulative
    *  timeline instead of assuming a constant rate; AVI and Y4M are
-   *  constant-rate with a header-derived duration. Rows whose bytes
-   *  are none of the three fall back to [[sampleFramesStub]] so
-   *  mixed/corrupt corpora degrade per-row. */
+   *  constant-rate with a header-derived duration. `codecs` plug-ins
+   *  are consulted FIRST (so a real video codec can claim — or even
+   *  override — any container); rows nothing claims fall back to
+   *  [[sampleFramesStub]] so mixed/corrupt corpora degrade per-row. */
   def sampleFramesReal(
       batch: Iterator[MediaRow],
       intervalMs: Long,
-      frameBytes: Int = 64): Iterator[FrameRow] =
+      frameBytes: Int = 64,
+      codecs: Seq[FrameCodec] = Nil): Iterator[FrameRow] =
     batch.flatMap { r =>
       def constantRate(
           frames: Array[Array[Byte]],
@@ -1310,6 +1325,12 @@ object Multimodal {
           FrameRow(r.id, idx, t, frames(fi))
         }
       }
+      val plugged = codecs.iterator
+        .map(_.decode(r.bytes))
+        .collectFirst { case Some((fs, dur)) if fs.nonEmpty => (fs, dur) }
+      if (plugged.nonEmpty)
+        constantRate(plugged.get._1, Some(plugged.get._2))
+      else {
       val frames = aviFrameBytes(r.bytes)
       if (frames.nonEmpty)
         constantRate(frames, aviMetaBytes(r.bytes).map(_._1))
@@ -1337,22 +1358,26 @@ object Multimodal {
         }
         }
       }
+      }
     }
 
   /** Frame sampling over a video Dataset — a partition-local flatMap, so
    *  the explosion never shuffles the source bytes; downstream per-frame
    *  work inherits the partitioning. AVI, animated-GIF, and Y4M rows
-   *  yield REAL pixel payloads; other containers (MP4 — no JDK codec)
-   *  take the stub path. */
+   *  yield REAL pixel payloads; `codecs` plug-ins (e.g. a JavaCV H.264
+   *  [[FrameCodec]]) extend that set without touching this plumbing;
+   *  anything unclaimed (MP4 — no JDK codec) takes the stub path. */
   def sampleFrames(
       media: Dataset[MediaRow],
       intervalMs: Long = 1000L,
       frameBytes: Int = 64,
-      partitions: Int = 0): Dataset[FrameRow] = {
+      partitions: Int = 0,
+      codecs: Seq[FrameCodec] = Nil): Dataset[FrameRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     val repart = if (partitions > 0) media.repartition(partitions) else media
-    repart.mapPartitions(batch => sampleFramesReal(batch, intervalMs, frameBytes))
+    repart.mapPartitions(batch =>
+      sampleFramesReal(batch, intervalMs, frameBytes, codecs))
   }
 
   /** Per-frame pixel features off the sampled grain: ImageIO decode of
