@@ -130,6 +130,15 @@ object IngestScheduler {
     val keptSigsAll = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     val finishers =
       Seq.newBuilder[(String, () => Curation.IngestReport)]
+    // NOTE (r13, measured): do NOT cache the loaded store sigs or
+    // coalesce the tick's signature append. Both were tried against
+    // the b02 fixture and made the tick SLOWER (12.4 → 13–14 s and
+    // 12.4 → 13.6 s respectively): the cache severs whole-stage
+    // codegen fusion of the store scan into the band-explode stage
+    // and adds a fill job, and a pre-write coalesce narrows the one
+    // action that materializes every slice's pipeline. At fixture
+    // scale the tick is stage-count-bound, not IO-bound — the per-
+    // slice parquet rescans are cheaper than either "optimization".
     pending.foreach { sliceId =>
       if (store == null)
         store = graft.pipeline.Dedup.minhashStoreLoad(spark, cfg.storePath)
@@ -137,8 +146,18 @@ object IngestScheduler {
       val turn = Curation.ingestSliceCore(
         docs, store, cfg.curation, cfg.idCol, cfg.textCol)
       releases += turn.release
-      keptSigsAll += turn.keptSigs
-      store = store.copy(sigs = store.sigs.unionByName(turn.keptSigs))
+      // eager slice-sized lineage cut: slice k+1's store side would
+      // otherwise embed slice k's ENTIRE pipeline tree, so a long
+      // catch-up (driver down for a month = ~30 pending slices)
+      // builds a plan that grows per slice and pays Catalyst planning
+      // on the whole cascade — the same unbounded-plan shape the
+      // PageRank/HITS/label-propagation loops cut. Neutral on the
+      // 2-slice b02 fixture (measured ±noise), structural at scale.
+      // The checkpoint action also populates the slice's observation
+      // counts; the tick still lands ONE signature append.
+      val keptSigs = turn.keptSigs.localCheckpoint(true)
+      keptSigsAll += keptSigs
+      store = store.copy(sigs = store.sigs.unionByName(keptSigs))
       stateStore.foreach(st => st.record(turn.kept, sliceId))
       finishers += (sliceId -> turn.finishReport)
     }
