@@ -4024,6 +4024,83 @@ object SparkEntry {
         SELECT node, CAST(rank AS BIGINT) AS rank_nanos
         FROM r3 ORDER BY node""")),
 
+    Q("x94_pagerank_dangling",
+      // full-crawl PageRank: real crawl graphs are ~30% dangling pages
+      // (fetched but not yet parsed, PDFs, leaf documents), and the
+      // default leak-their-mass simplification visibly shrinks total
+      // rank there. This query exercises the r13 redistribution option:
+      // each iteration's dangling mass (a 1-row broadcast aggregate —
+      // the P15 pattern) is shared equally inside the damped term, so
+      // Σ rank_nanos stays ≈ 1e9 minus floor losses. The derived graph
+      // makes dangling structural, not incidental: only EVEN doc ids
+      // emit edges — one even→even rule keeps flow among sources, one
+      // even→odd rule makes every odd node a genuine dangling sink.
+      // Same integer-nanos floor-division recurrence as x88; the
+      // oracle unrolls it with the per-round dangling sum in SQL.
+      (s, d) => {
+        val ids = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"))
+        val nDocs = ids.count()
+        val edges = ids.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("src"),
+            explode(array(
+              (col("doc_id") * 2 + 1) % nDocs,
+              (col("doc_id") + 2) % nDocs)).as("dst"))
+        LinkGraph.pageRank(edges, iterations = 3,
+            redistributeDangling = true)
+          .orderBy("node")
+      },
+      Some("""WITH nd AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        e0 AS (
+          SELECT doc_id AS src, (doc_id*2 + 1) % nd.n AS dst
+            FROM documents, nd WHERE doc_id % 2 = 0
+          UNION
+          SELECT doc_id, (doc_id + 2) % nd.n FROM documents, nd
+            WHERE doc_id % 2 = 0),
+        nodes AS (SELECT src AS node FROM e0
+          UNION SELECT dst FROM e0),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+          FROM e0 GROUP BY src),
+        r0 AS (SELECT node,
+            (SELECT 1000000000 // n FROM nn) AS rank FROM nodes),
+        i1 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+          FROM e0 e JOIN r0 r ON e.src = r.node
+          JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        d1 AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM r0
+          WHERE node NOT IN (SELECT src FROM deg)),
+        r1 AS (SELECT r0.node,
+            (SELECT 150000000 // n FROM nn)
+              + (85 * (COALESCE(i1.inflow, 0)
+                + (SELECT dm FROM d1) // (SELECT n FROM nn))) // 100
+              AS rank
+          FROM r0 LEFT JOIN i1 ON r0.node = i1.node),
+        i2 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+          FROM e0 e JOIN r1 r ON e.src = r.node
+          JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        d2 AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM r1
+          WHERE node NOT IN (SELECT src FROM deg)),
+        r2 AS (SELECT r1.node,
+            (SELECT 150000000 // n FROM nn)
+              + (85 * (COALESCE(i2.inflow, 0)
+                + (SELECT dm FROM d2) // (SELECT n FROM nn))) // 100
+              AS rank
+          FROM r1 LEFT JOIN i2 ON r1.node = i2.node),
+        i3 AS (SELECT e.dst AS node, SUM(r.rank // d.deg) AS inflow
+          FROM e0 e JOIN r2 r ON e.src = r.node
+          JOIN deg d ON e.src = d.src GROUP BY e.dst),
+        d3 AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM r2
+          WHERE node NOT IN (SELECT src FROM deg)),
+        r3 AS (SELECT r2.node,
+            (SELECT 150000000 // n FROM nn)
+              + (85 * (COALESCE(i3.inflow, 0)
+                + (SELECT dm FROM d3) // (SELECT n FROM nn))) // 100
+              AS rank
+          FROM r2 LEFT JOIN i3 ON r2.node = i3.node)
+        SELECT node, CAST(rank AS BIGINT) AS rank_nanos
+        FROM r3 ORDER BY node""")),
+
     Q("x89_personalized_pagerank",
       // seed-set expansion — the graph-side "find more like my
       // trusted sources" curation move: teleport mass returns ONLY to
