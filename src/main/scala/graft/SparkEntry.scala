@@ -10371,6 +10371,54 @@ object SparkEntry {
           MAX(ratio_ppm) AS max_ratio_ppm
         FROM b GROUP BY bucket ORDER BY bucket""")),
 
+    Q("st20_stream_langid_gate",
+      // language-ID gate at INGEST: detectLanguage is a pure
+      // expression chain (script blocks, then stopword profiles —
+      // map-only), so the SAME scorer runs unchanged on a document
+      // stream: no shuffle, no state store, append mode — the gate
+      // every multilingual crawl pipeline applies before anything
+      // heavier sees off-target text. Arrivals keep an allowlist
+      // (en/de/fr); the drained sink rolls up kept/dropped per picked
+      // language. The batch scorer's per-(doc, candidate) frame
+      // persists as the oracle's input and DuckDB replays the x44
+      // argmax AND the gate rollup — so the stream's expression twin
+      // must agree with the batch pick logic to the hash, attesting
+      // corpus-wide the equivalence LanguageIdSpec pins on fixtures.
+      (s, d) => {
+        val state = freshState(s, "st20")
+        val docs = t(s, d, "documents")
+        TextAnalysis.languageScores(docs)
+          .write.mode("overwrite").parquet(state + "/scores")
+        val stream = streamOf(s, s"$d/documents.parquet")
+          .select(col("doc_id"),
+            TextAnalysis.detectLanguage(col("text")).as("lang"),
+            length(col("text")).cast("long").as("n_chars"))
+          .withColumn("kept", col("lang").isin("en", "de", "fr"))
+        val sink = runBoundedStream(s, stream, "st20_sink", "append")
+        sink.groupBy("lang", "kept")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH sc AS (SELECT * FROM read_parquet(
+            '/tmp/graft_qstate/st20/scores/*.parquet')),
+        t1 AS (SELECT doc_id, arg_min(lang, prio) AS lang
+          FROM sc WHERE tier = 1 AND score > 0 GROUP BY doc_id),
+        t2 AS (SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, prio ASC) AS rn
+            FROM sc WHERE tier = 2 AND score > 0) WHERE rn = 1),
+        picks AS (SELECT d.doc_id,
+            COALESCE(t1.lang, t2.lang, 'und') AS lang,
+            LENGTH(d.text) AS n_chars
+          FROM documents d
+          LEFT JOIN t1 ON d.doc_id = t1.doc_id
+          LEFT JOIN t2 ON d.doc_id = t2.doc_id)
+        SELECT lang, lang IN ('en', 'de', 'fr') AS kept,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM picks GROUP BY 1, 2 ORDER BY lang""")),
+
     Q("st14_stream_quarantine",
       // row quarantine at INGEST time: Quarantine.annotate is map-only,
       // so the SAME rules run unchanged on a document stream (v06's
