@@ -3509,6 +3509,69 @@ object SparkEntry {
           CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id""")),
 
+    Q("d16_cluster_sizes",
+      // dedup's pre-commit diagnostic: the cluster SIZE distribution
+      // (is the removal policy about to cut 1% or 40%?). The derived
+      // pair graph makes the histogram non-trivial — chain length
+      // cycles 2..5 with the block index (doc_id%10 < 1+(doc_id/10)%4)
+      // — and the oracle replays transitive closure + both rollups.
+      (s, d) => {
+        val ids = t(s, d, "documents").select(col("doc_id"))
+        val pairs = ids
+          .filter(expr("doc_id % 10 < 1 + (doc_id div 10) % 4"))
+          .join(ids.select(col("doc_id").as("next_id")),
+            col("doc_id") + 1 === col("next_id"))
+          .select(col("doc_id").as("id_a"), col("next_id").as("id_b"))
+        Dedup.clusterSizeProfile(Dedup.duplicateClusters(pairs))
+          .orderBy("cluster_size")
+      },
+      Some("""WITH RECURSIVE
+        pairs AS (
+          SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+          WHERE doc_id % 10 < 1 + (doc_id // 10) % 4
+            AND (doc_id + 1) IN (SELECT doc_id FROM documents)),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        clust AS (
+          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+          FROM reach GROUP BY src),
+        sizes AS (
+          SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM clust GROUP BY cluster_id)
+        SELECT cluster_size,
+          CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+          CAST(SUM(cluster_size - 1) AS BIGINT) AS n_removed_keep_min
+        FROM sizes GROUP BY cluster_size ORDER BY cluster_size""")),
+
+    Q("x95_token_truncate",
+      // max-sequence-length enforcement — the context-window trim
+      // applied before packing: keep each doc's first 64 whitespace
+      // tokens, report the budget manifest (count, bite flag, kept
+      // tokens/chars, md5 of the truncated text). Pure expression
+      // chain, map-only; the oracle recomputes the whole surgery
+      // independently from the raw text.
+      (s, d) => TextAnalysis.truncateToTokenBudget(
+          t(s, d, "documents"), maxTokens = 64)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'),
+              x -> len(x) > 0) AS toks
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          len(toks) > 64 AS truncated,
+          CAST(LEAST(len(toks), 64) AS BIGINT) AS kept_tokens,
+          CAST(LENGTH(array_to_string(toks[1:64], ' ')) AS BIGINT)
+            AS kept_chars,
+          md5(array_to_string(toks[1:64], ' ')) AS trunc_md5
+        FROM t ORDER BY doc_id""")),
+
     Q("x24_canonical_pick",
       // quality-aware dedup: over the d05 chain-cluster graph, keep each
       // cluster's LONGEST member (n_chars as the quality proxy, ties to

@@ -1193,6 +1193,23 @@ object Dedup {
         .select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Cluster-size distribution — the dedup diagnostic read BEFORE
+   *  committing a removal policy: is dedup about to cut 1% of the
+   *  corpus or 40%? One row per cluster size with the cluster count,
+   *  member count, and how many docs the keep-min policy would remove
+   *  (size − 1 per cluster). Input is a [[duplicateClusters]]-shaped
+   *  (doc_id, cluster_id) frame; two cluster-keyed aggregations, both
+   *  output-sized — never touches text. */
+  def clusterSizeProfile(
+      clusters: DataFrame,
+      clusterCol: String = "cluster_id"): DataFrame =
+    clusters.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - 1).as("n_removed_keep_min"))
+
   /** Quality-aware canonical selection: instead of keeping each dup
    *  cluster's minimum-id member, keep its BEST member by `scoreCol`
    *  (longest / highest quality score / freshest — ties break to the

@@ -1759,4 +1759,31 @@ object TextAnalysis {
       }
       .toDF(idCol, "n_bytes", "n_compressed", "ratio_ppm")
   }
+
+  /** Token-budget truncation — the max-sequence-length trim every
+   *  training pipeline applies before packing: keep each document's
+   *  first `maxTokens` whitespace tokens (re-serialized with single
+   *  spaces — token-grain surgery defines away original spacing, the
+   *  same normalization contract as the span family) and report the
+   *  manifest: token count, whether the budget bit, kept tokens/chars,
+   *  and the md5 of the truncated text for downstream exact dedup.
+   *
+   *  Scale: pure expression chain (split → slice → join), map-only —
+   *  no shuffle, codegen'd, streams unchanged. */
+  def truncateToTokenBudget(
+      docs: DataFrame,
+      maxTokens: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val toks = filter(split(col(textCol), "\\s+"),
+      t => length(t) > 0)
+    val kept = array_join(slice(toks, 1, maxTokens), " ")
+    docs.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      (size(toks) > maxTokens).as("truncated"),
+      least(size(toks), lit(maxTokens)).cast("long").as("kept_tokens"),
+      length(kept).cast("long").as("kept_chars"),
+      md5(kept.cast("binary")).as("trunc_md5"))
+  }
 }

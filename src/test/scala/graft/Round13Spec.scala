@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** Round-13 additions: dedup cluster-size distribution and
+ *  token-budget truncation. */
+class Round13Spec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("clusterSizeProfile: exact histogram over hand-built clusters") {
+    // clusters: {1,2} {3,4} {5,6,7} {8} -> sizes 1x1, 2x2, 3x1
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L),
+      (5L, 5L), (6L, 5L), (7L, 5L), (8L, 8L)
+    ).toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterSizeProfile(clusters)
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 1L, 0L),   // one singleton: nothing removed
+      (2L, 2L, 4L, 2L),   // two pairs: one removed each
+      (3L, 1L, 3L, 2L)))  // one triple: two removed
+    // removal mass identity: sum(n_removed) = docs - clusters
+    assert(got.map(_._4).sum == 8L - 4L)
+  }
+
+  test("truncateToTokenBudget: exact-fit, over, under, empty") {
+    val docs = Seq(
+      (1L, "a b c d"),          // one over budget: bites
+      (2L, "a b c"),            // exact fit: no bite
+      (3L, "a b c d e f"),      // well over: bites
+      (4L, ""),                 // empty: 0 tokens, md5("")
+      (5L, "  x \t y\nz  ")     // messy whitespace collapses
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.truncateToTokenBudget(docs, maxTokens = 3)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getLong(1), out(i).getBoolean(2),
+      out(i).getLong(3), out(i).getLong(4), out(i).getString(5))
+    assert(row(0) == ((4L, true, 3L, 5L,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("a b c"))))
+    assert(row(1) == ((3L, false, 3L, 5L,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("a b c"))))
+    assert(row(2)._1 == 6L && row(2)._2 && row(2)._3 == 3L)
+    assert(row(3) == ((0L, false, 0L, 0L,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(""))))
+    // tabs/newlines/multi-spaces all split; re-serialized single-space
+    assert(row(4) == ((3L, false, 3L, 5L,
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("x y z"))))
+  }
+}
