@@ -143,14 +143,18 @@ object Bench {
     val useShort = results.map(r => shortId(r._1)).distinct.size == results.size
     def key(name: String): String = if (useShort) shortId(name) else name
     // Per-query regression gate vs the previous round's committed
-    // clean-final artifact: a query > 1.4x its prior clean time AND
-    // > 0.5 s absolute drift is flagged in the artifact, so drift like
-    // the r12 d09 case (3.26 -> 5.05 s on a pinned fixture) surfaces
-    // in the JSON line instead of needing a hand diff. The absolute
-    // floor keeps sub-second queries' scheduler jitter out of the
-    // list. Baseline resolution: $GRAFT_BENCH_BASELINE if set, else
-    // the highest-numbered BENCH_CLEAN_r<N>_FINAL.json in the cwd;
-    // no baseline -> empty list, never an error.
+    // clean-final artifact, NORMALIZED by the suite-median ratio:
+    // different machines (and contended windows on the same machine —
+    // observed: a transient 2.17x uniform median shift mid-r13) move
+    // EVERY query by a common factor, and a gate on raw ratios flags
+    // the environment, not the code. So flag a query only when its
+    // ratio exceeds 1.4x the suite's MEDIAN ratio AND it drifts
+    // > 0.5 s beyond the shift-adjusted prior — drift like the r12
+    // d09 case (3.26 -> 5.05 s while the suite stayed flat) surfaces;
+    // a uniformly slow box flags nothing. Baseline resolution:
+    // $GRAFT_BENCH_BASELINE if set, else the highest-numbered
+    // BENCH_CLEAN_r<N>_FINAL.json in the cwd; no baseline -> empty
+    // list, never an error.
     val regressed: Seq[String] = try {
       val baselinePath = sys.env.get("GRAFT_BENCH_BASELINE").orElse {
         val rx = "BENCH_CLEAN_r(\\d+)_FINAL\\.json".r
@@ -169,11 +173,20 @@ object Bench {
           val qrx = """"([a-z]+\d+[a-z0-9_]*)":(\d+(?:\.\d+)?)""".r
           val prior = qrx.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          def priorOf(name: String): Option[Double] =
+            prior.get(name).orElse(prior.get(shortId(name))).filter(_ > 0)
+          val ratios = results.flatMap { case (name, v) =>
+            if (v < 0) None else priorOf(name).map(v / _)
+          }.sorted
+          // median of 1 query is itself — a single-query dev run can
+          // never self-flag, so fall back to 1.0 below 5 samples
+          val med =
+            if (ratios.size >= 5) ratios(ratios.size / 2) else 1.0
           results.flatMap { case (name, v) =>
             if (v < 0) None
-            else prior.get(name).orElse(prior.get(shortId(name))) match {
-              case Some(pv) if pv > 0 && v > 1.4 * pv && v - pv > 0.5 =>
-                Some(name)
+            else priorOf(name) match {
+              case Some(pv) if v > 1.4 * med * pv &&
+                  v - med * pv > 0.5 => Some(name)
               case _ => None
             }
           }
