@@ -51,4 +51,53 @@ class Round13Spec extends AnyFunSuite {
     assert(row(4) == ((3L, false, 3L, 5L,
       org.apache.commons.codec.digest.DigestUtils.md5Hex("x y z"))))
   }
+
+  test("truncateToTokenBudget properties over random corpora") {
+    val rnd = new scala.util.Random(13)
+    val docs = (0 until 200).map { i =>
+      val n = rnd.nextInt(20)
+      val toks = Seq.fill(n)(
+        ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(5)))
+      (i.toLong, toks.mkString(if (rnd.nextBoolean()) " " else "\t"))
+    }.toDF("doc_id", "text")
+    val budget = 8
+    // driver-side recomputation of the exact expected manifest
+    val source = docs.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextAnalysis.truncateToTokenBudget(docs, budget).collect()
+    out.foreach { r =>
+      val (id, n, bit, kept, chars) = (r.getLong(0), r.getLong(1),
+        r.getBoolean(2), r.getLong(3), r.getLong(4))
+      val toks = source(id).split("\\s+").filter(_.nonEmpty)
+      val keptToks = toks.take(budget)
+      assert(n == toks.length.toLong)
+      assert(kept == math.min(n, budget.toLong))
+      assert(bit == (n > budget))
+      assert(chars == keptToks.mkString(" ").length.toLong,
+        "kept_chars = token lengths + single-space separators, exactly")
+      assert(r.getString(5) == org.apache.commons.codec.digest
+        .DigestUtils.md5Hex(keptToks.mkString(" ")))
+    }
+    // idempotence: truncating the truncated text changes nothing
+    val trunc = docs.select(col("doc_id"),
+      array_join(slice(filter(split(col("text"), "\\s+"),
+        t => length(t) > 0), 1, budget), " ").as("text"))
+    val again = TextAnalysis.truncateToTokenBudget(trunc, budget)
+      .select("doc_id", "trunc_md5").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach(r =>
+      assert(again(r.getLong(0)) == r.getString(5), "idempotent"))
+  }
+
+  test("clusterSizeProfile: removal-mass identity on random clusterings") {
+    val rnd = new scala.util.Random(131)
+    val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(120).toLong))
+    val clusters = rows.toDF("doc_id", "cluster_id")
+    val prof = Dedup.clusterSizeProfile(clusters).collect()
+    val nClusters = rows.map(_._2).distinct.size.toLong
+    assert(prof.map(_.getLong(2)).sum == 500L, "every doc counted once")
+    assert(prof.map(_.getLong(1)).sum == nClusters)
+    assert(prof.map(_.getLong(3)).sum == 500L - nClusters,
+      "keep-min removes docs - clusters")
+  }
 }
