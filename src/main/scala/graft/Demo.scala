@@ -184,6 +184,34 @@ object Demo {
     println(s"[demo] compression-ratio quality gate: " +
       s"${ratios.filter(col("ratio_ppm") < 150000).count()} " +
       "template-suspect docs")
+
+    // round-13 surface: full-crawl PageRank (dangling mass kept),
+    // the dedup cluster-size diagnostic, context-window truncation,
+    // and the ingest-side language gate
+    val fullRank = graft.pipeline.LinkGraph.pageRank(
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") * 2 + 1) % n).as("dst")),
+      iterations = 3, redistributeDangling = true)
+    println(s"[demo] full-crawl pagerank conserves " +
+      s"${fullRank.agg(sum("rank_nanos")).head.getLong(0)} of 1e9 nanos " +
+      "across a half-dangling graph")
+    val ids = docs.select(col("doc_id"))
+    val chains = ids.filter(expr("doc_id % 10 < 1 + (doc_id div 10) % 4"))
+      .join(ids.select(col("doc_id").as("next_id")),
+        col("doc_id") + 1 === col("next_id"))
+      .select(col("doc_id").as("id_a"), col("next_id").as("id_b"))
+    println("[demo] dedup pre-commit diagnostic — cluster sizes:")
+    Dedup.clusterSizeProfile(Dedup.duplicateClusters(chains))
+      .orderBy("cluster_size").show(5, false)
+    val trimmed = TextAnalysis.truncateToTokenBudget(docs, maxTokens = 32)
+    println(s"[demo] 32-token context budget bites " +
+      s"${trimmed.filter(col("truncated")).count()}/${trimmed.count()} docs")
+    val langs = docs.select(
+      TextAnalysis.detectLanguage(col("text")).as("lang"))
+      .groupBy("lang").count().orderBy(col("count").desc)
+    println("[demo] ingest language gate would keep:")
+    langs.show(3, false)
     spark.stop()
   }
 }
