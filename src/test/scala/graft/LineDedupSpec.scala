@@ -161,3 +161,105 @@ class LineDedupSpec extends AnyFunSuite {
       org.apache.commons.codec.digest.DigestUtils.md5Hex(""))
   }
 }
+
+/** Randomized replay: the whole line-dedup family against a driver-side
+ *  reference implementation on corpora with adversarial padding (spaces
+ *  that SQL trim strips, tabs/CRs it must NOT strip). */
+class LineDedupPropertySpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private def trimSpaces(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e)
+  }
+  private def md5(s: String): String =
+    org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+
+  test("lineDedup manifest equals a driver-side replay on random corpora") {
+    val rnd = new scala.util.Random(1313)
+    val pool = Seq(
+      "all rights reserved by the publisher",
+      "subscribe to our newsletter today",
+      "terms and conditions apply everywhere",
+      "short", "hi", "",
+      "cookie policy applies to this site",
+      "unique filler sentence number one",
+      "unique filler sentence number two")
+    def pad(s: String): String = rnd.nextInt(5) match {
+      case 0 => "  " + s
+      case 1 => s + "  "
+      case 2 => "\t" + s     // survives SQL trim: distinct key
+      case 3 => s + "\r"     // survives SQL trim: distinct key
+      case _ => s
+    }
+    val docs = (0 until 40).map { id =>
+      val n = 1 + rnd.nextInt(6)
+      (id.toLong, Seq.fill(n)(pad(pool(rnd.nextInt(pool.size))))
+        .mkString("\n"))
+    }
+    val minChars = 15; val minDf = 2
+    // driver-side reference
+    val keyed = docs.flatMap { case (id, text) =>
+      text.split("\n", -1).zipWithIndex.map { case (l, i) =>
+        val t = trimSpaces(l)
+        val key = if (t.length >= minChars) Some(md5(t)) else None
+        (id, i, l, key, id * 1000000L + i)
+      }
+    }
+    val byKey = keyed.collect { case (id, i, l, Some(k), enc) =>
+      (k, id, i, l, enc) }.groupBy(_._1)
+    val dict = byKey.filter { case (_, occ) =>
+      occ.map(_._2).distinct.size >= minDf }
+    val canon = dict.map { case (k, occ) => k -> occ.map(_._5).min }
+    val expected = docs.map { case (id, text) =>
+      val lines = text.split("\n", -1)
+      val drops = lines.zipWithIndex.filter { case (l, i) =>
+        val t = trimSpaces(l)
+        t.length >= minChars && canon.get(md5(t))
+          .exists(_ != id * 1000000L + i)
+      }.map(_._2).toSet
+      val cleaned = lines.zipWithIndex
+        .filterNot(p => drops(p._2)).map(_._1).mkString("\n")
+      (id, lines.length.toLong, drops.size.toLong,
+        drops.toSeq.map(i => lines(i).length.toLong).sum,
+        cleaned.length.toLong, md5(cleaned))
+    }.sortBy(_._1)
+    val got = Dedup.lineDedup(docs.toDF("doc_id", "text"),
+        minLineChars = minChars, minDf = minDf)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(got.toSeq == expected,
+      "Spark lineDedup must equal the driver-side replay")
+    // and the dictionary's df/canon agree
+    val gotDict = Dedup.duplicateLines(docs.toDF("doc_id", "text"),
+        minLineChars = minChars, minDf = minDf).collect()
+      .map(r => r.getAs[String]("line_md5") ->
+        (r.getAs[Long]("df"),
+          r.getAs[Long]("canon_doc") * 1000000L +
+            r.getAs[Long]("canon_line_idx"))).toMap
+    assert(gotDict.keySet == dict.keySet)
+    dict.foreach { case (k, occ) =>
+      assert(gotDict(k)._1 == occ.map(_._2).distinct.size.toLong)
+      assert(gotDict(k)._2 == canon(k))
+    }
+    // the gate judged against the batch dictionary replays exactly too
+    val gateGot = Dedup.lineGate(docs.toDF("doc_id", "text"),
+        gotDict.keySet, minLineChars = minChars)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val gateExp = docs.map { case (id, text) =>
+      val lines = text.split("\n", -1)
+      val cut = lines.filter { l =>
+        val t = trimSpaces(l)
+        t.length >= minChars && dict.contains(md5(t))
+      }
+      (id, lines.length.toLong, cut.length.toLong,
+        cut.map(_.length.toLong).sum)
+    }.sortBy(_._1)
+    assert(gateGot.toSeq == gateExp)
+  }
+}
