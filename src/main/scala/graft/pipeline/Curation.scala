@@ -193,28 +193,36 @@ object Curation {
     // already carries (no membership join).
     // cached: drops feeds the count AND the kept anti-join — without
     // it the whole band-match DAG re-executes for the store append
-    val dropsObs = Observation()
     val drops = matches
       .select(when(col("within_slice"), col("id_b"))
         .otherwise(col("id_a")).as(idCol))
       .distinct()
-      .observe(dropsObs, count(lit(1)).as("dropped"))
       .cache()
     val kept = exactKept.join(drops, Seq(idCol), "left_anti")
     // the survivors' ALREADY-computed signatures (same deterministic
     // UDF ⇒ bit-identical to re-signing kept); anti-join on the tiny
-    // cached drops, not a semi-join through kept's DAG
+    // cached drops, not a semi-join through kept's DAG.
+    // COUNT SURVIVORS, NOT DROPS: an Observation on the `drops` branch
+    // is silently PRUNED when the slice is clean — AQE rewrites a
+    // left-anti join whose right side turns out empty to just its left
+    // side, the CollectMetrics node vanishes with it, and the report
+    // threw `key not found: dropped` on exactly the happy path (found
+    // by the r13 sf0.001 sweep: tiny slices have no near-dups). The
+    // root of the materialized frame always executes, so the kept
+    // count is observed THERE and dropped derives arithmetically.
+    val keptObs = Observation()
     val keptSigs = sliceSigs.join(drops, Seq(idCol), "left_anti")
+      .observe(keptObs, count(lit(1)).as("kept_sigs"))
     SliceTurn(kept, keptSigs,
       () => {
         val arrived = gateObs.get("arrived").asInstanceOf[Long]
         val afterQuality =
           gateObs.get("after_quality").asInstanceOf[Long]
         val afterExact = exactObs.get("after_exact").asInstanceOf[Long]
-        val dropped = dropsObs.get("dropped").asInstanceOf[Long]
-        // drops ⊆ exactKept ids and distinct: kept = afterExact − drops
+        val keptN = keptObs.get("kept_sigs").asInstanceOf[Long]
+        // drops ⊆ exactKept ids and distinct: dropped = afterExact − kept
         IngestReport(arrived, afterQuality,
-          afterQuality - afterExact, dropped, afterExact - dropped)
+          afterQuality - afterExact, afterExact - keptN, keptN)
       },
       () => { exactKept.unpersist(); sliceSigs.unpersist()
         drops.unpersist() })

@@ -89,6 +89,31 @@ class Round13Spec extends AnyFunSuite {
       assert(again(r.getLong(0)) == r.getString(5), "idempotent"))
   }
 
+  test("ingest of a perfectly clean slice reports zero drops, no crash") {
+    // regression (found by the r13 sf0.001 sweep): a slice with ZERO
+    // near-dup drops made AQE rewrite the left-anti join to its left
+    // side, pruning the Observation the report read — the happy path
+    // threw `key not found`. The count now rides the materialized root.
+    import graft.pipeline.{Curation, Dedup}
+    val dir = java.nio.file.Files.createTempDirectory("r13clean").toString
+    val standing = (0 until 20).map(i =>
+      (i.toLong, s"standing corpus document number $i with plenty of " +
+        s"distinct filler words alpha$i beta$i gamma$i delta$i " +
+        s"epsilon$i zeta$i eta$i theta$i")).toDF("doc_id", "text")
+    Dedup.minhashStoreSave(Dedup.minhashStoreCreate(standing),
+      s"$dir/mh")
+    // arrivals are entirely novel: no exact dups, no near dups
+    val arrivals = (100 until 110).map(i =>
+      (i.toLong, s"completely novel arrival text $i about different " +
+        s"topics entirely omega$i psi$i chi$i phi$i upsilon$i tau$i " +
+        s"sigma$i rho$i")).toDF("doc_id", "text")
+    val (kept, rep) = Curation.incrementalIngest(arrivals, s"$dir/mh")
+    assert(rep.arrived == 10L)
+    assert(rep.droppedNearDup == 0L, "clean slice: zero near-dup drops")
+    assert(rep.kept == rep.afterQuality - rep.droppedExactWithin)
+    assert(kept.count() == rep.kept)
+  }
+
   test("clusterSizeProfile: removal-mass identity on random clusterings") {
     val rnd = new scala.util.Random(131)
     val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(120).toLong))
