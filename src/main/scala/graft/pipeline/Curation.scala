@@ -215,11 +215,27 @@ object Curation {
       .observe(keptObs, count(lit(1)).as("kept_sigs"))
     SliceTurn(kept, keptSigs,
       () => {
-        val arrived = gateObs.get("arrived").asInstanceOf[Long]
-        val afterQuality =
-          gateObs.get("after_quality").asInstanceOf[Long]
-        val afterExact = exactObs.get("after_exact").asInstanceOf[Long]
-        val keptN = keptObs.get("kept_sigs").asInstanceOf[Long]
+        // Observations can come back PARTIAL on degenerate slices:
+        // once any intermediate frame turns out empty, AQE's
+        // empty-relation propagation can prune the plan subtree a
+        // CollectMetrics node lives in, and its keys never arrive
+        // (r13: an all-garbage slice lost `arrived`, a clean slice
+        // lost `dropped`). Read each metric tolerantly and REPAIR a
+        // missing one with a direct count — the fallback only runs on
+        // the degenerate path, where the recount is the honest price
+        // of a correct ledger row.
+        def metric(map: Map[String, Any], k: String,
+            recount: => Long): Long =
+          map.get(k).map(_.asInstanceOf[Long]).getOrElse(recount)
+        val g = gateObs.get
+        val arrived = metric(g, "arrived", newDocs.count())
+        val afterQuality = metric(g, "after_quality",
+          TextAnalysis.qualityGate(newDocs, textCol)
+            .filter(pass).count())
+        val afterExact =
+          metric(exactObs.get, "after_exact", exactKept.count())
+        val keptN =
+          metric(keptObs.get, "kept_sigs", keptSigs.count())
         // drops ⊆ exactKept ids and distinct: dropped = afterExact − kept
         IngestReport(arrived, afterQuality,
           afterQuality - afterExact, afterExact - keptN, keptN)

@@ -114,6 +114,25 @@ class Round13Spec extends AnyFunSuite {
     assert(kept.count() == rep.kept)
   }
 
+  test("ingest of an all-garbage slice (nothing passes the gate) survives") {
+    import graft.pipeline.{Curation, Dedup}
+    val dir = java.nio.file.Files.createTempDirectory("r13junk").toString
+    val standing = (0 until 10).map(i =>
+      (i.toLong, s"standing corpus document number $i with plenty of " +
+        s"distinct filler words alpha$i beta$i gamma$i")).toDF(
+      "doc_id", "text")
+    Dedup.minhashStoreSave(Dedup.minhashStoreCreate(standing),
+      s"$dir/mh")
+    // every arrival fails the quality gate (too short)
+    val junk = (100 until 105).map(i => (i.toLong, "tiny"))
+      .toDF("doc_id", "text")
+    val (kept, rep) = Curation.incrementalIngest(junk, s"$dir/mh")
+    assert(rep.arrived == 5L)
+    assert(rep.afterQuality == 0L)
+    assert(rep.kept == 0L && rep.droppedNearDup == 0L)
+    assert(kept.count() == 0L)
+  }
+
   test("clusterSizeProfile: removal-mass identity on random clusterings") {
     val rnd = new scala.util.Random(131)
     val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(120).toLong))
