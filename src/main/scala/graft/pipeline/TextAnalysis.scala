@@ -1776,7 +1776,9 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
-    val toks = filter(split(col(textCol), "\\s+"),
+    // null text degrades to the empty document (0 tokens, empty
+    // truncation) instead of null-propagating through size/md5
+    val toks = filter(split(coalesce(col(textCol), lit("")), "\\s+"),
       t => length(t) > 0)
     val kept = array_join(slice(toks, 1, maxTokens), " ")
     docs.select(col(idCol),

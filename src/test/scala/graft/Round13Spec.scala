@@ -133,6 +133,37 @@ class Round13Spec extends AnyFunSuite {
     assert(kept.count() == 0L)
   }
 
+  test("degenerate inputs: null-text truncation, empty corpora, tiny IVF") {
+    import graft.pipeline.{Dedup, Similarity}
+    // null text truncates to the empty document, no null propagation
+    val nullRow = TextAnalysis.truncateToTokenBudget(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"), 4)
+      .collect()(0)
+    assert(nullRow.getLong(1) == 0L && !nullRow.getBoolean(2))
+    assert(nullRow.getString(5) ==
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(""))
+    // the full dedup stack on an empty and a 1-doc corpus
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.dedupCorpus(empty).count() == 0L)
+    val one = Seq((1L, "a single lonely document with words"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupCorpus(one).count() == 1L)
+    assert(Dedup.clusterSizeProfile(
+      empty.select(col("doc_id"), col("doc_id").as("cluster_id")))
+      .count() == 0L)
+    // near-dup embeddings over an empty frame
+    val eEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.nearDuplicateEmbeddings(eEmb).count() == 0L)
+    // IVF with fewer vectors than centroids must still build and probe
+    val rnd = new scala.util.Random(7)
+    val tiny = (0L until 5L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(tiny, k = 16)
+    val res = Similarity.ivfTopK(idx, tiny.filter(col("vec_id") === 0L),
+      k = 3, nprobe = 4)
+    assert(res.count() > 0L, "tiny corpus still answers queries")
+  }
+
   test("clusterSizeProfile: removal-mass identity on random clusterings") {
     val rnd = new scala.util.Random(131)
     val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(120).toLong))
