@@ -52,7 +52,10 @@ object Explain {
         "p42_mergeable_cms", "x68_mergeable_card", "x69_html_extract",
         "x70_url_canonicalize", "x71_star_join", "j05_bloom_join",
         "x72_kneser_ney", "s17_schema_merge", "d14_threshold_curve",
-        "v06_row_quarantine")
+        "v06_row_quarantine",
+        // round 13 (st20 absent: memory-sink drain, LocalTableScan)
+        "x94_pagerank_dangling", "d16_cluster_sizes",
+        "x95_token_truncate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

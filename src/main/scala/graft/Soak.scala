@@ -163,7 +163,13 @@ object Soak {
     "x76_overlap_matrix",
     // batch 22: the estimator calibration (the d03 LSH+verify shape
     // plus a decile rollup — pair-count-bound like d14)
-    "x77_sketch_calibration")
+    "x77_sketch_calibration",
+    // round 13: dangling-mass PageRank (per-iteration 1-row dangling
+    // aggregate must ride the same join shape as x88), the cluster-size
+    // rollup, map-only token truncation, and the streaming language
+    // gate (fixed stream machinery must dominate, not the corpus)
+    "x94_pagerank_dangling", "d16_cluster_sizes", "x95_token_truncate",
+    "st20_stream_langid_gate")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry
