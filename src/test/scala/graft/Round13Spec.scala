@@ -164,6 +164,21 @@ class Round13Spec extends AnyFunSuite {
     assert(res.count() > 0L, "tiny corpus still answers queries")
   }
 
+  test("truncateToTokenBudget plan shape: pruned scan, no shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = TextAnalysis.truncateToTokenBudget(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("doc_id") && plan.contains("text"))
+    // the documents table carries more columns (source, lang,
+    // n_chars...) — none may reach the scan
+    assert(!plan.contains("ReadSchema: struct<doc_id:bigint,text:string,"),
+      "scan schema must stop at doc_id+text")
+    assert(plan.contains("struct<doc_id:bigint,text:string>"),
+      s"scan must prune to exactly (doc_id, text): $plan")
+    assert(!plan.contains("Exchange"),
+      "token truncation is map-only — a shuffle is a plan bug")
+  }
+
   test("clusterSizeProfile: removal-mass identity on random clusterings") {
     val rnd = new scala.util.Random(131)
     val rows = (0 until 500).map(i => (i.toLong, rnd.nextInt(120).toLong))
