@@ -64,6 +64,24 @@ object Bench {
     // single-query profiling; the driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // GRAFT_BENCH_TIER=core (dev-only): the ~70 reference-parity ops
+    // (profiling/validation/anomaly/schema/trends/sources/notifications
+    // families at their reference numbering) for fast iteration loops —
+    // a full 265-query clean run costs ~7 min of wall clock. Closing
+    // artifacts (BENCH_CLEAN_r*_FINAL) MUST run the full registry (no
+    // tier). The driver never sets either knob.
+    val tierCore = sys.env.get("GRAFT_BENCH_TIER").contains("core")
+    def inCoreTier(name: String): Boolean = {
+      val id = name.takeWhile(_ != '_')
+      val fam = id.takeWhile(_.isLetter)
+      val num = id.dropWhile(_.isLetter).toIntOption.getOrElse(0)
+      fam match {
+        case "c" | "n" | "s" | "t" | "v" => true
+        case "a" => num <= 9   // a10+ are beyond-reference detectors
+        case "p" => num <= 27  // p28+ are beyond-reference profile depth
+        case _   => false
+      }
+    }
     val failed = Seq.newBuilder[String]
     val swept = Seq.newBuilder[String]
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -98,6 +116,7 @@ object Bench {
     }
     val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => !tierCore || inCoreTier(name) }
     val firstPass = suite.map { case (name, fn) => name -> runOne(name, fn) }
     // Outlier retry: grading-time machines have run this suite under heavy
     // external load (round-4 driver artifact: 3× dev-run times, the
@@ -170,24 +189,39 @@ object Bench {
         case Some(p) =>
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(p)), "UTF-8")
-          val qrx = """"([a-z]+\d+[a-z0-9_]*)":(\d+(?:\.\d+)?)""".r
-          val prior = qrx.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          def priorOf(name: String): Option[Double] =
-            prior.get(name).orElse(prior.get(shortId(name))).filter(_ > 0)
-          val ratios = results.flatMap { case (name, v) =>
-            if (v < 0) None else priorOf(name).map(v / _)
-          }.sorted
-          // median of 1 query is itself — a single-query dev run can
-          // never self-flag, so fall back to 1.0 below 5 samples
-          val med =
-            if (ratios.size >= 5) ratios(ratios.size / 2) else 1.0
-          results.flatMap { case (name, v) =>
-            if (v < 0) None
-            else priorOf(name) match {
-              case Some(pv) if v > 1.4 * med * pv &&
-                  v - med * pv > 0.5 => Some(name)
-              case _ => None
+          // scale guard: a baseline recorded at a different SF gates
+          // nothing — median normalization only absorbs UNIFORM
+          // factors, and per-query cost does not scale uniformly with
+          // data size (an sf0.001 sweep vs an sf0.1 baseline would
+          // spuriously flag the queries whose cost is mostly fixed).
+          // The baseline's "sf" field holds either the tag ("sf0.1")
+          // or the full dir path — compare last path segments.
+          val sfRx = """"sf":"([^"]*)"""".r
+          val baselineTag = sfRx.findFirstMatchIn(txt)
+            .map(_.group(1).split('/').filter(_.nonEmpty).last)
+          val currentTag =
+            sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+          if (baselineTag.exists(_ != currentTag)) Seq.empty
+          else {
+            val qrx = """"([a-z]+\d+[a-z0-9_]*)":(\d+(?:\.\d+)?)""".r
+            val prior = qrx.findAllMatchIn(txt)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            def priorOf(name: String): Option[Double] =
+              prior.get(name).orElse(prior.get(shortId(name))).filter(_ > 0)
+            val ratios = results.flatMap { case (name, v) =>
+              if (v < 0) None else priorOf(name).map(v / _)
+            }.sorted
+            // median of 1 query is itself — a single-query dev run can
+            // never self-flag, so fall back to 1.0 below 5 samples
+            val med =
+              if (ratios.size >= 5) ratios(ratios.size / 2) else 1.0
+            results.flatMap { case (name, v) =>
+              if (v < 0) None
+              else priorOf(name) match {
+                case Some(pv) if v > 1.4 * med * pv &&
+                    v - med * pv > 0.5 => Some(name)
+                case _ => None
+              }
             }
           }
       }

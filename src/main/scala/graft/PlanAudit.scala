@@ -28,8 +28,6 @@ object PlanAudit {
       "ground-truth arm: corpus x fixed 25-query set (maxQueries guard)",
     "e04_embedding_neardup" ->
       "bounded all-pairs cosine verify arm on the small fixture band",
-    "e08_cosine_topk_expr" ->
-      "native-expression scoring arm over the fixed 25-query set",
     "e09_knn_pq" ->
       "flat ADC scan IS the PQ method; the pruned path is e10 ivf-pq",
     "e14_incremental_pq" ->
@@ -76,6 +74,16 @@ object PlanAudit {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // A whitelist key matching no registry query is a latent hole: the
+    // query it was written for has been renamed/removed, and a future
+    // query could silently inherit the dead allowance. Fail loudly.
+    val deadKeys = whitelist.keySet.diff(SparkEntry.queries.keySet)
+    if (deadKeys.nonEmpty) {
+      println(s"PLAN AUDIT: whitelist key(s) matching no registry query: " +
+        deadKeys.toSeq.sorted.mkString(", "))
+      spark.stop()
+      sys.exit(2)
+    }
     SparkEntry.stateRoot =
       s"/tmp/graft_qstate_p${ProcessHandle.current().pid()}_" +
         s"${System.currentTimeMillis()}"

@@ -28,7 +28,7 @@ object SparkEntry {
 
   private val NOW = "2026-01-01 00:00:00"
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet has carried several physical ts encodings across
@@ -67,7 +67,7 @@ object SparkEntry {
   /** Scratch state dir for queries exercising the persistence layer
    *  (stores/engine). Wiped at every call so the query is idempotent —
    *  verify and bench can run it any number of times. */
-  private def freshState(s: SparkSession, name: String): String = {
+  private[graft] def freshState(s: SparkSession, name: String): String = {
     val path = s"$stateRoot/$name"
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       s.sparkContext.hadoopConfiguration)
@@ -3559,8 +3559,11 @@ object SparkEntry {
       (s, d) => TextAnalysis.truncateToTokenBudget(
           t(s, d, "documents"), maxTokens = 64)
         .orderBy("doc_id"),
+      // COALESCE(text, ''): the Spark side degrades null text to the
+      // empty doc (0 tokens, md5 of ''); DuckDB's string_split_regex
+      // would otherwise propagate NULL and mismatch on a null-text row
       Some("""WITH t AS (SELECT doc_id,
-            list_filter(string_split_regex(text, '\s+'),
+            list_filter(string_split_regex(COALESCE(text, ''), '\s+'),
               x -> len(x) > 0) AS toks
           FROM documents)
         SELECT doc_id,
@@ -5194,6 +5197,14 @@ object SparkEntry {
       // positives in one row set.
       (s, d) => {
         val emb = t(s, d, "embeddings").select("vec_id", "embedding")
+        // the +100000 planted-id offset assumes organic ids stay below
+        // it (max 1999 today). A larger fixture reaching that range
+        // would collide planted with organic rows on BOTH sides at
+        // once — the oracle would still match while the pair semantics
+        // silently changed — so the assumption is asserted, not hoped.
+        val maxId = emb.agg(max(col("vec_id")).cast("long")).head.getLong(0)
+        require(maxId < 100000L,
+          s"e04 planted-id offset collides: max vec_id=$maxId >= 100000")
         val planted = emb.filter(col("vec_id") < 20)
           .select((col("vec_id") + lit(100000L)).as("vec_id"),
             col("embedding"))
@@ -9654,7 +9665,7 @@ object SparkEntry {
   // reruns).
   // ------------------------------------------------------------------
 
-  private def runBoundedStream(
+  private[graft] def runBoundedStream(
       s: SparkSession,
       df: DataFrame,
       name: String,
@@ -9687,7 +9698,7 @@ object SparkEntry {
    *  (file streams need one declared up front). The file source only
    *  accepts directories, and the fixtures are single files — stage a
    *  symlink inside a scratch dir (copy if the fs refuses links). */
-  private def streamOf(s: SparkSession, path: String): DataFrame = {
+  private[graft] def streamOf(s: SparkSession, path: String): DataFrame = {
     val f = new java.io.File(path)
     val srcDir =
       if (!f.isFile) path

@@ -1694,10 +1694,14 @@ object Dedup {
    *  line, null for lines shorter than `minLineChars` (navigation
    *  stubs, blank lines — too short to be meaningful duplication);
    *  `__enc` is the order key doc*1e6+idx that makes "globally first
-   *  occurrence" one integer MIN. The encoding's bound (doc ids ≥ 0,
+   *  occurrence" one integer MIN. The encoding's bound (doc ids in
+   *  [0, (2^63-1-999999)/1e6] so the product cannot overflow Long,
    *  < 1e6 lines/doc) is ENFORCED with a raise_error branch — a doc
    *  outside it would silently corrupt canonical-occurrence selection,
-   *  so it must fail the task instead. */
+   *  so it must fail the task instead. A NULL doc id degrades per-row
+   *  (null `__enc`/`__key`): a row with no identity cannot anchor a
+   *  canonical occurrence, and one malformed row must not kill a
+   *  corpus-scale job. */
   private def lineKeyed(
       docs: DataFrame,
       idCol: String,
@@ -1707,15 +1711,23 @@ object Dedup {
       .select(col(idCol),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("line_idx", "line")))
       .withColumn("__key",
-        when(length(trim(col("line"))) >= minLineChars,
+        when(col(idCol).isNotNull &&
+            length(trim(col("line"))) >= minLineChars,
           md5(trim(col("line")).cast("binary"))))
       .withColumn("__enc",
-        when(col("line_idx") < lit(1000000) &&
-            col(idCol).cast("long") >= lit(0L),
+        when(col(idCol).isNull, lit(null).cast("long"))
+          .when(col("line_idx") < lit(1000000) &&
+            col(idCol).cast("long") >= lit(0L) &&
+            // upper bound: doc*1e6 + 999999 must fit in a Long —
+            // beyond it the product silently wraps and corrupts
+            // canonical-occurrence MINs
+            col(idCol).cast("long") <=
+              lit((Long.MaxValue - 999999L) / 1000000L),
           col(idCol).cast("long") * lit(1000000L) + col("line_idx"))
           .otherwise(raise_error(concat(
             lit("lineKeyed: order-key bound violated "),
-            lit("(need doc_id >= 0 and < 1e6 lines/doc): doc="),
+            lit("(need 0 <= doc_id <= (2^63-1-999999)/1e6 "),
+            lit("and < 1e6 lines/doc): doc="),
             col(idCol).cast("string"),
             lit(" line_idx="), col("line_idx").cast("string")))))
 
