@@ -169,7 +169,13 @@ object Soak {
     // rollup, map-only token truncation, and the streaming language
     // gate (fixed stream machinery must dominate, not the corpus)
     "x94_pagerank_dangling", "d16_cluster_sizes", "x95_token_truncate",
-    "st20_stream_langid_gate")
+    "st20_stream_langid_gate",
+    // round 14: the two cell/block-local-quadratic families that had
+    // no scaling rows (r13 verdict ask #6) — SemDeDup's per-cell
+    // pairs and entity resolution's per-block levenshtein (the
+    // latter via the documents-keyed x58_docs arm; the registry
+    // fixture is supplier-keyed, which this corpus mirrors verbatim)
+    "e07_semantic_dedup", "x58_docs")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry
@@ -297,7 +303,49 @@ object Soak {
       "x25_capped" -> ((s, d) =>
         graft.pipeline.Dedup.containmentPairs(
           s.read.parquet(d + "/documents.parquet"), threshold = 0.2)
-          .orderBy("id_a", "id_b")))
+          .orderBy("id_a", "id_b")),
+      // x58's registry fixture is supplier-keyed, which buildCorpus
+      // mirrors verbatim — soaking it measures a flat line. This arm
+      // runs the SAME EntityResolution.resolve (block equi-join →
+      // per-block levenshtein → transitive closure, the Σ block²
+      // worst case the r13 verdict asked to curve) over a documents-
+      // derived record set the blow-up actually scales: md5-salted
+      // names (blocks stay ~uniform as the corpus grows) + an ' inc'
+      // variant per record so true pairs exist at every scale.
+      // e07's registry fixture pins k=8 cells so DuckDB can replay the
+      // assignment — which makes Σ|cell|² grow as (N/8)² and the soak
+      // curve bend up past ~10×. The SCALE PATH SemDeDup actually
+      // prescribes is k ∝ N (constant cell size); this arm derives
+      // k = N/250 (the fixture's base cell size) from the corpus so
+      // the soak can show the same operator going ~linear when the
+      // caller scales cells the way a 100 TB run would.
+      "e07_cellscaled" -> ((s, d) => {
+        val emb = s.read.parquet(d + "/embeddings.parquet")
+        val k = math.max(8L, emb.count() / 250L).toInt
+        val cents = emb.filter(col("vec_id") < k).orderBy("vec_id")
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+          .map { v =>
+            val n = math.sqrt(v.map(x => x * x).sum)
+            if (n == 0) v else v.map(_ / n)
+          }
+        graft.pipeline.Similarity.semanticDedup(emb, cents, tau = 0.3)
+          .orderBy("vec_id")
+      }),
+      "x58_docs" -> ((s, d) => {
+        val docs = s.read.parquet(d + "/documents.parquet")
+        val base = docs.select(col("doc_id"),
+          concat(substring(md5(col("doc_id").cast("string")), 1, 12),
+            lit(" "), substring(col("text"), 1, 24)).as("name"))
+        val recs = base
+          .select((col("doc_id") * 2).as("record_id"), col("name"))
+          .unionByName(base.select(
+            (col("doc_id") * 2 + 1).as("record_id"),
+            concat(col("name"), lit(" inc")).as("name")))
+        graft.pipeline.EntityResolution.resolve(recs,
+            "record_id", "name", blockChars = 4, maxDistance = 4)
+          .orderBy("record_id")
+      }))
     val unknown = names.filterNot(n =>
       SparkEntry.queries.contains(n) || extraArms.contains(n))
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
