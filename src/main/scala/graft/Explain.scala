@@ -55,7 +55,9 @@ object Explain {
         "v06_row_quarantine",
         // round 13 (st20 absent: memory-sink drain, LocalTableScan)
         "x94_pagerank_dangling", "d16_cluster_sizes",
-        "x95_token_truncate")
+        "x95_token_truncate",
+        // round 14 (st21 absent for the memory-sink reason)
+        "x96_rendezvous_shards", "x97_t_closeness", "x98_cdc_chunks")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -175,7 +175,14 @@ object Soak {
     // pairs and entity resolution's per-block levenshtein (the
     // latter via the documents-keyed x58_docs arm; the registry
     // fixture is supplier-keyed, which this corpus mirrors verbatim)
-    "e07_semantic_dedup", "x58_docs")
+    "e07_semantic_dedup", "x58_docs",
+    // round-14 additions (x97 keys on customer, which this corpus
+    // mirrors verbatim — soaking it would measure a flat line):
+    // rendezvous churn (map-only double assignment — must ride the
+    // scan), CDC chunking (partition-local chunker + (md5, len)
+    // rollup), and the streaming PII gate (fixed stream machinery
+    // must dominate, the st20 contract)
+    "x96_rendezvous_shards", "x98_cdc_chunks", "st21_stream_pii_gate")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -3575,6 +3575,122 @@ object SparkEntry {
           md5(array_to_string(toks[1:64], ' ')) AS trunc_md5
         FROM t ORDER BY doc_id""")),
 
+    Q("x96_rendezvous_shards",
+      // rendezvous (highest-random-weight) sharding stability audit:
+      // assign every doc under S=8 and S=9 shards and roll up the
+      // movement matrix. The property under test is what makes HRW
+      // the resharding-safe choice at fleet scale: going S -> S+1
+      // moves only ~1/(S+1) of the keys and every moved key lands on
+      // the NEW shard — mod-N resharding would reshuffle nearly
+      // everything and invalidate every materialized shard. Map-only
+      // double assignment (one md5 per (doc, shard), inside a single
+      // array expression — no explode, no shuffle) + one
+      // metadata-sized groupBy. The oracle recomputes both
+      // assignments from scratch (md5 is engine-portable).
+      (s, d) => Sampling.rendezvousChurn(
+        t(s, d, "documents"), "doc_id", fromShards = 8, toShards = 9),
+      Some("""WITH sh8 AS (SELECT range AS s FROM range(0, 8)),
+        sh9 AS (SELECT range AS s FROM range(0, 9)),
+        a AS (SELECT doc_id, CAST(arg_max(s,
+            md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)))
+            AS INT) AS shard_from
+          FROM documents, sh8 GROUP BY doc_id),
+        b AS (SELECT doc_id, CAST(arg_max(s,
+            md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)))
+            AS INT) AS shard_to
+          FROM documents, sh9 GROUP BY doc_id)
+        SELECT shard_from, shard_to,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          shard_from <> shard_to AS moved
+        FROM a JOIN b USING (doc_id)
+        GROUP BY 1, 2, 4 ORDER BY shard_from, shard_to""")),
+
+    Q("x97_t_closeness",
+      // t-closeness (Li/Li/Venkatasubramanian) — closes the privacy
+      // release triad over the x60/x65 quasi-identifiers: a class
+      // whose BALANCE-BUCKET distribution sits far (ordered-EMD) from
+      // the table-wide distribution leaks even when k-anonymous and
+      // l-diverse. EMD in pure integer arithmetic, floor-quantized to
+      // ppm, so both engines reproduce it bit-for-bit.
+      (s, d) => graft.pipeline.Privacy.tClosenessViolations(
+          t(s, d, "customer").withColumn("bal_bucket",
+            when(col("c_acctbal") < 0, 0)
+              .when(col("c_acctbal") < 2000, 1)
+              .when(col("c_acctbal") < 5000, 2)
+              .when(col("c_acctbal") < 8000, 3)
+              .otherwise(4)),
+          Seq("c_nationkey", "c_mktsegment"), "bal_bucket",
+          numBuckets = 5, tPpm = 150000L)
+        .withColumn("c_nationkey", col("c_nationkey").cast("int")),
+      Some("""WITH b AS (SELECT c_nationkey, c_mktsegment,
+            CASE WHEN c_acctbal < 0 THEN 0
+                 WHEN c_acctbal < 2000 THEN 1
+                 WHEN c_acctbal < 5000 THEN 2
+                 WHEN c_acctbal < 8000 THEN 3
+                 ELSE 4 END AS bk
+          FROM customer),
+        cls AS (SELECT c_nationkey, c_mktsegment,
+            CAST(COUNT(*) AS BIGINT) AS class_size,
+            CAST(SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+            CAST(SUM(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+            CAST(SUM(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+            CAST(SUM(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+          FROM b GROUP BY 1, 2),
+        g AS (SELECT CAST(COUNT(*) AS BIGINT) AS gt,
+            CAST(SUM(CASE WHEN bk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+            CAST(SUM(CASE WHEN bk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+            CAST(SUM(CASE WHEN bk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+            CAST(SUM(CASE WHEN bk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS g3
+          FROM b),
+        e AS (SELECT c_nationkey, c_mktsegment, class_size,
+            (ABS(c0 * gt - g0 * class_size)
+             + ABS((c0 + c1) * gt - (g0 + g1) * class_size)
+             + ABS((c0 + c1 + c2) * gt - (g0 + g1 + g2) * class_size)
+             + ABS((c0 + c1 + c2 + c3) * gt
+                 - (g0 + g1 + g2 + g3) * class_size)) AS num,
+            gt
+          FROM cls, g)
+        SELECT CAST(c_nationkey AS INT) AS c_nationkey, c_mktsegment,
+          class_size,
+          CAST(num * 1000000 // (class_size * gt * 4) AS BIGINT)
+            AS emd_ppm
+        FROM e
+        WHERE num * 1000000 // (class_size * gt * 4) > 150000
+        ORDER BY emd_ppm DESC, c_nationkey, c_mktsegment""")),
+
+    Q("x98_cdc_chunks",
+      // content-defined chunking (Gear/FastCDC): the storage-dedup
+      // grain of the dedup family — chunk every doc's UTF-8 bytes at
+      // content-defined cuts (boundaries survive insertions, unlike
+      // fixed-width), persist the chunk frame, and price per source
+      // what a content-addressed store would save. The Gear hash is
+      // not SQL — the chunk frame persists and DuckDB replays the
+      // whole dedup rollup over it (the x04/d04 hash-replay pattern);
+      // the chunker itself is pinned by CdcChunkSpec (shift resync,
+      // bounds, byte-exact md5s).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val state = freshState(s, "x98")
+        Dedup.cdcChunks(docs)
+          .write.mode("overwrite").parquet(state + "/chunks")
+        Dedup.cdcDedupStats(docs, s.read.parquet(state + "/chunks"))
+      },
+      Some("""WITH c AS (SELECT * FROM read_parquet(
+            '/tmp/graft_qstate/x98/chunks/*.parquet')),
+        j AS (SELECT c.chunk_md5, c.len, d.source
+          FROM c JOIN documents d USING (doc_id)),
+        pre AS (SELECT source, chunk_md5,
+            CAST(COUNT(*) AS BIGINT) AS occ,
+            CAST(MIN(len) AS BIGINT) AS len
+          FROM j GROUP BY 1, 2)
+        SELECT source, CAST(SUM(occ) AS BIGINT) AS n_chunks,
+          CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+          CAST(SUM(occ * len) AS BIGINT) AS total_bytes,
+          CAST(SUM((occ - 1) * len) AS BIGINT) AS dup_bytes,
+          CAST(SUM((occ - 1) * len) * 1000000 // SUM(occ * len)
+            AS BIGINT) AS dedup_savings_ppm
+        FROM pre GROUP BY source ORDER BY source""")),
+
     Q("x24_canonical_pick",
       // quality-aware dedup: over the d05 chain-cluster graph, keep each
       // cluster's LONGEST member (n_chars as the quality proxy, ties to
@@ -10492,6 +10608,100 @@ object SparkEntry {
           CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM picks GROUP BY 1, 2 ORDER BY lang""")),
+
+    Q("st21_stream_pii_gate",
+      // PII gate at INGEST: piiScan is a pure regex expression chain
+      // (map-only), so the SAME scrubber runs unchanged on a document
+      // stream — no shuffle, no state store, append mode: the scrub
+      // every corpus pipeline applies before text leaves the landing
+      // zone. The x14 fixture injection (the corpus carries no real
+      // PII) rides the stream unchanged; the drained sink rolls up
+      // per PII kind + the clean/total rows (the st14 shape), and the
+      // oracle recomputes every count from the raw text — batch
+      // regexes and the stream's must agree corpus-wide.
+      (s, d) => {
+        val id = col("doc_id")
+        val inj = concat(
+          col("text"),
+          when(id % 3 === 0, concat(lit(" contact user"),
+            id.cast("string"), lit("@example.com"))).otherwise(""),
+          when(id % 5 === 0, concat(lit(" call (415) 555-"),
+            lpad((id % 10000).cast("string"), 4, "0"))).otherwise(""),
+          when(id % 7 === 0, concat(lit(" from 10."),
+            (id % 200).cast("string"), lit("."),
+            (id % 250).cast("string"), lit("."),
+            (id % 100).cast("string"))).otherwise(""),
+          when(id % 11 === 0, concat(lit(" ssn 123-45-"),
+            lpad((id % 10000).cast("string"), 4, "0"))).otherwise(""))
+        val stream = streamOf(s, s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .withColumn("text", inj)
+        val annotated = Pii.piiScan(stream)
+        val sink = runBoundedStream(s, annotated, "st21_sink", "append")
+        def kindRow(kind: String) = sink.agg(
+          lit(kind).as("rule"),
+          sum(when(col(s"n_$kind") > 0, 1L).otherwise(0L)).as("n_docs"),
+          sum(col(s"n_$kind")).as("n_hits"))
+        kindRow("email")
+          .unionByName(kindRow("phone"))
+          .unionByName(kindRow("ipv4"))
+          .unionByName(kindRow("ssn"))
+          .unionByName(sink.agg(lit("_docs_clean").as("rule"),
+            sum(when(col("n_email") + col("n_phone") + col("n_ipv4") +
+              col("n_ssn") === 0, 1L).otherwise(0L)).as("n_docs"),
+            lit(0L).as("n_hits")))
+          .unionByName(sink.agg(lit("_docs_total").as("rule"),
+            count(lit(1)).as("n_docs"), lit(0L).as("n_hits")))
+          .orderBy("rule")
+      },
+      Some("""WITH injected AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                 THEN ' call (415) 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.' || (doc_id % 200) || '.'
+                   || (doc_id % 250) || '.' || (doc_id % 100) ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                 THEN ' ssn 123-45-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+          FROM documents),
+        counts AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+              AS n_email,
+            CAST(len(regexp_extract_all(t,
+              '\([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+            CAST(len(regexp_extract_all(t,
+              '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+            CAST(len(regexp_extract_all(t,
+              '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn
+          FROM injected)
+        SELECT rule, n_docs, n_hits FROM (
+          SELECT 'email' AS rule,
+            CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_docs,
+            CAST(SUM(n_email) AS BIGINT) AS n_hits FROM counts
+          UNION ALL SELECT 'phone',
+            CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(n_phone) AS BIGINT) FROM counts
+          UNION ALL SELECT 'ipv4',
+            CAST(SUM(CASE WHEN n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(n_ipv4) AS BIGINT) FROM counts
+          UNION ALL SELECT 'ssn',
+            CAST(SUM(CASE WHEN n_ssn > 0 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(n_ssn) AS BIGINT) FROM counts
+          UNION ALL SELECT '_docs_clean',
+            CAST(SUM(CASE WHEN n_email + n_phone + n_ipv4 + n_ssn = 0
+              THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(0 AS BIGINT) FROM counts
+          UNION ALL SELECT '_docs_total',
+            CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT) FROM counts)
+        ORDER BY rule""")),
 
     Q("st14_stream_quarantine",
       // row quarantine at INGEST time: Quarantine.annotate is map-only,

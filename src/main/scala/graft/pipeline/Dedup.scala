@@ -1888,6 +1888,118 @@ object Dedup {
         md5(col("__g._4").cast("binary")).as("cleaned_md5"))
   }
 
+  // ---- Content-defined chunking (Gear/FastCDC recipe) ---------------
+
+  /** One CDC chunk of a document: ordinal, byte offset, byte length,
+   *  md5 of the chunk bytes. */
+  final case class CdcChunk(
+      chunk_idx: Int, start: Int, len: Int, chunk_md5: String)
+
+  /** Deterministic 256-entry Gear table (splitmix64 of the byte value
+   *  — no RNG state, so every engine/run derives the same table). */
+  private[graft] val gearTable: Array[Long] = Array.tabulate(256) { i =>
+    var z = i.toLong + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Content-defined chunk boundaries over a byte array (the
+   *  Gear-hash/LBFS recipe storage dedup systems use): roll
+   *  h = (h << 1) + gear(b); cut after a byte where (h & mask) == 0,
+   *  subject to [minSize, maxSize]. The point of CONTENT-defined (vs
+   *  fixed-width) cuts is shift resilience: inserting a byte near the
+   *  start re-synchronizes within ~one chunk, so all later chunks
+   *  keep their hashes — fixed-width chunking would shift every
+   *  boundary and zero out dedup. maxSize forces progress through
+   *  low-entropy runs the mask never cuts. */
+  private[graft] def cdcChunkBytes(
+      bytes: Array[Byte],
+      minSize: Int,
+      maxSize: Int,
+      mask: Long): Seq[CdcChunk] = {
+    val out = Seq.newBuilder[CdcChunk]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var start = 0
+    var idx = 0
+    var h = 0L
+    var i = 0
+    def emit(end: Int): Unit = {
+      val dig = md.digest(java.util.Arrays.copyOfRange(bytes, start, end))
+      out += CdcChunk(idx, start,
+        end - start, dig.map("%02x".format(_)).mkString)
+      md.reset()
+      idx += 1
+      start = end
+      h = 0L
+    }
+    while (i < bytes.length) {
+      h = (h << 1) + gearTable(bytes(i) & 0xff)
+      i += 1
+      val len = i - start
+      if (len >= maxSize || (len >= minSize && (h & mask) == 0L)) emit(i)
+    }
+    if (start < bytes.length) emit(bytes.length)
+    out.result()
+  }
+
+  /** Chunk-grain exact dedup manifest: every doc's content-defined
+   *  chunks as (idCol, chunk_idx, start, len, chunk_md5) rows over the
+   *  UTF-8 text bytes. This is the storage-dedup face of the family —
+   *  line grain respects author boundaries ([[duplicateLines]]), span
+   *  grain finds verbatim ranges ([[substringSpansFromGrams]]); chunk
+   *  grain is what a content-addressed store dedups on, and the md5
+   *  rollup over it prices the dedup BEFORE the store is built.
+   *
+   *  Scale: the chunker is a partition-local flatMap (map-only, no
+   *  shuffle; one MessageDigest per row batch); downstream rollups
+   *  shuffle (md5, len) pairs, never chunk bytes. Null text degrades
+   *  to zero chunks. */
+  def cdcChunks(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minSize: Int = 32,
+      maxSize: Int = 256,
+      maskBits: Int = 6): DataFrame = {
+    require(minSize >= 1 && maxSize >= minSize,
+      "need 1 <= minSize <= maxSize")
+    require(maskBits >= 1 && maskBits <= 20,
+      "maskBits in [1, 20] (expected chunk ~2^maskBits bytes)")
+    val mask = (1L << maskBits) - 1L
+    val chunkUdf = udf { text: String =>
+      if (text == null) Seq.empty[CdcChunk]
+      else cdcChunkBytes(text.getBytes("UTF-8"), minSize, maxSize, mask)
+    }
+    docs.select(col(idCol), explode(chunkUdf(col(textCol))).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx"), col("__c.start"),
+        col("__c.len").cast("long").as("len"), col("__c.chunk_md5"))
+  }
+
+  /** Per-source dedup pricing over a [[cdcChunks]] frame: how many
+   *  bytes a content-addressed chunk store would save. dup_bytes =
+   *  Σ over repeated md5s of (occurrences − 1)·len — the bytes the
+   *  store never writes twice. Two metadata-thin aggregations (the
+   *  (source, md5) pre-rollup spreads hot boilerplate chunks before
+   *  the per-source fold — the duplicateLines two-phase pattern). */
+  def cdcDedupStats(
+      docs: DataFrame,
+      chunks: DataFrame,
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame =
+    chunks
+      .join(docs.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .groupBy(col(sourceCol), col("chunk_md5"))
+      .agg(count(lit(1)).as("__occ"), min(col("len")).as("__len"))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("__occ")).as("n_chunks"),
+        count(lit(1)).as("n_unique_chunks"),
+        sum(col("__occ") * col("__len")).as("total_bytes"),
+        sum((col("__occ") - 1L) * col("__len")).as("dup_bytes"))
+      .withColumn("dedup_savings_ppm",
+        expr("CAST(dup_bytes * 1000000 DIV total_bytes AS BIGINT)"))
+      .orderBy(sourceCol)
+
   /** [[duplicatedMass]] from an already-computed span set (e.g. the
    *  persisted-gram incremental path) — the rollup alone. */
   def duplicatedMassFromSpans(

@@ -77,6 +77,60 @@ object Privacy {
         quasiCols.map(col(_).asc)): _*)
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian) — the third leg
+   *  of the release triad: a class can be k-anonymous AND l-diverse
+   *  yet still leak when its sensitive-value DISTRIBUTION skews far
+   *  from the table's (all-but-one member negative-balance in a
+   *  nonneg-dominated table discloses plenty). Distance is the
+   *  ordered-attribute Earth Mover's Distance over `numBuckets`
+   *  ordinal buckets (`bucketCol` must hold ints in [0, numBuckets));
+   *  for ordered values EMD reduces to the mean absolute difference
+   *  of the cumulative distributions: Σ|P_i − Q_i| / (m−1).
+   *
+   *  Exactness: the EMD is computed in INTEGER arithmetic and floor-
+   *  quantized to ppm — emd_ppm = 10⁶·Σ|cumC_i·G − cumG_i·C| div
+   *  (C·G·(m−1)) with C = class size, G = table size — so any engine
+   *  reproduces it bit-for-bit (float division would make the
+   *  hash-compare flap). Returns classes with emd_ppm > tPpm.
+   *
+   *  Scale shape: one conditional-aggregation groupBy over the quasi
+   *  columns (m fixed count columns per class — no pivot shuffle, no
+   *  per-bucket rows), one 1-row global aggregate broadcast back; the
+   *  class frame stays |distinct quasi combinations| rows. */
+  def tClosenessViolations(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      bucketCol: String,
+      numBuckets: Int,
+      tPpm: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(numBuckets >= 2 && numBuckets <= 64,
+      "numBuckets must be in [2, 64] (m count columns per class)")
+    def bucketCounts(prefix: String) = (0 until numBuckets).map(i =>
+      sum(when(col(bucketCol) === i, 1L).otherwise(0L))
+        .as(s"$prefix$i"))
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        bucketCounts("__c"): _*)
+    val global = df.agg(count(lit(1)).as("__g_total"),
+      bucketCounts("__g"): _*)
+    // cumulative counts as expression sums over the fixed m columns
+    def cum(prefix: String, i: Int) =
+      (0 to i).map(j => col(s"$prefix$j")).reduce(_ + _)
+    val num = (0 until numBuckets - 1).map(i =>
+      abs(cum("__c", i) * col("__g_total") -
+        cum("__g", i) * col("class_size"))).reduce(_ + _)
+    classes.crossJoin(broadcast(global))
+      .withColumn("__emd_num", num)
+      .withColumn("emd_ppm",
+        expr(s"CAST(__emd_num * 1000000 DIV " +
+          s"(class_size * __g_total * ${numBuckets - 1}) AS BIGINT)"))
+      .filter(col("emd_ppm") > tPpm)
+      .select(quasiCols.map(col) ++
+        Seq(col("class_size"), col("emd_ppm")): _*)
+      .orderBy((col("emd_ppm").desc +: quasiCols.map(col(_).asc)): _*)
+  }
+
   /** One-row l-diversity summary: class count, the table's l level
    *  (min distinct sensitive over classes), and the below-floor mass. */
   def lDiversitySummary(

@@ -611,4 +611,53 @@ object Sampling {
       .withColumn("epochs",
         round(col("alloc_tokens").cast("double") / col("tokens"), 6))
   }
+
+  // ---- Rendezvous (highest-random-weight) sharding -----------------
+
+  /** Rendezvous-hash shard assignment (Thaler & Ravishankar's HRW):
+   *  each doc hashes once PER SHARD and lands on the shard with the
+   *  lexicographically greatest md5(id # shard) — the property mod-N
+   *  sharding lacks is STABILITY UNDER RESHARDING: going S → S+1
+   *  moves only ~1/(S+1) of the keys, and every moved key moves TO
+   *  the new shard (mod-N reshuffles ~all of them, invalidating every
+   *  cached/materialized shard). Map-only: the per-shard hashes build
+   *  inside one array expression and `array_max` picks the winner —
+   *  no explode, no shuffle, O(S) work per row with S ≤ 64. */
+  def rendezvousAssign(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      numShards: Int = 8,
+      shardCol: String = "shard"): DataFrame = {
+    require(numShards >= 1 && numShards <= 64,
+      "numShards must be in [1, 64] (O(S) hashes per row)")
+    val hashes = transform(
+      sequence(lit(0), lit(numShards - 1)),
+      s => struct(
+        md5(concat(col(idCol).cast("string"), lit("#"),
+          s.cast("string")).cast("binary")).as("h"),
+        s.cast("int").as("s")))
+    df.withColumn(shardCol,
+      array_max(hashes).getField("s"))
+  }
+
+  /** Resharding churn audit: assign under `fromShards` and `toShards`
+   *  and roll up the (shard_from, shard_to) movement matrix — the
+   *  artifact that proves (or refutes) a sharding scheme's stability
+   *  before a fleet re-partitions 100 TB of materialized shards. For
+   *  rendezvous going S → S+1, every off-diagonal row must land on
+   *  the NEW shard and carry ~1/(S+1) of the mass; mod-N under the
+   *  same step moves almost everything. One map-only double
+   *  assignment + one metadata-sized groupBy. */
+  def rendezvousChurn(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      fromShards: Int = 8,
+      toShards: Int = 9): DataFrame =
+    rendezvousAssign(
+        rendezvousAssign(df, idCol, fromShards, "shard_from"),
+        idCol, toShards, "shard_to")
+      .groupBy("shard_from", "shard_to")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("moved", col("shard_from") =!= col("shard_to"))
+      .orderBy("shard_from", "shard_to")
 }
