@@ -57,7 +57,8 @@ object Explain {
         "x94_pagerank_dangling", "d16_cluster_sizes",
         "x95_token_truncate",
         // round 14 (st21 absent for the memory-sink reason)
-        "x96_rendezvous_shards", "x97_t_closeness", "x98_cdc_chunks")
+        "x96_rendezvous_shards", "x97_t_closeness", "x98_cdc_chunks",
+        "x99_corpus_diff", "s20_bucketed_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

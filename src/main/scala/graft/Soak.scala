@@ -182,7 +182,11 @@ object Soak {
     // scan), CDC chunking (partition-local chunker + (md5, len)
     // rollup), and the streaming PII gate (fixed stream machinery
     // must dominate, the st20 contract)
-    "x96_rendezvous_shards", "x98_cdc_chunks", "st21_stream_pii_gate")
+    "x96_rendezvous_shards", "x98_cdc_chunks", "st21_stream_pii_gate",
+    // corpus diff (documents-keyed full-outer join on (id, md5, len))
+    // and the bucketed-join lane (lineitem-keyed: the bucketed WRITE
+    // scales with the fact table, the join stays exchange-free)
+    "x99_corpus_diff", "s20_bucketed_join")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

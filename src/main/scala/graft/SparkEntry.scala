@@ -3691,6 +3691,93 @@ object SparkEntry {
             AS BIGINT) AS dedup_savings_ppm
         FROM pre GROUP BY source ORDER BY source""")),
 
+    Q("x99_corpus_diff",
+      // corpus snapshot diff with rename attribution — the dataset-
+      // versioning report between two crawl snapshots: v2 is derived
+      // from documents by pinned rules (every 7th id gone, every
+      // (11k+3)rd re-crawled under a new id with identical bytes,
+      // every remaining 5th revised in place, 50 brand-new docs), and
+      // the diff must partition id-level churn into content-level
+      // stories: unchanged / modified / removed_gone / added_new /
+      // renamed (same md5 moved to a new id — what a naive id-diff
+      // double-counts as churn). One id-keyed full-outer join carrying
+      // (id, md5, len) + a churn-sized md5 pairing; the oracle
+      // rebuilds v2 from the same rules and replays every class.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"),
+            coalesce(col("text"), lit("")).as("text"))
+        val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+        val id = col("doc_id")
+        val keep = docs.filter(id % 7 =!= 0 && id % 11 =!= 3 &&
+          id % 5 =!= 0)
+        val revised = docs.filter(id % 7 =!= 0 && id % 11 =!= 3 &&
+            id % 5 === 0)
+          .select(id, concat(col("text"), lit(" rev2")).as("text"))
+        val moved = docs.filter(id % 7 =!= 0 && id % 11 === 3)
+          .select((id + off).as("doc_id"), col("text"))
+        val fresh = s.range(50)
+          .select((lit(2L * off) + col("id")).as("doc_id"),
+            concat(lit("brand new doc "), col("id").cast("string"))
+              .as("text"))
+        val v2 = keep.unionByName(revised).unionByName(moved)
+          .unionByName(fresh)
+        graft.pipeline.CorpusDiff.diffSummary(docs, v2)
+      },
+      Some("""WITH mx AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+        v1 AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        v2 AS (
+          SELECT doc_id, text FROM v1
+            WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 3 AND doc_id % 5 <> 0
+          UNION ALL
+          SELECT doc_id, text || ' rev2' FROM v1
+            WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 3 AND doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + (SELECT off FROM mx), text FROM v1
+            WHERE doc_id % 7 <> 0 AND doc_id % 11 = 3
+          UNION ALL
+          SELECT 2 * (SELECT off FROM mx) + k, 'brand new doc ' || k
+          FROM (SELECT range AS k FROM range(0, 50))),
+        cls AS (
+          SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+            CASE WHEN v1.doc_id IS NULL THEN 'added'
+                 WHEN v2.doc_id IS NULL THEN 'removed'
+                 WHEN md5(v1.text) = md5(v2.text) THEN 'unchanged'
+                 ELSE 'modified' END AS change,
+            md5(v1.text) AS h1, md5(v2.text) AS h2,
+            CAST(COALESCE(LENGTH(v2.text), LENGTH(v1.text)) AS BIGINT)
+              AS n_chars
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id),
+        base AS (SELECT change, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM cls GROUP BY change),
+        rh AS (SELECT h1 AS h, CAST(COUNT(*) AS BIGINT) AS nr,
+            CAST(SUM(n_chars) AS BIGINT) AS br
+          FROM cls WHERE change = 'removed' GROUP BY h1),
+        ah AS (SELECT h2 AS h, CAST(COUNT(*) AS BIGINT) AS na,
+            CAST(SUM(n_chars) AS BIGINT) AS ba
+          FROM cls WHERE change = 'added' GROUP BY h2),
+        ren AS (SELECT
+            CAST(COALESCE(SUM(LEAST(nr, na)), 0) AS BIGINT) AS n_renamed,
+            CAST(COALESCE(SUM(CAST(LEAST(nr, na) * (ba / na) AS BIGINT)),
+              0) AS BIGINT) AS b_renamed
+          FROM rh JOIN ah USING (h))
+        SELECT change_out AS change, n_docs_out AS n_docs,
+          chars_out AS total_chars FROM (
+          SELECT CASE WHEN base.change = 'added' THEN 'added_new'
+                      WHEN base.change = 'removed' THEN 'removed_gone'
+                      ELSE base.change END AS change_out,
+            CASE WHEN base.change IN ('added', 'removed')
+              THEN base.n_docs - ren.n_renamed
+              ELSE base.n_docs END AS n_docs_out,
+            CASE WHEN base.change IN ('added', 'removed')
+              THEN base.total_chars - ren.b_renamed
+              ELSE base.total_chars END AS chars_out
+          FROM base, ren
+          UNION ALL
+          SELECT 'renamed', n_renamed, b_renamed FROM ren)
+        ORDER BY change""")),
+
     Q("x24_canonical_pick",
       // quality-aware dedup: over the d05 chain-cluster graph, keep each
       // cluster's LONGEST member (n_chars as the quality proxy, ties to
@@ -7639,6 +7726,56 @@ object SparkEntry {
         FROM counts c JOIN tot t USING (column_name)
         JOIN expt e USING (digit)
         ORDER BY column_name, digit""")),
+
+    Q("s20_bucketed_join",
+      // bucketed co-located join — THE shuffle-elimination lane for a
+      // fact table joined repeatedly on the same key at 100 TB: write
+      // lineitem and orders bucketed (and sorted) by the order key,
+      // and the join plans with ZERO exchanges on either side (the
+      // bucketed scans are already hash-distributed AND sorted — the
+      // sort-merge join consumes them in place; Round14bSpec pins the
+      // no-Exchange, no-Sort plan shape). Every subsequent same-key
+      // join/aggregation over these tables inherits the free
+      // co-location — the amortized win bucketing exists for. The
+      // oracle computes the same rollup from the raw parquet: results
+      // must be layout-independent.
+      (s, d) => {
+        val state = freshState(s, "s20")
+        val li = t(s, d, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+        val ord = t(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority")
+        li.write.mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", state + "/li")
+          .saveAsTable("graft_s20_li")
+        ord.write.mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", state + "/ord")
+          .saveAsTable("graft_s20_ord")
+        // merge hint: at fixture scale the planner would BROADCAST the
+        // orders side (correct for 8 MB, but it disables bucketed
+        // reads); the strategy under test is the one a 100 TB join
+        // has no choice about — sort-merge over co-bucketed scans
+        s.table("graft_s20_li").hint("merge")
+          .join(s.table("graft_s20_ord"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(28,6)"))
+              .cast("double").as("sum_qty"),
+            round(sum(col("l_extendedprice").cast("decimal(28,6)"))
+              .cast("double"), 2).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+          CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+            AS sum_qty,
+          ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)))
+            AS DOUBLE), 2) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     Q("s19_orc_roundtrip",
       // ORC — the fifth source leg (parquet/JSONL/JDBC/CSV/ORC), for
