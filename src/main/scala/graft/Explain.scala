@@ -58,7 +58,8 @@ object Explain {
         "x95_token_truncate",
         // round 14 (st21 absent for the memory-sink reason)
         "x96_rendezvous_shards", "x97_t_closeness", "x98_cdc_chunks",
-        "x99_corpus_diff", "s20_bucketed_join")
+        "x99_corpus_diff", "s20_bucketed_join", "p44_key_skew",
+        "x100_linkage_weights")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

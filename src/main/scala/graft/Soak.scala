@@ -186,7 +186,10 @@ object Soak {
     // corpus diff (documents-keyed full-outer join on (id, md5, len))
     // and the bucketed-join lane (lineitem-keyed: the bucketed WRITE
     // scales with the fact table, the join stays exchange-free)
-    "x99_corpus_diff", "s20_bucketed_join")
+    "x99_corpus_diff", "s20_bucketed_join",
+    // the skew audit (documents-keyed single aggregate — must ride
+    // the scan). x100 keys on supplier, mirrored verbatim.
+    "p44_key_skew")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -3778,6 +3778,115 @@ object SparkEntry {
           SELECT 'renamed', n_renamed, b_renamed FROM ren)
         ORDER BY change""")),
 
+    Q("x100_linkage_weights",
+      // Fellegi–Sunter per-field m/u weight estimation — the
+      // probabilistic layer over x58's deterministic entity
+      // resolution: m = P(agree | match), u = P(agree | non-match)
+      // per field, the two numbers whose ratio orders every linkage
+      // decision. Labeled fixture from supplier: record 2k is the
+      // original, 2k+1 its variant (name + ' inc'; nation re-registered
+      // for every 3rd supplier, balance bucket shifted for every 4th),
+      // so the true m vector is known by construction (name 1.0,
+      // nation ~2/3, balance ~3/4) while u falls out of the
+      // cross-pairs (nation collides at ~1/25). Candidates block
+      // on a uniform suppkey residue — NOT a realistic blocking key,
+      // chosen so match AND non-match pairs exist at every fixture
+      // scale (md5-prefix blocking yields zero non-matches at
+      // sf0.001, and u over an empty class is undefined). ONE
+      // aggregate produces every field's counters; ppm by integer
+      // floor division.
+      (s, d) => {
+        val base = t(s, d, "supplier").select(col("s_suppkey"),
+          concat(substring(md5(col("s_suppkey").cast("string")), 1, 12),
+            lit(" "), col("s_name")).as("name"),
+          col("s_nationkey").cast("long").as("nation"),
+          floor(col("s_acctbal") / 1000).cast("long").as("bal"))
+        val recs = base.select(
+            (col("s_suppkey") * 2).as("record_id"), col("name"),
+            col("nation"), col("bal"),
+            (col("s_suppkey") % 5).as("blk"))
+          .unionByName(base.select(
+            (col("s_suppkey") * 2 + 1).as("record_id"),
+            concat(col("name"), lit(" inc")).as("name"),
+            when(col("s_suppkey") % 3 === 0, col("nation") + 1L)
+              .otherwise(col("nation")).as("nation"),
+            when(col("s_suppkey") % 4 === 0, col("bal") + 1L)
+              .otherwise(col("bal")).as("bal"),
+            (col("s_suppkey") % 5).as("blk")))
+        val a = recs.select(col("record_id").as("id_a"),
+          col("name").as("na"), col("nation").as("nta"),
+          col("bal").as("ba"), col("blk"))
+        val b = recs.select(col("record_id").as("id_b"),
+          col("name").as("nb"), col("nation").as("ntb"),
+          col("bal").as("bb"), col("blk"))
+        val pairs = a.join(b, Seq("blk"))
+          .filter(col("id_a") < col("id_b"))
+          .select(
+            expr("(id_a DIV 2) = (id_b DIV 2)").as("is_match"),
+            (substring(col("na"), 1, 12) === substring(col("nb"), 1, 12))
+              .as("agree_name"),
+            (col("nta") === col("ntb")).as("agree_nation"),
+            (col("ba") === col("bb")).as("agree_bal"))
+        graft.pipeline.EntityResolution.linkageFieldWeights(
+          pairs, "is_match", Seq("agree_name", "agree_nation",
+            "agree_bal"))
+      },
+      Some("""WITH base AS (SELECT s_suppkey,
+            substring(md5(CAST(s_suppkey AS VARCHAR)), 1, 12)
+              || ' ' || s_name AS name,
+            CAST(s_nationkey AS BIGINT) AS nation,
+            CAST(FLOOR(s_acctbal / 1000) AS BIGINT) AS bal
+          FROM supplier),
+        recs AS (
+          SELECT s_suppkey * 2 AS record_id, name, nation, bal,
+            s_suppkey % 5 AS blk FROM base
+          UNION ALL
+          SELECT s_suppkey * 2 + 1, name || ' inc',
+            CASE WHEN s_suppkey % 3 = 0 THEN nation + 1
+              ELSE nation END,
+            CASE WHEN s_suppkey % 4 = 0 THEN bal + 1 ELSE bal END,
+            s_suppkey % 5 FROM base),
+        pairs AS (
+          SELECT (a.record_id // 2) = (b.record_id // 2) AS is_match,
+            substring(a.name, 1, 12) = substring(b.name, 1, 12)
+              AS agree_name,
+            a.nation = b.nation AS agree_nation,
+            a.bal = b.bal AS agree_bal
+          FROM recs a JOIN recs b
+            ON a.blk = b.blk AND a.record_id < b.record_id),
+        agg AS (SELECT
+            CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+              AS nm,
+            CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END)
+              AS BIGINT) AS nu,
+            CAST(SUM(CASE WHEN is_match AND agree_name
+              THEN 1 ELSE 0 END) AS BIGINT) AS am_name,
+            CAST(SUM(CASE WHEN NOT is_match AND agree_name
+              THEN 1 ELSE 0 END) AS BIGINT) AS au_name,
+            CAST(SUM(CASE WHEN is_match AND agree_nation
+              THEN 1 ELSE 0 END) AS BIGINT) AS am_nation,
+            CAST(SUM(CASE WHEN NOT is_match AND agree_nation
+              THEN 1 ELSE 0 END) AS BIGINT) AS au_nation,
+            CAST(SUM(CASE WHEN is_match AND agree_bal
+              THEN 1 ELSE 0 END) AS BIGINT) AS am_bal,
+            CAST(SUM(CASE WHEN NOT is_match AND agree_bal
+              THEN 1 ELSE 0 END) AS BIGINT) AS au_bal
+          FROM pairs)
+        SELECT field, n_matches, n_nonmatches, m_ppm, u_ppm FROM (
+          SELECT 'agree_bal' AS field, nm AS n_matches,
+            nu AS n_nonmatches,
+            CAST(am_bal * 1000000 // nm AS BIGINT) AS m_ppm,
+            CAST(au_bal * 1000000 // nu AS BIGINT) AS u_ppm FROM agg
+          UNION ALL
+          SELECT 'agree_name', nm, nu,
+            CAST(am_name * 1000000 // nm AS BIGINT),
+            CAST(au_name * 1000000 // nu AS BIGINT) FROM agg
+          UNION ALL
+          SELECT 'agree_nation', nm, nu,
+            CAST(am_nation * 1000000 // nm AS BIGINT),
+            CAST(au_nation * 1000000 // nu AS BIGINT) FROM agg)
+        ORDER BY field""")),
+
     Q("x24_canonical_pick",
       // quality-aware dedup: over the d05 chain-cluster graph, keep each
       // cluster's LONGEST member (n_chars as the quality proxy, ties to
@@ -7687,6 +7796,26 @@ object SparkEntry {
              CAST(CEIL(2.718281828459045 * n.n / 256.0) AS BIGINT))
             AS within_bound
         FROM ex e JOIN est USING (value), n ORDER BY e.value""")),
+
+    Q("p44_key_skew",
+      // shuffle-key skew audit: the pre-flight check before a groupBy/
+      // join key is trusted at cluster scale. documents.lang is the
+      // corpus's genuinely skewed key (en carries ~2x the average
+      // language's rows), so the advisory is non-vacuous: salt 2-3 for
+      // en, 1 for the rest. Integer ppm/ceiling arithmetic — the
+      // advisory is engine-exact, not a float estimate.
+      (s, d) => graft.operators.SkewAudit.keySkew(
+        t(s, d, "documents"), Seq("lang"), topK = 10),
+      Some("""WITH counts AS (SELECT lang,
+            CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM documents GROUP BY lang),
+        g AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+            CAST(COUNT(*) AS BIGINT) AS nk FROM counts)
+        SELECT lang, n_rows,
+          CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+          CAST(GREATEST(1, (n_rows * nk + total - 1) // total)
+            AS BIGINT) AS salt_suggested
+        FROM counts, g ORDER BY n_rows DESC, lang LIMIT 10""")),
 
     Q("p43_benford",
       // Benford first-significant-digit audit (fabricated-data /

@@ -64,4 +64,60 @@ object EntityResolution {
     assigned.join(sizes, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("n_members"))
   }
+
+  // ---- Fellegi–Sunter linkage weights --------------------------------
+
+  /** Per-field Fellegi–Sunter weight estimation over a LABELED
+   *  candidate-pair frame: for each agreement column, m = P(fields
+   *  agree | pair is a match) and u = P(agree | non-match) — the two
+   *  numbers whose log-ratio orders every probabilistic linkage
+   *  decision (a field with m≈1, u≈0 is discriminating; m≈u carries
+   *  nothing). Estimated SUPERVISED from `labelCol` (the EM variant is
+   *  a driver loop over exactly this aggregate; given labels, the
+   *  closed form is one pass). Output one row per field:
+   *  (field, n_matches, n_nonmatches, m_ppm, u_ppm) — ppm by INTEGER
+   *  floor division, so any engine reproduces the estimate exactly.
+   *
+   *  Scale shape: ONE aggregate over the candidate frame produces
+   *  every field's four counters (conditional sums, map-side
+   *  combined); the per-field unpivot runs on that single row. */
+  def linkageFieldWeights(
+      pairs: DataFrame,
+      labelCol: String,
+      agreeCols: Seq[String]): DataFrame = {
+    require(agreeCols.nonEmpty, "need at least one agreement column")
+    val aggs = Seq(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("__nm"),
+      sum(when(!col(labelCol), 1L).otherwise(0L)).as("__nu")) ++
+      agreeCols.flatMap(f => Seq(
+        sum(when(col(labelCol) && col(f), 1L).otherwise(0L))
+          .as(s"__am_$f"),
+        sum(when(!col(labelCol) && col(f), 1L).otherwise(0L))
+          .as(s"__au_$f")))
+    val one = pairs.agg(aggs.head, aggs.tail: _*)
+    agreeCols.map { f =>
+      one.select(lit(f).as("field"),
+        col("__nm").as("n_matches"),
+        col("__nu").as("n_nonmatches"),
+        expr(s"CAST(__am_$f * 1000000 DIV __nm AS BIGINT)").as("m_ppm"),
+        expr(s"CAST(__au_$f * 1000000 DIV __nu AS BIGINT)").as("u_ppm"))
+    }.reduce(_ unionByName _).orderBy("field")
+  }
+
+  /** Agreement-pattern rollup — the evidence table behind the weights:
+   *  one row per distinct agreement vector with its pair count, match
+   *  count, and exact match rate in ppm. The pattern frame is at most
+   *  2^|fields| rows of metadata. */
+  def linkagePatterns(
+      pairs: DataFrame,
+      labelCol: String,
+      agreeCols: Seq[String]): DataFrame = {
+    require(agreeCols.nonEmpty, "need at least one agreement column")
+    pairs.groupBy(agreeCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_matches"))
+      .withColumn("match_rate_ppm",
+        expr("CAST(n_matches * 1000000 DIV n_pairs AS BIGINT)"))
+      .orderBy(agreeCols.map(col(_).asc): _*)
+  }
 }

@@ -63,6 +63,50 @@ class Round14bSpec extends AnyFunSuite {
     assert(got == Seq(("renamed", 0L), ("unchanged", 2L)))
   }
 
+  test("keySkew: hand-computed shares and salt on a crafted skew") {
+    // 60 hot + 20 + 20 rows over 3 keys: mean ~33.3; salt(hot) =
+    // ceil(60*3/100) = 2; salt(cold) = ceil(20*3/100) = 1
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(20)("a") ++
+      Seq.fill(20)("b")).toDF("k")
+    val got = graft.operators.SkewAudit.keySkew(df, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("hot", 60L, 600000L, 2L),
+      ("a", 20L, 200000L, 1L),
+      ("b", 20L, 200000L, 1L)))
+  }
+
+  test("linkageFieldWeights: exact m/u from a labeled pair set") {
+    // 4 matches (field1 agrees 3/4, field2 1/4), 2 non-matches
+    // (field1 agrees 1/2, field2 0/2)
+    val pairs = Seq(
+      (true, true, true), (true, true, false), (true, true, false),
+      (true, false, false),
+      (false, true, false), (false, false, false)
+    ).toDF("is_match", "f1", "f2")
+    val got = graft.pipeline.EntityResolution.linkageFieldWeights(
+        pairs, "is_match", Seq("f1", "f2"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("f1", 4L, 2L, 750000L, 500000L),
+      ("f2", 4L, 2L, 250000L, 0L)))
+  }
+
+  test("linkagePatterns: evidence table with exact match rates") {
+    val pairs = Seq(
+      (true, true), (true, true), (false, true), (false, false)
+    ).toDF("is_match", "f1")
+    val got = graft.pipeline.EntityResolution.linkagePatterns(
+        pairs, "is_match", Seq("f1"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (false, 1L, 0L, 0L),        // disagree: 1 pair, no matches
+      (true, 3L, 2L, 666666L)))   // agree: 3 pairs, 2 matches
+  }
+
   test("corpusDiff: null text degrades to the empty doc") {
     val v1 = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val v2 = Seq((1L, "")).toDF("doc_id", "text")
