@@ -189,7 +189,9 @@ object Soak {
     "x99_corpus_diff", "s20_bucketed_join",
     // the skew audit (documents-keyed single aggregate — must ride
     // the scan). x100 keys on supplier, mirrored verbatim.
-    "p44_key_skew")
+    "p44_key_skew",
+    // LPA (documents-keyed clique graph; per-round |E| join like x88)
+    "x101_label_propagation")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

@@ -3887,6 +3887,64 @@ object SparkEntry {
             CAST(au_nation * 1000000 // nu AS BIGINT) FROM agg)
         ORDER BY field""")),
 
+    Q("x101_label_propagation",
+      // label-propagation communities (Raghavan et al.) — the
+      // density-aware complement of d05's connected components: the
+      // fixture builds 5-cliques (one per 20-id block) joined by thin
+      // one-edge bridges; components would merge the whole chain of
+      // cliques into one blob, LPA keeps each clique its own
+      // community because 4 clique neighbors outvote 1 bridge
+      // neighbor. Deterministic min-label tie-break, fixed 3
+      // synchronous rounds — the oracle unrolls the identical
+      // recurrence iteration by iteration.
+      (s, d) => {
+        val members = t(s, d, "documents")
+          .filter(col("doc_id") % 20 < 5)
+          .select(col("doc_id"), expr("doc_id DIV 20").as("blk"))
+        val a = members.select(col("doc_id").as("src"), col("blk"))
+        val b = members.select(col("doc_id").as("dst"), col("blk"))
+        val clique = a.join(b, Seq("blk"))
+          .filter(col("src") < col("dst")).select("src", "dst")
+        val bridge = members.filter(col("doc_id") % 20 === 4)
+          .select(col("doc_id").as("src"),
+            (col("doc_id") + 16L).as("dst"))
+          .join(members.select(col("doc_id").as("dst")), Seq("dst"))
+          .select("src", "dst")
+        LinkGraph.labelPropagation(
+            clique.unionByName(bridge), iterations = 3)
+          .select(col("node").as("doc_id"), col("community"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH members AS (SELECT doc_id, doc_id // 20 AS blk
+          FROM documents WHERE doc_id % 20 < 5),
+        cl AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM members a JOIN members b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        br AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM members a JOIN members b ON b.doc_id = a.doc_id + 16
+          WHERE a.doc_id % 20 = 4),
+        e AS (SELECT src, dst FROM cl UNION ALL
+          SELECT src, dst FROM br),
+        und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+        c1 AS (SELECT u.src, l.label, COUNT(*) AS cnt
+          FROM und u JOIN l0 l ON u.dst = l.node GROUP BY 1, 2),
+        l1 AS (SELECT src AS node, label FROM (
+          SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY cnt DESC, label ASC) AS rn FROM c1) WHERE rn = 1),
+        c2 AS (SELECT u.src, l.label, COUNT(*) AS cnt
+          FROM und u JOIN l1 l ON u.dst = l.node GROUP BY 1, 2),
+        l2 AS (SELECT src AS node, label FROM (
+          SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY cnt DESC, label ASC) AS rn FROM c2) WHERE rn = 1),
+        c3 AS (SELECT u.src, l.label, COUNT(*) AS cnt
+          FROM und u JOIN l2 l ON u.dst = l.node GROUP BY 1, 2),
+        l3 AS (SELECT src AS node, label FROM (
+          SELECT src, label, ROW_NUMBER() OVER (PARTITION BY src
+            ORDER BY cnt DESC, label ASC) AS rn FROM c3) WHERE rn = 1)
+        SELECT node AS doc_id, CAST(label AS BIGINT) AS community
+        FROM l3 ORDER BY doc_id""")),
+
     Q("x24_canonical_pick",
       // quality-aware dedup: over the d05 chain-cluster graph, keep each
       // cluster's LONGEST member (n_chars as the quality proxy, ties to

@@ -213,6 +213,53 @@ object LinkGraph {
         col("auth").as("auth_micro"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et
+   *  al.) — the DENSITY-aware complement of connected components:
+   *  components merge anything reachable, LPA lets tightly-knit
+   *  regions keep their own label across a thin bridge (two cliques
+   *  joined by one edge stay two communities), the structure that
+   *  separates organic topic clusters from link chains. Every node
+   *  starts as its own label; each round it adopts its neighbors'
+   *  MOST FREQUENT label (ties to the smallest — fully deterministic,
+   *  so any engine replays the fixed-iteration run exactly; no
+   *  RNG tie-breaks).
+   *
+   *  Scale: per round one |E|-row join of the undirected edge frame
+   *  to the label vector + a (node, label)-keyed count + a per-node
+   *  argmax — the PageRank iteration shape carrying (long, long)
+   *  pairs; `checkpointEvery` cuts lineage on deep runs like every
+   *  other iterative operator here. Returns (node, community). */
+  def labelPropagation(
+      edges: DataFrame,
+      iterations: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      checkpointEvery: Int = 5): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct()
+    val und = e.union(e.select(col("dst").as("src"),
+      col("src").as("dst"))).distinct()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (i <- 1 to iterations) {
+      val picked = und
+        .join(labels.select(col("node").as("dst"), col("label")),
+          Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        // max over (cnt, -label): max count, ties to the SMALLEST label
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+      labels =
+        if (i % checkpointEvery == 0) picked.localCheckpoint()
+        else picked
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over the
    *  UNDIRECTED simple graph (self-loops dropped, direction and
    *  duplicates collapsed) — the graph-motif signal for link-spam and

@@ -107,6 +107,27 @@ class Round14bSpec extends AnyFunSuite {
       (true, 3L, 2L, 666666L)))   // agree: 3 pairs, 2 matches
   }
 
+  test("labelPropagation: cliques survive a thin bridge; components merge") {
+    // two 4-cliques {0..3} and {10..13} joined by ONE bridge 3-10
+    val cliqueEdges = for {
+      base <- Seq(0L, 10L); i <- 0 until 4; j <- i + 1 until 4
+    } yield (base + i, base + j)
+    val edges = (cliqueEdges :+ (3L, 10L)).toDF("src", "dst")
+    val lpa = graft.pipeline.LinkGraph.labelPropagation(edges,
+        iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // density wins: each clique keeps one community, and they differ
+    assert(Seq(0L, 1L, 2L, 3L).map(lpa).distinct.size == 1)
+    assert(Seq(10L, 11L, 12L, 13L).map(lpa).distinct.size == 1)
+    assert(lpa(0L) != lpa(10L))
+    // the contrast: connected components merge the whole thing
+    val cc = graft.pipeline.Dedup.duplicateClusters(
+        edges.select(col("src").as("id_a"), col("dst").as("id_b")),
+        "id_a", "id_b")
+      .select("cluster_id").distinct().count()
+    assert(cc == 1L)
+  }
+
   test("corpusDiff: null text degrades to the empty doc") {
     val v1 = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val v2 = Seq((1L, "")).toDF("doc_id", "text")
