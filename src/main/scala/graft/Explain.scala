@@ -59,7 +59,8 @@ object Explain {
         // round 14 (st21 absent for the memory-sink reason)
         "x96_rendezvous_shards", "x97_t_closeness", "x98_cdc_chunks",
         "x99_corpus_diff", "s20_bucketed_join", "p44_key_skew",
-        "x100_linkage_weights", "x101_label_propagation")
+        "x100_linkage_weights", "x101_label_propagation",
+        "e24_ivf_nprobe_curve")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -191,7 +191,10 @@ object Soak {
     // the scan). x100 keys on supplier, mirrored verbatim.
     "p44_key_skew",
     // LPA (documents-keyed clique graph; per-round |E| join like x88)
-    "x101_label_propagation")
+    "x101_label_propagation",
+    // the nprobe curve (embeddings-keyed: 4 celled probes + one
+    // broadcast brute-force eval arm — linear in corpus at fixed k)
+    "e24_ivf_nprobe_curve")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

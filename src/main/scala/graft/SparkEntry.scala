@@ -5743,6 +5743,82 @@ object SparkEntry {
         FROM scored WHERE cos >= CAST(0.9 AS DOUBLE)
         ORDER BY corpus_id, bench_id""")),
 
+    Q("e24_ivf_nprobe_curve",
+      // the IVF tuning curve — recall@10 as a function of nprobe
+      // (1/2/4/8 cells probed), the measurement that picks the
+      // recall/cost point BEFORE a 100 TB index serves traffic
+      // (nprobe is THE knob: cells probed scale cost linearly while
+      // recall saturates). Completes the calibration-curve family
+      // (d14 MinHash threshold sweep, x77 sketch calibration, e17
+      // single-point recall). The four approx top-10 sets persist
+      // under their nprobe label; the oracle re-derives exact ground
+      // truth from scratch and replays every hit count. The curve
+      // must be monotone non-decreasing in nprobe by construction
+      // (probed cell sets are nested) — a non-monotone row is an
+      // index bug, not noise.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 25)
+        val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+        val index = Similarity.ivfBuild(emb, k = 16)
+        val approx = Seq(1, 2, 4, 8).map(np =>
+            Similarity.ivfTopK(index, queries, k = 10, nprobe = np)
+              .select(lit(np).as("nprobe"), col("query_id"),
+                col("neighbor_id")))
+          .reduce(_ unionByName _)
+        val state = freshState(s, "e24")
+        approx.write.mode("overwrite").parquet(state + "/approx")
+        val ap = s.read.parquet(state + "/approx")
+        val hits = ap
+          .join(exact.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"))
+          .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+        ap.groupBy("nprobe").agg(count(lit(1)).as("n_returned"))
+          .join(hits, Seq("nprobe"), "left")
+          .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+          .crossJoin(broadcast(
+            exact.agg(count(lit(1)).as("n_exact"))))
+          .withColumn("recall_ppm",
+            expr("CAST(n_hits * 1000000 DIV n_exact AS BIGINT)"))
+          .select("nprobe", "n_returned", "n_hits", "n_exact",
+            "recall_ppm")
+          .orderBy("nprobe")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 25),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+          FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.neighbor_id,
+            list_sum(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+            (SQRT(list_sum(list_transform(qe,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(list_sum(list_transform(ce,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM q, c WHERE q.query_id <> c.neighbor_id),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 10),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+        ap AS (SELECT nprobe, query_id, neighbor_id FROM read_parquet(
+          '/tmp/graft_qstate/e24/approx/*.parquet')),
+        tot AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_returned
+          FROM ap GROUP BY nprobe),
+        hit AS (SELECT ap.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM ap JOIN exact USING (query_id, neighbor_id)
+          GROUP BY ap.nprobe)
+        SELECT tot.nprobe, tot.n_returned,
+          COALESCE(hit.n_hits, 0) AS n_hits, ne.n_exact,
+          CAST(COALESCE(hit.n_hits, 0) * 1000000 // ne.n_exact
+            AS BIGINT) AS recall_ppm
+        FROM tot LEFT JOIN hit ON tot.nprobe = hit.nprobe, ne
+        ORDER BY tot.nprobe""")),
+
     Q("e17_ann_recall",
       // ANN index-quality evaluation: recall@10 of the LSH (e03) and
       // IVF (e05) candidate generators against brute-force ground
