@@ -55,17 +55,27 @@ object CorpusDiff {
       v2: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val cls = classify(v1, v2, idCol, textCol)
+    // the classification frame feeds TWO independent rollups (the
+    // change-type base and the rename pairing); without a lineage cut
+    // each consumer would recompute the id-keyed full-outer join —
+    // the skinny (id, change, md5, len) frame is far cheaper to
+    // materialize once than to join twice at corpus scale
+    val cls = classify(v1, v2, idCol, textCol).localCheckpoint()
     val base = cls.groupBy("change")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
-    // per-content-hash rename pairing over the (small) churn classes
-    val removedH = cls.filter(col("change") === "removed")
-      .groupBy(col("__h1").as("__h"))
-      .agg(count(lit(1)).as("__nr"), sum("n_chars").as("__br"))
-    val addedH = cls.filter(col("change") === "added")
-      .groupBy(col("__h2").as("__h"))
-      .agg(count(lit(1)).as("__na"), sum("n_chars").as("__ba"))
-    val renamed = removedH.join(addedH, Seq("__h"))
+    // per-content-hash rename pairing over the churn classes: ONE
+    // pass builds both sides' per-md5 counters as conditional sums
+    // (no removed⋈added join — the pairing is a same-group min)
+    val renamed = cls.filter(col("change").isin("removed", "added"))
+      .groupBy(coalesce(col("__h1"), col("__h2")).as("__h"))
+      .agg(
+        sum(when(col("change") === "removed", 1L).otherwise(0L))
+          .as("__nr"),
+        sum(when(col("change") === "added", 1L).otherwise(0L))
+          .as("__na"),
+        sum(when(col("change") === "added", col("n_chars"))
+          .otherwise(0L)).as("__ba"))
+      .filter(col("__nr") > 0 && col("__na") > 0)
       .select(least(col("__nr"), col("__na")).as("__n"),
         // char mass of the paired copies, charged once (sides agree:
         // same hash, same bytes — per-copy mass is __ba / __na)

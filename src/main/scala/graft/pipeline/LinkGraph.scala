@@ -239,8 +239,12 @@ object LinkGraph {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct()
+    // every iteration joins the undirected frame — cut its lineage
+    // ONCE so rounds re-read an edges-sized materialization instead
+    // of re-running the distinct/union (and whatever derivation
+    // produced `edges`) per round
     val und = e.union(e.select(col("dst").as("src"),
-      col("src").as("dst"))).distinct()
+      col("src").as("dst"))).distinct().localCheckpoint()
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
     for (i <- 1 to iterations) {
