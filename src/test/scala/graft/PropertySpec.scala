@@ -235,4 +235,75 @@ class PropertySpec extends AnyFunSuite {
       assert(again == fwd, s"seed=$seed: widening not idempotent")
     }
   }
+
+  private val genBytes: Gen[Array[Byte]] =
+    Gen.chooseNum(0, 2000).flatMap { n =>
+      Gen.oneOf(
+        // high entropy: arbitrary bytes
+        Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)),
+        // low entropy: long runs (the maxSize-forcing worst case)
+        Gen.chooseNum(0, 3).map(b => List.fill(n)(b.toByte)))
+    }.map(_.toArray)
+
+  test("cdcChunkBytes: chunks tile the byte range exactly within " +
+      "[min, max] bounds, deterministically, for arbitrary bytes") {
+    for (seed <- 1L to 20L) {
+      val bytes = sample(genBytes, seed)
+      val cs = Dedup.cdcChunkBytes(bytes, minSize = 8, maxSize = 64,
+        mask = 15L)
+      if (bytes.isEmpty) assert(cs.isEmpty, s"seed=$seed")
+      else {
+        assert(cs.head.start == 0, s"seed=$seed")
+        assert(cs.last.start + cs.last.len == bytes.length, s"seed=$seed")
+        cs.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(a.start + a.len == b.start, s"seed=$seed: gap/overlap")
+          case _ => ()
+        }
+        cs.init.foreach(c =>
+          assert(c.len >= 8 && c.len <= 64, s"seed=$seed: ${c.len}"))
+        assert(cs.last.len <= 64 && cs.last.len >= 1, s"seed=$seed")
+        assert(cs == Dedup.cdcChunkBytes(bytes, 8, 64, 15L),
+          s"seed=$seed: not deterministic")
+      }
+    }
+  }
+
+  test("rendezvousAssign: complete, deterministic, and S -> S+1 movers " +
+      "all land on the new shard, for arbitrary id sets") {
+    for (seed <- 1L to 3L) {
+      val ids = sample(genIds, seed)
+      val df = ids.toDF("doc_id")
+      val s = 3 + (seed % 4).toInt
+      val from = Sampling.rendezvousAssign(df, "doc_id", s)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(from.keySet == ids.toSet, s"seed=$seed: rows lost")
+      assert(from.values.forall(v => v >= 0 && v < s), s"seed=$seed")
+      val to = Sampling.rendezvousAssign(df, "doc_id", s + 1)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // the HRW contract: the original shards' hashes are unchanged,
+      // so a key either keeps its shard or moves to the NEW one
+      ids.foreach { id =>
+        assert(to(id) == from(id) || to(id) == s,
+          s"seed=$seed: $id moved ${from(id)} -> ${to(id)} (not new)")
+      }
+    }
+  }
+
+  test("tClosenessViolations: a table whose every class mirrors the " +
+      "global mix has zero violations, for arbitrary class structures") {
+    import graft.pipeline.Privacy
+    for (seed <- 1L to 3L) {
+      val nGroups = 2 + (seed % 4).toInt
+      val mix = sample(Gen.listOfN(4, Gen.chooseNum(1, 5)), seed)
+      val rows = for {
+        g <- 0 until nGroups; (cnt, b) <- mix.zipWithIndex
+        _ <- 0 until cnt
+      } yield (s"g$g", b)
+      val df = rows.toDF("grp", "bk")
+      assert(Privacy.tClosenessViolations(
+        df, Seq("grp"), "bk", numBuckets = 4, tPpm = 0L).count() == 0L,
+        s"seed=$seed")
+    }
+  }
 }
