@@ -99,6 +99,33 @@ object Curate {
       .map(r => r.get(0).toString + ":" + r.getLong(1)).mkString(" ")
     println(s"[curate] epoch-0 shards written to $outDir/shards: " +
       perShard)
+
+    // 7. pre-flight scale audits on the artifact (round 14): is any
+    //    shuffle key hot enough to need salting, and how stable is the
+    //    shard layout if the fleet ever grows a shard?
+    val skew = graft.operators.SkewAudit.keySkew(train, Seq("lang"),
+      topK = 3).collect()
+      .map(r => s"${r.getString(0)}:salt=${r.getLong(3)}").mkString(" ")
+    println(s"[curate] hot-key audit on lang: $skew")
+    val churn = Sampling.rendezvousChurn(train, "doc_id",
+        fromShards = 4, toShards = 5)
+      .agg(sum(when(col("moved"), col("n_docs")).otherwise(0L)),
+        sum(col("n_docs"))).head()
+    println(s"[curate] resharding 4 -> 5 would move " +
+      s"${churn.getLong(0)} of ${churn.getLong(1)} docs " +
+      "(rendezvous: all onto the new shard)")
+
+    // 8. next crawl's delta: diff this curated snapshot against a
+    //    simulated re-crawl (every 9th doc re-crawled under a new id)
+    val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    val recrawl = train.filter(col("doc_id") % 9 =!= 0)
+      .unionByName(train.filter(col("doc_id") % 9 === 0)
+        .withColumn("doc_id", col("doc_id") + off))
+    val diff = graft.pipeline.CorpusDiff.diffSummary(train, recrawl)
+      .collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"[curate] re-crawl diff (renames must not read as churn): " +
+      s"$diff")
     println(s"[curate] done — artifacts under $outDir")
     spark.stop()
   }
