@@ -60,7 +60,10 @@ object Explain {
         "x96_rendezvous_shards", "x97_t_closeness", "x98_cdc_chunks",
         "x99_corpus_diff", "s20_bucketed_join", "p44_key_skew",
         "x100_linkage_weights", "x101_label_propagation",
-        "e24_ivf_nprobe_curve")
+        "e24_ivf_nprobe_curve",
+        // round 14 session 2
+        "b03_curation_funnel", "x102_script_mix",
+        "x103_touch_attribution")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

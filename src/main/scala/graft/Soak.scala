@@ -194,7 +194,14 @@ object Soak {
     "x101_label_propagation",
     // the nprobe curve (embeddings-keyed: 4 celled probes + one
     // broadcast brute-force eval arm — linear in corpus at fixed k)
-    "e24_ivf_nprobe_curve")
+    "e24_ivf_nprobe_curve",
+    // round-14 session 2: the composed curation funnel (documents-
+    // keyed; the near-dup posting-list join dominates, the d03/d06
+    // shape), script mix (map-only regexp counts + one rollup) and
+    // touch attribution (events-keyed ONE window sort; events mirror
+    // verbatim in the blow-up so its soak line is flat by design —
+    // the documents-keyed pair prove the data terms)
+    "b03_curation_funnel", "x102_script_mix")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry

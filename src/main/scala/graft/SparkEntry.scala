@@ -2454,7 +2454,165 @@ object SparkEntry {
         LEFT JOIN qc USING (slice_id)
         LEFT JOIN exc USING (slice_id)
         LEFT JOIN keptc USING (slice_id)
-        ORDER BY c.slice_id""")))
+        ORDER BY c.slice_id""")),
+
+    Q("b03_curation_funnel",
+      // the WHOLE batch-curation pipeline oracled as ONE query: raw →
+      // quality gate → benchmark decontamination → exact+near dedup →
+      // deterministic split, each stage pinned by (n_docs, id_sum) so
+      // the oracle verifies WHICH docs survive every gate, not just
+      // how many. Stages 1-2 replay the gates through the same public
+      // operators; stages 3-4 come from the REAL Curation.curateCorpus
+      // call — if its internal composition ever drifted from the
+      // documented semantics, this hash would break. The oracle
+      // recomputes the entire cascade from raw text in DuckDB: the
+      // x01 profile SQL feeds the quality gate, the x08 bigram-overlap
+      // shape feeds decontamination, the d02 md5 + d03 shared-shingle
+      // Jaccard shapes feed the pair graph, the d05 recursive closure
+      // dedups, and the x06 md5 buckets assign splits. LSH-candidates
+      // == all-pairs-at-j>=0.9 holds a fortiori on this subset of the
+      // corpus d03 proves it on.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        // thresholds chosen where the fixture's distributions actually
+        // bite: the synthetic text is uniformly clean (quality 0.9+),
+        // so the length floor (min 30 tokens) is the working quality
+        // gate; contamination > 0.8 drops the benchmark docs plus
+        // their true leaks, not the half-corpus a common-vocab
+        // fixture shares at 0.2
+        val cfg = Curation.CurationConfig(minTokens = 30,
+          maxContamination = Some(0.8))
+        val bench = TextAnalysis.wordNgrams(
+          docs.filter(col("doc_id") < 10)).select("ngram")
+        // staged twins of the gates (same operators, same config) —
+        // kept1 feeds two consumers (leaky + the anti-join), so cut
+        // its lineage rather than recompute the profile per consumer
+        val kept1 = TextAnalysis.profileText(docs)
+          .filter(col("quality_score") >= cfg.minQualityScore)
+          .filter(col("n_tokens") >= cfg.minTokens)
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint()
+        val leaky = TextAnalysis.contamination(kept1, bench)
+          .filter(col("contamination") > cfg.maxContamination.get)
+          .select(col("doc_id"))
+        val kept2 = kept1.join(leaky, Seq("doc_id"), "left_anti")
+        // the product call under test (dedup + split included); read
+        // twice below (funnel row + split rollup)
+        val curated = Curation.curateCorpus(docs, Some(bench), cfg)
+          .select(col("doc_id"), col("split"))
+          .localCheckpoint()
+        def stageRow(ord: Int, stage: String, df: DataFrame) =
+          df.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("doc_id")), lit(0L)).cast("long")
+                .as("id_sum"))
+            .select(lit(ord).as("stage_ord"), lit(stage).as("stage"),
+              col("n_docs"), col("id_sum"))
+        stageRow(0, "raw", docs)
+          .unionByName(stageRow(1, "quality", kept1))
+          .unionByName(stageRow(2, "decontaminated", kept2))
+          .unionByName(stageRow(3, "deduped", curated))
+          .unionByName(curated.groupBy(col("split"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("doc_id")).cast("long").as("id_sum"))
+            .select(lit(4).as("stage_ord"),
+              concat(lit("split:"), col("split")).as("stage"),
+              col("n_docs"), col("id_sum")))
+          .orderBy("stage_ord", "stage")
+      },
+      Some(s"""WITH RECURSIVE
+        prof AS (SELECT doc_id, n_tokens, quality_score
+          FROM ($duckTextProfileSql)),
+        kept1 AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN prof p USING (doc_id)
+          WHERE p.quality_score >= 0.5 AND p.n_tokens >= 30),
+        btoks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents WHERE doc_id < 10),
+        bgr AS (
+          SELECT DISTINCT w[i] || ' ' || w[i+1] AS ngram
+          FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+                FROM btoks WHERE len(w) >= 2)),
+        ktoks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM kept1),
+        grams AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS ngram
+          FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w
+                FROM ktoks WHERE len(w) >= 2)),
+        contam AS (
+          SELECT g.doc_id,
+            ROUND(CAST(COUNT(b.ngram) AS DOUBLE) / COUNT(*), 6) AS c
+          FROM grams g LEFT JOIN bgr b USING (ngram)
+          GROUP BY g.doc_id),
+        kept2 AS (
+          SELECT k.doc_id, k.text FROM kept1 k
+          WHERE k.doc_id NOT IN
+            (SELECT doc_id FROM contam WHERE c > 0.8)),
+        md5p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM kept2 a JOIN kept2 b
+            ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+        stoks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\\s+'),
+            t -> len(t) > 0) AS ts
+          FROM kept2),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+          FROM stoks WHERE len(ts) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        cp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jacp AS (
+          SELECT id_a, id_b FROM cp
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)
+            >= CAST(0.9 AS DOUBLE)),
+        allp AS (
+          SELECT id_a, id_b FROM md5p
+          UNION SELECT id_a, id_b FROM jacp),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM allp
+          UNION SELECT id_b AS src, id_a AS dst FROM allp),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        clust AS (
+          SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+          FROM reach GROUP BY src),
+        surv AS (
+          SELECT k.doc_id FROM kept2 k
+          LEFT JOIN clust c ON k.doc_id = c.doc_id
+          WHERE c.cluster_id IS NULL OR c.cluster_id = k.doc_id),
+        spl AS (
+          SELECT doc_id,
+            CASE WHEN bucket < 800 THEN 'train'
+              WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000 AS bucket
+            FROM surv))
+        SELECT CAST(0 AS INT) AS stage_ord, 'raw' AS stage,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS id_sum
+          FROM documents
+        UNION ALL SELECT 1, 'quality', CAST(COUNT(*) AS BIGINT),
+            CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM kept1
+        UNION ALL SELECT 2, 'decontaminated', CAST(COUNT(*) AS BIGINT),
+            CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM kept2
+        UNION ALL SELECT 3, 'deduped', CAST(COUNT(*) AS BIGINT),
+            CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM surv
+        UNION ALL SELECT 4, 'split:' || split, CAST(COUNT(*) AS BIGINT),
+            CAST(SUM(doc_id) AS BIGINT) FROM spl GROUP BY split
+        ORDER BY stage_ord, stage""")))
 
   // ------------------------------------------------------------------
   // T-series: trends / history analytics
@@ -3990,6 +4148,85 @@ object SparkEntry {
         SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
           (rk = 1) AS is_canonical
         FROM ranked ORDER BY doc_id""")),
+
+    Q("x102_script_mix",
+      // declared-lang vs measured-script cross-tab (crawl label
+      // hygiene): per-doc counts over four explicit BMP script blocks,
+      // dominant-script argmax (profile order breaks ties, 'none' when
+      // unscripted), mixed-script flag at >= 2 blocks present; id_sum
+      // pins WHICH docs landed in each (lang, script) cell. Map-only
+      // per-doc counts riding the scan + one metadata-sized rollup.
+      (s, d) => TextAnalysis.scriptMix(t(s, d, "documents"))
+        .orderBy("lang", "dominant_script"),
+      Some("""WITH per AS (
+          SELECT doc_id, lang,
+            len(regexp_extract_all(text, '[A-Za-z]')) AS latin,
+            len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS han,
+            len(regexp_extract_all(text, '[\x{0400}-\x{04ff}]')) AS cyr,
+            len(regexp_extract_all(text, '[\x{0600}-\x{06ff}]')) AS ara
+          FROM documents),
+        cls AS (
+          SELECT doc_id, lang, latin, han,
+            CASE
+              WHEN GREATEST(latin, han, cyr, ara) = 0 THEN 'none'
+              WHEN latin >= han AND latin >= cyr AND latin >= ara
+                THEN 'latin'
+              WHEN han >= cyr AND han >= ara THEN 'han'
+              WHEN cyr >= ara THEN 'cyrillic'
+              ELSE 'arabic' END AS dominant_script,
+            CAST(latin > 0 AS INT) + CAST(han > 0 AS INT)
+              + CAST(cyr > 0 AS INT) + CAST(ara > 0 AS INT) AS n_scripts
+          FROM per)
+        SELECT lang, dominant_script,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN n_scripts >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_mixed,
+          CAST(SUM(latin) AS BIGINT) AS latin_chars,
+          CAST(SUM(han) AS BIGINT) AS han_chars,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM cls GROUP BY lang, dominant_script
+        ORDER BY lang, dominant_script""")),
+
+    Q("x103_touch_attribution",
+      // first/last-touch conversion attribution over the event log:
+      // each purchase credits the user's first and last preceding
+      // non-purchase events (ties broken by event_id; no prior touch
+      // = '(direct)'), values summed per channel under both models
+      // side by side. ONE user-keyed window sort, no self-join; the
+      // oracle replays the identical running-window assignment.
+      (s, d) => graft.operators.Funnel.touchAttribution(eventsTable(s, d))
+        .orderBy("channel"),
+      Some("""WITH ordered AS (
+          SELECT user_id, ts, event_id, event_type, value,
+            first_value(CASE WHEN event_type <> 'purchase'
+                THEN event_type END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fc,
+            last_value(CASE WHEN event_type <> 'purchase'
+                THEN event_type END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lc
+          FROM events),
+        conv AS (
+          SELECT COALESCE(fc, '(direct)') AS fch,
+            COALESCE(lc, '(direct)') AS lch,
+            CAST(value AS DECIMAL(28,6)) AS v
+          FROM ordered WHERE event_type = 'purchase'),
+        m AS (
+          SELECT fch AS channel, 'first' AS model, v FROM conv
+          UNION ALL SELECT lch, 'last', v FROM conv)
+        SELECT channel,
+          CAST(SUM(CASE WHEN model = 'first' THEN 1 ELSE 0 END)
+            AS BIGINT) AS first_touch_conversions,
+          CAST(SUM(CASE WHEN model = 'first' THEN v
+            ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+            AS first_touch_value,
+          CAST(SUM(CASE WHEN model = 'last' THEN 1 ELSE 0 END)
+            AS BIGINT) AS last_touch_conversions,
+          CAST(SUM(CASE WHEN model = 'last' THEN v
+            ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+            AS last_touch_value
+        FROM m GROUP BY channel ORDER BY channel""")),
 
     Q("d07_cross_dedup",
       // document-level decontamination: training docs (id ≥ 10) that

@@ -90,6 +90,69 @@ object Funnel {
       .agg(countDistinct(col(userCol)).as("active_users"))
   }
 
+  /** First/last-touch conversion attribution: for every conversion
+   *  event (type == `conversionType`), the user's FIRST and LAST
+   *  preceding non-conversion events name the credited channels, and
+   *  the conversion's value is attributed to each under the two
+   *  classic single-touch models. Conversions with no preceding touch
+   *  credit the `(direct)` sentinel — losing them would overstate
+   *  every channel's share.
+   *
+   *  Output: one row per channel with
+   *  (channel, first_touch_conversions, first_touch_value,
+   *  last_touch_conversions, last_touch_value) — the side-by-side
+   *  frame a mixture/spend decision actually reads, because the two
+   *  models disagreeing IS the signal (a channel strong on last-touch
+   *  but absent on first-touch closes deals it never opens).
+   *
+   *  Scale shape: ONE user-keyed shuffle (the window sort); both
+   *  touches come from the same running `first/last(..., ignoreNulls)`
+   *  frame over rows [unbounded, -1], so the log is scanned once and
+   *  never self-joined. The two models roll up in ONE conditional
+   *  aggregation over a 2-way explode of the conversions-only frame —
+   *  not two groupBys over the windowed frame, which would recompute
+   *  the window per consumer. Ordering ties break on `eventIdCol` so
+   *  the assignment is total and engine-independent. */
+  def touchAttribution(
+      events: DataFrame,
+      conversionType: String = "purchase",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      valueCol: String = "value",
+      eventIdCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(eventIdCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= conversionType, col(typeCol))
+    events
+      .withColumn("__first", first(touch, ignoreNulls = true).over(w))
+      .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === conversionType)
+      .select(explode(array(
+        struct(lit("first").as("model"),
+          coalesce(col("__first"), lit("(direct)")).as("channel"),
+          col(valueCol).cast("decimal(28,6)").as("v")),
+        struct(lit("last").as("model"),
+          coalesce(col("__last"), lit("(direct)")).as("channel"),
+          col(valueCol).cast("decimal(28,6)").as("v")))).as("r"))
+      .select(col("r.*"))
+      .groupBy(col("channel"))
+      .agg(
+        sum(when(col("model") === "first", 1L).otherwise(0L))
+          .as("first_touch_conversions"),
+        // exact, order-independent money math: DECIMAL(28,6) partials,
+        // one double conversion at the very end
+        sum(when(col("model") === "first", col("v"))
+          .otherwise(lit(0).cast("decimal(28,6)"))).cast("double")
+          .as("first_touch_value"),
+        sum(when(col("model") === "last", 1L).otherwise(0L))
+          .as("last_touch_conversions"),
+        sum(when(col("model") === "last", col("v"))
+          .otherwise(lit(0).cast("decimal(28,6)"))).cast("double")
+          .as("last_touch_value"))
+  }
+
   /** Event volume rollup: counts and value sums by (type, day) PLUS
    *  per-type subtotals and the grand total, in ONE job — Spark's
    *  native `rollup` expands every row to its grouping sets before the

@@ -235,6 +235,54 @@ object TextAnalysis {
         coalesce(col("__l1"), col("__l2"), lit("und")).as("lang"))
   }
 
+  /** Script-composition audit: the declared-language vs measured-script
+   *  cross-tab a crawl ingest reads before trusting `lang` labels at
+   *  all. Each doc counts its characters in four explicit Unicode
+   *  blocks (latin / han / cyrillic / arabic — the same BMP ranges
+   *  [[scriptProfiles]] keys language-ID on), picks the dominant
+   *  script (argmax; ties break to the earlier profile, `none` when
+   *  the text has no scripted characters), and flags mixed-script docs
+   *  (>= 2 scripts present — the mojibake / spam / wrong-label
+   *  signature). Rolled up by (declared lang, dominant script):
+   *  a 'zh' row whose dominant script is `latin` is a mislabel bucket,
+   *  and `id_sum` pins exactly WHICH docs landed in it.
+   *
+   *  Scale shape: the per-doc counts are map-only regexp_count
+   *  expressions riding the scan; the rollup shuffles one skinny row
+   *  per doc to at most |langs| x 5 cells. */
+  def scriptMix(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val scripts = Seq(
+      "latin" -> "A-Za-z",
+      "han" -> "\\u4e00-\\u9fff",
+      "cyrillic" -> "\\u0400-\\u04ff",
+      "arabic" -> "\\u0600-\\u06ff")
+    val counts = scripts.map { case (n, r) =>
+      n -> scriptCount(col(textCol), r)
+    }
+    val best = counts.map(_._2).reduce(greatest(_, _))
+    val dominant = counts.reverse.foldLeft(lit("none"): Column) {
+      case (acc, (n, c)) => when(c === best && best > 0, lit(n))
+        .otherwise(acc)
+    }
+    val nScripts = counts
+      .map { case (_, c) => when(c > 0, 1).otherwise(0) }
+      .reduce(_ + _)
+    docs.select(col(idCol), col(langCol),
+        counts.head._2.as("__latin"), counts(1)._2.as("__han"),
+        dominant.as("dominant_script"),
+        (nScripts >= 2).cast("long").as("__mixed"))
+      .groupBy(col(langCol), col("dominant_script"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__mixed")).as("n_mixed"),
+        sum(col("__latin")).cast("long").as("latin_chars"),
+        sum(col("__han")).cast("long").as("han_chars"),
+        sum(col(idCol)).cast("long").as("id_sum"))
+  }
+
   // ---- Subword/BPE token counting (x46) -----------------------------
   //
   // Byte-pair encoding with a PLUGGABLE merges table — the standard
