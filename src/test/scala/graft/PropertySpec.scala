@@ -306,4 +306,104 @@ class PropertySpec extends AnyFunSuite {
         s"seed=$seed")
     }
   }
+
+  test("touchAttribution: both models conserve conversions and value, " +
+      "for arbitrary event logs") {
+    import graft.operators.Funnel
+    val genEvents: Gen[List[(Long, Long, Int, String, Long)]] =
+      Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, for {
+        u <- Gen.chooseNum(0L, 5L)
+        m <- Gen.chooseNum(0, 59)
+        t <- Gen.oneOf("view", "click", "purchase")
+        cents <- Gen.chooseNum(0L, 99999L)
+      } yield (u, m.toLong, 0, t, cents)))
+        .map(_.zipWithIndex.map { case ((u, m, _, t, c), i) =>
+          (i.toLong, u, m.toInt, t, c) })
+    for (seed <- 1L to 5L) {
+      val evs = sample(genEvents, seed)
+      val df = evs.map { case (id, u, m, t, c) =>
+        (id, u, java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00"),
+          t, c / 100.0)
+      }.toDF("event_id", "user_id", "ts", "event_type", "value")
+      val got = Funnel.touchAttribution(df).collect()
+      val nConv = evs.count(_._4 == "purchase").toLong
+      val vConv = BigDecimal(evs.filter(_._4 == "purchase")
+        .map(_._5).sum) / 100
+      // every conversion is attributed exactly once under EACH model —
+      // no channel double-counts it, no journey shape drops it
+      assert(got.map(_.getLong(1)).sum == nConv, s"seed=$seed first n")
+      assert(got.map(_.getLong(3)).sum == nConv, s"seed=$seed last n")
+      assert(BigDecimal(got.map(_.getDouble(2)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) == vConv,
+        s"seed=$seed first value")
+      assert(BigDecimal(got.map(_.getDouble(4)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) == vConv,
+        s"seed=$seed last value")
+      // '(direct)' never appears as a LAST-only channel without also
+      // being first: a journey with no prior touch has neither
+      val direct = got.find(_.getString(0) == "(direct)")
+      direct.foreach(r => assert(r.getLong(1) == r.getLong(3),
+        s"seed=$seed: direct first/last counts must agree"))
+    }
+  }
+
+  test("scriptMix: rollup partitions the corpus and 'none' rows carry " +
+      "zero scripted mass, for arbitrary mixed-script docs") {
+    import graft.pipeline.TextAnalysis
+    val genText: Gen[String] =
+      Gen.chooseNum(0, 20).flatMap(len => Gen.listOfN(len, Gen.oneOf(
+        Gen.alphaChar, Gen.oneOf('世', '界', '你'),
+        Gen.oneOf('п', 'р', 'и'), Gen.oneOf(' ', '1', '!')))
+        .map(_.mkString))
+    for (seed <- 1L to 5L) {
+      val docs = sample(Gen.chooseNum(1, 30).flatMap(n =>
+        Gen.listOfN(n, genText)), seed)
+        .zipWithIndex.map { case (t, i) =>
+          (i.toLong, if (i % 2 == 0) "en" else "zh", t) }
+      val df = docs.toDF("doc_id", "lang", "text")
+      val got = TextAnalysis.scriptMix(df).collect()
+      assert(got.map(_.getLong(2)).sum == docs.size.toLong,
+        s"seed=$seed: n_docs must partition the corpus")
+      assert(got.map(_.getLong(6)).sum == docs.map(_._1).sum,
+        s"seed=$seed: id_sum must partition the id mass")
+      got.foreach { r =>
+        assert(r.getLong(3) <= r.getLong(2), s"seed=$seed: mixed > docs")
+        if (r.getString(1) == "none")
+          assert(r.getLong(4) == 0L && r.getLong(5) == 0L,
+            s"seed=$seed: a 'none' cell carried scripted chars")
+      }
+    }
+  }
+
+  test("corpusDiff summary: rename mass partitions raw add/remove churn," +
+      " for arbitrary snapshot pairs") {
+    import graft.pipeline.CorpusDiff
+    val genCorpus: Gen[List[(Long, String)]] =
+      Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, for {
+        id <- Gen.chooseNum(0L, 40L)
+        t <- Gen.oneOf("alpha", "beta", "gamma", "delta")
+      } yield (id, t))).map(_.distinctBy(_._1))
+    for (seed <- 1L to 5L) {
+      val v1 = sample(genCorpus, seed)
+      val v2 = sample(genCorpus, seed + 100)
+      val d1 = v1.toDF("doc_id", "text")
+      val d2 = v2.toDF("doc_id", "text")
+      val got = CorpusDiff.diffSummary(d1, d2).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+      val ids1 = v1.map(_._1).toSet
+      val ids2 = v2.map(_._1).toSet
+      val rawAdded = (ids2 -- ids1).size.toLong
+      val rawRemoved = (ids1 -- ids2).size.toLong
+      // the five classes must partition id-level churn exactly: what
+      // rename attribution takes from added/removed it must return
+      // as renamed, once
+      assert(got("added_new") + got("renamed") == rawAdded,
+        s"seed=$seed: added mass leaked")
+      assert(got("removed_gone") + got("renamed") == rawRemoved,
+        s"seed=$seed: removed mass leaked")
+      assert(got("unchanged") + got("modified")
+        == (ids1 & ids2).size.toLong, s"seed=$seed: overlap mass leaked")
+    }
+  }
 }
