@@ -4228,6 +4228,40 @@ object SparkEntry {
             AS last_touch_value
         FROM m GROUP BY channel ORDER BY channel""")),
 
+    Q("x104_conversion_lag",
+      // the latency half of the attribution story: per first-touch
+      // channel, how long from journey start to conversion (n, min,
+      // exact interpolated median/p90, max) — lags in integer
+      // microseconds so everything but the interpolation is exact
+      // cross-engine arithmetic; direct conversions (no prior touch)
+      // have no journey start and are excluded by definition. Same
+      // ONE user-keyed window pass as x103.
+      (s, d) => graft.operators.Funnel.conversionLag(eventsTable(s, d))
+        .orderBy("channel"),
+      Some("""WITH ordered AS (
+          SELECT user_id, ts, event_id, event_type,
+            first_value(CASE WHEN event_type <> 'purchase'
+                THEN event_type END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fch,
+            first_value(CASE WHEN event_type <> 'purchase'
+                THEN ts END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fts
+          FROM events),
+        lags AS (
+          SELECT fch AS channel,
+            epoch_us(ts) - epoch_us(fts) AS lag_us
+          FROM ordered
+          WHERE event_type = 'purchase' AND fch IS NOT NULL)
+        SELECT channel,
+          CAST(COUNT(*) AS BIGINT) AS n_conversions,
+          CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
+          ROUND(quantile_cont(lag_us, 0.5), 6) AS median_lag_us,
+          ROUND(quantile_cont(lag_us, 0.9), 6) AS p90_lag_us,
+          CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
+        FROM lags GROUP BY channel ORDER BY channel""")),
+
     Q("d07_cross_dedup",
       // document-level decontamination: training docs (id ≥ 10) that
       // near-duplicate any benchmark doc (id < 10) — banded-LSH

@@ -153,6 +153,45 @@ object Funnel {
           .as("last_touch_value"))
   }
 
+  /** Time-to-convert distribution per first-touch channel — the
+   *  latency half of the attribution story ([[touchAttribution]] says
+   *  WHO gets credit; this says HOW LONG that channel takes to close):
+   *  for each conversion with at least one prior touch, the lag from
+   *  the journey's FIRST touch to the conversion, rolled up per
+   *  first-touch channel as (n, min, exact interpolated median and
+   *  p90, max). Lags are integer MICROSECONDS (exact cross-engine
+   *  arithmetic; the percentile interpolation is the only double).
+   *  Direct conversions have no journey start and are excluded by
+   *  definition. Same single user-keyed window pass as
+   *  [[touchAttribution]] — one shuffle, no self-join. */
+  def conversionLag(
+      events: DataFrame,
+      conversionType: String = "purchase",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      eventIdCol: String = "event_id"): DataFrame = {
+    val typeC = typeCol
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(eventIdCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touchType = when(col(typeC) =!= conversionType, col(typeC))
+    val touchTs = when(col(typeC) =!= conversionType, col(tsCol))
+    events
+      .withColumn("__fch", first(touchType, ignoreNulls = true).over(w))
+      .withColumn("__fts", first(touchTs, ignoreNulls = true).over(w))
+      .filter(col(typeC) === conversionType && col("__fch").isNotNull)
+      .select(col("__fch").as("channel"),
+        (unix_micros(col(tsCol)) - unix_micros(col("__fts")))
+          .as("__lag_us"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        min(col("__lag_us")).as("min_lag_us"),
+        round(expr("percentile(__lag_us, 0.5)"), 6).as("median_lag_us"),
+        round(expr("percentile(__lag_us, 0.9)"), 6).as("p90_lag_us"),
+        max(col("__lag_us")).as("max_lag_us"))
+  }
+
   /** Event volume rollup: counts and value sums by (type, day) PLUS
    *  per-type subtotals and the grand total, in ONE job — Spark's
    *  native `rollup` expands every row to its grouping sets before the

@@ -70,6 +70,31 @@ class Round14cSpec extends AnyFunSuite {
     assert(got.values.map(_._3).sum == 4L)
   }
 
+  test("conversionLag: journey-start lag per first-touch channel") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: view@1 -> purchase@3 (lag 120s), then purchase@5
+      // (SAME journey start: lag 240s) -> channel view gets both
+      (1L, 1L, ts(1), "view", 0.0),
+      (2L, 1L, ts(3), "purchase", 1.0),
+      (3L, 1L, ts(5), "purchase", 1.0),
+      // user 2: direct purchase -> excluded (no journey start)
+      (4L, 2L, ts(1), "purchase", 1.0),
+      // user 3: click@2 -> purchase@4 (lag 120s)
+      (5L, 3L, ts(2), "click", 0.0),
+      (6L, 3L, ts(4), "purchase", 1.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Funnel.conversionLag(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(5)))
+      .toMap
+    val us = 1000000L
+    // channel -> (n, min, median, max)
+    assert(got("view") == ((2L, 120L * us, 180.0 * us, 240L * us)))
+    assert(got("click") == ((1L, 120L * us, 120.0 * us, 120L * us)))
+    assert(got.size == 2) // the direct purchase is excluded
+  }
+
   test("curation funnel: stages are monotone and match curateCorpus") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
