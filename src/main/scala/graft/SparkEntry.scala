@@ -2461,10 +2461,10 @@ object SparkEntry {
       // quality gate → benchmark decontamination → exact+near dedup →
       // deterministic split, each stage pinned by (n_docs, id_sum) so
       // the oracle verifies WHICH docs survive every gate, not just
-      // how many. Stages 1-2 replay the gates through the same public
-      // operators; stages 3-4 come from the REAL Curation.curateCorpus
-      // call — if its internal composition ever drifted from the
-      // documented semantics, this hash would break. The oracle
+      // how many. EVERY stage comes from the real product cascade
+      // (Curation.curateCorpusStaged, whose `curated` IS what
+      // curateCorpus returns) — if its internal composition ever
+      // drifted from the documented semantics, this hash would break. The oracle
       // recomputes the entire cascade from raw text in DuckDB: the
       // x01 profile SQL feeds the quality gate, the x08 bigram-overlap
       // shape feeds decontamination, the d02 md5 + d03 shared-shingle
@@ -2484,21 +2484,14 @@ object SparkEntry {
           maxContamination = Some(0.8))
         val bench = TextAnalysis.wordNgrams(
           docs.filter(col("doc_id") < 10)).select("ngram")
-        // staged twins of the gates (same operators, same config) —
-        // kept1 feeds two consumers (leaky + the anti-join), so cut
-        // its lineage rather than recompute the profile per consumer
-        val kept1 = TextAnalysis.profileText(docs)
-          .filter(col("quality_score") >= cfg.minQualityScore)
-          .filter(col("n_tokens") >= cfg.minTokens)
-          .select(col("doc_id"), col("text"))
-          .localCheckpoint()
-        val leaky = TextAnalysis.contamination(kept1, bench)
-          .filter(col("contamination") > cfg.maxContamination.get)
-          .select(col("doc_id"))
-        val kept2 = kept1.join(leaky, Seq("doc_id"), "left_anti")
-        // the product call under test (dedup + split included); read
-        // twice below (funnel row + split rollup)
-        val curated = Curation.curateCorpus(docs, Some(bench), cfg)
+        // ALL four stages come from the ONE product call — the staged
+        // form checkpoints each boundary (every stage frame has >= 2
+        // consumers here: the next stage plus its funnel row), so the
+        // cascade runs each gate exactly once
+        val stages = Curation.curateCorpusStaged(docs, Some(bench), cfg)
+        val kept1 = stages.afterQuality
+        val kept2 = stages.afterDecontamination
+        val curated = stages.curated
           .select(col("doc_id"), col("split"))
           .localCheckpoint()
         def stageRow(ord: Int, stage: String, df: DataFrame) =

@@ -46,7 +46,39 @@ object Curation {
       benchmark: Option[DataFrame] = None,
       config: CurationConfig = CurationConfig(),
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    curateCorpusStaged(docs, benchmark, config, idCol, textCol,
+      checkpointStages = false).curated
+
+  /** The per-stage frames of one [[curateCorpus]] cascade — what a
+   *  pipeline with per-stage observability (funnel accounting, gate
+   *  audits, drop-rate alerts) consumes. Semantics are IDENTICAL to
+   *  [[curateCorpus]]: `curated` is literally what it returns.
+   *
+   *  `afterQuality`/`afterDecontamination` keep the full profiled
+   *  schema, so stage audits need no re-profiling pass. */
+  final case class CurationStages(
+      afterQuality: DataFrame,
+      afterDecontamination: DataFrame,
+      curated: DataFrame)
+
+  /** [[curateCorpus]] with every stage boundary exposed. With
+   *  `checkpointStages = true` each boundary frame is
+   *  `localCheckpoint`ed — the right call when the CALLER also reads
+   *  the intermediate frames (each then has ≥ 2 consumers, and without
+   *  the cut every consumer would recompute the whole upstream
+   *  cascade); leave it false when only `curated` is consumed and the
+   *  stages exist for inspection-on-demand, where lazy frames cost
+   *  nothing unless read. */
+  def curateCorpusStaged(
+      docs: DataFrame,
+      benchmark: Option[DataFrame] = None,
+      config: CurationConfig = CurationConfig(),
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      checkpointStages: Boolean = true): CurationStages = {
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointStages) df.localCheckpoint() else df
     // 1. quality gate (map-only; composes into the scan)
     var kept = TextAnalysis.profileText(docs, textCol)
       .filter(col("quality_score") >= config.minQualityScore)
@@ -57,23 +89,27 @@ object Curation {
         else col("lang_detected")
       kept = kept.filter(langCol.isInCollection(config.allowedLangs))
     }
+    val afterQuality = cut(kept)
 
     // 2. decontamination (broadcast benchmark, one pass)
-    (benchmark, config.maxContamination) match {
+    val afterDecon = (benchmark, config.maxContamination) match {
       case (Some(bench), Some(maxC)) =>
-        val leaky = TextAnalysis.contamination(kept, bench,
+        val leaky = TextAnalysis.contamination(afterQuality, bench,
           idCol, textCol, config.contaminationNgram)
           .filter(col("contamination") > maxC)
           .select(col(idCol))
-        kept = kept.join(leaky, Seq(idCol), "left_anti")
-      case _ => ()
+        cut(afterQuality.join(leaky, Seq(idCol), "left_anti"))
+      case _ => afterQuality
     }
 
     // 3. dedup (exact + near-dup clusters → canonical survivors)
-    kept = Dedup.dedupCorpus(kept, idCol, textCol, config.jaccardThreshold)
+    val deduped = Dedup.dedupCorpus(afterDecon, idCol, textCol,
+      config.jaccardThreshold)
 
     // 4. deterministic split
-    Sampling.hashSplit(kept, idCol, config.trainFraction, config.valFraction)
+    CurationStages(afterQuality, afterDecon,
+      Sampling.hashSplit(deduped, idCol,
+        config.trainFraction, config.valFraction))
   }
 
   /** Per-stage accounting for one [[incrementalIngest]] turn. */
