@@ -4153,10 +4153,14 @@ object SparkEntry {
         .orderBy("lang", "dominant_script"),
       Some("""WITH per AS (
           SELECT doc_id, lang,
-            len(regexp_extract_all(text, '[A-Za-z]')) AS latin,
-            len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS han,
-            len(regexp_extract_all(text, '[\x{0400}-\x{04ff}]')) AS cyr,
-            len(regexp_extract_all(text, '[\x{0600}-\x{06ff}]')) AS ara
+            len(regexp_extract_all(COALESCE(text, ''), '[A-Za-z]'))
+              AS latin,
+            len(regexp_extract_all(COALESCE(text, ''),
+              '[\x{4e00}-\x{9fff}]')) AS han,
+            len(regexp_extract_all(COALESCE(text, ''),
+              '[\x{0400}-\x{04ff}]')) AS cyr,
+            len(regexp_extract_all(COALESCE(text, ''),
+              '[\x{0600}-\x{06ff}]')) AS ara
           FROM documents),
         cls AS (
           SELECT doc_id, lang, latin, han,

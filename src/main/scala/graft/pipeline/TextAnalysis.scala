@@ -260,8 +260,11 @@ object TextAnalysis {
       "han" -> "\\u4e00-\\u9fff",
       "cyrillic" -> "\\u0400-\\u04ff",
       "arabic" -> "\\u0600-\\u06ff")
+    // null text degrades to '' (the x95 contract): a null would
+    // otherwise poison the argmax into engine-specific CASE fallthrough
+    val t = coalesce(col(textCol), lit(""))
     val counts = scripts.map { case (n, r) =>
-      n -> scriptCount(col(textCol), r)
+      n -> scriptCount(t, r)
     }
     val best = counts.map(_._2).reduce(greatest(_, _))
     val dominant = counts.reverse.foldLeft(lit("none"): Column) {

@@ -35,6 +35,15 @@ class Round14cSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("scriptMix: null text degrades to '' (dominant 'none'), " +
+      "never an engine-specific CASE fallthrough") {
+    val docs = Seq((1L, "en", null: String), (2L, "en", "abc"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.scriptMix(docs).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got == Map("none" -> 1L, "latin" -> 1L))
+  }
+
   test("touchAttribution: hand-computed journeys, both models") {
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val ev = Seq(
