@@ -4254,8 +4254,8 @@ object SparkEntry {
         SELECT channel,
           CAST(COUNT(*) AS BIGINT) AS n_conversions,
           CAST(MIN(lag_us) AS BIGINT) AS min_lag_us,
-          ROUND(quantile_cont(lag_us, 0.5), 6) AS median_lag_us,
-          ROUND(quantile_cont(lag_us, 0.9), 6) AS p90_lag_us,
+          ROUND(quantile_cont(lag_us, 0.5), 1) AS median_lag_us,
+          ROUND(quantile_cont(lag_us, 0.9), 1) AS p90_lag_us,
           CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
         FROM lags GROUP BY channel ORDER BY channel""")),
 

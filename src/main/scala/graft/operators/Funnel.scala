@@ -187,8 +187,13 @@ object Funnel {
       .groupBy(col("channel"))
       .agg(count(lit(1)).as("n_conversions"),
         min(col("__lag_us")).as("min_lag_us"),
-        round(expr("percentile(__lag_us, 0.5)"), 6).as("median_lag_us"),
-        round(expr("percentile(__lag_us, 0.9)"), 6).as("p90_lag_us"),
+        // integer-µs inputs make the interpolated quantile a multiple
+        // of 0.1 µs; rounding to 1 dp leaves a 0.05 margin that
+        // swallows the ~1 ulp (±6e-4 at month-scale lags) difference
+        // between engines' interpolation formulas — at 6 dp that ulp
+        // IS the rounding step and cross-engine equality breaks
+        round(expr("percentile(__lag_us, 0.5)"), 1).as("median_lag_us"),
+        round(expr("percentile(__lag_us, 0.9)"), 1).as("p90_lag_us"),
         max(col("__lag_us")).as("max_lag_us"))
   }
 
