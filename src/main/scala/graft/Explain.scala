@@ -63,7 +63,8 @@ object Explain {
         "e24_ivf_nprobe_curve",
         // round 14 session 2
         "b03_curation_funnel", "x102_script_mix",
-        "x103_touch_attribution", "x104_conversion_lag")
+        "x103_touch_attribution", "x104_conversion_lag",
+        "x105_mmr_rerank")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -4259,6 +4259,46 @@ object SparkEntry {
           CAST(MAX(lag_us) AS BIGINT) AS max_lag_us
         FROM lags GROUP BY channel ORDER BY channel""")),
 
+
+    Q("x105_mmr_rerank",
+      // MMR diversified re-ranking (Carbonell & Goldstein 1998) — the
+      // step between retrieval and context packing that stops a RAG
+      // prompt from spending its budget on eight copies of the same
+      // answer: greedy argmax of 0.7*rel - 0.3*max-sim-to-selected
+      // over the bm25 top-32 page, k=8. Everything is integer (rel
+      // normalized to ppm of the page max, shingle-Jaccard in floored
+      // ppm, lambda in tenths, ties to the smaller id) so the oracle
+      // replays the selection exactly as 8 unrolled argmax steps. The
+      // greedy itself is driver-side BY DESIGN over the bounded page
+      // (<= 32 rows + <= 496 sims — the BPE-vocab/probe-seed
+      // contract); the distributed work is the bm25 top-k and the
+      // shingle self-join, both proven shapes.
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val state = freshState(s, "x105")
+        TextAnalysis.bm25TopK(docs, Seq("spark", "merge", "vector"),
+            k = 32)
+          .select(col("doc_id"),
+            round(col("bm25") * 1e6).cast("long").as("rel_micro"))
+          .coalesce(1).write.mode("overwrite").parquet(state + "/cand")
+        val cand = s.read.parquet(state + "/cand").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+        val maxRel = cand.map(_._2).max
+        require(maxRel > 0, "bm25 page has no scored candidates")
+        val candPpm = cand.map { case (id, m) =>
+          (id, m * 1000000L / maxRel) }
+        val ids = candPpm.map(_._1)
+        val pairsDF = (for { a <- ids; b <- ids if a < b } yield (a, b))
+          .toDF("id_a", "id_b")
+        val sims = Dedup.ngramJaccardPpm(docs, pairsDF).collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+        TextAnalysis.mmrSelect(candPpm, sims, k = 8)
+          .toDF("rank", "doc_id", "mmr_ppm", "rel_ppm", "max_sim_ppm")
+          .orderBy("rank")
+      },
+      Some(duckMmrSql)),
+
     Q("d07_cross_dedup",
       // document-level decontamination: training docs (id ≥ 10) that
       // near-duplicate any benchmark doc (id < 10) — banded-LSH
@@ -8037,6 +8077,74 @@ object SparkEntry {
             AND err_l * 1000000000000 >= total_l * 300000000000)
             AS page
         FROM w ORDER BY hour"""
+
+  private lazy val duckMmrSql: String = {
+    // 8 unrolled greedy-argmax steps: p{t} = ids selected so far,
+    // every chained CTE MATERIALIZED: each s{t} reads p{t-1} twice and
+    // p{t} reads both again, so inlined CTEs re-evaluate the whole
+    // greedy tree ~3^t times (the shingle self-join included) --
+    // materialization makes each step evaluate exactly once,
+    // s{t} = step t's winner row. All arithmetic is floored integer
+    // ppm, ties to the smaller id -- the exact mmrSelect contract.
+    def step(t: Int): String = {
+      val prev = s"p${t - 1}"
+      s"""
+        s$t AS MATERIALIZED (
+          SELECT c.doc_id, c.rel_ppm, COALESCE(MAX(x.sim), 0) AS msim,
+            (7 * c.rel_ppm) // 10
+              - (3 * COALESCE(MAX(x.sim), 0)) // 10 AS mmr
+          FROM cand c
+          LEFT JOIN sim2 x ON x.a = c.doc_id
+            AND x.b IN (SELECT doc_id FROM $prev)
+          WHERE c.doc_id NOT IN (SELECT doc_id FROM $prev)
+          GROUP BY c.doc_id, c.rel_ppm
+          ORDER BY mmr DESC, c.doc_id LIMIT 1),
+        p$t AS MATERIALIZED (SELECT doc_id FROM $prev
+          UNION ALL SELECT doc_id FROM s$t)"""
+    }
+    val steps = (2 to 8).map(step).mkString(",", ",", "")
+    val out = (1 to 8).map(t =>
+      s"""SELECT $t AS rank, doc_id, mmr AS mmr_ppm, rel_ppm,
+        CAST(msim AS BIGINT) AS max_sim_ppm FROM s$t""")
+      .mkString("\n        UNION ALL ")
+    s"""WITH candraw AS MATERIALIZED (
+          SELECT doc_id, rel_micro
+          FROM read_parquet('/tmp/graft_qstate/x105/cand/*.parquet')),
+        cand AS MATERIALIZED (
+          SELECT doc_id, rel_micro * 1000000
+            // (SELECT MAX(rel_micro) FROM candraw) AS rel_ppm
+          FROM candraw),
+        toks AS (
+          SELECT d.doc_id, list_filter(
+            string_split_regex(lower(trim(d.text)), '\\s+'),
+            t -> len(t) > 0) AS ts
+          FROM documents d JOIN candraw c ON d.doc_id = c.doc_id),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, len(ts) - 1),
+            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+          FROM toks WHERE len(ts) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        cp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        simp AS (
+          SELECT id_a, id_b,
+            inter * 1000000 // (sa.sz + sb.sz - inter) AS sim
+          FROM cp JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b),
+        sim2 AS MATERIALIZED (
+          SELECT id_a AS a, id_b AS b, sim FROM simp
+          UNION ALL SELECT id_b, id_a, sim FROM simp),
+        s1 AS MATERIALIZED (
+          SELECT doc_id, rel_ppm, 0 AS msim, (7 * rel_ppm) // 10 AS mmr
+          FROM cand ORDER BY mmr DESC, doc_id LIMIT 1),
+        p1 AS MATERIALIZED (SELECT doc_id FROM s1)$steps
+        $out
+        ORDER BY rank"""
+  }
 
   private lazy val duckTextProfileSql: String = {
     val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is",

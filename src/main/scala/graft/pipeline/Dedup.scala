@@ -521,6 +521,33 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** [[ngramJaccard]] in exact integer parts-per-million:
+   *  (|∩|·1 000 000) div |∪| over the same hashed-shingle arrays. The
+   *  integer form exists for consumers that go on to do ARITHMETIC on
+   *  the similarity (x105's MMR greedy): floor-divided ppm replays
+   *  bit-for-bit on any engine, where a double ratio's last ulp
+   *  depends on the engine's evaluation order. Pairs whose union is
+   *  empty (either side under `shingleK` tokens) are dropped — no
+   *  similarity evidence, not zero similarity. */
+  def ngramJaccardPpm(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3): DataFrame = {
+    val shUdf = udf((text: String) => shingleHashes(text, shingleK))
+    val sh = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), shUdf(col(textCol)).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(size(array_union(col("sh_a"), col("sh_b"))) > 0)
+      .withColumn("sim_ppm",
+        expr("CAST(CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)" +
+          " * 1000000 DIV size(array_union(sh_a, sh_b)) AS BIGINT)"))
+      .select("id_a", "id_b", "sim_ppm")
+  }
+
   /** Cross-corpus near-duplicates: documents in `corpus` that are
    *  near-dups of ANY document in `reference` — document-level
    *  decontamination of training data against an eval/benchmark set

@@ -1225,6 +1225,48 @@ object TextAnalysis {
         col("n_terms"))
   }
 
+  /** Greedy MMR (maximal-marginal-relevance, Carbonell & Goldstein
+   *  1998) selection over a BOUNDED candidate page — the
+   *  diversification step between retrieval and context packing: pick
+   *  the candidate maximizing λ·relevance − (1−λ)·max-similarity-to-
+   *  already-selected, k times. Pure integer arithmetic end to end
+   *  (rel and sim both in ppm, λ in tenths, floor division on
+   *  non-negative terms, ties to the smaller id) so any engine
+   *  replays the selection bit-for-bit.
+   *
+   *  This is DRIVER-side compute by design: a re-rank stage's input
+   *  is a candidate PAGE (here ≤ 32 rows from bm25TopK's distributed
+   *  top-k), never the corpus — the quadratic lives inside a bounded
+   *  set, the same contract as the BPE vocab and the e24 probe seeds.
+   *
+   *  Returns (rank, doc_id, mmr_ppm, rel_ppm, max_sim_ppm) rows. */
+  def mmrSelect(
+      candidates: Seq[(Long, Long)],       // (doc_id, rel_ppm)
+      sims: Map[(Long, Long), Long],       // symmetric (a,b) -> sim_ppm
+      k: Int,
+      lambdaTenths: Int = 7): Seq[(Int, Long, Long, Long, Long)] = {
+    require(lambdaTenths >= 0 && lambdaTenths <= 10, "lambda in [0,1]")
+    require(candidates.map(_._1).distinct.size == candidates.size,
+      "duplicate candidate ids")
+    val sel = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long, Long)]
+    var remaining = candidates
+    while (sel.size < k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel) =>
+        val msim =
+          if (sel.isEmpty) 0L
+          else sel.map(s => sims.getOrElse((id, s._2),
+            sims.getOrElse((s._2, id), 0L))).max
+        val mmr = lambdaTenths * rel / 10 - (10 - lambdaTenths) * msim / 10
+        (id, rel, msim, mmr)
+      }
+      val best = scored.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      sel += ((sel.size + 1, best._1, best._4, best._2, best._3))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    sel.toSeq
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid
    *  retrieval step that merges a lexical ranking (BM25) with a vector
    *  ranking (ANN): score(d) = Σ_arms 1/(k0 + rank_arm(d)), k0 = 60 by

@@ -375,6 +375,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mmrSelect: selection is a valid prefix ordering for arbitrary " +
+      "pages and similarity structures") {
+    import graft.pipeline.TextAnalysis
+    val genPage: Gen[(List[(Long, Long)], Map[(Long, Long), Long])] = for {
+      n <- Gen.chooseNum(1, 20)
+      rels <- Gen.listOfN(n, Gen.chooseNum(0L, 1000000L))
+      density <- Gen.chooseNum(0, 100)
+      simVals <- Gen.listOfN(n * n, Gen.chooseNum(0L, 1000000L))
+    } yield {
+      val cand = rels.zipWithIndex.map { case (r, i) => (i.toLong, r) }
+      val sims = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if (a * 31 + b) % 100 < density
+      } yield ((a.toLong, b.toLong), simVals(a * n + b))).toMap
+      (cand, sims)
+    }
+    for (seed <- 1L to 8L) {
+      val (cand, sims) = sample(genPage, seed)
+      val got = TextAnalysis.mmrSelect(cand, sims, k = 8)
+      val ids = got.map(_._2)
+      assert(ids.distinct.size == ids.size, s"seed=$seed: repeat pick")
+      assert(ids.toSet.subsetOf(cand.map(_._1).toSet), s"seed=$seed")
+      assert(got.size == math.min(8, cand.size), s"seed=$seed: short")
+      assert(got.map(_._1) == (1 to got.size), s"seed=$seed: ranks")
+      // pick 1 is ALWAYS the max-relevance (min-id on ties) candidate
+      val top = cand.minBy { case (id, rel) => (-rel, id) }
+      assert(got.head._2 == top._1, s"seed=$seed: first pick not argmax")
+      // with no similarity evidence, MMR degrades to pure relevance
+      val pure = TextAnalysis.mmrSelect(cand, Map.empty, k = 8)
+      assert(pure.map(_._2) ==
+        cand.sortBy { case (id, rel) => (-rel, id) }.take(8).map(_._1),
+        s"seed=$seed: no-sims must equal relevance order")
+      // determinism
+      assert(TextAnalysis.mmrSelect(cand, sims, k = 8) == got,
+        s"seed=$seed: not deterministic")
+    }
+  }
+
   test("corpusDiff summary: rename mass partitions raw add/remove churn," +
       " for arbitrary snapshot pairs") {
     import graft.pipeline.CorpusDiff

@@ -104,6 +104,29 @@ class Round14cSpec extends AnyFunSuite {
     assert(got.size == 2) // the direct purchase is excluded
   }
 
+  test("mmrSelect: hand-computed greedy — relevance vs redundancy") {
+    // three near-identical top docs + two diverse ones. Pure relevance
+    // would pick 1,2,3; MMR must interleave the diverse docs.
+    val cand = Seq((1L, 1000000L), (2L, 990000L), (3L, 980000L),
+      (4L, 600000L), (5L, 550000L))
+    val sims = Map((1L, 2L) -> 900000L, (1L, 3L) -> 900000L,
+      (2L, 3L) -> 900000L) // 4 and 5 are dissimilar to everything
+    val got = TextAnalysis.mmrSelect(cand, sims, k = 4)
+    assert(got.map(_._2) == Seq(1L, 2L, 4L, 3L))
+    // pick 1: max rel, no penalty
+    assert(got(0) == ((1, 1L, 700000L, 1000000L, 0L)))
+    // pick 2: doc2 at 693000 - 270000 = 423000 still beats doc4's
+    // 420000 by 3000 — the greedy is SENSITIVE to exactly this
+    // margin, which is why integer arithmetic matters
+    assert(got(1) == ((2, 2L, 423000L, 990000L, 900000L)))
+    // pick 3: doc3 pays the same 270000 penalty (686000 - 270000 =
+    // 416000) and LOSES to diverse doc4 (420000)
+    assert(got(2) == ((3, 4L, 420000L, 600000L, 0L)))
+    // pick 4: doc3's penalized 416000 still beats doc5's 385000 —
+    // diversity reorders, it does not exile
+    assert(got(3) == ((4, 3L, 416000L, 980000L, 900000L)))
+  }
+
   test("curation funnel: stages are monotone and match curateCorpus") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
