@@ -201,7 +201,10 @@ object Soak {
     // touch attribution (events-keyed ONE window sort; events mirror
     // verbatim in the blow-up so its soak line is flat by design —
     // the documents-keyed pair prove the data terms)
-    "b03_curation_funnel", "x102_script_mix")
+    "b03_curation_funnel", "x102_script_mix",
+    // MMR re-rank: the data term is the bm25 corpus scan; the greedy
+    // is bounded by the 32-candidate page at any corpus size
+    "x105_mmr_rerank")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry
