@@ -64,7 +64,7 @@ object Explain {
         // round 14 session 2
         "b03_curation_funnel", "x102_script_mix",
         "x103_touch_attribution", "x104_conversion_lag",
-        "x105_mmr_rerank")
+        "x105_mmr_rerank", "x106_filter_ablation")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -4299,6 +4299,45 @@ object SparkEntry {
       },
       Some(duckMmrSql)),
 
+    Q("x106_filter_ablation",
+      // per-rule ablation of the Gopher quality gate: n_failing (the
+      // rule's raw bite) vs n_sole_blocker (docs ONLY it drops — what
+      // relaxing it would rescue). The report a threshold-tuning run
+      // reads; redundant rules show large n_failing with ~zero
+      // n_sole_blocker. Map-only flags + ONE 1-row global aggregate
+      // exploded to 4 rows; the oracle re-derives every flag from raw
+      // text through the proven x15 SQL.
+      (s, d) => TextAnalysis.filterAblation(t(s, d, "documents"))
+        .orderBy("rule"),
+      Some(s"""WITH g AS ($duckGopherFilterSql),
+        base AS (SELECT
+          CAST(SUM(1 - wc_ok) AS BIGINT) AS f_wc,
+          CAST(SUM(CASE WHEN wc_ok = 0
+            AND (4 - wc_ok - mlen_ok - stop_ok - alpha_ok) = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS s_wc,
+          CAST(SUM(1 - mlen_ok) AS BIGINT) AS f_mlen,
+          CAST(SUM(CASE WHEN mlen_ok = 0
+            AND (4 - wc_ok - mlen_ok - stop_ok - alpha_ok) = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS s_mlen,
+          CAST(SUM(1 - stop_ok) AS BIGINT) AS f_stop,
+          CAST(SUM(CASE WHEN stop_ok = 0
+            AND (4 - wc_ok - mlen_ok - stop_ok - alpha_ok) = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS s_stop,
+          CAST(SUM(1 - alpha_ok) AS BIGINT) AS f_alpha,
+          CAST(SUM(CASE WHEN alpha_ok = 0
+            AND (4 - wc_ok - mlen_ok - stop_ok - alpha_ok) = 1
+            THEN 1 ELSE 0 END) AS BIGINT) AS s_alpha,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(keep) AS BIGINT) AS k
+          FROM g)
+        SELECT 'alpha' AS rule, f_alpha AS n_failing,
+            s_alpha AS n_sole_blocker, n AS n_docs, k AS n_kept
+          FROM base
+        UNION ALL SELECT 'mlen', f_mlen, s_mlen, n, k FROM base
+        UNION ALL SELECT 'stop', f_stop, s_stop, n, k FROM base
+        UNION ALL SELECT 'wc', f_wc, s_wc, n, k FROM base
+        ORDER BY rule""")),
+
     Q("d07_cross_dedup",
       // document-level decontamination: training docs (id ≥ 10) that
       // near-duplicate any benchmark doc (id < 10) — banded-LSH

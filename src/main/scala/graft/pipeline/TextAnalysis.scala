@@ -1069,6 +1069,42 @@ object TextAnalysis {
         col("stop_ok"), col("alpha_ok"), col("keep"))
   }
 
+  /** Per-rule ablation of the [[gopherFilter]] gate — the tuning
+   *  artifact a curation run reads before touching a threshold: for
+   *  each rule, how many docs fail it at all (`n_failing`) and how
+   *  many fail ONLY it (`n_sole_blocker` — exactly the docs that
+   *  removing or relaxing the rule would rescue). A rule with large
+   *  n_failing but tiny n_sole_blocker is redundant with the others;
+   *  one with n_sole_blocker ≈ n_failing is doing unique work.
+   *  `n_docs`/`n_kept` ride along so every row pins the whole gate.
+   *
+   *  Scale shape: the per-rule flags are [[gopherFilter]]'s map-only
+   *  expressions; everything else is ONE global aggregate (map-side
+   *  partials, a 1-row result) exploded to 4 rule rows. */
+  def filterAblation(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val gf = gopherFilter(docs, idCol, textCol)
+    val rules = Seq("wc", "mlen", "stop", "alpha")
+    val fails = lit(4) - rules.map(r => col(s"${r}_ok")).reduce(_ + _)
+    val aggs = rules.flatMap { r =>
+      Seq(
+        sum((lit(1) - col(s"${r}_ok")).cast("long")).as(s"__f_$r"),
+        sum(when(col(s"${r}_ok") === 0 && fails === 1, 1L)
+          .otherwise(0L)).as(s"__s_$r"))
+    } ++ Seq(count(lit(1)).as("__n"),
+      sum(col("keep").cast("long")).as("__k"))
+    gf.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.map(r =>
+        struct(lit(r).as("rule"),
+          col(s"__f_$r").as("n_failing"),
+          col(s"__s_$r").as("n_sole_blocker"),
+          col("__n").as("n_docs"),
+          col("__k").as("n_kept"))): _*)).as("r"))
+      .select(col("r.*"))
+  }
+
   /** The 4 staged quality inputs (__toks/__alpha/__punct/__stop) —
    *  shared by [[profileText]] and [[qualityGate]] so the score
    *  arithmetic has ONE source of truth. */

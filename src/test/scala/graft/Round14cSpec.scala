@@ -127,6 +127,27 @@ class Round14cSpec extends AnyFunSuite {
     assert(got(3) == ((4, 3L, 416000L, 980000L, 900000L)))
   }
 
+  test("filterAblation: sole-blocker vs raw bite on crafted failures") {
+    val good = ("the and of is was that this with have from " * 5).trim
+    val docs = Seq(
+      (1L, good),                       // passes all 4
+      (2L, "short text"),               // fails wc ONLY? no: stop too
+      (3L, good + " " + good),          // passes (100 tokens)
+      (4L, ("zz " * 50).trim)           // 50 tokens, no stopwords: stop+alpha? zz is alpha
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.filterAblation(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc2: 2 tokens (wc fail), stop hits 0 < 2 (stop fail), mean len
+    // 4.5 ok, alpha ok -> fails wc+stop, sole-blocker for NEITHER
+    // doc4: 50 'zz' tokens: wc ok, mlen 2.0 < 3.0 FAIL, stop 0 FAIL,
+    // alpha ok -> fails mlen+stop, no sole blocker
+    assert(got("wc") == ((1L, 0L, 4L, 2L)))
+    assert(got("mlen") == ((1L, 0L, 4L, 2L)))
+    assert(got("stop") == ((2L, 0L, 4L, 2L)))
+    assert(got("alpha") == ((0L, 0L, 4L, 2L)))
+  }
+
   test("curation funnel: stages are monotone and match curateCorpus") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
