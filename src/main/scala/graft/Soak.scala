@@ -203,8 +203,9 @@ object Soak {
     // the documents-keyed pair prove the data terms)
     "b03_curation_funnel", "x102_script_mix",
     // MMR re-rank: the data term is the bm25 corpus scan; the greedy
-    // is bounded by the 32-candidate page at any corpus size
-    "x105_mmr_rerank")
+    // is bounded by the 32-candidate page at any corpus size.
+    // x106 is the map-only + 1-row-aggregate floor (sub-1 at 10x)
+    "x105_mmr_rerank", "x106_filter_ablation")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry
