@@ -4338,6 +4338,139 @@ object SparkEntry {
         UNION ALL SELECT 'wc', f_wc, s_wc, n, k FROM base
         ORDER BY rule""")),
 
+    Q("x107_retrieval_eval",
+      // retrieval-quality eval closing the bm25→rrf→mmr lane: nDCG@10,
+      // MRR, P@10, R@10 against term-coverage relevance grades derived
+      // from the corpus itself. Labeling is map-only, the ideal ranking
+      // is a distributed TakeOrdered(k), DCG gains micro-quantize
+      // before summing — engine-exact, one row out.
+      (s, d) => TextAnalysis.retrievalEval(t(s, d, "documents"),
+        Seq("spark", "merge", "vector"), k = 10),
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents WHERE doc_id IS NOT NULL),
+        tok AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tl FROM dl),
+        qtf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+          WHERE token IN ('spark', 'merge', 'vector') GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS df FROM qtf GROUP BY 1),
+        per_term AS (
+          SELECT qtf.doc_id,
+            CAST(ROUND(
+              ln((CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                * (qtf.tf * 2.2)
+                / (qtf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                    / (CAST(stats.tl AS DOUBLE) / stats.n))))
+                * 1e6, 0) AS BIGINT) AS micro
+          FROM qtf JOIN df USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN stats),
+        per_doc AS (SELECT doc_id, SUM(micro) AS score_micro
+          FROM per_term GROUP BY 1),
+        ranked AS (SELECT doc_id,
+            ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+          FROM per_doc),
+        labels AS (SELECT doc_id,
+            COALESCE(len(list_intersect(
+              list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+              ['spark', 'merge', 'vector'])), 0) AS rel
+          FROM documents WHERE doc_id IS NOT NULL),
+        topk AS (SELECT r.rank, l.rel
+          FROM ranked r JOIN labels l USING (doc_id) WHERE r.rank <= 10),
+        got AS (SELECT
+            SUM(CAST(ROUND((CAST(1 << rel AS DOUBLE) - 1)
+              / (ln(rank + CAST(1.0 AS DOUBLE)) / ln(CAST(2.0 AS DOUBLE)))
+              * 1e6, 0) AS BIGINT)) AS dcg,
+            SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+            MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel
+          FROM topk),
+        ideal AS (SELECT rel,
+            ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS r
+          FROM labels),
+        idcg AS (SELECT SUM(CAST(ROUND((CAST(1 << rel AS DOUBLE) - 1)
+              / (ln(r + CAST(1.0 AS DOUBLE)) / ln(CAST(2.0 AS DOUBLE)))
+              * 1e6, 0) AS BIGINT)) AS idcg
+          FROM ideal WHERE r <= 10),
+        tot AS (SELECT SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+            AS n_rel_total FROM labels)
+        SELECT CAST(10 AS INT) AS k,
+          CAST(tot.n_rel_total AS BIGINT) AS n_rel_total,
+          CAST(got.hits AS BIGINT) AS n_rel_at_k,
+          CASE WHEN idcg.idcg > 0
+            THEN ROUND(CAST(got.dcg AS DOUBLE) / idcg.idcg, 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS ndcg,
+          COALESCE(ROUND(CAST(1.0 AS DOUBLE) / got.first_rel, 6),
+            CAST(0.0 AS DOUBLE)) AS mrr,
+          ROUND(CAST(got.hits AS DOUBLE) / 10, 6) AS precision_at_k,
+          CASE WHEN tot.n_rel_total > 0
+            THEN ROUND(CAST(got.hits AS DOUBLE) / tot.n_rel_total, 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS recall_at_k
+        FROM got, idcg, tot""")),
+
+    Q("x108_pmi_collocations",
+      // top-PMI word pairs (cross-doc collocation/template signal the
+      // within-doc repetition gate can't see): gram-keyed + token-keyed
+      // aggs, two keyed joins of the min-count-pruned bigram frame
+      // against unigram counts (keyed, not broadcast — a 100 TB vocab
+      // doesn't fit a driver), 1-row totals broadcast, micro-quantized
+      // PMI before the top cut
+      (s, d) => TextAnalysis.pmiCollocations(t(s, d, "documents"),
+        minCount = 5, top = 50),
+      Some("""WITH toks AS (
+          SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        tok AS (SELECT unnest(w) AS token FROM toks WHERE len(w) >= 1),
+        uni AS (SELECT token, COUNT(*) AS c FROM tok
+          WHERE len(token) > 0 GROUP BY 1),
+        nu AS (SELECT SUM(c) AS nu FROM uni),
+        bi_all AS (
+          SELECT w[i] || ' ' || w[i+1] AS ngram
+          FROM (SELECT unnest(range(1, len(w))) AS i, w
+                FROM toks WHERE len(w) >= 2)),
+        nb AS (SELECT COUNT(*) AS nb FROM bi_all),
+        bi AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM bi_all GROUP BY 1 HAVING COUNT(*) >= 5),
+        j AS (SELECT bi.ngram, bi.cnt, u1.c AS c1, u2.c AS c2
+          FROM bi
+          JOIN uni u1 ON u1.token = string_split(bi.ngram, ' ')[1]
+          JOIN uni u2 ON u2.token = string_split(bi.ngram, ' ')[2]),
+        scored AS (SELECT ngram, cnt,
+            CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+            CAST(ROUND(ln((CAST(cnt AS DOUBLE) * nu.nu * nu.nu)
+              / (CAST(nb.nb AS DOUBLE) * c1 * c2)) * 1e6, 0) AS BIGINT)
+              AS micro
+          FROM j, nb, nu)
+        SELECT ngram, cnt, c1, c2,
+          ROUND(CAST(micro AS DOUBLE) / 1e6, 6) AS pmi
+        FROM scored ORDER BY pmi DESC, ngram LIMIT 50""")),
+
+    Q("x109_ngram_novelty",
+      // per-doc novel-trigram ratio — the inverse of the containment
+      // family: protects the unique long-tail, flags cross-doc template
+      // mass below any pairwise near-dup threshold. Per-doc-distinct
+      // grams BEFORE the explode, gram-keyed df agg, keyed join back,
+      // doc-keyed rollup — linear, nothing driver-side
+      (s, d) => TextAnalysis.ngramNovelty(t(s, d, "documents"), n = 3)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            AS ngram
+          FROM (SELECT doc_id, unnest(range(1, len(w) - 1)) AS i, w
+                FROM toks WHERE len(w) >= 3)),
+        df AS (SELECT ngram, COUNT(*) AS ndocs FROM g GROUP BY 1)
+        SELECT g.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel,
+          ROUND(CAST(SUM(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*), 6) AS novelty
+        FROM g JOIN df USING (ngram)
+        GROUP BY 1 ORDER BY doc_id""")),
+
     Q("d07_cross_dedup",
       // document-level decontamination: training docs (id ≥ 10) that
       // near-duplicate any benchmark doc (id < 10) — banded-LSH
@@ -8365,6 +8498,48 @@ object SparkEntry {
           CAST(GREATEST(1, (n_rows * nk + total - 1) // total)
             AS BIGINT) AS salt_suggested
         FROM counts, g ORDER BY n_rows DESC, lang LIMIT 10""")),
+
+    Q("p45_robust_stats",
+      // outlier-robust location stats (5% winsorized + trimmed mean):
+      // the profile number to trust when a column carries fat tails or
+      // sensor garbage that poisons the plain mean. Quantile bounds are
+      // rounded to 6 dp BEFORE clamping (p08 proves 6-dp quantile
+      // parity) so the boundary row set is engine-exact; means are
+      // exact decimal(28,6) sums over a clamped projection (the p05
+      // order-independence discipline) — one quantile pass + one
+      // clamped agg pass, both scan-bound
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val q = li.agg(
+          round(expr("percentile(l_extendedprice, 0.05)"), 6).as("__q05"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("__q95"))
+        val x = col("l_extendedprice")
+        val inb = x.between(col("__q05"), col("__q95"))
+        li.crossJoin(broadcast(q)).agg(
+          min(col("__q05")).as("p05"),
+          min(col("__q95")).as("p95"),
+          (sum(greatest(least(x, col("__q95")), col("__q05"))
+            .cast("decimal(28,6)")).cast("double") / count(lit(1)))
+            .as("winsor_mean"),
+          (sum(when(inb, x.cast("decimal(28,6)"))).cast("double") /
+            sum(when(inb, 1L).otherwise(0L))).as("trimmed_mean"),
+          coalesce(sum(when(!inb, 1L).otherwise(0L)), lit(0L))
+            .as("n_clamped"))
+      },
+      Some("""WITH q AS (SELECT
+            ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS q05,
+            ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS q95
+          FROM lineitem)
+        SELECT MIN(q05) AS p05, MIN(q95) AS p95,
+          CAST(SUM(CAST(GREATEST(LEAST(l_extendedprice, q95), q05)
+              AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS winsor_mean,
+          CAST(SUM(CASE WHEN l_extendedprice BETWEEN q05 AND q95
+              THEN CAST(l_extendedprice AS DECIMAL(28,6)) END) AS DOUBLE)
+            / SUM(CASE WHEN l_extendedprice BETWEEN q05 AND q95
+              THEN 1 ELSE 0 END) AS trimmed_mean,
+          CAST(SUM(CASE WHEN NOT (l_extendedprice BETWEEN q05 AND q95)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+        FROM lineitem, q""")),
 
     Q("p43_benford",
       // Benford first-significant-digit audit (fabricated-data /

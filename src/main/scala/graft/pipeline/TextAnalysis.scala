@@ -1342,6 +1342,165 @@ object TextAnalysis {
         col("n_arms"))
   }
 
+  /** Retrieval-quality evaluation of the BM25 lane — nDCG@k, MRR,
+   *  precision@k and recall@k against graded relevance labels derived
+   *  from the corpus itself (grade = number of distinct query terms a
+   *  document contains, 0..|terms|, the standard term-coverage proxy
+   *  when no human judgments exist). Completes the retrieval stack:
+   *  bm25TopK → rrfFuse → mmrSelect → THIS, the number a retrieval
+   *  tuning run actually optimizes.
+   *
+   *  Scale shape: labeling is a map-only projection over the scan; the
+   *  ideal ranking is an orderBy+limit(k) (distributed TakeOrdered,
+   *  never a full sort); the DCG sums run over ≤ k rows. Per-position
+   *  gains are micro-quantized BEFORE summing (the x13 discipline) so
+   *  nDCG is engine-exact; log2 is written as ln(r+1)/ln(2) to mirror
+   *  the oracle's operation order.
+   *
+   *  Returns ONE row: (k, n_rel_total, n_rel_at_k, ndcg, mrr,
+   *  precision, recall), ratios rounded to 6 dp. */
+  def retrievalEval(
+      docs: DataFrame,
+      terms: Seq[String],
+      k: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "retrievalEval needs at least one query term")
+    val termsArr = array(terms.map(t => lit(t.toLowerCase)): _*)
+    // graded label per doc: how many distinct query terms it contains;
+    // null text degrades to grade 0 (the x95 null contract)
+    val labels = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol),
+        coalesce(size(array_intersect(
+          array_distinct(split(lower(trim(col(textCol))), "\\s+")),
+          termsArr)), lit(0)).as("rel"))
+    // gain 2^rel - 1, discounted by log2(position+1), micro-quantized
+    def dcgMicro(rankCol: Column): Column =
+      sum(round(expr("cast(shiftleft(1L, rel) as double) - 1")
+        / (log(rankCol.cast("double") + 1.0) / log(lit(2.0))) * 1e6, 0)
+        .cast("long"))
+    val topk = bm25TopK(docs, terms, k, idCol = idCol, textCol = textCol)
+      .join(labels, idCol)
+    val got = topk.agg(
+      dcgMicro(col("rank")).as("__dcg"),
+      coalesce(sum(when(col("rel") > 0, 1L)), lit(0L)).as("__hits"),
+      min(when(col("rel") > 0, col("rank"))).as("__first"))
+    // ideal ranking: every doc by label desc — equal-rel ties give the
+    // same positional gain multiset, so the id tiebreak is for
+    // determinism only, not for the value
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol).isNull)
+      .orderBy(col("rel").desc, col(idCol))
+    val ideal = labels.orderBy(col("rel").desc, col(idCol)).limit(k)
+      .withColumn("__r", row_number().over(wTop))
+      .agg(dcgMicro(col("__r")).as("__idcg"))
+    val totals = labels.agg(
+      coalesce(sum(when(col("rel") > 0, 1L)), lit(0L)).as("n_rel_total"))
+    got.crossJoin(ideal).crossJoin(totals)
+      .select(
+        lit(k).as("k"),
+        col("n_rel_total"),
+        col("__hits").as("n_rel_at_k"),
+        when(col("__idcg") > 0,
+          round(col("__dcg").cast("double") / col("__idcg"), 6))
+          .otherwise(lit(0.0)).as("ndcg"),
+        coalesce(round(lit(1.0) / col("__first"), 6), lit(0.0)).as("mrr"),
+        round(col("__hits").cast("double") / k, 6).as("precision_at_k"),
+        when(col("n_rel_total") > 0,
+          round(col("__hits").cast("double") / col("n_rel_total"), 6))
+          .otherwise(lit(0.0)).as("recall_at_k"))
+  }
+
+  /** PMI collocations — the word pairs that co-occur far more than
+   *  chance (pmi = ln(p(w1,w2) / (p(w1)·p(w2)))), the classic corpus-
+   *  analysis signal for multiword expressions and template artifacts
+   *  (a training-data audit reads the top-PMI list to spot boilerplate
+   *  the repetition gate misses because it is CROSS-doc, not within).
+   *  A min-count floor kills the noise PMI is notorious for (hapax
+   *  pairs max the score).
+   *
+   *  Scale shape: one gram-keyed agg + one token-keyed agg, then TWO
+   *  keyed joins of the (already min-count-pruned) bigram frame against
+   *  the unigram counts — keyed joins, not broadcasts, because a 100 TB
+   *  corpus vocabulary does not fit a driver; the pruned bigram side is
+   *  the small side after the floor. Totals ride a 1-row broadcast.
+   *  PMI is micro-quantized before the top-N cut so ordering is
+   *  engine-exact. */
+  def pmiCollocations(
+      docs: DataFrame,
+      textCol: String = "text",
+      minCount: Long = 5,
+      top: Int = 50): DataFrame = {
+    val toks = docs
+      .select(split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= 1)
+    val uniRows = toks
+      .select(explode(col("__toks")).as("token"))
+      .filter(length(col("token")) > 0)
+    val uni = uniRows.groupBy("token").agg(count(lit(1)).as("c"))
+    val nu = uni.agg(sum(col("c")).as("__nu"))
+    val grams = expr(
+      """filter(transform(sequence(0, size(__toks) - 2),
+        |  i -> array_join(slice(__toks, i + 1, 2), ' ')),
+        |  g -> g != '')""".stripMargin)
+    val biRows = toks
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(grams).as("ngram"))
+    val nb = biRows.agg(count(lit(1)).as("__nb"))
+    val bi = biRows.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("__w1", split(col("ngram"), " ").getItem(0))
+      .withColumn("__w2", split(col("ngram"), " ").getItem(1))
+    val u1 = uni.select(col("token").as("__w1"), col("c").as("c1"))
+    val u2 = uni.select(col("token").as("__w2"), col("c").as("c2"))
+    bi
+      .join(u1, "__w1")
+      .join(u2, "__w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      // operation order mirrors the oracle exactly: numerator product
+      // left-to-right, denominator product left-to-right, one divide,
+      // one ln, then quantize — only libm ulp noise is rounded away
+      .withColumn("__micro",
+        round(log((col("cnt").cast("double") * col("__nu") * col("__nu"))
+          / (col("__nb").cast("double") * col("c1") * col("c2"))) * 1e6, 0)
+          .cast("long"))
+      .select(col("ngram"), col("cnt"), col("c1"), col("c2"),
+        round(col("__micro").cast("double") / 1e6, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("ngram"))
+      .limit(top)
+  }
+
+  /** Per-document n-gram novelty — the fraction of a doc's distinct
+   *  word n-grams that occur in NO other document. The inverse of the
+   *  containment/duplication family: high novelty marks the unique
+   *  long-tail a curation run wants to protect, near-zero novelty marks
+   *  template mass even when no single pair crosses a near-dup
+   *  threshold. Docs with fewer than n tokens are absent (no grams to
+   *  score — the wordNgrams contract).
+   *
+   *  Scale shape: per-doc-distinct grams (map-side array_distinct
+   *  BEFORE the explode), one gram-keyed document-frequency agg, one
+   *  keyed join back, one doc-keyed agg — all shuffles are on the gram
+   *  or doc key, nothing driver-side, linear in corpus size. */
+  def ngramNovelty(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3): DataFrame = {
+    val grams = wordNgrams(docs, idCol, textCol, n)
+    val df = grams.groupBy("ngram").agg(count(lit(1)).as("__ndocs"))
+    grams.join(df, "ngram")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        coalesce(sum(when(col("__ndocs") === 1, 1L)), lit(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+  }
+
   // ---- URL / domain extraction (x47) --------------------------------
   //
   // The web-pipeline "domain cap" needs a registered domain per URL:
