@@ -4471,6 +4471,57 @@ object SparkEntry {
         FROM g JOIN df USING (ngram)
         GROUP BY 1 ORDER BY doc_id""")),
 
+    Q("x110_adamic_adar",
+      // Adamic-Adar link prediction over the x88 link graph: rank
+      // missing edges by shared-neighbor weight 1/ln(deg). Pairs are
+      // minted ONLY through shared centers (deg-capped self-join),
+      // never all-pairs; nano-quantized weights make the top-20
+      // engine-exact
+      (s, d) => {
+        val ids = t(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"))
+        val nDocs = ids.count()
+        val edges = ids
+          .select(col("doc_id").as("src"),
+            explode(array(
+              (col("doc_id") * 2 + 1) % nDocs,
+              (col("doc_id") * 3 + 7) % nDocs,
+              (col("doc_id") * 7 + 13) % nDocs)).as("dst"))
+        LinkGraph.adamicAdar(edges, topN = 20, maxDegree = 1000)
+      },
+      Some("""WITH nn AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        e0 AS (
+          SELECT doc_id AS src, (doc_id*2 + 1) % nn.n AS dst
+            FROM documents, nn
+          UNION
+          SELECT doc_id, (doc_id*3 + 7) % nn.n FROM documents, nn
+          UNION
+          SELECT doc_id, (doc_id*7 + 13) % nn.n FROM documents, nn),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b
+          FROM e0 WHERE src <> dst),
+        adj AS (SELECT a AS w, b AS x FROM und
+          UNION ALL SELECT b, a FROM und),
+        deg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS degw
+          FROM adj GROUP BY 1),
+        centers AS (SELECT adj.w, adj.x,
+            CAST(ROUND(1e9 / ln(CAST(degw AS DOUBLE)), 0) AS BIGINT)
+              AS aa_nano
+          FROM adj JOIN deg USING (w)
+          WHERE degw BETWEEN 2 AND 1000),
+        pairs AS (SELECT l.x AS u, r.x AS v, l.aa_nano
+          FROM centers l JOIN centers r ON l.w = r.w AND l.x < r.x),
+        cand AS (SELECT u, v, aa_nano FROM pairs
+          WHERE NOT EXISTS (SELECT 1 FROM und
+            WHERE und.a = pairs.u AND und.b = pairs.v)),
+        agg AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+            SUM(aa_nano) AS nano
+          FROM cand GROUP BY 1, 2)
+        SELECT u, v, n_common,
+          ROUND(CAST(nano AS DOUBLE) / 1e9, 6) AS aa_score
+        FROM agg ORDER BY aa_score DESC, u, v LIMIT 20""")),
+
     Q("d07_cross_dedup",
       // document-level decontamination: training docs (id ≥ 10) that
       // near-duplicate any benchmark doc (id < 10) — banded-LSH
@@ -8540,6 +8591,41 @@ object SparkEntry {
           CAST(SUM(CASE WHEN NOT (l_extendedprice BETWEEN q05 AND q95)
               THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
         FROM lineitem, q""")),
+
+    Q("p46_fd_discovery",
+      // pairwise FD discovery sweep (x34 checks a NAMED dependency;
+      // this proposes them): one agg pass, |cols|^2 exact distinct
+      // counts via null-as-group structs, A->B holds iff
+      // |distinct A| = |distinct (A,B)|, near-FD strength in ppm
+      (s, d) => Profiler.fdDiscovery(t(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority"))
+        .orderBy("determinant", "dependent"),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderpriority")
+        val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+        val dSel = cols.map(c =>
+          s"""(SELECT CAST(COUNT(*) AS BIGINT)
+             |   FROM (SELECT DISTINCT $c FROM orders)) AS d_$c"""
+            .stripMargin)
+        val pSel = pairs.map { case (a, b) =>
+          s"""(SELECT CAST(COUNT(*) AS BIGINT)
+             |   FROM (SELECT DISTINCT $a, $b FROM orders)) AS p_${a}__$b"""
+            .stripMargin
+        }
+        val rows = pairs.map { case (a, b) =>
+          s"""SELECT '$a' AS determinant, '$b' AS dependent,
+             |  d_$a AS n_det, p_${a}__$b AS n_pairs,
+             |  p_${a}__$b = d_$a AS holds,
+             |  (p_${a}__$b - d_$a) * 1000000 // d_$a AS violation_ppm
+             |FROM d""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH d AS (SELECT
+           |${(dSel ++ pSel).mkString(",\n")})
+           |$rows
+           |ORDER BY determinant, dependent""".stripMargin
+      }),
 
     Q("p43_benford",
       // Benford first-significant-digit audit (fabricated-data /

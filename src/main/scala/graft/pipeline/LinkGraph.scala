@@ -311,4 +311,54 @@ object LinkGraph {
             "div (degree * (degree - 1))"))
           .otherwise(lit(0L)).as("cc_ppm"))
   }
+
+  /** Adamic–Adar link prediction (Adamic & Adar 2003): score every
+   *  non-adjacent pair (u, v) by Σ over common neighbors w of
+   *  1/ln(deg(w)) — the standard "which links are missing" prior a
+   *  crawl planner or graph-cleanup pass ranks candidate edges with.
+   *  Rare shared neighbors count more than hubs.
+   *
+   *  Scale shape: the pair space is generated ONLY through shared
+   *  centers (adjacency self-join on the center key, x < x'), never
+   *  all-pairs, so cost is Σ_w deg(w)² — and `maxDegree` excludes
+   *  super-hub centers from the middle role (the d06 posting-list
+   *  df-cap move: a 10⁶-degree hub would mint 10¹² pairs, each worth
+   *  a near-zero 1/ln(deg) anyway). Per-center weights are
+   *  nano-quantized before the pair aggregation so the scores and the
+   *  top-N cut are engine-exact. Degree-1 centers cannot be common
+   *  neighbors and are dropped before the self-join. */
+  def adamicAdar(
+      edges: DataFrame,
+      topN: Int = 20,
+      maxDegree: Long = 1000,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    require(maxDegree >= 2, "maxDegree must be >= 2")
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = und.select(col("a").as("w"), col("b").as("x"))
+      .union(und.select(col("b").as("w"), col("a").as("x")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("degw"))
+    val centers = adj
+      .join(deg.filter(col("degw").between(2L, maxDegree)), "w")
+      .withColumn("aa_nano",
+        round(lit(1e9) / log(col("degw").cast("double")), 0).cast("long"))
+    val pairs = centers.as("l")
+      .join(centers.as("r"),
+        col("l.w") === col("r.w") && col("l.x") < col("r.x"))
+      .select(col("l.x").as("u"), col("r.x").as("v"),
+        col("l.aa_nano").as("aa_nano"))
+    // predicted links only: drop pairs that are already edges
+    val cand = pairs.join(und,
+      pairs("u") === und("a") && pairs("v") === und("b"), "left_anti")
+    cand.groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"), sum(col("aa_nano")).as("__nano"))
+      .select(col("u"), col("v"), col("n_common"),
+        round(col("__nano").cast("double") / 1e9, 6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("u"), col("v"))
+      .limit(topN)
+  }
 }

@@ -426,6 +426,45 @@ object Profiler {
       .withColumn("violates", col("n_rhs_values") > 1L)
   }
 
+  /** Pairwise functional-dependency DISCOVERY over a column set — the
+   *  schema-inference sweep that PROPOSES candidate FDs, where
+   *  [[fdViolations]] checks one the user already named. For every
+   *  ordered pair (A, B): A → B holds iff |distinct A| =
+   *  |distinct (A, B)|; violation_ppm = the extra (A, B) combinations
+   *  per determinant group, the g3-style strength measure a profiler
+   *  ranks near-FDs by.
+   *
+   *  Null semantics: a null determinant is a GROUP (struct-based
+   *  distinct counts), matching the SELECT DISTINCT subquery the
+   *  oracle uses — never the null-skipping COUNT(DISTINCT col).
+   *
+   *  Scale shape: ONE aggregation pass with |cols| + |cols|·(|cols|−1)
+   *  exact distinct counts — Catalyst plans an Expand of that factor,
+   *  bounded by the SCHEMA (a hand-picked candidate set), never the
+   *  data. For very wide sweeps swap countDistinct for
+   *  approx_count_distinct (the p27 move) — the holds verdict then
+   *  becomes a screen, not a proof. */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to pair")
+    require(cols.distinct.size == cols.size, "duplicate columns in set")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    val aggs = cols.map(c => countDistinct(struct(col(c))).as(s"__d_$c")) ++
+      pairs.map { case (a, b) =>
+        countDistinct(struct(col(a), col(b))).as(s"__p_${a}__$b")
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(
+          lit(a).as("determinant"), lit(b).as("dependent"),
+          col(s"__d_$a").as("n_det"),
+          col(s"__p_${a}__$b").as("n_pairs"))
+      }: _*)).as("__r"))
+      .select(col("__r.*"))
+      .withColumn("holds", col("n_pairs") === col("n_det"))
+      .withColumn("violation_ppm",
+        expr("(n_pairs - n_det) * 1000000 div n_det"))
+  }
+
   /** Full profile of a DataFrame: single-pass agg + one top-K job + one
    *  duplicate-count job (3 scans total; the reference issues 4+ SELECT
    *  batches per table, app.py:3354-3677). */

@@ -127,6 +127,52 @@ class Round14dSpec extends AnyFunSuite {
       5L -> ((1L, 1L, 1.0))))
   }
 
+  test("adamicAdar: hand-computed scores, adjacency excluded, shared " +
+      "centers accumulate") {
+    // 1-2 1-3 1-4 2-3 2-5 3-5: non-adjacent pairs reachable through a
+    // shared neighbor are (1,5) via {2,3} and (2,4)/(3,4) via {1}
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 5L), (3L, 5L)).toDF("src", "dst")
+    val got = graft.pipeline.LinkGraph.adamicAdar(edges, topN = 20)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // deg(1)=deg(2)=deg(3)=3 -> per-center nano = round(1e9/ln 3)
+    val one = math.round(1e9 / math.log(3.0))
+    def sc(n: Long) = math.round(n.toDouble / 1e9 * 1e6) / 1e6
+    assert(got == Seq(
+      (1L, 5L, 2L, sc(2 * one)),
+      (2L, 4L, 1L, sc(one)),
+      (3L, 4L, 1L, sc(one))))
+  }
+
+  test("adamicAdar: the degree cap removes super-hub centers from the " +
+      "middle role entirely") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 5L), (3L, 5L)).toDF("src", "dst")
+    // cap 2: only node 5 (deg 2) survives as a center; its neighbors
+    // 2,3 are already adjacent -> nothing to predict
+    val got = graft.pipeline.LinkGraph
+      .adamicAdar(edges, topN = 20, maxDegree = 2).collect()
+    assert(got.isEmpty)
+  }
+
+  test("fdDiscovery: holds iff |distinct A| = |distinct (A,B)|; null " +
+      "determinant is a group; ppm strength for near-FDs") {
+    val df = Seq(
+      (Option(1L), "A"), (Option(2L), "A"), (Option(3L), "B"),
+      (None: Option[Long], "B"), (Option(1L), "A")
+    ).toDF("k", "status")
+    val got = graft.profiler.Profiler.fdDiscovery(df, Seq("k", "status"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5))))
+      .toMap
+    // k -> status: 4 determinant groups (null counts), 4 pairs: holds
+    assert(got(("k", "status")) == ((4L, 4L, true, 0L)))
+    // status -> k: 2 groups but 4 pairs: 2 extra per 2 dets = 1e6 ppm
+    assert(got(("status", "k")) == ((2L, 4L, false, 1000000L)))
+  }
+
   test("p45 robust stats: winsorized/trimmed means sit inside the " +
       "quantile clamp; ~10% of rows clamp at a 5/95 trim") {
     val r = SparkEntry.queries("p45_robust_stats")(
