@@ -335,10 +335,15 @@ object LinkGraph {
       dstCol: String = "dst"): DataFrame = {
     require(topN > 0, "topN must be positive")
     require(maxDegree >= 2, "maxDegree must be >= 2")
+    // und feeds three consumers (both adjacency directions + the
+    // anti-join) and centers two (both self-join sides): lineage cuts
+    // keep the source edge scan to ONE pass — both frames are
+    // edges-sized, the op's own working set
     val und = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
     val adj = und.select(col("a").as("w"), col("b").as("x"))
       .union(und.select(col("b").as("w"), col("a").as("x")))
     val deg = adj.groupBy("w").agg(count(lit(1)).as("degw"))
@@ -346,6 +351,7 @@ object LinkGraph {
       .join(deg.filter(col("degw").between(2L, maxDegree)), "w")
       .withColumn("aa_nano",
         round(lit(1e9) / log(col("degw").cast("double")), 0).cast("long"))
+      .localCheckpoint()
     val pairs = centers.as("l")
       .join(centers.as("r"),
         col("l.w") === col("r.w") && col("l.x") < col("r.x"))

@@ -1438,17 +1438,26 @@ object TextAnalysis {
     val uniRows = toks
       .select(explode(col("__toks")).as("token"))
       .filter(length(col("token")) > 0)
+    // the unigram frame feeds THREE consumers (both join sides + the
+    // total) and the gram frame TWO (total + pruned joins); without a
+    // lineage cut each consumer re-tokenizes the corpus — 5 scans
+    // where 2 suffice (the x99/x101 Explain-audit move). Both frames
+    // are KEYSPACE-sized (vocab / distinct bigrams), not corpus-sized.
     val uni = uniRows.groupBy("token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val nu = uni.agg(sum(col("c")).as("__nu"))
     val grams = expr(
       """filter(transform(sequence(0, size(__toks) - 2),
         |  i -> array_join(slice(__toks, i + 1, 2), ' ')),
         |  g -> g != '')""".stripMargin)
-    val biRows = toks
+    val biCounts = toks
       .filter(size(col("__toks")) >= 2)
       .select(explode(grams).as("ngram"))
-    val nb = biRows.agg(count(lit(1)).as("__nb"))
-    val bi = biRows.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // total bigram mass from the counts frame, NOT a second corpus pass
+    val nb = biCounts.agg(sum(col("cnt")).as("__nb"))
+    val bi = biCounts
       .filter(col("cnt") >= minCount)
       .withColumn("__w1", split(col("ngram"), " ").getItem(0))
       .withColumn("__w2", split(col("ngram"), " ").getItem(1))
