@@ -4522,6 +4522,120 @@ object SparkEntry {
           ROUND(CAST(nano AS DOUBLE) / 1e9, 6) AS aa_score
         FROM agg ORDER BY aa_score DESC, u, v LIMIT 20""")),
 
+    Q("x111_modularity",
+      // Newman modularity of the x101 label-propagation communities —
+      // the partition-quality score (per-community contributions, Q =
+      // their sum): LPA runs on the same clique+bridge fixture graph,
+      // the assignment PERSISTS (the multimodal replay pattern), and
+      // the oracle rebuilds the graph and replays every e_c/d_c/m
+      // term against the persisted communities
+      (s, d) => {
+        val members = t(s, d, "documents")
+          .filter(col("doc_id") % 20 < 5)
+          .select(col("doc_id"), expr("doc_id DIV 20").as("blk"))
+        val a = members.select(col("doc_id").as("src"), col("blk"))
+        val b = members.select(col("doc_id").as("dst"), col("blk"))
+        val clique = a.join(b, Seq("blk"))
+          .filter(col("src") < col("dst")).select("src", "dst")
+        val bridge = members.filter(col("doc_id") % 20 === 4)
+          .select(col("doc_id").as("src"),
+            (col("doc_id") + 16L).as("dst"))
+          .join(members.select(col("doc_id").as("dst")), Seq("dst"))
+          .select("src", "dst")
+        val edges = clique.unionByName(bridge)
+        val state = freshState(s, "x111")
+        LinkGraph.labelPropagation(edges, iterations = 3)
+          .coalesce(1).write.mode("overwrite").parquet(state + "/comm")
+        LinkGraph.modularity(edges, s.read.parquet(state + "/comm"))
+      },
+      Some("""WITH members AS (SELECT doc_id, doc_id // 20 AS blk
+          FROM documents WHERE doc_id % 20 < 5),
+        cl AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM members a JOIN members b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        br AS (SELECT a.doc_id AS src, b.doc_id AS dst
+          FROM members a JOIN members b ON b.doc_id = a.doc_id + 16
+          WHERE a.doc_id % 20 = 4),
+        e AS (SELECT src, dst FROM cl UNION ALL SELECT src, dst FROM br),
+        und AS (SELECT DISTINCT LEAST(src, dst) AS a,
+            GREATEST(src, dst) AS b
+          FROM e WHERE src <> dst),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+        comm AS (SELECT node, community
+          FROM read_parquet('/tmp/graft_qstate/x111/comm/*.parquet')),
+        lab AS (SELECT ca.community AS cca, cb.community AS ccb
+          FROM und u JOIN comm ca ON u.a = ca.node
+          JOIN comm cb ON u.b = cb.node),
+        ein AS (SELECT cca AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+          FROM lab WHERE cca = ccb GROUP BY 1),
+        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+          (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+          GROUP BY 1),
+        byc AS (SELECT c.community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+            CAST(COALESCE(SUM(d.deg), 0) AS BIGINT) AS d_tot
+          FROM comm c LEFT JOIN deg d ON c.node = d.node GROUP BY 1),
+        staged AS (SELECT byc.community, byc.n_nodes, byc.d_tot,
+            CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+            CAST(byc.d_tot AS DOUBLE) / (2.0 * mm.m) AS r, mm.m AS m
+          FROM byc LEFT JOIN ein USING (community), mm)
+        SELECT community, n_nodes, e_in, d_tot,
+          ROUND(CAST(CAST(ROUND((CAST(e_in AS DOUBLE) / m - r * r)
+            * 1e9, 0) AS BIGINT) AS DOUBLE) / 1e9, 6) AS q_contrib
+        FROM staged ORDER BY community""")),
+
+    Q("x112_rfm_segments",
+      // RFM customer-value grid over the purchase log: per-user
+      // recency/frequency/monetary, each bucketed by its own exact
+      // quartile edges (rounded 6 dp BEFORE the compare — the p45
+      // boundary discipline), segment-grid rollup with decimal money
+      (s, d) => graft.operators.Funnel.rfmSegments(eventsTable(s, d)),
+      Some("""WITH p AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        anchor AS (SELECT MAX(CAST(ts AS DATE)) AS ad FROM p),
+        u AS (SELECT user_id,
+            CAST(date_diff('day', MAX(CAST(ts AS DATE)), anchor.ad)
+              AS BIGINT) AS recency_days,
+            CAST(COUNT(*) AS BIGINT) AS frequency,
+            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS monetary
+          FROM p, anchor GROUP BY user_id, anchor.ad),
+        e AS (SELECT
+            ROUND(quantile_cont(CAST(recency_days AS DOUBLE), 0.25), 6)
+              AS r1,
+            ROUND(quantile_cont(CAST(recency_days AS DOUBLE), 0.5), 6)
+              AS r2,
+            ROUND(quantile_cont(CAST(recency_days AS DOUBLE), 0.75), 6)
+              AS r3,
+            ROUND(quantile_cont(CAST(frequency AS DOUBLE), 0.25), 6)
+              AS f1,
+            ROUND(quantile_cont(CAST(frequency AS DOUBLE), 0.5), 6)
+              AS f2,
+            ROUND(quantile_cont(CAST(frequency AS DOUBLE), 0.75), 6)
+              AS f3,
+            ROUND(quantile_cont(CAST(monetary AS DOUBLE), 0.25), 6)
+              AS m1,
+            ROUND(quantile_cont(CAST(monetary AS DOUBLE), 0.5), 6)
+              AS m2,
+            ROUND(quantile_cont(CAST(monetary AS DOUBLE), 0.75), 6)
+              AS m3
+          FROM u),
+        seg AS (SELECT
+            1 + CAST(CAST(recency_days AS DOUBLE) > e.r1 AS INT)
+              + CAST(CAST(recency_days AS DOUBLE) > e.r2 AS INT)
+              + CAST(CAST(recency_days AS DOUBLE) > e.r3 AS INT) AS r_seg,
+            1 + CAST(CAST(frequency AS DOUBLE) > e.f1 AS INT)
+              + CAST(CAST(frequency AS DOUBLE) > e.f2 AS INT)
+              + CAST(CAST(frequency AS DOUBLE) > e.f3 AS INT) AS f_seg,
+            1 + CAST(CAST(monetary AS DOUBLE) > e.m1 AS INT)
+              + CAST(CAST(monetary AS DOUBLE) > e.m2 AS INT)
+              + CAST(CAST(monetary AS DOUBLE) > e.m3 AS INT) AS m_seg,
+            monetary
+          FROM u, e)
+        SELECT r_seg, f_seg, m_seg,
+          CAST(COUNT(*) AS BIGINT) AS n_users,
+          CAST(SUM(CAST(monetary AS DECIMAL(28,6))) AS DOUBLE)
+            AS total_monetary
+        FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
     Q("d07_cross_dedup",
       // document-level decontamination: training docs (id ≥ 10) that
       // near-duplicate any benchmark doc (id < 10) — banded-LSH

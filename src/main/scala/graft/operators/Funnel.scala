@@ -220,4 +220,65 @@ object Funnel {
         grouping(col("day")).cast("int").as("day_total"),
         count(lit(1)).as("events"),
         round(sum(col("__v")), 6).as("value_sum"))
+
+  /** RFM segmentation (recency / frequency / monetary quartiles) — the
+   *  classic customer-value grid: per user, days since last purchase
+   *  (vs the latest purchase date in the log), purchase count, and
+   *  exact-decimal spend; each metric bucketed 1–4 by its own exact
+   *  interpolated quartile edges. Segment ids are raw quartile indexes
+   *  (1 = lowest metric VALUE — note for recency that means MOST
+   *  recent); the output is the segment-grid rollup.
+   *
+   *  Determinism: quartile edges round to 6 dp BEFORE the bucket
+   *  compare (the p45 clamp-bound move) so the boundary user set is
+   *  engine-exact; money rides decimal(28,6) sums. Scale shape: one
+   *  user-keyed aggregate, a 1-row anchor + 1-row edge frame
+   *  broadcast, one segment-keyed rollup; the user frame is
+   *  lineage-cut because the edge aggregate and the bucket assignment
+   *  both consume it. */
+  def rfmSegments(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      valueCol: String = "value",
+      purchaseType: String = "purchase"): DataFrame = {
+    val p = events.filter(col(typeCol) === purchaseType
+      && col(userCol).isNotNull)
+    val anchor = p.agg(max(to_date(col(tsCol))).as("__anchor"))
+    val users = p.groupBy(col(userCol))
+      .agg(max(to_date(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("decimal(28,6)")).as("__money"))
+      .crossJoin(broadcast(anchor))
+      .select(col(userCol),
+        datediff(col("__anchor"), col("__last")).cast("long")
+          .as("recency_days"),
+        col("frequency"),
+        col("__money").cast("double").as("monetary"))
+      .localCheckpoint()
+    def q(c: String, f: Double, as: String): Column =
+      round(expr(s"percentile(cast($c as double), $f)"), 6).as(as)
+    val edges = users.agg(
+      q("recency_days", 0.25, "r1"), q("recency_days", 0.5, "r2"),
+      q("recency_days", 0.75, "r3"),
+      q("frequency", 0.25, "f1"), q("frequency", 0.5, "f2"),
+      q("frequency", 0.75, "f3"),
+      q("monetary", 0.25, "m1"), q("monetary", 0.5, "m2"),
+      q("monetary", 0.75, "m3"))
+    def seg(c: String, e: String): Column =
+      lit(1) + (col(c).cast("double") > col(s"${e}1")).cast("int") +
+        (col(c).cast("double") > col(s"${e}2")).cast("int") +
+        (col(c).cast("double") > col(s"${e}3")).cast("int")
+    users.crossJoin(broadcast(edges))
+      .select(seg("recency_days", "r").as("r_seg"),
+        seg("frequency", "f").as("f_seg"),
+        seg("monetary", "m").as("m_seg"),
+        col("monetary"))
+      .groupBy("r_seg", "f_seg", "m_seg")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary").cast("decimal(28,6)")).cast("double")
+          .as("total_monetary"))
+      .orderBy("r_seg", "f_seg", "m_seg")
+  }
 }

@@ -367,4 +367,56 @@ object LinkGraph {
       .orderBy(col("aa_score").desc, col("u"), col("v"))
       .limit(topN)
   }
+
+  /** Newman modularity of a GIVEN node partition — the quality score
+   *  that tells a curation run whether the communities x101's label
+   *  propagation (or any other assignment) found are real structure
+   *  or noise: Q = Σ_c [ e_c/m − (d_c/2m)² ], per-community
+   *  contributions reported so the weak communities are visible, not
+   *  just the total (Q = sum of q_contrib; near-zero or negative
+   *  contributions mark communities no denser than chance).
+   *
+   *  Scale shape: one canonical-edge distinct, one m count, two
+   *  node-keyed joins to label edge endpoints, one community-keyed
+   *  aggregate each for within-edges and degree mass — every shuffle
+   *  on the node or community key. The (d/2m) ratio is STAGED so the
+   *  oracle replays the identical operation order; contributions
+   *  nano-quantize before the report. */
+  def modularity(
+      edges: DataFrame,
+      communities: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      nodeCol: String = "node",
+      communityCol: String = "community"): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    val m = und.count()
+    require(m > 0, "modularity needs at least one edge")
+    val cs = communities.select(col(nodeCol).cast("long").as("node"),
+      col(communityCol).cast("long").as("community"))
+    val ca = cs.select(col("node").as("a"), col("community").as("__ca"))
+    val cb = cs.select(col("node").as("b"), col("community").as("__cb"))
+    val eIn = und.join(ca, "a").join(cb, "b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+    val byC = cs.join(deg, Seq("node"), "left")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("__deg")), lit(0L)).as("d_tot"))
+    byC.join(eIn, Seq("community"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .withColumn("__r", col("d_tot").cast("double") / (2.0 * m))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("d_tot"),
+        round(round((col("e_in").cast("double") / m
+          - col("__r") * col("__r")) * 1e9, 0).cast("long")
+          .cast("double") / 1e9, 6).as("q_contrib"))
+      .orderBy("community")
+  }
 }

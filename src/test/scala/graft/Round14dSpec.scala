@@ -173,6 +173,57 @@ class Round14dSpec extends AnyFunSuite {
     assert(got(("status", "k")) == ((2L, 4L, false, 1000000L)))
   }
 
+  test("modularity: two triangles + one bridge, hand-computed per-" +
+      "community contributions; an everything-in-one partition scores 0") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (3L, 5L),
+      (4L, 5L), (2L, 3L)).toDF("src", "dst")
+    val comm = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L),
+      (5L, 3L)).toDF("node", "community")
+    val got = graft.pipeline.LinkGraph.modularity(edges, comm).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // m=7; each triangle: e_in=3, d_tot=7, r=0.5 ->
+    // 3/7 - 0.25 = 0.178571 (nano-quantized)
+    val c = math.round((3.0 / 7 - 0.25) * 1e9) / 1e9
+    val exp = math.round(c * 1e6) / 1e6
+    assert(got == Seq((0L, 3L, 3L, 7L, exp), (3L, 3L, 3L, 7L, exp)))
+    val all = Seq((0L, 9L), (1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L),
+      (5L, 9L)).toDF("node", "community")
+    val gotAll = graft.pipeline.LinkGraph.modularity(edges, all)
+      .collect().map(_.getDouble(4)).toSeq
+    assert(gotAll == Seq(0.0)) // e/m = 1, (d/2m)^2 = 1
+  }
+
+  test("rfmSegments: hand-computed quartile grid; non-purchase events " +
+      "and null users are ignored") {
+    val ts = (day: Int) =>
+      java.sql.Timestamp.valueOf(f"2020-01-$day%02d 12:00:00")
+    val ev = Seq(
+      (Option(1L), ts(1), "purchase", 10.0),
+      (Option(2L), ts(2), "purchase", 8.0),
+      (Option(2L), ts(3), "purchase", 12.0),
+      (Option(3L), ts(4), "purchase", 15.0),
+      (Option(3L), ts(4), "purchase", 5.0),
+      (Option(3L), ts(5), "purchase", 10.0),
+      (Option(4L), ts(6), "purchase", 10.0),
+      (Option(4L), ts(6), "purchase", 10.0),
+      (Option(4L), ts(7), "purchase", 10.0),
+      (Option(4L), ts(7), "purchase", 10.0),
+      (Option(1L), ts(7), "view", 999.0),      // not a purchase
+      (None: Option[Long], ts(7), "purchase", 999.0) // null user
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = graft.operators.Funnel.rfmSegments(ev).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // recency {6,4,2,0} / frequency {1,2,3,4} / monetary {10,20,30,40}:
+    // each user lands in its own quartile on every axis
+    assert(got == Seq(
+      (1, 4, 4, 1L, 40.0),
+      (2, 3, 3, 1L, 30.0),
+      (3, 2, 2, 1L, 20.0),
+      (4, 1, 1, 1L, 10.0)))
+  }
+
   test("p45 robust stats: winsorized/trimmed means sit inside the " +
       "quantile clamp; ~10% of rows clamp at a 5/95 trim") {
     val r = SparkEntry.queries("p45_robust_stats")(
