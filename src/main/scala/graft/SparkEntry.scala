@@ -4636,6 +4636,59 @@ object SparkEntry {
             AS total_monetary
         FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
 
+    Q("x113_basket_lift",
+      // market-basket lift over order/part baskets — the transactional
+      // twin of x108's PMI: pairs minted ONLY through a basket-keyed
+      // self-join (mega-baskets excluded from pairing by the cap, the
+      // d06/x110 move), support floor before the frequency joins,
+      // micro-quantized lift before the top cut
+      (s, d) => graft.operators.Basket.coOccurrenceLift(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 2, top = 50),
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+          FROM lineitem
+          WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n FROM op),
+        itemn AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ni
+          FROM op GROUP BY 1),
+        sized AS (SELECT op.b, op.i FROM op
+          JOIN (SELECT b FROM op GROUP BY b HAVING COUNT(*) <= 100) ok
+          ON op.b = ok.b),
+        pairs AS (SELECT l.i AS item_a, r.i AS item_b,
+            CAST(COUNT(*) AS BIGINT) AS n_both
+          FROM sized l JOIN sized r ON l.b = r.b AND l.i < r.i
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        j AS (SELECT p.item_a, p.item_b, p.n_both,
+            ua.ni AS n_a, ub.ni AS n_b,
+            CAST(ROUND((CAST(p.n_both AS DOUBLE) * nb.n)
+              / (CAST(ua.ni AS DOUBLE) * ub.ni) * 1e6, 0) AS BIGINT)
+              AS micro
+          FROM pairs p
+          JOIN itemn ua ON p.item_a = ua.i
+          JOIN itemn ub ON p.item_b = ub.i, nb)
+        SELECT item_a, item_b, n_both, n_a, n_b,
+          ROUND(CAST(micro AS DOUBLE) / 1e6, 6) AS lift
+        FROM j ORDER BY lift DESC, item_a, item_b LIMIT 50""")),
+
+    Q("x114_event_transitions",
+      // first-order Markov transition matrix over user journeys: one
+      // user-keyed lead window with the (ts, event_id) tie-break, a
+      // types^2-sized aggregate, integer-ppm row-normalized
+      (s, d) => graft.operators.Funnel.eventTransitions(
+        eventsTable(s, d)),
+      Some("""WITH s AS (SELECT user_id, event_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS nxt
+          FROM events WHERE user_id IS NOT NULL),
+        tr AS (SELECT event_type AS from_type, nxt AS to_type,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT from_type, SUM(n) AS t FROM tr GROUP BY 1)
+        SELECT from_type, to_type, n,
+          CAST(n * 1000000 // t AS BIGINT) AS p_ppm
+        FROM tr JOIN tot USING (from_type)
+        ORDER BY from_type, to_type""")),
+
     Q("d07_cross_dedup",
       // document-level decontamination: training docs (id ≥ 10) that
       // near-duplicate any benchmark doc (id < 10) — banded-LSH

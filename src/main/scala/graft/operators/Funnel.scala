@@ -236,6 +236,36 @@ object Funnel {
    *  broadcast, one segment-keyed rollup; the user frame is
    *  lineage-cut because the edge aggregate and the bucket assignment
    *  both consume it. */
+  /** First-order event-type transition matrix — P(next type | type)
+   *  per user journey, the Markov view of the event stream that
+   *  funnels (fixed step order) and sessionization (gap splitting)
+   *  don't give: which states actually feed which. Consecutive pairs
+   *  come from ONE user-keyed lead window ordered (ts, event id) —
+   *  the x103 tie-break — then a types²-sized aggregate;
+   *  probabilities are integer ppm by floor division. */
+  def eventTransitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      idCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    // the transition-count frame feeds the row totals AND the final
+    // join: cut lineage so the events window runs once (types²-sized)
+    val tr = events.filter(col(userCol).isNotNull)
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val tot = tr.groupBy("from_type").agg(sum(col("n")).as("__tot"))
+    tr.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div __tot").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
   def rfmSegments(
       events: DataFrame,
       userCol: String = "user_id",

@@ -224,6 +224,49 @@ class Round14dSpec extends AnyFunSuite {
       (4, 1, 1, 1L, 10.0)))
   }
 
+  test("coOccurrenceLift: hand-computed lift, support floor, mega-" +
+      "basket cap excludes pairing but not frequencies, dups collapse") {
+    val rows = Seq(
+      (1L, "A"), (1L, "A"), (1L, "B"),           // dup membership
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "B"),
+      (5L, "X"), (5L, "Y"), (5L, "Z")            // mega basket (cap 2)
+    ).toDF("basket", "item")
+    val got = graft.operators.Basket.coOccurrenceLift(
+      rows, "basket", "item", minSupport = 2, top = 10,
+      maxBasketSize = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    // only (A,B) clears the floor: 2 co-baskets, n_A=3, n_B=3, N=5 ->
+    // lift 10/9 = 1.111111; the X/Y/Z pairs never mint (cap), C pairs
+    // fall to the floor
+    assert(got == Seq(("A", "B", 2L, 3L, 3L, 1.111111)))
+  }
+
+  test("eventTransitions: user-keyed consecutive pairs with the " +
+      "(ts, event_id) tie-break; ppm row-normalized; null users out") {
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, Option(1L), ts(1), "view"),
+      (2L, Option(1L), ts(2), "click"),
+      (3L, Option(1L), ts(3), "purchase"),
+      (8L, Option(2L), ts(1), "view"),   // same ts: id 8 before 9
+      (9L, Option(2L), ts(1), "click"),
+      (4L, Option(3L), ts(1), "view"),
+      (5L, Option(3L), ts(2), "view"),
+      (6L, Option(3L), ts(3), "click"),
+      (7L, None: Option[Long], ts(4), "error")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Funnel.eventTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("click", "purchase", 1L, 1000000L),
+      ("view", "click", 3L, 750000L),
+      ("view", "view", 1L, 250000L)))
+  }
+
   test("p45 robust stats: winsorized/trimmed means sit inside the " +
       "quantile clamp; ~10% of rows clamp at a 5/95 trim") {
     val r = SparkEntry.queries("p45_robust_stats")(
