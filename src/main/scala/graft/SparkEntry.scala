@@ -4689,6 +4689,35 @@ object SparkEntry {
         FROM tr JOIN tot USING (from_type)
         ORDER BY from_type, to_type""")),
 
+    Q("x115_dp_counts",
+      // epsilon-DP per-source counts (Laplace mechanism, sensitivity
+      // 1) — the RELEASE step after the k/l/t privacy audits. Noise by
+      // inverse CDF from a SEEDED md5 uniform (the x06 portable-hash
+      // discipline) so the release is deterministic and the oracle
+      // replays the exact draw; micro-quantized before adding
+      (s, d) => graft.pipeline.Privacy.dpGroupCounts(
+          t(s, d, "documents"), "source",
+        epsilon = 1.0),
+      Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY source),
+        h AS (SELECT source, n,
+            CAST(('0x' || substring(
+              md5('dp-v1:' || CAST(source AS VARCHAR)), 1, 8))
+              AS BIGINT) AS hh
+          FROM c),
+        u AS (SELECT source, n,
+            (CAST(hh AS DOUBLE) + 0.5) / 4294967296.0 AS uu
+          FROM h),
+        nz AS (SELECT source, n,
+            CAST(ROUND((-1.0 * sign(uu - 0.5)
+              * ln(1.0 - 2.0 * abs(uu - 0.5))) * 1e6, 0) AS BIGINT)
+              AS nm
+          FROM u)
+        SELECT source, CAST(1.0 AS DOUBLE) AS epsilon,
+          ROUND(CAST(n AS DOUBLE) + CAST(nm AS DOUBLE) / 1e6, 6)
+            AS noisy_count
+        FROM nz ORDER BY source""")),
+
     Q("d07_cross_dedup",
       // document-level decontamination: training docs (id ≥ 10) that
       // near-duplicate any benchmark doc (id < 10) — banded-LSH

@@ -149,4 +149,49 @@ object Privacy {
         sum(when(col("l_distinct") < l, col("class_size"))
           .otherwise(0L)).as("n_rows_below_l"))
   }
+
+  /** ε-differentially-private group counts via the Laplace mechanism —
+   *  the RELEASE step after the k/l/t audits: per-group counts with
+   *  Laplace(1/ε) noise (count queries have sensitivity 1). Noise is
+   *  drawn by inverse CDF from a SEEDED md5-uniform per group, so the
+   *  release is deterministic and any engine replays it bit-for-bit —
+   *  the x06 portable-hash discipline. A production release would
+   *  draw fresh randomness per publication; the seeded form is the
+   *  TESTABLE core (same mechanism, pinned draw) and doubles as the
+   *  "stable across reruns" variant some pipelines actually want.
+   *
+   *  u ∈ (0,1) from the group's md5; noise = −(1/ε)·sign(u−½)·
+   *  ln(1−2|u−½|); the noise micro-quantizes before adding so the
+   *  noisy count is engine-exact. True counts are NOT in the output
+   *  (they would defeat the release); specs verify the mechanism by
+   *  recomputing the draw. Scale: one group-keyed aggregate plus
+   *  map-only noise arithmetic. */
+  def dpGroupCounts(
+      df: DataFrame,
+      groupCol: String,
+      epsilon: Double = 1.0,
+      seed: String = "dp-v1"): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+    counts
+      // 32-bit md5 prefix -> u in (0,1): the +0.5 offset keeps u off
+      // both endpoints, so ln(1-2|u-0.5|) is finite for every draw
+      .withColumn("__h",
+        conv(substring(md5(concat(lit(seed), lit(":"),
+          col(groupCol).cast("string"))), 1, 8), 16, 10).cast("long"))
+      .withColumn("__u",
+        (col("__h").cast("double") + 0.5) / 4294967296.0)
+      .withColumn("__noise_micro",
+        round((lit(-1.0 / epsilon)
+          * signum(col("__u") - 0.5)
+          * log(lit(1.0) - lit(2.0) * abs(col("__u") - 0.5))) * 1e6, 0)
+          .cast("long"))
+      .select(col(groupCol),
+        lit(epsilon).as("epsilon"),
+        round(col("__n").cast("double")
+          + col("__noise_micro").cast("double") / 1e6, 6)
+          .as("noisy_count"))
+      .orderBy(groupCol)
+  }
 }

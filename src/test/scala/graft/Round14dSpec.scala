@@ -267,6 +267,34 @@ class Round14dSpec extends AnyFunSuite {
       ("view", "view", 1L, 250000L)))
   }
 
+  test("dpGroupCounts: the seeded Laplace draw replays exactly from " +
+      "the md5; epsilon scales the noise; true counts never leak") {
+    val df = (Seq.fill(100)("a") ++ Seq.fill(50)("b"))
+      .map(Tuple1(_)).toDF("g")
+    def expected(group: String, n: Long, eps: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dp-v1:$group".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h.toDouble + 0.5) / 4294967296.0
+      val noise = -1.0 / eps * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val nm = math.round(noise * 1e6)
+      math.round((n + nm / 1e6) * 1e6) / 1e6
+    }
+    val got = graft.pipeline.Privacy.dpGroupCounts(df, "g").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("a") == expected("a", 100, 1.0))
+    assert(got("b") == expected("b", 50, 1.0))
+    assert(got("a") != 100.0 && got("b") != 50.0) // noise actually lands
+    val got2 = graft.pipeline.Privacy.dpGroupCounts(df, "g",
+      epsilon = 2.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got2("a") == expected("a", 100, 2.0))
+    // doubling epsilon halves the noise magnitude
+    assert(math.abs(got2("a") - 100.0) < math.abs(got("a") - 100.0))
+  }
+
   test("p45 robust stats: winsorized/trimmed means sit inside the " +
       "quantile clamp; ~10% of rows clamp at a 5/95 trim") {
     val r = SparkEntry.queries("p45_robust_stats")(
