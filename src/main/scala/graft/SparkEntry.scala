@@ -12068,5 +12068,44 @@ object SparkEntry {
           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
           strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
         FROM closed WHERE vt IS NOT NULL
-        ORDER BY user_id, valid_from, value""")))
+        ORDER BY user_id, valid_from, value""")),
+
+    Q("st22_stream_transitions",
+      // streaming twin of x114: per-user O(1) state (the last event)
+      // emits one (from, to) row per consecutive pair as events
+      // arrive, chaining across micro-batches; the Markov matrix is a
+      // downstream types^2-sized rollup of the drained rows and must
+      // equal the batch window computation exactly
+      (s, d) => {
+        import s.implicits._
+        val changes = eventsStream(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id").as("key"), col("event_id").as("seq"),
+            col("ts"), col("event_type").as("value"))
+          .as[graft.streaming.StreamingDetect.CdcEvent]
+        val tr = graft.streaming.StreamingDetect
+          .transitionStream(changes).toDF()
+        val counts = runBoundedStream(s, tr, "st22_sink", "append")
+          .groupBy(col("fromType").as("from_type"),
+            col("toType").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val tot = counts.groupBy("from_type").agg(sum(col("n")).as("__tot"))
+        counts.join(tot, "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 1000000 div __tot").as("p_ppm"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH s AS (SELECT user_id, event_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS nxt
+          FROM events WHERE user_id IS NOT NULL),
+        tr AS (SELECT event_type AS from_type, nxt AS to_type,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT from_type, SUM(n) AS t FROM tr GROUP BY 1)
+        SELECT from_type, to_type, n,
+          CAST(n * 1000000 // t AS BIGINT) AS p_ppm
+        FROM tr JOIN tot USING (from_type)
+        ORDER BY from_type, to_type""")))
 }

@@ -332,6 +332,41 @@ object StreamingDetect {
         GroupStateTimeout.NoTimeout())(step)
   }
 
+  final case class Transition(key: Long, fromType: String, toType: String)
+
+  /** Streaming event-type transition extraction — the streaming twin
+   *  of the batch Markov matrix (x114's `Funnel.eventTransitions`):
+   *  per-key state holds only the LAST event (value, ts, seq); each
+   *  micro-batch sorts its per-key arrivals by (ts, seq) and emits one
+   *  (from, to) row per consecutive pair, chaining across batches
+   *  through the retained last event. State is O(keys) × one event —
+   *  the ingest-time shape; the matrix itself is a downstream
+   *  types²-sized rollup of the emitted rows. Reuses the CDC event
+   *  record: `value` IS the event type here. */
+  def transitionStream(events: Dataset[CdcEvent]): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def step(
+        key: Long,
+        it: Iterator[CdcEvent],
+        state: GroupState[CdcOpen]): Iterator[Transition] = {
+      val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.seq))
+      var last = state.getOption
+      val out = Seq.newBuilder[Transition]
+      sorted.foreach { e =>
+        last.foreach(l => out += Transition(key, l.value, e.value))
+        last = Some(CdcOpen(e.value, e.ts, e.seq))
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(step)
+  }
+
   final case class NearDupCandidate(docId: Long, dupOf: Long, hamming: Int)
 
   /** Internal keying record for [[nearDupStream]] (public only because

@@ -295,6 +295,41 @@ class Round14dSpec extends AnyFunSuite {
     assert(math.abs(got2("a") - 100.0) < math.abs(got("a") - 100.0))
   }
 
+  test("transitionStream: chains across micro-batches through the " +
+      "retained last event; same-batch arrivals sort by (ts, seq)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDetect
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[StreamingDetect.CdcEvent]
+    val tr = StreamingDetect.transitionStream(ms.toDS())
+    val q = tr.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("st22_spec_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    // batch 1, delivered OUT of order: u1 view(00) -> click(01) by
+    // (ts, seq) even though click arrives first in the iterator
+    ms.addData(
+      StreamingDetect.CdcEvent(1L, 2L, ts("2024-01-01 01:00:00"), "click"),
+      StreamingDetect.CdcEvent(1L, 1L, ts("2024-01-01 00:00:00"), "view"),
+      StreamingDetect.CdcEvent(2L, 3L, ts("2024-01-01 00:00:00"), "view"))
+    q.processAllAvailable()
+    val b1 = spark.table("st22_spec_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(b1 == Seq((1L, "view", "click")))
+    // batch 2: u1 continues from the STATE's click; u2 from view
+    ms.addData(
+      StreamingDetect.CdcEvent(1L, 4L, ts("2024-01-02 00:00:00"), "purchase"),
+      StreamingDetect.CdcEvent(2L, 5L, ts("2024-01-02 00:00:00"), "click"))
+    q.processAllAvailable()
+    val all = spark.table("st22_spec_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    q.stop()
+    assert(all == Set(
+      (1L, "view", "click"), (1L, "click", "purchase"),
+      (2L, "view", "click")))
+  }
+
   test("p45 robust stats: winsorized/trimmed means sit inside the " +
       "quantile clamp; ~10% of rows clamp at a 5/95 trim") {
     val r = SparkEntry.queries("p45_robust_stats")(
