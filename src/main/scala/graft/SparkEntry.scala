@@ -4689,6 +4689,42 @@ object SparkEntry {
         FROM tr JOIN tot USING (from_type)
         ORDER BY from_type, to_type""")),
 
+    Q("x116_edit_distance_verify",
+      // character-grain confirm of the LSH candidate pairs: banded
+      // minhash proposes (never all-pairs), Levenshtein on maxChars
+      // prefixes verifies at the character level — catching the
+      // whitespace/punct-only and find-and-replace cases token-grain
+      // Jaccard mis-scores. The candidate frame PERSISTS (its
+      // generation is d03's already-oracled shape) and the oracle
+      // recomputes every distance and verdict from raw text
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val state = freshState(s, "x116")
+        val sigs = Dedup.minhashSignatures(docs,
+          numHashes = 128, numBands = 32)
+        Dedup.lshCandidatePairs(sigs).select("id_a", "id_b")
+          .coalesce(1).write.mode("overwrite").parquet(state + "/cands")
+        Dedup.editDistanceVerify(docs, s.read.parquet(state + "/cands"))
+      },
+      Some("""WITH p AS (SELECT id_a, id_b
+          FROM read_parquet('/tmp/graft_qstate/x116/cands/*.parquet')),
+        t AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+        j AS (SELECT p.id_a, p.id_b,
+            substring(ta.t, 1, 2000) AS sa, substring(tb.t, 1, 2000) AS sb
+          FROM p JOIN t ta ON p.id_a = ta.doc_id
+          JOIN t tb ON p.id_b = tb.doc_id),
+        l AS (SELECT id_a, id_b,
+            CAST(levenshtein(sa, sb) AS BIGINT) AS lev,
+            CAST(GREATEST(len(sa), len(sb)) AS BIGINT) AS max_len
+          FROM j),
+        r AS (SELECT id_a, id_b, lev, max_len,
+            CAST(CASE WHEN max_len > 0 THEN lev * 1000000 // max_len
+              ELSE 0 END AS BIGINT) AS edit_ratio_ppm
+          FROM l)
+        SELECT id_a, id_b, lev, max_len, edit_ratio_ppm,
+          edit_ratio_ppm <= 300000 AS is_near_dup
+        FROM r ORDER BY id_a, id_b""")),
+
     Q("x115_dp_counts",
       // epsilon-DP per-source counts (Laplace mechanism, sensitivity
       // 1) — the RELEASE step after the k/l/t privacy audits. Noise by

@@ -2051,4 +2051,44 @@ object Dedup {
         round(lit(1e6) * col("covered_chars") / col("total_chars"), 0)
           .cast("long"))
   }
+
+  /** Character-level edit-distance verification of candidate pairs —
+   *  the CHARACTER-grain confirm step the token-grain verifies
+   *  (shingle Jaccard, SimHash hamming) can miss in both directions:
+   *  token-identical docs with different whitespace/punctuation, and
+   *  token-divergent docs that are one find-and-replace apart. Runs
+   *  ONLY over a candidate pair frame (banded LSH output — never
+   *  all-pairs); Levenshtein's per-pair O(len²) is capped by
+   *  `maxChars` prefix truncation (the standard fuzzy-verify budget:
+   *  a 100 KB doc pair would cost 10¹⁰ DP cells uncapped).
+   *
+   *  Returns (id_a, id_b, lev, max_len, edit_ratio_ppm, is_near_dup)
+   *  with ratio = lev/max(len) in ppm by floor division; null text
+   *  degrades to "" (the x95 contract). */
+  def editDistanceVerify(
+      docs: DataFrame,
+      pairs: DataFrame,
+      maxRatioPpm: Long = 300000,
+      maxChars: Int = 2000,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxChars > 0 && maxRatioPpm >= 0, "positive caps required")
+    val txt = docs.select(col(idCol).cast("long").as("__id"),
+      substring(coalesce(col(textCol), lit("")), 1, maxChars).as("__t"))
+    pairs
+      .join(txt.select(col("__id").as("id_a"), col("__t").as("__ta")),
+        "id_a")
+      .join(txt.select(col("__id").as("id_b"), col("__t").as("__tb")),
+        "id_b")
+      .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
+      .withColumn("edit_ratio_ppm",
+        when(col("max_len") > 0, expr("lev * 1000000 div max_len"))
+          .otherwise(lit(0L)))
+      .withColumn("is_near_dup", col("edit_ratio_ppm") <= maxRatioPpm)
+      .select("id_a", "id_b", "lev", "max_len", "edit_ratio_ppm",
+        "is_near_dup")
+      .orderBy("id_a", "id_b")
+  }
 }

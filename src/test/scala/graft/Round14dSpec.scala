@@ -330,6 +330,35 @@ class Round14dSpec extends AnyFunSuite {
       (2L, "view", "click")))
   }
 
+  test("editDistanceVerify: textbook distances, ratio ppm, prefix cap, " +
+      "null-text and empty-pair degradation") {
+    val docs = Seq(
+      (1L, "kitten"), (2L, "sitting"),          // lev 3, max 7
+      (3L, "abcdef"), (4L, "abcdef"),           // identical: lev 0
+      (5L, null: String), (6L, ""),             // both empty: ppm 0
+      (7L, "xxxxxxxxxx"), (8L, "")              // empty vs 10: ppm 1e6
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val got = graft.pipeline.Dedup.editDistanceVerify(docs, pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(got((1L, 2L)) == ((3L, 7L, 428571L, false)))
+    assert(got((3L, 4L)) == ((0L, 6L, 0L, true)))
+    assert(got((5L, 6L)) == ((0L, 0L, 0L, true)))
+    assert(got((7L, 8L)) == ((10L, 10L, 1000000L, false)))
+    // the prefix cap bounds the DP: 5000-char twins diverging only
+    // past char 2000 verify as identical
+    val long1 = "a" * 5000
+    val long2 = "a" * 2500 + "b" * 2500
+    val docs2 = Seq((1L, long1), (2L, long2)).toDF("doc_id", "text")
+    val capped = graft.pipeline.Dedup.editDistanceVerify(
+      docs2, Seq((1L, 2L)).toDF("id_a", "id_b")).collect()(0)
+    assert(capped.getLong(2) == 0L && capped.getLong(3) == 2000L)
+  }
+
   test("p45 robust stats: winsorized/trimmed means sit inside the " +
       "quantile clamp; ~10% of rows clamp at a 5/95 trim") {
     val r = SparkEntry.queries("p45_robust_stats")(
