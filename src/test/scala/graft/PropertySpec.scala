@@ -444,4 +444,176 @@ class PropertySpec extends AnyFunSuite {
         == (ids1 & ids2).size.toLong, s"seed=$seed: overlap mass leaked")
     }
   }
+
+  test("ngramNovelty: bounds, clone-kills-novelty, and the scored doc " +
+      "set, for arbitrary corpora") {
+    import graft.pipeline.TextAnalysis
+    for (seed <- 1L to 5L) {
+      val docs = sample(genDocs, seed)
+      // plant an exact clone: both copies must score novelty 0
+      val cloneSrc = docs.head
+      val all = docs :+ ((cloneSrc._1 + 10000L, cloneSrc._2))
+      val got = TextAnalysis.ngramNovelty(all.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      val eligible = all.filter(_._2.split("\\s+").count(_.nonEmpty) >= 3)
+      assert(got.keySet == eligible.map(_._1).toSet, s"seed=$seed")
+      got.foreach { case (id, (ng, nn, nov)) =>
+        assert(ng >= 1 && nn >= 0 && nn <= ng, s"seed=$seed id=$id")
+        assert(nov == math.round(nn.toDouble / ng * 1e6) / 1e6,
+          s"seed=$seed id=$id ratio")
+      }
+      if (cloneSrc._2.split("\\s+").count(_.nonEmpty) >= 3) {
+        assert(got(cloneSrc._1)._2 == 0L, s"seed=$seed: clone src novel")
+        assert(got(cloneSrc._1 + 10000L)._2 == 0L,
+          s"seed=$seed: clone copy novel")
+      }
+    }
+  }
+
+  test("pmiCollocations: floor respected, pair count never exceeds " +
+      "either unigram count, ordering is (pmi desc, ngram)") {
+    import graft.pipeline.TextAnalysis
+    for (seed <- 1L to 5L) {
+      val docs = sample(genDocs, seed)
+      val rows = TextAnalysis.pmiCollocations(
+        docs.toDF("doc_id", "text"), minCount = 2, top = 100).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+      rows.foreach { case (g, cnt, c1, c2, _) =>
+        assert(cnt >= 2, s"seed=$seed $g below floor")
+        assert(cnt <= c1 && cnt <= c2, s"seed=$seed $g pair > unigram")
+      }
+      val sortKey = rows.map { case (g, _, _, _, pmi) => (-pmi, g) }
+      assert(sortKey.sameElements(sortKey.sorted), s"seed=$seed order")
+    }
+  }
+
+  test("retrievalEval: all four metrics in [0,1]; hits bounded by k " +
+      "and by the relevant total, for arbitrary corpora and terms") {
+    import graft.pipeline.TextAnalysis
+    for (seed <- 1L to 5L) {
+      val docs = sample(genDocs, seed)
+      val terms = Seq("w1", "w5", "w11")
+      val k = 5
+      val r = TextAnalysis.retrievalEval(
+        docs.toDF("doc_id", "text"), terms, k = k).collect()(0)
+      val hits = r.getAs[Long]("n_rel_at_k")
+      val tot = r.getAs[Long]("n_rel_total")
+      assert(hits <= k && hits <= tot, s"seed=$seed hits")
+      Seq("ndcg", "mrr", "precision_at_k", "recall_at_k").foreach { m =>
+        val v = r.getAs[Double](m)
+        assert(v >= 0.0 && v <= 1.0, s"seed=$seed $m=$v")
+      }
+      assert(r.getAs[Double]("precision_at_k")
+        == math.round(hits.toDouble / k * 1e6) / 1e6, s"seed=$seed p@k")
+    }
+  }
+
+  test("adamicAdar: predictions are never existing edges, scores " +
+      "positive, shared-neighbor counts >= 1, for arbitrary graphs") {
+    import graft.pipeline.LinkGraph
+    val genEdges: Gen[List[(Long, Long)]] =
+      Gen.chooseNum(3, 40).flatMap(n => Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 15L); b <- Gen.chooseNum(0L, 15L)
+      } yield (a, b)))
+    for (seed <- 1L to 5L) {
+      val edges = sample(genEdges, seed).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val und = edges.map(e => (e._1 min e._2, e._1 max e._2)).toSet
+        val got = graft.pipeline.LinkGraph.adamicAdar(
+          edges.toDF("src", "dst"), topN = 1000).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3)))
+        got.foreach { case (u, v, nc, sc) =>
+          assert(u < v, s"seed=$seed pair order")
+          assert(!und.contains((u, v)), s"seed=$seed predicted an edge")
+          assert(nc >= 1 && sc > 0.0, s"seed=$seed weight")
+        }
+      }
+    }
+  }
+
+  test("modularity: degree mass is exactly 2m, within-edges never " +
+      "exceed m, total Q <= 1, for arbitrary graphs and partitions") {
+    import graft.pipeline.LinkGraph
+    val genEdges: Gen[List[(Long, Long)]] =
+      Gen.chooseNum(3, 40).flatMap(n => Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 15L); b <- Gen.chooseNum(0L, 15L)
+      } yield (a, b)))
+    for (seed <- 1L to 5L) {
+      val edges = sample(genEdges, seed).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val und = edges.map(e => (e._1 min e._2, e._1 max e._2)).distinct
+        val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct
+        // arbitrary partition: node mod 3
+        val comm = nodes.map(n => (n, n % 3)).toDF("node", "community")
+        val rows = LinkGraph.modularity(
+          edges.toDF("src", "dst"), comm).collect()
+          .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+        val m = und.size.toLong
+        assert(rows.map(_._2).sum == 2 * m, s"seed=$seed degree mass")
+        assert(rows.map(_._1).sum <= m, s"seed=$seed within-edges")
+        assert(rows.map(_._3).sum <= 1.0 + 1e-6, s"seed=$seed Q bound")
+      }
+    }
+  }
+
+  test("eventTransitions: transition mass = events - users, ppm rows " +
+      "sum to <= 1e6 within row count, for arbitrary logs") {
+    import graft.operators.Funnel
+    val genEvents: Gen[List[(Long, Long, Int, String)]] =
+      Gen.chooseNum(2, 60).flatMap(n => Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 6L)
+        t <- Gen.chooseNum(0, 500)
+        ty <- Gen.oneOf("view", "click", "purchase", "error")
+      } yield (u, t.toLong, t, ty)))
+        .map(_.zipWithIndex.map { case ((u, _, t, ty), i) =>
+          (i.toLong, u, t, ty) })
+    for (seed <- 1L to 5L) {
+      val evs = sample(genEvents, seed)
+      val df = evs.map { case (id, u, t, ty) =>
+        (id, u, new java.sql.Timestamp(t * 60000L), ty)
+      }.toDF("event_id", "user_id", "ts", "event_type")
+      val rows = Funnel.eventTransitions(df).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      val nUsers = evs.map(_._2).distinct.size
+      assert(rows.map(_._3).sum == evs.size - nUsers,
+        s"seed=$seed transition mass")
+      rows.groupBy(_._1).foreach { case (from, rs) =>
+        val s = rs.map(_._4).sum
+        // floor division: total in (1e6 - |row|, 1e6]
+        assert(s <= 1000000L && s > 1000000L - rs.size,
+          s"seed=$seed row $from ppm sum $s")
+      }
+    }
+  }
+
+  test("coOccurrenceLift: pair support never exceeds either item's " +
+      "basket count; lift recomputes from the counts, for random baskets") {
+    import graft.operators.Basket
+    val genRows: Gen[List[(Long, String)]] =
+      Gen.chooseNum(4, 80).flatMap(n => Gen.listOfN(n, for {
+        b <- Gen.chooseNum(1L, 12L)
+        i <- Gen.oneOf("A", "B", "C", "D", "E")
+      } yield (b, i)))
+    for (seed <- 1L to 5L) {
+      val rows = sample(genRows, seed)
+      val distinct = rows.distinct
+      val n = distinct.map(_._1).distinct.size.toLong
+      val rowsDf = rows.toDF("basket", "item")
+      val got = Basket.coOccurrenceLift(rowsDf, "basket", "item",
+        minSupport = 1, top = 1000).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5)))
+      got.foreach { case (a, b, nb2, na, nbb, lift) =>
+        assert(nb2 <= na && nb2 <= nbb, s"seed=$seed ($a,$b) support")
+        val micro = math.round(nb2.toDouble * n / (na.toDouble * nbb) * 1e6)
+        assert(lift == math.round(micro / 1e6 * 1e6) / 1e6,
+          s"seed=$seed ($a,$b) lift replay")
+      }
+    }
+  }
 }
