@@ -64,7 +64,14 @@ object Explain {
         // round 14 session 2
         "b03_curation_funnel", "x102_script_mix",
         "x103_touch_attribution", "x104_conversion_lag",
-        "x105_mmr_rerank", "x106_filter_ablation")
+        "x105_mmr_rerank", "x106_filter_ablation",
+        // round 14 session 3
+        "x107_retrieval_eval", "x108_pmi_collocations",
+        "x109_ngram_novelty", "x110_adamic_adar", "x111_modularity",
+        "x112_rfm_segments", "x113_basket_lift",
+        "x114_event_transitions", "x115_dp_counts",
+        "x116_edit_distance_verify", "p45_robust_stats",
+        "p46_fd_discovery")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -205,7 +205,13 @@ object Soak {
     // MMR re-rank: the data term is the bm25 corpus scan; the greedy
     // is bounded by the 32-candidate page at any corpus size.
     // x106 is the map-only + 1-row-aggregate floor (sub-1 at 10x)
-    "x105_mmr_rerank", "x106_filter_ablation")
+    "x105_mmr_rerank", "x106_filter_ablation",
+    // round-14 session 3: PMI (gram/token-keyed aggs; cost tracks the
+    // distinct-bigram keyspace), novelty (gram-df shuffle), Adamic-
+    // Adar (degree-capped center join — Σ deg² bound), basket lift
+    // (basket-keyed pair join; Σ basket² bound)
+    "x108_pmi_collocations", "x109_ngram_novelty", "x110_adamic_adar",
+    "x113_basket_lift")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry
