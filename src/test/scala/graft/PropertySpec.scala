@@ -591,6 +591,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("editDistanceVerify: Spark's levenshtein equals a reference " +
+      "Wagner-Fischer DP for arbitrary short strings") {
+    import graft.pipeline.Dedup
+    def ref(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val genStr: Gen[String] = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))
+    for (seed <- 1L to 8L) {
+      val a = sample(genStr, seed)
+      val b = sample(genStr, seed + 50)
+      val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val got = Dedup.editDistanceVerify(docs,
+        Seq((1L, 2L)).toDF("id_a", "id_b")).collect()(0)
+      assert(got.getLong(2) == ref(a, b).toLong,
+        s"seed=$seed a='$a' b='$b'")
+      // the triangle bounds every DP must respect
+      assert(got.getLong(2) >= math.abs(a.length - b.length)
+        && got.getLong(2) <= math.max(a.length, b.length), s"seed=$seed")
+    }
+  }
+
   test("coOccurrenceLift: pair support never exceeds either item's " +
       "basket count; lift recomputes from the counts, for random baskets") {
     import graft.operators.Basket
