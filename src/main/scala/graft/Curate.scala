@@ -126,6 +126,31 @@ object Curate {
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
     println(s"[curate] re-crawl diff (renames must not read as churn): " +
       s"$diff")
+
+    // 9. retrieval QA on the curated corpus (round-14 session 3): the
+    //    bm25 lane the serving side will use, scored with nDCG/MRR
+    //    against term-coverage grades — the number a tuning run reads
+    val evalRow = TextAnalysis.retrievalEval(train,
+      Seq("spark", "merge", "vector"), k = 10).head()
+    println(f"[curate] retrieval QA: ndcg@10=${
+      evalRow.getAs[Double]("ndcg")}%.4f mrr=${
+      evalRow.getAs[Double]("mrr")}%.4f p@10=${
+      evalRow.getAs[Double]("precision_at_k")}%.4f (${
+      evalRow.getAs[Long]("n_rel_at_k")}/${
+      evalRow.getAs[Long]("n_rel_total")} relevant retrieved)")
+
+    // 10. cross-doc template audit: top-PMI pair + the novelty floor —
+    //     the corpus-level signals the within-doc repetition gate
+    //     cannot see
+    val pmiTop = TextAnalysis.pmiCollocations(train, minCount = 5,
+        top = 1).collect().headOption
+      .map(r => s"'${r.getString(0)}' pmi=${r.getDouble(4)}")
+      .getOrElse("none above floor")
+    val nov = TextAnalysis.ngramNovelty(train)
+      .agg(min(col("novelty")), avg(col("novelty"))).head()
+    println(f"[curate] template audit: top-PMI $pmiTop; novelty " +
+      f"min=${nov.getDouble(0)}%.3f mean=${nov.getDouble(1)}%.4f")
+
     println(s"[curate] done — artifacts under $outDir")
     spark.stop()
   }
