@@ -4689,6 +4689,56 @@ object SparkEntry {
         FROM tr JOIN tot USING (from_type)
         ORDER BY from_type, to_type""")),
 
+    Q("x117_incremental_bm25",
+      // persisted BM25 index: the standing corpus signs once into
+      // (token, id, tf) postings + (id, dl) lengths, a delta slice
+      // APPENDS without re-reading old text, and the query touches
+      // only its terms' postings + the id-keyed metadata — never the
+      // corpus. The oracle is the FRESH batch computation over the
+      // full corpus (x36's SQL): incremental path = recompute, the
+      // contract every store in this engine is held to
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val state = freshState(s, "x117")
+        TextAnalysis.bm25StoreCreate(
+          docs.filter(col("doc_id") < 400), state + "/bm25")
+        TextAnalysis.bm25StoreAppend(
+          state + "/bm25", docs.filter(col("doc_id") >= 400))
+        TextAnalysis.bm25StoreQuery(s, state + "/bm25",
+          Seq("spark", "merge", "vector"), k = 10)
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents WHERE doc_id IS NOT NULL),
+        tok AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tl FROM dl),
+        qtf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+          WHERE token IN ('spark', 'merge', 'vector') GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS df FROM qtf GROUP BY 1),
+        per_term AS (
+          SELECT qtf.doc_id,
+            CAST(ROUND(
+              ln((CAST(stats.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                * (qtf.tf * 2.2)
+                / (qtf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                    / (CAST(stats.tl AS DOUBLE) / stats.n))))
+                * 1e6, 0) AS BIGINT) AS micro
+          FROM qtf JOIN df USING (token) JOIN dl USING (doc_id)
+          CROSS JOIN stats),
+        per_doc AS (
+          SELECT doc_id, SUM(micro) AS score_micro,
+            CAST(COUNT(*) AS BIGINT) AS n_terms
+          FROM per_term GROUP BY 1),
+        ranked AS (
+          SELECT doc_id, n_terms, score_micro,
+            ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+          FROM per_doc)
+        SELECT doc_id, CAST(rank AS INT) AS rank,
+          ROUND(CAST(score_micro AS DOUBLE) / 1e6, 6) AS bm25, n_terms
+        FROM ranked WHERE rank <= 10 ORDER BY rank""")),
+
     Q("x116_edit_distance_verify",
       // character-grain confirm of the LSH candidate pairs: banded
       // minhash proposes (never all-pairs), Levenshtein on maxChars

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -1704,6 +1704,98 @@ object TextAnalysis {
             "new_occ", "new_occ_ppm")
       } finally fresh.unpersist()
     } finally perTok.unpersist()
+  }
+
+  // ---- persisted BM25 index store (x117) -----------------------------
+
+  private def bm25Projections(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val toks = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    (toks.groupBy("token", "id").agg(count(lit(1)).as("tf")),
+      toks.groupBy("id").agg(count(lit(1)).as("dl")))
+  }
+
+  /** Persisted BM25 index — [[bm25TopK]]'s incremental twin (the
+   *  minhash/IVF-store shape for lexical retrieval): the standing
+   *  corpus signs ONCE into (token, id, tf) postings plus an
+   *  (id, dl) length table; new slices APPEND their postings without
+   *  re-reading old text, and queries touch only the query terms'
+   *  postings plus the id-keyed metadata table — never the corpus.
+   *  The store grows with the posting count (linear in corpus tokens
+   *  but text-free); corpus-level stats (N, total length) aggregate
+   *  from the metadata table at query time — a 1-row sidecar could
+   *  cache them, kept derived here so appends stay one write. */
+  def bm25StoreCreate(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val (postings, doclen) = bm25Projections(docs, idCol, textCol)
+    postings.write.mode("overwrite").parquet(path + "/postings")
+    doclen.write.mode("overwrite").parquet(path + "/doclen")
+  }
+
+  /** Append one slice's postings. Caller contract mirrors
+   *  `minhashStoreAppend`: ingest each document exactly once. */
+  def bm25StoreAppend(
+      path: String,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val (postings, doclen) = bm25Projections(newDocs, idCol, textCol)
+    postings.write.mode("append").parquet(path + "/postings")
+    doclen.write.mode("append").parquet(path + "/doclen")
+  }
+
+  /** BM25 top-k from the STORE — must equal [[bm25TopK]] over the
+   *  same logical corpus (the incremental-path ≡ fresh-computation
+   *  contract every store in this engine is held to). Scoring
+   *  arithmetic and quantization are the exact bm25TopK expressions;
+   *  the term filter prunes the postings scan before anything else. */
+  def bm25StoreQuery(
+      spark: SparkSession,
+      path: String,
+      terms: Seq[String],
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25StoreQuery needs at least one term")
+    val qtf = spark.read.parquet(path + "/postings")
+      .filter(col("token").isin(terms.map(_.toLowerCase): _*))
+    val dl = spark.read.parquet(path + "/doclen")
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__tl"))
+    val df = qtf.groupBy("token").agg(count(lit(1)).as("df"))
+    val perTerm = qtf
+      .join(broadcast(df), "token")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__n").cast("double") - col("df") + 0.5)
+          / (col("df") + 0.5) + 1.0))
+      .withColumn("__avgdl", col("__tl").cast("double") / col("__n"))
+      .withColumn("__micro",
+        round(col("__idf") * (col("tf") * (k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b)
+            * (col("dl").cast("double") / col("__avgdl")))) * 1e6, 0)
+          .cast("long"))
+    val perDoc = perTerm.groupBy(col("id"))
+      .agg(sum(col("__micro")).as("__score_micro"),
+        count(lit(1)).as("n_terms"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id").isNull)
+      .orderBy(col("__score_micro").desc, col("id"))
+    perDoc
+      .orderBy(col("__score_micro").desc, col("id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(wTop))
+      .select(col("id").as("doc_id"), col("rank"),
+        round(col("__score_micro").cast("double") / 1e6, 6).as("bm25"),
+        col("n_terms"))
   }
 
   /** Canonical form of a URL — the crawl-dedup normalization run

@@ -359,6 +359,33 @@ class Round14dSpec extends AnyFunSuite {
     assert(capped.getLong(2) == 0L && capped.getLong(3) == 2000L)
   }
 
+  test("bm25 store: create + append + query equals the fresh batch " +
+      "computation; the appended slice is genuinely consulted") {
+    import graft.pipeline.TextAnalysis
+    val base = Seq(
+      (1L, "spark merge spark"), (2L, "merge vector x"),
+      (3L, "nothing relevant here"), (4L, "spark y z"))
+    val delta = Seq(
+      (5L, "spark merge vector spark merge"),  // best doc, delta-only
+      (6L, "vector vector"))
+    val all = (base ++ delta).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bm25_spec").toString
+    TextAnalysis.bm25StoreCreate(base.toDF("doc_id", "text"), dir)
+    TextAnalysis.bm25StoreAppend(dir, delta.toDF("doc_id", "text"))
+    val terms = Seq("spark", "merge", "vector")
+    val fromStore = TextAnalysis.bm25StoreQuery(spark, dir, terms, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    val fresh = TextAnalysis.bm25TopK(all, terms, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(fromStore == fresh)
+    // the delta doc must top the ranking: it matches all three terms
+    // with the highest tf — proof the append is consulted
+    assert(fromStore.head._1 == 5L && fromStore.head._4 == 3L)
+  }
+
   test("p45 robust stats: winsorized/trimmed means sit inside the " +
       "quantile clamp; ~10% of rows clamp at a 5/95 trim") {
     val r = SparkEntry.queries("p45_robust_stats")(
