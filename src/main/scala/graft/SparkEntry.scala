@@ -4676,18 +4676,7 @@ object SparkEntry {
       // types^2-sized aggregate, integer-ppm row-normalized
       (s, d) => graft.operators.Funnel.eventTransitions(
         eventsTable(s, d)),
-      Some("""WITH s AS (SELECT user_id, event_type,
-            lead(event_type) OVER (PARTITION BY user_id
-              ORDER BY ts, event_id) AS nxt
-          FROM events WHERE user_id IS NOT NULL),
-        tr AS (SELECT event_type AS from_type, nxt AS to_type,
-            CAST(COUNT(*) AS BIGINT) AS n
-          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
-        tot AS (SELECT from_type, SUM(n) AS t FROM tr GROUP BY 1)
-        SELECT from_type, to_type, n,
-          CAST(n * 1000000 // t AS BIGINT) AS p_ppm
-        FROM tr JOIN tot USING (from_type)
-        ORDER BY from_type, to_type""")),
+      Some(transitionsOracleSql)),
 
     Q("x117_incremental_bm25",
       // persisted BM25 index: the standing corpus signs once into
@@ -4785,7 +4774,7 @@ object SparkEntry {
           t(s, d, "documents"), "source",
         epsilon = 1.0),
       Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
-          FROM documents GROUP BY source),
+          FROM documents WHERE source IS NOT NULL GROUP BY source),
         h AS (SELECT source, n,
             CAST(('0x' || substring(
               md5('dp-v1:' || CAST(source AS VARCHAR)), 1, 8))
@@ -12182,16 +12171,21 @@ object SparkEntry {
             expr("n * 1000000 div __tot").as("p_ppm"))
           .orderBy("from_type", "to_type")
       },
-      Some("""WITH s AS (SELECT user_id, event_type,
-            lead(event_type) OVER (PARTITION BY user_id
-              ORDER BY ts, event_id) AS nxt
-          FROM events WHERE user_id IS NOT NULL),
-        tr AS (SELECT event_type AS from_type, nxt AS to_type,
-            CAST(COUNT(*) AS BIGINT) AS n
-          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
-        tot AS (SELECT from_type, SUM(n) AS t FROM tr GROUP BY 1)
-        SELECT from_type, to_type, n,
-          CAST(n * 1000000 // t AS BIGINT) AS p_ppm
-        FROM tr JOIN tot USING (from_type)
-        ORDER BY from_type, to_type""")))
+      Some(transitionsOracleSql)))
+
+  /** Shared by x114 (batch) and st22 (streaming): the two paths are
+   *  the SAME contract, so any oracle fix applies to both at once. */
+  private val transitionsOracleSql: String =
+    """WITH s AS (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS nxt
+        FROM events WHERE user_id IS NOT NULL),
+      tr AS (SELECT event_type AS from_type, nxt AS to_type,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, SUM(n) AS t FROM tr GROUP BY 1)
+      SELECT from_type, to_type, n,
+        CAST(n * 1000000 // t AS BIGINT) AS p_ppm
+      FROM tr JOIN tot USING (from_type)
+      ORDER BY from_type, to_type"""
 }

@@ -41,8 +41,9 @@ object Basket {
       .filter(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
       .localCheckpoint()
+    // an empty (or all-null) input degrades to an empty result — the
+    // pair join never fires, so nBaskets=0 is never a divisor
     val nBaskets = op.select("__b").distinct().count()
-    require(nBaskets > 0, "no baskets")
     val itemN = op.groupBy("__i").agg(count(lit(1)).as("__ni"))
     val sized = op
       .join(op.groupBy("__b").agg(count(lit(1)).as("__bs"))

@@ -221,21 +221,6 @@ object Funnel {
         count(lit(1)).as("events"),
         round(sum(col("__v")), 6).as("value_sum"))
 
-  /** RFM segmentation (recency / frequency / monetary quartiles) — the
-   *  classic customer-value grid: per user, days since last purchase
-   *  (vs the latest purchase date in the log), purchase count, and
-   *  exact-decimal spend; each metric bucketed 1–4 by its own exact
-   *  interpolated quartile edges. Segment ids are raw quartile indexes
-   *  (1 = lowest metric VALUE — note for recency that means MOST
-   *  recent); the output is the segment-grid rollup.
-   *
-   *  Determinism: quartile edges round to 6 dp BEFORE the bucket
-   *  compare (the p45 clamp-bound move) so the boundary user set is
-   *  engine-exact; money rides decimal(28,6) sums. Scale shape: one
-   *  user-keyed aggregate, a 1-row anchor + 1-row edge frame
-   *  broadcast, one segment-keyed rollup; the user frame is
-   *  lineage-cut because the edge aggregate and the bucket assignment
-   *  both consume it. */
   /** First-order event-type transition matrix — P(next type | type)
    *  per user journey, the Markov view of the event stream that
    *  funnels (fixed step order) and sessionization (gap splitting)
@@ -266,6 +251,21 @@ object Funnel {
       .orderBy("from_type", "to_type")
   }
 
+  /** RFM segmentation (recency / frequency / monetary quartiles) — the
+   *  classic customer-value grid: per user, days since last purchase
+   *  (vs the latest purchase date in the log), purchase count, and
+   *  exact-decimal spend; each metric bucketed 1–4 by its own exact
+   *  interpolated quartile edges. Segment ids are raw quartile indexes
+   *  (1 = lowest metric VALUE — note for recency that means MOST
+   *  recent); the output is the segment-grid rollup.
+   *
+   *  Determinism: quartile edges round to 6 dp BEFORE the bucket
+   *  compare (the p45 clamp-bound move) so the boundary user set is
+   *  engine-exact; money rides decimal(28,6) sums. Scale shape: one
+   *  user-keyed aggregate, a 1-row anchor + 1-row edge frame
+   *  broadcast, one segment-keyed rollup; the user frame is
+   *  lineage-cut because the edge aggregate and the bucket assignment
+   *  both consume it. */
   def rfmSegments(
       events: DataFrame,
       userCol: String = "user_id",

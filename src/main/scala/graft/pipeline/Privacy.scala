@@ -172,7 +172,11 @@ object Privacy {
       epsilon: Double = 1.0,
       seed: String = "dp-v1"): DataFrame = {
     require(epsilon > 0, "epsilon must be positive")
-    val counts = df.groupBy(col(groupCol))
+    // a null group is not a releasable cohort — and it would
+    // null-propagate through the md5 seed into a silent NULL release;
+    // drop it explicitly (the source-keyed oracle convention)
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"))
     counts
       // 32-bit md5 prefix -> u in (0,1): the +0.5 offset keeps u off

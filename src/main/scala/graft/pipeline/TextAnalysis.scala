@@ -1369,12 +1369,16 @@ object TextAnalysis {
     val termsArr = array(terms.map(t => lit(t.toLowerCase)): _*)
     // graded label per doc: how many distinct query terms it contains;
     // null text degrades to grade 0 (the x95 null contract)
+    // the label frame feeds THREE consumers (top-k join, ideal
+    // ranking, totals): lineage-cut so the corpus tokenizes once for
+    // labeling — the frame is doc-count-sized (id + one int)
     val labels = docs
       .filter(col(idCol).isNotNull)
       .select(col(idCol),
         coalesce(size(array_intersect(
           array_distinct(split(lower(trim(col(textCol))), "\\s+")),
           termsArr)), lit(0)).as("rel"))
+      .localCheckpoint()
     // gain 2^rel - 1, discounted by log2(position+1), micro-quantized
     def dcgMicro(rankCol: Column): Column =
       sum(round(expr("cast(shiftleft(1L, rel) as double) - 1")

@@ -355,8 +355,18 @@ object StreamingDetect {
       var last = state.getOption
       val out = Seq.newBuilder[Transition]
       sorted.foreach { e =>
-        last.foreach(l => out += Transition(key, l.value, e.value))
-        last = Some(CdcOpen(e.value, e.ts, e.seq))
+        // late-data contract (the watermark discipline): an event
+        // older than the retained last event CANNOT be retro-inserted
+        // into an already-emitted chain without full history — it is
+        // DROPPED, never emitted as an inverted transition. Same-batch
+        // disorder is handled by the sort; only cross-batch lateness
+        // hits this branch.
+        val late = last.exists(l => e.ts.getTime < l.since.getTime
+          || (e.ts.getTime == l.since.getTime && e.seq < l.seq))
+        if (!late) {
+          last.foreach(l => out += Transition(key, l.value, e.value))
+          last = Some(CdcOpen(e.value, e.ts, e.seq))
+        }
       }
       last.foreach(state.update)
       out.result().iterator

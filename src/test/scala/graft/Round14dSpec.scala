@@ -386,6 +386,46 @@ class Round14dSpec extends AnyFunSuite {
     assert(fromStore.head._1 == 5L && fromStore.head._4 == 3L)
   }
 
+  test("transitionStream: a cross-batch LATE event is dropped (the " +
+      "watermark discipline), never emitted as an inverted transition") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDetect
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[StreamingDetect.CdcEvent]
+    val tr = StreamingDetect.transitionStream(ms.toDS())
+    val q = tr.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("st22_late_sink")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    ms.addData(StreamingDetect.CdcEvent(1L, 2L,
+      ts("2024-01-01 10:00:00"), "click"))
+    q.processAllAvailable()
+    // batch 2: ts 09:00 arrives AFTER the 10:00 click is retained —
+    // it must not emit (click -> view); the on-time purchase chains
+    ms.addData(
+      StreamingDetect.CdcEvent(1L, 1L, ts("2024-01-01 09:00:00"), "view"),
+      StreamingDetect.CdcEvent(1L, 3L, ts("2024-01-01 11:00:00"), "purchase"))
+    q.processAllAvailable()
+    val all = spark.table("st22_late_sink").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    q.stop()
+    assert(all == Seq(("click", "purchase")))
+  }
+
+  test("dpGroupCounts: a null group is dropped, never a silent NULL " +
+      "release; coOccurrenceLift degrades to empty on empty input") {
+    val df = (Seq.fill(5)(Option("a")) :+ (None: Option[String]))
+      .map(Tuple1(_)).toDF("g")
+    val got = graft.pipeline.Privacy.dpGroupCounts(df, "g").collect()
+    assert(got.length == 1 && got(0).getString(0) == "a")
+    assert(!got(0).isNullAt(2))
+    val empty = graft.operators.Basket.coOccurrenceLift(
+      Seq.empty[(Long, String)].toDF("basket", "item"),
+      "basket", "item").collect()
+    assert(empty.isEmpty)
+  }
+
   test("p45 robust stats: winsorized/trimmed means sit inside the " +
       "quantile clamp; ~10% of rows clamp at a 5/95 trim") {
     val r = SparkEntry.queries("p45_robust_stats")(
