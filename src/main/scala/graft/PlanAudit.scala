@@ -56,6 +56,9 @@ object PlanAudit {
       "bucket-summary exclusive-prefix self-join, <= 64 rows/side",
     "x39_perplexity_buckets" ->
       "bucket-summary exclusive-prefix self-join, <= 64 rows/side",
+    "x118_rank_correlation" ->
+      ("pair count over the top-20 arm INTERSECTION: <= k^2 pairs by " +
+        "construction; the lineage cut erases Catalyst's maxRows proof"),
     // NB scoring joins each doc against the label-meta frame —
     // groupBy(label) output, |labels| rows (sources-cardinality) by
     // construction; maxRows is None for grouped aggregates

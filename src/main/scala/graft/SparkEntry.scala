@@ -4678,6 +4678,115 @@ object SparkEntry {
         eventsTable(s, d)),
       Some(transitionsOracleSql)),
 
+    Q("a22_theil_sen",
+      // Theil-Sen robust trend slope per metric series (median of all
+      // pairwise slopes — one outlier day CANNOT drag the trend the
+      // way an OLS fit lets it): per-series pair stage is quadratic
+      // and GUARDED by maxPoints (window the input — the d06 cap
+      // discipline); the pair join is series-keyed equi, never
+      // all-pairs across series
+      (s, d) => graft.anomalies.Forecast.theilSen(
+          eventsTable(s, d).groupBy(col("event_type"),
+            to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).cast("double").as("cnt")),
+          Seq("event_type"), "day", "cnt")
+        .orderBy("event_type"),
+      Some("""WITH s AS (SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(COUNT(*) AS DOUBLE) AS y
+          FROM events GROUP BY 1, 2),
+        pts AS (SELECT event_type,
+            date_diff('day', DATE '1970-01-01', day) AS x, y
+          FROM s),
+        counts AS (SELECT event_type, CAST(COUNT(*) AS BIGINT)
+            AS n_points FROM pts GROUP BY 1),
+        sl AS (SELECT a.event_type,
+            (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS sl
+          FROM pts a JOIN pts b
+          ON a.event_type = b.event_type AND a.x < b.x),
+        slopes AS (SELECT event_type, median(sl) AS slope,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM sl GROUP BY 1),
+        ic AS (SELECT p.event_type,
+            median(p.y - sl2.slope * p.x) AS intercept
+          FROM pts p JOIN slopes sl2 USING (event_type) GROUP BY 1)
+        SELECT event_type, n_points, n_pairs,
+          ROUND(slope, 6) AS slope, ROUND(intercept, 6) AS intercept
+        FROM counts JOIN slopes USING (event_type)
+        JOIN ic USING (event_type)
+        ORDER BY event_type""")),
+
+    Q("x118_rank_correlation",
+      // Kendall tau between two bm25 parameterizations (k1/b sweep) —
+      // does the retuning actually REORDER results or just rescale
+      // scores? Pair counting over the top-20 intersection: the self-
+      // join is page-bounded (k^2) by construction (PlanAudit
+      // whitelist carries the justification — the lineage cut erases
+      // Catalyst's maxRows proof)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val terms = Seq("spark", "merge", "vector")
+        TextAnalysis.rankCorrelation(
+          TextAnalysis.bm25TopK(docs, terms, k = 20),
+          TextAnalysis.bm25TopK(docs, terms, k = 20, k1 = 2.0, b = 0.25))
+      },
+      Some {
+        def arm(sfx: String, k1: Double, b: Double): String = {
+          val tfNum = (k1 + 1.0).toString
+          val oneMinusB = (1.0 - b).toString
+          s"""per_term$sfx AS (
+             |  SELECT qtf.doc_id,
+             |    CAST(ROUND(
+             |      ln((CAST(stats.n AS DOUBLE) - df.df + 0.5)
+             |          / (df.df + 0.5) + 1.0)
+             |        * (qtf.tf * $tfNum)
+             |        / (qtf.tf + $k1 * ($oneMinusB
+             |          + $b * (CAST(dl.dl AS DOUBLE)
+             |            / (CAST(stats.tl AS DOUBLE) / stats.n))))
+             |        * 1e6, 0) AS BIGINT) AS micro
+             |  FROM qtf JOIN df USING (token) JOIN dl USING (doc_id)
+             |  CROSS JOIN stats),
+             |per_doc$sfx AS (SELECT doc_id, SUM(micro) AS score_micro
+             |  FROM per_term$sfx GROUP BY 1),
+             |ranked$sfx AS (SELECT doc_id,
+             |    ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+             |      AS rank
+             |  FROM per_doc$sfx)""".stripMargin
+        }
+        """WITH toks AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+          FROM documents WHERE doc_id IS NOT NULL),
+        tok AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tl FROM dl),
+        qtf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+          WHERE token IN ('spark', 'merge', 'vector') GROUP BY 1, 2),
+        df AS (SELECT token, COUNT(*) AS df FROM qtf GROUP BY 1),
+        """ + arm("_a", 1.2, 0.75) + ",\n" + arm("_b", 2.0, 0.25) + """,
+        j AS (SELECT a.doc_id, a.rank AS ra, b.rank AS rb
+          FROM (SELECT * FROM ranked_a WHERE rank <= 20) a
+          JOIN (SELECT * FROM ranked_b WHERE rank <= 20) b
+          USING (doc_id)),
+        pc AS (SELECT
+            CAST(SUM(CASE WHEN (l.ra < r.ra) = (l.rb < r.rb)
+              THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+            CAST(SUM(CASE WHEN (l.ra < r.ra) <> (l.rb < r.rb)
+              THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+          FROM j l JOIN j r ON l.doc_id < r.doc_id),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common FROM j)
+        SELECT nc.n_common,
+          COALESCE(pc.concordant, 0) + COALESCE(pc.discordant, 0)
+            AS n_pairs,
+          COALESCE(pc.concordant, 0) AS concordant,
+          COALESCE(pc.discordant, 0) AS discordant,
+          CASE WHEN COALESCE(pc.concordant, 0)
+              + COALESCE(pc.discordant, 0) > 0
+            THEN ROUND(CAST(pc.concordant - pc.discordant AS DOUBLE)
+              / (pc.concordant + pc.discordant), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS tau
+        FROM pc, nc"""
+      }),
+
     Q("x117_incremental_bm25",
       // persisted BM25 index: the standing corpus signs once into
       // (token, id, tf) postings + (id, dl) lengths, a delta slice

@@ -1710,6 +1710,50 @@ object TextAnalysis {
     } finally perTok.unpersist()
   }
 
+  /** Kendall rank correlation between two rankings — the number a
+   *  retrieval tuning run reads to see whether a parameter change
+   *  actually REORDERS results or just rescales scores (tau ≈ 1: the
+   *  change is cosmetic; tau ≈ 0: a different ranking regime).
+   *  Computed over the id INTERSECTION of the two pages (the standard
+   *  treatment for arms returning different result sets) by pair
+   *  counting: tau = (concordant − discordant) / pairs. Ranks are
+   *  row_numbers so ties cannot occur and tau-a = tau-b.
+   *
+   *  Scale shape: the arms are whatever distributed rankings the
+   *  caller built; everything HERE runs on the ≤ min(|A|,|B|)-row
+   *  intersection — the pair self-join is page-bounded (k² pairs) by
+   *  construction, never corpus-bounded. The intersection is
+   *  lineage-cut because the pair join consumes it twice. */
+  def rankCorrelation(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    val ra = a.select(col(idCol).as("__id"),
+      col(rankCol).cast("long").as("__ra"))
+    val rb = b.select(col(idCol).as("__id"),
+      col(rankCol).cast("long").as("__rb"))
+    val j = ra.join(rb, "__id").localCheckpoint()
+    val pairs = j.as("l").join(j.as("r"), col("l.__id") < col("r.__id"))
+      .select(((col("l.__ra") < col("r.__ra")) ===
+        (col("l.__rb") < col("r.__rb"))).as("__conc"))
+    val stats = pairs.agg(
+      coalesce(sum(when(col("__conc"), 1L).otherwise(0L)), lit(0L))
+        .as("concordant"),
+      coalesce(sum(when(!col("__conc"), 1L).otherwise(0L)), lit(0L))
+        .as("discordant"))
+    val nC = j.agg(count(lit(1)).as("n_common"))
+    stats.crossJoin(nC).select(
+      col("n_common"),
+      (col("concordant") + col("discordant")).as("n_pairs"),
+      col("concordant"),
+      col("discordant"),
+      when(col("concordant") + col("discordant") > 0,
+        round((col("concordant") - col("discordant")).cast("double")
+          / (col("concordant") + col("discordant")), 6))
+        .otherwise(lit(0.0)).as("tau"))
+  }
+
   // ---- persisted BM25 index store (x117) -----------------------------
 
   private def bm25Projections(

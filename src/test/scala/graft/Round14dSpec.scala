@@ -426,6 +426,45 @@ class Round14dSpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  test("theilSen: exact slope/intercept on a line; one wild outlier " +
+      "cannot drag the median-of-slopes; maxPoints guard fires") {
+    import graft.anomalies.Forecast
+    def day(d: Int) = java.sql.Date.valueOf(f"2024-01-$d%02d")
+    // y = 2x + b on 5 days, plus one wild outlier day
+    val xs = Seq(1, 2, 3, 4, 5)
+    val base = day(1).toLocalDate.toEpochDay
+    val rows = xs.map(i => ("s", day(i), 2.0 * (base + i - 1) + 1.0)) :+
+      (("s", day(6), 999999.0))
+    val got = Forecast.theilSen(rows.toDF("k", "day", "v"),
+      Seq("k"), "day", "v").collect()(0)
+    assert(got.getAs[Long]("n_points") == 6L)
+    assert(got.getAs[Long]("n_pairs") == 15L)
+    assert(got.getAs[Double]("slope") == 2.0)   // 10 of 15 slopes = 2
+    assert(got.getAs[Double]("intercept") == 1.0)
+    val big = (1 to 40).map(i => ("s", day(i % 28 + 1), i.toDouble))
+      .toDF("k", "day", "v")
+    intercept[IllegalArgumentException] {
+      Forecast.theilSen(big, Seq("k"), "day", "v", maxPoints = 10)
+    }
+  }
+
+  test("rankCorrelation: identical arms tau=1, reversed arms tau=-1, " +
+      "disjoint arms degrade to zeros") {
+    import graft.pipeline.TextAnalysis
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val same = TextAnalysis.rankCorrelation(a, a).collect()(0)
+    assert(same.getAs[Long]("n_common") == 3L)
+    assert(same.getAs[Long]("n_pairs") == 3L)
+    assert(same.getAs[Double]("tau") == 1.0)
+    val rev = Seq((1L, 3), (2L, 2), (3L, 1)).toDF("doc_id", "rank")
+    assert(TextAnalysis.rankCorrelation(a, rev).collect()(0)
+      .getAs[Double]("tau") == -1.0)
+    val disjoint = Seq((9L, 1)).toDF("doc_id", "rank")
+    val z = TextAnalysis.rankCorrelation(a, disjoint).collect()(0)
+    assert(z.getAs[Long]("n_common") == 0L
+      && z.getAs[Double]("tau") == 0.0)
+  }
+
   test("p45 robust stats: winsorized/trimmed means sit inside the " +
       "quantile clamp; ~10% of rows clamp at a 5/95 trim") {
     val r = SparkEntry.queries("p45_robust_stats")(
