@@ -4787,6 +4787,46 @@ object SparkEntry {
         FROM pc, nc"""
       }),
 
+    Q("x119_margin_reliability",
+      // margin-calibration curve for the NB classifier: log2-spaced
+      // margin buckets via integer BIT LENGTH (never float log2, whose
+      // libm rounding could flip a power-of-two boundary between
+      // engines) with per-bucket accuracy against held-out truth —
+      // the curve that calibrates "how big a margin before
+      // auto-accepting this label at 100 TB"
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val heldout = docs.filter(col("doc_id") % 5 === 0)
+        val model = graft.pipeline.Classify.trainNaiveBayes(
+          docs.filter(col("doc_id") % 5 =!= 0), "text", "source")
+        graft.pipeline.Classify.reliabilityByMargin(
+            graft.pipeline.Classify.scoreWithMargin(model, heldout),
+            heldout.select(col("doc_id"), col("source")),
+            labelCol = "source")
+          .orderBy("margin_bucket")
+      },
+      Some(nbOracleCtes(
+        "SELECT * FROM documents WHERE doc_id % 5 = 0", None) + """,
+        margins AS (
+          SELECT doc_id,
+            MAX(CASE WHEN rk = 1 THEN label END) AS predicted,
+            MAX(CASE WHEN rk = 1 THEN score_micro END)
+              - MAX(CASE WHEN rk = 2 THEN score_micro END) AS margin_micro
+          FROM ranked WHERE rk <= 2 GROUP BY doc_id),
+        joined AS (
+          SELECT m.margin_micro, m.predicted, t.source AS actual
+          FROM margins m JOIN test t USING (doc_id))
+        SELECT CAST(length(bin(margin_micro + 1)) AS INT)
+            AS margin_bucket,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+          MIN(margin_micro) AS min_margin,
+          MAX(margin_micro) AS max_margin,
+          ROUND(CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*), 6) AS accuracy
+        FROM joined GROUP BY 1 ORDER BY margin_bucket""")),
+
     Q("x117_incremental_bm25",
       // persisted BM25 index: the standing corpus signs once into
       // (token, id, tf) postings + (id, dl) lengths, a delta slice

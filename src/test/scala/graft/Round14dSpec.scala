@@ -465,6 +465,50 @@ class Round14dSpec extends AnyFunSuite {
       && z.getAs[Double]("tau") == 0.0)
   }
 
+  test("reliabilityByMargin: hand-computed buckets, bit-length " +
+      "binning, accuracy per bucket") {
+    // bucket = bit length of margin+1: 0 -> '1' (1); 1,2 -> '10'/'11'
+    // (2); 3 -> '100' (3); 500 -> '111110101' (9)
+    val scored = Seq(
+      (1L, "a", 0L),                       // bucket 1: hit
+      (2L, "a", 1L), (3L, "b", 2L),        // bucket 2: miss + hit
+      (4L, "b", 3L),                       // bucket 3: hit
+      (5L, "a", 500L)                      // bucket 9: miss
+    ).toDF("doc_id", "predicted", "margin_micro")
+    val actual = Seq((1L, "a"), (2L, "x"), (3L, "b"), (4L, "b"),
+      (5L, "x")).toDF("doc_id", "label")
+    val got = graft.pipeline.Classify.reliabilityByMargin(scored, actual)
+      .orderBy("margin_bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(5))).toSeq
+    assert(got == Seq((1, 1L, 1L, 1.0), (2, 2L, 1L, 0.5),
+      (3, 1L, 1L, 1.0), (9, 1L, 0L, 0.0)))
+  }
+
+  test("RuleStore.addRules batch lands every rule active; " +
+      "generateForMeta equals generate over the meta's own fields") {
+    import graft.types.{ForeignKey, TableMeta, ValidationRule}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rules_batch").toString
+    val store = new graft.validations.RuleStore(spark, dir + "/rules")
+    val now = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    store.addRules("t", Seq(
+      ValidationRule("b1", "d", "SELECT 1", "equals", 1L),
+      ValidationRule("b2", "d", "SELECT 2", "less_than", 10L)), now)
+    assert(store.activeRules("t").map(_.name).toSet == Set("b1", "b2"))
+    store.addRules("t", Nil, now) // empty batch is a no-op, not a write
+    assert(store.activeRules("t").size == 2)
+
+    val schema = Seq((1L, "x")).toDF("id", "name").schema
+    val meta = TableMeta("t", Nil, primaryKeys = Seq("id"),
+      foreignKeys = Seq(ForeignKey("name", "other", "name")))
+    val viaMeta = graft.validations.DefaultValidations
+      .generateForMeta(meta, schema)
+    val direct = graft.validations.DefaultValidations
+      .generate("t", schema, Seq("id"), Seq("name"))
+    assert(viaMeta == direct && viaMeta.nonEmpty)
+  }
+
   test("p45 robust stats: winsorized/trimmed means sit inside the " +
       "quantile clamp; ~10% of rows clamp at a 5/95 trim") {
     val r = SparkEntry.queries("p45_robust_stats")(
