@@ -65,6 +65,8 @@ object PlanAudit {
     "x52_nb_classifier" ->
       "doc x label-meta frame, |labels| rows by construction",
     "x53_nb_incremental" ->
+      "doc x label-meta frame, |labels| rows by construction",
+    "x119_margin_reliability" ->
       "doc x label-meta frame, |labels| rows by construction")
 
   def main(args: Array[String]): Unit = {
