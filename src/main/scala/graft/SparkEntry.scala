@@ -4821,8 +4821,8 @@ object SparkEntry {
           CAST(COUNT(*) AS BIGINT) AS n_docs,
           CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
             AS BIGINT) AS n_correct,
-          MIN(margin_micro) AS min_margin,
-          MAX(margin_micro) AS max_margin,
+          CAST(MIN(margin_micro) AS BIGINT) AS min_margin,
+          CAST(MAX(margin_micro) AS BIGINT) AS max_margin,
           ROUND(CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
             AS DOUBLE) / COUNT(*), 6) AS accuracy
         FROM joined GROUP BY 1 ORDER BY margin_bucket""")),
@@ -4914,12 +4914,14 @@ object SparkEntry {
         FROM r ORDER BY id_a, id_b""")),
 
     Q("x115_dp_counts",
-      // epsilon-DP per-source counts (Laplace mechanism, sensitivity
-      // 1) — the RELEASE step after the k/l/t privacy audits. Noise by
-      // inverse CDF from a SEEDED md5 uniform (the x06 portable-hash
-      // discipline) so the release is deterministic and the oracle
-      // replays the exact draw; micro-quantized before adding
-      (s, d) => graft.pipeline.Privacy.dpGroupCounts(
+      // SEEDED Laplace per-source counts — the Laplace mechanism's
+      // testable core (sensitivity-1 count noise), NOT a DP release:
+      // the draw is a deterministic function of (seed, group), so the
+      // oracle replays it exactly (x06 portable-hash discipline);
+      // micro-quantized before adding. The guarantee-carrying mode is
+      // Privacy.dpGroupCountsFresh (fresh rand(), spec-pinned
+      // distributionally — unreplayable by construction)
+      (s, d) => graft.pipeline.Privacy.seededLaplaceCounts(
           t(s, d, "documents"), "source",
         epsilon = 1.0),
       Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
@@ -9078,7 +9080,7 @@ object SparkEntry {
           (7, 0.057992), (8, 0.051153), (9, 0.045757)) AS t(digit, ef))
         SELECT c.column_name, c.digit, c.n,
           ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS obs_freq,
-          ROUND(e.ef, 6) AS exp_freq,
+          ROUND(CAST(e.ef AS DOUBLE), 6) AS exp_freq,
           ROUND((CAST(c.n AS DOUBLE) - e.ef * t.total) *
                 (CAST(c.n AS DOUBLE) - e.ef * t.total) /
                 (e.ef * t.total), 6) AS chi2_part
@@ -12307,13 +12309,22 @@ object SparkEntry {
           .select(col("user_id").as("key"), col("event_id").as("seq"),
             col("ts"), col("event_type").as("value"))
           .as[graft.streaming.StreamingDetect.CdcEvent]
+        // the oracle equality below assumes NO cross-batch late drops
+        // (per-user (ts, seq) order across micro-batches — true for
+        // the bounded file source today); count drops so a parity
+        // failure is a diagnosed contract break, not a silent skew
+        val dropped = s.sparkContext.longAccumulator("st22_dropped_late")
         val tr = graft.streaming.StreamingDetect
-          .transitionStream(changes).toDF()
+          .transitionStream(changes, Some(dropped)).toDF()
         val counts = runBoundedStream(s, tr, "st22_sink", "append")
           .groupBy(col("fromType").as("from_type"),
             col("toType").as("to_type"))
           .agg(count(lit(1)).as("n"))
           .localCheckpoint()
+        require(dropped.value == 0L,
+          s"st22: ${dropped.value} cross-batch late events dropped — " +
+            "the bounded source split out-of-order input across " +
+            "micro-batches; stream/batch parity is not comparable")
         val tot = counts.groupBy("from_type").agg(sum(col("n")).as("__tot"))
         counts.join(tot, "from_type")
           .select(col("from_type"), col("to_type"), col("n"),

@@ -150,15 +150,16 @@ object Privacy {
           .otherwise(0L)).as("n_rows_below_l"))
   }
 
-  /** ε-differentially-private group counts via the Laplace mechanism —
-   *  the RELEASE step after the k/l/t audits: per-group counts with
-   *  Laplace(1/ε) noise (count queries have sensitivity 1). Noise is
-   *  drawn by inverse CDF from a SEEDED md5-uniform per group, so the
-   *  release is deterministic and any engine replays it bit-for-bit —
-   *  the x06 portable-hash discipline. A production release would
-   *  draw fresh randomness per publication; the seeded form is the
-   *  TESTABLE core (same mechanism, pinned draw) and doubles as the
-   *  "stable across reruns" variant some pipelines actually want.
+  /** ==NOT a differentially-private release== — the name says SEEDED
+   *  because the Laplace noise is a deterministic function of
+   *  (seed, group key) alone, independent of the data: anyone who
+   *  knows the seed recovers the exact counts, and re-releasing after
+   *  updates leaks exact deltas. What this IS: the Laplace mechanism's
+   *  TESTABLE core (per-group counts + Laplace(1/ε) noise, count
+   *  sensitivity 1) with a pinned draw, so any engine replays the
+   *  release bit-for-bit (the x06 portable-hash discipline) — and the
+   *  "stable across reruns" variant some pipelines actually want. For
+   *  a release with the ε-DP guarantee, use [[dpGroupCountsFresh]].
    *
    *  u ∈ (0,1) from the group's md5; noise = −(1/ε)·sign(u−½)·
    *  ln(1−2|u−½|); the noise micro-quantizes before adding so the
@@ -166,7 +167,7 @@ object Privacy {
    *  (they would defeat the release); specs verify the mechanism by
    *  recomputing the draw. Scale: one group-keyed aggregate plus
    *  map-only noise arithmetic. */
-  def dpGroupCounts(
+  def seededLaplaceCounts(
       df: DataFrame,
       groupCol: String,
       epsilon: Double = 1.0,
@@ -196,6 +197,37 @@ object Privacy {
         round(col("__n").cast("double")
           + col("__noise_micro").cast("double") / 1e6, 6)
           .as("noisy_count"))
+      .orderBy(groupCol)
+  }
+
+  /** ε-DP group counts with FRESH Laplace noise — the actual release
+   *  mode: noise is drawn from `rand()` with a per-run seed, so two
+   *  publications of the same data differ and the seeded-replay
+   *  recovery attack on [[seededLaplaceCounts]] does not apply. NOT
+   *  oracle-replayable by construction (specs pin distributional
+   *  properties instead). Standard caveat: double-precision Laplace
+   *  sampling admits the Mironov floating-point attack; a hardened
+   *  release would use the snapping mechanism or discrete Laplace.
+   *  Re-releasing after data updates still composes: spend ε per
+   *  publication. */
+  def dpGroupCountsFresh(
+      df: DataFrame,
+      groupCol: String,
+      epsilon: Double = 1.0): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+    counts
+      // keep u off both endpoints so ln(1-2|u-0.5|) stays finite
+      .withColumn("__u", rand() * lit(1.0 - 1e-9) + lit(5e-10))
+      .withColumn("__noise",
+        lit(-1.0 / epsilon)
+          * signum(col("__u") - 0.5)
+          * log(lit(1.0) - lit(2.0) * abs(col("__u") - 0.5)))
+      .select(col(groupCol),
+        lit(epsilon).as("epsilon"),
+        (col("__n").cast("double") + col("__noise")).as("noisy_count"))
       .orderBy(groupCol)
   }
 }

@@ -1789,12 +1789,28 @@ object TextAnalysis {
   }
 
   /** Append one slice's postings. Caller contract mirrors
-   *  `minhashStoreAppend`: ingest each document exactly once. */
+   *  `minhashStoreAppend`: ingest each document exactly once — and
+   *  because a double-ingest would silently duplicate postings and
+   *  doclen rows (inflating tf/N/total-length and corrupting every
+   *  subsequent [[bm25StoreQuery]] score with no error), the contract
+   *  is ENFORCED: the slice's ids are broadcast against an id-only
+   *  pruned scan of the stored doclen table, and any overlap fails
+   *  loudly BEFORE anything is written. */
   def bm25StoreAppend(
       path: String,
       newDocs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
+    val newIds = newDocs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id")).distinct()
+    val dupes = newDocs.sparkSession.read.parquet(path + "/doclen")
+      .select("id")
+      .join(broadcast(newIds), Seq("id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(dupes.isEmpty,
+      "bm25StoreAppend: doc ids already in the store — a re-ingest " +
+        "would double-count postings and corrupt every subsequent " +
+        s"score. First offenders: ${dupes.mkString(", ")}")
     val (postings, doclen) = bm25Projections(newDocs, idCol, textCol)
     postings.write.mode("append").parquet(path + "/postings")
     doclen.write.mode("append").parquet(path + "/doclen")

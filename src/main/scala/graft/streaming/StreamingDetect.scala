@@ -342,8 +342,17 @@ object StreamingDetect {
    *  through the retained last event. State is O(keys) × one event —
    *  the ingest-time shape; the matrix itself is a downstream
    *  types²-sized rollup of the emitted rows. Reuses the CDC event
-   *  record: `value` IS the event type here. */
-  def transitionStream(events: Dataset[CdcEvent]): Dataset[Transition] = {
+   *  record: `value` IS the event type here.
+   *
+   *  Cross-micro-batch LATE events are dropped (see the in-body
+   *  contract) — pass `droppedLate` to count them, so a consumer
+   *  comparing this stream against a batch recomputation (st22) can
+   *  tell "parity broke" from "the source split out-of-order input
+   *  across batches and N events were dropped by contract". */
+  def transitionStream(
+      events: Dataset[CdcEvent],
+      droppedLate: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[Transition] = {
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -366,7 +375,7 @@ object StreamingDetect {
         if (!late) {
           last.foreach(l => out += Transition(key, l.value, e.value))
           last = Some(CdcOpen(e.value, e.ts, e.seq))
-        }
+        } else droppedLate.foreach(_.add(1L))
       }
       last.foreach(state.update)
       out.result().iterator

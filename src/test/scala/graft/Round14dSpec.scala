@@ -267,7 +267,7 @@ class Round14dSpec extends AnyFunSuite {
       ("view", "view", 1L, 250000L)))
   }
 
-  test("dpGroupCounts: the seeded Laplace draw replays exactly from " +
+  test("seededLaplaceCounts: the seeded Laplace draw replays exactly from " +
       "the md5; epsilon scales the noise; true counts never leak") {
     val df = (Seq.fill(100)("a") ++ Seq.fill(50)("b"))
       .map(Tuple1(_)).toDF("g")
@@ -282,12 +282,12 @@ class Round14dSpec extends AnyFunSuite {
       val nm = math.round(noise * 1e6)
       math.round((n + nm / 1e6) * 1e6) / 1e6
     }
-    val got = graft.pipeline.Privacy.dpGroupCounts(df, "g").collect()
+    val got = graft.pipeline.Privacy.seededLaplaceCounts(df, "g").collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(got("a") == expected("a", 100, 1.0))
     assert(got("b") == expected("b", 50, 1.0))
     assert(got("a") != 100.0 && got("b") != 50.0) // noise actually lands
-    val got2 = graft.pipeline.Privacy.dpGroupCounts(df, "g",
+    val got2 = graft.pipeline.Privacy.seededLaplaceCounts(df, "g",
       epsilon = 2.0).collect()
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(got2("a") == expected("a", 100, 2.0))
@@ -393,7 +393,8 @@ class Round14dSpec extends AnyFunSuite {
     implicit val sc = spark.sqlContext
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val ms = MemoryStream[StreamingDetect.CdcEvent]
-    val tr = StreamingDetect.transitionStream(ms.toDS())
+    val dropped = spark.sparkContext.longAccumulator("late_drops")
+    val tr = StreamingDetect.transitionStream(ms.toDS(), Some(dropped))
     val q = tr.toDF().writeStream.outputMode("append")
       .format("memory").queryName("st22_late_sink")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
@@ -411,13 +412,16 @@ class Round14dSpec extends AnyFunSuite {
       .map(r => (r.getString(1), r.getString(2))).toSeq
     q.stop()
     assert(all == Seq(("click", "purchase")))
+    // the drop is COUNTED, not silent (r15: st22 requires 0 drops so a
+    // stream/batch parity failure is diagnosable)
+    assert(dropped.value == 1L)
   }
 
-  test("dpGroupCounts: a null group is dropped, never a silent NULL " +
+  test("seededLaplaceCounts: a null group is dropped, never a silent NULL " +
       "release; coOccurrenceLift degrades to empty on empty input") {
     val df = (Seq.fill(5)(Option("a")) :+ (None: Option[String]))
       .map(Tuple1(_)).toDF("g")
-    val got = graft.pipeline.Privacy.dpGroupCounts(df, "g").collect()
+    val got = graft.pipeline.Privacy.seededLaplaceCounts(df, "g").collect()
     assert(got.length == 1 && got(0).getString(0) == "a")
     assert(!got(0).isNullAt(2))
     val empty = graft.operators.Basket.coOccurrenceLift(

@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Round-15 standing gates.
+ *
+ * [[OracleDtypeSpec]] is the x119 lesson made permanent: DuckDB widens
+ * integer aggregate arithmetic to HUGEINT, pandas round-trips that as
+ * float64, and the driver's hash is dtype-sensitive — so an oracle can
+ * match cell-for-cell on VALUES and still fail the round. Every
+ * integral oracle output must be explicitly CAST (recorded rule in
+ * BASELINE.md); this spec executes the lint in-process so an uncast
+ * oracle goes red in `sbt test`, not in the driver's round report.
+ *
+ * [[DarkCodeSpec]] is the theilSen/reliabilityByMargin lesson made
+ * permanent: round 14's manual grep found two fully-implemented public
+ * functions that no query, spec, or demo referenced. This sweep fails
+ * on any public `def` in src/main whose name appears in no OTHER file
+ * and at most once (its own definition) in its own file.
+ */
+class OracleDtypeSpec extends AnyFunSuite {
+
+  private def pythonDuckdbAvailable: Boolean =
+    try {
+      import scala.sys.process._
+      Process(Seq("python3", "-c", "import duckdb")).!(ProcessLogger(_ => ()
+        , _ => ())) == 0
+    } catch { case _: Throwable => false }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Verify-identical JSON string escape (control chars included). */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def runLint(oracles: Map[String, String]): (Int, String) = {
+    import scala.sys.process._
+    val tmp = Files.createTempFile("graft_oracle_lint", ".json")
+    Files.writeString(tmp,
+      oracles.map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
+        .mkString("{", ",", "}"))
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "tools/oracle_dtype_lint.py",
+      sfDir, tmp.toString)).!(ProcessLogger(l => out.append(l).append('\n'),
+      l => out.append(l).append('\n')))
+    Files.deleteIfExists(tmp)
+    (code, out.toString)
+  }
+
+  /** Oracles answerable from the base tables alone — replay-state
+   *  oracles (paths under stateRoot) are probed at runtime by
+   *  tools/selfcheck.py on every Verify dump instead. */
+  private def stateFreeOracles: Map[String, String] =
+    SparkEntry.oracleSql.filterNot(_._2.contains(SparkEntry.StateToken))
+
+  test("every state-free oracle is dtype-clean in DuckDB (no HUGEINT/DECIMAL)") {
+    assume(pythonDuckdbAvailable, "python3+duckdb not on this box")
+    assume(Files.exists(Paths.get(sfDir)), s"$sfDir missing")
+    val oracles = stateFreeOracles
+    assert(oracles.size > 200, s"suspiciously few state-free oracles: ${oracles.size}")
+    val (code, out) = runLint(oracles)
+    assert(code == 0, s"oracle dtype lint failed:\n$out")
+  }
+
+  test("the lint goes red on an uncast oracle (x119's round-14 shape)") {
+    assume(pythonDuckdbAvailable, "python3+duckdb not on this box")
+    assume(Files.exists(Paths.get(sfDir)), s"$sfDir missing")
+    val sql = SparkEntry.oracleSql("x119_margin_reliability")
+    val uncast = sql
+      .replace("CAST(MIN(margin_micro) AS BIGINT)", "MIN(margin_micro)")
+      .replace("CAST(MAX(margin_micro) AS BIGINT)", "MAX(margin_micro)")
+    assert(uncast != sql,
+      "x119's oracle lost its min/max margin casts — the convention this " +
+        "test pins")
+    val (code, out) = runLint(Map("x119_uncast" -> uncast))
+    assert(code != 0 && out.contains("HUGEINT"),
+      s"lint should flag the uncast HUGEINT oracle but said:\n$out")
+  }
+}
+
+class DarkCodeSpec extends AnyFunSuite {
+
+  private def scalaFiles(root: String): Seq[Path] = {
+    val p = Paths.get(root)
+    if (!Files.exists(p)) Seq.empty
+    else Files.walk(p).iterator().asScala
+      .filter(f => f.toString.endsWith(".scala")).toSeq
+  }
+
+  // members whose callers are frameworks (Aggregator/Iterator/SBT),
+  // not our code, plus entrypoints and universal names
+  private val frameworkOrEntry = Set(
+    "main", "apply", "unapply", "toString", "equals", "hashCode",
+    "compare", "compareTo", "close", "hasNext", "next",
+    "zero", "reduce", "merge", "finish", "bufferEncoder", "outputEncoder")
+
+  test("no dark public functions: every public def is referenced somewhere") {
+    val mains = scalaFiles("src/main/scala/graft")
+    val tests = scalaFiles("src/test/scala/graft")
+    assert(mains.nonEmpty && tests.nonEmpty)
+    val texts: Map[Path, String] =
+      (mains ++ tests).map(p => p -> Files.readString(p)).toMap
+    val defRe = """^\s*(?:(?:final|implicit|lazy)\s+)*def\s+([A-Za-z_][A-Za-z0-9_]*)""".r
+    val modRe = """^\s*(?:(?:final|implicit|lazy)\s+)*(?:private|protected|override)\b.*""".r
+    val dark = for {
+      p <- mains
+      line <- texts(p).linesIterator
+      if !modRe.matches(line)
+      m <- defRe.findFirstMatchIn(line).toSeq
+      name = m.group(1)
+      if name.length >= 4 && !frameworkOrEntry(name)
+      pat = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+      if !texts.exists { case (q, t) => q != p && pat.findFirstIn(t).isDefined }
+      if pat.findAllIn(texts(p)).size <= 1 // only its own definition
+    } yield s"$p: $name"
+    assert(dark.isEmpty,
+      "dark public functions (implemented but referenced by no query, " +
+        s"spec, or demo — wire or remove):\n${dark.distinct.mkString("\n")}")
+  }
+}
+
+/** Wiring for the two facade conveniences the round-15 dark-code sweep
+ *  surfaced (the standing-gate version of round 14's manual audit). */
+class FacadeWiringSpec extends AnyFunSuite {
+  import SharedSpark._
+
+  test("engine.dedupTable: end-to-end corpus dedup from the facade") {
+    val state = Files.createTempDirectory("graft_r15_engine").toString
+    val engine = new api.GraftEngine(spark, sfDir, state)
+    val total = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val kept = engine.dedupTable("documents").count()
+    assert(kept > 0 && kept <= total)
+    // must agree with calling the pipeline op directly
+    val direct = graft.pipeline.Dedup.dedupCorpus(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      "doc_id", "text", 0.9).count()
+    assert(kept == direct)
+  }
+
+  test("UsageLog.usagePattern == usagePatterns(Seq(table)) for one table") {
+    import java.sql.Timestamp
+    import graft.sources.{QueryLogStore, UsageLog}
+    val dir = Files.createTempDirectory("graft_r15_qlog").toString
+    val store = new QueryLogStore(spark, dir)
+    store.append("SELECT * FROM orders", "SELECT",
+      Timestamp.valueOf("2026-02-01 08:00:00"))
+    store.append("SELECT o_totalprice FROM orders", "SELECT",
+      Timestamp.valueOf("2026-02-02 09:30:00"))
+    val single = UsageLog.usagePattern(store.log, "orders").collect()
+    val multi = UsageLog.usagePatterns(store.log, Seq("orders")).collect()
+    assert(single.map(_.toString).toSeq == multi.map(_.toString).toSeq)
+    assert(single.head.getLong(1) == 2L)
+  }
+}
+
+/** Round-15 ADVICE hardenings: the fresh-noise DP release mode and the
+ *  BM25 store's double-ingest guard. */
+class AdviceHardeningSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  test("dpGroupCountsFresh: fresh noise differs across releases, stays " +
+      "Laplace-sized, and true counts are never in the output") {
+    val df = Seq.tabulate(300)(i => ("g" + (i % 3), i)).toDF("g", "v")
+    val r1 = graft.pipeline.Privacy.dpGroupCountsFresh(df, "g")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val r2 = graft.pipeline.Privacy.dpGroupCountsFresh(df, "g")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(r1.keySet == Set("g0", "g1", "g2"))
+    // Laplace(1/eps=1): P(|noise| > 40) = e^-40 — a bound failure is a
+    // mechanism bug, not bad luck
+    r1.values.foreach(v => assert(math.abs(v - 100.0) < 40.0))
+    // two publications must differ (prob of a double collision ~ 0)
+    assert(r1 != r2, "fresh releases were identical — noise is not fresh")
+  }
+
+  test("seededLaplaceCounts vs dpGroupCountsFresh: same grouping, same " +
+      "epsilon column, only the draw differs") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("g", "v")
+    val seeded = graft.pipeline.Privacy.seededLaplaceCounts(df, "g")
+    val fresh = graft.pipeline.Privacy.dpGroupCountsFresh(df, "g")
+    assert(seeded.columns.toSeq == fresh.columns.toSeq)
+    assert(fresh.count() == 2)
+  }
+
+  test("bm25StoreAppend: re-ingesting a stored doc id fails loudly " +
+      "instead of corrupting scores") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_r15_bm25").toString
+    val base = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    graft.pipeline.TextAnalysis.bm25StoreCreate(base, dir)
+    // a disjoint slice appends fine
+    graft.pipeline.TextAnalysis.bm25StoreAppend(dir,
+      Seq((3L, "gamma delta")).toDF("doc_id", "text"))
+    val q = graft.pipeline.TextAnalysis.bm25StoreQuery(
+      spark, dir, Seq("gamma"))
+    assert(q.count() == 2)
+    // re-ingesting id 2 must throw BEFORE writing
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.TextAnalysis.bm25StoreAppend(dir,
+        Seq((2L, "beta gamma"), (4L, "epsilon")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("already in the store"))
+    // and nothing was written: the store still scores exactly 3 docs
+    val dl = spark.read.parquet(dir + "/doclen")
+    assert(dl.count() == 3)
+  }
+}

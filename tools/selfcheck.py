@@ -67,9 +67,24 @@ def main():
             failures += 1
             continue
         try:
-            duck_df = con.execute(sql).fetchdf()
+            rel = con.sql(sql)
+            duck_types = {n: str(t).upper()
+                          for n, t in zip(rel.columns, rel.types)}
+            duck_df = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        # Dtype-strictness gate (round-15): the driver's hash is
+        # dtype-sensitive, so an oracle column that leaks DuckDB's
+        # HUGEINT/DECIMAL promotion (e.g. arithmetic over SUM-promoted
+        # ints) fails the round even when every VALUE matches — x119 in
+        # round 14 shipped exactly that way. Fail loudly here instead.
+        leaks = [f"{n}={t}" for n, t in duck_types.items()
+                 if "HUGEINT" in t or "DECIMAL" in t]
+        if leaks:
+            print(f"FAIL {name}: oracle dtype leak (cast to BIGINT/"
+                  f"DOUBLE in the oracle SQL): {', '.join(leaks)}")
             failures += 1
             continue
         s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
@@ -83,6 +98,23 @@ def main():
             continue
         sd = spark_df[s_cols].reset_index(drop=True)
         dd = duck_df[d_cols].reset_index(drop=True)
+        # Pandas-kind class must agree per column (int vs float vs
+        # object …). Nullable-int→float64 conversion is symmetric
+        # (identical null patterns on both sides once values match),
+        # so a class mismatch always means an oracle/engine dtype
+        # divergence the driver's hash would flag.
+        def kind_class(k):
+            return {"i": "int", "u": "int", "f": "float", "b": "bool",
+                    "M": "datetime", "m": "timedelta"}.get(k, "object")
+        kind_bad = [
+            (c, sd[c].dtype, dd[c].dtype) for c in s_cols
+            if kind_class(sd[c].dtype.kind) != kind_class(dd[c].dtype.kind)]
+        if kind_bad:
+            print(f"FAIL {name}: dtype class mismatch "
+                  + ", ".join(f"{c}: spark={a} duck={b}"
+                              for c, a, b in kind_bad))
+            failures += 1
+            continue
         # vectorized compare per column (the per-cell iloc loop was
         # 200+ s on 600k-row outputs); fall back to cmp_cell only on
         # the rows a column flags, to report exact diffs
