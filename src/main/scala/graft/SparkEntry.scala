@@ -1483,6 +1483,62 @@ object SparkEntry {
         UNION ALL SELECT 'check_region_not_empty',
           (SELECT COUNT(*) FROM region) > 0,
           CAST((SELECT COUNT(*) FROM region) AS DOUBLE)
+        ORDER BY rule_name""")),
+
+    Q("v07_result_store",
+      // V5's event path as an ORACLE row (verdict r14 ask #8): run
+      // three rules with known outcomes — pass, fail, and a missing-
+      // column error whose message trips the schema-mismatch sniffer —
+      // append to a fresh ValidationStore, then read results AND
+      // failureEvents back. The raw error TEXT is engine-specific
+      // (a Spark analysis message), so the output carries the derived
+      // deterministic flags (errored / schema_mismatch), never the
+      // message itself.
+      (s, d) => {
+        Catalog(s, d).registerAll()
+        val runTs = java.sql.Timestamp.valueOf("2026-03-01 12:00:00")
+        val results = Runner.runAll(s, Seq(
+          ValidationRule("check_rows_eq", "exact row count",
+            "SELECT COUNT(*) FROM region", "equals", 5L),
+          ValidationRule("check_rows_gt", "deliberately too strict",
+            "SELECT COUNT(*) FROM region", "greater_than", 100L),
+          ValidationRule("check_ghost_col", "schema-drift trip-wire",
+            "SELECT MAX(r_ghost) FROM region", "greater_than", 0L)))
+        val store = new graft.history.ValidationStore(s,
+          freshState(s, "v07") + "/validation_results")
+        store.append("region", results, runTs)
+        val failures = store.failureEvents("region")
+          .select(col("rule_name"), lit(true).as("is_failure_event"))
+        store.results("region")
+          .join(broadcast(failures), Seq("rule_name"), "left")
+          .select(col("rule_name"), col("is_valid"),
+            coalesce(col("actual_value"), lit("")).as("actual_value"),
+            col("expected_value"), col("operator"),
+            col("error").isNotNull.as("errored"),
+            col("schema_mismatch"),
+            coalesce(col("is_failure_event"), lit(false))
+              .as("is_failure_event"),
+            date_format(col("run_at"), "yyyy-MM-dd HH:mm:ss")
+              .as("run_at"))
+          .orderBy("rule_name")
+      },
+      Some("""WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM region)
+        SELECT * FROM (
+          SELECT 'check_ghost_col' AS rule_name, FALSE AS is_valid,
+            '' AS actual_value, '0' AS expected_value,
+            'greater_than' AS operator, TRUE AS errored,
+            TRUE AS schema_mismatch, TRUE AS is_failure_event,
+            '2026-03-01 12:00:00' AS run_at
+          UNION ALL
+          SELECT 'check_rows_eq', (SELECT c FROM n) = 5,
+            CAST((SELECT c FROM n) AS VARCHAR), '5', 'equals',
+            FALSE, FALSE, NOT ((SELECT c FROM n) = 5),
+            '2026-03-01 12:00:00'
+          UNION ALL
+          SELECT 'check_rows_gt', (SELECT c FROM n) > 100,
+            CAST((SELECT c FROM n) AS VARCHAR), '100', 'greater_than',
+            FALSE, FALSE, NOT ((SELECT c FROM n) > 100),
+            '2026-03-01 12:00:00')
         ORDER BY rule_name""")))
 
   // ------------------------------------------------------------------
