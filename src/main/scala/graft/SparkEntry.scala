@@ -4883,6 +4883,46 @@ object SparkEntry {
             AS DOUBLE) / COUNT(*), 6) AS accuracy
         FROM joined GROUP BY 1 ORDER BY margin_bucket""")),
 
+    Q("x120_temperature_mix",
+      // temperature (alpha) mixture weights, the mT5/CC-100
+      // rebalancing: per-source weight ∝ share^alpha with the
+      // repeat-exposure consequence (implied_epochs at a 10%-of-corpus
+      // token budget) — the audit a data-constrained run does before
+      // picking alpha. DERIVES weights from the corpus (x54's
+      // water-filling takes them as input). One corpus scan into a
+      // sources-sized frame; everything after is metadata arithmetic.
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val total = docs.filter(col("source").isNotNull)
+          .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+          .head().getLong(0)
+        Sampling.temperatureMixture(docs, Seq(0.3, 0.5, 0.7),
+            tokenBudget = math.floor(0.10 * total).toLong)
+          .orderBy("source", "alpha")
+      },
+      Some("""WITH tokd AS (
+          SELECT source, CASE WHEN LENGTH(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+          FROM documents WHERE source IS NOT NULL),
+        tok AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens
+          FROM tokd GROUP BY source),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+            CAST(FLOOR(0.10 * SUM(n_tokens)) AS BIGINT) AS b FROM tok),
+        al AS (SELECT * FROM (VALUES (CAST(0.3 AS DOUBLE)),
+            (CAST(0.5 AS DOUBLE)), (CAST(0.7 AS DOUBLE))) AS a(alpha)),
+        sc AS (SELECT t.source, a.alpha, t.n_tokens,
+            CAST(t.n_tokens AS DOUBLE) / tot.total AS share,
+            POW(CAST(t.n_tokens AS DOUBLE) / tot.total, a.alpha) AS num,
+            tot.b AS b
+          FROM tok t CROSS JOIN tot CROSS JOIN al a),
+        den AS (SELECT alpha, SUM(num) AS den FROM sc GROUP BY alpha)
+        SELECT sc.source, sc.alpha, sc.n_tokens,
+          ROUND(share, 6) AS share,
+          ROUND(num / den, 6) AS weight,
+          ROUND(num / den * b / sc.n_tokens, 6) AS implied_epochs
+        FROM sc JOIN den USING (alpha)
+        ORDER BY sc.source, sc.alpha""")),
+
     Q("x117_incremental_bm25",
       // persisted BM25 index: the standing corpus signs once into
       // (token, id, tf) postings + (id, dl) lengths, a delta slice
@@ -9598,6 +9638,40 @@ object SparkEntry {
           d.daily_count
         FROM events e ASOF LEFT JOIN daily d
           ON e.event_type = d.event_type AND e.ts >= d.day_ts
+        ORDER BY e.event_id""")),
+
+    Q("j06_asof_forward",
+      // FORWARD as-of join (AsOfJoin direction="forward"): each event
+      // attaches the EARLIEST per-type daily summary at-or-AFTER its
+      // ts — the next-scheduled-run / next-tick alignment shape.
+      // Checked against DuckDB's native ASOF with the mirrored
+      // inequality; same single shuffle + one window pass as j01,
+      // just a flipped sort. Events on the final day match nothing
+      // (ASOF LEFT semantics on both sides).
+      (s, d) => {
+        val ev = eventsTable(s, d).select("event_id", "event_type", "ts")
+        val daily = eventsTable(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("daily_count"))
+          .select(col("event_type"), col("day").cast("timestamp").as("day_ts"),
+            col("daily_count"))
+        graft.operators.AsOfJoin.asofJoin(ev, daily,
+          keyCols = Seq("event_type"), leftTs = "ts", rightTs = "day_ts",
+          valueCols = Seq("daily_count"), direction = "forward")
+          .select(col("event_id"), col("event_type"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_ts"),
+            col("daily_count"))
+          .orderBy("event_id")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day_ts,
+            CAST(COUNT(*) AS BIGINT) AS daily_count
+          FROM events GROUP BY 1, 2)
+        SELECT e.event_id, e.event_type,
+          strftime(d.day_ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+          d.daily_count
+        FROM events e ASOF LEFT JOIN daily d
+          ON e.event_type = d.event_type AND e.ts <= d.day_ts
         ORDER BY e.event_id""")))
 
   // ------------------------------------------------------------------

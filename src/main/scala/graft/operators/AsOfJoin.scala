@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
  * As-of join: attach to each left row the most recent right row with
  * `right.ts <= left.ts` (optionally within a tolerance), per key — the
  * time-series join the reference's metric/event alignment needs and
- * Spark lacks as a built-in.
+ * Spark lacks as a built-in. `direction = "forward"` mirrors it to the
+ * earliest right row with `right.ts >= left.ts`.
  *
  * Composed from built-ins per the custom-operator preference order
  * (SURVEY.md §7.3 (a)): union both sides tagged, then ONE window pass
@@ -37,10 +38,17 @@ object AsOfJoin {
     * @param leftTs      left timestamp column
     * @param rightTs     right timestamp column
     * @param valueCols   right columns to carry (become nullable)
-    * @param toleranceSeconds max allowed left.ts − right.ts (None = ∞)
+    * @param toleranceSeconds max allowed |left.ts − right.ts| (None = ∞)
     * @param bucketSeconds time-bucket width for intra-key parallelism
     *                    (None = one partition per key; set for
     *                    low-cardinality keys at scale)
+    * @param direction   "backward" (default): latest right with
+    *                    right.ts <= left.ts — DuckDB `ASOF … ON l >= r`.
+    *                    "forward": EARLIEST right with right.ts >=
+    *                    left.ts — DuckDB `ASOF … ON l <= r`; the shape
+    *                    for next-scheduled-run / next-price-tick
+    *                    alignment. Same single shuffle + window pass,
+    *                    mirrored orderings.
     */
   def asofJoin(
       left: DataFrame,
@@ -50,10 +58,20 @@ object AsOfJoin {
       rightTs: String,
       valueCols: Seq[String],
       toleranceSeconds: Option[Long] = None,
-      bucketSeconds: Option[Long] = None): DataFrame = {
+      bucketSeconds: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
+    // the time axis the carry walks: ascending for backward (last seen
+    // right ≤ ts), DESCENDING for forward (so "last seen" = earliest
+    // right ≥ ts) — one flipped sort, not a second algorithm
+    def tsOrder: Seq[Column] =
+      if (fwd) Seq(col("__ts").desc, col("__side"))
+      else Seq(col("__ts"), col("__side"))
     val leftCols = left.columns.toSeq
     // right rows sort BEFORE left rows at equal timestamps (side 0 < 1)
-    // so right.ts == left.ts is visible, matching ASOF >= semantics
+    // so right.ts == left.ts is visible, matching ASOF >=/<= semantics
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
@@ -85,7 +103,7 @@ object AsOfJoin {
     val matched = bucketSeconds match {
       case None =>
         val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col("__ts"), col("__side"))
+          .orderBy(tsOrder: _*)
           .rowsBetween(Window.unboundedPreceding, 0)
         unioned.withColumn("__m", last(rowStruct, ignoreNulls = true).over(w))
 
@@ -96,22 +114,25 @@ object AsOfJoin {
         val bucketed = unioned.withColumn("__bkt",
           floor(unix_timestamp(col("__ts")) / width))
         val wIn = Window.partitionBy((keyCols :+ "__bkt").map(col): _*)
-          .orderBy(col("__ts"), col("__side"))
+          .orderBy(tsOrder: _*)
           .rowsBetween(Window.unboundedPreceding, 0)
         val inBucket = bucketed
           .withColumn("__row", rowStruct)
           .withColumn("__m_in", last(col("__row"), ignoreNulls = true).over(wIn))
-        // last right row per bucket (max by its own ts — right rows only)
+        // boundary right row per bucket (latest for backward, EARLIEST
+        // for forward — right rows only)
         val bucketLast = inBucket
           .filter(col("__row").isNotNull)
           .groupBy((keyCols :+ "__bkt").map(col): _*)
-          .agg(max_by(col("__row"), col("__row.__mts")).as("__bl"))
+          .agg((if (fwd) min_by(col("__row"), col("__row.__mts"))
+                else max_by(col("__row"), col("__row.__mts"))).as("__bl"))
         // carry across EVERY bucket present for the key (a bucket holding
-        // only left rows still inherits the last right row before it)
+        // only left rows still inherits the boundary right row from its
+        // preceding — for forward: FOLLOWING — buckets)
         val allBuckets = bucketed
           .select((keyCols :+ "__bkt").map(col): _*).distinct()
         val wPrev = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col("__bkt"))
+          .orderBy(if (fwd) col("__bkt").desc else col("__bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val prevCarry = allBuckets
           .join(bucketLast, keyCols :+ "__bkt", "left")
@@ -124,9 +145,12 @@ object AsOfJoin {
 
     val withinTol = toleranceSeconds match {
       case Some(tol) =>
-        col("__m").isNotNull &&
-          (unix_timestamp(col("__ts")) -
-            unix_timestamp(col("__m.__mts"))) <= tol
+        val gap =
+          if (fwd) unix_timestamp(col("__m.__mts")) -
+            unix_timestamp(col("__ts"))
+          else unix_timestamp(col("__ts")) -
+            unix_timestamp(col("__m.__mts"))
+        col("__m").isNotNull && gap <= tol
       case None => col("__m").isNotNull
     }
     val out = valueCols.foldLeft(matched.filter(col("__side") === 1))(

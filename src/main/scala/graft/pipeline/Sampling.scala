@@ -660,4 +660,47 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("moved", col("shard_from") =!= col("shard_to"))
       .orderBy("shard_from", "shard_to")
+
+  /** Temperature (α) mixture weights — the mT5/CC-100 rebalancing:
+   *  per-source weight ∝ share^α, so α=1 keeps natural proportions and
+   *  α→0 flattens toward uniform, up-sampling tail sources without the
+   *  head drowning them. Complements [[budgetMixture]] (which solves a
+   *  CAPPED water-filling given explicit weights): this DERIVES the
+   *  weights from the corpus itself, and reports the repeat-exposure
+   *  consequence — `implied_epochs` = weight·budget / source tokens,
+   *  the number a data-constrained training run audits before
+   *  committing to an α (tail epochs > ~4 means memorization risk, the
+   *  signal to raise α or cap the source).
+   *
+   *  Scale: ONE corpus scan into a sources-sized frame
+   *  (localCheckpoint'd — consumed by total, numerator, and denominator
+   *  lanes), then sources × |α| ≤ tiny metadata arithmetic. */
+  def temperatureMixture(
+      docs: DataFrame,
+      alphas: Seq[Double],
+      tokenBudget: Long,
+      sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(alphas.nonEmpty, "need at least one alpha")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perSrc = docs.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .as("n_tokens"))
+      .localCheckpoint() // sources-sized; cuts the corpus scan to one
+    val total = perSrc.agg(sum("n_tokens").as("__total"))
+    val scored = perSrc.crossJoin(broadcast(total))
+      .crossJoin(broadcast(alphas.toDF("alpha")))
+      .withColumn("share", col("n_tokens").cast("double") / col("__total"))
+      .withColumn("__num", pow(col("share"), col("alpha")))
+    val denom = scored.groupBy("alpha").agg(sum(col("__num")).as("__den"))
+    scored.join(broadcast(denom), "alpha")
+      .withColumn("weight", col("__num") / col("__den"))
+      .select(col("source"), col("alpha"), col("n_tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("weight"), 6).as("weight"),
+        round(col("weight") * tokenBudget / col("n_tokens"), 6)
+          .as("implied_epochs"))
+  }
 }

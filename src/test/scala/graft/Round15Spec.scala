@@ -219,3 +219,106 @@ class AdviceHardeningSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(dl.count() == 3)
   }
 }
+
+/** j06's operator contract: forward as-of ≡ the naive theta truth,
+ *  with equal-ts visibility, the tolerance cut, and bucketed ≡
+ *  unbucketed (the same guarantees AsOfJoinSpec pins for backward). */
+class AsOfForwardSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.operators.AsOfJoin
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private lazy val left = Seq(
+    (1L, "k1", ts("2026-01-01 10:00:00")),
+    (2L, "k1", ts("2026-01-01 12:00:00")), // equal-ts right exists
+    (3L, "k1", ts("2026-01-03 23:00:00")), // nothing after -> null
+    (4L, "k2", ts("2026-01-01 09:00:00")),
+    (5L, "k3", ts("2026-01-01 09:00:00"))  // key with no right rows
+  ).toDF("id", "k", "ts")
+
+  private lazy val right = Seq(
+    ("k1", ts("2026-01-01 08:00:00"), 10L), // before everything
+    ("k1", ts("2026-01-01 12:00:00"), 20L),
+    ("k1", ts("2026-01-02 00:00:00"), 30L),
+    ("k2", ts("2026-01-05 00:00:00"), 40L)
+  ).toDF("k", "rts", "v")
+
+  private def run(bucket: Option[Long], tol: Option[Long] = None) =
+    AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"),
+        toleranceSeconds = tol, bucketSeconds = bucket,
+        direction = "forward")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getLong(r.fieldIndex("v")))))
+      .toMap
+
+  test("forward matches the EARLIEST right >= left.ts; equal ts visible; " +
+      "no-future and no-right-rows rows stay null") {
+    val got = run(None)
+    assert(got == Map(1L -> Some(20L), 2L -> Some(20L), 3L -> None,
+      4L -> Some(40L), 5L -> None))
+  }
+
+  test("tolerance cuts matches farther than tol seconds ahead") {
+    val got = run(None, tol = Some(3 * 3600L))
+    // id 1: gap 2h (keeps); id 4: gap ~87h (cut)
+    assert(got == Map(1L -> Some(20L), 2L -> Some(20L), 3L -> None,
+      4L -> None, 5L -> None))
+  }
+
+  test("bucketed path ≡ unbucketed (cross-bucket carry from FOLLOWING buckets)") {
+    // 1-hour buckets: id 1's match sits 2 buckets ahead, id 4's ~87
+    assert(run(Some(3600L)) == run(None))
+    assert(run(Some(3600L), tol = Some(3 * 3600L)) ==
+      run(None, tol = Some(3 * 3600L)))
+  }
+
+  test("backward defaults stay intact (regression: j01 semantics unchanged)") {
+    val got = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("v")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("v"))) None else Some(r.getLong(r.fieldIndex("v")))))
+      .toMap
+    assert(got == Map(1L -> Some(10L), 2L -> Some(20L), 3L -> Some(30L),
+      4L -> None, 5L -> None))
+  }
+}
+
+/** x120's operator contract: α=1 keeps natural shares, α→0 flattens to
+ *  uniform, weights always sum to 1, epochs = weight·B/tokens. */
+class TemperatureMixSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.pipeline.Sampling
+
+  private lazy val docs = Seq(
+    ("a", "w " * 80), ("b", "w " * 15), ("c", "w " * 5)
+  ).flatMap { case (s, t) => Seq((s, t.trim)) }
+    .toDF("source", "text")
+
+  test("alpha=1 reproduces natural shares; alpha=0 is uniform; weights sum to 1") {
+    val out = Sampling.temperatureMixture(docs, Seq(0.0, 1.0),
+        tokenBudget = 1000L)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(("a", 1.0))._2 == 0.8 && out(("b", 1.0))._2 == 0.15)
+    assert(math.abs(out(("a", 0.0))._2 - 1.0 / 3) < 2e-6)
+    Seq(0.0, 1.0).foreach { a =>
+      val s = Seq("a", "b", "c").map(k => out((k, a))._2).sum
+      assert(math.abs(s - 1.0) < 5e-6, s"weights for alpha=$a sum to $s")
+    }
+  }
+
+  test("implied epochs = weight * budget / tokens; tail up-samples as alpha drops") {
+    val out = Sampling.temperatureMixture(docs, Seq(0.3, 1.0),
+        tokenBudget = 100L)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    val (cTok, cW, cEp) = out(("c", 1.0))
+    assert(cTok == 5L && math.abs(cEp - cW * 100.0 / 5.0) < 2e-6)
+    // flattening: the smallest source's weight RISES as alpha drops
+    assert(out(("c", 0.3))._2 > out(("c", 1.0))._2)
+    assert(out(("a", 0.3))._2 < out(("a", 1.0))._2)
+  }
+}
