@@ -9672,6 +9672,53 @@ object SparkEntry {
           d.daily_count
         FROM events e ASOF LEFT JOIN daily d
           ON e.event_type = d.event_type AND e.ts <= d.day_ts
+        ORDER BY e.event_id""")),
+
+    Q("j07_pit_join",
+      // point-in-time join (Scd.pointInTimeJoin): each event attaches
+      // the dimension VERSION valid at its ts — valid_from <= ts <
+      // valid_to — with validity GAPS attaching NOTHING (the stale-
+      // version leak is the classic PIT bug). The version table is
+      // the per-type daily summary with 1-day validity, and every
+      // third day is REMOVED so real gaps exist: events on removed
+      // days must come back null. One asof pass + a closed-by-ts
+      // check, never the naive O(facts x versions) range join; the
+      // oracle IS that naive theta join.
+      (s, d) => {
+        val ev = eventsTable(s, d).select("event_id", "event_type", "ts")
+        val hist = eventsTable(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("daily_count"))
+          .filter(pmod(datediff(col("day"), lit("1970-01-01")), lit(3)) =!= 0)
+          .select(col("event_type"),
+            col("day").cast("timestamp").as("valid_from"),
+            date_add(col("day"), 1).cast("timestamp").as("valid_to"),
+            col("daily_count"))
+        graft.operators.Scd.pointInTimeJoin(ev, hist,
+            keyCols = Seq("event_type"), factTs = "ts",
+            valueCols = Seq("daily_count"))
+          .select(col("event_id"), col("event_type"),
+            date_format(col("version_from"), "yyyy-MM-dd HH:mm:ss")
+              .as("version_from"),
+            col("daily_count"))
+          .orderBy("event_id")
+      },
+      Some("""WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(COUNT(*) AS BIGINT) AS daily_count
+          FROM events GROUP BY 1, 2),
+        hist AS (
+          SELECT event_type, CAST(day AS TIMESTAMP) AS valid_from,
+            CAST(day + INTERVAL 1 DAY AS TIMESTAMP) AS valid_to,
+            daily_count
+          FROM daily
+          WHERE date_diff('day', DATE '1970-01-01', day) % 3 <> 0)
+        SELECT e.event_id, e.event_type,
+          strftime(h.valid_from, '%Y-%m-%d %H:%M:%S') AS version_from,
+          h.daily_count
+        FROM events e LEFT JOIN hist h
+          ON e.event_type = h.event_type
+          AND e.ts >= h.valid_from AND e.ts < h.valid_to
         ORDER BY e.event_id""")))
 
   // ------------------------------------------------------------------

@@ -89,4 +89,39 @@ object Scd {
     closedHistory.unionByName(closeOld).unionByName(keepOpen)
       .unionByName(openNew)
   }
+
+  /** Point-in-time join: attach to each fact row the dimension VERSION
+   *  that was valid at the fact's timestamp — `valid_from <= ts <
+   *  valid_to` (null `valid_to` = still open) — the join every
+   *  fact-against-SCD2 rollup needs ("price as of the order", "config
+   *  as of the event"). Facts falling in a validity GAP (their latest
+   *  preceding version already closed) attach NOTHING: leaking a stale
+   *  version is the classic PIT bug, and the gap is surfaced as nulls.
+   *
+   *  Built on [[AsOfJoin.asofJoin]] (backward): validity intervals are
+   *  non-overlapping per key, so the latest version STARTING at-or-
+   *  before ts is the only candidate, and one closed-by-ts check
+   *  replaces the naive range join. Cost = one key shuffle + one
+   *  window pass — never O(facts × versions). Output: every fact
+   *  column + `version_from` (the matched version's start, null on
+   *  gap/no-version) + `valueCols`. */
+  def pointInTimeJoin(
+      facts: DataFrame,
+      history: DataFrame,
+      keyCols: Seq[String],
+      factTs: String,
+      valueCols: Seq[String],
+      validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    val joined = AsOfJoin.asofJoin(facts, history, keyCols, factTs,
+      validFrom, valueCols :+ validTo)
+    // the asof candidate is stale when the fact sits past its close —
+    // a validity gap, not a match ([from, to) half-open)
+    val stale = col(validTo).isNotNull && col(validTo) <= col(factTs)
+    valueCols.foldLeft(joined)((df, c) =>
+        df.withColumn(c, when(stale, lit(null)).otherwise(col(c))))
+      .withColumn("version_from",
+        when(stale, lit(null)).otherwise(col("asof_ts")))
+      .drop("asof_ts", validTo)
+  }
 }

@@ -322,3 +322,45 @@ class TemperatureMixSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(("a", 0.3))._2 < out(("a", 1.0))._2)
   }
 }
+
+/** j07's operator contract: the version valid at ts attaches; validity
+ *  gaps and before-first-version facts attach NOTHING (no stale
+ *  leak); open-ended versions match forever; boundaries are
+ *  [from, to) half-open. */
+class PitJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("pointInTimeJoin: match inside validity, gap -> null, open end " +
+      "matches forever, half-open boundaries") {
+    val facts = Seq(
+      (1L, "k", ts("2026-01-01 10:30:00")), // inside v1
+      (2L, "k", ts("2026-01-01 12:00:00")), // exactly v2.valid_from
+      (3L, "k", ts("2026-01-01 13:30:00")), // GAP: v2 closed 13:00, v3 starts 14:00
+      (4L, "k", ts("2026-01-01 15:00:00")), // open-ended v3
+      (5L, "k", ts("2026-01-01 08:00:00"))  // before any version
+    ).toDF("id", "k", "ts")
+    val hist = Seq(
+      ("k", ts("2026-01-01 10:00:00"), Option(ts("2026-01-01 12:00:00")), 1L),
+      ("k", ts("2026-01-01 12:00:00"), Option(ts("2026-01-01 13:00:00")), 2L),
+      ("k", ts("2026-01-01 14:00:00"), None: Option[java.sql.Timestamp], 3L)
+    ).toDF("k", "valid_from", "valid_to", "v")
+    val got = graft.operators.Scd.pointInTimeJoin(
+        facts, hist, Seq("k"), "ts", Seq("v"))
+      .collect().map { r =>
+        r.getLong(0) -> (
+          if (r.isNullAt(r.fieldIndex("v"))) None
+          else Some(r.getLong(r.fieldIndex("v"))))
+      }.toMap
+    assert(got == Map(1L -> Some(1L), 2L -> Some(2L), 3L -> None,
+      4L -> Some(3L), 5L -> None))
+    // v2's close is exclusive: a fact AT 13:00:00 is already in the gap
+    val boundary = Seq((9L, "k", ts("2026-01-01 13:00:00")))
+      .toDF("id", "k", "ts")
+    val b = graft.operators.Scd.pointInTimeJoin(
+      boundary, hist, Seq("k"), "ts", Seq("v")).collect()(0)
+    assert(b.isNullAt(b.fieldIndex("v")))
+  }
+}
