@@ -9686,15 +9686,7 @@ object SparkEntry {
       // oracle IS that naive theta join.
       (s, d) => {
         val ev = eventsTable(s, d).select("event_id", "event_type", "ts")
-        val hist = eventsTable(s, d)
-          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("daily_count"))
-          .filter(pmod(datediff(col("day"), lit("1970-01-01")), lit(3)) =!= 0)
-          .select(col("event_type"),
-            col("day").cast("timestamp").as("valid_from"),
-            date_add(col("day"), 1).cast("timestamp").as("valid_to"),
-            col("daily_count"))
-        graft.operators.Scd.pointInTimeJoin(ev, hist,
+        graft.operators.Scd.pointInTimeJoin(ev, pitVersionHist(s, d),
             keyCols = Seq("event_type"), factTs = "ts",
             valueCols = Seq("daily_count"))
           .select(col("event_id"), col("event_type"),
@@ -9703,7 +9695,27 @@ object SparkEntry {
             col("daily_count"))
           .orderBy("event_id")
       },
-      Some("""WITH daily AS (
+      Some(pitOracleSql)))
+
+  /** Shared by j07 (batch asof+check) and st23 (stream-static
+   *  enrichment): the gap-injected daily version table — per-type
+   *  daily summaries with 1-day validity, every third day REMOVED so
+   *  real validity gaps exist. */
+  private def pitVersionHist(s: SparkSession, d: String): DataFrame =
+    eventsTable(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("daily_count"))
+      .filter(pmod(datediff(col("day"), lit("1970-01-01")), lit(3)) =!= 0)
+      .select(col("event_type"),
+        col("day").cast("timestamp").as("valid_from"),
+        date_add(col("day"), 1).cast("timestamp").as("valid_to"),
+        col("daily_count"))
+
+  /** One oracle for BOTH PIT paths — the naive theta join over the
+   *  validity windows. Any semantic fix applies to batch and stream
+   *  at once (the x114/st22 discipline). */
+  private val pitOracleSql: String =
+    """WITH daily AS (
           SELECT event_type, CAST(ts AS DATE) AS day,
             CAST(COUNT(*) AS BIGINT) AS daily_count
           FROM events GROUP BY 1, 2),
@@ -9719,7 +9731,7 @@ object SparkEntry {
         FROM events e LEFT JOIN hist h
           ON e.event_type = h.event_type
           AND e.ts >= h.valid_from AND e.ts < h.valid_to
-        ORDER BY e.event_id""")))
+        ORDER BY e.event_id"""
 
   // ------------------------------------------------------------------
   // C-series: schema-change detection
@@ -12508,7 +12520,38 @@ object SparkEntry {
             expr("n * 1000000 div __tot").as("p_ppm"))
           .orderBy("from_type", "to_type")
       },
-      Some(transitionsOracleSql)))
+      Some(transitionsOracleSql)),
+
+    Q("st23_stream_pit_enrich",
+      // point-in-time ENRICHMENT at ingest — j07's streaming twin: a
+      // stream-static left join of arriving events against the
+      // (broadcast, versions-sized) SCD2 daily version table with the
+      // validity-window condition. Map-only per arrival: no shuffle,
+      // no state store, append mode — the "attach the config/price
+      // version valid at event time" step every enrichment pipeline
+      // runs before landing. Gap events (every 3rd version day is
+      // removed) must land NULL, never a stale version; the oracle is
+      // j07's naive theta join, shared verbatim.
+      (s, d) => {
+        // static side computed ONCE (versions-sized localCheckpoint),
+        // not re-derived per micro-batch
+        val hist = pitVersionHist(s, d)
+          .withColumnRenamed("event_type", "h_type")
+          .localCheckpoint()
+        val ev = eventsStream(s, d)
+          .select(col("event_id"), col("event_type"), col("ts"))
+        val enriched = ev.join(broadcast(hist),
+            ev("event_type") === col("h_type") &&
+              ev("ts") >= col("valid_from") && ev("ts") < col("valid_to"),
+            "left")
+          .select(col("event_id"), col("event_type"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+              .as("version_from"),
+            col("daily_count"))
+        runBoundedStream(s, enriched, "st23_sink", "append")
+          .orderBy("event_id")
+      },
+      Some(pitOracleSql)))
 
   /** Shared by x114 (batch) and st22 (streaming): the two paths are
    *  the SAME contract, so any oracle fix applies to both at once. */
