@@ -4771,6 +4771,58 @@ object SparkEntry {
         JOIN ic USING (event_type)
         ORDER BY event_type""")),
 
+    Q("a23_proportion_alert",
+      // Wilson-interval proportion anomaly: per-segment daily error
+      // RATE flagged only when the exact-binomial interval excludes
+      // the segment's pooled share — the small-n fix for the
+      // false-alarm storm a z-score on p-hat throws on low-traffic
+      // days (3/10 and 300/1000 share a p-hat, not evidence). All
+      // literal arithmetic mirrored double-for-double in the oracle.
+      (s, d) => Anomalies.proportionAnomaly(
+          eventsTable(s, d).filter(col("user_id").isNotNull)
+            .withColumn("segment", pmod(col("user_id"), lit(4)))
+            .withColumn("day", to_date(col("ts"))),
+          Seq("segment"), "day", col("event_type") === "error")
+        .select(col("segment"), col("day"), col("k"), col("n"),
+          round(col("p_hat"), 6).as("p_hat"),
+          round(col("wilson_lo"), 6).as("wilson_lo"),
+          round(col("wilson_hi"), 6).as("wilson_hi"),
+          round(col("baseline_p"), 6).as("baseline_p"),
+          col("is_anomalous"))
+        .orderBy("segment", "day"),
+      Some("""WITH e AS (
+          SELECT user_id % 4 AS segment, CAST(ts AS DATE) AS day,
+            CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+          FROM events WHERE user_id IS NOT NULL),
+        pb AS (SELECT segment, day, CAST(SUM(is_err) AS BIGINT) AS k,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2),
+        pool AS (SELECT segment,
+            CAST(SUM(k) AS DOUBLE) / SUM(n) AS baseline_p
+          FROM pb GROUP BY 1),
+        w AS (SELECT pb.segment, pb.day, pb.k, pb.n, pool.baseline_p,
+            CAST(pb.k AS DOUBLE) / pb.n AS p,
+            CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
+          FROM pb JOIN pool USING (segment)),
+        b AS (SELECT segment, day, k, n, baseline_p, p,
+            (p + z2 / (CAST(2.0 AS DOUBLE) * n))
+              / (CAST(1.0 AS DOUBLE) + z2 / n)
+              AS center,
+            (CAST(1.96 AS DOUBLE) * SQRT(
+                p * (CAST(1.0 AS DOUBLE) - p) / n
+                  + z2 / (CAST(4.0 AS DOUBLE) * n * n)))
+              / (CAST(1.0 AS DOUBLE) + z2 / n)
+              AS half
+          FROM w)
+        SELECT segment, day, k, n,
+          ROUND(p, 6) AS p_hat,
+          ROUND(center - half, 6) AS wilson_lo,
+          ROUND(center + half, 6) AS wilson_hi,
+          ROUND(baseline_p, 6) AS baseline_p,
+          baseline_p < center - half OR baseline_p > center + half
+            AS is_anomalous
+        FROM b ORDER BY segment, day""")),
+
     Q("x118_rank_correlation",
       // Kendall tau between two bm25 parameterizations (k1/b sweep) —
       // does the retuning actually REORDER results or just rescale

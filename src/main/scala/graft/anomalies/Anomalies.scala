@@ -504,6 +504,48 @@ object Anomalies {
           pmod(col("run_length") - 1, lit(reAlertEvery.toLong)) === 0L)
       .drop("__start", "__run")
   }
+
+  /** Proportion anomaly with the WILSON score interval — exact-binomial
+   *  inference where the z-score family silently assumes normal counts:
+   *  a day with k target events out of n total is anomalous when its
+   *  Wilson interval EXCLUDES the series' pooled baseline share. The
+   *  small-n behavior is the point — 3/10 and 300/1000 have the same
+   *  p̂ but wildly different evidence, and the interval says so while a
+   *  z-score on p̂ treats them alike (the false-alarm storm on
+   *  low-traffic days every rate alert hits).
+   *
+   *  center = (p̂ + z²/2n) / (1 + z²/n);
+   *  half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n).
+   *  Plain column arithmetic on each group row (one aggregate pass +
+   *  one broadcast of the per-series pooled share) — replays exactly
+   *  as SQL, scales as a groupBy. */
+  def proportionAnomaly(
+      df: DataFrame,
+      seriesCols: Seq[String],
+      bucketCol: String,
+      isTarget: Column,
+      z: Double = 1.96): DataFrame = {
+    val keys = seriesCols.map(col)
+    val perBucket = df.groupBy(keys :+ col(bucketCol): _*)
+      .agg(sum(when(isTarget, 1L).otherwise(0L)).as("k"),
+        count(lit(1)).as("n"))
+    val pooled = perBucket.groupBy(keys: _*)
+      .agg((sum(col("k")).cast("double") / sum(col("n")))
+        .as("baseline_p"))
+    val z2 = z * z
+    val p = col("k").cast("double") / col("n")
+    val denom = lit(1.0) + lit(z2) / col("n")
+    val center = (p + lit(z2) / (lit(2.0) * col("n"))) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / col("n")
+      + lit(z2) / (lit(4.0) * col("n") * col("n")))) / denom
+    perBucket.join(broadcast(pooled), seriesCols)
+      .withColumn("p_hat", p)
+      .withColumn("wilson_lo", center - half)
+      .withColumn("wilson_hi", center + half)
+      .withColumn("is_anomalous",
+        col("baseline_p") < col("wilson_lo") ||
+          col("baseline_p") > col("wilson_hi"))
+  }
 }
 
 private[anomalies] object Profiles {

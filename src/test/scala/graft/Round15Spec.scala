@@ -364,3 +364,47 @@ class PitJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(b.isNullAt(b.fieldIndex("v")))
   }
 }
+
+/** a23's operator contract: Wilson bounds match the textbook values,
+ *  and the small-n discrimination property holds — the same p-hat is
+ *  anomalous with strong evidence (large n) but NOT with weak (small
+ *  n), which is the whole reason to prefer it over a z-score on
+ *  p-hat. */
+class ProportionAnomalySpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+  import graft.anomalies.Anomalies
+
+  test("wilson interval matches the textbook 3/10 case") {
+    val df = (Seq.fill(3)(("s", "d1", true)) ++
+      Seq.fill(7)(("s", "d1", false)))
+      .toDF("seg", "day", "err")
+    val r = Anomalies.proportionAnomaly(df, Seq("seg"), "day",
+      col("err")).collect()(0)
+    val lo = r.getDouble(r.fieldIndex("wilson_lo"))
+    val hi = r.getDouble(r.fieldIndex("wilson_hi"))
+    // Wilson 95% for k=3, n=10: (0.1078, 0.6032)
+    assert(math.abs(lo - 0.1078) < 5e-4, s"lo=$lo")
+    assert(math.abs(hi - 0.6032) < 5e-4, s"hi=$hi")
+  }
+
+  test("same p-hat, different evidence: 20% of n=1000 flags against a " +
+      "~10% baseline, 20% of n=10 stays inside its wide interval") {
+    // five 13%-days dominate the pool (baseline ≈ 14.2%, inside each
+    // base day's own interval ≈ (0.110, 0.151)); the spiked days both
+    // run at 20%: n=1000 excludes the baseline (interval ≈
+    // (0.177, 0.226)), n=10 does not (≈ (0.057, 0.510))
+    def day(seg: String, d: String, k: Int, n: Int) =
+      Seq.fill(k)((seg, d, true)) ++ Seq.fill(n - k)((seg, d, false))
+    val rows = (1 to 5).flatMap(i => day("s", s"base$i", 130, 1000)) ++
+      day("s", "spike_big", 200, 1000) ++ day("s", "spike_small", 2, 10)
+    val got = Anomalies.proportionAnomaly(rows.toDF("seg", "day", "err"),
+        Seq("seg"), "day", col("err"))
+      .collect().map(r => r.getString(1) ->
+        r.getBoolean(r.fieldIndex("is_anomalous"))).toMap
+    assert(got("spike_big"), "strong evidence at 20% vs ~14.2% must flag")
+    assert(!got("spike_small"), "2/10 has no evidence against ~14.2%")
+    (1 to 5).foreach(i => assert(!got(s"base$i"), s"base$i flagged"))
+  }
+}
