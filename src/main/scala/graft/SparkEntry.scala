@@ -4935,6 +4935,53 @@ object SparkEntry {
             AS DOUBLE) / COUNT(*), 6) AS accuracy
         FROM joined GROUP BY 1 ORDER BY margin_bucket""")),
 
+    Q("x121_canonical_dedup",
+      // normalize-BEFORE-dedup: byte-different, visually-identical
+      // variants (curly quotes, NBSP, doubled spaces, case) are
+      // invisible to raw exact dedup and recovered by
+      // TextAnalysis.canonicalizeText (fold -> collapse -> trim ->
+      // lower, the order being part of the contract). Every 4th doc
+      // gets an injected messy variant (upper + NBSP-doubled spaces);
+      // canonical_gain counts exactly the recovered variants per
+      // source. Map-only expression chain + one groupBy.
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "source", "text")
+        val variants = docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+            regexp_replace(upper(col("text")), " ",
+              "\u00A0  ").as("text")) // NBSP + doubled space
+        docs.unionByName(variants)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("text")).as("distinct_raw"),
+            countDistinct(TextAnalysis.canonicalizeText(col("text")))
+              .as("distinct_canonical"))
+          .withColumn("canonical_gain",
+            col("distinct_raw") - col("distinct_canonical"))
+          .orderBy("source")
+      },
+      Some("""WITH docs AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, source,
+            regexp_replace(upper(text), ' ', chr(160) || '  ', 'g')
+          FROM documents WHERE doc_id % 4 = 0),
+        canon AS (
+          SELECT source, text,
+            lower(trim(regexp_replace(
+              translate(text,
+                chr(8216) || chr(8217) || chr(8220) || chr(8221)
+                  || chr(8211) || chr(8212) || chr(160),
+                '''''""-- '),
+              '\s+', ' ', 'g'))) AS ctext
+          FROM docs)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_raw,
+          CAST(COUNT(DISTINCT ctext) AS BIGINT) AS distinct_canonical,
+          CAST(COUNT(DISTINCT text) - COUNT(DISTINCT ctext) AS BIGINT)
+            AS canonical_gain
+        FROM canon GROUP BY source ORDER BY source""")),
+
     Q("x120_temperature_mix",
       // temperature (alpha) mixture weights, the mT5/CC-100
       // rebalancing: per-source weight ∝ share^alpha with the

@@ -529,6 +529,8 @@ object Anomalies {
     val perBucket = df.groupBy(keys :+ col(bucketCol): _*)
       .agg(sum(when(isTarget, 1L).otherwise(0L)).as("k"),
         count(lit(1)).as("n"))
+      .localCheckpoint() // series×bucket-sized; consumed by the pooled
+                         // lane AND the join — one input scan, not two
     val pooled = perBucket.groupBy(keys: _*)
       .agg((sum(col("k")).cast("double") / sum(col("n")))
         .as("baseline_p"))

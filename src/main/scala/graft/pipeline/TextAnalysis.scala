@@ -1754,6 +1754,22 @@ object TextAnalysis {
         .otherwise(lit(0.0)).as("tau"))
   }
 
+  /** Unicode-mess canonicalizer — the normalize-BEFORE-dedup step:
+   *  curly quotes/dashes fold to ASCII, NBSP folds to space, runs of
+   *  whitespace collapse, then trim + lowercase. Exact dedup on RAW
+   *  text misses byte-different/visually-identical variants (the
+   *  curly-quote repost, the double-spaced mirror); canonicalizing
+   *  first is how real pipelines recover them. Pure codegen'd column
+   *  expression (translate + one regex pass) — map-only at any scale.
+   *  The FOLD→COLLAPSE→TRIM→LOWER order is part of the contract
+   *  (NBSP must fold before the whitespace collapse can eat it). */
+  def canonicalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      translate(text,
+        // ‘ ’ “ ” – — NBSP → ASCII
+        "\u2018\u2019\u201C\u201D\u2013\u2014\u00A0", "''\"\"-- "),
+      "\\s+", " ")))
+
   // ---- persisted BM25 index store (x117) -----------------------------
 
   private def bm25Projections(

@@ -408,3 +408,32 @@ class ProportionAnomalySpec extends org.scalatest.funsuite.AnyFunSuite {
     (1 to 5).foreach(i => assert(!got(s"base$i"), s"base$i flagged"))
   }
 }
+
+/** x121's kernel: the fold table, the FOLD-before-COLLAPSE order
+ *  contract, and variant ≡ source under canonicalization. */
+class CanonicalizeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+  import graft.pipeline.TextAnalysis
+
+  private def canon(s: String): String =
+    Seq(s).toDF("t")
+      .select(TextAnalysis.canonicalizeText(col("t")).as("c"))
+      .collect()(0).getString(0)
+
+  test("folds curly quotes/dashes/NBSP, collapses whitespace, trims, lowers") {
+    assert(canon("“Hello” — It’s  Fine ") ==
+      "\"hello\" - it's fine")
+    // NBSP folds to space BEFORE the collapse, so a NBSP-space run
+    // becomes ONE space (the order contract)
+    assert(canon("a   b") == "a b")
+    assert(canon("  a\tb\nc  ") == "a b c")
+  }
+
+  test("the x121 variant mutation canonicalizes back to its source") {
+    val src = "Some document text with several words"
+    val variant = src.toUpperCase.replace(" ", "   ")
+    assert(canon(variant) == canon(src))
+  }
+}
