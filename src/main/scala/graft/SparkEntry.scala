@@ -9283,6 +9283,71 @@ object SparkEntry {
         JOIN expt e USING (digit)
         ORDER BY column_name, digit""")),
 
+    Q("p48_nullity_correlation",
+      // which columns go null TOGETHER (the missingno-matrix
+      // question): observed both-null vs independence as lift + the
+      // null-set Jaccard. The corpus ships null-free, so correlated
+      // nullity is INJECTED (props-null ⊂ user_id-null — one upstream
+      // cause; value-null independent) and the sweep must read the
+      // structure back: lift >> 1 and jaccard > 0 for the coupled
+      // pair, lift ~ 1 for the independent ones. One agg pass,
+      // schema-bounded, exploded to pair rows — the p46 shape.
+      (s, d) => {
+        val ev = eventsTable(s, d)
+          .withColumn("user_id",
+            when(pmod(col("event_id"), lit(7)) < 2, lit(null))
+              .otherwise(col("user_id")))
+          .withColumn("props",
+            when(pmod(col("event_id"), lit(7)) < 1, lit(null))
+              .otherwise(col("props")))
+          .withColumn("value",
+            when(pmod(col("event_id"), lit(5)) === 0, lit(null))
+              .otherwise(col("value")))
+        Profiler.nullityCorrelation(ev, Seq("props", "user_id", "value"))
+          .orderBy("col_a", "col_b")
+      },
+      Some("""WITH e AS (SELECT
+            CASE WHEN event_id % 7 < 2 THEN NULL ELSE user_id END
+              AS user_id,
+            CASE WHEN event_id % 7 < 1 THEN NULL ELSE props END AS props,
+            CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+          FROM events),
+        a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS na_props,
+            CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS na_user,
+            CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS na_value,
+            CAST(SUM(CASE WHEN props IS NULL AND user_id IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS nb_pu,
+            CAST(SUM(CASE WHEN props IS NULL AND value IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS nb_pv,
+            CAST(SUM(CASE WHEN user_id IS NULL AND value IS NULL
+              THEN 1 ELSE 0 END) AS BIGINT) AS nb_uv
+          FROM e),
+        rows_ AS (
+          SELECT 'props' AS col_a, 'user_id' AS col_b, n_rows,
+            na_props AS null_a, na_user AS null_b, nb_pu AS null_both
+          FROM a
+          UNION ALL
+          SELECT 'props', 'value', n_rows, na_props, na_value, nb_pv
+          FROM a
+          UNION ALL
+          SELECT 'user_id', 'value', n_rows, na_user, na_value, nb_uv
+          FROM a)
+        SELECT col_a, col_b, n_rows, null_a, null_b, null_both,
+          ROUND(CAST(null_a AS DOUBLE) * null_b / n_rows, 6)
+            AS expected_both,
+          CASE WHEN null_a > 0 AND null_b > 0
+            THEN ROUND(CAST(null_both AS DOUBLE) * n_rows
+              / (null_a * null_b), 6) END AS lift,
+          CASE WHEN null_a + null_b - null_both > 0
+            THEN ROUND(CAST(null_both AS DOUBLE)
+              / (null_a + null_b - null_both), 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS null_jaccard
+        FROM rows_ ORDER BY col_a, col_b""")),
+
     Q("s20_bucketed_join",
       // bucketed co-located join — THE shuffle-elimination lane for a
       // fact table joined repeatedly on the same key at 100 TB: write

@@ -465,6 +465,53 @@ object Profiler {
         expr("(n_pairs - n_det) * 1000000 div n_det"))
   }
 
+  /** Nullity-correlation sweep — WHICH columns go null TOGETHER (the
+   *  missingno-matrix question): per unordered column pair, the
+   *  observed both-null count against independence
+   *  (`expected_both = null_a·null_b/n`), as a lift ratio plus the
+   *  Jaccard of the two null sets. Co-null columns betray a shared
+   *  upstream cause (one failed join, one dead extractor) that
+   *  per-column null rates (P2) can't see.
+   *
+   *  Same scale shape as [[fdDiscovery]]: ONE aggregation pass with
+   *  |cols| + C(|cols|,2) indicator sums — bounded by the schema,
+   *  never the data — exploded to pair rows with no driver collect.
+   *  `lift` is null when either side has no nulls (independence is
+   *  undefined, not 0). */
+  def nullityCorrelation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to pair")
+    require(cols.distinct.size == cols.size, "duplicate columns in set")
+    val pairs = for { a <- cols; b <- cols if a < b } yield (a, b)
+    val aggs = count(lit(1)).as("__n") +:
+      (cols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__na_$c")) ++
+       pairs.map { case (a, b) =>
+         sum(when(col(a).isNull && col(b).isNull, 1L).otherwise(0L))
+           .as(s"__nb_${a}__$b")
+       })
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("__n").as("n_rows"),
+          col(s"__na_$a").as("null_a"),
+          col(s"__na_$b").as("null_b"),
+          col(s"__nb_${a}__$b").as("null_both"))
+      }: _*)).as("__r"))
+      .select(col("__r.*"))
+      .withColumn("expected_both",
+        round(col("null_a").cast("double") * col("null_b")
+          / col("n_rows"), 6))
+      .withColumn("lift",
+        when(col("null_a") > 0 && col("null_b") > 0,
+          round(col("null_both").cast("double") * col("n_rows")
+            / (col("null_a") * col("null_b")), 6)))
+      .withColumn("null_jaccard",
+        when(col("null_a") + col("null_b") - col("null_both") > 0,
+          round(col("null_both").cast("double")
+            / (col("null_a") + col("null_b") - col("null_both")), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** Full profile of a DataFrame: single-pass agg + one top-K job + one
    *  duplicate-count job (3 scans total; the reference issues 4+ SELECT
    *  batches per table, app.py:3354-3677). */

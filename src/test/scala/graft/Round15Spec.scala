@@ -437,3 +437,33 @@ class CanonicalizeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(canon(variant) == canon(src))
   }
 }
+
+/** p48's kernel: coupled nullity reads back as lift >> 1 / jaccard of
+ *  the set overlap; independent nullity reads lift ≈ 1; a pair with a
+ *  never-null side has undefined (null) lift, never a fake 0. */
+class NullityCorrelationSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import graft.profiler.Profiler
+
+  test("subset coupling, independence, and the no-null guard") {
+    // 100 rows: a null on 0..19; b null on 0..9 (subset of a);
+    // c never null
+    val df = (0 until 100).map { i =>
+      (if (i < 20) None else Some(i.toLong),
+       if (i < 10) None else Some(s"v$i"),
+       i.toDouble)
+    }.toDF("a", "b", "c")
+    val out = Profiler.nullityCorrelation(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getLong(ab.fieldIndex("null_both")) == 10L)
+    // lift = 10*100/(20*10) = 5.0 ; jaccard = 10/(20+10-10) = 0.5
+    assert(ab.getDouble(ab.fieldIndex("lift")) == 5.0)
+    assert(ab.getDouble(ab.fieldIndex("null_jaccard")) == 0.5)
+    // c never null: lift undefined (null), jaccard vs a = 0/20 = 0
+    val ac = out(("a", "c"))
+    assert(ac.isNullAt(ac.fieldIndex("lift")))
+    assert(ac.getDouble(ac.fieldIndex("null_jaccard")) == 0.0)
+  }
+}
