@@ -211,7 +211,14 @@ object Soak {
     // Adar (degree-capped center join — Σ deg² bound), basket lift
     // (basket-keyed pair join; Σ basket² bound)
     "x108_pmi_collocations", "x109_ngram_novelty", "x110_adamic_adar",
-    "x113_basket_lift")
+    "x113_basket_lift",
+    // round-15: temperature mixture (one corpus tokenCount scan into a
+    // checkpointed sources-sized frame) and canonicalize-before-dedup
+    // (map-only expression chain + one groupBy with two countDistincts
+    // — must ride the scan). j06/j07/st23/a23/p48 key on events, which
+    // buildCorpus mirrors verbatim, so soaking them would measure a
+    // flat line; x118/x119 carry pinned-protocol rows in BASELINE §17.
+    "x120_temperature_mix", "x121_canonical_dedup")
 
   /** Deterministic mult× blow-up of documents/embeddings/lineitem into
    *  `out`; every other table is mirrored verbatim so any registry
