@@ -4990,15 +4990,10 @@ object SparkEntry {
       // picking alpha. DERIVES weights from the corpus (x54's
       // water-filling takes them as input). One corpus scan into a
       // sources-sized frame; everything after is metadata arithmetic.
-      (s, d) => {
-        val docs = t(s, d, "documents")
-        val total = docs.filter(col("source").isNotNull)
-          .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
-          .head().getLong(0)
-        Sampling.temperatureMixture(docs, Seq(0.3, 0.5, 0.7),
-            tokenBudget = math.floor(0.10 * total).toLong)
-          .orderBy("source", "alpha")
-      },
+      (s, d) => Sampling.temperatureMixtureAtFraction(
+          t(s, d, "documents"), Seq(0.3, 0.5, 0.7),
+          budgetFraction = 0.10)
+        .orderBy("source", "alpha"),
       Some("""WITH tokd AS (
           SELECT source, CASE WHEN LENGTH(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\s+')) END AS n

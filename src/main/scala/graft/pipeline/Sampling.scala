@@ -680,15 +680,44 @@ object Sampling {
       alphas: Seq[Double],
       tokenBudget: Long,
       sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    mixtureFromPerSrc(perSourceTokens(docs, sourceCol, textCol),
+      alphas, tokenBudget)
+
+  /** [[temperatureMixture]] with the budget given as a FRACTION of the
+   *  corpus (the usual spec: "10% of tokens") — derives the budget
+   *  from the same sources-sized frame the weights use, so the corpus
+   *  is scanned exactly once (a separate caller-side total would be a
+   *  redundant second pass over 100 TB). */
+  def temperatureMixtureAtFraction(
+      docs: DataFrame,
+      alphas: Seq[Double],
+      budgetFraction: Double,
+      sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
-    require(alphas.nonEmpty, "need at least one alpha")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val perSrc = docs.filter(col(sourceCol).isNotNull)
+    require(budgetFraction > 0, "budgetFraction must be positive")
+    val perSrc = perSourceTokens(docs, sourceCol, textCol)
+    // 1-row agg over the checkpointed sources-sized frame — no rescan
+    val total = perSrc.agg(sum("n_tokens")).head().getLong(0)
+    mixtureFromPerSrc(perSrc, alphas,
+      math.floor(budgetFraction * total).toLong)
+  }
+
+  private def perSourceTokens(
+      docs: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    docs.filter(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol).as("source"))
       .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
         .as("n_tokens"))
       .localCheckpoint() // sources-sized; cuts the corpus scan to one
+
+  private def mixtureFromPerSrc(
+      perSrc: DataFrame,
+      alphas: Seq[Double],
+      tokenBudget: Long): DataFrame = {
+    require(alphas.nonEmpty, "need at least one alpha")
+    val spark = perSrc.sparkSession
+    import spark.implicits._
     val total = perSrc.agg(sum("n_tokens").as("__total"))
     val scored = perSrc.crossJoin(broadcast(total))
       .crossJoin(broadcast(alphas.toDF("alpha")))

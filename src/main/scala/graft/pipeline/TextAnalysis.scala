@@ -1809,19 +1809,29 @@ object TextAnalysis {
    *  because a double-ingest would silently duplicate postings and
    *  doclen rows (inflating tf/N/total-length and corrupting every
    *  subsequent [[bm25StoreQuery]] score with no error), the contract
-   *  is ENFORCED: the slice's ids are broadcast against an id-only
-   *  pruned scan of the stored doclen table, and any overlap fails
-   *  loudly BEFORE anything is written. */
+   *  is ENFORCED, on both axes: duplicate ids WITHIN the slice (an
+   *  upstream union glitch would merge their token counts into one
+   *  inflated doc) and slice ids already IN the store both fail
+   *  loudly BEFORE anything is written. The store check is a plain
+   *  left-semi join (no broadcast hint — a backfill-sized slice must
+   *  not be forced through the driver; the planner broadcasts
+   *  whichever side is actually small). */
   def bm25StoreAppend(
       path: String,
       newDocs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    val newIds = newDocs.filter(col(idCol).isNotNull)
-      .select(col(idCol).cast("long").as("id")).distinct()
+    val ids = newDocs.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"))
+    val intraDupes = ids.groupBy("id").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(5).collect().map(_.getLong(0))
+    require(intraDupes.isEmpty,
+      "bm25StoreAppend: duplicate doc ids WITHIN the slice — their " +
+        "token counts would merge into one inflated doc. First " +
+        s"offenders: ${intraDupes.mkString(", ")}")
     val dupes = newDocs.sparkSession.read.parquet(path + "/doclen")
       .select("id")
-      .join(broadcast(newIds), Seq("id"), "left_semi")
+      .join(ids.distinct(), Seq("id"), "left_semi")
       .limit(5).collect().map(_.getLong(0))
     require(dupes.isEmpty,
       "bm25StoreAppend: doc ids already in the store — a re-ingest " +

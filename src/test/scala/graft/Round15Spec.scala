@@ -106,12 +106,22 @@ class DarkCodeSpec extends AnyFunSuite {
     "compare", "compareTo", "close", "hasNext", "next",
     "zero", "reduce", "merge", "finish", "bufferEncoder", "outputEncoder")
 
+  /** Comment lines don't count as references — a function mentioned
+   *  only in someone's scaladoc is still dark. */
+  private def stripComments(text: String): String =
+    text.linesIterator.filterNot { l =>
+      val t = l.trim
+      t.startsWith("//") || t.startsWith("*") || t.startsWith("/*")
+    }.mkString("\n")
+
   test("no dark public functions: every public def is referenced somewhere") {
     val mains = scalaFiles("src/main/scala/graft")
     val tests = scalaFiles("src/test/scala/graft")
     assert(mains.nonEmpty && tests.nonEmpty)
     val texts: Map[Path, String] =
       (mains ++ tests).map(p => p -> Files.readString(p)).toMap
+    val refTexts: Map[Path, String] =
+      texts.map { case (p, t) => p -> stripComments(t) }
     val defRe = """^\s*(?:(?:final|implicit|lazy)\s+)*def\s+([A-Za-z_][A-Za-z0-9_]*)""".r
     val modRe = """^\s*(?:(?:final|implicit|lazy)\s+)*(?:private|protected|override)\b.*""".r
     val dark = for {
@@ -122,8 +132,9 @@ class DarkCodeSpec extends AnyFunSuite {
       name = m.group(1)
       if name.length >= 4 && !frameworkOrEntry(name)
       pat = ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
-      if !texts.exists { case (q, t) => q != p && pat.findFirstIn(t).isDefined }
-      if pat.findAllIn(texts(p)).size <= 1 // only its own definition
+      if !refTexts.exists { case (q, t) =>
+        q != p && pat.findFirstIn(t).isDefined }
+      if pat.findAllIn(refTexts(p)).size <= 1 // only its own definition
     } yield s"$p: $name"
     assert(dark.isEmpty,
       "dark public functions (implemented but referenced by no query, " +
@@ -217,6 +228,14 @@ class AdviceHardeningSpec extends org.scalatest.funsuite.AnyFunSuite {
     // and nothing was written: the store still scores exactly 3 docs
     val dl = spark.read.parquet(dir + "/doclen")
     assert(dl.count() == 3)
+    // duplicate ids WITHIN the slice are rejected too (they would
+    // merge into one inflated doc BEFORE the store check could see)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.pipeline.TextAnalysis.bm25StoreAppend(dir,
+        Seq((9L, "zeta"), (9L, "eta")).toDF("doc_id", "text"))
+    }
+    assert(e2.getMessage.contains("WITHIN the slice"))
+    assert(spark.read.parquet(dir + "/doclen").count() == 3)
   }
 }
 
@@ -465,5 +484,36 @@ class NullityCorrelationSpec extends org.scalatest.funsuite.AnyFunSuite {
     val ac = out(("a", "c"))
     assert(ac.isNullAt(ac.fieldIndex("lift")))
     assert(ac.getDouble(ac.fieldIndex("null_jaccard")) == 0.0)
+  }
+}
+
+/** The dark-code sweep's round-15 catch (after comment-stripping made
+ *  the gate honest): TextAnalysis.qualityScore — the standalone column
+ *  form — was referenced only by a comment. Pin it as an EQUIVALENCE:
+ *  the standalone form and the staged qualityGate path must compute
+ *  the identical score, which is the regression guard the staged
+ *  optimization has always needed. */
+class QualityScoreEquivalenceSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+  import graft.pipeline.TextAnalysis
+
+  test("standalone qualityScore ≡ qualityGate's staged quality_score") {
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog and runs far"),
+      (2L, "x"),                        // under the length floor
+      (3L, "!!! ??? ... ;;; :::"),      // punctuation soup
+      (4L, ("word " * 50).trim),        // no stopwords
+      (5L, "the of and to is " * 10)    // stopword-saturated
+    ).toDF("doc_id", "text")
+    val standalone = docs
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val staged = TextAnalysis.qualityGate(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(standalone == staged)
+    assert(standalone(2L) < standalone(1L)) // the score discriminates
   }
 }

@@ -62,6 +62,13 @@ def main():
             print(f"FAIL {name}: dtype leak (CAST in the oracle SQL): "
                   + ", ".join(leaks))
             failures += 1
+    # a green exit must mean something was actually probed — a broken
+    # environment (missing parquet, bad sfDir) skips every oracle and
+    # would otherwise pass the gate having verified nothing
+    if probed == 0 and (skipped or oracle):
+        print("\nFAIL: 0 oracles probed (all skipped/filtered) — "
+              "the gate verified nothing")
+        sys.exit(1)
     print(f"\n{probed} probed, {skipped} skipped, "
           f"{'ALL CLEAN' if failures == 0 else f'{failures} LEAKS'}")
     sys.exit(1 if failures else 0)
