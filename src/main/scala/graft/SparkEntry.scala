@@ -9393,6 +9393,44 @@ object SparkEntry {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    Q("s21_rowgroup_audit",
+      // parquet layout-health audit from FOOTERS alone (the before-
+      // anything-else tool on a 100 TB lake): per-column value/null
+      // counts and compressed/uncompressed bytes per row-group chunk,
+      // read at O(files) footer cost with zero data-page IO. The
+      // engine writes documents to state (2 files) and audits its OWN
+      // output; the oracle reads the SAME footers through DuckDB's
+      // independent parquet_metadata() — a disagreement means one
+      // side is misreading the format, the strongest parity check a
+      // metadata path can get.
+      (s, d) => {
+        val state = freshState(s, "s21")
+        t(s, d, "documents").coalesce(2).write
+          .parquet(state + "/data")
+        graft.sources.ParquetAudit.rowGroupChunks(s, state + "/data")
+          .groupBy("column_name")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum("num_values").as("n_values"),
+            sum("null_count").as("n_nulls"),
+            sum("compressed_bytes").as("compressed_bytes"),
+            sum("uncompressed_bytes").as("uncompressed_bytes"))
+          .withColumn("compression_ratio",
+            round(col("uncompressed_bytes").cast("double")
+              / col("compressed_bytes"), 6))
+          .orderBy("column_name")
+      },
+      Some("""SELECT path_in_schema AS column_name,
+          CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(num_values) AS BIGINT) AS n_values,
+          CAST(SUM(stats_null_count) AS BIGINT) AS n_nulls,
+          CAST(SUM(total_compressed_size) AS BIGINT) AS compressed_bytes,
+          CAST(SUM(total_uncompressed_size) AS BIGINT)
+            AS uncompressed_bytes,
+          ROUND(CAST(SUM(total_uncompressed_size) AS DOUBLE)
+            / SUM(total_compressed_size), 6) AS compression_ratio
+        FROM parquet_metadata('/tmp/graft_qstate/s21/data/*.parquet')
+        GROUP BY 1 ORDER BY 1""")),
+
     Q("s19_orc_roundtrip",
       // ORC — the fifth source leg (parquet/JSONL/JDBC/CSV/ORC), for
       // Hive/Trino-era lakes: documents writes as lang-partitioned

@@ -517,3 +517,37 @@ class QualityScoreEquivalenceSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(standalone(2L) < standalone(1L)) // the score discriminates
   }
 }
+
+/** s21's kernel: the footer audit sees every chunk at (file, row_group,
+ *  column) grain, splits row groups when asked to, and accounts nulls
+ *  exactly. */
+class ParquetAuditSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("chunk grain, forced row-group split, and null accounting") {
+    val dir = Files.createTempDirectory("graft_r15_pqaudit").toString
+    val df = (0 until 1000)
+      .map(i => (i.toLong, if (i % 4 == 0) None else Some(s"v$i")))
+      .toDF("id", "s")
+    // tiny row groups force >1 block per file
+    df.coalesce(1).write
+      .option("parquet.block.size", (64 * 1024).toString)
+      .parquet(dir + "/data")
+    val chunks = graft.sources.ParquetAudit.rowGroupChunks(
+      spark, dir + "/data")
+    val byCol = chunks.groupBy("column_name")
+      .agg(org.apache.spark.sql.functions.sum("num_values").as("nv"),
+        org.apache.spark.sql.functions.sum("null_count").as("nn"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(byCol("id") == (1000L, 0L))
+    assert(byCol("s") == (1000L, 250L)) // every 4th row null
+    // each chunk row carries a real (file, row_group, column) key
+    val cols = chunks.select("column_name").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(cols == Set("id", "s"))
+    assert(chunks.count() % 2 == 0) // 2 columns per row group
+  }
+}
