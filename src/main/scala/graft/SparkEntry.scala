@@ -9431,6 +9431,40 @@ object SparkEntry {
         FROM parquet_metadata('/tmp/graft_qstate/s21/data/*.parquet')
         GROUP BY 1 ORDER BY 1""")),
 
+    Q("s22_rowgroup_audit_partitioned",
+      // s21's partitioned twin — lakes PARTITION, so the footer audit
+      // must recurse (fs.listFiles(recursive)) and attribute chunks to
+      // their partition. The engine writes documents lang-partitioned
+      // (Spark leaves the partition column OUT of the data files —
+      // only the path carries it), audits its own tree, and both sides
+      // recover the partition from their own file paths; the oracle
+      // reads the SAME footers through DuckDB's parquet_metadata()
+      // over a two-level glob. Physical columns per file are the four
+      // non-partition ones — a partition column leaking INTO the files
+      // (or a partition dir skipped by the listing) breaks parity.
+      (s, d) => {
+        val state = freshState(s, "s22")
+        t(s, d, "documents").repartition(col("lang")).write
+          .partitionBy("lang").parquet(state + "/data")
+        graft.sources.ParquetAudit.rowGroupChunks(s, state + "/data")
+          .withColumn("lang",
+            regexp_extract(col("file_name"), "lang=([^/]+)", 1))
+          .groupBy("lang", "column_name")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum("num_values").as("n_values"),
+            sum("null_count").as("n_nulls"),
+            sum("compressed_bytes").as("compressed_bytes"))
+          .orderBy("lang", "column_name")
+      },
+      Some("""SELECT regexp_extract(file_name, 'lang=([^/]+)', 1) AS lang,
+          path_in_schema AS column_name,
+          CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(num_values) AS BIGINT) AS n_values,
+          CAST(SUM(stats_null_count) AS BIGINT) AS n_nulls,
+          CAST(SUM(total_compressed_size) AS BIGINT) AS compressed_bytes
+        FROM parquet_metadata('/tmp/graft_qstate/s22/data/*/*.parquet')
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     Q("s19_orc_roundtrip",
       // ORC — the fifth source leg (parquet/JSONL/JDBC/CSV/ORC), for
       // Hive/Trino-era lakes: documents writes as lang-partitioned

@@ -698,9 +698,13 @@ object Sampling {
     require(budgetFraction > 0, "budgetFraction must be positive")
     val perSrc = perSourceTokens(docs, sourceCol, textCol)
     // 1-row agg over the checkpointed sources-sized frame — no rescan
-    val total = perSrc.agg(sum("n_tokens")).head().getLong(0)
+    val totalRow = perSrc.agg(sum("n_tokens")).head()
+    require(!totalRow.isNullAt(0),
+      s"temperatureMixtureAtFraction: empty corpus — no non-null " +
+        s"'$sourceCol' rows with countable '$textCol' tokens, so a " +
+        "fractional budget has nothing to take a fraction of")
     mixtureFromPerSrc(perSrc, alphas,
-      math.floor(budgetFraction * total).toLong)
+      math.floor(budgetFraction * totalRow.getLong(0)).toLong)
   }
 
   private def perSourceTokens(

@@ -1815,12 +1815,20 @@ object TextAnalysis {
    *  loudly BEFORE anything is written. The store check is a plain
    *  left-semi join (no broadcast hint — a backfill-sized slice must
    *  not be forced through the driver; the planner broadcasts
-   *  whichever side is actually small). */
+   *  whichever side is actually small). The whole check-then-append
+   *  sequence runs under [[graft.history.StoreIO.appendLocked]] (the
+   *  same per-path monitor every other store write takes), so two
+   *  concurrent appends of overlapping slices can't both pass the
+   *  store check, and the postings and doclen writes can't interleave
+   *  with another append's. Single-JVM scope: the lock is a process
+   *  monitor — cross-driver writers need an external coordinator,
+   *  same as the other parquet stores. */
   def bm25StoreAppend(
       path: String,
       newDocs: DataFrame,
       idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
+      textCol: String = "text"): Unit =
+      graft.history.StoreIO.appendLocked(path) {
     val ids = newDocs.filter(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("id"))
     val intraDupes = ids.groupBy("id").agg(count(lit(1)).as("__n"))
