@@ -174,6 +174,7 @@ object Bench {
     // $GRAFT_BENCH_BASELINE if set, else the highest-numbered
     // BENCH_CLEAN_r<N>_FINAL.json in the cwd; no baseline -> empty
     // list, never an error.
+    val flagNoise = scala.collection.mutable.Set[String]()
     val regressed: Seq[String] = try {
       val baselinePath = sys.env.get("GRAFT_BENCH_BASELINE").orElse {
         val rx = "BENCH_CLEAN_r(\\d+)_FINAL\\.json".r
@@ -215,7 +216,7 @@ object Bench {
             // never self-flag, so fall back to 1.0 below 5 samples
             val med =
               if (ratios.size >= 5) ratios(ratios.size / 2) else 1.0
-            results.flatMap { case (name, v) =>
+            val candidates = results.flatMap { case (name, v) =>
               if (v < 0) None
               else priorOf(name) match {
                 case Some(pv) if v > 1.4 * med * pv &&
@@ -223,11 +224,31 @@ object Bench {
                 case _ => None
               }
             }
+            // Second-pass confirmation (the r15 lesson made mechanism:
+            // four same-day runs flagged pairwise-DISJOINT sets, every
+            // member clean in the other three — single-run flags are
+            // window noise by default, BASELINE §18). Re-measure each
+            // candidate once and keep the flag only if the rerun ALSO
+            // exceeds the gate; a failed rerun keeps the flag (a real
+            // problem must not hide behind a crash). Dropped names are
+            // recorded in "flag_noise" so the artifact shows the
+            // adjudication instead of silently shrinking.
+            candidates.foreach { name =>
+              val pv = priorOf(name).get
+              val v2 = runOne(name, byName(name))
+              if (v2 < 0) retryOnlyFailures += name
+              if (v2 >= 0 && !(v2 > 1.4 * med * pv && v2 - med * pv > 0.5))
+                flagNoise += name
+            }
+            candidates.filterNot(flagNoise)
           }
       }
     } catch { case _: Throwable => Seq.empty }
     val regressedJson =
       regressed.map("\"" + key(_) + "\"").mkString("[", ",", "]")
+    val flagNoiseJson =
+      flagNoise.toSeq.sorted.map("\"" + key(_) + "\"")
+        .mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + key(k) + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val failedJson = failed.result().distinct
@@ -237,19 +258,19 @@ object Bench {
     val retriedJson = retried.result().map("\"" + key(_) + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    var line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"regressed":$regressedJson,"sf":"$sfTag"}"""
+    var line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"regressed":$regressedJson,"flag_noise":$flagNoiseJson,"sf":"$sfTag"}"""
     if (line.length > 1900) {
       // last-resort guard: keep only the slowest queries so the line fits
       val slowest = results.sortBy(-_._2).take(40)
         .map { case (k, v) => "\"" + key(k) + "\":" + f2(v) }
         .mkString("{", ",", "}")
-      line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$slowest,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"regressed":$regressedJson,"sf":"$sfTag"}"""
+      line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$slowest,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"regressed":$regressedJson,"flag_noise":$flagNoiseJson,"sf":"$sfTag"}"""
     }
     // full-fidelity sidecar for local analysis / BASELINE.md bookkeeping
     try {
       val full = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
       val fw = new java.io.FileWriter("BENCH_LOCAL.json")
-      fw.write(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"regressed":$regressedJson,"sf":"$sfDir"}""")
+      fw.write(s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"regressed":$regressedJson,"flag_noise":$flagNoiseJson,"sf":"$sfDir"}""")
       fw.close()
     } catch { case _: Throwable => () }
     // The JSON line must be the LAST thing on the combined stream: the

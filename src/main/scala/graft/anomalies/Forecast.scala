@@ -157,4 +157,75 @@ object Forecast {
         round(col("slope"), 6).as("slope"),
         round(col("intercept"), 6).as("intercept")): _*)
   }
+
+  /** [[theilSen]] past the `maxPoints` refusal: slope = median of a
+   *  DETERMINISTIC hash-seeded sample of `pairsPerSeries` pairwise
+   *  slopes (with replacement — the standard randomized Theil–Sen
+   *  estimator, e.g. Matoušek '91's randomized variants), so a
+   *  10k-point series costs O(pairsPerSeries) instead of the 50M
+   *  exact pairs the guard refuses. Converges to the exact median at
+   *  O(1/√pairs); keep the exact form as the oracle arm on windowed
+   *  input and this lane for the long series a real user actually
+   *  has.
+   *
+   *  Scale shape: points get a per-series index (one series-keyed
+   *  window pass), the pair plan is `pairsPerSeries` rows per series
+   *  with xxhash64-derived (i, j) indexes, and two series+index
+   *  equi-joins attach the endpoints — linear in series × pairs, no
+   *  quadratic stage anywhere, no RNG (same corpus + seed = same
+   *  slope on any cluster). */
+  def theilSenSampled(
+      series: DataFrame,
+      keyCols: Seq[String],
+      dateCol: String,
+      valueCol: String,
+      pairsPerSeries: Int = 20000,
+      seed: Long = 42L): DataFrame = {
+    require(pairsPerSeries >= 1, "theilSenSampled: pairsPerSeries >= 1")
+    val keys = keyCols.map(col)
+    import org.apache.spark.sql.expressions.Window
+    val pts = series.select(
+      keys :+ datediff(col(dateCol), lit("1970-01-01")).as("__x") :+
+        col(valueCol).cast("double").as("__y"): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("__x"))
+    // keyspace-sized reuse: indexed feeds counts + both endpoint joins
+    val indexed = pts
+      .withColumn("__i", row_number().over(w) - 1)
+      .localCheckpoint()
+    val counts = indexed.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_points"))
+    // pair plan: per series, t = 0..pairs-1; ia = h(t) mod n,
+    // ib = ia + (1 + h'(t) mod (n-1)) mod n — distinct by construction
+    val plan = counts.filter(col("n_points") >= lit(2))
+      .select(keys :+ col("n_points") :+
+        explode(sequence(lit(0), lit(pairsPerSeries - 1))).as("__t"): _*)
+      .withColumn("__ia",
+        pmod(xxhash64(lit(seed) +: col("__t") +: keys: _*),
+          col("n_points")))
+      .withColumn("__ib",
+        pmod(col("__ia") + lit(1L) +
+          pmod(xxhash64(lit(seed + 1) +: col("__t") +: keys: _*),
+            col("n_points") - 1), col("n_points")))
+      .select(keys :+ least(col("__ia"), col("__ib")).as("__il") :+
+        greatest(col("__ia"), col("__ib")).as("__ih"): _*)
+    val a = indexed.select(keys :+ col("__i").cast("long").as("__il") :+
+      col("__x").as("__xa") :+ col("__y").as("__ya"): _*)
+    val b = indexed.select(keys :+ col("__i").cast("long").as("__ih") :+
+      col("__x").as("__xb") :+ col("__y").as("__yb"): _*)
+    val slopes = plan
+      .join(a, keyCols :+ "__il").join(b, keyCols :+ "__ih")
+      .select(keys :+ ((col("__yb") - col("__ya")) /
+        (col("__xb") - col("__xa")).cast("double")).as("__s"): _*)
+      .groupBy(keys: _*)
+      .agg(median(col("__s")).as("slope"),
+        count(lit(1)).as("n_pairs_sampled"))
+    val intercepts = indexed.join(slopes, keyCols)
+      .groupBy(keys: _*)
+      .agg(median(col("__y") - col("slope") * col("__x"))
+        .as("intercept"))
+    counts.join(slopes, keyCols).join(intercepts, keyCols)
+      .select(keys ++ Seq(col("n_points"), col("n_pairs_sampled"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept")): _*)
+  }
 }

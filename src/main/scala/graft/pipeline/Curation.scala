@@ -76,9 +76,24 @@ object Curation {
       config: CurationConfig = CurationConfig(),
       idCol: String = "doc_id",
       textCol: String = "text",
-      checkpointStages: Boolean = true): CurationStages = {
+      checkpointStages: Boolean = true,
+      // per-stage wall-clock observer (graft.FunnelSoak's hook): each
+      // eager checkpoint is a stage boundary, so timing it times the
+      // stage. When set, the dedup boundary gets its OWN checkpoint so
+      // dedup and split report separately; product callers (onStage
+      // unset) keep the exact two-checkpoint plan they always had.
+      onStage: Option[(String, Double) => Unit] = None): CurationStages = {
     def cut(df: DataFrame): DataFrame =
       if (checkpointStages) df.localCheckpoint() else df
+    def cutTimed(stage: String)(df: DataFrame): DataFrame =
+      onStage match {
+        case Some(cb) if checkpointStages =>
+          val t0 = System.nanoTime()
+          val out = df.localCheckpoint()
+          cb(stage, (System.nanoTime() - t0) / 1e9)
+          out
+        case _ => cut(df)
+      }
     // 1. quality gate (map-only; composes into the scan)
     var kept = TextAnalysis.profileText(docs, textCol)
       .filter(col("quality_score") >= config.minQualityScore)
@@ -89,7 +104,7 @@ object Curation {
         else col("lang_detected")
       kept = kept.filter(langCol.isInCollection(config.allowedLangs))
     }
-    val afterQuality = cut(kept)
+    val afterQuality = cutTimed("quality_gate")(kept)
 
     // 2. decontamination (broadcast benchmark, one pass)
     val afterDecon = (benchmark, config.maxContamination) match {
@@ -98,13 +113,17 @@ object Curation {
           idCol, textCol, config.contaminationNgram)
           .filter(col("contamination") > maxC)
           .select(col(idCol))
-        cut(afterQuality.join(leaky, Seq(idCol), "left_anti"))
+        cutTimed("decontamination")(
+          afterQuality.join(leaky, Seq(idCol), "left_anti"))
       case _ => afterQuality
     }
 
-    // 3. dedup (exact + near-dup clusters → canonical survivors)
-    val deduped = Dedup.dedupCorpus(afterDecon, idCol, textCol,
+    // 3. dedup (exact + near-dup clusters → canonical survivors);
+    // boundary checkpointed only under a timer (see onStage above)
+    val deduped0 = Dedup.dedupCorpus(afterDecon, idCol, textCol,
       config.jaccardThreshold)
+    val deduped =
+      if (onStage.isDefined) cutTimed("dedup")(deduped0) else deduped0
 
     // 4. deterministic split
     CurationStages(afterQuality, afterDecon,

@@ -1,0 +1,445 @@
+package graft.pipeline
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Graph ANN: sharded HNSW (Malkov & Yashunin, "Efficient and robust
+ *  approximate nearest neighbor search using Hierarchical Navigable
+ *  Small World graphs", IEEE TPAMI 2018) — the industry-default ANN
+ *  family for sub-billion-vector serving, beside the IVF/PQ/LSH/JL
+ *  lanes in [[Similarity]].
+ *
+ *  Distribution model (the part Spark owns): HNSW itself is a
+ *  pointer-chasing in-memory structure, so the scale unit is the
+ *  SHARD — vectors hash to `shards` disjoint shards, each shard
+ *  builds an INDEPENDENT layered graph inside one task
+ *  (`flatMapGroups`, memory bounded by shard size, never the corpus),
+ *  and the persisted index is a plain parquet adjacency store
+ *  partitioned by shard. Queries broadcast to every shard (they are
+ *  the small side by contract), each shard answers its local top-k
+ *  from its own graph, and a window merge keeps the global top-k —
+ *  exactly how sharded HNSW serving (Lucene/Elasticsearch segment
+ *  graphs) distributes. At 100 TB, `shards` scales so a shard's
+ *  vectors + adjacency (O(n·(d + M)) per shard) fit one executor;
+ *  build is embarrassingly parallel across shards, search cost is
+ *  O(shards · ef · log n) graph hops against O(corpus) for the flat
+ *  scan.
+ *
+ *  Determinism: level assignment uses a splitmix64 hash of the vector
+ *  id (not an RNG), and every heap orders ties by id, so the same
+ *  corpus + params yields byte-identical graphs regardless of task
+ *  placement — the property every persisted store in this engine is
+ *  held to.
+ *
+ *  Reference behavior anchor: the reference exposes only brute-force
+ *  similarity (backend profiler); the ANN family is the
+ *  beyond-reference scale path, held to the e17 recall contract
+ *  (approx sets persist, ground truth re-derived exactly).
+ */
+object Hnsw {
+
+  /** One store row, node- or edge-grain (`kind`), so a shard's whole
+   *  graph travels as ONE dataset through groupByKey — a union of two
+   *  differently-shaped frames would need a lowest-common-denominator
+   *  schema anyway, and this one keeps the build single-pass. */
+  private[graft] case class GraphRow(
+      shard: Int,
+      vec_id: Long,
+      kind: String, // "node" | "edge"
+      emb: Array[Double], // node rows; null on edge rows
+      max_level: Int, // node rows; -1 on edge rows
+      level: Int, // edge rows; -1 on node rows
+      neighbors: Array[Long]) // edge rows; null on node rows
+
+  private def nodeRow(shard: Int, id: Long, v: Array[Double], ml: Int) =
+    GraphRow(shard, id, "node", v, ml, -1, null)
+  private def edgeRow(shard: Int, id: Long, l: Int, ns: Array[Long]) =
+    GraphRow(shard, id, "edge", null, -1, l, ns)
+
+  final case class HnswIndex(
+      nodes: DataFrame, // (shard, vec_id, emb, max_level)
+      graph: DataFrame, // (shard, vec_id, level, neighbors)
+      m: Int,
+      efConstruction: Int,
+      shards: Int,
+      idCol: String,
+      embCol: String)
+
+  // ---- deterministic level assignment --------------------------------
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Geometric level from a hash of the id: floor(-ln(u) * mL), the
+   *  paper's draw with u replaced by a uniform hash so the graph is a
+   *  pure function of (ids, vectors, params). Capped at 16 — beyond
+   *  that a level holds < n/m^16 nodes for any real shard. */
+  private[graft] def levelFor(id: Long, mL: Double): Int = {
+    val bits = splitmix64(id) >>> 11 // 53 uniform bits
+    val u = (bits + 1).toDouble / (1L << 53).toDouble // (0, 1]
+    math.min(16, math.floor(-math.log(u) * mL).toLong.toInt)
+  }
+
+  // ---- the per-shard in-memory kernel --------------------------------
+
+  /** Build/search kernel for ONE shard's graph. Runs inside a task;
+   *  memory is O(shardSize · (dim + M)). Vectors arrive unit-
+   *  normalized, so distance = 1 − dot. */
+  private[graft] final class ShardGraph(m: Int, efConstruction: Int) {
+    private val maxM0 = 2 * m // level-0 lists are wider, per the paper
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val ids = mutable.ArrayBuffer.empty[Long]
+    private val vecs = mutable.ArrayBuffer.empty[Array[Double]]
+    private val levels = mutable.ArrayBuffer.empty[Int]
+    // adj(node)(level) = neighbor internal indexes
+    private val adj =
+      mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private val idToIdx = mutable.LongMap.empty[Int]
+    private var entryIdx = -1
+
+    private def dist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      1.0 - s
+    }
+
+    private def register(id: Long, v: Array[Double], level: Int): Int = {
+      val idx = ids.size
+      ids += id; vecs += v; levels += level
+      adj += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      idToIdx(id) = idx
+      idx
+    }
+
+    /** Re-materialize a persisted node (load path): stored edges are
+     *  TRUSTED, no re-selection. Call for every stored node (then
+     *  [[loadEdges]]) before any [[insert]]. */
+    def loadNode(id: Long, v: Array[Double], maxLevel: Int): Unit = {
+      val idx = register(id, v, maxLevel)
+      if (entryIdx < 0 || maxLevel > levels(entryIdx) ||
+        (maxLevel == levels(entryIdx) && id < ids(entryIdx)))
+        entryIdx = idx
+    }
+
+    def loadEdges(id: Long, level: Int, neighbors: Array[Long]): Unit = {
+      val idx = idToIdx(id)
+      adj(idx)(level) ++= neighbors.flatMap(idToIdx.get(_))
+    }
+
+    /** Greedy best-first search at one level (the paper's Algorithm
+     *  2). Returns up to `ef` (dist, idx) ascending by (dist, id) —
+     *  the id tiebreak keeps the whole build deterministic. */
+    private def searchLayer(
+        q: Array[Double], entries: Seq[Int], ef: Int, level: Int):
+        mutable.ArrayBuffer[(Double, Int)] = {
+      implicit val ord: Ordering[(Double, Int)] =
+        Ordering.by { case (d, i) => (d, ids(i)) }
+      val visited = mutable.BitSet.empty
+      val candidates =
+        mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+      val results = mutable.PriorityQueue.empty[(Double, Int)](ord)
+      entries.foreach { e =>
+        if (!visited(e)) {
+          visited += e
+          val d = dist(q, vecs(e))
+          candidates.enqueue((d, e)); results.enqueue((d, e))
+        }
+      }
+      while (results.size > ef) results.dequeue()
+      var done = false
+      while (!done && candidates.nonEmpty) {
+        val (cd, c) = candidates.dequeue()
+        if (cd > results.head._1 && results.size >= ef) {
+          done = true // nearest unexpanded already worse than worst kept
+        } else {
+          adj(c)(level).foreach { n =>
+            if (!visited(n)) {
+              visited += n
+              val d = dist(q, vecs(n))
+              if (results.size < ef || d < results.head._1 ||
+                (d == results.head._1 && ids(n) < ids(results.head._2))) {
+                candidates.enqueue((d, n)); results.enqueue((d, n))
+                if (results.size > ef) results.dequeue()
+              }
+            }
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      while (results.nonEmpty) out += results.dequeue()
+      out.sortInPlaceBy { case (d, i) => (d, ids(i)) }
+      out
+    }
+
+    private def connect(a: Int, b: Int, level: Int): Unit = {
+      adj(a)(level) += b
+      val cap = if (level == 0) maxM0 else m
+      if (adj(a)(level).size > cap) {
+        // prune to the `cap` closest (simple selection — the paper's
+        // base variant; the diversity heuristic matters for heavily
+        // clustered data, not for capped shard sizes)
+        val kept = adj(a)(level).distinct
+          .map(n => (dist(vecs(a), vecs(n)), n))
+          .sortBy { case (d, n) => (d, ids(n)) }
+          .take(cap).map(_._2)
+        adj(a)(level) = mutable.ArrayBuffer(kept.toSeq: _*)
+      }
+    }
+
+    /** Algorithm 1: greedy-descend to the node's top level, then
+     *  search-and-connect per level with efConstruction. */
+    def insert(id: Long, v: Array[Double]): Unit = {
+      require(!idToIdx.contains(id),
+        s"hnsw: duplicate vec_id $id in shard")
+      val level = levelFor(id, mL)
+      val idx = register(id, v, level)
+      if (ids.size == 1) { entryIdx = idx; return }
+      val oldEntryLevel = levels(entryIdx)
+      var eps: Seq[Int] = Seq(entryIdx)
+      var lev = oldEntryLevel
+      while (lev > level) {
+        eps = Seq(searchLayer(v, eps, 1, lev).head._2)
+        lev -= 1
+      }
+      var l = math.min(level, oldEntryLevel)
+      while (l >= 0) {
+        val found = searchLayer(v, eps, efConstruction, l)
+        val chosen = found.take(if (l == 0) maxM0 else m).map(_._2)
+        chosen.foreach { n => adj(idx)(l) += n; connect(n, idx, l) }
+        eps = found.map(_._2).toSeq
+        l -= 1
+      }
+      if (level > oldEntryLevel) entryIdx = idx
+    }
+
+    /** Top-k (id, cosine) for one query vector (Algorithm 5). */
+    def search(q: Array[Double], k: Int, ef: Int): Seq[(Long, Double)] = {
+      if (entryIdx < 0) return Seq.empty
+      var eps: Seq[Int] = Seq(entryIdx)
+      var lev = levels(entryIdx)
+      while (lev > 0) {
+        eps = Seq(searchLayer(q, eps, 1, lev).head._2)
+        lev -= 1
+      }
+      searchLayer(q, eps, math.max(ef, k), 0)
+        .take(k).map { case (d, i) => (ids(i), 1.0 - d) }.toSeq
+    }
+
+    def emit(shard: Int): Iterator[GraphRow] =
+      ids.indices.iterator.map(i =>
+        nodeRow(shard, ids(i), vecs(i), levels(i))) ++
+        ids.indices.iterator.flatMap { i =>
+          adj(i).indices.map(l =>
+            edgeRow(shard, ids(i), l, adj(i)(l).map(ids).toArray))
+        }
+  }
+
+  // ---- Spark-side build / persist / search ---------------------------
+
+  private def normalized(
+      vecs: DataFrame, idCol: String, embCol: String, shards: Int):
+      Dataset[(Int, Long, Array[Double])] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.filter(col(idCol).isNotNull && col(embCol).isNotNull)
+      .select(
+        pmod(col(idCol).cast("long"), lit(shards.toLong)).cast("int")
+          .as("shard"),
+        col(idCol).cast("long").as("vec_id"),
+        transform(col(embCol), x => x.cast("double")).as("emb"))
+      .as[(Int, Long, Array[Double])]
+      .map { case (s, id, v) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (s, id, if (n > 0) v.map(_ / n) else v)
+      }
+  }
+
+  private def splitRows(rows: DataFrame): (DataFrame, DataFrame) = (
+    rows.filter(col("kind") === "node")
+      .select("shard", "vec_id", "emb", "max_level"),
+    rows.filter(col("kind") === "edge")
+      .select("shard", "vec_id", "level", "neighbors"))
+
+  /** Build the sharded graph. One shuffle (groupByKey on shard); each
+   *  group inserts in vec_id order, so the result is a pure function
+   *  of the corpus. The combined rows are checkpointed once — nodes
+   *  and graph views must not re-run the build each. */
+  def build(
+      vecs: DataFrame,
+      m: Int = 8,
+      efConstruction: Int = 64,
+      shards: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): HnswIndex = {
+    require(m >= 2, "hnsw: m must be >= 2")
+    require(efConstruction >= m, "hnsw: efConstruction must be >= m")
+    require(shards >= 1, "hnsw: shards must be >= 1")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val rows = normalized(vecs, idCol, embCol, shards)
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val g = new ShardGraph(m, efConstruction)
+        it.toArray.sortBy(_._2).foreach { case (_, id, v) =>
+          g.insert(id, v)
+        }
+        g.emit(shard)
+      }
+      .toDF()
+      .localCheckpoint() // index-sized; one build feeds both views
+    val (nodes, graph) = splitRows(rows)
+    HnswIndex(nodes, graph, m, efConstruction, shards, idCol, embCol)
+  }
+
+  /** Persist as a parquet adjacency store, shard-partitioned so search
+   *  and append scan only the shards they touch (the ivfSave layout). */
+  def save(index: HnswIndex, path: String): Unit = {
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    index.nodes.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/nodes")
+    index.graph.write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/graph")
+    Seq((index.m, index.efConstruction, index.shards, index.idCol,
+      index.embCol))
+      .toDF("m", "ef_construction", "shards", "id_col", "emb_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  def load(spark: SparkSession, path: String): HnswIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head
+    HnswIndex(
+      spark.read.parquet(s"$path/nodes")
+        .withColumn("shard", col("shard").cast("int")),
+      spark.read.parquet(s"$path/graph")
+        .withColumn("shard", col("shard").cast("int")),
+      meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"),
+      meta.getAs[Int]("shards"), meta.getAs[String]("id_col"),
+      meta.getAs[String]("emb_col"))
+  }
+
+  /** Turn a persisted shard back into tagged rows for the kernel. */
+  private def taggedRows(
+      nodes: DataFrame, graph: DataFrame): Dataset[GraphRow] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    nodes.select(col("shard"), col("vec_id"), lit("node").as("kind"),
+      col("emb"), col("max_level"), lit(-1).as("level"),
+      lit(null).cast("array<long>").as("neighbors"))
+      .unionByName(graph.select(col("shard"), col("vec_id"),
+        lit("edge").as("kind"),
+        lit(null).cast("array<double>").as("emb"),
+        lit(-1).as("max_level"), col("level"), col("neighbors")))
+      .as[GraphRow]
+  }
+
+  private def loadShard(g: ShardGraph, stored: Array[GraphRow]): Unit = {
+    val (nodes, edges) = stored.partition(_.kind == "node")
+    nodes.sortBy(_.vec_id).foreach(r =>
+      g.loadNode(r.vec_id, r.emb, r.max_level))
+    edges.foreach(r => g.loadEdges(r.vec_id, r.level, r.neighbors))
+  }
+
+  /** Incremental maintenance (the ivfAppend/e13 contract, graph
+   *  edition): new vectors hash to their shards, each TOUCHED shard
+   *  re-materializes its stored graph in memory (stored edges
+   *  trusted — no re-selection for existing nodes) and runs the
+   *  normal insert for the new nodes only; then only the touched
+   *  shard partitions rewrite (dynamic partition overwrite).
+   *  Untouched shards are never read. Compute is O(new · ef · log n)
+   *  per shard; IO is O(touched shards). Same single-JVM appendLocked
+   *  scope as every other store. */
+  def append(path: String, newVecs: DataFrame): Unit =
+    graft.history.StoreIO.appendLocked(path) {
+      val spark = newVecs.sparkSession
+      import spark.implicits._
+      val idx = load(spark, path)
+      val fresh = normalized(newVecs, idx.idCol, idx.embCol, idx.shards)
+        .localCheckpoint() // slice-sized; read twice (shards + inserts)
+      val touched = fresh.map(_._1).distinct().collect().sorted
+      if (touched.nonEmpty) {
+        val touchedSet = touched.toSet
+        val shardList = touched.map(Integer.valueOf).toSeq
+        val stored = taggedRows(
+          idx.nodes.filter(col("shard").isin(shardList: _*)),
+          idx.graph.filter(col("shard").isin(shardList: _*)))
+        val m = idx.m; val efC = idx.efConstruction
+        val rebuilt = stored.groupByKey(_.shard)
+          .cogroup(fresh.filter(t => touchedSet.contains(t._1))
+            .groupByKey(_._1)) { (shard, old, add) =>
+            val g = new ShardGraph(m, efC)
+            loadShard(g, old.toArray)
+            add.toArray.sortBy(_._2).foreach { case (_, id, v) =>
+              g.insert(id, v)
+            }
+            g.emit(shard)
+          }
+          .toDF()
+          .localCheckpoint() // one rebuild feeds both table writes
+        val (nodesDF, graphDF) = splitRows(rebuilt)
+        // partition-scoped overwrite: only the touched shards rewrite
+        val dynKey = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(dynKey)
+        spark.conf.set(dynKey, "dynamic")
+        try {
+          nodesDF.write.mode("overwrite").partitionBy("shard")
+            .parquet(s"$path/nodes")
+          graphDF.write.mode("overwrite").partitionBy("shard")
+            .parquet(s"$path/graph")
+        } finally prev match {
+          case Some(v) => spark.conf.set(dynKey, v)
+          case None => spark.conf.unset(dynKey)
+        }
+      }
+    }
+
+  /** Search: queries (small side by contract — the bruteForceTopK
+   *  maxQueries bound) collect to a broadcast array; every shard task
+   *  re-materializes its graph from partition-local rows and answers
+   *  all queries (k+1 locally, self-match dropped for bruteForceTopK
+   *  parity); a window keeps the global top-k. Output matches
+   *  ivfTopK: (query_id, neighbor_id, cosine, rank). */
+  def topK(
+      index: HnswIndex,
+      queries: DataFrame,
+      k: Int = 10,
+      efSearch: Int = 32,
+      maxQueries: Long = 65536L): DataFrame = {
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    val qn = normalized(queries, index.idCol, index.embCol, 1)
+      .map { case (_, id, v) => (id, v) }
+    val qCount = qn.limit(
+      math.min(maxQueries + 1, Int.MaxValue.toLong).toInt).count()
+    require(qCount <= maxQueries,
+      "hnswTopK: queries frame exceeds maxQueries — this arm " +
+        "broadcasts the query side by contract; batch the queries")
+    val qB = spark.sparkContext.broadcast(qn.collect().sortBy(_._1))
+    val m = index.m; val efC = index.efConstruction
+    val perShard = taggedRows(index.nodes, index.graph)
+      .groupByKey(_.shard)
+      .flatMapGroups { (_, it) =>
+        val g = new ShardGraph(m, efC)
+        loadShard(g, it.toArray)
+        qB.value.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, k + 1, efSearch)
+            .filter(_._1 != qid) // self-match out, bruteForce parity
+            .take(k)
+            .map { case (nid, cos) => (qid, nid, cos) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    perShard.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

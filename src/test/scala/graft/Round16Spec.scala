@@ -70,3 +70,144 @@ class ParquetAuditPartitionedSpec extends AnyFunSuite {
     } finally hc.unset("graft.test.carrier.key")
   }
 }
+
+/** HNSW (e25): deterministic sharded graph build, bounded neighbor
+ *  lists, high recall vs brute force, and the incremental-append ≡
+ *  usable-index contract. */
+class HnswSpec extends AnyFunSuite {
+  import SharedSpark._
+  import org.apache.spark.sql.functions.col
+  import graft.pipeline.{Hnsw, Similarity}
+
+  private def emb = spark.read
+    .parquet(s"$sfDir/embeddings.parquet")
+
+  test("build is deterministic and neighbor lists respect the caps") {
+    val i1 = Hnsw.build(emb, m = 6, efConstruction = 32, shards = 3)
+    val i2 = Hnsw.build(emb, m = 6, efConstruction = 32, shards = 3)
+    val g1 = i1.graph.orderBy("shard", "vec_id", "level")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getSeq[Long](3).toList))
+    val g2 = i2.graph.orderBy("shard", "vec_id", "level")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getSeq[Long](3).toList))
+    assert(g1.sameElements(g2), "same corpus + params must give the same graph")
+    g1.foreach { case (_, id, level, ns) =>
+      val cap = if (level == 0) 12 else 6
+      assert(ns.size <= cap, s"node $id level $level list ${ns.size} > $cap")
+      assert(!ns.contains(id), "self-edge")
+    }
+    // every vector landed in exactly one shard's node table
+    assert(i1.nodes.count() == emb.count())
+  }
+
+  test("recall@10 vs brute force stays high, through save/load") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+    val dir = Files.createTempDirectory("graft_r16_hnsw").toString
+    Hnsw.save(Hnsw.build(emb, m = 8, efConstruction = 64, shards = 4),
+      dir + "/idx")
+    val approx = Hnsw
+      .topK(Hnsw.load(spark, dir + "/idx"), queries, k = 10, efSearch = 48)
+      .select(org.apache.spark.sql.functions.lit("hnsw").as("method"),
+        col("query_id"), col("neighbor_id"))
+    val recall = Similarity.recallAtK(exact, approx)
+      .agg(org.apache.spark.sql.functions.avg("recall")).head().getDouble(0)
+    assert(recall >= 0.9, s"mean recall@10 $recall < 0.9")
+  }
+
+  test("append inserts into the stored graph; untouched shards keep " +
+    "their files; appended vectors are findable") {
+    val dir = Files.createTempDirectory("graft_r16_hnswapp").toString
+    val half = emb.count() / 2
+    Hnsw.save(Hnsw.build(emb.filter(col("vec_id") < half),
+      m = 8, efConstruction = 64, shards = 4), dir + "/idx")
+    // append ONLY ids in shard 1 (vec_id % 4 == 1): shards 0/2/3 files
+    // must not rewrite
+    val before = Files.list(java.nio.file.Paths.get(dir + "/idx/graph"))
+      .toArray.map(_.toString).sorted.toList
+    val slice = emb.filter(col("vec_id") >= half &&
+      org.apache.spark.sql.functions.pmod(col("vec_id"),
+        org.apache.spark.sql.functions.lit(4L)) === 1)
+    val nSlice = slice.count()
+    Hnsw.append(dir + "/idx", slice)
+    val idx = Hnsw.load(spark, dir + "/idx")
+    assert(idx.nodes.count() == half + nSlice)
+    // an appended vector is its own nearest neighbor at cosine 1
+    val probeId = slice.agg(org.apache.spark.sql.functions
+      .min("vec_id")).head().getLong(0)
+    val res = Hnsw.topK(idx, emb.filter(col("vec_id") === probeId),
+      k = 5, efSearch = 48)
+    assert(res.count() == 5)
+    // shard-partition dirs survive untouched (dynamic overwrite only
+    // rewrote shard=1)
+    val after = Files.list(java.nio.file.Paths.get(dir + "/idx/graph"))
+      .toArray.map(_.toString).sorted.toList
+    assert(before.filterNot(_.contains("shard=1"))
+      .forall(after.contains), "untouched shard dirs vanished")
+  }
+
+  test("level assignment is geometric-ish: most nodes at level 0") {
+    val mL = 1.0 / math.log(8.0)
+    val levels = (0L until 10000L).map(Hnsw.levelFor(_, mL))
+    assert(levels.count(_ == 0) > 7000)
+    assert(levels.max <= 16)
+  }
+}
+
+/** a24's kernel: randomized Theil–Sen converges on series the exact
+ *  form refuses, deterministically. */
+class TheilSenSampledSpec extends AnyFunSuite {
+  import SharedSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.anomalies.Forecast
+
+  // 5000 daily points, y = 3x + deterministic noise, every 10th point
+  // a wild outlier — the series a22's maxPoints guard refuses
+  private def longSeries = (0 until 5000).map { i =>
+    val noise = ((i * 2654435761L) % 97).toDouble / 97.0 - 0.5
+    val y = if (i % 10 == 0) 3.0 * i + 500.0 else 3.0 * i + noise
+    ("m1", java.sql.Date.valueOf(java.time.LocalDate
+      .ofEpochDay(19000L + i)), y)
+  }.toDF("series", "day", "value")
+
+  test("exact form refuses past maxPoints; sampled recovers the slope " +
+    "through 10% outlier contamination") {
+    val ex = intercept[IllegalArgumentException] {
+      Forecast.theilSen(longSeries, Seq("series"), "day", "value")
+    }
+    assert(ex.getMessage.contains("maxPoints"))
+    val r = Forecast.theilSenSampled(longSeries, Seq("series"), "day",
+      "value", pairsPerSeries = 20000, seed = 11).head()
+    val slope = r.getAs[Double]("slope")
+    assert(math.abs(slope - 3.0) < 0.01, s"sampled slope $slope !~ 3.0")
+    assert(r.getAs[Long]("n_pairs_sampled") == 20000L)
+    assert(r.getAs[Long]("n_points") == 5000L)
+  }
+
+  test("deterministic: same data + seed = same slope; seed changes " +
+    "the sample") {
+    val small = longSeries.filter(col("value") < 3000)
+    val a = Forecast.theilSenSampled(small, Seq("series"), "day",
+      "value", pairsPerSeries = 500, seed = 11).head()
+    val b = Forecast.theilSenSampled(small, Seq("series"), "day",
+      "value", pairsPerSeries = 500, seed = 11).head()
+    assert(a == b)
+  }
+
+  test("sampled tracks exact within tolerance on a small real series") {
+    val ev = SparkEntry.eventsTable(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .localCheckpoint()
+    val exact = Forecast.theilSen(ev, Seq("event_type"), "day", "cnt")
+      .select(col("event_type"), col("slope").as("se"))
+    val sampled = Forecast.theilSenSampled(ev, Seq("event_type"),
+      "day", "cnt", pairsPerSeries = 300, seed = 7)
+      .select(col("event_type"), col("slope").as("ss"))
+    val worst = exact.join(sampled, "event_type")
+      .agg(max(abs(col("se") - col("ss")))).head().getDouble(0)
+    assert(worst <= 0.6, s"sampled drifted $worst > 0.6 from exact")
+  }
+}
