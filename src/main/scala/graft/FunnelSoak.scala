@@ -37,6 +37,22 @@ object FunnelSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // untimed warmup cascade (Bench's discipline): absorb JVM/codegen/
+    // committer one-time cost so the FIRST multiplier's row measures
+    // the funnel, not initialization — without this the 1x row reads
+    // HIGHER than the 10x row
+    try {
+      val wdocs = spark.read.parquet(s"$src/documents.parquet")
+      Curation.curateCorpus(wdocs,
+        Some(TextAnalysis.wordNgrams(wdocs.filter(col("doc_id") < 10))
+          .select("ngram")),
+        Curation.CurationConfig(minTokens = 30,
+          maxContamination = Some(0.8)))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[funnelsoak] warmup failed: ${e.getMessage}")
+    }
+
     mults.foreach { mult =>
       val out = s"/tmp/graft_soak/x$mult"
       System.err.println(s"[funnelsoak] building ${mult}x corpus at $out")

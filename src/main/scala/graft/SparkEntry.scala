@@ -7022,6 +7022,82 @@ object SparkEntry {
         FROM tot LEFT JOIN hit ON tot.nprobe = hit.nprobe, ne
         ORDER BY tot.nprobe""")),
 
+    Q("e26_hnsw_ef_curve",
+      // the HNSW tuning curve — recall@10 as a function of efSearch
+      // (10/16/24/48 beam width at layer 0), e24's twin for the graph
+      // lane: efSearch is THE serving knob (hops scale ~linearly,
+      // recall saturates), and this measurement picks the operating
+      // point BEFORE a shard fleet serves traffic. One build, four
+      // searches; the labeled approx sets persist and the oracle
+      // re-derives exact ground truth and every hit count. Unlike
+      // IVF's nested probe sets the beam is not provably monotone,
+      // but a recall DROP at higher ef on fixture data still smells
+      // like a kernel bug — eyeball the curve when it changes.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val queries = emb.filter(col("vec_id") < 25)
+        val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+        val index = graft.pipeline.Hnsw.build(emb, m = 8,
+          efConstruction = 64, shards = 4)
+        val approx = Seq(10, 16, 24, 48).map(ef =>
+            graft.pipeline.Hnsw.topK(index, queries, k = 10,
+                efSearch = ef)
+              .select(lit(ef).as("ef_search"), col("query_id"),
+                col("neighbor_id")))
+          .reduce(_ unionByName _)
+        val state = freshState(s, "e26")
+        approx.write.mode("overwrite").parquet(state + "/approx")
+        val ap = s.read.parquet(state + "/approx")
+        val hits = ap
+          .join(exact.select("query_id", "neighbor_id"),
+            Seq("query_id", "neighbor_id"))
+          .groupBy("ef_search").agg(count(lit(1)).as("n_hits"))
+        ap.groupBy("ef_search").agg(count(lit(1)).as("n_returned"))
+          .join(hits, Seq("ef_search"), "left")
+          .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+          .crossJoin(broadcast(
+            exact.agg(count(lit(1)).as("n_exact"))))
+          .withColumn("recall_ppm",
+            expr("CAST(n_hits * 1000000 DIV n_exact AS BIGINT)"))
+          .select("ef_search", "n_returned", "n_hits", "n_exact",
+            "recall_ppm")
+          .orderBy("ef_search")
+      },
+      Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM embeddings WHERE vec_id < 25),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce
+          FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.neighbor_id,
+            list_sum(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+            (SQRT(list_sum(list_transform(qe,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(list_sum(list_transform(ce,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM q, c WHERE q.query_id <> c.neighbor_id),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 10),
+        ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact),
+        ap AS (SELECT ef_search, query_id, neighbor_id FROM read_parquet(
+          '/tmp/graft_qstate/e26/approx/*.parquet')),
+        tot AS (SELECT ef_search, CAST(COUNT(*) AS BIGINT) AS n_returned
+          FROM ap GROUP BY ef_search),
+        hit AS (SELECT ap.ef_search, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM ap JOIN exact USING (query_id, neighbor_id)
+          GROUP BY ap.ef_search)
+        SELECT tot.ef_search, tot.n_returned,
+          COALESCE(hit.n_hits, 0) AS n_hits, ne.n_exact,
+          CAST(COALESCE(hit.n_hits, 0) * 1000000 // ne.n_exact
+            AS BIGINT) AS recall_ppm
+        FROM tot LEFT JOIN hit ON tot.ef_search = hit.ef_search, ne
+        ORDER BY tot.ef_search""")),
+
     Q("e17_ann_recall",
       // ANN index-quality evaluation: recall@10 of the LSH (e03) and
       // IVF (e05) candidate generators against brute-force ground

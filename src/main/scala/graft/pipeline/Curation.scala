@@ -85,12 +85,19 @@ object Curation {
       onStage: Option[(String, Double) => Unit] = None): CurationStages = {
     def cut(df: DataFrame): DataFrame =
       if (checkpointStages) df.localCheckpoint() else df
+    // boundary-to-boundary walls: a stage is billed everything since
+    // the PREVIOUS boundary, because operators like dedupCorpus run
+    // eager internal actions (pointer-jumping checkpoints) during
+    // CONSTRUCTION — timing only the final checkpoint would leave that
+    // work between stages, unaccounted
+    var lastMark = System.nanoTime()
     def cutTimed(stage: String)(df: DataFrame): DataFrame =
       onStage match {
         case Some(cb) if checkpointStages =>
-          val t0 = System.nanoTime()
           val out = df.localCheckpoint()
-          cb(stage, (System.nanoTime() - t0) / 1e9)
+          val now = System.nanoTime()
+          cb(stage, (now - lastMark) / 1e9)
+          lastMark = now
           out
         case _ => cut(df)
       }

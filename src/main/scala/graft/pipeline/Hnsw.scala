@@ -400,6 +400,86 @@ object Hnsw {
       }
     }
 
+  /** Takedown for the ANN store (the GDPR/DMCA lifecycle op every
+   *  persisted index needs — Dedup.takedownPropagate's graph-index
+   *  twin): removed ids vanish from their shards' node tables AND
+   *  from every surviving neighbor list, so a search can never
+   *  return (or route through) a removed vector. Only the TOUCHED
+   *  shard partitions rewrite, same as [[append]]. Edges are
+   *  filtered, not re-selected — mass deletion thins the graph, so
+   *  re-build on the usual index-maintenance cadence once the
+   *  deleted fraction is material (the standard HNSW deletion trade:
+   *  tombstone-filtering now, reknit at rebuild). Returns the number
+   *  of ids actually removed. */
+  def remove(path: String, removeIds: DataFrame, idCol: String = "vec_id"): Long =
+    graft.history.StoreIO.appendLocked(path) {
+      val spark = removeIds.sparkSession
+      import spark.implicits._
+      val idx = load(spark, path)
+      val ids = removeIds.select(col(idCol).cast("long")).distinct()
+        .as[Long].collect().toSet // takedown lists are small by contract
+      require(ids.size <= 1000000,
+        "hnswRemove: takedown list exceeds 1M ids — partition the batch")
+      if (ids.isEmpty) 0L
+      else {
+        val touched = ids.map(id =>
+          (id % idx.shards + idx.shards) % idx.shards).toSeq.sorted
+        val shardList = touched.map(s => Integer.valueOf(s.toInt))
+        val idsB = spark.sparkContext.broadcast(ids)
+        // localCheckpoint BEFORE the overwrite: the kept frames must
+        // not keep lineage into the very parquet files the write
+        // replaces (the append path's same discipline)
+        val keptNodes = idx.nodes
+          .filter(col("shard").isin(shardList: _*))
+          .select("shard", "vec_id", "emb", "max_level")
+          .as[(Int, Long, Array[Double], Int)]
+          .filter(n => !idsB.value.contains(n._2))
+          .toDF("shard", "vec_id", "emb", "max_level").localCheckpoint()
+        val removedCount = idx.nodes
+          .filter(col("shard").isin(shardList: _*)).count() -
+          keptNodes.count()
+        val keptEdges = idx.graph
+          .filter(col("shard").isin(shardList: _*))
+          .select("shard", "vec_id", "level", "neighbors")
+          .as[(Int, Long, Int, Array[Long])]
+          .filter(e => !idsB.value.contains(e._2))
+          .map { case (sh, id, l, ns) =>
+            (sh, id, l, ns.filterNot(idsB.value.contains))
+          }
+          .toDF("shard", "vec_id", "level", "neighbors").localCheckpoint()
+        val dynKey = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(dynKey)
+        spark.conf.set(dynKey, "dynamic")
+        try {
+          keptNodes.write.mode("overwrite").partitionBy("shard")
+            .parquet(s"$path/nodes")
+          keptEdges.write.mode("overwrite").partitionBy("shard")
+            .parquet(s"$path/graph")
+        } finally prev match {
+          case Some(v) => spark.conf.set(dynKey, v)
+          case None => spark.conf.unset(dynKey)
+        }
+        // dynamic overwrite only rewrites partitions PRESENT in the
+        // output — a shard emptied by a full takedown produces no rows,
+        // so its stale dir must be deleted explicitly or searches
+        // would resurrect the removed vectors
+        val survivors = keptNodes.select("shard").distinct()
+          .as[Int].collect().toSet
+        val emptied = touched.map(_.toInt).filterNot(survivors)
+        if (emptied.nonEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          emptied.foreach { sh =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$path/nodes/shard=$sh"), true)
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$path/graph/shard=$sh"), true)
+          }
+        }
+        removedCount
+      }
+    }
+
   /** Search: queries (small side by contract — the bruteForceTopK
    *  maxQueries bound) collect to a broadcast array; every shard task
    *  re-materializes its graph from partition-local rows and answers

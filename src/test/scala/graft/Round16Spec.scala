@@ -211,3 +211,59 @@ class TheilSenSampledSpec extends AnyFunSuite {
     assert(worst <= 0.6, s"sampled drifted $worst > 0.6 from exact")
   }
 }
+
+/** HNSW takedown: removed ids vanish from node tables, neighbor lists,
+ *  and search results; a fully-emptied shard leaves no ghost files. */
+class HnswRemoveSpec extends AnyFunSuite {
+  import SharedSpark._
+  import org.apache.spark.sql.functions.{col, lit}
+  import graft.pipeline.Hnsw
+
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("remove excises ids from nodes, edges and search results") {
+    val dir = Files.createTempDirectory("graft_r16_hnswrm").toString
+    Hnsw.save(Hnsw.build(emb, m = 8, efConstruction = 64, shards = 4),
+      dir + "/idx")
+    val doomed = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val nDoomed = doomed.count()
+    val n = Hnsw.remove(dir + "/idx", doomed)
+    assert(n == nDoomed)
+    val idx = Hnsw.load(spark, dir + "/idx")
+    assert(idx.nodes.count() == emb.count() - nDoomed)
+    // no surviving neighbor list references a removed id
+    import spark.implicits._
+    val ghostRefs = idx.graph
+      .select(org.apache.spark.sql.functions
+        .explode(col("neighbors")).as("n"))
+      .filter(org.apache.spark.sql.functions.pmod(col("n"), lit(7L)) === 0)
+      .count()
+    assert(ghostRefs == 0, s"$ghostRefs neighbor refs to removed ids")
+    // searches never return a removed id
+    val res = Hnsw.topK(idx, emb.filter(col("vec_id") < 20),
+      k = 10, efSearch = 48)
+    assert(res.filter(org.apache.spark.sql.functions
+      .pmod(col("neighbor_id"), lit(7L)) === 0).count() == 0)
+    // idempotent / empty list: nothing to remove
+    assert(Hnsw.remove(dir + "/idx", doomed) == 0L)
+  }
+
+  test("a fully-emptied shard leaves no ghost partition files") {
+    val dir = Files.createTempDirectory("graft_r16_hnswrm2").toString
+    Hnsw.save(Hnsw.build(emb, m = 8, efConstruction = 64, shards = 4),
+      dir + "/idx")
+    // shard 2 = all ids with vec_id % 4 == 2
+    val all2 = emb.filter(org.apache.spark.sql.functions
+      .pmod(col("vec_id"), lit(4L)) === 2).select("vec_id")
+    assert(Hnsw.remove(dir + "/idx", all2) == all2.count())
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + "/idx/nodes/shard=2")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + "/idx/graph/shard=2")))
+    val idx = Hnsw.load(spark, dir + "/idx")
+    val res = Hnsw.topK(idx, emb.filter(col("vec_id") < 8),
+      k = 5, efSearch = 32)
+    assert(res.filter(org.apache.spark.sql.functions
+      .pmod(col("neighbor_id"), lit(4L)) === 2).count() == 0)
+  }
+}
