@@ -260,11 +260,15 @@ object Bench {
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     var line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$qs,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"regressed":$regressedJson,"flag_noise":$flagNoiseJson,"sf":"$sfTag"}"""
     if (line.length > 1900) {
-      // last-resort guard: keep only the slowest queries so the line fits
+      // last-resort guard: keep only the slowest queries, and compress
+      // flag_noise to a count — a noisy box can clear dozens of
+      // candidates into it, and an unshrinkable list would push the
+      // line past the driver's ~2000-char tail capture (the round-4
+      // truncation artifact); the full list is in BENCH_LOCAL.json
       val slowest = results.sortBy(-_._2).take(40)
         .map { case (k, v) => "\"" + key(k) + "\":" + f2(v) }
         .mkString("{", ",", "}")
-      line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$slowest,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"regressed":$regressedJson,"flag_noise":$flagNoiseJson,"sf":"$sfTag"}"""
+      line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n":${results.size},"queries":$slowest,"failed":$failedJson,"swept":$sweptJson,"retried":$retriedJson,"regressed":$regressedJson,"flag_noise_n":${flagNoise.size},"sf":"$sfTag"}"""
     }
     // full-fidelity sidecar for local analysis / BASELINE.md bookkeeping
     try {

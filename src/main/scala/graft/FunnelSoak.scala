@@ -52,6 +52,13 @@ object FunnelSoak {
     } catch { case e: Throwable =>
       System.err.println(s"[funnelsoak] warmup failed: ${e.getMessage}")
     }
+    // sweep the warmup's leftover checkpoint blocks (dedupCorpus cuts
+    // lineage internally) BEFORE the first timed multiplier — resident
+    // storage blocks inside the pinned heap would inflate its walls
+    // (the round-3 contamination mode Bench sweeps per query)
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
 
     mults.foreach { mult =>
       val out = s"/tmp/graft_soak/x$mult"
@@ -69,10 +76,13 @@ object FunnelSoak {
       val stages = Curation.curateCorpusStaged(docs, Some(bench), cfg,
         onStage = Some((st, sec) => stageWall(st) = sec))
       // split is lazy past the dedup checkpoint: its materialization
-      // IS the stage wall
+      // IS the stage wall. Noop sink, not count() — count() lets
+      // Catalyst prune the hashSplit projection and time an empty
+      // cached-block count (the exact pitfall Bench.runOne documents)
       val ts = System.nanoTime()
-      val nCurated = stages.curated.count()
+      stages.curated.write.format("noop").mode("overwrite").save()
       stageWall("split") = (System.nanoTime() - ts) / 1e9
+      val nCurated = stages.curated.count() // cheap: checkpointed input
       val total = (System.nanoTime() - t0) / 1e9
       val walls = stageWall.map { case (k, v) => s""""$k":${f2(v)}""" }
         .mkString(",")

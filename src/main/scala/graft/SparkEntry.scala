@@ -7039,12 +7039,11 @@ object SparkEntry {
         val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
         val index = graft.pipeline.Hnsw.build(emb, m = 8,
           efConstruction = 64, shards = 4)
-        val approx = Seq(10, 16, 24, 48).map(ef =>
-            graft.pipeline.Hnsw.topK(index, queries, k = 10,
-                efSearch = ef)
-              .select(lit(ef).as("ef_search"), col("query_id"),
-                col("neighbor_id")))
-          .reduce(_ unionByName _)
+        // one shard materialization answers all four beam widths —
+        // per-ef topK calls would reload every shard graph 4x
+        val approx = graft.pipeline.Hnsw.topKMulti(index, queries,
+            k = 10, efSearches = Seq(10, 16, 24, 48))
+          .select(col("ef_search"), col("query_id"), col("neighbor_id"))
         val state = freshState(s, "e26")
         approx.write.mode("overwrite").parquet(state + "/approx")
         val ap = s.read.parquet(state + "/approx")
@@ -12945,17 +12944,20 @@ object SparkEntry {
             col("toType").as("to_type"))
           .agg(count(lit(1)).as("n"))
           .localCheckpoint()
-        require(dropped.value == 0L,
-          s"st22: ${dropped.value} cross-batch late events dropped — " +
-            "the bounded source split out-of-order input across " +
-            "micro-batches; stream/batch parity is not comparable")
+        // the drop count rides in the ARTIFACT (r15 verdict ask): the
+        // oracle pins dropped_late = 0, so any cross-batch late drop
+        // makes the row hash-red WITH its cause visible in the tracked
+        // artifact — a require here would abort the query first and
+        // leave only an err message (no row to read), which is exactly
+        // the debugger-only failure mode the ask wanted closed
+        if (dropped.value != 0L)
+          System.err.println(s"[st22] ${dropped.value} cross-batch " +
+            "late events dropped — stream/batch parity will hash-red " +
+            "with the count in the dropped_late column")
         val tot = counts.groupBy("from_type").agg(sum(col("n")).as("__tot"))
         counts.join(tot, "from_type")
           .select(col("from_type"), col("to_type"), col("n"),
             expr("n * 1000000 div __tot").as("p_ppm"),
-            // the drop count rides in the ARTIFACT (r15 verdict ask):
-            // the oracle pins it 0, so a parity divergence names its
-            // cause in the tracked row, not in a debugger
             lit(dropped.value).as("dropped_late"))
           .orderBy("from_type", "to_type")
       },

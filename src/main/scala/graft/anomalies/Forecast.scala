@@ -187,7 +187,11 @@ object Forecast {
     val pts = series.select(
       keys :+ datediff(col(dateCol), lit("1970-01-01")).as("__x") :+
         col(valueCol).cast("double").as("__y"): _*)
-    val w = Window.partitionBy(keys: _*).orderBy(col("__x"))
+    // (__x, __y) ordering: duplicate dates are legal input (the exact
+    // form handles them via its __xa < __xb filter), and an __x-only
+    // sort would give tied rows run-dependent indexes — breaking the
+    // same-corpus-same-slope determinism contract
+    val w = Window.partitionBy(keys: _*).orderBy(col("__x"), col("__y"))
     // keyspace-sized reuse: indexed feeds counts + both endpoint joins
     val indexed = pts
       .withColumn("__i", row_number().over(w) - 1)
@@ -214,6 +218,11 @@ object Forecast {
       col("__x").as("__xb") :+ col("__y").as("__yb"): _*)
     val slopes = plan
       .join(a, keyCols :+ "__il").join(b, keyCols :+ "__ih")
+      // duplicate-date pairs have __xa = __xb: their slope is
+      // undefined (Spark would yield NULL, which median SKIPS while
+      // the count still billed them) — exclude them so
+      // n_pairs_sampled counts only slopes that entered the median
+      .filter(col("__xa") =!= col("__xb"))
       .select(keys :+ ((col("__yb") - col("__ya")) /
         (col("__xb") - col("__xa")).cast("double")).as("__s"): _*)
       .groupBy(keys: _*)

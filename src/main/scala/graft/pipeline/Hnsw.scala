@@ -325,6 +325,21 @@ object Hnsw {
       meta.getAs[String]("emb_col"))
   }
 
+  /** Run `body` with dynamic partition-overwrite on, restoring the
+   *  caller's setting after — shared by [[append]] and [[remove]] so
+   *  the save/set/restore juggling exists exactly once. */
+  private def withDynamicPartitionOverwrite[A](
+      spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Turn a persisted shard back into tagged rows for the kernel. */
   private def taggedRows(
       nodes: DataFrame, graph: DataFrame): Dataset[GraphRow] = {
@@ -385,17 +400,11 @@ object Hnsw {
           .localCheckpoint() // one rebuild feeds both table writes
         val (nodesDF, graphDF) = splitRows(rebuilt)
         // partition-scoped overwrite: only the touched shards rewrite
-        val dynKey = "spark.sql.sources.partitionOverwriteMode"
-        val prev = spark.conf.getOption(dynKey)
-        spark.conf.set(dynKey, "dynamic")
-        try {
+        withDynamicPartitionOverwrite(spark) {
           nodesDF.write.mode("overwrite").partitionBy("shard")
             .parquet(s"$path/nodes")
           graphDF.write.mode("overwrite").partitionBy("shard")
             .parquet(s"$path/graph")
-        } finally prev match {
-          case Some(v) => spark.conf.set(dynKey, v)
-          case None => spark.conf.unset(dynKey)
         }
       }
     }
@@ -416,10 +425,12 @@ object Hnsw {
       val spark = removeIds.sparkSession
       import spark.implicits._
       val idx = load(spark, path)
-      val ids = removeIds.select(col(idCol).cast("long")).distinct()
-        .as[Long].collect().toSet // takedown lists are small by contract
-      require(ids.size <= 1000000,
+      val distinctIds = removeIds.select(col(idCol).cast("long")).distinct()
+      // guard BEFORE the collect — the limit-probe refuses the
+      // oversized batch without ever pulling it to the driver
+      require(distinctIds.limit(1000001).count() <= 1000000L,
         "hnswRemove: takedown list exceeds 1M ids — partition the batch")
+      val ids = distinctIds.as[Long].collect().toSet
       if (ids.isEmpty) 0L
       else {
         val touched = ids.map(id =>
@@ -447,17 +458,11 @@ object Hnsw {
             (sh, id, l, ns.filterNot(idsB.value.contains))
           }
           .toDF("shard", "vec_id", "level", "neighbors").localCheckpoint()
-        val dynKey = "spark.sql.sources.partitionOverwriteMode"
-        val prev = spark.conf.getOption(dynKey)
-        spark.conf.set(dynKey, "dynamic")
-        try {
+        withDynamicPartitionOverwrite(spark) {
           keptNodes.write.mode("overwrite").partitionBy("shard")
             .parquet(s"$path/nodes")
           keptEdges.write.mode("overwrite").partitionBy("shard")
             .parquet(s"$path/graph")
-        } finally prev match {
-          case Some(v) => spark.conf.set(dynKey, v)
-          case None => spark.conf.unset(dynKey)
         }
         // dynamic overwrite only rewrites partitions PRESENT in the
         // output — a shard emptied by a full takedown produces no rows,
@@ -491,7 +496,21 @@ object Hnsw {
       queries: DataFrame,
       k: Int = 10,
       efSearch: Int = 32,
+      maxQueries: Long = 65536L): DataFrame =
+    topKMulti(index, queries, k, Seq(efSearch), maxQueries)
+      .drop("ef_search")
+
+  /** [[topK]] at SEVERAL beam widths from ONE shard materialization —
+   *  the ef-curve measurement (e26) would otherwise pay the graph
+   *  load once per ef value; re-searching a loaded graph is the cheap
+   *  part. Output adds an `ef_search` column. */
+  def topKMulti(
+      index: HnswIndex,
+      queries: DataFrame,
+      k: Int = 10,
+      efSearches: Seq[Int] = Seq(32),
       maxQueries: Long = 65536L): DataFrame = {
+    require(efSearches.nonEmpty, "hnswTopK: need at least one efSearch")
     val spark = index.nodes.sparkSession
     import spark.implicits._
     val qn = normalized(queries, index.idCol, index.embCol, 1)
@@ -503,23 +522,25 @@ object Hnsw {
         "broadcasts the query side by contract; batch the queries")
     val qB = spark.sparkContext.broadcast(qn.collect().sortBy(_._1))
     val m = index.m; val efC = index.efConstruction
+    val efs = efSearches.distinct.sorted
     val perShard = taggedRows(index.nodes, index.graph)
       .groupByKey(_.shard)
       .flatMapGroups { (_, it) =>
         val g = new ShardGraph(m, efC)
         loadShard(g, it.toArray)
-        qB.value.iterator.flatMap { case (qid, qv) =>
-          g.search(qv, k + 1, efSearch)
+        for {
+          ef <- efs.iterator
+          (qid, qv) <- qB.value.iterator
+          (nid, cos) <- g.search(qv, k + 1, ef)
             .filter(_._1 != qid) // self-match out, bruteForce parity
             .take(k)
-            .map { case (nid, cos) => (qid, nid, cos) }
-        }
+        } yield (ef, qid, nid, cos)
       }
-      .toDF("query_id", "neighbor_id", "cosine")
-    val w = Window.partitionBy("query_id")
+      .toDF("ef_search", "query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("ef_search", "query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     perShard.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+      .select("ef_search", "query_id", "neighbor_id", "cosine", "rank")
   }
 }
