@@ -41,6 +41,8 @@ object PlanAudit {
       "brute-force ground-truth arm inside the eval (e17 contract)",
     "e26_hnsw_ef_curve" ->
       "brute-force ground-truth arm inside the eval (e17 contract)",
+    "e27_hnsw_takedown" ->
+      "brute-force ground-truth arm inside the eval (e17 contract)",
     "e18_truncated_ann" -> "brute-force arms at 3 dim budgets",
     "e20_random_projection" -> "two brute-force arms as JL ground truth",
     "x48_kmv_overlap" -> "source-pair KMV sketch grid (sources^2 rows)",

@@ -7097,6 +7097,77 @@ object SparkEntry {
         FROM tot LEFT JOIN hit ON tot.ef_search = hit.ef_search, ne
         ORDER BY tot.ef_search""")),
 
+    Q("e27_hnsw_takedown",
+      // the ANN-store takedown lifecycle, oracle-gated end to end:
+      // build the full index, REMOVE every vec_id % 7 == 0 (the
+      // GDPR/DMCA batch), search the survivor graph. Ground truth is
+      // brute force over the REMAINING corpus only — so a ghost
+      // (removed id still reachable via a stale node row or neighbor
+      // list) either surfaces as a returned neighbor that exact
+      // ground truth doesn't contain (recall drops, hash-red) or
+      // as an n_returned mismatch; and the removed_count row pins
+      // the excision arithmetic itself.
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val state = freshState(s, "e27")
+        graft.pipeline.Hnsw.save(
+          graft.pipeline.Hnsw.build(emb, m = 8, efConstruction = 64,
+            shards = 4), state + "/index")
+        val nRemoved = graft.pipeline.Hnsw.remove(state + "/index",
+          emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
+        val survivors = emb.filter(col("vec_id") % 7 =!= 0)
+        val queries = survivors.filter(col("vec_id") < 30)
+        val exact = Similarity.bruteForceTopK(survivors, queries, k = 10)
+        graft.pipeline.Hnsw
+          .topK(graft.pipeline.Hnsw.load(s, state + "/index"),
+            queries, k = 10, efSearch = 48)
+          .select(lit("hnsw_post_takedown").as("method"),
+            col("query_id"), col("neighbor_id"))
+          .write.mode("overwrite").parquet(state + "/approx")
+        Similarity.recallAtK(exact, s.read.parquet(state + "/approx"))
+          .withColumn("removed_count", lit(nRemoved))
+          .orderBy("method", "query_id")
+      },
+      Some("""WITH surv AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id % 7 <> 0),
+        q AS (SELECT vec_id AS query_id, embedding AS qe
+          FROM surv WHERE vec_id < 30),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM surv),
+        scored AS (
+          SELECT q.query_id, c.neighbor_id,
+            list_sum(list_transform(range(1, len(qe) + 1),
+              i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+            (SQRT(list_sum(list_transform(qe,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(list_sum(list_transform(ce,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM q, c WHERE q.query_id <> c.neighbor_id),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 10),
+        nex AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+          FROM exact GROUP BY 1),
+        ap AS (SELECT DISTINCT method, query_id, neighbor_id
+          FROM read_parquet('/tmp/graft_qstate/e27/approx/*.parquet')),
+        hits AS (SELECT method, query_id,
+            CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM ap JOIN exact USING (query_id, neighbor_id) GROUP BY 1, 2),
+        m AS (SELECT DISTINCT method FROM ap),
+        rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS removed_count
+          FROM embeddings WHERE vec_id % 7 = 0)
+        SELECT m.method, nex.query_id, nex.n_exact,
+          COALESCE(hits.n_hit, 0) AS n_hit,
+          ROUND(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / nex.n_exact, 6)
+            AS recall,
+          rc.removed_count
+        FROM m CROSS JOIN nex LEFT JOIN hits
+          ON hits.method = m.method AND hits.query_id = nex.query_id, rc
+        ORDER BY m.method, nex.query_id""")),
+
     Q("e17_ann_recall",
       // ANN index-quality evaluation: recall@10 of the LSH (e03) and
       // IVF (e05) candidate generators against brute-force ground
