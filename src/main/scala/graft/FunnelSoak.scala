@@ -82,8 +82,10 @@ object FunnelSoak {
       val ts = System.nanoTime()
       stages.curated.write.format("noop").mode("overwrite").save()
       stageWall("split") = (System.nanoTime() - ts) / 1e9
-      val nCurated = stages.curated.count() // cheap: checkpointed input
+      // total closes HERE so it equals the sum of stage walls; the
+      // row-count read below is bookkeeping, not funnel work
       val total = (System.nanoTime() - t0) / 1e9
+      val nCurated = stages.curated.count() // cheap: checkpointed input
       val walls = stageWall.map { case (k, v) => s""""$k":${f2(v)}""" }
         .mkString(",")
       println(s"""{"metric":"funnel_soak","mult":$mult,""" +

@@ -7158,7 +7158,12 @@ object SparkEntry {
           FROM ap JOIN exact USING (query_id, neighbor_id) GROUP BY 1, 2),
         m AS (SELECT DISTINCT method FROM ap),
         rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS removed_count
-          FROM embeddings WHERE vec_id % 7 = 0)
+          -- mirror the index's admission filter (build drops NULL
+          -- id/embedding rows), so this counts exactly the ids the
+          -- index held and remove() excised
+          FROM embeddings
+          WHERE vec_id % 7 = 0 AND vec_id IS NOT NULL
+            AND embedding IS NOT NULL)
         SELECT m.method, nex.query_id, nex.n_exact,
           COALESCE(hits.n_hit, 0) AS n_hit,
           ROUND(CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / nex.n_exact, 6)

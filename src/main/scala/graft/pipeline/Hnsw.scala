@@ -425,12 +425,15 @@ object Hnsw {
       val spark = removeIds.sparkSession
       import spark.implicits._
       val idx = load(spark, path)
-      val distinctIds = removeIds.select(col(idCol).cast("long")).distinct()
-      // guard BEFORE the collect — the limit-probe refuses the
-      // oversized batch without ever pulling it to the driver
-      require(distinctIds.limit(1000001).count() <= 1000000L,
+      // ONE distinct job: the limit bounds what reaches the driver
+      // (≤1M+1 longs ≈ 8 MB) and the length check refuses the
+      // oversized batch — a separate count-probe would both pay the
+      // aggregation twice and race a non-deterministic source
+      val bounded = removeIds.select(col(idCol).cast("long")).distinct()
+        .limit(1000001).as[Long].collect()
+      require(bounded.length <= 1000000,
         "hnswRemove: takedown list exceeds 1M ids — partition the batch")
-      val ids = distinctIds.as[Long].collect().toSet
+      val ids = bounded.toSet
       if (ids.isEmpty) 0L
       else {
         val touched = ids.map(id =>
