@@ -232,8 +232,16 @@ object Forecast {
       .groupBy(keys: _*)
       .agg(median(col("__y") - col("slope") * col("__x"))
         .as("intercept"))
-    counts.join(slopes, keyCols).join(intercepts, keyCols)
-      .select(keys ++ Seq(col("n_points"), col("n_pairs_sampled"),
+    // LEFT joins from the eligible series (n_points >= 2): a series
+    // whose every sampled pair landed on duplicate dates has no valid
+    // slope in the SAMPLE but must not silently vanish (the exact arm
+    // would have emitted one) — it surfaces with n_pairs_sampled = 0
+    // and NULL slope/intercept, telling the caller to re-sample or
+    // fall back to the exact arm on that series
+    counts.filter(col("n_points") >= lit(2))
+      .join(slopes, keyCols, "left").join(intercepts, keyCols, "left")
+      .select(keys ++ Seq(col("n_points"),
+        coalesce(col("n_pairs_sampled"), lit(0L)).as("n_pairs_sampled"),
         round(col("slope"), 6).as("slope"),
         round(col("intercept"), 6).as("intercept")): _*)
   }

@@ -28,6 +28,16 @@ import org.apache.spark.sql.expressions.Window
  *  O(shards · ef · log n) graph hops against O(corpus) for the flat
  *  scan.
  *
+ *  Shard assignment is `splitmix64(id) mod shards` (layout_version 2,
+ *  recorded in the store meta): production ids carry stride structure
+ *  (snowflake ids, even-only keys, per-tenant ranges) that a raw
+ *  `id mod shards` would concentrate into few shards — in the worst
+ *  case one — breaking the shard-fits-one-executor memory contract.
+ *  The hash spreads any id population uniformly. Stores persisted by
+ *  the raw-mod layout (version 1, meta without a `layout_version`
+ *  column) still load, append, remove and search with their original
+ *  formula.
+ *
  *  Determinism: level assignment uses a splitmix64 hash of the vector
  *  id (not an RNG), and every heap orders ties by id, so the same
  *  corpus + params yields byte-identical graphs regardless of task
@@ -40,6 +50,11 @@ import org.apache.spark.sql.expressions.Window
  *  (approx sets persist, ground truth re-derived exactly).
  */
 object Hnsw {
+
+  /** Current shard-layout version written by [[save]]: 2 = hashed
+   *  (`splitmix64(id) mod shards`); 1 = the legacy raw
+   *  `id mod shards` (stores whose meta predates the column). */
+  private[graft] val CurrentLayoutVersion = 2
 
   /** One store row, node- or edge-grain (`kind`), so a shard's whole
    *  graph travels as ONE dataset through groupByKey — a union of two
@@ -66,9 +81,22 @@ object Hnsw {
       efConstruction: Int,
       shards: Int,
       idCol: String,
-      embCol: String)
+      embCol: String,
+      layoutVersion: Int = CurrentLayoutVersion)
 
-  // ---- deterministic level assignment --------------------------------
+  /** Store-level metadata sidecar. `deletedCount` accumulates across
+   *  [[remove]] calls so the rebuild policy ([[storeStats]]) is a
+   *  number, not prose. */
+  private[graft] final case class StoreMeta(
+      m: Int,
+      efConstruction: Int,
+      shards: Int,
+      idCol: String,
+      embCol: String,
+      layoutVersion: Int,
+      deletedCount: Long)
+
+  // ---- deterministic hashing: levels AND shard assignment -------------
 
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
@@ -76,6 +104,14 @@ object Hnsw {
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
     x ^ (x >>> 31)
   }
+
+  /** Shard for an id under a store layout. Version 2 hashes (id-stride
+   *  immune); version 1 is the legacy raw mod kept only so old stores
+   *  keep working. */
+  private[graft] def shardOf(
+      id: Long, shards: Int, layoutVersion: Int = CurrentLayoutVersion): Int =
+    if (layoutVersion >= 2) java.lang.Math.floorMod(splitmix64(id), shards.toLong).toInt
+    else java.lang.Math.floorMod(id, shards.toLong).toInt
 
   /** Geometric level from a hash of the id: floor(-ln(u) * mL), the
    *  paper's draw with u replaced by a uniform hash so the graph is a
@@ -104,6 +140,8 @@ object Hnsw {
     private val idToIdx = mutable.LongMap.empty[Int]
     private var entryIdx = -1
 
+    def contains(id: Long): Boolean = idToIdx.contains(id)
+
     private def dist(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -128,10 +166,17 @@ object Hnsw {
         entryIdx = idx
     }
 
-    def loadEdges(id: Long, level: Int, neighbors: Array[Long]): Unit = {
-      val idx = idToIdx(id)
-      adj(idx)(level) ++= neighbors.flatMap(idToIdx.get(_))
-    }
+    /** Orphan-tolerant: an edge row whose own id has no node row (a
+     *  torn nodes/graph write — the two tables rewrite as separate
+     *  parquet jobs) degrades to a skipped row instead of bricking
+     *  every subsequent load with a LongMap miss; unknown NEIGHBOR
+     *  ids were always dropped. A level beyond the node's recorded
+     *  max_level (the mirror-image tear) is likewise skipped. */
+    def loadEdges(id: Long, level: Int, neighbors: Array[Long]): Unit =
+      idToIdx.get(id).foreach { idx =>
+        if (level >= 0 && level < adj(idx).length)
+          adj(idx)(level) ++= neighbors.flatMap(idToIdx.get(_))
+      }
 
     /** Greedy best-first search at one level (the paper's Algorithm
      *  2). Returns up to `ef` (dist, idx) ascending by (dist, id) —
@@ -167,6 +212,64 @@ object Hnsw {
                 (d == results.head._1 && ids(n) < ids(results.head._2))) {
                 candidates.enqueue((d, n)); results.enqueue((d, n))
                 if (results.size > ef) results.dequeue()
+              }
+            }
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      while (results.nonEmpty) out += results.dequeue()
+      out.sortInPlaceBy { case (d, i) => (d, ids(i)) }
+      out
+    }
+
+    /** Layer-0 walk under a node predicate — the filtered-ANN
+     *  admission rule: the frontier expands THROUGH failing nodes
+     *  (they still route) but only passers enter the result heap, so
+     *  a selective filter cannot strand the walk inside a disallowed
+     *  region (the recall loss post-filtering suffers from). While
+     *  fewer than `ef` passers are held, frontier admission is
+     *  unconditional — the "ef inflation" that keeps recall up under
+     *  selective filters — and `visitBudget` bounds total expansions
+     *  so a near-empty filter terminates in O(budget) hops instead of
+     *  flooding the shard. */
+    private def searchLayer0Filtered(
+        q: Array[Double], entries: Seq[Int], ef: Int,
+        allowed: Int => Boolean, visitBudget: Int):
+        mutable.ArrayBuffer[(Double, Int)] = {
+      implicit val ord: Ordering[(Double, Int)] =
+        Ordering.by { case (d, i) => (d, ids(i)) }
+      val visited = mutable.BitSet.empty
+      val candidates =
+        mutable.PriorityQueue.empty[(Double, Int)](ord.reverse)
+      val results = mutable.PriorityQueue.empty[(Double, Int)](ord)
+      def admit(d: Double, i: Int): Unit =
+        if (allowed(i)) {
+          results.enqueue((d, i))
+          if (results.size > ef) results.dequeue()
+        }
+      entries.foreach { e =>
+        if (!visited(e)) {
+          visited += e
+          val d = dist(q, vecs(e))
+          candidates.enqueue((d, e)); admit(d, e)
+        }
+      }
+      var expansions = 0
+      var done = false
+      while (!done && candidates.nonEmpty && expansions < visitBudget) {
+        val (cd, c) = candidates.dequeue()
+        if (results.size >= ef && cd > results.head._1) {
+          done = true
+        } else {
+          expansions += 1
+          adj(c)(0).foreach { n =>
+            if (!visited(n)) {
+              visited += n
+              val d = dist(q, vecs(n))
+              if (results.size < ef || d < results.head._1 ||
+                (d == results.head._1 && ids(n) < ids(results.head._2))) {
+                candidates.enqueue((d, n)); admit(d, n)
               }
             }
           }
@@ -232,6 +335,23 @@ object Hnsw {
         .take(k).map { case (d, i) => (ids(i), 1.0 - d) }.toSeq
     }
 
+    /** Top-k among ids passing `allowedId` ([[searchLayer0Filtered]]'s
+     *  walk; upper levels descend unfiltered — they only route). */
+    def searchFiltered(
+        q: Array[Double], k: Int, ef: Int,
+        allowedId: Long => Boolean, visitBudget: Int): Seq[(Long, Double)] = {
+      if (entryIdx < 0) return Seq.empty
+      var eps: Seq[Int] = Seq(entryIdx)
+      var lev = levels(entryIdx)
+      while (lev > 0) {
+        eps = Seq(searchLayer(q, eps, 1, lev).head._2)
+        lev -= 1
+      }
+      searchLayer0Filtered(q, eps, math.max(ef, k),
+        i => allowedId(ids(i)), visitBudget)
+        .take(k).map { case (d, i) => (ids(i), 1.0 - d) }.toSeq
+    }
+
     def emit(shard: Int): Iterator[GraphRow] =
       ids.indices.iterator.map(i =>
         nodeRow(shard, ids(i), vecs(i), levels(i))) ++
@@ -244,20 +364,19 @@ object Hnsw {
   // ---- Spark-side build / persist / search ---------------------------
 
   private def normalized(
-      vecs: DataFrame, idCol: String, embCol: String, shards: Int):
-      Dataset[(Int, Long, Array[Double])] = {
+      vecs: DataFrame, idCol: String, embCol: String, shards: Int,
+      layoutVersion: Int): Dataset[(Int, Long, Array[Double])] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     vecs.filter(col(idCol).isNotNull && col(embCol).isNotNull)
       .select(
-        pmod(col(idCol).cast("long"), lit(shards.toLong)).cast("int")
-          .as("shard"),
         col(idCol).cast("long").as("vec_id"),
         transform(col(embCol), x => x.cast("double")).as("emb"))
-      .as[(Int, Long, Array[Double])]
-      .map { case (s, id, v) =>
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
         val n = math.sqrt(v.map(x => x * x).sum)
-        (s, id, if (n > 0) v.map(_ / n) else v)
+        (shardOf(id, shards, layoutVersion), id,
+          if (n > 0) v.map(_ / n) else v)
       }
   }
 
@@ -283,7 +402,7 @@ object Hnsw {
     require(shards >= 1, "hnsw: shards must be >= 1")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val rows = normalized(vecs, idCol, embCol, shards)
+    val rows = normalized(vecs, idCol, embCol, shards, CurrentLayoutVersion)
       .groupByKey(_._1)
       .flatMapGroups { (shard, it) =>
         val g = new ShardGraph(m, efConstruction)
@@ -295,34 +414,78 @@ object Hnsw {
       .toDF()
       .localCheckpoint() // index-sized; one build feeds both views
     val (nodes, graph) = splitRows(rows)
-    HnswIndex(nodes, graph, m, efConstruction, shards, idCol, embCol)
+    HnswIndex(nodes, graph, m, efConstruction, shards, idCol, embCol,
+      CurrentLayoutVersion)
+  }
+
+  private def readMeta(spark: SparkSession, path: String): StoreMeta = {
+    val df = spark.read.parquet(s"$path/meta")
+    val has = df.columns.toSet
+    val r = df.head()
+    StoreMeta(
+      r.getAs[Int]("m"), r.getAs[Int]("ef_construction"),
+      r.getAs[Int]("shards"), r.getAs[String]("id_col"),
+      r.getAs[String]("emb_col"),
+      // pre-versioning stores used the raw-mod shard layout
+      if (has("layout_version")) r.getAs[Int]("layout_version") else 1,
+      if (has("deleted_count")) r.getAs[Long]("deleted_count") else 0L)
+  }
+
+  private def writeMeta(
+      spark: SparkSession, path: String, meta: StoreMeta): Unit = {
+    import spark.implicits._
+    Seq((meta.m, meta.efConstruction, meta.shards, meta.idCol,
+      meta.embCol, meta.layoutVersion, meta.deletedCount))
+      .toDF("m", "ef_construction", "shards", "id_col", "emb_col",
+        "layout_version", "deleted_count")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Persist as a parquet adjacency store, shard-partitioned so search
-   *  and append scan only the shards they touch (the ivfSave layout). */
+   *  and append scan only the shards they touch (the ivfSave layout).
+   *  Meta records the shard-layout version (so old raw-mod stores stay
+   *  loadable forever) and seeds the cumulative deleted counter. */
   def save(index: HnswIndex, path: String): Unit = {
     val spark = index.nodes.sparkSession
-    import spark.implicits._
     index.nodes.write.mode("overwrite").partitionBy("shard")
       .parquet(s"$path/nodes")
     index.graph.write.mode("overwrite").partitionBy("shard")
       .parquet(s"$path/graph")
-    Seq((index.m, index.efConstruction, index.shards, index.idCol,
-      index.embCol))
-      .toDF("m", "ef_construction", "shards", "id_col", "emb_col")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeMeta(spark, path, StoreMeta(index.m, index.efConstruction,
+      index.shards, index.idCol, index.embCol, index.layoutVersion, 0L))
   }
 
   def load(spark: SparkSession, path: String): HnswIndex = {
-    val meta = spark.read.parquet(s"$path/meta").head
+    val meta = readMeta(spark, path)
     HnswIndex(
       spark.read.parquet(s"$path/nodes")
         .withColumn("shard", col("shard").cast("int")),
       spark.read.parquet(s"$path/graph")
         .withColumn("shard", col("shard").cast("int")),
-      meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"),
-      meta.getAs[Int]("shards"), meta.getAs[String]("id_col"),
-      meta.getAs[String]("emb_col"))
+      meta.m, meta.efConstruction, meta.shards, meta.idCol, meta.embCol,
+      meta.layoutVersion)
+  }
+
+  /** Store lifecycle stats and the rebuild recommendation (the T6
+   *  suggestRefreshInterval pattern — a number, not prose): tombstone
+   *  removal thins surviving neighbor lists without re-knitting them,
+   *  so recall decays as the cumulative deleted fraction grows (the
+   *  measured curve lives in BASELINE §19 — the knee sits past ~30%).
+   *  `deleted_fraction` = deleted / (deleted + live); appends dilute
+   *  it, which is correct — fresh inserts re-knit their neighborhoods.
+   */
+  def storeStats(
+      spark: SparkSession, path: String,
+      rebuildAtFraction: Double = 0.3): DataFrame = {
+    val meta = readMeta(spark, path)
+    val live = spark.read.parquet(s"$path/nodes").count()
+    val total = live + meta.deletedCount
+    val frac = if (total == 0L) 0.0 else meta.deletedCount.toDouble / total
+    import spark.implicits._
+    Seq((live, meta.deletedCount,
+      math.round(frac * 1e6) / 1e6, frac >= rebuildAtFraction))
+      .toDF("n_live", "deleted_count", "deleted_fraction",
+        "rebuild_recommended")
   }
 
   /** Run `body` with dynamic partition-overwrite on, restoring the
@@ -370,18 +533,42 @@ object Hnsw {
    *  shard partitions rewrite (dynamic partition overwrite).
    *  Untouched shards are never read. Compute is O(new · ef · log n)
    *  per shard; IO is O(touched shards). Same single-JVM appendLocked
-   *  scope as every other store. */
+   *  scope as every other store.
+   *
+   *  Admission (the bm25StoreAppend pattern): ids duplicated WITHIN
+   *  the slice or already present in the store fail loudly BEFORE any
+   *  work, naming the offending ids — the kernel's own duplicate
+   *  `require` would otherwise surface mid-rebuild as an anonymous
+   *  task failure. */
   def append(path: String, newVecs: DataFrame): Unit =
     graft.history.StoreIO.appendLocked(path) {
       val spark = newVecs.sparkSession
       import spark.implicits._
       val idx = load(spark, path)
-      val fresh = normalized(newVecs, idx.idCol, idx.embCol, idx.shards)
-        .localCheckpoint() // slice-sized; read twice (shards + inserts)
+      val fresh = normalized(newVecs, idx.idCol, idx.embCol, idx.shards,
+        idx.layoutVersion)
+        .localCheckpoint() // slice-sized; read 4x (checks, shards, inserts)
+      val dupIn = fresh.groupByKey(_._2).count()
+        .filter(_._2 > 1L).map(_._1)
+        .take(11)
+      require(dupIn.isEmpty,
+        "hnswAppend: ids duplicated within the append slice: " +
+          dupIn.sorted.take(10).mkString(", ") +
+          (if (dupIn.length > 10) ", …" else ""))
       val touched = fresh.map(_._1).distinct().collect().sorted
       if (touched.nonEmpty) {
         val touchedSet = touched.toSet
         val shardList = touched.map(Integer.valueOf).toSeq
+        // overlap can only live in the shards the new ids hash to, so
+        // the touched-shard node scan is a complete check
+        val overlap = idx.nodes.filter(col("shard").isin(shardList: _*))
+          .select(col("vec_id"))
+          .join(fresh.map(_._2).toDF("vec_id"), "vec_id")
+          .limit(11).as[Long].collect()
+        require(overlap.isEmpty,
+          "hnswAppend: ids already present in the store: " +
+            overlap.sorted.take(10).mkString(", ") +
+            (if (overlap.length > 10) ", …" else ""))
         val stored = taggedRows(
           idx.nodes.filter(col("shard").isin(shardList: _*)),
           idx.graph.filter(col("shard").isin(shardList: _*)))
@@ -416,10 +603,12 @@ object Hnsw {
    *  return (or route through) a removed vector. Only the TOUCHED
    *  shard partitions rewrite, same as [[append]]. Edges are
    *  filtered, not re-selected — mass deletion thins the graph, so
-   *  re-build on the usual index-maintenance cadence once the
-   *  deleted fraction is material (the standard HNSW deletion trade:
-   *  tombstone-filtering now, reknit at rebuild). Returns the number
-   *  of ids actually removed. */
+   *  the store meta accumulates `deleted_count` and [[storeStats]]
+   *  turns it into a rebuild recommendation against the measured
+   *  recall-vs-deletion curve (BASELINE §19). Meta rewrites LAST: a
+   *  crash between data and meta leaves the counter conservatively
+   *  stale, never a broken store. Returns the number of ids actually
+   *  removed. */
   def remove(path: String, removeIds: DataFrame, idCol: String = "vec_id"): Long =
     graft.history.StoreIO.appendLocked(path) {
       val spark = removeIds.sparkSession
@@ -436,9 +625,10 @@ object Hnsw {
       val ids = bounded.toSet
       if (ids.isEmpty) 0L
       else {
-        val touched = ids.map(id =>
-          (id % idx.shards + idx.shards) % idx.shards).toSeq.sorted
-        val shardList = touched.map(s => Integer.valueOf(s.toInt))
+        val touched = ids
+          .map(id => shardOf(id, idx.shards, idx.layoutVersion))
+          .toSeq.sorted
+        val shardList = touched.map(Integer.valueOf)
         val idsB = spark.sparkContext.broadcast(ids)
         // localCheckpoint BEFORE the overwrite: the kept frames must
         // not keep lineage into the very parquet files the write
@@ -484,6 +674,11 @@ object Hnsw {
               s"$path/graph/shard=$sh"), true)
           }
         }
+        if (removedCount > 0L) {
+          val meta = readMeta(spark, path)
+          writeMeta(spark, path,
+            meta.copy(deletedCount = meta.deletedCount + removedCount))
+        }
         removedCount
       }
     }
@@ -503,6 +698,22 @@ object Hnsw {
     topKMulti(index, queries, k, Seq(efSearch), maxQueries)
       .drop("ef_search")
 
+  private def collectQueries(
+      index: HnswIndex, queries: DataFrame, maxQueries: Long, op: String):
+      Array[(Long, Array[Double])] = {
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    val qn = normalized(queries, index.idCol, index.embCol, 1,
+      index.layoutVersion)
+      .map { case (_, id, v) => (id, v) }
+    val qCount = qn.limit(
+      math.min(maxQueries + 1, Int.MaxValue.toLong).toInt).count()
+    require(qCount <= maxQueries,
+      s"$op: queries frame exceeds maxQueries — this arm " +
+        "broadcasts the query side by contract; batch the queries")
+    qn.collect().sortBy(_._1)
+  }
+
   /** [[topK]] at SEVERAL beam widths from ONE shard materialization —
    *  the ef-curve measurement (e26) would otherwise pay the graph
    *  load once per ef value; re-searching a loaded graph is the cheap
@@ -516,14 +727,8 @@ object Hnsw {
     require(efSearches.nonEmpty, "hnswTopK: need at least one efSearch")
     val spark = index.nodes.sparkSession
     import spark.implicits._
-    val qn = normalized(queries, index.idCol, index.embCol, 1)
-      .map { case (_, id, v) => (id, v) }
-    val qCount = qn.limit(
-      math.min(maxQueries + 1, Int.MaxValue.toLong).toInt).count()
-    require(qCount <= maxQueries,
-      "hnswTopK: queries frame exceeds maxQueries — this arm " +
-        "broadcasts the query side by contract; batch the queries")
-    val qB = spark.sparkContext.broadcast(qn.collect().sortBy(_._1))
+    val qB = spark.sparkContext.broadcast(
+      collectQueries(index, queries, maxQueries, "hnswTopK"))
     val m = index.m; val efC = index.efConstruction
     val efs = efSearches.distinct.sorted
     val perShard = taggedRows(index.nodes, index.graph)
@@ -545,5 +750,79 @@ object Hnsw {
     perShard.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("ef_search", "query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Predicate-constrained search — the filtered-ANN surface every
+   *  production vector search needs (lang/license/date/source
+   *  filters): top-k among the ids in `allowed` only, WITHOUT the
+   *  recall loss of post-filtering a fixed top-k (the classic
+   *  filtered-ANN failure: an 1%-selective filter leaves ~k/100
+   *  survivors of a post-filtered list). The walk evaluates
+   *  membership during the layer-0 expansion: failing nodes still
+   *  ROUTE (the graph stays navigable) but only passers are admitted
+   *  to the result beam, and the beam keeps exploring until `ef`
+   *  PASSERS are held — ef inflation proportional to 1/selectivity,
+   *  bounded by `visitBudgetFactor · max(ef, k)` expansions per shard
+   *  so a near-empty filter degrades gracefully instead of scanning
+   *  the shard.
+   *
+   *  `allowed` is a DataFrame of ids passing the caller's predicate —
+   *  computed from any metadata table with ordinary Spark filters, so
+   *  the predicate language is all of SQL. It is NEVER collected or
+   *  broadcast: ids hash to their shards (same layout as the store)
+   *  and ride the same cogroup as the graph rows, so a 50%-selective
+   *  filter over a 100 TB corpus costs one distributed shuffle of the
+   *  id column, not a driver set. Scale-safe by the same shard
+   *  contract as the index itself. */
+  def topKFiltered(
+      index: HnswIndex,
+      queries: DataFrame,
+      allowed: DataFrame,
+      k: Int = 10,
+      efSearch: Int = 32,
+      visitBudgetFactor: Int = 32,
+      maxQueries: Long = 65536L): DataFrame = {
+    require(visitBudgetFactor >= 1,
+      "hnswTopKFiltered: visitBudgetFactor must be >= 1")
+    val spark = index.nodes.sparkSession
+    import spark.implicits._
+    val qB = spark.sparkContext.broadcast(
+      collectQueries(index, queries, maxQueries, "hnswTopKFiltered"))
+    val lv = index.layoutVersion; val nsh = index.shards
+    val allowByShard = allowed
+      .select(col(index.idCol).cast("long").as("vec_id"))
+      .filter(col("vec_id").isNotNull).distinct()
+      .as[Long].map(id => (shardOf(id, nsh, lv), id))
+    val m = index.m; val efC = index.efConstruction
+    val budget = math.max(math.max(efSearch, k) * visitBudgetFactor, 256)
+    val perShard = taggedRows(index.nodes, index.graph)
+      .groupByKey(_.shard)
+      .cogroup(allowByShard.groupByKey(_._1)) { (_, rows, ok) =>
+        val stored = rows.toArray
+        if (stored.isEmpty) Iterator.empty
+        else {
+          val g = new ShardGraph(m, efC)
+          loadShard(g, stored)
+          // sorted array + binary search: allocation-light shard-local
+          // membership, no boxing-heavy hash set
+          val okArr = ok.map(_._2).toArray
+          java.util.Arrays.sort(okArr)
+          val isAllowed = (id: Long) =>
+            java.util.Arrays.binarySearch(okArr, id) >= 0
+          for {
+            (qid, qv) <- qB.value.iterator
+            (nid, cos) <- g.searchFiltered(qv, k + 1, efSearch,
+              isAllowed, budget)
+              .filter(_._1 != qid) // self-match out, bruteForce parity
+              .take(k)
+          } yield (qid, nid, cos)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    perShard.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
   }
 }

@@ -122,13 +122,13 @@ class HnswSpec extends AnyFunSuite {
     val half = emb.count() / 2
     Hnsw.save(Hnsw.build(emb.filter(col("vec_id") < half),
       m = 8, efConstruction = 64, shards = 4), dir + "/idx")
-    // append ONLY ids in shard 1 (vec_id % 4 == 1): shards 0/2/3 files
-    // must not rewrite
+    // append ONLY ids hashing to shard 1 (layout v2): shards 0/2/3
+    // files must not rewrite
     val before = Files.list(java.nio.file.Paths.get(dir + "/idx/graph"))
       .toArray.map(_.toString).sorted.toList
-    val slice = emb.filter(col("vec_id") >= half &&
-      org.apache.spark.sql.functions.pmod(col("vec_id"),
-        org.apache.spark.sql.functions.lit(4L)) === 1)
+    val shard1 = org.apache.spark.sql.functions.udf(
+      (id: Long) => Hnsw.shardOf(id, 4) == 1)
+    val slice = emb.filter(col("vec_id") >= half && shard1(col("vec_id")))
     val nSlice = slice.count()
     Hnsw.append(dir + "/idx", slice)
     val idx = Hnsw.load(spark, dir + "/idx")
@@ -252,9 +252,10 @@ class HnswRemoveSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_r16_hnswrm2").toString
     Hnsw.save(Hnsw.build(emb, m = 8, efConstruction = 64, shards = 4),
       dir + "/idx")
-    // shard 2 = all ids with vec_id % 4 == 2
-    val all2 = emb.filter(org.apache.spark.sql.functions
-      .pmod(col("vec_id"), lit(4L)) === 2).select("vec_id")
+    // shard 2 = all ids HASHING to 2 under layout v2
+    val shard2 = org.apache.spark.sql.functions.udf(
+      (id: Long) => Hnsw.shardOf(id, 4) == 2)
+    val all2 = emb.filter(shard2(col("vec_id"))).select("vec_id")
     assert(Hnsw.remove(dir + "/idx", all2) == all2.count())
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir + "/idx/nodes/shard=2")))
@@ -263,7 +264,6 @@ class HnswRemoveSpec extends AnyFunSuite {
     val idx = Hnsw.load(spark, dir + "/idx")
     val res = Hnsw.topK(idx, emb.filter(col("vec_id") < 8),
       k = 5, efSearch = 32)
-    assert(res.filter(org.apache.spark.sql.functions
-      .pmod(col("neighbor_id"), lit(4L)) === 2).count() == 0)
+    assert(res.filter(shard2(col("neighbor_id"))).count() == 0)
   }
 }
