@@ -209,6 +209,29 @@ object Bench {
               .map(m => m.group(1) -> m.group(2).toDouble).toMap
             def priorOf(name: String): Option[Double] =
               prior.get(name).orElse(prior.get(shortId(name))).filter(_ > 0)
+            // min-over-windows refinement (r16 verdict task 4): the
+            // residual noise mode is a window-INVARIANT query in a
+            // fast window — everything else speeds up, the median
+            // ratio drops, and the flat query looks relatively slow
+            // (the e09 case: 2.72–3.12 s across five windows, flagged
+            // once per fast window). The MIN sidecar records each
+            // query's fastest healthy-window time beside the median
+            // baseline; a candidate must ALSO run 1.4x above its own
+            // recorded min — un-normalized, because the min is the
+            // best the query has ever legitimately done — before it
+            // can flag. Sidecar absent (old baselines) = vacuous.
+            val priorMin: Map[String, Double] = try {
+              val mp = p.replace("_FINAL.json", "_MIN.json")
+              if (mp != p && new java.io.File(mp).exists()) {
+                val mtxt = new String(java.nio.file.Files.readAllBytes(
+                  java.nio.file.Paths.get(mp)), "UTF-8")
+                qrx.findAllMatchIn(mtxt)
+                  .map(m => m.group(1) -> m.group(2).toDouble).toMap
+              } else Map.empty
+            } catch { case _: Throwable => Map.empty }
+            def aboveMin(name: String, v: Double): Boolean =
+              priorMin.get(name).orElse(priorMin.get(shortId(name)))
+                .filter(_ > 0).forall(mn => v > 1.4 * mn)
             val ratios = results.flatMap { case (name, v) =>
               if (v < 0) None else priorOf(name).map(v / _)
             }.sorted
@@ -220,7 +243,7 @@ object Bench {
               if (v < 0) None
               else priorOf(name) match {
                 case Some(pv) if v > 1.4 * med * pv &&
-                    v - med * pv > 0.5 => Some(name)
+                    v - med * pv > 0.5 && aboveMin(name, v) => Some(name)
                 case _ => None
               }
             }
@@ -237,7 +260,8 @@ object Bench {
               val pv = priorOf(name).get
               val v2 = runOne(name, byName(name))
               if (v2 < 0) retryOnlyFailures += name
-              if (v2 >= 0 && !(v2 > 1.4 * med * pv && v2 - med * pv > 0.5))
+              if (v2 >= 0 && !(v2 > 1.4 * med * pv && v2 - med * pv > 0.5 &&
+                  aboveMin(name, v2)))
                 flagNoise += name
             }
             candidates.filterNot(flagNoise)

@@ -43,6 +43,10 @@ object PlanAudit {
       "brute-force ground-truth arm inside the eval (e17 contract)",
     "e27_hnsw_takedown" ->
       "brute-force ground-truth arm inside the eval (e17 contract)",
+    "e28_filtered_ann" ->
+      ("brute-force FILTERED-corpus ground-truth arm inside the eval " +
+        "(e17 contract); the probe paths are the budget-bounded HNSW " +
+        "walk and the semi-joined IVF cell scan"),
     "e18_truncated_ann" -> "brute-force arms at 3 dim budgets",
     "e20_random_projection" -> "two brute-force arms as JL ground truth",
     "x48_kmv_overlap" -> "source-pair KMV sketch grid (sources^2 rows)",

@@ -1,0 +1,1057 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.anomalies.Anomalies
+import graft.history.Trends
+import graft.pipeline.{Curation, Dedup, LinkGraph, Multimodal, Pii, Sampling, Similarity, TextAnalysis}
+import graft.profiler.{IncrementalProfile, Profiler}
+import graft.sources.Catalog
+import graft.types.ValidationRule
+import graft.validations.{DefaultValidations, Runner}
+
+/** ST-series streaming gates slice of the SparkEntry query registry — split out of the
+ *  13k-line SparkEntry.scala in round 17 so lane diffs stay
+ *  reviewable. Same Seq, same order, zero behavior change; the
+ *  contract, parity discipline and shared helpers live in
+ *  [[SparkEntry]]. */
+private[graft] object QueriesStreaming {
+  import SparkEntry._
+
+  def queries: Seq[Q] = Seq(
+    Q("st01_stream_window_agg",
+      // watermarked per-window metric aggregation (the detectors' input
+      // stage) run as an actual stream; complete mode drains every
+      // window, so the sink must equal the batch per-day counts
+      (s, d) => {
+        val windows = graft.streaming.StreamingDetect.windowedSeries(
+          eventsStream(s, d).select(col("event_type"), col("ts")),
+          seriesCol = "event_type", windowLength = "1 day",
+          watermark = "2 days")
+        runBoundedStream(s, windows, "st01_sink", "complete")
+          .select(col("series"), col("ts").cast("date").as("day"),
+            col("value"))
+          .orderBy("series", "day")
+      },
+      Some("""SELECT event_type AS series,
+          CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS DATE) AS day,
+          CAST(COUNT(*) AS DOUBLE) AS value
+        FROM events GROUP BY 1, 2 ORDER BY series, day""")),
+
+    Q("st02_stream_dedup",
+      // ingest-time exact dedup: one state bit per content hash, only
+      // the first doc per hash passes; single-batch arrival makes
+      // "first" = min doc_id, which DuckDB states as a group-by
+      (s, d) => {
+        import s.implicits._
+        val docs = streamOf(s, s"$d/documents.parquet")
+          .select(col("doc_id").as("docId"), col("text"))
+          .as[graft.streaming.StreamingDetect.Doc]
+        val kept = graft.streaming.StreamingDetect.dedupStream(docs)
+        runBoundedStream(s, kept.toDF(), "st02_sink", "append")
+          .select(col("docId").as("doc_id"),
+            md5(col("text").cast("binary")).as("content_hash"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT MIN(doc_id) AS doc_id, md5(text) AS content_hash
+        FROM documents GROUP BY md5(text) ORDER BY doc_id""")),
+
+    Q("st03_stream_zscore",
+      // the headline streaming detector: per-series rolling z-score in
+      // flatMapGroupsWithState, fed the SAME daily series as batch a02
+      // — so the emitted detections must match the batch rolling-window
+      // SQL row for row (7-point warm-up, trailing-7 stats)
+      (s, d) => {
+        import s.implicits._
+        val seriesPath = freshState(s, "st03_series") + "/series"
+        dailySeries(s, d)
+          .select(col("event_type").as("series"),
+            col("day").cast("timestamp").as("ts"), col("value"))
+          .write.mode("overwrite").parquet(seriesPath)
+        val pts = streamOf(s, seriesPath)
+          .as[graft.streaming.StreamingDetect.MetricEvent]
+        val det = graft.streaming.StreamingDetect.zscoreStream(
+          pts, windowSize = 7, sensitivity = 1.0)
+        runBoundedStream(s, det.toDF(), "st03_sink", "append")
+          .select(col("series").as("event_type"),
+            col("ts").cast("date").as("day"), col("value"),
+            round(col("score"), 6).as("score"),
+            col("isAnomaly").as("is_anomaly"), col("threshold"),
+            col("severity"))
+          .orderBy("event_type", "day")
+      },
+      Some(s"""WITH series AS ($duckDailySeries),
+        st AS (SELECT event_type, day, value,
+          AVG(value) OVER w AS m, STDDEV_POP(value) OVER w AS sd,
+          COUNT(value) OVER w AS cnt
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        scored AS (SELECT event_type, day, value,
+          CASE WHEN sd = 0 THEN 0.0 ELSE ABS((value - m) / sd) END AS raw_score
+          FROM st WHERE cnt = 7)
+        SELECT event_type, day, value, ROUND(raw_score, 6) AS score,
+          raw_score > 3.0 AS is_anomaly, CAST(3.0 AS DOUBLE) AS threshold,
+          CASE WHEN raw_score > 5.0 THEN 'high'
+            WHEN raw_score > 3.5 THEN 'medium'
+            ELSE 'low' END AS severity
+        FROM scored ORDER BY event_type, day""")),
+
+    Q("st04_stream_sessionize",
+      // native session_window sessionization as a real watermarked
+      // stream: append mode emits exactly the sessions the final
+      // watermark (max ts - 2 h) closed — the oracle re-derives the
+      // same sessions with x16's lag/gap SQL and applies the SAME
+      // emission cutoff, so watermark semantics are verified too
+      (s, d) => {
+        val sessions = graft.streaming.StreamingDetect.sessionizeStream(
+          eventsStream(s, d).select(col("user_id"), col("ts"), col("value")),
+          keyCol = "user_id", tsCol = "ts", valueCol = "value",
+          gap = "6 hours", watermark = "2 hours")
+        runBoundedStream(s, sessions, "st04_sink", "append")
+          .select(col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_start"),
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss")
+              .as("session_end"),
+            col("n_events"), col("value_sum"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH g AS (
+          SELECT user_id, ts, value,
+            CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 21600000000
+              THEN 1 ELSE 0 END AS opens
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        a AS (
+          SELECT user_id, ts, value,
+            SUM(opens) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_idx
+          FROM g),
+        sess AS (
+          SELECT user_id,
+            MIN(ts) AS session_start, MAX(ts) AS session_end,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+          FROM a GROUP BY user_id, session_idx)
+        SELECT user_id,
+          strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+          strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+          n_events, value_sum
+        FROM sess
+        WHERE session_end + INTERVAL 6 HOUR
+          < (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR
+        ORDER BY user_id, session_start""")),
+
+    Q("st05_stream_profile",
+      // continuous profiling: per-day column stats as a streaming
+      // aggregation whose rows are IncrementalProfile-mergeable slice
+      // states; complete mode drains every slice, so the sink must
+      // equal the batch per-day stats (HLL sketch column excluded —
+      // binary sketch bytes are engine-specific)
+      (s, d) => {
+        val prof = graft.streaming.StreamingDetect.streamingProfile(
+          eventsStream(s, d).select(col("ts"), col("value"),
+            col("event_type")),
+          tsCol = "ts", cols = Seq("event_type", "value"),
+          windowLength = "1 day", watermark = "2 days")
+        runBoundedStream(s, prof, "st05_sink", "complete")
+          .select(col("slice_id"), col("column").as("col_name"),
+            col("cnt"), col("nulls"), col("mn"), col("mx"),
+            round(col("sm"), 6).as("sm"))
+          .orderBy("slice_id", "col_name")
+      },
+      Some("""WITH w AS (
+          SELECT CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)
+              AS slice_end, value, event_type
+          FROM events),
+        per AS (
+          SELECT slice_end, 'event_type' AS col_name,
+            CAST(COUNT(event_type) AS BIGINT) AS cnt,
+            CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nulls,
+            CAST(NULL AS DOUBLE) AS mn, CAST(NULL AS DOUBLE) AS mx,
+            CAST(NULL AS DOUBLE) AS sm
+          FROM w GROUP BY slice_end
+          UNION ALL
+          SELECT slice_end, 'value' AS col_name,
+            CAST(COUNT(value) AS BIGINT) AS cnt,
+            CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nulls,
+            MIN(value) AS mn, MAX(value) AS mx,
+            ROUND(SUM(value), 6) AS sm
+          FROM w GROUP BY slice_end)
+        SELECT strftime(slice_end, '%Y-%m-%d %H:%M:%S') AS slice_id,
+          col_name, cnt, nulls, mn, mx, sm
+        FROM per ORDER BY slice_id, col_name""")),
+
+    Q("st06_stream_stream_join",
+      // watermarked stream-stream interval join: purchases matched to
+      // the same user's views in the preceding hour. Both sides carry
+      // watermarks and the time-range condition bounds join state (a
+      // view can be dropped once the purchase watermark passes
+      // view_ts + 1 h) — the 100 TB/day shape for event-to-event
+      // attribution. Inner-join matches emit as they arrive, so a
+      // bounded run equals the batch join exactly.
+      (s, d) => {
+        val ev = eventsStream(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+            col("event_id").as("view_id"))
+          .withWatermark("view_ts", "2 hours")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("user_id"),
+            col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+          .withWatermark("purchase_ts", "2 hours")
+        val joined = purchases.join(views,
+          expr("""v_user = user_id AND view_ts <= purchase_ts
+            AND view_ts >= purchase_ts - INTERVAL 1 HOUR"""))
+        runBoundedStream(s, joined, "st06_sink", "append")
+          .select(col("purchase_id"), col("view_id"), col("user_id"),
+            date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss")
+              .as("purchase_ts"),
+            date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss")
+              .as("view_ts"))
+          .orderBy("purchase_id", "view_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+          p.user_id,
+          strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+          strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+        FROM events p JOIN events v
+          ON p.event_type = 'purchase' AND v.event_type = 'view'
+          AND v.user_id = p.user_id
+          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        ORDER BY purchase_id, view_id""")),
+
+    Q("st07_stream_persist",
+      // the streaming → persistence glue end-to-end: rolling-zscore
+      // detections stream into the SAME locked, date-partitioned
+      // anomalies store the batch scans and dashboards read, via
+      // per-micro-batch foreachBatch appends. The oracle replays the
+      // detector math in SQL and checks the STORE's read-back —
+      // lifecycle columns included (every streamed row lands 'open').
+      (s, d) => {
+        import s.implicits._
+        val base = freshState(s, "st07")
+        dailySeries(s, d)
+          .select(col("event_type").as("series"),
+            col("day").cast("timestamp").as("ts"), col("value"))
+          .write.mode("overwrite").parquet(base + "/series")
+        val pts = streamOf(s, base + "/series")
+          .as[graft.streaming.StreamingDetect.MetricEvent]
+        val store = new graft.history.AnomaliesStore(s, base + "/anoms")
+        val q = graft.streaming.StreamingDetect.persistDetections(
+          graft.streaming.StreamingDetect.zscoreStream(pts, windowSize = 7),
+          store, java.sql.Timestamp.valueOf(NOW))
+        try q.processAllAvailable() finally q.stop()
+        store.list(anomaliesOnly = false)
+          .select(col("metric_name"), col("ts").cast("date").as("day"),
+            col("metric_value"), round(col("score"), 6).as("score"),
+            col("is_anomaly"), col("severity"), col("status"),
+            col("table_name"),
+            date_format(col("run_at"), "yyyy-MM-dd HH:mm:ss").as("run_at"))
+          .orderBy("metric_name", "day")
+      },
+      Some(s"""WITH series AS ($duckDailySeries),
+        st AS (SELECT event_type, day, value,
+          AVG(value) OVER w AS m, STDDEV_POP(value) OVER w AS sd,
+          COUNT(value) OVER w AS cnt
+          FROM series
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        scored AS (SELECT event_type, day, value,
+          CASE WHEN sd = 0 THEN 0.0 ELSE ABS((value - m) / sd) END AS raw_score
+          FROM st WHERE cnt = 7)
+        SELECT event_type AS metric_name, day,
+          value AS metric_value, ROUND(raw_score, 6) AS score,
+          raw_score > 3.0 AS is_anomaly,
+          CASE WHEN raw_score > 5.0 THEN 'high'
+            WHEN raw_score > 3.5 THEN 'medium'
+            ELSE 'low' END AS severity,
+          'open' AS status, '__stream' AS table_name,
+          '$NOW' AS run_at
+        FROM scored ORDER BY metric_name, day""")),
+
+    Q("st08_stream_neardup_bootstrap",
+      // daily-ingest near-dup screening end to end: the standing corpus
+      // (doc_id < cut) was SimHash-signed ONCE by the batch pipeline;
+      // the new slice streams in and is screened against the corpus AND
+      // earlier arrivals via per-chunk state BOOTSTRAPPED from the
+      // persisted store (initial-state flatMapGroupsWithState) — no old
+      // text re-read, no batch re-run. Replay oracle (d04 pattern):
+      // DuckDB recomputes hamming ≤ 3 over the persisted signature
+      // table for every pair touching the slice; pigeonhole makes the
+      // 4-chunk candidates equal all-pairs at this threshold, and
+      // docId-ordered processing pins emission direction to
+      // (later, earlier).
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val cut = 9L * (maxId + 1L) / 10L // d10's proportional boundary
+        val base = freshState(s, "st08")
+        Dedup.simhashSignatures(docs).write.mode("overwrite")
+          .parquet(base + "/signatures")
+        docs.filter(col("doc_id") >= cut).select("doc_id", "text")
+          .write.mode("overwrite").parquet(base + "/slice")
+        val store = s.read.parquet(base + "/signatures")
+          .filter(col("doc_id") < cut)
+        val slice = streamOf(s, base + "/slice")
+          .select(col("doc_id").as("docId"), col("text"))
+          .as[graft.streaming.StreamingDetect.Doc]
+        val det = graft.streaming.StreamingDetect.nearDupStreamWithStore(
+          slice, store, maxHamming = 3, maxBucketSize = Int.MaxValue)
+        runBoundedStream(s, det.toDF(), "st08_sink", "append")
+          // a pair sharing two chunks emits twice (by design — cheaper
+          // than cross-key coordination inside the stream)
+          .dropDuplicates("docId", "dupOf")
+          .select(col("docId").as("doc_id"), col("dupOf").as("dup_of"),
+            col("hamming"))
+          .orderBy("doc_id", "dup_of")
+      },
+      Some("""WITH sig AS (SELECT doc_id, simhash
+          FROM read_parquet('/tmp/graft_qstate/st08/signatures/*.parquet')),
+        cut AS (SELECT 9 * (MAX(doc_id) + 1) // 10 AS c FROM sig),
+        pairs AS (
+          SELECT n.doc_id AS doc_id, o.doc_id AS dup_of,
+            bit_count(xor(n.simhash, o.simhash)) AS h
+          FROM sig n JOIN sig o
+            ON n.doc_id >= (SELECT c FROM cut) AND o.doc_id < n.doc_id)
+        SELECT doc_id, dup_of, CAST(h AS INT) AS hamming
+        FROM pairs WHERE h <= 3 ORDER BY doc_id, dup_of""")),
+
+    Q("st09_stream_quantiles",
+      // continuous quantile profiling: per-day LogSketch states stream
+      // out of a watermarked window aggregation (the p37 sketch's
+      // streaming twin, sink shape = SliceStateStore's quantile lane),
+      // then per-day p50/p90 estimates come from the drained states
+      // alone. Verification is p37's rank-check lane per window: the
+      // batch fraction of that day's rows ≤ each streamed estimate
+      // must sit near q (oracle pins the verdicts TRUE plus exact
+      // per-day counts; windows under 100 rows are excluded — rank
+      // granularity 1/n would dominate the tolerance, not the sketch).
+      (s, d) => {
+        import graft.profiler.LogSketch
+        val alpha = 0.01
+        val states = runBoundedStream(s,
+          graft.streaming.StreamingDetect.streamingQuantiles(
+            eventsStream(s, d).select(col("ts"), col("value")),
+            "ts", "value", alpha,
+            windowLength = "1 day", watermark = "2 days"),
+          "st09_sink", "complete")
+        val ests = LogSketch.quantiles(
+          states.select(
+            to_date(col("slice_id")).cast("string").as("column"),
+            col("lane"), col("bucket"), col("cnt")),
+          alpha, Seq(0.5, 0.9))
+          .groupBy(col("column").as("day"))
+          .agg(
+            max(when(col("q") === 0.5, col("estimate"))).as("__e50"),
+            max(when(col("q") === 0.9, col("estimate"))).as("__e90"),
+            max(col("n")).as("n"))
+        val ev = eventsTable(s, d)
+          .select(date_add(col("ts").cast("date"), 1).cast("string")
+            .as("day"), col("value").cast("double").as("__v"))
+          .where(col("__v").isNotNull)
+        ev.join(broadcast(ests), "day")
+          .groupBy(col("day"), col("n"))
+          .agg(
+            (sum(when(col("__v") <= col("__e50"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("__f50"),
+            (sum(when(col("__v") <= col("__e90"), 1L).otherwise(0L))
+              .cast("double") / count(lit(1))).as("__f90"))
+          .where(col("n") >= 100)
+          .select(col("day").cast("date").as("day"), col("n"),
+            (abs(col("__f50") - 0.5) <= 0.05).as("p50_ok"),
+            (abs(col("__f90") - 0.9) <= 0.05).as("p90_ok"))
+          .orderBy("day")
+      },
+      Some("""WITH d AS (
+          SELECT CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS DATE) AS day,
+            value
+          FROM events WHERE value IS NOT NULL)
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+          TRUE AS p50_ok, TRUE AS p90_ok
+        FROM d GROUP BY day HAVING COUNT(*) >= 100 ORDER BY day""")),
+
+    Q("st10_stream_classify",
+      // model-at-ingest: the NB classifier in its SERVING form — vocab
+      // capped to the top-512 training tokens (compactModel), published
+      // to the versioned ModelStore BY NAME, loaded back, collected to
+      // a broadcast map, scoring a REAL document stream map-only (no
+      // shuffle, no state store). The oracle replays the capped-vocab
+      // model over the same full corpus, so the cap semantics, the
+      // store round-trip AND the stream scoring arithmetic are all
+      // pinned. (Stale-version resolution — an older version underneath
+      // must lose to the latest — is ModelStoreSpec's
+      // "latest-version-wins" test; the bench query trains ONE model.)
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val store = new graft.pipeline.ModelStore(
+          s, freshState(s, "st10m"))
+        store.save("stream_gate",
+          graft.pipeline.Classify.compactModel(
+            graft.pipeline.Classify.nbState(
+              docs.filter(col("doc_id") % 5 =!= 0), "text", "source"),
+            maxVocab = 512),
+          java.time.Instant.parse("2024-01-02T00:00:00Z"))
+        val stream = streamOf(s, s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val scored = graft.pipeline.Classify.scoreBroadcast(
+          store.load("stream_gate"), stream)
+        runBoundedStream(s, scored, "st10_sink", "append")
+          .orderBy("doc_id")
+      },
+      Some(nbOracle("SELECT * FROM documents", Some(512)))),
+
+    Q("st11_stream_topk",
+      // continuous heavy hitters: per-day (window, value) count states
+      // out of a watermarked window aggregation (the st09 pattern on
+      // the top-K lane), drained, pruned to the MergeableTopK candidate
+      // shape (k·cnt > n — integer cut) and merged — so "top values
+      // over any window range" is metadata-only over the stream's
+      // sink. The oracle replays the per-day counts, the candidate cut
+      // and the bracket arithmetic in SQL.
+      (s, d) => {
+        import graft.profiler.MergeableTopK
+        val k = 8
+        val states = graft.streaming.StreamingDetect.streamingTopKStates(
+          eventsStream(s, d).select(col("ts"), col("event_type")),
+          "ts", "event_type")
+        // parquet round-trip: the memory-sink view resolves to the SAME
+        // attribute ids on both sides of the totals self-join (analyzer
+        // "conflicting references"); persisting the per-window states is
+        // also the operator's real contract (the store any-range merges
+        // read)
+        val statePath = freshState(s, "st11") + "/states"
+        runBoundedStream(s, states, "st11_sink", "complete")
+          .write.mode("overwrite").parquet(statePath)
+        val sink = s.read.parquet(statePath)
+        val totals = sink.groupBy("slice_id").agg(sum("cnt").as("n"))
+        val mg = sink.join(totals, "slice_id")
+          .where(col("cnt") * k > col("n"))
+          .select("slice_id", "value", "cnt", "n")
+          .unionByName(totals.select(col("slice_id"),
+            lit(null).cast("string").as("value"), lit(0L).as("cnt"),
+            col("n")))
+        MergeableTopK.merge(mg, k)
+          .orderBy(col("lower").desc, col("value"))
+      },
+      Some("""WITH states AS (
+          SELECT CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS VARCHAR)
+            AS slice_id, event_type AS value,
+            CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT slice_id, SUM(cnt) AS n FROM states GROUP BY 1),
+        cand AS (
+          SELECT s.slice_id, s.value, s.cnt, t.n
+          FROM states s JOIN tot t USING (slice_id)
+          WHERE s.cnt * 8 > t.n),
+        miss AS (SELECT slice_id, n // 8 AS m FROM tot),
+        missall AS (SELECT CAST(SUM(m) AS BIGINT) AS m_all FROM miss),
+        agg AS (
+          SELECT c.value, CAST(SUM(c.cnt) AS BIGINT) AS lower,
+            CAST(SUM(c.n // 8) AS BIGINT) AS miss_present,
+            CAST(COUNT(*) AS BIGINT) AS slices_present
+          FROM cand c GROUP BY 1)
+        SELECT a.value, a.lower,
+          a.lower + missall.m_all - a.miss_present AS upper,
+          a.slices_present
+        FROM agg a, missall
+        ORDER BY a.lower DESC, a.value""")),
+
+    Q("st13_stream_slo",
+      // the SLO burn-rate monitor in its CONTINUOUS form (what the
+      // SRE pattern actually runs as): the stream pays for the one
+      // data-bound stage — a watermarked hourly error/total rollup,
+      // map-side combined into windowed state — and the trailing-
+      // window/alert math (Slo.burnFromHourly, the SAME code as a19)
+      // runs over the drained hours-sized sink. One oracle serves
+      // both forms: stream and batch must agree to the hash.
+      (s, d) => {
+        val hourly = graft.streaming.StreamingDetect
+          .streamingHourlyErrors(eventsStream(s, d))
+        graft.anomalies.Slo.burnFromHourly(
+            runBoundedStream(s, hourly, "st13_sink", "complete"))
+          .orderBy("hour")
+      },
+      Some(sloOracleSql)),
+
+    Q("st15_stream_decontam",
+      // decontamination AT INGEST: the e22 semantic gate in its
+      // streaming form — the benchmark's banded signature index +
+      // vectors ride one UDF closure (eval-set-sized by contract) and
+      // every arriving embedding scores MAP-ONLY: no shuffle, no state
+      // store, append mode. Same seeded hyperplane family as the batch
+      // operator, so the oracle replays the band collision, exact
+      // cosine and threshold from the SAME persisted signature frames
+      // (uncapped: the per-row gate has no bucket to cap).
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val bench = emb.filter(col("vec_id") % 83 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            concat(slice(col("embedding"), 1, 56),
+              array_repeat(lit(0.0f), 8)).as("embedding"))
+        val state = freshState(s, "st15")
+        Similarity.embeddingBandSignatures(emb)
+          .coalesce(2).write.mode("overwrite").parquet(state + "/csig")
+        Similarity.embeddingBandSignatures(bench)
+          .coalesce(1).write.mode("overwrite").parquet(state + "/bsig")
+        val stream = streamOf(s, s"$d/embeddings.parquet")
+        val gated = Similarity.semanticGate(stream, bench, threshold = 0.9)
+        runBoundedStream(s, gated, "st15_sink", "append")
+          .select(col("vec_id").as("corpus_id"), col("bench_id"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("corpus_id", "bench_id")
+      },
+      Some("""WITH cs AS (SELECT vec_id AS id_a, band_idx, sig
+          FROM read_parquet('/tmp/graft_qstate/st15/csig/*.parquet')),
+        bs AS (SELECT vec_id AS id_b, band_idx, sig
+          FROM read_parquet('/tmp/graft_qstate/st15/bsig/*.parquet')),
+        cands AS (
+          SELECT DISTINCT a.id_a, b.id_b
+          FROM cs a JOIN bs b
+            ON a.band_idx = b.band_idx AND a.sig = b.sig),
+        bench AS (
+          SELECT vec_id + 1000000 AS id_b,
+            list_concat(embedding[1:56],
+              [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]) AS be
+          FROM embeddings WHERE vec_id % 83 = 0),
+        scored AS (
+          SELECT c.id_a AS corpus_id, c.id_b AS bench_id,
+            list_sum(list_transform(range(1, 65),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(b.be[i] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(list_sum(list_transform(b.be,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM cands c
+          JOIN embeddings e ON e.vec_id = c.id_a
+          JOIN bench b ON b.id_b = c.id_b)
+        SELECT corpus_id, bench_id, ROUND(cos, 6) AS cosine
+        FROM scored WHERE cos >= CAST(0.9 AS DOUBLE)
+        ORDER BY corpus_id, bench_id""")),
+
+    Q("st16_stream_substring_gate",
+      // the x83 span gate at INGEST: the benchmark's distinct window
+      // hashes ride the UDF closure (eval-registry-sized, the st15
+      // contract) and every arriving doc derives its shared spans
+      // MAP-ONLY — no shuffle, no state store, append mode. Same
+      // every-50th-doc fixture as x83; the oracle is x83's replay
+      // minus the corpus-df cap a per-row gate cannot see (each
+      // arrival is judged alone).
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val gramsPath = freshState(s, "st16") + "/grams"
+        TextAnalysis.fingerprintHashes(
+            docs.filter(length(regexp_replace(lower(col("text")),
+              "\\s+", " ")) >= 40),
+            gram = 40)
+          .coalesce(8).write.mode("overwrite").parquet(gramsPath)
+        val benchHashes = s.read.parquet(gramsPath)
+          .filter(col("doc_id") % 50 === 0)
+          .select("hash").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val stream = streamOf(s, s"$d/documents.parquet")
+          .filter(col("doc_id") % 50 =!= 0 &&
+            length(regexp_replace(lower(col("text")),
+              "\\s+", " ")) >= 40)
+        val gated = Dedup.substringGate(stream, benchHashes)
+        runBoundedStream(s, gated, "st16_sink", "append")
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""WITH g AS (SELECT doc_id, pos, hash
+          FROM read_parquet('/tmp/graft_qstate/st16/grams/*.parquet')),
+        bh AS (SELECT DISTINCT hash FROM g WHERE doc_id % 50 = 0),
+        sh AS (SELECT g.doc_id, g.pos
+          FROM g JOIN bh USING (hash) WHERE g.doc_id % 50 <> 0),
+        fl AS (SELECT doc_id, pos,
+            MAX(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS cummax
+          FROM sh),
+        isl AS (SELECT doc_id, pos,
+            SUM(CASE WHEN cummax IS NULL OR pos > cummax
+              THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+          FROM fl),
+        sp AS (SELECT doc_id,
+            CAST(MIN(pos) AS BIGINT) AS span_start,
+            CAST(MAX(pos) + 40 AS BIGINT) AS span_end,
+            CAST(COUNT(*) AS BIGINT) AS n_grams
+          FROM isl GROUP BY doc_id, span_id)
+        SELECT doc_id, span_start, span_end,
+          span_end - span_start AS span_len, n_grams
+        FROM sp WHERE span_end - span_start >= 60
+        ORDER BY doc_id, span_start""")),
+
+    Q("st17_stream_line_gate",
+      // d15's line dedup at INGEST: the standing corpus's duplicate-
+      // line dictionary (d15's composed fixture through duplicateLines)
+      // persists dictionary-sized and rides the UDF closure (the
+      // st15/st16 contract); each arriving doc cuts its known-
+      // boilerplate lines MAP-ONLY — no shuffle, no state store,
+      // append mode. Arrivals are the raw documents (newline-flattened
+      // like the fixture), so a doc whose text occupies >=2 slots of
+      // the standing corpus gates to empty. The oracle replays the
+      // persisted dictionary against the same arrivals.
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .filter(col("doc_id") < 500)
+          .select(col("doc_id").cast("long").as("bid"),
+            regexp_replace(col("text"), "\n", " ").as("text"))
+        val n = base.count()
+        val m = math.max(n * 3 / 10, 10L)
+        val grid = s.range(m).select(col("id").as("cid"))
+          .select(col("cid"),
+            explode(sequence(lit(0), lit(4))).as("j"))
+          .withColumn("bid", (col("cid") * 7 + col("j") * 13) % n)
+        val composed = grid.join(base, Seq("bid"))
+          .groupBy("cid")
+          .agg(array_join(transform(array_sort(collect_list(
+            struct(col("j"), col("text")))),
+            x => x.getField("text")), "\n").as("text"))
+        val dictPath = freshState(s, "st17") + "/dict"
+        Dedup.duplicateLines(composed, "cid", "text")
+          .coalesce(1).write.mode("overwrite").parquet(dictPath)
+        val keys = s.read.parquet(dictPath).select("line_md5")
+          .collect().map(_.getString(0)).toSet
+        val stream = streamOf(s, s"$d/documents.parquet")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "\n", " ").as("text"))
+        val gated = Dedup.lineGate(stream, keys)
+        runBoundedStream(s, gated, "st17_sink", "append")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dict AS (SELECT line_md5 FROM read_parquet(
+            '/tmp/graft_qstate/st17/dict/*.parquet')),
+        arrivals AS (
+          SELECT doc_id, replace(text, chr(10), ' ') AS text
+          FROM documents),
+        j AS (
+          SELECT doc_id, text,
+            (length(trim(text)) >= 15 AND md5(trim(text)) IN
+              (SELECT line_md5 FROM dict)) AS dropped
+          FROM arrivals)
+        SELECT doc_id,
+          CAST(1 AS BIGINT) AS n_lines,
+          CAST(CASE WHEN dropped THEN 1 ELSE 0 END AS BIGINT)
+            AS n_lines_removed,
+          CAST(CASE WHEN dropped THEN length(text) ELSE 0 END AS BIGINT)
+            AS removed_chars,
+          CAST(length(CASE WHEN dropped THEN '' ELSE text END)
+            AS BIGINT) AS cleaned_len,
+          md5(CASE WHEN dropped THEN '' ELSE text END) AS cleaned_md5
+        FROM j ORDER BY doc_id""")),
+
+    Q("st18_stream_asset_manifest",
+      // m06's multimodal catalog at INGEST: assetManifest is a single
+      // map-only select (magic-byte sniff + byte-parsed metadata UDFs),
+      // so the SAME code runs unchanged on a blob stream — no shuffle,
+      // no state store, append mode. The mixed fixture (PNG/WAV/
+      // MJPEG-AVI/Y4M/junk) persists once; the BATCH manifest over it
+      // persists as the oracle's input, and the drained stream sink's
+      // per-format rollup must hash-equal the batch rollup — stream
+      // and batch share one answer.
+      (s, _) => {
+        val state = freshState(s, "st18")
+        import s.implicits._
+        val imgs = Multimodal.syntheticImageCorpus(s, groups = 20)
+        val auds = Multimodal.syntheticAudioCorpus(s, n = 40)
+          .select((col("id") + 1000L).as("id"), col("bytes"))
+        val vids = Multimodal.syntheticVideoCorpus(s, n = 20)
+          .select((col("id") + 2000L).as("id"), col("bytes"))
+        val y4ms = Multimodal.syntheticY4mSceneCorpus(s, n = 10)
+          .select((col("id") + 4000L).as("id"), col("bytes"))
+        val junk = Seq((3000L, "not media at all".getBytes("UTF-8")))
+          .toDF("id", "bytes")
+        val blobs = imgs.unionByName(auds).unionByName(vids)
+          .unionByName(y4ms).unionByName(junk)
+        blobs.write.mode("overwrite").parquet(state + "/blobs")
+        Multimodal.assetManifest(s.read.parquet(state + "/blobs"))
+          .write.mode("overwrite").parquet(state + "/manifest")
+        val sink = runBoundedStream(s,
+          Multimodal.assetManifest(streamOf(s, state + "/blobs")),
+          "st18_sink", "append")
+        sink.groupBy("format")
+          .agg(count(lit(1)).as("n_assets"),
+            sum(when(col("decodable"), 1L).otherwise(0L))
+              .as("n_decodable"),
+            sum("n_bytes").as("total_bytes"),
+            max("width").as("max_width"),
+            max("duration_ms").as("max_duration_ms"))
+          .orderBy("format")
+      },
+      Some("""SELECT format, CAST(COUNT(*) AS BIGINT) AS n_assets,
+          CAST(SUM(CASE WHEN decodable THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_decodable,
+          CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+          MAX(width) AS max_width,
+          MAX(duration_ms) AS max_duration_ms
+        FROM read_parquet('/tmp/graft_qstate/st18/manifest/*.parquet')
+        GROUP BY format ORDER BY format""")),
+
+    Q("st19_stream_compression_gate",
+      // x87's repetitiveness gate at INGEST: compressionRatio is a
+      // partition-local mapPartitions (one Deflater per partition), so
+      // the SAME code runs unchanged on a document stream — no
+      // shuffle, no state store, append mode. The BATCH per-doc frame
+      // over the same corpus persists as the oracle's input, and the
+      // drained stream sink's verdict rollup must hash-equal the batch
+      // rollup — stream and batch share one answer, per ratio bucket.
+      (s, d) => {
+        val state = freshState(s, "st19")
+        val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        TextAnalysis.compressionRatio(docs)
+          .write.mode("overwrite").parquet(state + "/ratios")
+        val stream = TextAnalysis.compressionRatio(
+          streamOf(s, s"$d/documents.parquet")
+            .select(col("doc_id"), col("text")))
+        val sink = runBoundedStream(s, stream, "st19_sink", "append")
+        sink
+          .withColumn("bucket",
+            when(col("ratio_ppm") < 150000L, "template_suspect")
+              .when(col("ratio_ppm") < 500000L, "normal")
+              .otherwise("incompressible"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_bytes").as("total_bytes"),
+            min("ratio_ppm").as("min_ratio_ppm"),
+            max("ratio_ppm").as("max_ratio_ppm"))
+          .orderBy("bucket")
+      },
+      Some("""WITH r AS (SELECT * FROM read_parquet(
+            '/tmp/graft_qstate/st19/ratios/*.parquet')),
+        b AS (SELECT *,
+            CASE WHEN ratio_ppm < 150000 THEN 'template_suspect'
+                 WHEN ratio_ppm < 500000 THEN 'normal'
+                 ELSE 'incompressible' END AS bucket
+          FROM r)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+          MIN(ratio_ppm) AS min_ratio_ppm,
+          MAX(ratio_ppm) AS max_ratio_ppm
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    Q("st20_stream_langid_gate",
+      // language-ID gate at INGEST: detectLanguage is a pure
+      // expression chain (script blocks, then stopword profiles —
+      // map-only), so the SAME scorer runs unchanged on a document
+      // stream: no shuffle, no state store, append mode — the gate
+      // every multilingual crawl pipeline applies before anything
+      // heavier sees off-target text. Arrivals keep an allowlist
+      // (en/de/fr); the drained sink rolls up kept/dropped per picked
+      // language. The batch scorer's per-(doc, candidate) frame
+      // persists as the oracle's input and DuckDB replays the x44
+      // argmax AND the gate rollup — so the stream's expression twin
+      // must agree with the batch pick logic to the hash, attesting
+      // corpus-wide the equivalence LanguageIdSpec pins on fixtures.
+      (s, d) => {
+        val state = freshState(s, "st20")
+        val docs = t(s, d, "documents")
+        TextAnalysis.languageScores(docs)
+          .write.mode("overwrite").parquet(state + "/scores")
+        val stream = streamOf(s, s"$d/documents.parquet")
+          .select(col("doc_id"),
+            TextAnalysis.detectLanguage(col("text")).as("lang"),
+            length(col("text")).cast("long").as("n_chars"))
+          .withColumn("kept", col("lang").isin("en", "de", "fr"))
+        val sink = runBoundedStream(s, stream, "st20_sink", "append")
+        sink.groupBy("lang", "kept")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH sc AS (SELECT * FROM read_parquet(
+            '/tmp/graft_qstate/st20/scores/*.parquet')),
+        t1 AS (SELECT doc_id, arg_min(lang, prio) AS lang
+          FROM sc WHERE tier = 1 AND score > 0 GROUP BY doc_id),
+        t2 AS (SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, prio ASC) AS rn
+            FROM sc WHERE tier = 2 AND score > 0) WHERE rn = 1),
+        picks AS (SELECT d.doc_id,
+            COALESCE(t1.lang, t2.lang, 'und') AS lang,
+            LENGTH(d.text) AS n_chars
+          FROM documents d
+          LEFT JOIN t1 ON d.doc_id = t1.doc_id
+          LEFT JOIN t2 ON d.doc_id = t2.doc_id)
+        SELECT lang, lang IN ('en', 'de', 'fr') AS kept,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM picks GROUP BY 1, 2 ORDER BY lang""")),
+
+    Q("st21_stream_pii_gate",
+      // PII gate at INGEST: piiScan is a pure regex expression chain
+      // (map-only), so the SAME scrubber runs unchanged on a document
+      // stream — no shuffle, no state store, append mode: the scrub
+      // every corpus pipeline applies before text leaves the landing
+      // zone. The x14 fixture injection (the corpus carries no real
+      // PII) rides the stream unchanged; the drained sink rolls up
+      // per PII kind + the clean/total rows (the st14 shape), and the
+      // oracle recomputes every count from the raw text — batch
+      // regexes and the stream's must agree corpus-wide.
+      (s, d) => {
+        val id = col("doc_id")
+        val inj = concat(
+          col("text"),
+          when(id % 3 === 0, concat(lit(" contact user"),
+            id.cast("string"), lit("@example.com"))).otherwise(""),
+          when(id % 5 === 0, concat(lit(" call (415) 555-"),
+            lpad((id % 10000).cast("string"), 4, "0"))).otherwise(""),
+          when(id % 7 === 0, concat(lit(" from 10."),
+            (id % 200).cast("string"), lit("."),
+            (id % 250).cast("string"), lit("."),
+            (id % 100).cast("string"))).otherwise(""),
+          when(id % 11 === 0, concat(lit(" ssn 123-45-"),
+            lpad((id % 10000).cast("string"), 4, "0"))).otherwise(""))
+        val stream = streamOf(s, s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .withColumn("text", inj)
+        val annotated = Pii.piiScan(stream)
+        val sink = runBoundedStream(s, annotated, "st21_sink", "append")
+        def kindRow(kind: String) = sink.agg(
+          lit(kind).as("rule"),
+          sum(when(col(s"n_$kind") > 0, 1L).otherwise(0L)).as("n_docs"),
+          sum(col(s"n_$kind")).as("n_hits"))
+        kindRow("email")
+          .unionByName(kindRow("phone"))
+          .unionByName(kindRow("ipv4"))
+          .unionByName(kindRow("ssn"))
+          .unionByName(sink.agg(lit("_docs_clean").as("rule"),
+            sum(when(col("n_email") + col("n_phone") + col("n_ipv4") +
+              col("n_ssn") === 0, 1L).otherwise(0L)).as("n_docs"),
+            lit(0L).as("n_hits")))
+          .unionByName(sink.agg(lit("_docs_total").as("rule"),
+            count(lit(1)).as("n_docs"), lit(0L).as("n_hits")))
+          .orderBy("rule")
+      },
+      Some("""WITH injected AS (
+          SELECT doc_id, text
+            || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                 THEN ' call (415) 555-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.' || (doc_id % 200) || '.'
+                   || (doc_id % 250) || '.' || (doc_id % 100) ELSE '' END
+            || CASE WHEN doc_id % 11 = 0
+                 THEN ' ssn 123-45-'
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS t
+          FROM documents),
+        counts AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+              AS n_email,
+            CAST(len(regexp_extract_all(t,
+              '\([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+            CAST(len(regexp_extract_all(t,
+              '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+            CAST(len(regexp_extract_all(t,
+              '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn
+          FROM injected)
+        SELECT rule, n_docs, n_hits FROM (
+          SELECT 'email' AS rule,
+            CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_docs,
+            CAST(SUM(n_email) AS BIGINT) AS n_hits FROM counts
+          UNION ALL SELECT 'phone',
+            CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(n_phone) AS BIGINT) FROM counts
+          UNION ALL SELECT 'ipv4',
+            CAST(SUM(CASE WHEN n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(n_ipv4) AS BIGINT) FROM counts
+          UNION ALL SELECT 'ssn',
+            CAST(SUM(CASE WHEN n_ssn > 0 THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(SUM(n_ssn) AS BIGINT) FROM counts
+          UNION ALL SELECT '_docs_clean',
+            CAST(SUM(CASE WHEN n_email + n_phone + n_ipv4 + n_ssn = 0
+              THEN 1 ELSE 0 END) AS BIGINT),
+            CAST(0 AS BIGINT) FROM counts
+          UNION ALL SELECT '_docs_total',
+            CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT) FROM counts)
+        ORDER BY rule""")),
+
+    Q("st14_stream_quarantine",
+      // row quarantine at INGEST time: Quarantine.annotate is map-only,
+      // so the SAME rules run unchanged on a document stream (v06's
+      // batch pass, as arrivals). Defects injected deterministically
+      // (every 13th text emptied, every 17th lang nulled); the drained
+      // annotated sink rolls up per rule and the oracle replays the
+      // whole thing — batch and stream must agree to the hash.
+      (s, d) => {
+        import graft.validations.Quarantine
+        val stream = streamOf(s, s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"))
+          .withColumn("text",
+            when(col("doc_id") % 13 === 0, lit("")).otherwise(col("text")))
+          .withColumn("lang",
+            when(col("doc_id") % 17 === 0, lit(null).cast("string"))
+              .otherwise(col("lang")))
+        val rules = Seq(
+          Quarantine.RowRule("text_nonempty", length(col("text")) > 0),
+          Quarantine.RowRule("lang_present", col("lang").isNotNull))
+        val annotated = Quarantine.annotate(stream, rules)
+        val sink = runBoundedStream(s, annotated, "st14_sink", "append")
+        sink.select(explode(col("violations")).as("rule"))
+          .groupBy("rule").agg(count(lit(1)).as("n_rows"))
+          .unionByName(sink.agg(
+            lit("_rows_clean").as("rule"),
+            sum(when(!col("quarantined"), 1L).otherwise(0L))
+              .as("n_rows")))
+          .unionByName(sink.agg(lit("_rows_total").as("rule"),
+            count(lit(1)).as("n_rows")))
+          .orderBy("rule")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+            CASE WHEN doc_id % 13 = 0 THEN '' ELSE text END AS text,
+            CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS lang
+          FROM documents),
+        flags AS (SELECT
+            CASE WHEN COALESCE(LENGTH(text) > 0, FALSE)
+              THEN 0 ELSE 1 END AS v_text,
+            CASE WHEN lang IS NOT NULL THEN 0 ELSE 1 END AS v_lang
+          FROM d)
+        SELECT rule, n_rows FROM (
+          SELECT 'text_nonempty' AS rule,
+            CAST(SUM(v_text) AS BIGINT) AS n_rows FROM flags
+          UNION ALL SELECT 'lang_present',
+            CAST(SUM(v_lang) AS BIGINT) FROM flags
+          UNION ALL SELECT '_rows_clean',
+            CAST(SUM(CASE WHEN v_text + v_lang = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) FROM flags
+          UNION ALL SELECT '_rows_total',
+            CAST(COUNT(*) AS BIGINT) FROM flags)
+        ORDER BY rule""")),
+
+    Q("st12_stream_cdc_history",
+      // CDC change feed → SCD2 history, streaming: each event SETS the
+      // key's current value; a change CLOSES the previous version and
+      // emits it (append-honest — open versions live in O(keys) state).
+      // Fed the events feed as (user_id, ts, event_type) changes; the
+      // oracle derives the same closed intervals with run-collapse +
+      // lead windows. The batch twin is t12's snapshot-grain merge;
+      // this is the event-grain form that touches each change once.
+      (s, d) => {
+        import s.implicits._
+        val changes = eventsStream(s, d)
+          .select(col("user_id").as("key"), col("event_id").as("seq"),
+            col("ts"), col("event_type").as("value"))
+          .as[graft.streaming.StreamingDetect.CdcEvent]
+        val hist = graft.streaming.StreamingDetect
+          .cdcHistoryStream(changes).toDF()
+        runBoundedStream(s, hist, "st12_sink", "append")
+          .select(col("key").as("user_id"), col("value"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+              .as("valid_from"),
+            date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss")
+              .as("valid_to"))
+          .orderBy("user_id", "valid_from", "value")
+      },
+      Some("""WITH o AS (
+          SELECT user_id, event_id, event_type AS value, ts,
+            LAG(event_type) OVER w AS prev
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        runs AS (
+          SELECT user_id, event_id, value, ts FROM o
+          WHERE prev IS NULL OR prev <> value),
+        closed AS (
+          SELECT user_id, value, ts AS vf,
+            LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS vt
+          FROM runs)
+        SELECT user_id, value,
+          strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+          strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to
+        FROM closed WHERE vt IS NOT NULL
+        ORDER BY user_id, valid_from, value""")),
+
+    Q("st22_stream_transitions",
+      // streaming twin of x114: per-user O(1) state (the last event)
+      // emits one (from, to) row per consecutive pair as events
+      // arrive, chaining across micro-batches; the Markov matrix is a
+      // downstream types^2-sized rollup of the drained rows and must
+      // equal the batch window computation exactly
+      (s, d) => {
+        import s.implicits._
+        val changes = eventsStream(s, d)
+          .filter(col("user_id").isNotNull)
+          .select(col("user_id").as("key"), col("event_id").as("seq"),
+            col("ts"), col("event_type").as("value"))
+          .as[graft.streaming.StreamingDetect.CdcEvent]
+        // the oracle equality below assumes NO cross-batch late drops
+        // (per-user (ts, seq) order across micro-batches — true for
+        // the bounded file source today); count drops so a parity
+        // failure is a diagnosed contract break, not a silent skew
+        val dropped = s.sparkContext.longAccumulator("st22_dropped_late")
+        val tr = graft.streaming.StreamingDetect
+          .transitionStream(changes, Some(dropped)).toDF()
+        val counts = runBoundedStream(s, tr, "st22_sink", "append")
+          .groupBy(col("fromType").as("from_type"),
+            col("toType").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        // the drop count rides in the ARTIFACT (r15 verdict ask): the
+        // oracle pins dropped_late = 0, so any cross-batch late drop
+        // makes the row hash-red WITH its cause visible in the tracked
+        // artifact — a require here would abort the query first and
+        // leave only an err message (no row to read), which is exactly
+        // the debugger-only failure mode the ask wanted closed
+        if (dropped.value != 0L)
+          System.err.println(s"[st22] ${dropped.value} cross-batch " +
+            "late events dropped — stream/batch parity will hash-red " +
+            "with the count in the dropped_late column")
+        val tot = counts.groupBy("from_type").agg(sum(col("n")).as("__tot"))
+        counts.join(tot, "from_type")
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 1000000 div __tot").as("p_ppm"),
+            lit(dropped.value).as("dropped_late"))
+          .orderBy("from_type", "to_type")
+      },
+      // x114's oracle plus the pinned-zero drop counter: any cross-
+      // batch late drop makes the Spark column non-zero -> hash-red
+      Some(s"""SELECT from_type, to_type, n, p_ppm,
+          CAST(0 AS BIGINT) AS dropped_late
+        FROM ($transitionsOracleSql)
+        ORDER BY from_type, to_type""")),
+
+    Q("st23_stream_pit_enrich",
+      // point-in-time ENRICHMENT at ingest — j07's streaming twin: a
+      // stream-static left join of arriving events against the
+      // (broadcast, versions-sized) SCD2 daily version table with the
+      // validity-window condition. Map-only per arrival: no shuffle,
+      // no state store, append mode — the "attach the config/price
+      // version valid at event time" step every enrichment pipeline
+      // runs before landing. Gap events (every 3rd version day is
+      // removed) must land NULL, never a stale version; the oracle is
+      // j07's naive theta join, shared verbatim.
+      (s, d) => {
+        // static side computed ONCE (versions-sized localCheckpoint),
+        // not re-derived per micro-batch
+        val hist = pitVersionHist(s, d)
+          .withColumnRenamed("event_type", "h_type")
+          .localCheckpoint()
+        val ev = eventsStream(s, d)
+          .select(col("event_id"), col("event_type"), col("ts"))
+        val enriched = ev.join(broadcast(hist),
+            ev("event_type") === col("h_type") &&
+              ev("ts") >= col("valid_from") && ev("ts") < col("valid_to"),
+            "left")
+          .select(col("event_id"), col("event_type"),
+            date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+              .as("version_from"),
+            col("daily_count"))
+        runBoundedStream(s, enriched, "st23_sink", "append")
+          .orderBy("event_id")
+      },
+      Some(pitOracleSql)))
+}
