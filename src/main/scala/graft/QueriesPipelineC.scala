@@ -1683,5 +1683,84 @@ private[graft] object QueriesPipelineC {
           CAST(cell_rank AS INT) AS cell_rank,
           cell_rank <= CAST(FLOOR(n * 100000 / 1000000.0) AS BIGINT)
             AS is_outlier
-        FROM wr ORDER BY vec_id""")))
+        FROM wr ORDER BY vec_id""")),
+
+    Q("x122_bpe_replay",
+      // the BPE tokenizer ITSELF, independently replayed (r16 verdict
+      // optional ask #8): x46/x90 persist the engine's per-doc counts
+      // and pin only the aggregation, trusting the Scala kernel via
+      // BpeSpec fixtures — here the oracle re-runs the MERGE LOOP. A
+      // DuckDB recursive CTE carries each word's segmentation as list
+      // state and applies the identical leftmost-lowest-rank pair
+      // reduction over the same 20-rule demo merges table, so a
+      // kernel regression (rank order, tie rule, termination) goes
+      // hash-red with NO persisted state trusted. Token budgets in
+      // LLM data work are tokenizer-exact — this pins the tokenizer,
+      // not just its sums. ASCII-only sample: the Scala kernel
+      // segments by UTF-16 char while RE2's '.' is a codepoint, so
+      // astral chars differ by construction (x121 owns unicode
+      // canonicalization); ~40 docs bound the recursion to < 0.5 s.
+      (s, d) =>
+        t(s, d, "documents")
+          .filter(col("doc_id") < 40 && col("text").isNotNull &&
+            col("text").rlike("^\\p{ASCII}*$"))
+          .select(col("doc_id"),
+            TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+          .orderBy("doc_id"),
+      Some("""WITH RECURSIVE
+        eligible AS (SELECT doc_id, text FROM documents
+          WHERE doc_id < 40 AND text IS NOT NULL
+            AND regexp_matches(text, '^[[:ascii:]]*$')),
+        words AS (
+          SELECT doc_id, i AS wi, ws[i] AS w
+          FROM (SELECT doc_id,
+                  list_filter(string_split_regex(lower(trim(text)),
+                    '\s+'), x -> len(x) > 0) AS ws
+                FROM eligible),
+               UNNEST(range(1, len(ws) + 1)) AS t(i)),
+        seg AS (
+          SELECT doc_id, wi, regexp_extract_all(w, '.') AS pieces
+          FROM words
+          UNION ALL
+          SELECT doc_id, wi,
+            pieces[1:bi-1] || [pieces[bi] || pieces[bi+1]]
+              || pieces[bi+2:] AS pieces
+          FROM (
+            SELECT doc_id, wi, pieces,
+              list_position(rks, list_aggregate(
+                list_filter(rks, r -> r IS NOT NULL), 'min')) AS bi
+            FROM (
+              SELECT doc_id, wi, pieces,
+                list_transform(range(1, len(pieces)),
+                  i -> CASE WHEN list_position(['t h','th e','i n',
+                      'a n','an d','e r','o n','r e','in g','o u',
+                      'e n','a t','e s','o r','t i','s t','a r',
+                      'te d','o f','i s'],
+                      pieces[i] || ' ' || pieces[i+1]) > 0
+                    THEN list_position(['t h','th e','i n','a n',
+                      'an d','e r','o n','r e','in g','o u','e n',
+                      'a t','e s','o r','t i','s t','a r','te d',
+                      'o f','i s'],
+                      pieces[i] || ' ' || pieces[i+1]) END) AS rks
+              FROM seg WHERE len(pieces) >= 2))
+          WHERE bi IS NOT NULL AND bi > 0),
+        final AS (
+          SELECT doc_id, wi, len(pieces) AS n
+          FROM (
+            SELECT doc_id, wi, pieces,
+              list_aggregate(list_filter(list_transform(
+                range(1, len(pieces)),
+                i -> CASE WHEN list_position(['t h','th e','i n',
+                    'a n','an d','e r','o n','r e','in g','o u',
+                    'e n','a t','e s','o r','t i','s t','a r',
+                    'te d','o f','i s'],
+                    pieces[i] || ' ' || pieces[i+1]) > 0
+                  THEN 1 END), r -> r IS NOT NULL), 'min') AS anymerge
+            FROM seg)
+          WHERE len(pieces) < 2 OR anymerge IS NULL),
+        counts AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bpe_tokens
+          FROM final GROUP BY 1)
+        SELECT e.doc_id, COALESCE(c.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM eligible e LEFT JOIN counts c ON e.doc_id = c.doc_id
+        ORDER BY e.doc_id""")))
 }
