@@ -80,16 +80,20 @@ object AnnDeletionSoak {
       val removedSet = victims.take(upTo).toSet
       val survivors = emb.filter(
         not(col("vec_id").isin(removedSet.toSeq.map(Long.box): _*)))
+      // ground truth materializes OUTSIDE the timed window (it is lazy
+      // and would otherwise dominate search_sec inside recallAtK); the
+      // timed window covers only the store load + graph search
       val exact = Similarity.bruteForceTopK(survivors, queries, k = 10)
+        .localCheckpoint()
       val t1 = System.nanoTime()
       val approx = Hnsw.topK(Hnsw.load(spark, store), queries,
         k = 10, efSearch = 48)
         .select(lit("hnsw").as("method"), col("query_id"),
-          col("neighbor_id"))
+          col("neighbor_id")).localCheckpoint()
+      val searchSec = (System.nanoTime() - t1) / 1e9
       val rec = Similarity.recallAtK(exact, approx)
         .agg(avg("recall").as("mean"), min("recall").as("min"))
         .head()
-      val searchSec = (System.nanoTime() - t1) / 1e9
       val stats = Hnsw.storeStats(spark, store).head()
       println(s"""{"metric":"ann_deletion_soak","fraction":${f4(frac)},""" +
         s""""n_total":$n,"n_removed_step":$nRemoved,""" +

@@ -82,7 +82,10 @@ object Hnsw {
       shards: Int,
       idCol: String,
       embCol: String,
-      layoutVersion: Int = CurrentLayoutVersion)
+      layoutVersion: Int = CurrentLayoutVersion,
+      // rides along so a load → save relocation cannot silently reset
+      // the cumulative deletion counter while the graph stays thinned
+      deletedCount: Long = 0L)
 
   /** Store-level metadata sidecar. `deletedCount` accumulates across
    *  [[remove]] calls so the rebuild policy ([[storeStats]]) is a
@@ -418,7 +421,19 @@ object Hnsw {
       CurrentLayoutVersion)
   }
 
+  private def fsFor(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
   private def readMeta(spark: SparkSession, path: String): StoreMeta = {
+    // crash recovery for the writeMeta swap: if the swap died between
+    // delete and rename, the fully-written candidate is still at
+    // meta_tmp — adopt it instead of failing the load
+    val fs = fsFor(spark, path)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/meta_tmp")
+    if (!fs.exists(metaPath) && fs.exists(tmpPath))
+      fs.rename(tmpPath, metaPath)
     val df = spark.read.parquet(s"$path/meta")
     val has = df.columns.toSet
     val r = df.head()
@@ -431,20 +446,34 @@ object Hnsw {
       if (has("deleted_count")) r.getAs[Long]("deleted_count") else 0L)
   }
 
+  /** Meta rewrite via write-to-tmp + swap: a direct mode("overwrite")
+   *  deletes the old meta BEFORE the new file commits, so a crash
+   *  mid-job bricks every later load. Here the full parquet job lands
+   *  at meta_tmp first; the swap is two metadata-only FS ops, and
+   *  [[readMeta]] adopts a stranded meta_tmp if the process dies
+   *  between them. */
   private def writeMeta(
       spark: SparkSession, path: String, meta: StoreMeta): Unit = {
     import spark.implicits._
+    val fs = fsFor(spark, path)
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/meta_tmp")
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
     Seq((meta.m, meta.efConstruction, meta.shards, meta.idCol,
       meta.embCol, meta.layoutVersion, meta.deletedCount))
       .toDF("m", "ef_construction", "shards", "id_col", "emb_col",
         "layout_version", "deleted_count")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_tmp")
+    fs.delete(metaPath, true)
+    fs.rename(tmpPath, metaPath)
   }
 
   /** Persist as a parquet adjacency store, shard-partitioned so search
    *  and append scan only the shards they touch (the ivfSave layout).
    *  Meta records the shard-layout version (so old raw-mod stores stay
-   *  loadable forever) and seeds the cumulative deleted counter. */
+   *  loadable forever) and the cumulative deleted counter — carried
+   *  from the index (0 for a fresh build), so relocating a store via
+   *  load → save keeps its deletion history instead of silently
+   *  resetting the rebuild signal. */
   def save(index: HnswIndex, path: String): Unit = {
     val spark = index.nodes.sparkSession
     index.nodes.write.mode("overwrite").partitionBy("shard")
@@ -452,7 +481,8 @@ object Hnsw {
     index.graph.write.mode("overwrite").partitionBy("shard")
       .parquet(s"$path/graph")
     writeMeta(spark, path, StoreMeta(index.m, index.efConstruction,
-      index.shards, index.idCol, index.embCol, index.layoutVersion, 0L))
+      index.shards, index.idCol, index.embCol, index.layoutVersion,
+      index.deletedCount))
   }
 
   def load(spark: SparkSession, path: String): HnswIndex = {
@@ -463,7 +493,7 @@ object Hnsw {
       spark.read.parquet(s"$path/graph")
         .withColumn("shard", col("shard").cast("int")),
       meta.m, meta.efConstruction, meta.shards, meta.idCol, meta.embCol,
-      meta.layoutVersion)
+      meta.layoutVersion, meta.deletedCount)
   }
 
   /** Store lifecycle stats and the rebuild recommendation (the T6
@@ -478,7 +508,12 @@ object Hnsw {
       spark: SparkSession, path: String,
       rebuildAtFraction: Double = 0.3): DataFrame = {
     val meta = readMeta(spark, path)
-    val live = spark.read.parquet(s"$path/nodes").count()
+    // a FULLY emptied store (every shard dir deleted by takedowns)
+    // leaves nodes/ holding only _SUCCESS — schema inference fails
+    // exactly where the stats matter most (deleted_fraction 1.0), so
+    // read n_live = 0 from the empty layout instead of throwing
+    val live = scala.util.Try(
+      spark.read.parquet(s"$path/nodes").count()).getOrElse(0L)
     val total = live + meta.deletedCount
     val frac = if (total == 0L) 0.0 else meta.deletedCount.toDouble / total
     import spark.implicits._
@@ -798,14 +833,18 @@ object Hnsw {
     val perShard = taggedRows(index.nodes, index.graph)
       .groupByKey(_.shard)
       .cogroup(allowByShard.groupByKey(_._1)) { (_, rows, ok) =>
-        val stored = rows.toArray
+        // a shard with NO allowed ids can never admit a result — skip
+        // the graph build AND the per-query budget-exhausting walks
+        // (drain `ok` first; `rows` is only consumed on the live path)
+        val okArr = ok.map(_._2).toArray
+        val stored = if (okArr.isEmpty) Array.empty[GraphRow]
+          else rows.toArray
         if (stored.isEmpty) Iterator.empty
         else {
           val g = new ShardGraph(m, efC)
           loadShard(g, stored)
           // sorted array + binary search: allocation-light shard-local
           // membership, no boxing-heavy hash set
-          val okArr = ok.map(_._2).toArray
           java.util.Arrays.sort(okArr)
           val isAllowed = (id: Long) =>
             java.util.Arrays.binarySearch(okArr, id) >= 0

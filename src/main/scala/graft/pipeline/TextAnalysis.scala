@@ -357,7 +357,8 @@ object TextAnalysis {
     val ranks = merges.zipWithIndex.toMap
     val count = udf { t: String =>
       if (t == null) 0L
-      else t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      else t.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .filter(_.nonEmpty)
         .map(w => bpeWord(w, ranks).length.toLong).sum
     }
     count(text)
@@ -434,7 +435,8 @@ object TextAnalysis {
     val ranks = merges.zipWithIndex.toMap
     val toks = udf { t: String =>
       if (t == null) Array.empty[String]
-      else t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      else t.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .filter(_.nonEmpty)
         .flatMap(w => bpeWord(w, ranks))
     }
     toks(text)
@@ -451,7 +453,7 @@ object TextAnalysis {
     // in a collapsed Filter can be CSE-evaluated before its isNotNull
     // guard
     if (text == null) return Array.empty
-    val t = text.toLowerCase.replaceAll("\\s+", " ")
+    val t = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     if (t.length < gram) Array(Dedup.fnv64(t))
     else {
       val B = 1000003L

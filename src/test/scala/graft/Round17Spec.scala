@@ -152,6 +152,40 @@ class HnswLayoutSpec extends AnyFunSuite {
     assert(Hnsw.remove(dir + "/idx", Seq(0L).toDF("vec_id")) == 0L)
     assert(stats().getAs[Long]("deleted_count") == 40L)
   }
+
+  test("load -> save relocation preserves the deletion counter, and a " +
+    "torn meta swap recovers from meta_tmp") {
+    val dir = Files.createTempDirectory("graft_r17_hnswreloc").toString
+    Hnsw.save(Hnsw.build(vecsDF(0L until 50L), m = 4,
+      efConstruction = 16, shards = 2), dir + "/a")
+    assert(Hnsw.remove(dir + "/a", (0L until 10L).toDF("vec_id")) == 10L)
+    // relocate: the thinned graph travels WITH its deletion history
+    Hnsw.save(Hnsw.load(spark, dir + "/a"), dir + "/b")
+    assert(Hnsw.storeStats(spark, dir + "/b").head()
+      .getAs[Long]("deleted_count") == 10L)
+    // simulate a crash between the swap's delete and rename: meta is
+    // gone, the fully-written candidate sits at meta_tmp
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir + "/b/meta"),
+      new org.apache.hadoop.fs.Path(dir + "/b/meta_tmp"))
+    val st = Hnsw.storeStats(spark, dir + "/b").head()
+    assert(st.getAs[Long]("deleted_count") == 10L,
+      "readMeta failed to adopt the stranded meta_tmp")
+    assert(Hnsw.load(spark, dir + "/b").deletedCount == 10L)
+  }
+
+  test("a fully-emptied store still reports stats instead of throwing") {
+    val dir = Files.createTempDirectory("graft_r17_hnswempty").toString
+    Hnsw.save(Hnsw.build(vecsDF(0L until 30L), m = 4,
+      efConstruction = 16, shards = 2), dir + "/idx")
+    assert(Hnsw.remove(dir + "/idx", (0L until 30L).toDF("vec_id")) == 30L)
+    val st = Hnsw.storeStats(spark, dir + "/idx").head()
+    assert(st.getAs[Long]("n_live") == 0L)
+    assert(st.getAs[Long]("deleted_count") == 30L)
+    assert(st.getAs[Double]("deleted_fraction") == 1.0)
+    assert(st.getAs[Boolean]("rebuild_recommended"))
+  }
 }
 
 /** Round-17 filtered ANN (e28): predicate-constrained top-k on both
@@ -227,6 +261,26 @@ class FilteredAnnSpec extends AnyFunSuite {
     assert(calls <= 1 + budget * 8,
       s"$calls membership probes for budget $budget — walk unbounded")
     assert(res.forall(_._1 % 50 == 0))
+  }
+
+  test("lsh filtered search: semi-join before signatures — no leak, " +
+    "decent recall on the allowed population") {
+    val allowedPred = col("label") % 2 === 0
+    val allowed = emb.filter(allowedPred).select("vec_id")
+    val queries = emb.filter(col("vec_id") < 20)
+    val res = Similarity.lshTopKFiltered(emb, queries, allowed, k = 10)
+    assert(res.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+    val leaked = res.join(emb.select(col("vec_id").as("neighbor_id"),
+      col("label")), "neighbor_id")
+      .filter(!(col("label") % 2 === 0)).count()
+    assert(leaked == 0L, s"$leaked disallowed neighbors leaked")
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(allowedPred), queries, k = 10)
+    val recall = Similarity.recallAtK(exact,
+      res.select(lit("lshf").as("method"), col("query_id"),
+        col("neighbor_id")))
+      .agg(avg("recall")).head().getDouble(0)
+    assert(recall >= 0.5, s"filtered LSH mean recall@10 $recall < 0.5")
   }
 
   test("ivf filtered search: the predicate semi-join sits UNDER the " +
