@@ -103,6 +103,32 @@ object AnnDeletionSoak {
         s""""rebuild_recommended":${stats.getAs[Boolean]("rebuild_recommended")},""" +
         s""""remove_sec":${f4(removeSec)},"search_sec":${f4(searchSec)}}""")
     }
+    // the recovery point: the rebuild the recommendation asks for,
+    // measured — recall at the deepest deletion step, re-knitted
+    val t2 = System.nanoTime()
+    Hnsw.rebuild(spark, store)
+    val rebuildSec = (System.nanoTime() - t2) / 1e9
+    val survivors = emb.filter(
+      not(col("vec_id").isin(
+        victims.take(removedSoFar).toSet.toSeq.map(Long.box): _*)))
+    val exact = Similarity.bruteForceTopK(survivors, queries, k = 10)
+      .localCheckpoint()
+    val t3 = System.nanoTime()
+    val approx = Hnsw.topK(Hnsw.load(spark, store), queries,
+      k = 10, efSearch = 48)
+      .select(lit("hnsw").as("method"), col("query_id"),
+        col("neighbor_id")).localCheckpoint()
+    val searchSec = (System.nanoTime() - t3) / 1e9
+    val rec = Similarity.recallAtK(exact, approx)
+      .agg(avg("recall").as("mean"), min("recall").as("min")).head()
+    val stats = Hnsw.storeStats(spark, store).head()
+    println(s"""{"metric":"ann_deletion_soak","fraction":"post_rebuild",""" +
+      s""""n_total":$n,"n_removed_step":0,""" +
+      s""""deleted_fraction":${f4(stats.getAs[Double]("deleted_fraction"))},""" +
+      s""""recall_mean":${f4(rec.getAs[Double]("mean"))},""" +
+      s""""recall_min":${f4(rec.getAs[Double]("min"))},""" +
+      s""""rebuild_recommended":${stats.getAs[Boolean]("rebuild_recommended")},""" +
+      s""""rebuild_sec":${f4(rebuildSec)},"search_sec":${f4(searchSec)}}""")
     spark.stop()
   }
 }

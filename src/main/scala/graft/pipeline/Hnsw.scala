@@ -523,6 +523,37 @@ object Hnsw {
         "rebuild_recommended")
   }
 
+  /** The action [[storeStats]]'s recommendation points at: re-knit the
+   *  store's graph from its surviving vectors (node rows carry the
+   *  normalized embeddings, so no source corpus is needed), reset the
+   *  deletion counter, and — as a side effect of rebuilding through
+   *  [[build]] — MIGRATE a legacy raw-mod (v1) store to the hashed
+   *  shard layout, the documented upgrade path for stride-skewed
+   *  stores. Tombstone removal thins neighbor lists without
+   *  re-selection ([[remove]]); past the measured ~30% knee the recall
+   *  loss is real (BASELINE §20) and this is the repair. Full-store
+   *  cost by design — run it on the index-maintenance cadence, not
+   *  per takedown batch. */
+  def rebuild(spark: SparkSession, path: String): Unit =
+    graft.history.StoreIO.appendLocked(path) {
+      val idx = load(spark, path)
+      val vecs = idx.nodes
+        .select(col("vec_id"), col("emb"))
+        .localCheckpoint() // must not keep lineage into the files we replace
+      val fresh = build(vecs, idx.m, idx.efConstruction, idx.shards,
+        idCol = "vec_id", embCol = "emb")
+      // wipe both tables explicitly: save()'s plain overwrite replaces
+      // whole dirs, but under a session-wide dynamic
+      // partitionOverwriteMode it would only rewrite matching
+      // partitions — and a v1 store's stale shard dirs (ids now hash
+      // elsewhere) would survive and resurrect removed-layout rows
+      val fs = fsFor(spark, path)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/nodes"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/graph"), true)
+      // meta keeps the USER-facing column names (append/topK contracts)
+      save(fresh.copy(idCol = idx.idCol, embCol = idx.embCol), path)
+    }
+
   /** Run `body` with dynamic partition-overwrite on, restoring the
    *  caller's setting after — shared by [[append]] and [[remove]] so
    *  the save/set/restore juggling exists exactly once. */

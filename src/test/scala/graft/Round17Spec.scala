@@ -175,6 +175,61 @@ class HnswLayoutSpec extends AnyFunSuite {
     assert(Hnsw.load(spark, dir + "/b").deletedCount == 10L)
   }
 
+  test("rebuild re-knits a thinned store, resets the counter, and " +
+    "migrates a legacy v1 store to the hashed layout") {
+    val dir = Files.createTempDirectory("graft_r17_hnswrebuild").toString
+    Hnsw.save(Hnsw.build(vecsDF(0L until 100L), m = 4,
+      efConstruction = 16, shards = 2), dir + "/idx")
+    assert(Hnsw.remove(dir + "/idx",
+      (0L until 40L).toDF("vec_id")) == 40L)
+    assert(Hnsw.storeStats(spark, dir + "/idx").head()
+      .getAs[Boolean]("rebuild_recommended"))
+    Hnsw.rebuild(spark, dir + "/idx")
+    val st = Hnsw.storeStats(spark, dir + "/idx").head()
+    assert(st.getAs[Long]("n_live") == 60L)
+    assert(st.getAs[Long]("deleted_count") == 0L)
+    assert(!st.getAs[Boolean]("rebuild_recommended"))
+    val idx = Hnsw.load(spark, dir + "/idx")
+    val res = Hnsw.topK(idx, vecsDF(Seq(50L)), k = 5, efSearch = 16)
+    assert(res.count() == 5)
+    assert(res.filter(col("neighbor_id") < 40L).count() == 0,
+      "rebuild resurrected a removed id")
+    // append still honors the ORIGINAL user-facing columns
+    Hnsw.append(dir + "/idx", vecsDF(Seq(500L)))
+    assert(Hnsw.load(spark, dir + "/idx").nodes.count() == 61L)
+
+    // v1 migration: hand-write a raw-mod store, rebuild, expect the
+    // hashed layout with every node re-homed to its v2 shard
+    val d2 = Files.createTempDirectory("graft_r17_hnswmig").toString
+    val rows = (0 until 2).flatMap { sh =>
+      val g = new Hnsw.ShardGraph(4, 16)
+      (0L until 40L).filter(id => java.lang.Math.floorMod(id, 2L) == sh)
+        .foreach(id => g.insert(id, unitVec(id)))
+      g.emit(sh).toList
+    }
+    val df = rows.toDF()
+    df.filter(col("kind") === "node")
+      .select("shard", "vec_id", "emb", "max_level")
+      .write.partitionBy("shard").parquet(d2 + "/idx/nodes")
+    df.filter(col("kind") === "edge")
+      .select("shard", "vec_id", "level", "neighbors")
+      .write.partitionBy("shard").parquet(d2 + "/idx/graph")
+    Seq((4, 16, 2, "vec_id", "embedding"))
+      .toDF("m", "ef_construction", "shards", "id_col", "emb_col")
+      .coalesce(1).write.parquet(d2 + "/idx/meta")
+    assert(Hnsw.load(spark, d2 + "/idx").layoutVersion == 1)
+    Hnsw.rebuild(spark, d2 + "/idx")
+    val migrated = Hnsw.load(spark, d2 + "/idx")
+    assert(migrated.layoutVersion == 2, "rebuild did not migrate layout")
+    assert(migrated.nodes.count() == 40L)
+    val misHomed = migrated.nodes.collect().count { r =>
+      r.getAs[Int]("shard") != Hnsw.shardOf(r.getAs[Long]("vec_id"), 2)
+    }
+    assert(misHomed == 0, s"$misHomed nodes in the wrong v2 shard")
+    assert(Hnsw.topK(migrated, vecsDF(Seq(3L)), k = 3, efSearch = 16)
+      .count() == 3)
+  }
+
   test("a fully-emptied store still reports stats instead of throwing") {
     val dir = Files.createTempDirectory("graft_r17_hnswempty").toString
     Hnsw.save(Hnsw.build(vecsDF(0L until 30L), m = 4,
