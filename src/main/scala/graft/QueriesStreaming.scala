@@ -1053,5 +1053,83 @@ private[graft] object QueriesStreaming {
         runBoundedStream(s, enriched, "st23_sink", "append")
           .orderBy("event_id")
       },
-      Some(pitOracleSql)))
+      Some(pitOracleSql)),
+
+    Q("st24_ann_serving_stream",
+      // ANN SERVING on a query stream — the e-lane × st-lane
+      // composition a production vector store runs all day: queries
+      // arrive as a stream, each micro-batch is answered from the
+      // PERSISTED HNSW store via foreachBatch (the index loads once,
+      // outside the per-batch path), and because the graph walk is
+      // per-query independent the stream MUST return byte-identical
+      // answers to the batch path over the same query set. Three
+      // pinned claims: the per-pair cosines are recomputed by the
+      // oracle EXACTLY from the raw embeddings (a wrong engine cosine
+      // goes hash-red), ranks are re-derived by the oracle over the
+      // persisted result pairs (a mis-ordered serving path goes
+      // hash-red), and stream_matches_batch is engine-COMPUTED as a
+      // two-way anti-join count against a second, batch-mode search
+      // arm while the oracle claims the literal TRUE — batching
+      // nondeterminism (state bleed, lost/duplicated batches) goes
+      // hash-red even though both search arms share the kernel.
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val emb = t(s, d, "embeddings")
+        val state = freshState(s, "st24")
+        graft.pipeline.Hnsw.save(
+          graft.pipeline.Hnsw.build(emb, m = 8, efConstruction = 64,
+            shards = 4), state + "/index")
+        val idx = graft.pipeline.Hnsw.load(s, state + "/index")
+        val qStream = streamOf(s, s"$d/embeddings.parquet")
+          .filter(col("vec_id") < 25)
+        val q = qStream.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            // rank is a per-query window: batch-composition-independent
+            graft.pipeline.Hnsw.topK(idx, batch, k = 10, efSearch = 48)
+              .write.mode("append").parquet(state + "/out")
+          }
+          .option("checkpointLocation", state + "/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val streamed = s.read.parquet(state + "/out")
+        val batchArm = graft.pipeline.Hnsw.topK(idx,
+          emb.filter(col("vec_id") < 25), k = 10, efSearch = 48)
+        val pairs = Seq("query_id", "neighbor_id")
+        val mismatches =
+          streamed.select(pairs.map(col): _*)
+            .join(batchArm.select(pairs.map(col): _*), pairs,
+              "left_anti").count() +
+          batchArm.select(pairs.map(col): _*)
+            .join(streamed.select(pairs.map(col): _*), pairs,
+              "left_anti").count()
+        streamed
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"), col("rank"))
+          .withColumn("stream_matches_batch", lit(mismatches == 0L))
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH res AS (
+          SELECT query_id, neighbor_id FROM read_parquet(
+            '/tmp/graft_qstate/st24/out/*.parquet')),
+        scored AS (
+          SELECT r.query_id, r.neighbor_id,
+            list_sum(list_transform(range(1, len(q.embedding) + 1),
+              i -> CAST(q.embedding[i] AS DOUBLE)
+                 * CAST(c.embedding[i] AS DOUBLE))) /
+            (SQRT(list_sum(list_transform(q.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             SQRT(list_sum(list_transform(c.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+            AS cos
+          FROM res r
+          JOIN embeddings q ON r.query_id = q.vec_id
+          JOIN embeddings c ON r.neighbor_id = c.vec_id)
+        SELECT query_id, neighbor_id, ROUND(cos, 6) AS cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+          TRUE AS stream_matches_batch
+        FROM scored
+        ORDER BY query_id, rank""")))
 }
