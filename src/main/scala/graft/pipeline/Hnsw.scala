@@ -542,16 +542,25 @@ object Hnsw {
         .localCheckpoint() // must not keep lineage into the files we replace
       val fresh = build(vecs, idx.m, idx.efConstruction, idx.shards,
         idCol = "vec_id", embCol = "emb")
-      // wipe both tables explicitly: save()'s plain overwrite replaces
-      // whole dirs, but under a session-wide dynamic
-      // partitionOverwriteMode it would only rewrite matching
-      // partitions — and a v1 store's stale shard dirs (ids now hash
-      // elsewhere) would survive and resurrect removed-layout rows
+      // land the WHOLE fresh store at rebuild_tmp first, then swap the
+      // three dirs: a crash during the (long) build/write leaves the
+      // original store untouched, and a crash mid-swap leaves a store
+      // the orphan-tolerant loader still serves — strictly better than
+      // delete-then-write, whose mid-crash loses everything. The
+      // explicit per-dir delete also means a session-wide dynamic
+      // partitionOverwriteMode can't leave a v1 store's stale shard
+      // dirs behind to resurrect removed-layout rows.
+      // Meta keeps the USER-facing column names (append/topK contracts).
       val fs = fsFor(spark, path)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/nodes"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/graph"), true)
-      // meta keeps the USER-facing column names (append/topK contracts)
-      save(fresh.copy(idCol = idx.idCol, embCol = idx.embCol), path)
+      val tmp = s"$path/rebuild_tmp"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      save(fresh.copy(idCol = idx.idCol, embCol = idx.embCol), tmp)
+      Seq("nodes", "graph", "meta").foreach { t =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$t"), true)
+        fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"),
+          new org.apache.hadoop.fs.Path(s"$path/$t"))
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
 
   /** Run `body` with dynamic partition-overwrite on, restoring the
