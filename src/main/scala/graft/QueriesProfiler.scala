@@ -43,7 +43,7 @@ private[graft] object QueriesProfiler {
 
     Q("p03_distinct_counts",
       (s, d) => {
-        val df = t(s, d, "lineitem")
+        val df = tS(s, d, "lineitem")
         val aggs = df.columns.toSeq.map(c =>
           countDistinct(col(c)).as(s"${c}_distinct"))
         df.agg(aggs.head, aggs.tail: _*)
@@ -123,7 +123,7 @@ private[graft] object QueriesProfiler {
         FROM m""")),
 
     Q("p08_median_quantiles",
-      (s, d) => t(s, d, "lineitem").agg(
+      (s, d) => tS(s, d, "lineitem").agg(
         round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_median"),
         round(expr("percentile(l_quantity, 0.25)"), 6).as("qty_q1"),
         round(expr("percentile(l_quantity, 0.75)"), 6).as("qty_q3"),
@@ -507,7 +507,7 @@ private[graft] object QueriesProfiler {
     Q("p30_correlations",
       // pairwise Pearson correlation in ONE pass: decimal-exact moments,
       // identical final double formula on both engines
-      (s, d) => graft.profiler.Drift.correlations(t(s, d, "lineitem"),
+      (s, d) => graft.profiler.Drift.correlations(tS(s, d, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy("col_a", "col_b"),
       Some(duckCorrelationsSql)),

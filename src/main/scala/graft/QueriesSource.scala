@@ -149,7 +149,7 @@ private[graft] object QueriesSource {
       // order-independence discipline) — one quantile pass + one
       // clamped agg pass, both scan-bound
       (s, d) => {
-        val li = t(s, d, "lineitem")
+        val li = tS(s, d, "lineitem")
         val q = li.agg(
           round(expr("percentile(l_extendedprice, 0.05)"), 6).as("__q05"),
           round(expr("percentile(l_extendedprice, 0.95)"), 6).as("__q95"))
@@ -186,7 +186,7 @@ private[graft] object QueriesSource {
       // this proposes them): one agg pass, |cols|^2 exact distinct
       // counts via null-as-group structs, A->B holds iff
       // |distinct A| = |distinct (A,B)|, near-FD strength in ppm
-      (s, d) => Profiler.fdDiscovery(t(s, d, "orders"),
+      (s, d) => Profiler.fdDiscovery(tS(s, d, "orders"),
           Seq("o_orderkey", "o_custkey", "o_orderstatus",
             "o_orderpriority"))
         .orderBy("determinant", "dependent"),

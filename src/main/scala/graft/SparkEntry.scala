@@ -31,6 +31,17 @@ object SparkEntry {
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[t]] with [[graft.pipeline.Par.spread]]: scale-adaptive read for
+   *  query bodies whose first stage is an expensive aggregate / expand /
+   *  percentile over a small fixture (a single-row-group parquet scans
+   *  as ONE task, serializing the whole partial-aggregation pass while
+   *  the other cores idle). At production partition counts spread is a
+   *  no-op, so no shuffle is ever added to a large input. Use only
+   *  where the per-row work dominates the added exchange (measured;
+   *  cheap scan-aggregates like p01 stay on [[t]]). */
+  private[graft] def tS(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.pipeline.Par.spread(t(s, dir, name))
+
   /** events.parquet has carried several physical ts encodings across
    *  driver testdata generations — TIMESTAMP(NANOS) (read as long under
    *  spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS,

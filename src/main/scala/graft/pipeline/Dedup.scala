@@ -178,10 +178,15 @@ object Dedup {
       textCol: String = "text",
       spanLen: Int = 9): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    // three consumers re-tokenize the corpus (spans / token stream /
+    // n_tokens); spread the projected input once so the tokenize +
+    // span-hash map chain parallelizes even on a single-row-group
+    // input (Par.spread is a no-op at production partition counts)
+    val docsIn = Par.spread(docs.select(col(idCol), col(textCol)))
     def toks(df: DataFrame) = df.select(col(idCol),
       expr(s"filter(split(lower(trim($textCol)), '\\\\s+'), w -> length(w) > 0)")
         .as("w"))
-    val spans = toks(docs).filter(size(col("w")) >= spanLen)
+    val spans = toks(docsIn).filter(size(col("w")) >= spanLen)
       .select(col(idCol), posexplode(expr(
         s"""transform(sequence(0, size(w) - $spanLen),
            |  i -> md5(cast(array_join(slice(w, i + 1, $spanLen), ' ') as binary)))"""
@@ -203,7 +208,7 @@ object Dedup {
       .select(col(idCol),
         explode(expr(s"sequence(spos, spos + ${spanLen - 1})")).as("tpos"))
       .distinct()
-    val tokens = toks(docs)
+    val tokens = toks(docsIn)
       .select(col(idCol), posexplode(col("w")).as(Seq("tpos", "tok")))
     val rebuilt = tokens
       .join(covered, Seq(idCol, "tpos"), "left_anti")
@@ -214,7 +219,7 @@ object Dedup {
           " ").as("cleaned"))
     // coalesce: size(NULL array) is NULL for null-text docs — report 0
     // tokens (consistent with cleaned_text's "" coalesce below)
-    toks(docs).select(col(idCol),
+    toks(docsIn).select(col(idCol),
         coalesce(size(col("w")), lit(0)).cast("long").as("n_tokens"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
@@ -252,9 +257,14 @@ object Dedup {
       (sig, bands)
     }
     // null text carries no shingles and cannot be a near-dup of
-    // anything — filter BEFORE the UDF (shingleHashes would NPE)
-    docs
-      .filter(col(textCol).isNotNull)
+    // anything — filter BEFORE the UDF (shingleHashes would NPE).
+    // Par.spread: the signature UDF is the heaviest per-row kernel in
+    // the dedup stack (hashes × shingles permutes per doc) — spread the
+    // projected input so it parallelizes on single-row-group fixtures
+    // (no-op at production partition counts).
+    Par.spread(docs
+        .filter(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)))
       .withColumn("__s", sigUdf(col(textCol)))
       .select(col(idCol), col("__s._1").as("signature"), col("__s._2").as("bands"))
   }
@@ -587,9 +597,11 @@ object Dedup {
     val cand = ec.join(er, Seq("band_idx", "band_key"))
       .select(col("corpus_id"), col("ref_id")).distinct()
     val shUdf = udf((text: String) => shingleHashes(text, shingleK))
-    val shc = corpus.filter(col(textCol).isNotNull)
+    val shc = Par.spread(corpus.filter(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)))
       .select(col(idCol).as("corpus_id"), shUdf(col(textCol)).as("__shc"))
-    val shr = reference.filter(col(textCol).isNotNull)
+    val shr = Par.spread(reference.filter(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)))
       .select(col(idCol).as("ref_id"), shUdf(col(textCol)).as("__shr"))
     cand.join(shc, "corpus_id").join(shr, "ref_id")
       .withColumn("jaccard",
@@ -703,7 +715,8 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     val sh = shingleUdf(shingleK)
     def side(df: DataFrame, ia: Int, ib: Int): DataFrame =
-      df.select(explode(sh(col(textCol))).as("shingle"))
+      Par.spread(df.select(col(textCol)))
+        .select(explode(sh(col(textCol))).as("shingle"))
         .select(col("shingle"), lit(ia).as("__ia"), lit(ib).as("__ib"))
     side(docsA, 1, 0).union(side(docsB, 0, 1))
       .groupBy(col("shingle"))
@@ -744,7 +757,8 @@ object Dedup {
       k: Int = 256): DataFrame = {
     require(k > 0, "k must be positive")
     val sh = shingleUdf(shingleK)
-    docs.select(explode(sh(col(textCol))).as("shingle"))
+    Par.spread(docs.select(col(textCol)))
+      .select(explode(sh(col(textCol))).as("shingle"))
       .select(md5(col("shingle").cast("binary")).as("h"))
       .distinct()
       .orderBy("h").limit(k)
@@ -848,7 +862,9 @@ object Dedup {
       shingleK: Int,
       maxShingleDocFreq: Int): DataFrame = {
     val shUdf = shingleUdf(shingleK)
-    val shingled = docs
+    // spread before the shingler: one serial scan task otherwise pays
+    // the whole corpus tokenize+slide (no-op at production counts)
+    val shingled = Par.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), shUdf(col(textCol)).as("shingles"))
       .filter(size(col("shingles")) > 0)
     // group-and-combine: ONE shuffle keyed by shingle builds each posting
@@ -897,7 +913,8 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val shUdf = udf((text: String) => simhash64(text))
-    docs.filter(col(textCol).isNotNull)
+    Par.spread(docs.filter(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)))
       .select(col(idCol), shUdf(col(textCol)).as("simhash"))
   }
 
@@ -2075,11 +2092,14 @@ object Dedup {
     require(maxChars > 0 && maxRatioPpm >= 0, "positive caps required")
     val txt = docs.select(col(idCol).cast("long").as("__id"),
       substring(coalesce(col(textCol), lit("")), 1, maxChars).as("__t"))
-    pairs
-      .join(txt.select(col("__id").as("id_a"), col("__t").as("__ta")),
-        "id_a")
-      .join(txt.select(col("__id").as("id_b"), col("__t").as("__tb")),
-        "id_b")
+    // spread the joined candidate frame before the DP kernel: each
+    // pair costs up to maxChars² cells, and a tiny-bytes candidate set
+    // otherwise lands in one coalesced partition (serial verify)
+    Par.spread(pairs
+        .join(txt.select(col("__id").as("id_a"), col("__t").as("__ta")),
+          "id_a")
+        .join(txt.select(col("__id").as("id_b"), col("__t").as("__tb")),
+          "id_b"))
       .withColumn("lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
       .withColumn("max_len",
         greatest(length(col("__ta")), length(col("__tb"))).cast("long"))

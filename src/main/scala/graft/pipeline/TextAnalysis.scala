@@ -202,7 +202,8 @@ object TextAnalysis {
         struct(lit(l).as("lang"), lit(2).as("tier"), lit(i).as("prio"),
           lowerHits(t, ws).cast("long").as("score"))
       }
-    docs.select(col(idCol), explode(array(entries: _*)).as("__s"))
+    Par.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), explode(array(entries: _*)).as("__s"))
       .select(col(idCol), col("__s.lang"), col("__s.tier"),
         col("__s.prio"), col("__s.score"))
       .filter(col("score") > 0)
@@ -274,7 +275,8 @@ object TextAnalysis {
     val nScripts = counts
       .map { case (_, c) => when(c > 0, 1).otherwise(0) }
       .reduce(_ + _)
-    docs.select(col(idCol), col(langCol),
+    Par.spread(docs.select(col(idCol), col(langCol), col(textCol)))
+      .select(col(idCol), col(langCol),
         counts.head._2.as("__latin"), counts(1)._2.as("__han"),
         dominant.as("dominant_script"),
         (nScripts >= 2).cast("long").as("__mixed"))
@@ -382,7 +384,7 @@ object TextAnalysis {
       vocabCap: Int = 100000,
       textCol: String = "text"): Seq[(String, String)] = {
     require(numMerges > 0, "numMerges must be positive")
-    val words = docs
+    val words = Par.spread(docs.select(col(textCol)))
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("f"))
@@ -480,8 +482,9 @@ object TextAnalysis {
       textCol: String = "text",
       gram: Int = 8): DataFrame = {
     val hUdf = udf { text: String => krHashes(text, gram) }
-    docs.select(col(idCol),
-      posexplode(hUdf(col(textCol))).as(Seq("pos", "hash")))
+    Par.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(hUdf(col(textCol))).as(Seq("pos", "hash")))
   }
 
   /** Winnowed Karp–Rabin window minima of a text: the classic winnowing
@@ -519,7 +522,7 @@ object TextAnalysis {
     val fpUdf = udf { text: String =>
       winnowedMins(text, gram, window).foldLeft(0L)(_ ^ _)
     }
-    docs.withColumn("fingerprint", fpUdf(col(textCol)))
+    Par.spread(docs).withColumn("fingerprint", fpUdf(col(textCol)))
   }
 
   /** Vocabulary build over a corpus: one row per distinct token with its
@@ -593,7 +596,7 @@ object TextAnalysis {
       s"""filter(transform(sequence(0, size(__toks) - $n),
          |  i -> array_join(slice(__toks, i + 1, $n), ' ')),
          |  g -> g != '')""".stripMargin)
-    docs
+    Par.spread(docs.select(col(textCol)))
       .select(toks.as("__toks"))
       .filter(size(col("__toks")) >= n)
       .select(explode(grams).as("ngram"))
@@ -615,7 +618,7 @@ object TextAnalysis {
       textCol: String = "text",
       n: Int = 2,
       outCol: String = "repetition"): DataFrame =
-    docs
+    Par.spread(docs)
       .withColumn("__toks", split(lower(trim(col(textCol))), "\\s+"))
       .withColumn("__grams",
         when(size(col("__toks")) >= n,
@@ -644,7 +647,7 @@ object TextAnalysis {
       s"""array_distinct(filter(transform(sequence(0, size(__toks) - $n),
          |  i -> array_join(slice(__toks, i + 1, $n), ' ')),
          |  g -> g != ''))""".stripMargin)
-    docs
+    Par.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), toks.as("__toks"))
       .filter(size(col("__toks")) >= n)
       .select(col(idCol), explode(grams).as("ngram"))
@@ -798,7 +801,7 @@ object TextAnalysis {
       gram: Int = 8,
       window: Int = 16): DataFrame = {
     val fpUdf = udf { text: String => winnowedMins(text, gram, window) }
-    docs.withColumn("fingerprint_windows", fpUdf(col(textCol)))
+    Par.spread(docs).withColumn("fingerprint_windows", fpUdf(col(textCol)))
   }
 
   /** HTML → text extraction (raw-crawl onboarding, the trafilatura-
@@ -1037,7 +1040,7 @@ object TextAnalysis {
       minStop: Int = 2,
       minAlphaFrac: Double = 0.8): DataFrame = {
     val t0 = lower(trim(col(textCol)))
-    val staged = docs
+    val staged = Par.spread(docs.select(col(idCol), col(textCol)))
       .withColumn("__toks",
         filter(split(t0, "\\s+"), x => length(x) > 0))
       .withColumn("__nws", length(regexp_replace(t0, "\\s", "")))
@@ -1112,7 +1115,7 @@ object TextAnalysis {
    *  arithmetic has ONE source of truth. */
   private def qualityStaged(docs: DataFrame, t: Column): DataFrame = {
     val nToks = size(col("__toks"))
-    docs
+    Par.spread(docs)
       .withColumn("__toks", tokenArr(t))
       .withColumn("__alpha", alphaRatio(t))
       .withColumn("__punct", punctRatio(t))
@@ -1438,7 +1441,7 @@ object TextAnalysis {
       textCol: String = "text",
       minCount: Long = 5,
       top: Int = 50): DataFrame = {
-    val toks = docs
+    val toks = Par.spread(docs.select(col(textCol)))
       .select(split(lower(trim(col(textCol))), "\\s+").as("__toks"))
       .filter(size(col("__toks")) >= 1)
     val uniRows = toks
@@ -2056,7 +2059,8 @@ object TextAnalysis {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), md5(normalizeText(col(textCol))).as("norm_md5"))
+    Par.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), md5(normalizeText(col(textCol))).as("norm_md5"))
       .filter(col("norm_md5").isNotNull)
       .groupBy(col("norm_md5"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
@@ -2191,7 +2195,7 @@ object TextAnalysis {
     val distinctCanaries = canaries.distinct.toIndexedSeq
     val ac = new AhoCorasick(distinctCanaries)
     val hitUdf = udf { text: String => ac.matches(text) }
-    val hits = docs
+    val hits = Par.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("__id"),
         explode(hitUdf(col(textCol))).as("__c"))
     val labels = distinctCanaries.zipWithIndex
@@ -2227,7 +2231,7 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val lvl = level
-    docs.select(col(idCol).cast("long"), col(textCol))
+    Par.spread(docs.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .mapPartitions { it =>
         val defl = new java.util.zip.Deflater(lvl)
