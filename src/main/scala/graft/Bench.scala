@@ -228,7 +228,15 @@ object Bench {
                 qrx.findAllMatchIn(mtxt)
                   .map(m => m.group(1) -> m.group(2).toDouble).toMap
               } else Map.empty
-            } catch { case _: Throwable => Map.empty }
+            } catch {
+              // NonFatal only: swallowing OOM/interrupts here hid real
+              // failures, and a present-but-unparseable sidecar must
+              // say so instead of silently reverting to median-only
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[bench] MIN sidecar failed to load: ${e.getMessage}")
+                Map.empty
+            }
             def aboveMin(name: String, v: Double): Boolean =
               priorMin.get(name).orElse(priorMin.get(shortId(name)))
                 .filter(_ > 0).forall(mn => v > 1.4 * mn)

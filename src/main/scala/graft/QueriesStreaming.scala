@@ -501,7 +501,7 @@ private[graft] object QueriesStreaming {
           .coalesce(2).write.mode("overwrite").parquet(state + "/csig")
         Similarity.embeddingBandSignatures(bench)
           .coalesce(1).write.mode("overwrite").parquet(state + "/bsig")
-        val stream = streamOf(s, s"$d/embeddings.parquet")
+        val stream = streamOf(s, s"$d/embeddings.parquet").repartition(8)
         val gated = Similarity.semanticGate(stream, bench, threshold = 0.9)
         runBoundedStream(s, gated, "st15_sink", "append")
           .select(col("vec_id").as("corpus_id"), col("bench_id"),
@@ -756,7 +756,12 @@ private[graft] object QueriesStreaming {
         val docs = t(s, d, "documents")
         TextAnalysis.languageScores(docs)
           .write.mode("overwrite").parquet(state + "/scores")
+        // repartition INSIDE the micro-batch: the single-file stream
+        // source yields one input partition, so the 20-profile langid
+        // expression chain would score the whole batch on one core
+        // (the Par.spread rationale; streams need the explicit form)
         val stream = streamOf(s, s"$d/documents.parquet")
+          .repartition(8)
           .select(col("doc_id"),
             TextAnalysis.detectLanguage(col("text")).as("lang"),
             length(col("text")).cast("long").as("n_chars"))
@@ -811,6 +816,7 @@ private[graft] object QueriesStreaming {
           when(id % 11 === 0, concat(lit(" ssn 123-45-"),
             lpad((id % 10000).cast("string"), 4, "0"))).otherwise(""))
         val stream = streamOf(s, s"$d/documents.parquet")
+          .repartition(8) // spread the regex battery
           .select(col("doc_id"), col("text"))
           .withColumn("text", inj)
         val annotated = Pii.piiScan(stream)

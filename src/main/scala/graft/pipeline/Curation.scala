@@ -224,7 +224,7 @@ object Curation {
     // quality_score (identical arithmetic) and skips the
     // language-marker / subword lanes. No cache here — the scan is
     // consumed once, by exactKept's window.
-    val prof = TextAnalysis.qualityGate(newDocs, textCol)
+    val prof = TextAnalysis.qualityGate(newDocs, textCol, spread = false)
       .observe(gateObs, count(lit(1)).as("arrived"),
         count(when(pass, lit(1))).as("after_quality"))
     // exact dedup in ONE exchange: first id per content hash via a
@@ -246,7 +246,7 @@ object Curation {
     // minhashStoreAppend) ran it twice
     val sliceSigs = Dedup.minhashSignatures(exactKept, store.idCol,
       textCol, store.shingleK, store.numHashes, store.numBands,
-      store.seed).cache()
+      store.seed, spread = false).cache()
     val matches = Dedup.incrementalNearDuplicatesFromSignatures(
       store, sliceSigs, config.jaccardThreshold)
     // matches mix two pair shapes — (slice, store): drop the slice
@@ -292,7 +292,7 @@ object Curation {
         val g = gateObs.get
         val arrived = metric(g, "arrived", newDocs.count())
         val afterQuality = metric(g, "after_quality",
-          TextAnalysis.qualityGate(newDocs, textCol)
+          TextAnalysis.qualityGate(newDocs, textCol, spread = false)
             .filter(pass).count())
         val afterExact =
           metric(exactObs.get, "after_exact", exactKept.count())

@@ -239,7 +239,8 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 128,
       numBands: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      spread: Boolean = true): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / numBands
     val family = hashFamily(numHashes, seed)
@@ -262,9 +263,10 @@ object Dedup {
     // the dedup stack (hashes × shingles permutes per doc) — spread the
     // projected input so it parallelizes on single-row-group fixtures
     // (no-op at production partition counts).
-    Par.spread(docs
-        .filter(col(textCol).isNotNull)
-        .select(col(idCol), col(textCol)))
+    val in = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol))
+    (if (spread) Par.spread(in) else in)
       .withColumn("__s", sigUdf(col(textCol)))
       .select(col(idCol), col("__s._1").as("signature"), col("__s._2").as("bands"))
   }
@@ -425,7 +427,7 @@ object Dedup {
     val spark = newDocs.sparkSession
     val store = minhashStoreLoad(spark, path)
     minhashSignatures(newDocs, store.idCol, textCol, store.shingleK,
-        store.numHashes, store.numBands, store.seed)
+        store.numHashes, store.numBands, store.seed, spread = false)
       .write.mode("append").parquet(s"$path/signatures")
     minhashStoreLoad(spark, path)
   }
@@ -443,7 +445,7 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame =
     incrementalNearDuplicatesFromSignatures(store,
       minhashSignatures(newDocs, store.idCol, textCol, store.shingleK,
-        store.numHashes, store.numBands, store.seed),
+        store.numHashes, store.numBands, store.seed, spread = false),
       threshold, maxBucketSize)
 
   /** The incremental verify core: candidates are the band-keyed
@@ -757,8 +759,7 @@ object Dedup {
       k: Int = 256): DataFrame = {
     require(k > 0, "k must be positive")
     val sh = shingleUdf(shingleK)
-    Par.spread(docs.select(col(textCol)))
-      .select(explode(sh(col(textCol))).as("shingle"))
+    docs.select(explode(sh(col(textCol))).as("shingle"))
       .select(md5(col("shingle").cast("binary")).as("h"))
       .distinct()
       .orderBy("h").limit(k)

@@ -485,7 +485,29 @@ object Hnsw {
       index.deletedCount))
   }
 
+  /** Crash recovery for [[rebuild]]'s three-dir swap (the readMeta
+   *  meta_tmp pattern extended to the whole store): if the process died
+   *  between a dir's delete and its rename, the fully-written candidate
+   *  is still under rebuild_tmp — adopt any dir missing at the store
+   *  root whose candidate is complete (parquet _SUCCESS present).
+   *  No-op for healthy stores and for stranded tmp dirs whose originals
+   *  survived (rebuild deletes tmp only after the full swap). */
+  private def recoverRebuildTmp(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/rebuild_tmp")
+    if (!fs.exists(tmp)) return
+    Seq("nodes", "graph", "meta").foreach { t =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$t")
+      val src = new org.apache.hadoop.fs.Path(s"$path/rebuild_tmp/$t")
+      val complete = fs.exists(src) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/rebuild_tmp/$t/_SUCCESS"))
+      if (complete && !fs.exists(dst)) fs.rename(src, dst)
+    }
+  }
+
   def load(spark: SparkSession, path: String): HnswIndex = {
+    recoverRebuildTmp(spark, path)
     val meta = readMeta(spark, path)
     HnswIndex(
       spark.read.parquet(s"$path/nodes")
@@ -507,13 +529,21 @@ object Hnsw {
   def storeStats(
       spark: SparkSession, path: String,
       rebuildAtFraction: Double = 0.3): DataFrame = {
+    recoverRebuildTmp(spark, path)
     val meta = readMeta(spark, path)
     // a FULLY emptied store (every shard dir deleted by takedowns)
     // leaves nodes/ holding only _SUCCESS — schema inference fails
     // exactly where the stats matter most (deleted_fraction 1.0), so
-    // read n_live = 0 from the empty layout instead of throwing
-    val live = scala.util.Try(
-      spark.read.parquet(s"$path/nodes").count()).getOrElse(0L)
+    // read n_live = 0 from the EMPTY layout only; any other read
+    // failure (transient IO, permissions, corrupt footer) propagates —
+    // a blanket getOrElse(0) here reported deleted_fraction 1.0 on a
+    // healthy-but-unreadable store and could trigger a doomed rebuild
+    val fs = fsFor(spark, path)
+    val nodesDir = new org.apache.hadoop.fs.Path(s"$path/nodes")
+    val hasData = fs.exists(nodesDir) && fs.listStatus(nodesDir).exists(
+      st => st.isDirectory || st.getPath.getName.endsWith(".parquet"))
+    val live =
+      if (hasData) spark.read.parquet(s"$path/nodes").count() else 0L
     val total = live + meta.deletedCount
     val frac = if (total == 0L) 0.0 else meta.deletedCount.toDouble / total
     import spark.implicits._
@@ -544,9 +574,11 @@ object Hnsw {
         idCol = "vec_id", embCol = "emb")
       // land the WHOLE fresh store at rebuild_tmp first, then swap the
       // three dirs: a crash during the (long) build/write leaves the
-      // original store untouched, and a crash mid-swap leaves a store
-      // the orphan-tolerant loader still serves — strictly better than
-      // delete-then-write, whose mid-crash loses everything. The
+      // original store untouched, and a crash mid-swap (a dir deleted
+      // but its candidate not yet renamed in) is repaired on the next
+      // load()/storeStats() by recoverRebuildTmp, which adopts the
+      // complete candidate stranded at rebuild_tmp — strictly better
+      // than delete-then-write, whose mid-crash loses everything. The
       // explicit per-dir delete also means a session-wide dynamic
       // partitionOverwriteMode can't leave a v1 store's stale shard
       // dirs behind to resurrect removed-layout rows.

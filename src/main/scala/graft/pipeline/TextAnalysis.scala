@@ -384,7 +384,7 @@ object TextAnalysis {
       vocabCap: Int = 100000,
       textCol: String = "text"): Seq[(String, String)] = {
     require(numMerges > 0, "numMerges must be positive")
-    val words = Par.spread(docs.select(col(textCol)))
+    val words = docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("f"))
@@ -1113,9 +1113,10 @@ object TextAnalysis {
   /** The 4 staged quality inputs (__toks/__alpha/__punct/__stop) —
    *  shared by [[profileText]] and [[qualityGate]] so the score
    *  arithmetic has ONE source of truth. */
-  private def qualityStaged(docs: DataFrame, t: Column): DataFrame = {
+  private def qualityStaged(
+      docs: DataFrame, t: Column, spread: Boolean = true): DataFrame = {
     val nToks = size(col("__toks"))
-    Par.spread(docs)
+    (if (spread) Par.spread(docs) else docs)
       .withColumn("__toks", tokenArr(t))
       .withColumn("__alpha", alphaRatio(t))
       .withColumn("__punct", punctRatio(t))
@@ -1147,9 +1148,10 @@ object TextAnalysis {
    *  which matters when the gate runs on every daily slice. */
   def qualityGate(
       docs: DataFrame,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      spread: Boolean = true): DataFrame = {
     val t = col(textCol)
-    qualityStaged(docs, t)
+    qualityStaged(docs, t, spread)
       .withColumn("n_tokens", size(col("__toks")))
       .withColumn("quality_score", qualityScoreCol(t))
       .drop("__toks", "__alpha", "__punct", "__stop")
@@ -2059,8 +2061,7 @@ object TextAnalysis {
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    Par.spread(docs.select(col(idCol), col(textCol)))
-      .select(col(idCol), md5(normalizeText(col(textCol))).as("norm_md5"))
+    docs.select(col(idCol), md5(normalizeText(col(textCol))).as("norm_md5"))
       .filter(col("norm_md5").isNotNull)
       .groupBy(col("norm_md5"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
@@ -2195,7 +2196,7 @@ object TextAnalysis {
     val distinctCanaries = canaries.distinct.toIndexedSeq
     val ac = new AhoCorasick(distinctCanaries)
     val hitUdf = udf { text: String => ac.matches(text) }
-    val hits = Par.spread(docs.select(col(idCol), col(textCol)))
+    val hits = docs
       .select(col(idCol).as("__id"),
         explode(hitUdf(col(textCol))).as("__c"))
     val labels = distinctCanaries.zipWithIndex
