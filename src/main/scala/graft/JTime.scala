@@ -17,14 +17,21 @@ object JTime {
     require(args.nonEmpty, "usage: JTime <query> [query ...]")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .getOrCreate()
+    // SPARK_GRAFT_JTIME_CONF="k=v;k=v": extra session confs for
+    // diagnostic what-if runs (e.g. AQE off). Dev-only.
+    sys.env.get("SPARK_GRAFT_JTIME_CONF").foreach(_.split(';')
+      .map(_.trim).filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.stateRoot =
       s"/tmp/graft_qstate_j${ProcessHandle.current().pid()}_" +
@@ -37,13 +44,30 @@ object JTime {
     val nTasks = new AtomicInteger(0)
     val taskMs = new AtomicLong(0L)
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    // SPARK_GRAFT_JTIME_TRACE=1: one line per job (duration, call site,
+    // description) — attributes a job-cascade query's count to its
+    // operators. Dev-only, like the harness itself.
+    val trace = sys.env.get("SPARK_GRAFT_JTIME_TRACE").contains("1")
+    val jobInfo = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         nJobs.incrementAndGet(); jobStarts.put(e.jobId, e.time)
+        if (trace) {
+          // the result stage's name carries the action's call site
+          // ("parquet at Curation.scala:123"); list every distinct site
+          // in the job so shuffle stages attribute too
+          val sites = e.stageInfos.map(_.name).distinct.mkString(" ;; ")
+          jobInfo.put(e.jobId, s"stages=${e.stageIds.size} | $sites")
+        }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val s = jobStarts.remove(e.jobId)
         if (s != null) jobMs.addAndGet(e.time - s)
+        if (trace) {
+          val info = Option(jobInfo.remove(e.jobId)).getOrElse("")
+          val dur = if (s != null) e.time - s else -1L
+          println(f"  [job ${e.jobId}%4d] ${dur}%5d ms  $info")
+        }
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         nTasks.incrementAndGet()

@@ -501,7 +501,8 @@ private[graft] object QueriesStreaming {
           .coalesce(2).write.mode("overwrite").parquet(state + "/csig")
         Similarity.embeddingBandSignatures(bench)
           .coalesce(1).write.mode("overwrite").parquet(state + "/bsig")
-        val stream = streamOf(s, s"$d/embeddings.parquet").repartition(8)
+        val stream = streamOf(s, s"$d/embeddings.parquet")
+          .repartition(graft.pipeline.Par.streamGateWidth(s))
         val gated = Similarity.semanticGate(stream, bench, threshold = 0.9)
         runBoundedStream(s, gated, "st15_sink", "append")
           .select(col("vec_id").as("corpus_id"), col("bench_id"),
@@ -761,7 +762,7 @@ private[graft] object QueriesStreaming {
         // expression chain would score the whole batch on one core
         // (the Par.spread rationale; streams need the explicit form)
         val stream = streamOf(s, s"$d/documents.parquet")
-          .repartition(8)
+          .repartition(graft.pipeline.Par.streamGateWidth(s))
           .select(col("doc_id"),
             TextAnalysis.detectLanguage(col("text")).as("lang"),
             length(col("text")).cast("long").as("n_chars"))
@@ -816,7 +817,7 @@ private[graft] object QueriesStreaming {
           when(id % 11 === 0, concat(lit(" ssn 123-45-"),
             lpad((id % 10000).cast("string"), 4, "0"))).otherwise(""))
         val stream = streamOf(s, s"$d/documents.parquet")
-          .repartition(8) // spread the regex battery
+          .repartition(graft.pipeline.Par.streamGateWidth(s)) // spread the regex battery
           .select(col("doc_id"), col("text"))
           .withColumn("text", inj)
         val annotated = Pii.piiScan(stream)
@@ -1103,16 +1104,21 @@ private[graft] object QueriesStreaming {
         // distinct() on both sides (the oracle's res is DISTINCT too)
         // keeps the gate honest about semantics, not sink replays
         val streamed = s.read.parquet(state + "/out").distinct()
-        val batchArm = graft.pipeline.Hnsw.topK(idx,
-          emb.filter(col("vec_id") < 25), k = 10, efSearch = 48)
         val pairs = Seq("query_id", "neighbor_id")
+        // cache both pair projections for the two-way anti-join: the
+        // batch arm's topK DAG (full store scan + shard cogroup +
+        // window) and the sink's distinct would otherwise EXECUTE
+        // TWICE, once per direction (r19, guide §5: reuse beats
+        // recompute — both frames are ≤ queries×k rows)
+        val batchPairs = graft.pipeline.Hnsw.topK(idx,
+            emb.filter(col("vec_id") < 25), k = 10, efSearch = 48)
+          .select(pairs.map(col): _*).cache()
+        val streamedPairs = streamed.select(pairs.map(col): _*).cache()
         val mismatches =
-          streamed.select(pairs.map(col): _*)
-            .join(batchArm.select(pairs.map(col): _*), pairs,
-              "left_anti").count() +
-          batchArm.select(pairs.map(col): _*)
-            .join(streamed.select(pairs.map(col): _*), pairs,
-              "left_anti").count()
+          streamedPairs.join(batchPairs, pairs, "left_anti").count() +
+          batchPairs.join(streamedPairs, pairs, "left_anti").count()
+        batchPairs.unpersist()
+        streamedPairs.unpersist()
         streamed
           .select(col("query_id"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"), col("rank"))

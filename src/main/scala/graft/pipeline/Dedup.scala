@@ -382,11 +382,27 @@ object Dedup {
   def minhashStoreSave(store: MinhashStore, path: String): Unit = {
     val spark = store.sigs.sparkSession
     store.sigs.write.mode("overwrite").parquet(s"$path/signatures")
-    import spark.implicits._
-    Seq((store.idCol, store.shingleK, store.numHashes, store.numBands,
-        store.seed))
-      .toDF("id_col", "shingle_k", "num_hashes", "num_bands", "seed")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // driver-side properties meta (zero Spark jobs to write, zero to
+    // load — the parquet form cost one write job + schema-inference +
+    // head per load, r19); parquet fallback only for an id column name
+    // a properties line cannot carry, and [[minhashStoreLoad]] keeps
+    // reading legacy parquet metas forever
+    val metaDir = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(metaDir, true)
+    val wrote = graft.history.StoreIO.writeProps(fs, metaDir, Seq(
+      "id_col" -> store.idCol,
+      "shingle_k" -> store.shingleK.toString,
+      "num_hashes" -> store.numHashes.toString,
+      "num_bands" -> store.numBands.toString,
+      "seed" -> store.seed.toString))
+    if (!wrote) {
+      import spark.implicits._
+      Seq((store.idCol, store.shingleK, store.numHashes, store.numBands,
+          store.seed))
+        .toDF("id_col", "shingle_k", "num_hashes", "num_bands", "seed")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
   }
 
   /** Load a [[minhashStoreSave]]d store. The signature frame stays a
@@ -400,9 +416,18 @@ object Dedup {
   def minhashStoreLoad(
       spark: org.apache.spark.sql.SparkSession,
       path: String): MinhashStore = {
-    val m = spark.read.parquet(s"$path/meta").head()
     val sigDir = new org.apache.hadoop.fs.Path(s"$path/signatures")
     val fs = sigDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (idCol, shingleK, numHashes, numBands, seed) =
+      graft.history.StoreIO.readProps(fs,
+          new org.apache.hadoop.fs.Path(s"$path/meta")) match {
+        case Some(p) => (p("id_col"), p("shingle_k").toInt,
+          p("num_hashes").toInt, p("num_bands").toInt, p("seed").toLong)
+        case None => // legacy parquet meta
+          val m = spark.read.parquet(s"$path/meta").head()
+          (m.getString(0), m.getInt(1), m.getInt(2), m.getInt(3),
+            m.getLong(4))
+      }
     val files = fs.listStatus(sigDir).toSeq
       .filter(st => st.isFile && {
         val n = st.getPath.getName
@@ -410,7 +435,7 @@ object Dedup {
       })
       .map(_.getPath.toString)
     MinhashStore(spark.read.parquet(files: _*),
-      m.getString(0), m.getInt(1), m.getInt(2), m.getInt(3), m.getLong(4))
+      idCol, shingleK, numHashes, numBands, seed)
   }
 
   /** Sign a NEW ingest slice with the store's own parameters and append

@@ -434,35 +434,61 @@ object Hnsw {
     val tmpPath = new org.apache.hadoop.fs.Path(s"$path/meta_tmp")
     if (!fs.exists(metaPath) && fs.exists(tmpPath))
       fs.rename(tmpPath, metaPath)
-    val df = spark.read.parquet(s"$path/meta")
-    val has = df.columns.toSet
-    val r = df.head()
-    StoreMeta(
-      r.getAs[Int]("m"), r.getAs[Int]("ef_construction"),
-      r.getAs[Int]("shards"), r.getAs[String]("id_col"),
-      r.getAs[String]("emb_col"),
-      // pre-versioning stores used the raw-mod shard layout
-      if (has("layout_version")) r.getAs[Int]("layout_version") else 1,
-      if (has("deleted_count")) r.getAs[Long]("deleted_count") else 0L)
+    graft.history.StoreIO.readProps(fs, metaPath) match {
+      case Some(p) =>
+        // driver-side properties meta (the r19 format): zero Spark jobs
+        StoreMeta(p("m").toInt, p("ef_construction").toInt,
+          p("shards").toInt, p("id_col"), p("emb_col"),
+          p.get("layout_version").map(_.toInt).getOrElse(1),
+          p.get("deleted_count").map(_.toLong).getOrElse(0L))
+      case None =>
+        // legacy parquet meta — old stores stay loadable forever
+        val df = spark.read.parquet(s"$path/meta")
+        val has = df.columns.toSet
+        val r = df.head()
+        StoreMeta(
+          r.getAs[Int]("m"), r.getAs[Int]("ef_construction"),
+          r.getAs[Int]("shards"), r.getAs[String]("id_col"),
+          r.getAs[String]("emb_col"),
+          // pre-versioning stores used the raw-mod shard layout
+          if (has("layout_version")) r.getAs[Int]("layout_version") else 1,
+          if (has("deleted_count")) r.getAs[Long]("deleted_count") else 0L)
+    }
   }
 
   /** Meta rewrite via write-to-tmp + swap: a direct mode("overwrite")
    *  deletes the old meta BEFORE the new file commits, so a crash
-   *  mid-job bricks every later load. Here the full parquet job lands
-   *  at meta_tmp first; the swap is two metadata-only FS ops, and
+   *  mid-job bricks every later load. Here the full meta lands at
+   *  meta_tmp first; the swap is two metadata-only FS ops, and
    *  [[readMeta]] adopts a stranded meta_tmp if the process dies
-   *  between them. */
+   *  between them. The meta itself is a driver-side properties file
+   *  (7 scalars — a Spark parquet job to write it plus two more per
+   *  read was pure overhead, r19; StoreIO.writeProps also lands the
+   *  `_SUCCESS` marker [[recoverRebuildTmp]]'s completeness check
+   *  keys on), with the legacy parquet write as the fallback for
+   *  column names a properties line cannot carry. */
   private def writeMeta(
       spark: SparkSession, path: String, meta: StoreMeta): Unit = {
-    import spark.implicits._
     val fs = fsFor(spark, path)
     val tmpPath = new org.apache.hadoop.fs.Path(s"$path/meta_tmp")
     val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
-    Seq((meta.m, meta.efConstruction, meta.shards, meta.idCol,
-      meta.embCol, meta.layoutVersion, meta.deletedCount))
-      .toDF("m", "ef_construction", "shards", "id_col", "emb_col",
-        "layout_version", "deleted_count")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_tmp")
+    fs.delete(tmpPath, true)
+    val wrote = graft.history.StoreIO.writeProps(fs, tmpPath, Seq(
+      "m" -> meta.m.toString,
+      "ef_construction" -> meta.efConstruction.toString,
+      "shards" -> meta.shards.toString,
+      "id_col" -> meta.idCol,
+      "emb_col" -> meta.embCol,
+      "layout_version" -> meta.layoutVersion.toString,
+      "deleted_count" -> meta.deletedCount.toString))
+    if (!wrote) {
+      import spark.implicits._
+      Seq((meta.m, meta.efConstruction, meta.shards, meta.idCol,
+        meta.embCol, meta.layoutVersion, meta.deletedCount))
+        .toDF("m", "ef_construction", "shards", "id_col", "emb_col",
+          "layout_version", "deleted_count")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta_tmp")
+    }
     fs.delete(metaPath, true)
     fs.rename(tmpPath, metaPath)
   }
@@ -655,14 +681,26 @@ object Hnsw {
       val fresh = normalized(newVecs, idx.idCol, idx.embCol, idx.shards,
         idx.layoutVersion)
         .localCheckpoint() // slice-sized; read 4x (checks, shards, inserts)
-      val dupIn = fresh.groupByKey(_._2).count()
-        .filter(_._2 > 1L).map(_._1)
-        .take(11)
-      require(dupIn.isEmpty,
-        "hnswAppend: ids duplicated within the append slice: " +
-          dupIn.sorted.take(10).mkString(", ") +
-          (if (dupIn.length > 10) ", …" else ""))
-      val touched = fresh.map(_._1).distinct().collect().sorted
+      // ONE shards-sized aggregation does both admission reads (r19):
+      // the touched-shard list AND within-slice dup detection (ids
+      // hash to exactly one shard, so a duplicated id is a
+      // count≠countDistinct inequality in its own shard's row); the
+      // id-naming query below runs only on the already-failing path
+      val byShard = fresh.toDF("__shard", "__id", "__v")
+        .groupBy(col("__shard"))
+        .agg(count(lit(1)).as("__n"),
+          countDistinct(col("__id")).as("__nd"))
+        .collect()
+      if (byShard.exists(r => r.getLong(1) != r.getLong(2))) {
+        val dupIn = fresh.groupByKey(_._2).count()
+          .filter(_._2 > 1L).map(_._1)
+          .take(11)
+        require(dupIn.isEmpty,
+          "hnswAppend: ids duplicated within the append slice: " +
+            dupIn.sorted.take(10).mkString(", ") +
+            (if (dupIn.length > 10) ", …" else ""))
+      }
+      val touched = byShard.map(_.getInt(0)).sorted
       if (touched.nonEmpty) {
         val touchedSet = touched.toSet
         val shardList = touched.map(Integer.valueOf).toSeq
@@ -813,12 +851,16 @@ object Hnsw {
     val qn = normalized(queries, index.idCol, index.embCol, 1,
       index.layoutVersion)
       .map { case (_, id, v) => (id, v) }
-    val qCount = qn.limit(
-      math.min(maxQueries + 1, Int.MaxValue.toLong).toInt).count()
-    require(qCount <= maxQueries,
+    // ONE bounded collect does both the size check and the fetch (the
+    // separate count-then-collect paid the query subtree twice, r19):
+    // the limit caps what reaches the driver at maxQueries+1 rows, and
+    // one extra row proves the violation
+    val rows = qn.limit(
+      math.min(maxQueries + 1, Int.MaxValue.toLong).toInt).collect()
+    require(rows.length <= maxQueries,
       s"$op: queries frame exceeds maxQueries — this arm " +
         "broadcasts the query side by contract; batch the queries")
-    qn.collect().sortBy(_._1)
+    rows.sortBy(_._1)
   }
 
   /** [[topK]] at SEVERAL beam widths from ONE shard materialization —

@@ -42,19 +42,31 @@ class SliceStateStore(spark: SparkSession, basePath: String) {
     val prev = spark.conf.get(dyn)
     spark.conf.set(dyn, "dynamic")
     try {
-      IncrementalProfile.sliceState(df, sliceId)
-        .write.mode("overwrite").partitionBy("slice_id")
-        .parquet(lane("profile"))
-      if (quantileCols.nonEmpty)
-        quantileCols.map(c => LogSketch.sliceState(df, c, alpha, sliceId))
-          .reduce(_ unionByName _)
+      // the three family writes are independent actions on DISJOINT
+      // paths (profile/quantiles/topk — never the same committer
+      // _temporary), so they run CONCURRENTLY and the record costs one
+      // wall-clock write, not three (optimization guide §2.6: overlap
+      // independent jobs; r19 — one slice record was three sequential
+      // scan+aggregate+commit round-trips)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Some(() => IncrementalProfile.sliceState(df, sliceId)
           .write.mode("overwrite").partitionBy("slice_id")
-          .parquet(lane("quantiles"))
-      topKCol.foreach { c =>
-        MergeableTopK.sliceState(df, c, k, sliceId)
-          .write.mode("overwrite").partitionBy("slice_id")
-          .parquet(lane("topk"))
-      }
+          .parquet(lane("profile"))),
+        if (quantileCols.isEmpty) None
+        else Some(() =>
+          quantileCols.map(c => LogSketch.sliceState(df, c, alpha, sliceId))
+            .reduce(_ unionByName _)
+            .write.mode("overwrite").partitionBy("slice_id")
+            .parquet(lane("quantiles"))),
+        topKCol.map(c => () =>
+          MergeableTopK.sliceState(df, c, k, sliceId)
+            .write.mode("overwrite").partitionBy("slice_id")
+            .parquet(lane("topk")))).flatten
+      Await.result(
+        Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
     } finally spark.conf.set(dyn, prev)
   }
 

@@ -152,9 +152,12 @@ object IngestScheduler {
       // builds a plan that grows per slice and pays Catalyst planning
       // on the whole cascade — the same unbounded-plan shape the
       // PageRank/HITS/label-propagation loops cut. Neutral on the
-      // 2-slice b02 fixture (measured ±noise), structural at scale.
-      // The checkpoint action also populates the slice's observation
-      // counts; the tick still lands ONE signature append.
+      // 2-slice b02 fixture (measured ±noise — re-measured r19:
+      // skipping it for short ticks saved the checkpoint jobs but
+      // re-ran each slice subtree per consumer, a wash at best),
+      // structural at scale. The checkpoint action also populates the
+      // slice's observation counts; the tick still lands ONE signature
+      // append.
       val keptSigs = turn.keptSigs.localCheckpoint(true)
       keptSigsAll += keptSigs
       store = store.copy(sigs = store.sigs.unionByName(keptSigs))
