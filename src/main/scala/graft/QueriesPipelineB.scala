@@ -1160,14 +1160,17 @@ private[graft] object QueriesPipelineB {
         val train = docs.filter(col("doc_id") % 5 =!= 0)
           .select(col("doc_id"), col("text"), col("source"))
         val state = freshState(s, "x53")
-        graft.pipeline.Classify.nbStateSave(
-          graft.pipeline.Classify.nbState(
-            train.filter(col("doc_id") % 2 === 0), "text", "source"),
-          state + "/day1")
-        graft.pipeline.Classify.nbStateSave(
-          graft.pipeline.Classify.nbState(
-            train.filter(col("doc_id") % 2 =!= 0), "text", "source"),
-          state + "/day2")
+        // the two day-state saves are independent writes to disjoint
+        // paths — one wall-clock write, not two (guide §2.6, r19)
+        inParallel(
+          () => graft.pipeline.Classify.nbStateSave(
+            graft.pipeline.Classify.nbState(
+              train.filter(col("doc_id") % 2 === 0), "text", "source"),
+            state + "/day1"),
+          () => graft.pipeline.Classify.nbStateSave(
+            graft.pipeline.Classify.nbState(
+              train.filter(col("doc_id") % 2 =!= 0), "text", "source"),
+            state + "/day2"))
         val merged = graft.pipeline.Classify.nbMerge(Seq(
           graft.pipeline.Classify.nbStateLoad(s, state + "/day1", "source"),
           graft.pipeline.Classify.nbStateLoad(s, state + "/day2", "source")))
@@ -1795,10 +1798,13 @@ private[graft] object QueriesPipelineB {
             concat(slice(col("embedding"), 1, 56),
               array_repeat(lit(0.0f), 8)).as("embedding"))
         val state = freshState(s, "e22")
-        Similarity.embeddingBandSignatures(emb)
-          .coalesce(2).write.mode("overwrite").parquet(state + "/csig")
-        Similarity.embeddingBandSignatures(bench)
-          .coalesce(1).write.mode("overwrite").parquet(state + "/bsig")
+        // independent fixture writes to disjoint paths — one wall-clock
+        // write, not two (guide §2.6, r19)
+        inParallel(
+          () => Similarity.embeddingBandSignatures(emb)
+            .coalesce(2).write.mode("overwrite").parquet(state + "/csig"),
+          () => Similarity.embeddingBandSignatures(bench)
+            .coalesce(1).write.mode("overwrite").parquet(state + "/bsig"))
         Similarity.semanticDecontaminate(emb, bench, threshold = 0.9)
           .select(col("corpus_id"), col("bench_id"),
             round(col("cosine"), 6).as("cosine"))

@@ -907,14 +907,17 @@ private[graft] object QueriesProfiler {
         import graft.profiler.{Drift, LogSketch}
         val ev = eventsTable(s, d)
         val state = freshState(s, "p40")
-        LogSketch.sliceState(
-            ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
-            "value", 0.01, "h1")
-          .write.mode("overwrite").parquet(state + "/h1")
-        LogSketch.sliceState(
-            ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
-            "value", 0.01, "h2")
-          .write.mode("overwrite").parquet(state + "/h2")
+        // independent fixture writes to disjoint paths — one wall-clock
+        // write, not two (guide §2.6, r19)
+        inParallel(
+          () => LogSketch.sliceState(
+              ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+              "value", 0.01, "h1")
+            .write.mode("overwrite").parquet(state + "/h1"),
+          () => LogSketch.sliceState(
+              ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+              "value", 0.01, "h2")
+            .write.mode("overwrite").parquet(state + "/h2"))
         Drift.driftFromStates(
           s.read.parquet(state + "/h1"), s.read.parquet(state + "/h2"))
       },

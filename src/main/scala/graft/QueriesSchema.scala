@@ -640,13 +640,17 @@ private[graft] object QueriesSchema {
         val docs = t(s, d, "documents")
         val state = freshState(s, "x55")
         val merges = TextAnalysis.trainBpeMerges(docs, numMerges = 20)
-        merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
-          .toDF("rank", "m_left", "m_right")
-          .coalesce(1).write.mode("overwrite").parquet(state + "/merges")
-        docs.select(col("doc_id"), col("source"),
-            TextAnalysis.bpeTokenCount(col("text"), merges)
-              .as("n_bpe_tokens"))
-          .write.mode("overwrite").parquet(state + "/counts")
+        // the merge-table and per-doc-count writes are independent
+        // (counts use the DRIVER merges value, not the file) — one
+        // wall-clock write, not two (guide §2.6, r19)
+        inParallel(
+          () => merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+            .toDF("rank", "m_left", "m_right")
+            .coalesce(1).write.mode("overwrite").parquet(state + "/merges"),
+          () => docs.select(col("doc_id"), col("source"),
+              TextAnalysis.bpeTokenCount(col("text"), merges)
+                .as("n_bpe_tokens"))
+            .write.mode("overwrite").parquet(state + "/counts"))
         s.read.parquet(state + "/counts")
           .filter(col("source").isNotNull)
           .groupBy("source")
@@ -1185,14 +1189,18 @@ private[graft] object QueriesSchema {
       // construction (embedding i belongs to document i).
       (s, d) => {
         val state = freshState(s, "x45")
-        TextAnalysis.bm25TopK(t(s, d, "documents"),
-            Seq("spark", "merge", "vector"), k = 20)
-          .select(col("doc_id"), col("rank"))
-          .write.mode("overwrite").parquet(state + "/bm25")
+        // the two arm writes are independent (disjoint paths, disjoint
+        // sources) — one wall-clock write, not two (guide §2.6, r19)
         val emb = t(s, d, "embeddings")
-        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 20)
-          .select(col("neighbor_id").as("doc_id"), col("rank"))
-          .write.mode("overwrite").parquet(state + "/ann")
+        inParallel(
+          () => TextAnalysis.bm25TopK(t(s, d, "documents"),
+              Seq("spark", "merge", "vector"), k = 20)
+            .select(col("doc_id"), col("rank"))
+            .write.mode("overwrite").parquet(state + "/bm25"),
+          () => Similarity.bruteForceTopK(emb,
+              emb.filter(col("vec_id") === 0), k = 20)
+            .select(col("neighbor_id").as("doc_id"), col("rank"))
+            .write.mode("overwrite").parquet(state + "/ann"))
         TextAnalysis.rrfFuse(Seq(
             s.read.parquet(state + "/bm25"),
             s.read.parquet(state + "/ann")), topK = 10)

@@ -512,16 +512,19 @@ private[graft] object QueriesSource {
       (s, d) => {
         val state = freshState(s, "s17")
         val o = t(s, d, "orders")
-        o.filter(col("o_orderkey") % 2 === 0)
-          .select(col("o_orderkey").cast("int").as("o_orderkey"),
-            col("o_custkey"),
-            col("o_totalprice").cast("float").as("o_totalprice"))
-          .coalesce(2).write.mode("overwrite").parquet(state + "/v1")
-        o.filter(col("o_orderkey") % 2 =!= 0)
-          .select(col("o_orderkey"), col("o_custkey"),
-            col("o_totalprice").cast("double").as("o_totalprice"),
-            col("o_orderpriority"))
-          .coalesce(2).write.mode("overwrite").parquet(state + "/v2")
+        // independent snapshot writes to disjoint paths — one
+        // wall-clock write, not two (guide §2.6, r19)
+        inParallel(
+          () => o.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey").cast("int").as("o_orderkey"),
+              col("o_custkey"),
+              col("o_totalprice").cast("float").as("o_totalprice"))
+            .coalesce(2).write.mode("overwrite").parquet(state + "/v1"),
+          () => o.filter(col("o_orderkey") % 2 =!= 0)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice").cast("double").as("o_totalprice"),
+              col("o_orderpriority"))
+            .coalesce(2).write.mode("overwrite").parquet(state + "/v2"))
         graft.sources.Evolution.readEvolved(
             s, Seq(state + "/v1", state + "/v2"))
           .groupBy(col("o_orderpriority"))

@@ -497,10 +497,13 @@ private[graft] object QueriesStreaming {
             concat(slice(col("embedding"), 1, 56),
               array_repeat(lit(0.0f), 8)).as("embedding"))
         val state = freshState(s, "st15")
-        Similarity.embeddingBandSignatures(emb)
-          .coalesce(2).write.mode("overwrite").parquet(state + "/csig")
-        Similarity.embeddingBandSignatures(bench)
-          .coalesce(1).write.mode("overwrite").parquet(state + "/bsig")
+        // independent fixture writes to disjoint paths — one wall-clock
+        // write, not two (guide §2.6, r19)
+        inParallel(
+          () => Similarity.embeddingBandSignatures(emb)
+            .coalesce(2).write.mode("overwrite").parquet(state + "/csig"),
+          () => Similarity.embeddingBandSignatures(bench)
+            .coalesce(1).write.mode("overwrite").parquet(state + "/bsig"))
         val stream = streamOf(s, s"$d/embeddings.parquet")
           .repartition(graft.pipeline.Par.streamGateWidth(s))
         val gated = Similarity.semanticGate(stream, bench, threshold = 0.9)

@@ -42,6 +42,21 @@ object SparkEntry {
   private[graft] def tS(s: SparkSession, dir: String, name: String): DataFrame =
     graft.pipeline.Par.spread(t(s, dir, name))
 
+  /** Run independent fixture actions CONCURRENTLY (optimization guide
+   *  §2.6: actions are only sequential because driver code calls them
+   *  sequentially; the scheduler back-fills one job's task tail with
+   *  the next job's tasks). For query bodies that stage 2+ fixture
+   *  writes to DISJOINT paths before the measured read — never for
+   *  actions ordered by a crash-safety contract (store append before
+   *  ledger row) or writes sharing one committer _temporary. */
+  private[graft] def inParallel(actions: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Await.result(
+      Future.sequence(actions.map(a => Future(a()))), Duration.Inf)
+  }
+
   /** events.parquet has carried several physical ts encodings across
    *  driver testdata generations — TIMESTAMP(NANOS) (read as long under
    *  spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS,

@@ -36,7 +36,11 @@ final class ProfileStore(spark: SparkSession, path: String) {
         "metric_aux", "metric_aux2")
       .withColumn("date", to_date(col("ts")))
     StoreIO.appendLocked(path) {
-      rows.write.mode(SaveMode.Append).partitionBy("table_name", "date")
+      // driver-local rows: one task writes one file per partition dir
+      // (a LocalTableScan write otherwise runs one trivial task PER ROW
+      // and lands that many files — guide §6, r19)
+      rows.coalesce(1).write.mode(SaveMode.Append)
+        .partitionBy("table_name", "date")
         .parquet(path)
     }
   }
@@ -74,7 +78,9 @@ final class ValidationStore(spark: SparkSession, path: String) {
       "expected_value", "operator", "error", "schema_mismatch", "run_at")
       .withColumn("date", to_date(col("run_at")))
     StoreIO.appendLocked(path) {
-      rows.write.mode(SaveMode.Append).partitionBy("table_name", "date")
+      // single-task driver-local append (guide §6, r19 — see ProfileStore)
+      rows.coalesce(1).write.mode(SaveMode.Append)
+        .partitionBy("table_name", "date")
         .parquet(path)
     }
   }
@@ -99,7 +105,9 @@ final class ChangesStore(spark: SparkSession, path: String) {
         "detected_at", "acknowledged")
       .withColumn("date", to_date(col("detected_at")))
     StoreIO.appendLocked(path) {
-      rows.write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+      // single-task driver-local append (guide §6, r19 — see ProfileStore)
+      rows.coalesce(1).write.mode(SaveMode.Append)
+        .partitionBy("date").parquet(path)
     }
   }
 

@@ -260,7 +260,10 @@ final class EventStore(spark: SparkSession, path: String) {
         "data", "ts")
       .withColumn("date", to_date(col("ts")))
     graft.history.StoreIO.appendLocked(path) {
-      row.write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+      // single-task driver-local append: one task, one file per
+      // partition dir instead of one per row (guide §6, r19)
+      row.coalesce(1).write.mode(SaveMode.Append)
+        .partitionBy("date").parquet(path)
     }
   }
 

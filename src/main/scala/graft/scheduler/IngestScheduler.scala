@@ -73,7 +73,8 @@ object IngestScheduler {
       }.toDF("slice_id", "processed_at", "arrived", "after_quality",
         "dropped_exact_within", "dropped_near_dup", "kept")
       graft.history.StoreIO.appendLocked(path) {
-        df.write.mode(SaveMode.Append).parquet(path)
+        // single-task driver-local append (guide §6, r19)
+        df.coalesce(1).write.mode(SaveMode.Append).parquet(path)
       }
     }
 
