@@ -181,7 +181,7 @@ private[graft] object QueriesPipelineB {
           concat(lit("doc-"),
             lpad(col("doc_id").cast("string"), 6, "0")).as("sid"),
           col("text"))
-        Dedup.dedupCorpus(sdocs, idCol = "sid")
+        Dedup.dedupCorpus(sdocs, idCol = "sid", spread = false)
           .select(col("sid")).orderBy("sid")
       },
       Some("""WITH RECURSIVE sdocs AS (

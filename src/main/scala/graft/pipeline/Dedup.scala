@@ -1234,13 +1234,20 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 128,
       numBands: Int = 32,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000,
+      // slice-grain callers (a few hundred docs, e.g. d09's capped
+      // string-id fixture) opt out of the signature spread — the added
+      // exchange costs more than the serial sign at that size (the r18
+      // slice-grain pattern; measured r19: d09 ran ~15-20% slower with
+      // the corpus-default spread)
+      spread: Boolean = true): DataFrame = {
     // exact groups → star pairs (every member ↔ the group head)
     val exactPairs = exactDuplicates(docs, idCol, textCol)
       .select(col("doc_ids")(0).as("id_a"),
         explode(expr("slice(doc_ids, 2, size(doc_ids) - 1)")).as("id_b"))
     val sigs = minhashSignatures(docs, idCol, textCol,
-      shingleK = shingleK, numHashes = numHashes, numBands = numBands)
+      shingleK = shingleK, numHashes = numHashes, numBands = numBands,
+      spread = spread)
     val nearPairs = ngramJaccard(docs,
       lshCandidatePairs(sigs, idCol, maxBucketSize),
       idCol, textCol, shingleK)
